@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is chosen for the 100 TB target, then scaled down by
+env vars for local testing:
+
+- AQE on: runtime partition coalescing + skew-join splitting.  Tile
+  feature density is heavily skewed (city tiles vs ocean tiles), and
+  TPC-H-ish keys are Zipfian in `events`.
+- shuffle.partitions sized to cores locally; on a real cluster AQE's
+  coalescing makes the static number mostly irrelevant as long as it
+  is an upper bound.
+- Arrow on: every Python-side kernel in this engine is an Arrow-batched
+  pandas UDF / mapInPandas — never row-at-a-time Python.
+- session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "map2db_spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert in tables.load (exact
+        # integer division — no double round-trip).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

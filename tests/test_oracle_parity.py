@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query on Spark at sf0.01 and its oracle on DuckDB over the same
+parquet, then compare row count, sorted column names, and
+order-insensitive values.
+
+Float policy: queries round their own float outputs (the registry
+convention), so comparison here is exact after a defensive 1e-9
+relative tolerance — if a query needs the tolerance to pass, tighten
+the query's rounding instead.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from map2db_spark.registry import QUERIES, _ensure_loaded
+from tests.conftest import SF_CORRECT
+
+_ensure_loaded()
+
+ORACLE_CASES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+ROWS_ONLY_CASES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse ulp noise; queries already round, this is a backstop
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return sorted_cols, out
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(spec.oracle)
+    d_cols = [c[0] for c in rel.description]
+    d_rows = rel.fetchall()
+
+    sc, sr = _normalize(s_cols, s_rows)
+    dc, dr = _normalize(d_cols, d_rows)
+
+    assert sc == dc, f"{name}: column mismatch spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"{name}: rowcount spark={len(sr)} duckdb={len(dr)}"
+    mismatches = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(spark, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
