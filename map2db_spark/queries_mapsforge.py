@@ -1,10 +1,132 @@
 """MapsForge engine surface registered as driver-checkable queries.
 
-The decode/consolidate/linemerge pipeline runs on a committed fixture
-map (fixtures/*.map, generated by tests/fixture_encoder) — these are
-not SQL-expressible over the TPC-H-ish parquet, so they register with
-oracle=None (rows-only check); full value-level goldens live in
-tests/test_mapsforge_golden.py.
+These run the real pipeline (decode -> consolidate -> merge) on a
+committed deterministic fixture map (fixtures/dbl.map, generated from
+map2db_spark.sources.sample_maps if absent).  The pipeline is not
+SQL-expressible over the TPC-H-ish parquet views, but its output on
+the fixture IS deterministic — so each query gets a literal VALUES
+oracle and participates in the full value-hash check, not just a
+rows-only count.  Byte-level geometry goldens live in
+tests/test_pipeline_e2e.py.
 """
 
 from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map2db_spark.registry import query
+
+_FIXTURE = str(Path(__file__).resolve().parent.parent / "fixtures" / "dbl.map")
+
+
+def _fixture_path() -> str:
+    if not os.path.exists(_FIXTURE):
+        from map2db_spark.sources.sample_maps import dbl_map
+
+        os.makedirs(os.path.dirname(_FIXTURE), exist_ok=True)
+        dbl_map().write(_FIXTURE)
+    return _FIXTURE
+
+
+@query(
+    "m2db_decode_sightings",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+        ('line',  CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+        ('point', CAST(5 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(ftype, n_sightings, n_features)
+    """,
+    tags=("mapsforge", "decode"),
+)
+def m2db_decode_sightings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tile decode (S7-S9): per-kind raw sighting counts on
+    the fixture map.  5 point sightings (P1; P2 at two levels; P4 at
+    two levels; P3 clipped away), 4 line (L1 in two tiles + L2 + L3),
+    4 area (A1; A2 in two tiles + one lower level)."""
+    from map2db_spark.pipeline import load_features
+
+    feats = load_features(spark, _fixture_path())
+    return (
+        feats.groupBy("ftype")
+        .agg(
+            F.count(F.lit(1)).alias("n_sightings"),
+            F.countDistinct("fid").alias("n_features"),
+        )
+    )
+
+
+@query(
+    "m2db_consolidated_zoom",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(1 AS BIGINT), 8, 8,  11),
+        ('area',  CAST(2 AS BIGINT), 8, 7,  11),
+        ('line',  CAST(1 AS BIGINT), 8, 9,  11),
+        ('line',  CAST(2 AS BIGINT), 8, 10, 11),
+        ('line',  CAST(3 AS BIGINT), 8, 9,  11),
+        ('point', CAST(1 AS BIGINT), 8, 9,  11),
+        ('point', CAST(2 AS BIGINT), 8, 6,  11),
+        ('point', CAST(4 AS BIGINT), 8, 6,  11)
+    ) AS t(ftype, fid, level, minz, maxz)
+    """,
+    tags=("mapsforge", "consolidation"),
+)
+def m2db_consolidated_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 consolidation: one row per feature with argmax-level attrs,
+    min-minz across levels, maxz of the top subfile."""
+    from map2db_spark.pipeline import consolidated_features
+
+    final = consolidated_features(spark, _fixture_path())
+    return final.select(
+        "ftype", "fid", "level", "minz", "maxz"
+    )
+
+
+@query(
+    "m2db_merge_diagnostics",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS multi_count0, CAST(1 AS BIGINT) AS multi_count1,
+           CAST(1 AS BIGINT) AS multi_count2, CAST(0 AS BIGINT) AS loops
+    """,
+    tags=("mapsforge", "linemerge"),
+)
+def m2db_merge_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 line merge diagnostics (reference multi_counts print,
+    map2db.py:1174-1181): L1 and L3 are multi-part; L1 stitches across
+    the tile boundary; L3's disjoint parts survive merge+snap with no
+    loop."""
+    from map2db_spark.operators.consolidate import consolidate
+    from map2db_spark.operators.linemerge import merge_lines, merge_stats
+    from map2db_spark.pipeline import load_features
+    from map2db_spark.sources.header import read_header
+
+    path = _fixture_path()
+    header = read_header(path)
+    feats = load_features(spark, path, header)
+    lines = consolidate(feats, header).where(F.col("ftype") == "line")
+    return merge_stats(merge_lines(lines))
+
+
+@query(
+    "m2db_validation_violations",
+    oracle="""
+    SELECT 'point' AS ftype, CAST(4 AS BIGINT) AS fid,
+           'zoom-discontinuity:9!=8' AS violation
+    """,
+    tags=("mapsforge", "validation"),
+)
+def m2db_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mid-stream ValueErrors as data: P4 has a
+    deliberately discontinuous zoom range and must surface exactly one
+    violation row (map2db.py:792-802 reformulated)."""
+    from map2db_spark.pipeline import consolidated_features
+
+    final = consolidated_features(spark, _fixture_path())
+    return final.where(F.col("violation").isNotNull()).select(
+        "ftype", "fid", "violation"
+    )

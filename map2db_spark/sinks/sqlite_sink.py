@@ -1,0 +1,285 @@
+"""FDO RFC 16 SQLite geodatabase sink (S10-S12/S14, reference
+map2db.py:129-255 DDL + metadata emit 1398-1467, 1519-1527).
+
+The canonical large-scale output of this engine is partitioned parquet
+(parquet_sink.py); SQLite is an *export format* — a single-file
+database written on the driver from the final consolidated DataFrames
+via ``toLocalIterator`` (bounded driver memory: one Arrow batch at a
+time, never a full collect).
+
+Schema parity: the reference grows feature tables with ALTER TABLE as
+new variable-tag keys appear mid-stream (map2db.py:860-871).  Here the
+internal representation is a MapType column, so the full key set is
+known before DDL: columns are created up front, ordered by first
+sighting in the reference's traversal order (level desc, row-major
+tile sweep, intra-tile sequence) to match the reference's column
+order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRS_WKT = (
+    "GEOGCS["
+    '"WGS 84",'
+    "DATUM["
+    '"WGS_1984",'
+    "SPHEROID["
+    '"WGS 84",'
+    "6378137,"
+    "298.257223563,"
+    'AUTHORITY["EPSG","7030"]],'
+    'AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AXIS["Latitude",NORTH],'
+    'AXIS["Longitude",EAST],'
+    'AUTHORITY["EPSG","4326"]]'
+)
+
+FIXED_COLS = ["m2db_level", "m2db_minz", "m2db_maxz", "m2db_geometry",
+              "m2db_layer_num", "m2db_tags"]
+
+TABLE_FOR_FTYPE = {"point": "points", "line": "lines", "area": "areas"}
+PK_FOR_FTYPE = {"point": "m2db_pnum", "line": "m2db_lnum", "area": "m2db_anum"}
+GEOMETRY_TYPE_CODE = {"points": 4, "lines": 5, "areas": 6}  # FDO RFC 16
+
+# typed variable-tag columns (everything else is TEXT); the reference
+# stores these as the Python types it computed (int / float)
+_INT_VTAGS = {"m2db_elevation"}
+_FLOAT_VTAGS = {"m2db_label_lat", "m2db_label_lon"}
+
+
+def prepare_db(dbc: sqlite3.Connection) -> None:
+    """DDL parity with reference _prepare_dbc (map2db.py:129-255)."""
+    dbc.execute(
+        "CREATE TABLE geometry_columns (f_table_name TEXT,"
+        " f_geometry_column TEXT, geometry_type INTEGER,"
+        " coord_dimension INTEGER, srid INTEGER, geometry_format TEXT);"
+    )
+    dbc.execute(
+        "CREATE TABLE spatial_ref_sys (srid INTEGER UNIQUE, auth_name TEXT,"
+        " auth_srid INTEGER, srtext TEXT);"
+    )
+    dbc.execute(
+        "INSERT INTO spatial_ref_sys (srid, auth_name, auth_srid, srtext)"
+        " VALUES (1, 'EPSG', 4326, ?);",
+        (SRS_WKT,),
+    )
+    dbc.execute("CREATE TABLE README (desc TEXT, text TEXT);")
+    for table in ["points", "lines", "areas"]:
+        pk = PK_FOR_FTYPE[[k for k, v in TABLE_FOR_FTYPE.items() if v == table][0]]
+        dbc.execute(
+            f"CREATE TABLE {table} ({pk} INTEGER PRIMARY KEY,"
+            " m2db_level INTEGER, m2db_minz INTEGER, m2db_maxz INTEGER,"
+            " m2db_geometry BLOB, m2db_layer_num INTEGER, m2db_tags TEXT);"
+        )
+        dbc.execute(
+            "INSERT INTO geometry_columns (f_table_name, f_geometry_column,"
+            " geometry_type, coord_dimension, srid, geometry_format)"
+            f" VALUES ('{table}', 'm2db_geometry', {GEOMETRY_TYPE_CODE[table]},"
+            " 2, 1, 'WKB');"
+        )
+    dbc.execute(
+        "CREATE TABLE subfiles (subfile_num INTEGER PRIMARY KEY,"
+        " level INTEGER, minzoom INTEGER, maxzoom INTEGER);"
+    )
+    dbc.execute("CREATE TABLE limits (key TEXT, value REAL);")
+
+
+def vtag_key_order(features: DataFrame) -> dict[str, list[str]]:
+    """First-sighting order of variable-tag keys per feature table
+    (A4 + reference column-creation order, map2db.py:857-871).
+
+    Traversal order key: (level desc, tile_y, tile_x, seq) — the
+    reference's reverse-level row-major sweep.  One small aggregate;
+    result is collected (key sets are tiny)."""
+    exploded = features.select(
+        "ftype",
+        "level",
+        "tile_y",
+        "tile_x",
+        "seq",
+        F.posexplode(F.map_keys("vtags")).alias("pos", "key"),
+    ).select(
+        "ftype",
+        "key",
+        F.struct(
+            (-F.col("level")).alias("neg_level"),
+            F.col("tile_y"),
+            F.col("tile_x"),
+            F.col("seq"),
+            F.col("pos"),  # intra-feature insertion order of the map keys
+        ).alias("ord"),
+    )
+    firsts = (
+        exploded.groupBy("ftype", "key")
+        .agg(F.min("ord").alias("first_seen"))
+        .collect()
+    )
+    out: dict[str, list[str]] = {"point": [], "line": [], "area": []}
+    for ftype in out:
+        rows = [r for r in firsts if r["ftype"] == ftype]
+        rows.sort(key=lambda r: (tuple(r["first_seen"]), r["key"]))
+        out[ftype] = [r["key"] for r in rows]
+    return out
+
+
+def _coerce(key: str, value):
+    if value is None:
+        return None
+    if key in _INT_VTAGS:
+        return int(value)
+    if key in _FLOAT_VTAGS:
+        return float(value)
+    return value
+
+
+def write_features(
+    dbc: sqlite3.Connection,
+    consolidated: DataFrame,
+    vtag_cols: dict[str, list[str]],
+    batch_rows: int = 10_000,
+) -> dict[str, int]:
+    """Stream the consolidated features into the three tables.
+
+    Rows arrive via toLocalIterator (one partition's batches at a
+    time).  Returns per-table row counts."""
+    counts = {"points": 0, "lines": 0, "areas": 0}
+    for ftype, table in TABLE_FOR_FTYPE.items():
+        extra = vtag_cols.get(ftype, [])
+        for col in extra:
+            dbc.execute(f"ALTER TABLE {table} ADD COLUMN {col};")
+        pk = PK_FOR_FTYPE[ftype]
+        cols = [pk] + FIXED_COLS + list(extra)
+        sql = (
+            f"INSERT INTO {table} ({','.join(cols)})"
+            f" VALUES ({','.join(['?'] * len(cols))});"
+        )
+        rows_df = (
+            consolidated.where(F.col("ftype") == ftype)
+            .select("fid", "level", "minz", "maxz", "geom", "layer", "tags", "vtags")
+            .orderBy("fid")
+        )
+        batch = []
+        for r in rows_df.toLocalIterator(prefetchPartitions=True):
+            vt = r["vtags"] or {}
+            row = [
+                r["fid"],
+                r["level"],
+                r["minz"],
+                r["maxz"],
+                r["geom"],
+                r["layer"],
+                json.dumps(list(r["tags"] or []), ensure_ascii=False),
+            ] + [_coerce(k, vt.get(k)) for k in extra]
+            batch.append(row)
+            if len(batch) >= batch_rows:
+                dbc.executemany(sql, batch)
+                counts[table] += len(batch)
+                batch = []
+        if batch:
+            dbc.executemany(sql, batch)
+            counts[table] += len(batch)
+        dbc.commit()
+    return counts
+
+
+def write_metadata(dbc: sqlite3.Connection, header, src_pathname: str) -> str:
+    """README / limits / subfiles rows (map2db.py:1398-1467).  Returns
+    the license (or explanatory) text that was recorded."""
+    if header.is_dbl:
+        desc = (
+            "Text that was encoded in the map file specifically so that"
+            " it could be included here."
+        )
+        text = header.dbl_license
+    else:
+        desc = "Text generated by map2db_spark"
+        text = (
+            f"The map file from which this database was created,"
+            f" '{src_pathname}', does not appear to have been created"
+            f" with the dbl option.  This database therefore contains"
+            f" the raw content of every tile: feature fragments are"
+            f" not merged across tiles, simplified duplicates from"
+            f" lower zoom levels are retained, and way features are"
+            f" classified as areas by the closed-ring heuristic, which"
+            f" can misclassify.  No database license statement was"
+            f" encoded in the map file; the user is responsible for"
+            f" determining what legal restrictions apply."
+        )
+    dbc.execute("INSERT INTO README (desc, text) VALUES (?, ?);", (desc, text))
+    dbc.execute(
+        "INSERT INTO README (desc, text) VALUES (?, ?);",
+        (
+            "Text generated by map2db_spark",
+            f"(This database was recreated from {src_pathname} by"
+            f" map2db_spark, a PySpark-native reimplementation of the"
+            f" map2db extraction semantics.)",
+        ),
+    )
+    if header.comment:
+        dbc.execute(
+            "INSERT INTO README (desc, text) VALUES (?, ?);",
+            (
+                "Text from the 'comment' field in the file header of the"
+                " map file from which this database was recreated. This"
+                " often includes a copyright and/or license statement for"
+                " the map file (not for this database!).",
+                header.comment,
+            ),
+        )
+    if header.createdby:
+        dbc.execute(
+            "INSERT INTO README (desc, text) VALUES (?, ?);",
+            (
+                "Text from the 'created by' field in the file header of"
+                " the map file from which this database was recreated.",
+                header.createdby,
+            ),
+        )
+    for key in ["minlat", "minlon", "maxlat", "maxlon"]:
+        dbc.execute(
+            "INSERT INTO limits (key, value) VALUES (?, ?);",
+            (key, getattr(header, key)),
+        )
+    for i, sf in enumerate(header.subfiles):
+        dbc.execute(
+            "INSERT INTO subfiles (subfile_num, level, minzoom, maxzoom)"
+            " VALUES (?, ?, ?, ?);",
+            (i, sf.level, sf.minzoom, sf.maxzoom),
+        )
+    dbc.commit()
+    return text
+
+
+def finalize(dbc: sqlite3.Connection) -> None:
+    dbc.execute(
+        "INSERT INTO README (desc, text) VALUES (?, ?);",
+        ("Text generated by map2db_spark", "(database recreation completed.)"),
+    )
+    dbc.commit()
+
+
+def write_sqlite(
+    db_pathname: str,
+    src_pathname: str,
+    header,
+    consolidated: DataFrame,
+    features_for_vtag_order: DataFrame,
+) -> dict:
+    if os.path.exists(db_pathname):
+        os.remove(db_pathname)
+    vtag_cols = vtag_key_order(features_for_vtag_order)
+    with sqlite3.connect(db_pathname) as dbc:
+        prepare_db(dbc)
+        license_text = write_metadata(dbc, header, src_pathname)
+        counts = write_features(dbc, consolidated, vtag_cols)
+        finalize(dbc)
+    return {"counts": counts, "license": license_text, "vtag_cols": vtag_cols}

@@ -1,0 +1,146 @@
+"""End-to-end pipeline goldens: fixture map -> Spark pipeline -> SQLite
+geodatabase, checked row by row (SURVEY §5 item 2)."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from map2db_spark.geometry import wkb as gwkb
+from map2db_spark.pipeline import consolidated_features, map2db
+from map2db_spark.sources.sample_maps import LICENSE, dbl_map, nondbl_map
+
+
+@pytest.fixture(scope="module")
+def dbl_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("maps") / "dbl.map"
+    dbl_map().write(str(p))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def db(spark, dbl_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "dbl.db")
+    result = map2db(spark, dbl_path, out)
+    con = sqlite3.connect(out)
+    yield con, result
+    con.close()
+
+
+def test_counts_and_metadata(db):
+    con, result = db
+    assert result["dbl"] is True
+    # P3 clipped away; P1, P2, P4 remain
+    assert result["counts"] == {"points": 3, "lines": 3, "areas": 2}
+    texts = dict(con.execute("SELECT desc, text FROM README").fetchall())
+    assert LICENSE in texts.values()
+    limits = dict(con.execute("SELECT key, value FROM limits").fetchall())
+    assert limits == {"minlat": 0.1, "minlon": 0.1, "maxlat": 2.0, "maxlon": 2.0}
+    subfiles = con.execute(
+        "SELECT subfile_num, level, minzoom, maxzoom FROM subfiles ORDER BY 1"
+    ).fetchall()
+    assert subfiles == [(0, 6, 0, 7), (1, 8, 8, 11)]
+    gc = con.execute(
+        "SELECT f_table_name, geometry_type, srid, geometry_format"
+        " FROM geometry_columns ORDER BY 1"
+    ).fetchall()
+    assert gc == [("areas", 6, 1, "WKB"), ("lines", 5, 1, "WKB"),
+                  ("points", 4, 1, "WKB")]
+    srs = con.execute("SELECT srid, auth_name, auth_srid FROM spatial_ref_sys").fetchone()
+    assert srs == (1, "EPSG", 4326)
+
+
+def test_multilevel_consolidation(db):
+    con, _ = db
+    # P2 seen at levels 6 and 8: keeps level 8, minz from level 6
+    lvl, minz, maxz = con.execute(
+        "SELECT m2db_level, m2db_minz, m2db_maxz FROM points WHERE m2db_pnum = 2"
+    ).fetchone()
+    assert (lvl, minz, maxz) == (8, 6, 11)
+
+
+def test_point_attributes_and_dynamic_columns(db):
+    con, _ = db
+    cols = [r[1] for r in con.execute("PRAGMA table_info(points)").fetchall()]
+    # fixed core first, then vtag columns in first-sighting order
+    assert cols[:7] == ["m2db_pnum", "m2db_level", "m2db_minz", "m2db_maxz",
+                        "m2db_geometry", "m2db_layer_num", "m2db_tags"]
+    assert cols[7:] == ["population", "width", "note", "m2db_name",
+                        "m2db_house_num", "m2db_elevation"]
+    row = con.execute(
+        "SELECT m2db_layer_num, m2db_tags, population, width, note,"
+        " m2db_name, m2db_house_num, m2db_elevation"
+        " FROM points WHERE m2db_pnum = 1"
+    ).fetchone()
+    assert row[0] == 2
+    assert json.loads(row[1]) == ["amenity=cafe"]
+    assert row[2:] == ("1234", "2.5", "hi", "Cafe One", "12b", 345)
+
+
+def test_cross_tile_line_merged(db):
+    con, _ = db
+    (blob,) = con.execute(
+        "SELECT m2db_geometry FROM lines WHERE m2db_lnum = 1"
+    ).fetchone()
+    kind, lines = gwkb.decode(blob)
+    assert kind == "multilinestring"
+    assert len(lines) == 1  # stitched across the tile boundary
+    xs = [p[0] for p in lines[0]]
+    assert min(xs) == 1.2 and max(xs) == 1.6
+    assert 1.40625 in xs  # the boundary node survives (GEOS parity)
+
+
+def test_cross_tile_area_dissolved(db):
+    con, _ = db
+    (blob,) = con.execute(
+        "SELECT m2db_geometry FROM areas WHERE m2db_anum = 2"
+    ).fetchone()
+    kind, polys = gwkb.decode(blob)
+    assert kind == "multipolygon"
+    assert len(polys) == 1 and len(polys[0]) == 1  # one polygon, no hole
+    ring = polys[0][0]
+    xs = sorted({p[0] for p in ring})
+    ys = sorted({p[1] for p in ring})
+    # full square extent restored; boundary x retained as collinear nodes
+    assert xs == [1.3, 1.40625, 1.5]
+    assert ys == [0.2, 0.4]
+
+
+def test_hole_polygon_intact(db):
+    con, _ = db
+    (blob,) = con.execute(
+        "SELECT m2db_geometry FROM areas WHERE m2db_anum = 1"
+    ).fetchone()
+    _, polys = gwkb.decode(blob)
+    assert len(polys) == 1 and len(polys[0]) == 2  # shell + hole
+
+
+def test_violation_surfaced_not_fatal(spark, dbl_path):
+    final = consolidated_features(spark, dbl_path)
+    bad = {r["fid"]: r["violation"] for r in final.where(
+        "violation IS NOT NULL").collect()}
+    assert set(bad) == {4}
+    assert "zoom-discontinuity" in bad[4] or "zoom-gap" in bad[4]
+    # P4 still lands in the output with its attributes intact
+    ok = final.where("ftype = 'point' AND fid = 4").collect()
+    assert len(ok) == 1 and ok[0]["minz"] == 6
+
+
+def test_nondbl_pipeline(spark, tmp_path):
+    src = str(tmp_path / "nondbl.map")
+    nondbl_map().write(src)
+    out = str(tmp_path / "nondbl.db")
+    result = map2db(spark, src, out)
+    assert result["dbl"] is False
+    assert result["counts"] == {"points": 1, "lines": 1, "areas": 2}
+    con = sqlite3.connect(out)
+    try:
+        ids = [r[0] for r in con.execute(
+            "SELECT m2db_anum FROM areas ORDER BY 1").fetchall()]
+        assert ids == [0, 1]  # deterministic sequential numbering
+        texts = [t for (_, t) in con.execute("SELECT desc, text FROM README")]
+        assert any("does not appear to have been created" in t for t in texts)
+    finally:
+        con.close()
