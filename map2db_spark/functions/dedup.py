@@ -1,0 +1,167 @@
+"""Deduplication operators for corpus pipelines.
+
+Five strategies, each with a different cost/recall point:
+
+- exact:          hash-groupBy on a content fingerprint (one shuffle)
+- minhash LSH:    shingle -> k minhashes -> banded bucket join; only
+                  bucket-colliding pairs are verified (near-dup at
+                  scale: candidate generation is linear, verification
+                  touches only collisions)
+- simhash:        per-token hash bit-vote -> compact bit signature;
+                  near-dups share signatures / low Hamming distance
+- n-gram Jaccard: exact pairwise similarity via a shingle inverted
+                  index (self-join on shingle, one shuffle; the
+                  scale-accurate form of "compare all pairs")
+- embedding cosine: near-dup by vector similarity (see similarity.py
+                  for the int-exact cosine)
+
+Portability rule for every hash here: md5 (identical in Spark and
+DuckDB), so the DuckDB oracle can reproduce signatures bit-for-bit.
+Spark's xxhash64 would be ~4x faster; swap via the HASH kwarg once
+oracle parity stops mattering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct n-word shingles of whitespace-tokenized text."""
+    tok = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(tok) - n)
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n))
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: keep the lowest id per identical content.  One
+    shuffle on the fingerprint; survivors + duplicate count."""
+    fp = F.md5(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) exploded table — the inverted-index base for both
+    MinHash signatures and exact Jaccard."""
+    return docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """k minhash values per doc: min over shingles of md5(i || shingle)
+    — lexicographic min of a salted cryptographic hash is a valid
+    permutation-min estimator and is reproducible in any engine with
+    md5.  One aggregate pass computes all k mins."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("sid").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of minhashes become a
+    candidate pair.  Pair generation is a self-join per band on the
+    band key (shuffle on band signature, never all-pairs)."""
+    n_bands = num_hashes // band_size
+    bands = signatures.select(
+        "sid",
+        *[
+            F.concat_ws("#", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)])
+            .alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    pairs = None
+    for b in range(n_bands):
+        left = bands.select(F.col("sid").alias("id_a"), F.col(f"band{b}").alias("bk"))
+        right = bands.select(F.col("sid").alias("id_b"), F.col(f"band{b}").alias("bk"))
+        p = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted index: self-join on
+    shingle counts the intersection; doc sizes give the union.  With
+    ``candidates`` (e.g. from LSH) the join is semi-filtered first —
+    the MinHash+LSH pipeline at scale; without, it is the exact
+    all-overlapping-pairs computation."""
+    sizes = shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
+    a = shingles.select(F.col("sid").alias("id_a"), "shingle")
+    b = shingles.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash bit-vote signature: bit b of a token is the high bit of
+    hex digit b of md5(token) (pure string ops — reproducible in any
+    engine with md5, no hex->int conversion); each bit position votes
+    +1/-1 across tokens; the sign vector is the signature.
+    Near-duplicate texts differ in few bits.  One explode + one
+    aggregate pass computes all bit votes."""
+    assert bits <= 32
+    tok = docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    tok = tok.withColumn("h", F.md5("token"))
+    voted = tok.groupBy("sid").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1).isin(*_HI_HEX), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * F.lit(2**b)
+        sig = bit if sig is None else sig + bit
+    return voted.select("sid", sig.cast("long").alias("simhash"))

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Exactness strategy: engines disagree on float summation order, so all
+dot products run over *integer-scaled* components (round(x * 1e6) as
+bigint).  Integer sums are order-independent and exact in both Spark
+and DuckDB (magnitudes stay far below 2^53), so similarity values are
+bit-identical across engines — the oracle can check values, not just
+row counts.
+
+Two search paths:
+- brute-force top-k (baseline; O(Q x N) with a broadcast query side);
+- random-hyperplane LSH buckets (scale path: candidates only from the
+  query's bucket, i.e. O(Q x N / 2^bits) expected).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def int_vec(col) -> Column:
+    """array<float> -> exact integer-scaled array<long>.  The cast to
+    double BEFORE scaling matters: float32 * int stays float32 in Spark
+    (one-off rounding vs engines that promote to double first)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+
+
+def int_dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def cosine(a, b) -> Column:
+    """Cosine over integer-scaled vectors: deterministic across engines."""
+    ia, ib = int_vec(a), int_vec(b)
+    dot = int_dot(ia, ib).cast("double")
+    na = F.sqrt(int_dot(ia, ia).cast("double"))
+    nb = F.sqrt(int_dot(ib, ib).cast("double"))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan shape: broadcast the (small) query side against the corpus —
+    no corpus shuffle; then a per-query top-k window.  At 100 TB the
+    corpus side stays partition-local until the final k-row-per-query
+    window (tiny)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic +-1 hyperplanes (seeded), shared verbatim with the
+    SQL oracle so both engines compute identical buckets."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec_col, planes: list[list[int]]) -> Column:
+    """Random-hyperplane signature: bit b = (dot(v, h_b) > 0)."""
+    iv = int_vec(vec_col)
+    sig = None
+    for b, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v).cast("long") for v in plane])
+        bit = F.when(int_dot(iv, lit_plane) > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on the bucket id -> shuffle carries only bucket
+    keys, the classic IVF/LSH trade of recall for candidate count)."""
+    from pyspark.sql.window import Window
+
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("cand_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all pairs >= threshold).
+    The exact form is O(N^2) — correct baseline for the oracle; the
+    scale path pre-buckets with lsh_bucket and joins within buckets."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,7 +1,483 @@
-"""Training-data-pipeline operator surface (dedup, similarity search,
-text analysis, multimodal) — registered as queries over the
-`documents` / `embeddings` tables.  Implementations live in
-map2db_spark/functions/; this module declares the (plan, oracle) pairs.
+"""Training-data-pipeline operator surface: dedup (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine), similarity search (brute
+top-k + LSH buckets), text analysis (tokens, language-ID, quality,
+fingerprint), multimodal plumbing, and the as-of join.
+
+Implementations live in functions/ and operators/asof.py; this module
+declares the (Spark plan, DuckDB oracle) pairs.  Oracles that need
+shared constants (LSH hyperplanes, stopword lists, simhash bit count)
+are generated from the same Python literals the Spark plan uses, so
+the two engines cannot drift.
+
+The synthetic corpus contains natural NEAR-duplicate documents (text
+jaccard >= 0.9 pairs) but no exact duplicates and no near-duplicate
+embeddings; where a strategy needs positives the corpus doesn't have
+(exact dedup, embedding near-dup), the query builds documents UNION
+ALL shifted copies (id + 10000) for known ground truth.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from map2db_spark.functions import dedup as D
+from map2db_spark.functions import similarity as S
+from map2db_spark.functions import text as T
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+_SHIFT = 10_000
+
+_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents"
+    f" UNION ALL SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents"
+)
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("text", "pipeline"),
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + rolling-hash document fingerprint: one
+    projection, no shuffle, whole-stage codegen."""
+    docs = Tables(spark, sf_dir).documents
+    return docs.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            f"len(list_filter({_TOKS_SQL}, t -> t IN "
+            f"({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in T.STOPWORDS.items()
+    }
+    langs = list(T.STOPWORDS)
+    # replicate the Spark-side fold exactly (strict > keeps earlier lang)
+    best_l, best_s = f"'{langs[0]}'", score[langs[0]]
+    for lang in langs[1:]:
+        s = score[lang]
+        best_l = f"(CASE WHEN {s} > {best_s} THEN '{lang}' ELSE {best_l} END)"
+        best_s = f"(CASE WHEN {s} > {best_s} THEN {s} ELSE {best_s} END)"
+    return f"""
+    SELECT detected, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'und' END AS detected
+      FROM documents
+    )
+    GROUP BY detected
+    """
+
+
+@query("t_language_id", oracle=_langid_oracle(), tags=("text", "pipeline"))
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory language-ID heuristic, histogrammed."""
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.select(T.detect_language(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "t_quality_scores",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(round(
+        (CASE WHEN len({_TOKS_SQL}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN len(list_filter({_TOKS_SQL},
+               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+               / len({_TOKS_SQL}) BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))
+               / len({_TOKS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END),
+        2) AS DOUBLE) AS quality
+      FROM documents
+    )
+    SELECT quality, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY quality
+    """,
+    tags=("text", "pipeline"),
+)
+def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality heuristic, histogrammed."""
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.select(T.quality_score(F.col("text")).alias("quality"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (
+      SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM corpus GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT)      AS n_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(max(n_copies) AS BIGINT) AS max_copies,
+           CAST(min(keep_id) AS BIGINT)  AS first_keep
+    FROM g
+    """,
+    tags=("dedup", "pipeline"),
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: every doc exists twice in
+    the test corpus, so 500 groups of exactly 2."""
+    groups = D.exact_dedup(_corpus(spark, sf_dir))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.max("n_copies").cast("long").alias("max_copies"),
+        F.min("keep_id").alias("first_keep"),
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    f"generate_series(1, len({_TOKS_SQL}) - 2), "
+    f"i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')))"
+)
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
+                    threshold: float = 0.9) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_cols = ", ".join(
+        "concat_ws('#', "
+        + ", ".join(f"mh{b * band_size + r}" for r in range(band_size))
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT a.sid AS id_a, b.sid AS id_b FROM bands a"
+        f" JOIN bands b ON a.band{b} = b.band{b} AND a.sid < b.sid"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sig AS (SELECT sid, {mins} FROM sh GROUP BY sid),
+    bands AS (SELECT sid, {band_cols} FROM sig),
+    cand AS (
+{cand_union}
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / (na.n + nb.n - shared), 6) AS jaccard
+    FROM inter JOIN cand USING (id_a, id_b)
+               JOIN sizes na ON na.sid = id_a
+               JOIN sizes nb ON nb.sid = id_b
+    WHERE round(shared / (na.n + nb.n - shared), 6) >= {threshold}
+    """
+
+
+@query(
+    "d_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "lsh", "pipeline"),
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> 8 salted-md5
+    minhashes -> 4 bands of 2 -> bucket-join candidates -> exact
+    Jaccard verification at 0.9.  The synthetic corpus contains real
+    near-duplicate documents, so this returns genuine pairs; the
+    oracle reimplements the identical pipeline in SQL."""
+    docs = Tables(spark, sf_dir).documents
+    sh = D.shingle_table(docs)
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    cands = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    return D.jaccard_pairs(sh, threshold=0.9, candidates=cands)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(token), {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS sid, unnest({_TOKS_SQL}) AS token
+      FROM documents WHERE doc_id < 40
+    ),
+    votes AS (SELECT sid, {votes} FROM tok GROUP BY sid)
+    SELECT sid, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("d_simhash", oracle=_simhash_oracle(), tags=("dedup", "pipeline"))
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit) for a document sample, value-checked
+    bit-for-bit against the SQL reimplementation."""
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 40)
+    return D.simhash(docs, bits=16)
+
+
+@query(
+    "d_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / (na.n + nb.n - shared), 6) AS jaccard
+    FROM inter JOIN sizes na ON na.sid = id_a
+               JOIN sizes nb ON nb.sid = id_b
+    WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.02
+    """,
+    tags=("dedup", "pipeline"),
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via shingle inverted index (all pairs with
+    any overlap, thresholded low enough that the word-salad corpus
+    produces real rows)."""
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    sh = D.shingle_table(docs)
+    return D.jaccard_pairs(sh, threshold=0.02)
+
+
+@query(
+    "d_cosine_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + {_SHIFT}, embedding FROM embeddings
+    ),
+    iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+    tags=("dedup", "embedding", "pipeline"),
+)
+def d_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the doubled corpus
+    (int-exact cosine, so values match the oracle bit-for-bit)."""
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
+    )
+    return S.cosine_near_dup_pairs(corpus, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_ANN_INT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+@query(
+    "v_ann_brute_topk",
+    oracle=f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iv WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM iv c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("ann", "pipeline"),
+)
+def v_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 3-query set: the exact baseline
+    every ANN variant is measured against."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 3)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+_PLANES = S.hyperplanes(dim=64, bits=8, seed=42)
+
+
+def _lsh_ann_oracle() -> str:
+    bucket_terms = []
+    for b, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}::BIGINT[]) > 0"
+            f" THEN {2**b} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM iv),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM bucketed c JOIN q USING (bucket)
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("v_ann_lsh_topk", oracle=_lsh_ann_oracle(), tags=("ann", "lsh", "pipeline"))
+def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: candidates restricted to the query's
+    8-bit bucket.  Hyperplanes are seeded literals shared verbatim with
+    the oracle SQL."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, _PLANES, k=5)
+
+
+# ---------------------------------------------------------------------------
+# As-of join + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS asof_ts, round(v.value, 6) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("join", "asof", "pipeline"),
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-sort composition (operators/asof.py):
+    for each purchase, the user's most recent prior view.  One shuffle
+    on the key — no inequality-join blowup."""
+    from map2db_spark.operators.asof import asof_join_backward
+
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_backward(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+@query(
+    "m_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas feature kernel.  The byte-level outputs (size, digest)
+    are oracle-checked; the fake feature vector is covered by pytest."""
+    from map2db_spark.functions.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(Tables(spark, sf_dir).documents)
+    return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
+
+
+@query(
+    "m_frame_sample_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(greatest(n_chars * 10 - 1, 0) // 1000 + 1 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def m_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: the explode that turns one video row
+    into one row per frame to decode (1 fps here)."""
+    from map2db_spark.functions.multimodal import documents_as_media, frame_sample_plan
+
+    media = documents_as_media(Tables(spark, sf_dir).documents)
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))

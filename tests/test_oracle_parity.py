@@ -28,6 +28,10 @@ ROWS_ONLY_CASES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 def _norm_cell(v):
     if v is None:
         return None
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
