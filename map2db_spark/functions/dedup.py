@@ -78,26 +78,29 @@ def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of minhashes become a
-    candidate pair.  Pair generation is a self-join per band on the
-    band key (shuffle on band signature, never all-pairs)."""
+    candidate pair.  Bands go to long format (sid, band_idx, key) and
+    ONE self-join on (band_idx, key) finds all collisions — a single
+    shuffle instead of one join per band, and never all-pairs."""
     n_bands = num_hashes // band_size
-    bands = signatures.select(
-        "sid",
+    band_arr = F.array(
         *[
-            F.concat_ws("#", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)])
-            .alias(f"band{b}")
+            F.concat_ws(
+                "#", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+            )
             for b in range(n_bands)
-        ],
+        ]
     )
-    pairs = None
-    for b in range(n_bands):
-        left = bands.select(F.col("sid").alias("id_a"), F.col(f"band{b}").alias("bk"))
-        right = bands.select(F.col("sid").alias("id_b"), F.col(f"band{b}").alias("bk"))
-        p = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    long = signatures.select(
+        "sid", F.posexplode(band_arr).alias("band_idx", "bk")
+    )
+    left = long.select(F.col("sid").alias("id_a"), "band_idx", "bk")
+    right = long.select(F.col("sid").alias("id_b"), "band_idx", "bk")
+    return (
+        left.join(right, ["band_idx", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -109,16 +112,24 @@ def jaccard_pairs(
     the MinHash+LSH pipeline at scale; without, it is the exact
     all-overlapping-pairs computation."""
     sizes = shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
-    a = shingles.select(F.col("sid").alias("id_a"), "shingle")
-    b = shingles.select(F.col("sid").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    verify_shingles = shingles
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # verification only touches docs that appear in a candidate
+        # pair — at scale this collapses the shingle self-join from
+        # all-docs to the (tiny) near-dup neighborhood
+        cand_docs = (
+            candidates.select(F.col("id_a").alias("sid"))
+            .unionByName(candidates.select(F.col("id_b").alias("sid")))
+            .distinct()
+        )
+        verify_shingles = shingles.join(F.broadcast(cand_docs), "sid", "left_semi")
+    a = verify_shingles.select(F.col("sid").alias("id_a"), "shingle")
+    b = verify_shingles.select(F.col("sid").alias("id_b"), "shingle")
+    joined = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        # drop non-candidate pairs BEFORE the aggregation, not after
+        joined = joined.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+    inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
     na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
     return (

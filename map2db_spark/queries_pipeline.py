@@ -58,6 +58,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
     FROM documents WHERE doc_id < 100
     """,
+    bench=True,
     tags=("text", "pipeline"),
 )
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,6 +220,7 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
 @query(
     "d_minhash_lsh",
     oracle=_minhash_oracle(),
+    bench=True,
     tags=("dedup", "lsh", "pipeline"),
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,7 +396,8 @@ def _lsh_ann_oracle() -> str:
     """
 
 
-@query("v_ann_lsh_topk", oracle=_lsh_ann_oracle(), tags=("ann", "lsh", "pipeline"))
+@query("v_ann_lsh_topk", oracle=_lsh_ann_oracle(), bench=True,
+       tags=("ann", "lsh", "pipeline"))
 def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: candidates restricted to the query's
     8-bit bucket.  Hyperplanes are seeded literals shared verbatim with
@@ -418,6 +421,7 @@ def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
+    bench=True,
     tags=("join", "asof", "pipeline"),
 )
 def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

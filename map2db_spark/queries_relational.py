@@ -218,6 +218,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_sightings
     FROM ranked WHERE rn = 1
     """,
+    bench=True,
     tags=("window", "agg", "consolidation"),
 )
 def a1_consolidate_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +600,7 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM spend)
     WHERE rn <= 3
     """,
+    bench=True,
     tags=("window", "topk"),
 )
 def w_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

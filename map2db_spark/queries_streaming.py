@@ -1,0 +1,79 @@
+"""Structured Streaming queries for the driver gate.
+
+Each runs a real streaming query (file source, availableNow trigger,
+memory sink) to completion and returns the result as a DataFrame.
+Complete-mode aggregations over bounded input equal their batch twins,
+so tumbling windows and the custom stateful operator get full DuckDB
+oracles; session windows (no ANSI-SQL equivalent) register rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map2db_spark.registry import query
+
+
+def _run(spark: SparkSession, sf_dir: str, build, out_mode: str,
+         schema: str) -> DataFrame:
+    from map2db_spark.streaming.events import read_events_stream, run_available_now
+
+    rows = run_available_now(build(read_events_stream(spark, sf_dir)), out_mode)
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "s_stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "window-agg"),
+)
+def s_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling event-time window, run as a real streaming
+    query; equals the batch aggregation over the bounded input."""
+    from map2db_spark.streaming.events import windowed_event_counts
+
+    return _run(
+        spark, sf_dir, windowed_event_counts, "complete",
+        "win_start TIMESTAMP, n LONG, total_value DOUBLE",
+    )
+
+
+@query(
+    "s_stream_user_state",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, max(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def s_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator (running per-user
+    count + last-seen), driven as a real streaming query."""
+    from map2db_spark.streaming.events import running_user_state
+
+    return _run(
+        spark, sf_dir, running_user_state, "update",
+        "user_id LONG, n_events LONG, last_seen TIMESTAMP",
+    )
+
+
+@query(
+    "s_stream_sessionize",
+    oracle=None,  # session windows have no ANSI-SQL equivalent
+    tags=("streaming", "session"),
+)
+def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) over the event stream."""
+    from map2db_spark.streaming.events import sessionize
+
+    return _run(
+        spark, sf_dir, sessionize, "complete",
+        "session_start TIMESTAMP, session_end TIMESTAMP, user_id LONG,"
+        " n_events LONG, session_value DOUBLE",
+    )

@@ -1,0 +1,175 @@
+"""Structured Streaming surface over the events stream.
+
+The reference has no streaming constructs (SURVEY §2.5: finite input
+file), but a complete engine needs the streaming shape of its batch
+aggregations.  Design rule: every streaming transformation here is the
+*same* DataFrame expression as its batch twin (d_tumbling_window,
+a1_consolidate_argmax), applied to a readStream source — Spark's
+unified batch/streaming semantics make the batch oracle meaningful
+for the streaming path.
+
+Pieces:
+- windowed_event_counts: tumbling event-time window + watermark (late
+  data beyond 30 min is dropped, state is bounded);
+- sliding_value_sums: overlapping windows (10 min slide);
+- sessionize: session windows with a 30-minute gap;
+- running_user_state: applyInPandasWithState custom stateful operator
+  (running per-user event count + last-seen timestamp, emitted per
+  micro-batch) — the escape hatch for semantics window aggs can't
+  express.
+
+Tests drive these with the file source reading events.parquet (one
+micro-batch, availableNow) and compare against the batch twin.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.  The nanosecond
+    timestamp is read as long (same legacy conf as batch) and converted
+    with exact integer division."""
+    import os
+
+    schema = (
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # file stream sources take a directory; select the one table file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "6 hours",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time window with watermark: bounded state, late
+    rows beyond the watermark dropped.  Batch twin: d_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+def sliding_value_sums(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour windows every 10 minutes (overlapping state)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "10 minutes").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "total")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows: a session closes after `gap` of user silence."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("last_seen_micros", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+
+def _user_state_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, last = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        last = max(last, int(pdf["ts"].max().value // 1000))
+    state.update((n, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "last_seen": [pd.Timestamp(last * 1000)],
+        }
+    )
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + last-seen, emitted each micro-batch.  The
+    state survives across micro-batches — the streaming analog of the
+    reference's driver-side accumulators (A4-A6), keyed and
+    distributed."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_state_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_mode: str = "complete"):
+    """Drive a streaming DataFrame to completion over the currently
+    available input (one bounded run) into an in-memory sink; returns
+    the collected rows.  Used by tests and the streaming queries."""
+    import uuid
+
+    name = "m2db_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    out = spark.table(name).collect()
+    q.stop()
+    return out

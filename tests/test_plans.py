@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the optimizations the engine claims
+(SURVEY §4) must be visible in explain output, not just intended.
+
+These assert on plan *structure* — pushed filters, pruned read
+schemas, broadcast joins, top-k operators — so a refactor that
+silently loses an optimization fails the suite."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from map2db_spark.registry import QUERIES, _ensure_loaded
+from tests.conftest import SF_CORRECT
+
+_ensure_loaded()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_CORRECT)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "f3_selective_filter")
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the q1 scan must not read join keys it never uses
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # and the date predicate is pushed
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    plan5 = plan_of(spark, "q5_local_supplier_volume")
+    assert plan5.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "s_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(spark, "j_semi_join")
+    assert "LeftAnti" in plan_of(spark, "j_anti_join")
+
+
+def test_rollup_single_expand(spark):
+    plan = plan_of(spark, "g_rollup_revenue")
+    assert plan.count("Expand") >= 1  # one Expand, not one scan per level
+    # formatted explain lists each scan twice (tree + detail): 3 tables max
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of composition must not plan a nested-loop or cartesian
+    join — one hash exchange on the key plus a window."""
+    plan = plan_of(spark, "j_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_decode_kernel_stays_arrow(spark):
+    plan = plan_of(spark, "m2db_decode_sightings")
+    # decode is mapInPandas (Arrow), never row-at-a-time python UDFs
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,77 @@
+"""Streaming surface tests: each streaming transformation is driven
+over the bounded events file (availableNow trigger) and compared to
+its batch twin — Spark's unified semantics make this an exact check
+for complete-mode aggregations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map2db_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    running_user_state,
+    sessionize,
+    sliding_value_sums,
+    windowed_event_counts,
+)
+from map2db_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load(spark, SF_SMOKE, "events")
+
+
+def test_windowed_counts_match_batch(spark, events_stream, events_batch):
+    got = {
+        (r["win_start"], r["n"], r["total_value"])
+        for r in run_available_now(windowed_event_counts(events_stream))
+    }
+    want = {
+        (r["win_start"], r["n"], r["total_value"])
+        for r in events_batch.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_windows_run(events_stream):
+    rows = run_available_now(sliding_value_sums(events_stream))
+    assert len(rows) > 0
+    # every event lands in 6 overlapping one-hour windows
+    starts = {r["win_start"].minute for r in rows}
+    assert starts == {0, 10, 20, 30, 40, 50}
+
+
+def test_sessionize_runs(events_stream, events_batch):
+    rows = run_available_now(sessionize(events_stream))
+    assert len(rows) > 0
+    total_events = sum(r["n_events"] for r in rows)
+    assert total_events == events_batch.count()
+    for r in rows[:50]:
+        assert r["session_end"] >= r["session_start"]
+
+
+def test_running_user_state(spark, events_stream, events_batch):
+    rows = run_available_now(running_user_state(events_stream), out_mode="update")
+    got = {r["user_id"]: (r["n_events"], r["last_seen"]) for r in rows}
+    want = {
+        r["user_id"]: (r["n"], r["last_ts"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+        .collect()
+    }
+    assert got == want
