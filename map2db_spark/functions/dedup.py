@@ -55,8 +55,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """(id, shingle) exploded table — the inverted-index base for both
-    MinHash signatures and exact Jaccard."""
-    return docs.select(
+    MinHash signatures and exact Jaccard.
+
+    The input is repartitioned before the explode: shingling amplifies
+    work ~200x per row, so input-file partitioning (often one small
+    file -> one task) is the wrong granularity for what follows."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("sid"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -111,7 +116,6 @@ def jaccard_pairs(
     ``candidates`` (e.g. from LSH) the join is semi-filtered first —
     the MinHash+LSH pipeline at scale; without, it is the exact
     all-overlapping-pairs computation."""
-    sizes = shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
     verify_shingles = shingles
     if candidates is not None:
         # verification only touches docs that appear in a candidate
@@ -123,6 +127,8 @@ def jaccard_pairs(
             .distinct()
         )
         verify_shingles = shingles.join(F.broadcast(cand_docs), "sid", "left_semi")
+    # doc sizes are only needed for docs that reach verification
+    sizes = verify_shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
     a = verify_shingles.select(F.col("sid").alias("id_a"), "shingle")
     b = verify_shingles.select(F.col("sid").alias("id_b"), "shingle")
     joined = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
@@ -158,7 +164,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Near-duplicate texts differ in few bits.  One explode + one
     aggregate pass computes all bit votes."""
     assert bits <= 32
-    tok = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("sid"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     )

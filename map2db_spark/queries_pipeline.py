@@ -230,7 +230,9 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate documents, so this returns genuine pairs; the
     oracle reimplements the identical pipeline in SQL."""
     docs = Tables(spark, sf_dir).documents
-    sh = D.shingle_table(docs)
+    # the shingle table feeds signatures AND verification (4 branches);
+    # materialize it once instead of re-running the explode per branch
+    sh = D.shingle_table(docs).localCheckpoint()
     sigs = D.minhash_signatures(sh, num_hashes=8)
     cands = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
     return D.jaccard_pairs(sh, threshold=0.9, candidates=cands)
