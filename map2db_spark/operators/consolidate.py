@@ -53,49 +53,67 @@ def _union_geoms(ftype: str, wkbs) -> bytes:
 
 
 def make_consolidate_kernel(header: MapHeader):
-    """Returns the applyInPandas kernel closure over the subfile
-    directory (level -> (subfile_idx, minzoom, maxzoom))."""
+    """Returns consolidate_rows(rows) -> dict, closed over the subfile
+    directory (level -> (subfile_idx, minzoom, maxzoom)).
+
+    rows: list of row namedtuples/dicts for ONE (ftype, fid).  Built
+    tuple-at-a-time (no per-group pandas frames): single-sighting
+    features — the overwhelming majority of a real map — take the
+    O(1) fast path."""
     subfile_by_level = {
         sf.level: (i, sf.minzoom, sf.maxzoom) for i, sf in enumerate(header.subfiles)
     }
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ftype = pdf["ftype"].iloc[0]
-        fid = pdf["fid"].iloc[0]
-        violations: list[str] = []
+    def consolidate_rows(rows) -> dict:
+        first_row = rows[0]
+        ftype = first_row.ftype
+        fid = first_row.fid
+        if len(rows) == 1:
+            # fast path: nothing to union or validate against
+            return {
+                "ftype": ftype,
+                "fid": fid,
+                "level": int(first_row.level),
+                "minz": int(first_row.minz),
+                "maxz": int(first_row.maxz),
+                "layer": int(first_row.layer),
+                "tags": list(first_row.tags),
+                "vtags": dict(first_row.vtags) if first_row.vtags is not None else {},
+                "geom": first_row.geom,
+                "violation": None,
+            }
 
-        # argmax level: attribute/geometry source
-        max_level = int(pdf["level"].max())
-        top = pdf[pdf["level"] == max_level]
+        violations: list[str] = []
+        max_level = max(int(r.level) for r in rows)
+        top = [r for r in rows if int(r.level) == max_level]
 
         # per-level attribute equality (reference map2db.py:766-775):
         # everything except geometry must match across tiles of a level;
         # across levels everything except geometry AND minz must match
         # (map2db.py:786-791; level/maxz differ per subfile by design).
-        for level, grp in pdf.groupby("level"):
+        by_level: dict[int, list] = {}
+        for r in rows:
+            by_level.setdefault(int(r.level), []).append(r)
+        for level, grp in by_level.items():
             keys = {
                 (int(r.minz), int(r.layer), tuple(r.tags), _vt_key(r.vtags))
-                for r in grp.itertuples(index=False)
+                for r in grp
             }
             if len(keys) > 1:
                 violations.append(f"attr-mismatch@level={level}")
-        cross = {
-            (int(r.layer), tuple(r.tags), _vt_key(r.vtags))
-            for r in pdf.itertuples(index=False)
-        }
+        cross = {(int(r.layer), tuple(r.tags), _vt_key(r.vtags)) for r in rows}
         if len(cross) > 1:
             violations.append("attr-mismatch-across-levels")
 
         # zoom continuity (map2db.py:792-802): the subfiles containing
         # this feature must be adjacent, and each higher subfile's minz
         # must be exactly lower.maxzoom + 1.
-        levels = sorted({int(v) for v in pdf["level"]})
+        levels = sorted(by_level)
         idxs = [subfile_by_level[lv][0] for lv in levels]
         if idxs != list(range(idxs[0], idxs[0] + len(idxs))):
             violations.append("zoom-gap:nonadjacent-subfiles")
-        minz_by_level = {
-            int(lv): int(grp["minz"].min()) for lv, grp in pdf.groupby("level")
-        }
+        minz_by_level = {lv: min(int(r.minz) for r in grp)
+                         for lv, grp in by_level.items()}
         for lo, hi in zip(levels, levels[1:]):
             lo_maxzoom = subfile_by_level[lo][2]
             if minz_by_level[hi] != lo_maxzoom + 1:
@@ -103,39 +121,83 @@ def make_consolidate_kernel(header: MapHeader):
                     f"zoom-discontinuity:{minz_by_level[hi]}!={lo_maxzoom + 1}"
                 )
 
-        geom = _union_geoms(ftype, list(top["geom"]))
-        first = top.iloc[0]
-        return pd.DataFrame(
-            [
-                {
-                    "ftype": ftype,
-                    "fid": fid,
-                    "level": max_level,
-                    "minz": minz_by_level[levels[0]],
-                    "maxz": int(first["maxz"]),
-                    "layer": int(first["layer"]),
-                    "tags": list(first["tags"]),
-                    "vtags": dict(first["vtags"]) if first["vtags"] is not None else {},
-                    "geom": geom,
-                    "violation": "; ".join(violations) if violations else None,
-                }
-            ]
+        geom = (
+            _union_geoms(ftype, [r.geom for r in top])
+            if len(top) > 1
+            else top[0].geom
         )
+        first = top[0]
+        return {
+            "ftype": ftype,
+            "fid": fid,
+            "level": max_level,
+            "minz": minz_by_level[levels[0]],
+            "maxz": int(first.maxz),
+            "layer": int(first.layer),
+            "tags": list(first.tags),
+            "vtags": dict(first.vtags) if first.vtags is not None else {},
+            "geom": geom,
+            "violation": "; ".join(violations) if violations else None,
+        }
 
-    return kernel
+    return consolidate_rows
 
 
-def consolidate(features, header: MapHeader):
+def consolidate(features, header: MapHeader, num_partitions: int | None = None):
     """dbl-map consolidation: features DF -> one row per (ftype, fid).
+
+    Execution shape: hash-repartition on the key, then ONE
+    ``mapInPandas`` per partition running a pandas groupby inside the
+    kernel.  This is deliberately NOT ``groupBy().applyInPandas`` —
+    that API pays per-group plan overhead (~ms), which at millions of
+    small feature groups dwarfs the actual work; batching the groups
+    through one Arrow stream makes the per-group cost microseconds.
+    Still exactly one shuffle on (ftype, fid).
+
+    Memory: a task materializes its partition's sightings in pandas.
+    By default the shuffle uses spark.sql.shuffle.partitions and AQE
+    coalesces it; pass num_partitions explicitly when a partition's
+    sightings wouldn't fit executor memory (that pins the count and
+    bypasses AQE).
 
     Returns the consolidated DataFrame with a ``violation`` column;
     callers filter ``violation IS NULL`` for good rows and surface the
     rest (the reference would have raised mid-run)."""
-    return (
-        features.where("fid IS NOT NULL")
-        .groupBy("ftype", "fid")
-        .applyInPandas(make_consolidate_kernel(header), schema=CONSOLIDATED_SCHEMA)
-    )
+    from typing import Iterator
+
+    kernel_one = make_consolidate_kernel(header)
+
+    out_cols = [
+        "ftype", "fid", "level", "minz", "maxz", "layer", "tags", "vtags",
+        "geom", "violation",
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values(["ftype", "fid"], kind="mergesort")
+        out: list[dict] = []
+        run: list = []
+        key = None
+        for r in pdf.itertuples(index=False):
+            k = (r.ftype, r.fid)
+            if k != key and run:
+                out.append(kernel_one(run))
+                run = []
+            key = k
+            run.append(r)
+        if run:
+            out.append(kernel_one(run))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    dbl = features.where("fid IS NOT NULL")
+    if num_partitions:
+        parted = dbl.repartition(num_partitions, "ftype", "fid")
+    else:
+        parted = dbl.repartition("ftype", "fid")
+    return parted.mapInPandas(kernel, schema=CONSOLIDATED_SCHEMA)
 
 
 def assign_ids(features, spark=None):

@@ -51,10 +51,17 @@ def merge_lines(lines: DataFrame) -> DataFrame:
     """lines: consolidated line features (one row per fid).  Returns the
     same schema + merge-stat booleans, with merged geometry where the
     merge improved it (reference updates only on improvement,
-    map2db.py:1163-1171)."""
+    map2db.py:1163-1171).
+
+    Execution shape: the input is already one row per feature, so the
+    merge is a pure map — ``mapInPandas`` over the multi-part subset,
+    NO shuffle (a groupBy here would move every row just to form
+    single-row groups)."""
     probed = lines.withColumn("_nparts", wkb_nparts(F.col("geom")))
     single = probed.where(F.col("_nparts") <= 1).drop("_nparts")
     multi = probed.where(F.col("_nparts") > 1).drop("_nparts")
+
+    from typing import Iterator
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -65,23 +72,24 @@ def merge_lines(lines: DataFrame) -> DataFrame:
 
     cols = lines.columns
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in pdf.to_dict("records"):
-            kind, parts = gwkb.decode(r["geom"])
-            merged, stats = merge_feature(parts)
-            if stats["improved"]:
-                from map2db_spark.geometry.normalize import normalize_multilinestring
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.geometry.normalize import normalize_multilinestring
 
-                r["geom"] = gwkb.encode_multilinestring(
-                    normalize_multilinestring(merged)
-                )
-            for k in MERGE_STATS_COLS:
-                r[k] = bool(stats[k])
-            rows.append(r)
-        return pd.DataFrame(rows, columns=cols + MERGE_STATS_COLS)
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                kind, parts = gwkb.decode(r["geom"])
+                merged, stats = merge_feature(parts)
+                if stats["improved"]:
+                    r["geom"] = gwkb.encode_multilinestring(
+                        normalize_multilinestring(merged)
+                    )
+                for k in MERGE_STATS_COLS:
+                    r[k] = bool(stats[k])
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=cols + MERGE_STATS_COLS)
 
-    merged_multi = multi.groupBy("fid").applyInPandas(kernel, schema=out_schema)
+    merged_multi = multi.mapInPandas(kernel, schema=out_schema)
     single_out = single.select(
         "*",
         F.lit(False).alias("was_multi"),

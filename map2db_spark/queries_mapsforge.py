@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -110,6 +112,108 @@ def m2db_merge_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = load_features(spark, path, header)
     lines = consolidate(feats, header).where(F.col("ftype") == "line")
     return merge_stats(merge_lines(lines))
+
+
+@query(
+    "m2db_geometry_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(1 AS BIGINT), 1, 2, 10),
+        ('area',  CAST(2 AS BIGINT), 1, 1, 7),
+        ('line',  CAST(1 AS BIGINT), 1, 1, 3),
+        ('line',  CAST(2 AS BIGINT), 1, 1, 5),
+        ('line',  CAST(3 AS BIGINT), 2, 2, 4),
+        ('point', CAST(1 AS BIGINT), 1, 1, 1),
+        ('point', CAST(2 AS BIGINT), 1, 1, 1),
+        ('point', CAST(4 AS BIGINT), 1, 1, 1)
+    ) AS t(ftype, fid, n_geoms, n_parts, n_points)
+    """,
+    tags=("mapsforge", "geometry"),
+)
+def m2db_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry kernel outputs (G1-G8) summarized per consolidated
+    feature: geometry count, part/ring count, vertex count — checked
+    against hand-computed VALUES (e.g. the dissolved cross-tile square
+    A2 is ONE polygon with ONE ring of 7 vertices incl. closure; the
+    stitched line L1 is one 3-vertex part)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from map2db_spark.pipeline import consolidated_features
+
+    @pandas_udf(IntegerType())
+    def n_geoms(geom: pd.Series) -> pd.Series:
+        from map2db_spark.geometry import wkb as gwkb
+
+        return geom.map(lambda b: len(gwkb.decode(b)[1]))
+
+    @pandas_udf(IntegerType())
+    def n_parts(geom: pd.Series) -> pd.Series:
+        from map2db_spark.geometry import wkb as gwkb
+
+        def count(b):
+            kind, parts = gwkb.decode(b)
+            if kind == "multipolygon":
+                return sum(len(rings) for rings in parts)
+            return len(parts)
+
+        return geom.map(count)
+
+    @pandas_udf(IntegerType())
+    def n_points(geom: pd.Series) -> pd.Series:
+        from map2db_spark.geometry import wkb as gwkb
+
+        def count(b):
+            kind, parts = gwkb.decode(b)
+            if kind == "multipoint":
+                return len(parts)
+            if kind == "multilinestring":
+                return sum(len(p) for p in parts)
+            return sum(len(r) for rings in parts for r in rings)
+
+        return geom.map(count)
+
+    final = consolidated_features(spark, _fixture_path())
+    return final.select(
+        "ftype",
+        "fid",
+        n_geoms(F.col("geom")).alias("n_geoms"),
+        n_parts(F.col("geom")).alias("n_parts"),
+        n_points(F.col("geom")).alias("n_points"),
+    )
+
+
+_LARGE_FIXTURE = "/tmp/m2db_spark_large.map"
+
+
+def _large_fixture_path() -> str:
+    if not os.path.exists(_LARGE_FIXTURE):
+        from map2db_spark.sources.sample_maps import large_map
+
+        large_map().write(_LARGE_FIXTURE)
+    return _LARGE_FIXTURE
+
+
+@query(
+    "m2db_pipeline_throughput",
+    oracle=None,  # throughput workload; correctness covered by the
+    # fixture goldens — this one exists so BENCH records the decode->
+    # consolidate->merge wall time at ~256 tiles / ~7.7k features
+    bench=True,
+    tags=("mapsforge", "bench"),
+)
+def m2db_pipeline_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (decode -> consolidate -> line merge) over the
+    generated 256-tile map; returns per-kind feature counts."""
+    from map2db_spark.pipeline import consolidated_features
+
+    final = consolidated_features(spark, _large_fixture_path())
+    return final.groupBy("ftype").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.min("fid").alias("min_fid"),
+        F.max("fid").alias("max_fid"),
+    )
 
 
 @query(

@@ -1,0 +1,162 @@
+"""Spark SQL surface: the engine's tables exposed through
+``spark.sql`` with correlated and scalar subqueries — the query shapes
+the DataFrame API expresses awkwardly.  Also the vectorized
+(Arrow/pandas) UDF surface with an oracle-checked example.
+
+The reference IS one big UDF over bytes (SURVEY §2.5); here the UDF
+surface is exposed the way a Spark user consumes it: `@pandas_udf`
+registered and called inside SQL/DataFrame expressions, batched via
+Arrow — never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    t = Tables(spark, sf_dir)
+    for n in names:
+        getattr(t, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst into
+    a left-semi join (check: no per-row subquery execution)."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_expensive
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.2 FROM part)
+    GROUP BY p_brand
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (parts priced >1.2x the mean):
+    planned as a one-row broadcast, not a cross join."""
+    _register(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_expensive
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.2 FROM part)
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "sql_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+      AND c_custkey < 300
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above own nation's average balance):
+    Catalyst rewrites it to an aggregate + join on the correlation key."""
+    _register(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+          AND c_custkey < 300
+        """
+    )
+
+
+@pandas_udf(DoubleType())
+def haversine_km(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.Series:
+    """Arrow-vectorized great-circle distance (NumPy over the whole
+    batch — the pattern every Python kernel in this engine follows)."""
+    import numpy as np
+
+    r = 6371.0
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = p2 - p1
+    dl = np.radians(lon2) - np.radians(lon1)
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return pd.Series(2 * r * np.arcsin(np.sqrt(a)))
+
+
+@query(
+    "u_pandas_udf_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST((user_id % 180) - 90 AS DOUBLE) * 0.9 AS lat,
+             CAST((user_id % 360) - 180 AS DOUBLE) * 0.9 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT user_id,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(0.0 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(0.0))
+               * pow(sin(radians(0.0 - lon) / 2), 2)
+           )), 4) AS km_to_origin
+    FROM pts
+    """,
+    tags=("udf", "pandas"),
+)
+def u_pandas_udf_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF checked value-for-value against the SQL
+    trig reimplementation (identical IEEE ops -> identical doubles
+    after rounding)."""
+    ev = Tables(spark, sf_dir).events
+    pts = ev.select("user_id").distinct().select(
+        "user_id",
+        (((F.col("user_id") % 180) - 90).cast("double") * 0.9).alias("lat"),
+        (((F.col("user_id") % 360) - 180).cast("double") * 0.9).alias("lon"),
+    )
+    return pts.select(
+        "user_id",
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)), 4
+        ).alias("km_to_origin"),
+    )

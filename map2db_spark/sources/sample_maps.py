@@ -97,6 +97,66 @@ def dbl_map() -> MapWriter:
     return w
 
 
+def large_map(feats_per_tile: int = 30) -> MapWriter:
+    """Throughput-bench map: a z10 grid (~256 tiles) filled with
+    deterministic features — grids of POIs, multi-part lines (so the
+    merge stage has work), and small polygons.  ~7.7k features."""
+    bbox = (0.1, 0.1, 5.5, 5.5)
+    w = MapWriter(bbox, [(10, 9, 13)], dbl_license=LICENSE)
+    from map2db_spark.sources.tilemath import x_from_lon, y_from_lat
+
+    minx = int(x_from_lon(10, bbox[1]))
+    maxx = int(x_from_lon(10, bbox[3]))
+    miny = int(y_from_lat(10, bbox[2]))
+    maxy = int(y_from_lat(10, bbox[0]))
+    fid = 0
+    n_pois = feats_per_tile - 10
+    for ty in range(miny, maxy + 1):
+        for tx in range(minx, maxx + 1):
+            b = tile_bounds_deg(10, tx, ty)
+            dx = (b[2] - b[0]) / 12
+            dy = (b[3] - b[1]) / 12
+            x0 = round(b[0] + dx, 6)
+            y0 = round(b[1] + dy, 6)
+            for i in range(n_pois):
+                w.add_poi(
+                    0, tx, ty,
+                    Poi(
+                        lat=round(y0 + (i % 5) * dy, 6),
+                        lon=round(x0 + (i // 5) * dx, 6),
+                        zoom=9 + (i % 5),
+                        tags=(f"kind=k{i % 7}",),
+                        vtags={"rank": i},
+                        name=f"poi{fid + i}",
+                        pnum=fid + i,
+                    ),
+                )
+            fid += n_pois
+            for i in range(5):
+                y = round(y0 + i * dy, 6)
+                seg1 = [(x0, y), (round(x0 + 2 * dx, 6), y)]
+                seg2 = [(round(x0 + 2 * dx, 6), y), (round(x0 + 4 * dx, 6), y)]
+                w.add_way(
+                    0, tx, ty,
+                    Way(blocks=[[seg1], [seg2]], zoom=10, lnum=fid + i,
+                        tags=("highway=x",)),
+                )
+            fid += 5
+            for i in range(5):
+                cx = round(x0 + 6 * dx, 6)
+                cy = round(y0 + i * dy * 1.5, 6)
+                ring = [
+                    (cx, cy),
+                    (round(cx + dx, 6), cy),
+                    (round(cx + dx, 6), round(cy + dy, 6)),
+                    (cx, round(cy + dy, 6)),
+                    (cx, cy),
+                ]
+                w.add_way(0, tx, ty, Way(blocks=[[ring]], zoom=11, anum=fid + i))
+            fid += 5
+    return w
+
+
 def nondbl_map() -> MapWriter:
     """Non-dbl map: no feature ids; ring heuristic classifies ways."""
     w = MapWriter(BBOX, [(8, 6, 12)], dbl_license=None)
