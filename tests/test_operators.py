@@ -1,0 +1,78 @@
+"""Operator-level tests: scalable id assignment, as-of edge cases,
+line-merge loop classification, polygon dissolve properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map2db_spark.geometry.linemerge import linemerge, merge_feature
+from map2db_spark.geometry.union import union_polygons
+from map2db_spark.operators.ids import assign_sequential_ids
+
+
+def test_assign_sequential_ids_global_order(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 37 % 1000).alias("key")
+    )
+    out = assign_sequential_ids(df, [F.col("key")], id_col="seq", num_partitions=8)
+    rows = out.orderBy("key").collect()
+    # ids follow the key order exactly, dense from 0
+    assert [r["seq"] for r in rows] == list(range(1000))
+
+
+def test_linemerge_chain_and_branch():
+    # A-B-C chain merges; D junction (degree 3) stays split
+    chain = [[(0, 0), (1, 0)], [(1, 0), (2, 0)], [(2, 0), (3, 0)]]
+    assert len(linemerge(chain)) == 1
+    branch = [[(0, 0), (1, 0)], [(1, 0), (2, 0)], [(1, 0), (1, 1)]]
+    assert len(linemerge(branch)) == 3  # degree-3 node blocks merging
+
+
+def test_merge_feature_loop_classification():
+    # a closed square loop + a separate segment: unmergeable, has_loop
+    loop = [
+        [(0, 0), (1, 0), (1, 1)],
+        [(1, 1), (0, 1), (0, 0)],
+        [(5, 5), (6, 6)],
+    ]
+    merged, stats = merge_feature(loop)
+    assert stats["was_multi"]
+    assert stats["still_multi_after_snap"]
+    assert stats["has_loop"]
+    assert any(p[0] == p[-1] for p in merged)
+
+
+def test_merge_feature_snap_tolerance():
+    # endpoints 2 microdegrees apart (within 2.1 tol) snap then merge
+    parts = [[(0.0, 0.0), (1.0, 0.0)], [(1.000002, 0.0), (2.0, 0.0)]]
+    merged, stats = merge_feature(parts)
+    assert len(merged) == 1
+    assert stats["still_multi_after_merge"] and not stats["still_multi_after_snap"]
+
+
+def test_union_polygons_commutative():
+    left = [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]]
+    right = [[[(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 0.0)]]]
+    ab = union_polygons([left, right])
+    ba = union_polygons([right, left])
+    assert ab == ba  # commutative after normalization
+    assert len(ab) == 1 and len(ab[0]) == 1
+    xs = {p[0] for p in ab[0][0]}
+    assert xs == {0.0, 1.0, 2.0}
+
+
+def test_union_polygons_hole_preserved():
+    # fragment A covers left half incl. half the hole; B the right half
+    a = [[
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 2.0), (0.0, 2.0), (0.0, 0.0)],
+        [(0.5, 0.5), (1.0, 0.5), (1.0, 1.5), (0.5, 1.5), (0.5, 0.5)],
+    ]]
+    b = [[
+        [(1.0, 0.0), (2.0, 0.0), (2.0, 2.0), (1.0, 2.0), (1.0, 0.0)],
+        [(1.0, 0.5), (1.5, 0.5), (1.5, 1.5), (1.0, 1.5), (1.0, 0.5)],
+    ]]
+    out = union_polygons([a, b])
+    assert len(out) == 1
+    assert len(out[0]) == 2  # shell + reunified hole
+    hole = out[0][1]
+    assert {p[0] for p in hole} == {0.5, 1.0, 1.5}
