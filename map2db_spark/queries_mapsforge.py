@@ -217,6 +217,29 @@ def m2db_pipeline_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m2db_spatial_window",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(2 AS BIGINT)),
+        ('line',  CAST(1 AS BIGINT))
+    ) AS t(ftype, fid)
+    """,
+    tags=("mapsforge", "spatial"),
+)
+def m2db_spatial_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial window filter (functions/spatial.py): consolidated
+    features whose bbox intersects lon [1.25, 1.45] x lat [0.15, 0.65].
+    Hand-checked survivors: A2 (dissolved square, lon 1.3-1.5 x lat
+    .2-.4) and L1 (cross-boundary line at lat 0.5, lon 1.2-1.6); every
+    other fixture feature's bbox stays below lon 1.25."""
+    from map2db_spark.functions.spatial import filter_window
+    from map2db_spark.pipeline import consolidated_features
+
+    final = consolidated_features(spark, _fixture_path())
+    return filter_window(final, (1.25, 0.15, 1.45, 0.65)).select("ftype", "fid")
+
+
+@query(
     "m2db_validation_violations",
     oracle="""
     SELECT 'point' AS ftype, CAST(4 AS BIGINT) AS fid,

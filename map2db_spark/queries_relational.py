@@ -875,6 +875,36 @@ def d_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("w.start").alias("win_start"), "n", "total_value")
 
 
+@query(
+    "x_salted_aggregation",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def x_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 groups on
+    (key, salt) — spreading a hot key over 16 reducers — stage 2 merges
+    the partials.  Result is identical to the plain groupBy (the oracle
+    IS the plain aggregation); the plan shape is what changes.  With
+    only 5 event types and 100k+ rows, the plain plan would bottleneck
+    on 5 reducers; salting engages all of them."""
+    ev = Tables(spark, sf_dir).events
+    salted = ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pt"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pt"), 2).alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregates (rows-only: approximations differ per engine)
 # ---------------------------------------------------------------------------

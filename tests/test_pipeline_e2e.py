@@ -128,6 +128,25 @@ def test_violation_surfaced_not_fatal(spark, dbl_path):
     assert len(ok) == 1 and ok[0]["minz"] == 6
 
 
+def test_attr_mismatch_violation(spark, tmp_path):
+    """Assumption 3 (map2db.py:104-108): same id at same level across
+    tiles must carry identical attributes; a corrupted map surfaces a
+    violation row instead of killing the job."""
+    from map2db_spark.sources.fixture import MapWriter, Way
+    from map2db_spark.sources.sample_maps import BBOX, T_EAST, T_MAIN
+
+    w = MapWriter(BBOX, [(8, 8, 11)], dbl_license="L")
+    seg = [(1.2, 0.5), (1.6, 0.5)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[seg]], zoom=9, lnum=1, tags=("highway=a",)))
+    w.add_way(0, *T_EAST, Way(blocks=[[seg]], zoom=9, lnum=1, tags=("highway=B",)))
+    src = str(tmp_path / "corrupt.map")
+    w.write(src)
+    final = consolidated_features(spark, src)
+    bad = final.where("violation IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert "attr-mismatch" in bad[0]["violation"]
+
+
 def test_nondbl_pipeline(spark, tmp_path):
     src = str(tmp_path / "nondbl.map")
     nondbl_map().write(src)
