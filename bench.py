@@ -34,8 +34,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch the biggest table so fs cache + codegen are hot
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm-up: run every headline query once at the smallest SF first.
+    # Whole-stage codegen + JIT compilation of each query shape costs
+    # ~1-2s the first time and is cached per plan structure; priming at
+    # sf0.001 means the timed runs below measure execution at the
+    # target SF, not one-time compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name, fn in bench_queries().items():
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # a query that only works at the target SF still times below
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():

@@ -126,7 +126,12 @@ def jaccard_pairs(
             .unionByName(candidates.select(F.col("id_b").alias("sid")))
             .distinct()
         )
-        verify_shingles = shingles.join(F.broadcast(cand_docs), "sid", "left_semi")
+        # materialize: this small filtered table feeds three plan
+        # branches (sizes + both join sides) — don't re-run the
+        # semi-join per branch
+        verify_shingles = shingles.join(
+            F.broadcast(cand_docs), "sid", "left_semi"
+        ).localCheckpoint()
     # doc sizes are only needed for docs that reach verification
     sizes = verify_shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
     a = verify_shingles.select(F.col("sid").alias("id_a"), "shingle")

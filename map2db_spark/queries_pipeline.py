@@ -234,7 +234,8 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once instead of re-running the explode per branch
     sh = D.shingle_table(docs).localCheckpoint()
     sigs = D.minhash_signatures(sh, num_hashes=8)
-    cands = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    # candidates feed two verification branches; they're ~1k rows
+    cands = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).localCheckpoint()
     return D.jaccard_pairs(sh, threshold=0.9, candidates=cands)
 
 

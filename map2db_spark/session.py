@@ -35,7 +35,11 @@ def get_spark(app_name: str = "map2db_spark", cpus: str | None = None) -> SparkS
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # sized so single-file local test tables still split across
+        # cores (a 30 MB lineitem as ONE partition wastes 31 of 32);
+        # on a real cluster with many files raise this back to 128m+
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
