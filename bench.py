@@ -33,6 +33,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # ship the package to executor workers (kernel-bearing queries must
+    # unpickle map2db_spark references regardless of the launch cwd)
+    import __spark_entry__ as entry_mod
+
+    entry_mod._nanos_as_long(spark)
 
     # Warm-up: run every headline query once at the smallest SF first.
     # Whole-stage codegen + JIT compilation of each query shape costs

@@ -1,0 +1,98 @@
+"""Full driver simulation: run every registered query on a VANILLA
+SparkSession (no engine confs) and value-compare against its DuckDB
+oracle, exactly like the external correctness gate.  Run from any cwd:
+
+    python3 /root/repo/tests/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[16]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    entry_rows = e.entry(spark).collect()
+    print(f"entry: {len(entry_rows)} rows", flush=True)
+    assert len(entry_rows) > 0
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, sf)
+            s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            if name in oracles:
+                rel = con.execute(oracles[name])
+                d_cols = [c[0] for c in rel.description]
+                d_rows = rel.fetchall()
+                sc, sr = normalize(s_cols, s_rows)
+                dc, dr = normalize(d_cols, d_rows)
+                ok = sc == dc and sr == dr
+                status = "MATCH" if ok else "MISMATCH"
+                if not ok:
+                    failed.append(name)
+            else:
+                status = f"rows-only({len(s_rows)})"
+        except Exception as ex:  # noqa: BLE001
+            status = f"ERROR {type(ex).__name__}: {ex}"
+            failed.append(name)
+        print(f"{name}: {status} [{time.perf_counter() - t0:.1f}s]", flush=True)
+
+    spark.stop()
+    print(f"\n{len(qs)} queries, {len(failed)} failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
