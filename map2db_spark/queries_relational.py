@@ -876,6 +876,83 @@ def d_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_pivot_status_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot", "agg"),
+)
+def r_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: row-per-flag, column-per-linestatus count matrix.  Values
+    are pinned (`pivot(col, values)`) so the plan is a single pass —
+    an unpinned pivot needs an extra distinct-values job first."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O"])
+    )
+
+
+@query(
+    "r_unpivot_measures",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, round(o_totalprice, 2) AS value
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("unpivot",),
+)
+def r_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measures to long (measure, value) rows."""
+    o = Tables(spark, sf_dir).orders.where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "value")
+
+
+@query(
+    "r_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 150 AND b.p_partkey < 150
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("fuzzy", "dedup"),
+)
+def r_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching via edit distance — the string-similarity
+    complement to the token-based dedup family.  Scale path: length
+    and prefix blocking before the pairwise distance; here the subset
+    keeps the exact form oracle-checkable."""
+    p = Tables(spark, sf_dir).part.where(F.col("p_partkey") < 150).select(
+        "p_partkey", "p_name"
+    )
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 4)
+    )
+
+
+@query(
     "x_salted_aggregation",
     oracle="""
     SELECT event_type,

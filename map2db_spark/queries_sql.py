@@ -109,6 +109,42 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, s.s_suppkey, round(s.s_acctbal, 2) AS s_acctbal
+    FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size < 5
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min over another table selects the
+    cheapest supplier per small part.  Catalyst decorrelates into an
+    aggregate join; the GROUP BY collapses ties from multiple lineitems
+    at the minimum price."""
+    _register(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.s_suppkey, round(s.s_acctbal, 2) AS s_acctbal
+        FROM part p
+          JOIN lineitem l ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size < 5
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
 @pandas_udf(DoubleType())
 def haversine_km(
     lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series

@@ -128,6 +128,53 @@ def test_violation_surfaced_not_fatal(spark, dbl_path):
     assert len(ok) == 1 and ok[0]["minz"] == 6
 
 
+def test_three_level_consolidation_chain(spark, tmp_path):
+    """A feature present in THREE subfiles with a continuous zoom range
+    consolidates without violation: level = max, minz from the lowest
+    subfile, maxz of the top subfile (assumption 2+4, map2db.py:95-113)."""
+    from map2db_spark.sources.fixture import MapWriter, Poi
+    from map2db_spark.sources.sample_maps import BBOX
+
+    w = MapWriter(BBOX, [(4, 0, 5), (6, 6, 7), (8, 8, 11)], dbl_license="L")
+    # tile containing (0.7, 0.7) at each level: z4=(8,7), z6=(32,31), z8=(128,127)
+    w.add_poi(2, 128, 127, Poi(lat=0.7, lon=0.7, zoom=8, pnum=9))
+    w.add_poi(1, 32, 31, Poi(lat=0.7, lon=0.7, zoom=6, pnum=9))
+    w.add_poi(0, 8, 7, Poi(lat=0.7, lon=0.7, zoom=3, pnum=9))
+    src = str(tmp_path / "three.map")
+    w.write(src)
+    rows = consolidated_features(spark, src).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["violation"] is None
+    assert (r["level"], r["minz"], r["maxz"]) == (8, 3, 11)
+
+
+def test_sqlite_sink_large(spark, tmp_path):
+    """The streamed SQLite export handles the 7.7k-feature map without
+    collect(): counts and PK integrity verified."""
+    import sqlite3
+
+    from map2db_spark.queries_mapsforge import _large_fixture_path
+
+    out = str(tmp_path / "large.db")
+    result = map2db(spark, _large_fixture_path(), out)
+    assert result["counts"] == {"points": 5120, "lines": 1280, "areas": 1280}
+    con = sqlite3.connect(out)
+    try:
+        n, distinct_n = con.execute(
+            "SELECT count(*), count(DISTINCT m2db_pnum) FROM points"
+        ).fetchone()
+        assert n == distinct_n == 5120
+        # merged multi-part lines are single-part after linemerge
+        (blob,) = con.execute(
+            "SELECT m2db_geometry FROM lines LIMIT 1"
+        ).fetchone()
+        kind, parts = gwkb.decode(blob)
+        assert kind == "multilinestring" and len(parts) == 1
+    finally:
+        con.close()
+
+
 def test_attr_mismatch_violation(spark, tmp_path):
     """Assumption 3 (map2db.py:104-108): same id at same level across
     tiles must carry identical attributes; a corrupted map surfaces a
