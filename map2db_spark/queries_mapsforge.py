@@ -39,7 +39,7 @@ def _fixture_path() -> str:
     oracle="""
     SELECT * FROM (VALUES
         ('area',  CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
-        ('line',  CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+        ('line',  CAST(5 AS BIGINT), CAST(4 AS BIGINT)),
         ('point', CAST(5 AS BIGINT), CAST(3 AS BIGINT))
     ) AS t(ftype, n_sightings, n_features)
     """,
@@ -48,8 +48,8 @@ def _fixture_path() -> str:
 def m2db_decode_sightings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile decode (S7-S9): per-kind raw sighting counts on
     the fixture map.  5 point sightings (P1; P2 at two levels; P4 at
-    two levels; P3 clipped away), 4 line (L1 in two tiles + L2 + L3),
-    4 area (A1; A2 in two tiles + one lower level)."""
+    two levels; P3 clipped away), 5 line (L1 in two tiles + L2 + L3 +
+    L4), 4 area (A1; A2 in two tiles + one lower level)."""
     from map2db_spark.pipeline import load_features
 
     feats = load_features(spark, _fixture_path())
@@ -71,6 +71,7 @@ def m2db_decode_sightings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('line',  CAST(1 AS BIGINT), 8, 9,  11),
         ('line',  CAST(2 AS BIGINT), 8, 10, 11),
         ('line',  CAST(3 AS BIGINT), 8, 9,  11),
+        ('line',  CAST(4 AS BIGINT), 8, 9,  11),
         ('point', CAST(1 AS BIGINT), 8, 9,  11),
         ('point', CAST(2 AS BIGINT), 8, 6,  11),
         ('point', CAST(4 AS BIGINT), 8, 6,  11)
@@ -92,16 +93,17 @@ def m2db_consolidated_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m2db_merge_diagnostics",
     oracle="""
-    SELECT CAST(2 AS BIGINT) AS multi_count0, CAST(1 AS BIGINT) AS multi_count1,
-           CAST(1 AS BIGINT) AS multi_count2, CAST(0 AS BIGINT) AS loops
+    SELECT CAST(3 AS BIGINT) AS multi_count0, CAST(2 AS BIGINT) AS multi_count1,
+           CAST(2 AS BIGINT) AS multi_count2, CAST(1 AS BIGINT) AS loops
     """,
     tags=("mapsforge", "linemerge"),
 )
 def m2db_merge_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 line merge diagnostics (reference multi_counts print,
-    map2db.py:1174-1181): L1 and L3 are multi-part; L1 stitches across
+    map2db.py:1174-1181): L1/L3/L4 are multi-part; L1 stitches across
     the tile boundary; L3's disjoint parts survive merge+snap with no
-    loop."""
+    loop; L4's arcs stitch into a closed ring that, with its stray
+    segment, trips the loop counter."""
     from map2db_spark.operators.consolidate import consolidate
     from map2db_spark.operators.linemerge import merge_lines, merge_stats
     from map2db_spark.pipeline import load_features
@@ -123,6 +125,7 @@ def m2db_merge_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('line',  CAST(1 AS BIGINT), 1, 1, 3),
         ('line',  CAST(2 AS BIGINT), 1, 1, 5),
         ('line',  CAST(3 AS BIGINT), 2, 2, 4),
+        ('line',  CAST(4 AS BIGINT), 2, 2, 7),
         ('point', CAST(1 AS BIGINT), 1, 1, 1),
         ('point', CAST(2 AS BIGINT), 1, 1, 1),
         ('point', CAST(4 AS BIGINT), 1, 1, 1)

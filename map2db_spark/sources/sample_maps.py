@@ -73,6 +73,18 @@ def dbl_map() -> MapWriter:
             zoom=9, lnum=3, label_offset=(1000, 2000),
         ),
     )
+    # L4: closed square ring split into two arcs + one isolated segment
+    # -> linemerge stitches the ring but the residual is still
+    # multi-part and contains a loop (exercises the loop counter,
+    # map2db.py:1148-1160)
+    arc1 = [(0.7, 0.1), (0.8, 0.1), (0.8, 0.2)]
+    arc2 = [(0.8, 0.2), (0.7, 0.2), (0.7, 0.1)]
+    stray = [(0.95, 0.05), (0.99, 0.05)]
+    w.add_way(
+        1, *T_MAIN,
+        Way(blocks=[[arc1], [arc2], [stray]], zoom=9, lnum=4),
+    )
+
     # A1: polygon with a hole, fully inside the main tile
     shell = [(0.2, 0.95), (0.8, 0.95), (0.8, 1.35), (0.2, 1.35), (0.2, 0.95)]
     hole = [(0.4, 1.05), (0.6, 1.05), (0.6, 1.25), (0.4, 1.25), (0.4, 1.05)]

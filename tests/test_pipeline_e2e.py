@@ -33,7 +33,7 @@ def test_counts_and_metadata(db):
     con, result = db
     assert result["dbl"] is True
     # P3 clipped away; P1, P2, P4 remain
-    assert result["counts"] == {"points": 3, "lines": 3, "areas": 2}
+    assert result["counts"] == {"points": 3, "lines": 4, "areas": 2}
     texts = dict(con.execute("SELECT desc, text FROM README").fetchall())
     assert LICENSE in texts.values()
     limits = dict(con.execute("SELECT key, value FROM limits").fetchall())
