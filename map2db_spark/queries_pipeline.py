@@ -264,6 +264,56 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, bits=16)
 
 
+def _simhash_hamming_oracle(bits: int = 16, max_dist: int = 3) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(token), {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS sid, unnest({_TOKS_SQL}) AS token
+      FROM documents WHERE doc_id < 200
+    ),
+    votes AS (SELECT sid, {votes} FROM tok GROUP BY sid),
+    sigs AS (SELECT sid, CAST({sig} AS BIGINT) AS sh FROM votes)
+    SELECT a.sid AS id_a, b.sid AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.sid < b.sid
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_dist}
+    """
+
+
+@query(
+    "d_simhash_hamming",
+    oracle=_simhash_hamming_oracle(),
+    tags=("dedup", "simhash", "pipeline"),
+)
+def d_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: document pairs whose 16-bit
+    signatures differ in <= 3 bits (the signature-distance complement
+    to MinHash bucket collision).  Scale path: band the signature into
+    segments and join on exact segment match (any pair within Hamming
+    k collides on >= 1 of k+1 bands); the exact pairwise form here is
+    the oracle-checkable baseline."""
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    sigs = D.simhash(docs, bits=16)
+    a = sigs.select(F.col("sid").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("sid").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+
+
 @query(
     "d_ngram_jaccard",
     oracle=f"""
