@@ -68,12 +68,16 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """k minhash values per doc: min over shingles of md5(i || shingle)
-    — lexicographic min of a salted cryptographic hash is a valid
-    permutation-min estimator and is reproducible in any engine with
-    md5.  One aggregate pass computes all k mins."""
+    """k minhash values per doc via one-permutation hashing: ONE md5
+    per shingle, sliced into k disjoint 4-hex-digit chunks; the
+    lexicographic min of chunk i across shingles is signature i.  One
+    hash instead of k salted hashes per shingle (the md5 calls were
+    the pipeline's hot spot), still reproducible in any engine with
+    md5 + substr.  k <= 8 with 32 hex digits."""
+    assert num_hashes * 4 <= 32
+    h = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.substring(h, i * 4 + 1, 4)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy("sid").agg(*aggs)

@@ -179,7 +179,8 @@ _SHINGLES_SQL = (
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
                     threshold: float = 0.9) -> str:
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+        f"min(substr(md5(shingle), {i * 4 + 1}, 4)) AS mh{i}"
+        for i in range(num_hashes)
     )
     n_bands = num_hashes // band_size
     band_cols = ", ".join(
