@@ -110,6 +110,47 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_registered_udf",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST((user_id % 180) - 90 AS DOUBLE) * 0.9 AS lat,
+             CAST((user_id % 360) - 180 AS DOUBLE) * 0.9 AS lon
+      FROM (SELECT DISTINCT user_id FROM events) WHERE user_id < 50
+    )
+    SELECT user_id,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(0.0 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(0.0))
+               * pow(sin(radians(0.0 - lon) / 2), 2)
+           )), 4) AS km
+    FROM pts
+    """,
+    tags=("sql", "udf"),
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's kernels registered for SQL callers: the same
+    Arrow-batched haversine invoked from SQL text."""
+    from map2db_spark.functions.register import register_engine_udfs
+
+    register_engine_udfs(spark)
+    _register(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH pts AS (
+          SELECT user_id,
+                 CAST((user_id % 180) - 90 AS DOUBLE) * 0.9 AS lat,
+                 CAST((user_id % 360) - 180 AS DOUBLE) * 0.9 AS lon
+          FROM (SELECT DISTINCT user_id FROM events) WHERE user_id < 50
+        )
+        SELECT user_id,
+               round(m2db_haversine_km(lat, lon, 0.0d, 0.0d), 4) AS km
+        FROM pts
+        """
+    )
+
+
+@query(
     "sql_min_cost_supplier",
     oracle="""
     SELECT p.p_partkey, s.s_suppkey, round(s.s_acctbal, 2) AS s_acctbal
