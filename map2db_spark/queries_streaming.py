@@ -64,6 +64,30 @@ def s_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_event, p.user_id AS p_user, p.ts AS p_ts,
+           v.event_id AS v_event, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase x views within
+    the preceding hour), run as a real streaming query; over bounded
+    input it equals the batch interval join the oracle computes."""
+    from map2db_spark.streaming.events import purchases_joined_to_views
+
+    return _run(
+        spark, sf_dir, purchases_joined_to_views, "append",
+        "p_event LONG, p_user LONG, p_ts TIMESTAMP, v_event LONG, v_ts TIMESTAMP",
+    )
+
+
+@query(
     "s_stream_sessionize",
     oracle=None,  # session windows have no ANSI-SQL equivalent
     tags=("streaming", "session"),

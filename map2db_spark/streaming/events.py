@@ -154,6 +154,37 @@ def running_user_state(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_joined_to_views(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events within the preceding hour.  Both sides are
+    watermarked so the join state is bounded — the streaming shape of
+    the batch range join (j_range_join)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_event"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_event", "p_user", "p_ts", "v_event", "v_ts")
+
+
 def run_available_now(stream_df: DataFrame, out_mode: str = "complete"):
     """Drive a streaming DataFrame to completion over the currently
     available input (one bounded run) into an in-memory sink; returns

@@ -175,6 +175,27 @@ def test_sqlite_sink_large(spark, tmp_path):
         con.close()
 
 
+def test_parquet_sink_partition_pruning(spark, dbl_path, tmp_path):
+    """The canonical parquet sink partitions by level; a level filter
+    must prune partitions at scan time (PartitionFilters, not a full
+    scan + filter)."""
+    import contextlib
+    import io
+
+    from map2db_spark.sinks.parquet_sink import write_parquet
+
+    final = consolidated_features(spark, dbl_path)
+    paths = write_parquet(final, str(tmp_path / "pq"))
+    pts = spark.read.parquet(paths["points"]).where("level = 8")
+    assert pts.count() == 3
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pts.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "level" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
 def test_attr_mismatch_violation(spark, tmp_path):
     """Assumption 3 (map2db.py:104-108): same id at same level across
     tiles must carry identical attributes; a corrupted map surfaces a
