@@ -61,6 +61,28 @@ def test_union_polygons_commutative():
     assert xs == {0.0, 1.0, 2.0}
 
 
+def test_union_polygons_four_quadrants():
+    """A square cut into 2x2 quadrant fragments (the cross-tile case at
+    a tile corner) dissolves to one ring regardless of combine order."""
+    q = lambda x0, y0: [[
+        (x0, y0), (x0 + 1.0, y0), (x0 + 1.0, y0 + 1.0), (x0, y0 + 1.0), (x0, y0)
+    ]]
+    frags = [[q(0.0, 0.0)], [q(1.0, 0.0)], [q(0.0, 1.0)], [q(1.0, 1.0)]]
+    import itertools
+
+    results = {
+        tuple(map(tuple, (tuple(map(tuple, poly[0])) for poly in union_polygons(perm))))
+        for perm in itertools.permutations(frags)
+    }
+    assert len(results) == 1  # order-independent
+    out = union_polygons(frags)
+    assert len(out) == 1 and len(out[0]) == 1
+    ring = out[0][0]
+    xs = {p[0] for p in ring}
+    ys = {p[1] for p in ring}
+    assert xs == {0.0, 1.0, 2.0} and ys == {0.0, 1.0, 2.0}
+
+
 def test_union_polygons_hole_preserved():
     # fragment A covers left half incl. half the hole; B the right half
     a = [[
