@@ -107,6 +107,32 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: the Arrow-batched shape of an image-resize pass
+    (payload in, payload + updated metadata out).  The pixel transform
+    is the stubbed step — with PIL present it decodes/resizes/encodes;
+    here a deterministic truncation stands in so batch flow, schema,
+    and metadata updates are fully real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if HAVE_PIL:  # pragma: no cover - production slot
+                raise NotImplementedError("wire PIL resize here")
+            target = width * height // 64  # deterministic fake: scale bytes
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                p[: max(target, 1)] if p is not None else None
+                for p in pdf["payload"]
+            ]
+            pdf["meta_width"] = width
+            pdf["meta_height"] = height
+            yield pdf
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to decode
     (media_id, frame_ts_ms).  The actual frame decode is the stubbed

@@ -86,3 +86,34 @@ def fingerprint(col) -> Column:
     whitespace-collapsed text (content-defined identity for exact and
     near-exact dedup bookkeeping)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric glyphs — the shape of a GPT-2-style pre-tokenizer
+# (the learned-merges step would run inside a pandas UDF; the count of
+# pre-tokens is the standard cheap length proxy for a corpus pass).
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col) -> Column:
+    return F.regexp_count(col, F.lit(BPE_PATTERN))
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_MULT = 31
+
+
+def rolling_fingerprint(col) -> Column:
+    """Polynomial rolling hash over the token stream:
+    h_i = (h_{i-1} * 31 + len(tok)*256 + ascii(first char)) mod p.
+    Order-sensitive (unlike a bag-of-words hash) and computable as a
+    single left fold — the streaming-friendly fingerprint."""
+    tok = tokens(col)
+    return F.aggregate(
+        tok,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * ROLLING_MULT + F.length(t).cast("long") * 256 + F.ascii(t)
+        )
+        % ROLLING_MOD,
+    )

@@ -72,6 +72,48 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS INT) AS n_bpe_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("text", "pipeline"),
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counting (letter runs / digit runs /
+    single glyphs) — the cheap corpus-pass length proxy."""
+    docs = Tables(spark, sf_dir).documents
+    return docs.where(F.col("doc_id") < 100).select(
+        "doc_id", T.bpe_token_count(F.col("text")).cast("int").alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "t_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOKS_SQL},
+                 t -> CAST(length(t) * 256 + ascii(t) AS BIGINT))),
+             (acc, v) -> (acc * 31 + v) % 1000000007
+           ) AS rolling_fp
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("text", "pipeline"),
+)
+def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream,
+    value-matched against the SQL fold (identical integer arithmetic)."""
+    docs = Tables(spark, sf_dir).documents
+    return docs.where(F.col("doc_id") < 100).select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
 def _langid_oracle() -> str:
     score = {
         lang: (

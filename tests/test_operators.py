@@ -98,3 +98,16 @@ def test_union_polygons_hole_preserved():
     assert len(out[0]) == 2  # shell + reunified hole
     hole = out[0][1]
     assert {p[0] for p in hole} == {0.5, 1.0, 1.5}
+
+def test_multimodal_resize_plumbing(spark):
+    from map2db_spark.functions.multimodal import documents_as_media, resize_images
+    from map2db_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    media = documents_as_media(load(spark, SF_SMOKE, "documents"))
+    out = resize_images(media, 64, 64).limit(20).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["kind"] == "image"
+        assert r["meta_width"] == 64 and r["meta_height"] == 64
+        assert len(r["payload"]) <= 64 * 64 // 64
