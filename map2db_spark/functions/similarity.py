@@ -176,6 +176,87 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic integer coarse-quantizer centroids (seeded),
+    shared verbatim with the SQL oracle.  A production IVF would train
+    these with k-means on a sample; the partition/assignment/search
+    plumbing is identical either way."""
+    rng = random.Random(seed)
+    return [
+        [rng.randint(-1000, 1000) * (SCALE // 1000) for _ in range(dim)]
+        for _ in range(n_cells)
+    ]
+
+
+def _cell_from_int_vec_np(iv_matrix, centroids):
+    """argmin_c ||x - c||^2 == argmin_c (|c|^2 - 2 x.c): exact int64,
+    first-min tiebreak (matches SQL list_indexof(list_min))."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.int64)
+    norms = (C * C).sum(axis=1)
+    scores = norms[None, :] - 2 * (iv_matrix @ C.T)
+    return scores.argmin(axis=1).astype("int32")
+
+
+def ivf_prepared(
+    df: DataFrame, centroids: list[list[int]], id_col: str, vec_col: str,
+    out_id: str, out_vec: str, out_norm: str,
+) -> DataFrame:
+    """Like _prepared but with an IVF cell id instead of an LSH bucket."""
+    import numpy as np
+
+    schema = f"{out_id} LONG, {out_vec} ARRAY<LONG>, {out_norm} DOUBLE, cell INT"
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scaled = mat * SCALE
+            iv = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            norms = np.sqrt((iv * iv).sum(axis=1).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].astype("int64"),
+                    out_vec: list(iv),
+                    out_norm: norms,
+                    "cell": _cell_from_int_vec_np(iv, centroids),
+                }
+            )
+
+    import pandas as pd  # noqa: F811 - local import for executors
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's coarse cell
+    (nprobe=1).  Same join/topk shape as lsh_topk; only the partition
+    function differs — at scale the cell id doubles as the physical
+    partitioning key so a cell's vectors are co-located."""
+    from pyspark.sql.window import Window
+
+    c = ivf_prepared(embeddings, centroids, id_col, vec_col, "cand_id", "cvec", "cnorm")
+    q = ivf_prepared(queries, centroids, id_col, vec_col, "query_id", "qvec", "qnorm")
+    scored = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("cand_id")
+    ).select("query_id", "cand_id", _pair_sim().alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -503,6 +503,53 @@ def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, _PLANES, k=5)
 
 
+_CENTROIDS = S.ivf_centroids(dim=64, n_cells=16, seed=7)
+
+
+def _ivf_ann_oracle() -> str:
+    dists = []
+    for c in _CENTROIDS:
+        arr = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+        norm = sum(v * v for v in c)
+        dists.append(f"({norm} - 2 * list_dot_product(v, {arr}))")
+    dist_list = "[" + ", ".join(dists) + "]"
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    celled AS (
+      SELECT vec_id, v,
+             CAST(list_indexof({dist_list}, list_min({dist_list})) - 1 AS INT)
+               AS cell
+      FROM iv
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM celled
+          WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM celled c JOIN q USING (cell)
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("v_ann_ivf_topk", oracle=_ivf_ann_oracle(), tags=("ann", "ivf", "pipeline"))
+def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse quantizer cells, nprobe=1): candidates
+    from the query's nearest-centroid cell only.  Cell assignment is
+    exact int64 arithmetic with seeded literal centroids shared with
+    the oracle SQL."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, _CENTROIDS, k=5)
+
+
 # ---------------------------------------------------------------------------
 # As-of join + multimodal plumbing
 # ---------------------------------------------------------------------------
