@@ -73,6 +73,42 @@ def bbox_intersects(bbox_col, window: tuple[float, float, float, float]) -> Colu
     )
 
 
+from pyspark.sql.types import BooleanType
+
+
+@pandas_udf(BooleanType())
+def point_covered_by(geom: pd.Series, poly_wkb: pd.Series) -> pd.Series:
+    """Exact covers(polygon, point) for point features: integer-grid
+    ray cast (boundary counts as covered), reusing the dissolve
+    kernel's exact predicates.  poly_wkb is typically a broadcast
+    literal (F.lit(bytes)).  Sedona equivalent: ST_Covers."""
+    from map2db_spark.geometry import wkb as gwkb
+    from map2db_spark.geometry.union import _point_in_ring, _to_int
+
+    def covered(point_buf, poly_buf) -> bool:
+        if point_buf is None or poly_buf is None:
+            return False
+        kind, pts = gwkb.decode(point_buf)
+        if kind != "multipoint" or not pts:
+            return False
+        _, polys = gwkb.decode(poly_buf)
+        p = _to_int(pts[0])
+        for rings in polys:
+            shell = [_to_int(v) for v in rings[0]]
+            if _point_in_ring(p, shell):
+                in_hole = any(
+                    _point_in_ring(p, [_to_int(v) for v in hole])
+                    for hole in rings[1:]
+                )
+                if not in_hole:
+                    return True
+        return False
+
+    return pd.Series(
+        [covered(g, p) for g, p in zip(geom, poly_wkb)], dtype="bool"
+    )
+
+
 def with_bbox(features: DataFrame, geom_col: str = "geom") -> DataFrame:
     return features.withColumn("bbox", wkb_bbox(F.col(geom_col)))
 

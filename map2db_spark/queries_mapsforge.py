@@ -243,6 +243,35 @@ def m2db_spatial_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m2db_point_in_polygon",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), true),
+        (CAST(2 AS BIGINT), true),
+        (CAST(4 AS BIGINT), false)
+    ) AS t(fid, covered)
+    """,
+    tags=("mapsforge", "spatial"),
+)
+def m2db_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covers(polygon, point) over the consolidated point
+    features against a literal query polygon spanning lon/lat
+    [0.6, 0.8]^2: P1 and P2 sit at the main tile's center (~0.7034),
+    P4 at (0.31, 0.31) — hand-checked goldens."""
+    from map2db_spark.functions.spatial import point_covered_by
+    from map2db_spark.geometry import wkb as gwkb
+    from map2db_spark.pipeline import consolidated_features
+
+    poly = gwkb.encode_multipolygon(
+        [[[(0.6, 0.6), (0.8, 0.6), (0.8, 0.8), (0.6, 0.8), (0.6, 0.6)]]]
+    )
+    final = consolidated_features(spark, _fixture_path())
+    return final.where(F.col("ftype") == "point").select(
+        "fid", point_covered_by(F.col("geom"), F.lit(poly)).alias("covered")
+    )
+
+
+@query(
     "m2db_validation_violations",
     oracle="""
     SELECT 'point' AS ftype, CAST(4 AS BIGINT) AS fid,

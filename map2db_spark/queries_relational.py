@@ -953,6 +953,55 @@ def r_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("session", "window-agg"),
+)
+def d_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via F.session_window (30-minute gap),
+    value-checked against the classic gaps-and-islands SQL: Spark's
+    session end equals last event + gap, start equals first event.
+    The same expression runs on readStream (streaming/events.py
+    sessionize); this batch twin is what makes that path checkable."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
     "x_salted_aggregation",
     oracle="""
     SELECT event_type,
