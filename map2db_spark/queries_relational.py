@@ -953,6 +953,82 @@ def r_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN big ON o_orderkey = big.l_orderkey
+    """,
+    tags=("agg", "having", "join"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate drives the join (the
+    aggregate output is tiny, so it broadcasts into orders)."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t.orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "r_null_safe_equality",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_brand END AS brand_a,
+             CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_brand END AS brand_b
+      FROM part
+    )
+    SELECT CAST(sum(CASE WHEN brand_a IS NOT DISTINCT FROM brand_b
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+           CAST(sum(CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_plain_eq,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p
+    """,
+    tags=("null-semantics",),
+)
+def r_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain = :
+    the three-valued-logic corner every join-on-nullable-key hits."""
+    p = Tables(spark, sf_dir).part
+    withnulls = p.select(
+        "p_partkey",
+        F.when(F.col("p_size") % 7 == 0, None).otherwise(F.col("p_brand")).alias(
+            "brand_a"
+        ),
+        F.when(F.col("p_size") % 5 == 0, None).otherwise(F.col("p_brand")).alias(
+            "brand_b"
+        ),
+    )
+    return withnulls.agg(
+        F.sum(
+            F.when(F.col("brand_a").eqNullSafe(F.col("brand_b")), 1).otherwise(0)
+        ).cast("long").alias("n_null_safe_eq"),
+        F.sum(
+            F.when(F.col("brand_a") == F.col("brand_b"), 1).otherwise(0)
+        ).cast("long").alias("n_plain_eq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "d_sessionize_batch",
     oracle="""
     WITH marked AS (
