@@ -155,11 +155,17 @@ def write_features(
     for ftype, table in TABLE_FOR_FTYPE.items():
         extra = vtag_cols.get(ftype, [])
         for col in extra:
-            dbc.execute(f"ALTER TABLE {table} ADD COLUMN {col};")
+            # quoted identifiers: tag keys like roof:colour are legal
+            # column names only when quoted (the reference's unquoted
+            # ALTER TABLE would fail on them — intended semantics kept,
+            # syntax fixed)
+            quoted = col.replace('"', '""')
+            dbc.execute(f'ALTER TABLE {table} ADD COLUMN "{quoted}";')
         pk = PK_FOR_FTYPE[ftype]
         cols = [pk] + FIXED_COLS + list(extra)
+        col_list = ",".join('"' + c.replace('"', '""') + '"' for c in cols)
         sql = (
-            f"INSERT INTO {table} ({','.join(cols)})"
+            f"INSERT INTO {table} ({col_list})"
             f" VALUES ({','.join(['?'] * len(cols))});"
         )
         rows_df = (

@@ -374,7 +374,6 @@ class MapWriter:
             subfile_table += enc_u64(offset) + enc_u64(len(body))
             offset += len(body)
         file_size = offset
-        header_size = file_size - 20 - 4  # everything after the size field
 
         out = MAGIC
         out += enc_u32(len(hdr) + table_len + 16)  # remaining header bytes
@@ -386,7 +385,6 @@ class MapWriter:
         for body in bodies:
             out += body
         assert len(out) == file_size, (len(out), file_size)
-        _ = header_size
         return out
 
     def write(self, path: str) -> str:

@@ -231,3 +231,27 @@ def test_nondbl_pipeline(spark, tmp_path):
         assert any("does not appear to have been created" in t for t in texts)
     finally:
         con.close()
+
+
+def test_colour_vtag_column_in_sqlite(spark, tmp_path):
+    """A :colour variable tag becomes a quoted dynamic column in the
+    SQLite export (the reference's unquoted ALTER TABLE would fail on
+    this key)."""
+    from map2db_spark.sources.fixture import MapWriter, Poi
+    from map2db_spark.sources.sample_maps import BBOX, T_MAIN
+
+    w = MapWriter(BBOX, [(8, 8, 11)], dbl_license="L")
+    w.add_poi(0, *T_MAIN, Poi(lat=0.7, lon=0.7, zoom=8, pnum=1,
+                              vtags={"roof:colour": 0x00FF00}))
+    src = str(tmp_path / "colour.map")
+    w.write(src)
+    out = str(tmp_path / "colour.db")
+    map2db(spark, src, out)
+    con = sqlite3.connect(out)
+    try:
+        cols = [r[1] for r in con.execute("PRAGMA table_info(points)").fetchall()]
+        assert "roof:colour" in cols
+        (val,) = con.execute('SELECT "roof:colour" FROM points').fetchone()
+        assert val == "ff00"
+    finally:
+        con.close()
