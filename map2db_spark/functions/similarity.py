@@ -73,6 +73,8 @@ def _prepared(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -210,6 +212,8 @@ def ivf_prepared(
 
     def kernel(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             scaled = mat * SCALE
             iv = np.where(

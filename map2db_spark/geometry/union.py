@@ -181,22 +181,20 @@ def union_polygons(fragments):
             return None
         if incoming is None or len(cands) == 1:
             return cands.pop(0)
-        # leftmost turn relative to incoming direction
+        # face traversal at a junction: take the first edge CLOCKWISE
+        # from the reverse of the incoming direction — with CCW shells
+        # this keeps the interior on the left and closes each ring
+        # instead of crossing over at a touching vertex
         import math
 
-        ax = u[0] - incoming[0]
-        ay = u[1] - incoming[1]
-        base = math.atan2(ay, ax)
+        rev = math.atan2(incoming[1] - u[1], incoming[0] - u[0])
 
-        def turn(v):
-            ang = math.atan2(v[1] - u[1], v[0] - u[0]) - (base + math.pi)
-            while ang <= -math.pi:
-                ang += 2 * math.pi
-            while ang > math.pi:
-                ang -= 2 * math.pi
-            return ang
+        def cw_delta(v):
+            ang = math.atan2(v[1] - u[1], v[0] - u[0])
+            d = (rev - ang) % (2 * math.pi)
+            return d if d > 1e-12 else 2 * math.pi
 
-        best = max(range(len(cands)), key=lambda i: turn(cands[i]))
+        best = min(range(len(cands)), key=lambda i: cw_delta(cands[i]))
         return cands.pop(best)
 
     rings = []

@@ -53,9 +53,12 @@ def asof_join_backward(
     ).select(*l.columns)  # align column order
 
     unioned = l.unionByName(r)
+    # the trailing __r_* keys make the order total when multiple right
+    # rows share (key, ts): the carried row is then deterministic (the
+    # one sorting last) instead of partition-order dependent
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *[f"__r_{c}" for c in right_value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

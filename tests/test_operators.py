@@ -111,3 +111,14 @@ def test_multimodal_resize_plumbing(spark):
         assert r["kind"] == "image"
         assert r["meta_width"] == 64 and r["meta_height"] == 64
         assert len(r["payload"]) <= 64 * 64 // 64
+
+
+def test_union_polygons_corner_touch():
+    """Squares touching only at a corner stay two separate polygons
+    (no shared edges cancel; the degree-4 vertex walk keeps rings
+    apart)."""
+    a = [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]]
+    b = [[[(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]]]
+    out = union_polygons([a, b])
+    assert len(out) == 2
+    assert all(len(p) == 1 for p in out)
