@@ -122,3 +122,32 @@ def test_union_polygons_corner_touch():
     out = union_polygons([a, b])
     assert len(out) == 2
     assert all(len(p) == 1 for p in out)
+
+
+def test_union_polygons_partial_edge_overlap():
+    """Fragments sharing only PART of an edge: noding must split the
+    longer edge at the shared endpoints before cancellation."""
+    a = [[[(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]]
+    b = [[[(0.5, 1.0), (1.5, 1.0), (1.5, 2.0), (0.5, 2.0), (0.5, 1.0)]]]
+    out = union_polygons([a, b])
+    assert len(out) == 1 and len(out[0]) == 1
+    ring = out[0][0]
+    # T-shape: 8 corners; shared run (0.5,1)-(1.5,1) is interior now
+    corners = set(ring[:-1])
+    assert (0.5, 1.0) in corners and (1.5, 1.0) in corners
+    assert len(corners) == 8
+
+
+def test_clip_line_through_corner():
+    """A diagonal passing exactly through a box corner yields the
+    single touching point run -> dropped as degenerate (reference F5
+    discards point residues)."""
+    from map2db_spark.geometry.clip import clip_line, clip_lines
+
+    box = (0.0, 0.0, 1.0, 1.0)
+    # passes through (1,1) corner only
+    parts = clip_line([(0.5, 1.5), (1.5, 0.5)], box)
+    assert parts == []  # single-point contact is not a line
+    # crosses properly -> one clipped run
+    parts = clip_lines([[(-0.5, 0.5), (1.5, 0.5)]], box)
+    assert parts == [[(0.0, 0.5), (1.0, 0.5)]]
