@@ -115,3 +115,34 @@ def test_way_length_guard(tmp_path):
             buf[:-3], sf.level, sf.minzoom, sf.maxzoom, *T_MAIN,
             h.ptags, h.wtags, h.debuginfo, True,
         )
+
+
+def test_trim_nonum_false_keeps_buffer(tmp_path, monkeypatch):
+    """With TRIM_NONUM disabled, non-dbl features keep their edge-buffer
+    coordinates (reference map2db.py:124-126, 845, 907)."""
+    import map2db_spark.operators.decode as dec
+    from map2db_spark.sources.sample_maps import BBOX
+
+    w = MapWriter(BBOX, [(8, 8, 11)])
+    # line sticking out of the tile into the buffer
+    w.add_way(0, *T_MAIN, Way(blocks=[[[(1.2, 0.5), (1.6, 0.5)]]], zoom=9))
+    path = str(tmp_path / "trim.map")
+    w.write(path)
+    h, buf, sf = _decode_one_tile(path)
+
+    rows = dec.tile_feature_rows(
+        buf, sf.level, sf.minzoom, sf.maxzoom, *T_MAIN,
+        h.ptags, h.wtags, h.debuginfo, dbl=False,
+    )
+    from map2db_spark.geometry import wkb as gwkb
+
+    _, clipped = gwkb.decode(rows[0][8])
+    assert max(p[0] for p in clipped[0]) == 1.40625  # trimmed by default
+
+    monkeypatch.setattr(dec, "TRIM_NONUM", False)
+    rows = dec.tile_feature_rows(
+        buf, sf.level, sf.minzoom, sf.maxzoom, *T_MAIN,
+        h.ptags, h.wtags, h.debuginfo, dbl=False,
+    )
+    _, kept = gwkb.decode(rows[0][8])
+    assert max(p[0] for p in kept[0]) == 1.6  # buffer coordinates kept
