@@ -272,6 +272,36 @@ def m2db_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m2db_sql_over_features",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  0, CAST(2 AS BIGINT)),
+        ('line',  0, CAST(4 AS BIGINT)),
+        ('point', 0, CAST(2 AS BIGINT)),
+        ('point', 2, CAST(1 AS BIGINT))
+    ) AS t(ftype, layer, n)
+    """,
+    tags=("mapsforge", "sql"),
+)
+def m2db_sql_over_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star surface: consolidated feature tables exposed as
+    temp views and queried with plain SQL (P1 is the only layer-2
+    feature; everything else sits on layer 0)."""
+    from map2db_spark.pipeline import consolidated_features
+
+    consolidated_features(spark, _fixture_path()).createOrReplaceTempView(
+        "m2db_features"
+    )
+    return spark.sql(
+        """
+        SELECT ftype, layer, count(*) AS n
+        FROM m2db_features
+        GROUP BY ftype, layer
+        """
+    )
+
+
+@query(
     "m2db_validation_violations",
     oracle="""
     SELECT 'point' AS ftype, CAST(4 AS BIGINT) AS fid,
