@@ -987,6 +987,34 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_array_agg_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list(c_custkey)) AS custkeys,
+           CAST(len(list(c_custkey)) AS INT) AS n
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE n_nationkey < 5
+    GROUP BY n_nationkey
+    """,
+    tags=("array", "agg"),
+)
+def r_array_agg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect per-group keys into a sorted array
+    (collect_list + sort_array vs DuckDB list + list_sort) — the
+    nested-type aggregation surface."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.where(F.col("n_nationkey") < 5)
+        .join(t.customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.size(F.collect_list("c_custkey")).cast("int").alias("n"),
+        )
+    )
+
+
+@query(
     "r_null_safe_equality",
     oracle="""
     WITH p AS (
