@@ -109,6 +109,48 @@ def point_covered_by(geom: pd.Series, poly_wkb: pd.Series) -> pd.Series:
     )
 
 
+def morton_code(lon, lat, bits: int = 16) -> Column:
+    """Z-order (Morton) code from lon/lat: interleaves the top `bits`
+    of each quantized coordinate using the classic bit-spread, as pure
+    column expressions (codegen, no UDF).  Sorting a dataset by this
+    code clusters spatial neighbors into the same parquet row groups,
+    so bbox min/max statistics prune window queries — the 100 TB
+    locality move."""
+    def quant(c, lo, hi):
+        scaled = (c - F.lit(lo)) / F.lit(hi - lo) * F.lit((1 << bits) - 1)
+        return F.round(scaled).cast("long")
+
+    def spread(v):
+        # classic bit spread: 16 significant bits to even positions
+        v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+        return v
+
+    x = spread(quant(lon, -180.0, 180.0))
+    y = spread(quant(lat, -90.0, 90.0))
+    return x.bitwiseOR(F.shiftleft(y, 1)).alias("morton")
+
+
+def cluster_by_morton(features: DataFrame, geom_col: str = "geom",
+                      bits: int = 16) -> DataFrame:
+    """Sort features in Z-order of their bbox centers (use before the
+    parquet sink for spatial row-group locality)."""
+    withb = with_bbox(features, geom_col)
+    code = morton_code(
+        (F.col("bbox.minx") + F.col("bbox.maxx")) / 2,
+        (F.col("bbox.miny") + F.col("bbox.maxy")) / 2,
+        bits,
+    )
+    return (
+        withb.withColumn("morton", code)
+        .sortWithinPartitions("morton")
+        .drop("bbox", "morton")
+    )
+
+
 def with_bbox(features: DataFrame, geom_col: str = "geom") -> DataFrame:
     return features.withColumn("bbox", wkb_bbox(F.col(geom_col)))
 

@@ -151,3 +151,48 @@ def test_clip_line_through_corner():
     # crosses properly -> one clipped run
     parts = clip_lines([[(-0.5, 0.5), (1.5, 0.5)]], box)
     assert parts == [[(0.0, 0.5), (1.0, 0.5)]]
+
+
+def test_morton_code_matches_reference(spark):
+    """The codegen bit-spread must equal a straightforward python
+    interleave for random coordinates."""
+    import random
+
+    from map2db_spark.functions.spatial import morton_code
+
+    rng = random.Random(5)
+    pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90)) for _ in range(50)]
+    df = spark.createDataFrame(pts, "lon DOUBLE, lat DOUBLE")
+    got = [r["morton"] for r in df.select(
+        morton_code(F.col("lon"), F.col("lat"))).collect()]
+
+    def py_morton(lon, lat, bits=16):
+        def quant(c, lo, hi):
+            return int(round((c - lo) / (hi - lo) * ((1 << bits) - 1)))
+
+        def spread(v):
+            out = 0
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (2 * i)
+            return out
+
+        return spread(quant(lon, -180.0, 180.0)) | (
+            spread(quant(lat, -90.0, 90.0)) << 1
+        )
+
+    want = [py_morton(lon, lat) for lon, lat in pts]
+    assert got == want
+
+
+def test_cluster_by_morton_sorts_neighbors(spark):
+    from map2db_spark.functions.spatial import cluster_by_morton
+    from map2db_spark.geometry import wkb as gwkb
+
+    rows = [
+        (i, gwkb.encode_multipoint([(float(i % 10), float(i // 10))]))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, geom BINARY").coalesce(1)
+    ordered = [r["id"] for r in cluster_by_morton(df).collect()]
+    assert sorted(ordered) == list(range(100))
+    assert ordered != list(range(100))  # actually reordered (Z-curve)

@@ -75,3 +75,61 @@ def test_running_user_state(spark, events_stream, events_batch):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_across_multiple_microbatches(spark, tmp_path, events_batch):
+    """applyInPandasWithState must carry state ACROSS micro-batches:
+    the events file is split into 4 parts streamed one file per
+    trigger; the final per-user emission must equal the batch
+    aggregate over all parts."""
+    src_dir = str(tmp_path / "parts")
+    events_batch.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value", "props",
+    ).repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts_us LONG, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    from map2db_spark.streaming.events import running_user_state
+
+    import uuid
+
+    name = "mb_" + uuid.uuid4().hex[:8]
+    q = (
+        running_user_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name).collect()
+    q.stop()
+    assert q.lastProgress is not None
+
+    # multiple emissions per user (one per micro-batch containing that
+    # user) prove cross-batch processing; the max n_events per user is
+    # the final state
+    per_user: dict = {}
+    for r in emissions:
+        cur = per_user.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            per_user[r["user_id"]] = (r["n_events"], r["last_seen"])
+    want = {
+        r["user_id"]: (r["n"], r["last_ts"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+        .collect()
+    }
+    assert per_user == want
+    assert len(emissions) > len(want)  # state really updated over batches
