@@ -34,6 +34,25 @@ def _fixture_path() -> str:
     return _FIXTURE
 
 
+_CONSOLIDATED_CACHE: dict = {}
+
+
+def _consolidated(spark: SparkSession):
+    """Consolidated fixture features, persisted once per Spark app:
+    several registered queries project from the same pipeline output,
+    so the decode->consolidate->merge run happens once per session,
+    not once per query."""
+    from map2db_spark.pipeline import consolidated_features
+
+    key = (spark.sparkContext.applicationId, _fixture_path())
+    df = _CONSOLIDATED_CACHE.get(key)
+    if df is None:
+        df = consolidated_features(spark, _fixture_path()).persist()
+        df.count()  # materialize eagerly
+        _CONSOLIDATED_CACHE[key] = df
+    return df
+
+
 @query(
     "m2db_decode_sightings",
     oracle="""
@@ -82,12 +101,7 @@ def m2db_decode_sightings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m2db_consolidated_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 consolidation: one row per feature with argmax-level attrs,
     min-minz across levels, maxz of the top subfile."""
-    from map2db_spark.pipeline import consolidated_features
-
-    final = consolidated_features(spark, _fixture_path())
-    return final.select(
-        "ftype", "fid", "level", "minz", "maxz"
-    )
+    return _consolidated(spark).select("ftype", "fid", "level", "minz", "maxz")
 
 
 @query(
@@ -143,8 +157,6 @@ def m2db_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
-    from map2db_spark.pipeline import consolidated_features
-
     @pandas_udf(IntegerType())
     def n_geoms(geom: pd.Series) -> pd.Series:
         from map2db_spark.geometry import wkb as gwkb
@@ -177,7 +189,7 @@ def m2db_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return geom.map(count)
 
-    final = consolidated_features(spark, _fixture_path())
+    final = _consolidated(spark)
     return final.select(
         "ftype",
         "fid",
@@ -236,10 +248,10 @@ def m2db_spatial_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     .2-.4) and L1 (cross-boundary line at lat 0.5, lon 1.2-1.6); every
     other fixture feature's bbox stays below lon 1.25."""
     from map2db_spark.functions.spatial import filter_window
-    from map2db_spark.pipeline import consolidated_features
 
-    final = consolidated_features(spark, _fixture_path())
-    return filter_window(final, (1.25, 0.15, 1.45, 0.65)).select("ftype", "fid")
+    return filter_window(
+        _consolidated(spark), (1.25, 0.15, 1.45, 0.65)
+    ).select("ftype", "fid")
 
 
 @query(
@@ -260,12 +272,11 @@ def m2db_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     P4 at (0.31, 0.31) — hand-checked goldens."""
     from map2db_spark.functions.spatial import point_covered_by
     from map2db_spark.geometry import wkb as gwkb
-    from map2db_spark.pipeline import consolidated_features
 
     poly = gwkb.encode_multipolygon(
         [[[(0.6, 0.6), (0.8, 0.6), (0.8, 0.8), (0.6, 0.8), (0.6, 0.6)]]]
     )
-    final = consolidated_features(spark, _fixture_path())
+    final = _consolidated(spark)
     return final.where(F.col("ftype") == "point").select(
         "fid", point_covered_by(F.col("geom"), F.lit(poly)).alias("covered")
     )
@@ -287,11 +298,7 @@ def m2db_sql_over_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star surface: consolidated feature tables exposed as
     temp views and queried with plain SQL (P1 is the only layer-2
     feature; everything else sits on layer 0)."""
-    from map2db_spark.pipeline import consolidated_features
-
-    consolidated_features(spark, _fixture_path()).createOrReplaceTempView(
-        "m2db_features"
-    )
+    _consolidated(spark).createOrReplaceTempView("m2db_features")
     return spark.sql(
         """
         SELECT ftype, layer, count(*) AS n
@@ -313,9 +320,6 @@ def m2db_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's mid-stream ValueErrors as data: P4 has a
     deliberately discontinuous zoom range and must surface exactly one
     violation row (map2db.py:792-802 reformulated)."""
-    from map2db_spark.pipeline import consolidated_features
-
-    final = consolidated_features(spark, _fixture_path())
-    return final.where(F.col("violation").isNotNull()).select(
+    return _consolidated(spark).where(F.col("violation").isNotNull()).select(
         "ftype", "fid", "violation"
     )
