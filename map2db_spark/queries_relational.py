@@ -987,6 +987,47 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_not_in_null_semantics",
+    oracle="""
+    WITH keys AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey))
+        AS BIGINT) AS n_not_exists
+    """,
+    tags=("null-semantics", "subquery"),
+)
+def r_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap: one NULL in the subquery makes NOT IN
+    return zero rows (three-valued logic), while NOT EXISTS ignores
+    nulls — both engines must agree on both counts."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM orders
+        )
+        SELECT
+          CAST((SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey))
+            AS BIGINT) AS n_not_exists
+        """
+    )
+
+
+@query(
     "r_array_agg_roundtrip",
     oracle="""
     SELECT n_nationkey,
