@@ -343,13 +343,16 @@ def decode_features(spark, path: str, header: MapHeader, manifest=None):
         manifest = build_manifest(spark, path, header)
     manifest = nonempty(manifest)
 
-    ptags = header.ptags
-    wtags = header.wtags
+    # broadcast the tag dictionaries (P3): a planet-scale map carries
+    # thousands of tag strings, and a closure would re-serialize them
+    # into every task; a broadcast ships them once per executor
+    tags_bc = spark.sparkContext.broadcast((header.ptags, header.wtags))
     debuginfo = header.debuginfo
     dbl = header.is_dbl
     zooms = [(sf.minzoom, sf.maxzoom) for sf in header.subfiles]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ptags, wtags = tags_bc.value
         with open(path, "rb") as f:
             for pdf in batches:
                 rows = []
