@@ -212,15 +212,22 @@ def _large_fixture_path() -> str:
 
 @query(
     "m2db_pipeline_throughput",
-    oracle=None,  # throughput workload; correctness covered by the
-    # fixture goldens — this one exists so BENCH records the decode->
-    # consolidate->merge wall time at ~256 tiles / ~7.7k features
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(1280 AS BIGINT), CAST(25 AS BIGINT), CAST(7679 AS BIGINT)),
+        ('line',  CAST(1280 AS BIGINT), CAST(20 AS BIGINT), CAST(7674 AS BIGINT)),
+        ('point', CAST(5120 AS BIGINT), CAST(0 AS BIGINT),  CAST(7669 AS BIGINT))
+    ) AS t(ftype, n_features, min_fid, max_fid)
+    """,
     bench=True,
     tags=("mapsforge", "bench"),
 )
 def m2db_pipeline_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline (decode -> consolidate -> line merge) over the
-    generated 256-tile map; returns per-kind feature counts."""
+    generated 256-tile map; per-kind feature counts and fid ranges are
+    fully deterministic (per-tile blocks of 30 sequential ids: 20
+    POIs, 5 lines, 5 areas x 256 tiles), so even the throughput
+    workload is value-checked."""
     from map2db_spark.pipeline import consolidated_features
 
     final = consolidated_features(spark, _large_fixture_path())

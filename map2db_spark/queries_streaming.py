@@ -89,7 +89,28 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_stream_sessionize",
-    oracle=None,  # session windows have no ANSI-SQL equivalent
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
     tags=("streaming", "session"),
 )
 def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
