@@ -678,6 +678,65 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_range_frame_rolling",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events WHERE user_id < 5
+    """,
+    tags=("window", "range-frame"),
+)
+def w_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame with a time interval (events in the trailing
+    hour, per user) — value-based frames, not row counts; the frame
+    boundary is data-dependent per row."""
+    ev = Tables(spark, sf_dir).events
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, ts,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events WHERE user_id < 5
+        """
+    )
+
+
+@query(
+    "w_ntile_buckets",
+    oracle="""
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS bucket_min
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+    tags=("window", "ntile"),
+)
+def w_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile bucketing (equal-count quantile assignment with a
+    deterministic tiebreak)."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+        )
+    )
+
+
+@query(
     "w_percent_rank_decile",
     oracle="""
     SELECT o_orderpriority,
