@@ -150,6 +150,34 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(start, node, depth) AS (
+  SELECT user_id AS start, user_id AS node, 0 AS depth
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20)
+  UNION ALL
+  SELECT start, CAST(floor(node / 2) AS INT) AS node, depth + 1
+  FROM walk WHERE node > 0
+)
+SELECT CAST(start AS BIGINT) AS start, CAST(node AS BIGINT) AS node,
+       CAST(depth AS INT) AS depth
+FROM walk
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql", "recursive"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4+): walk each user id up a binary-tree
+    parent chain (node -> floor(node/2)) to the root — iterative
+    graph traversal expressed declaratively, identical SQL on both
+    engines."""
+    _register(spark, sf_dir, "events")
+    return spark.sql(_RECURSIVE_SQL)
+
+
 @query(
     "sql_min_cost_supplier",
     oracle="""
