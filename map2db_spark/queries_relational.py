@@ -821,6 +821,58 @@ def g_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_grouping_id",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS INT) AS g_region,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           CAST(count(*) AS BIGINT) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tags=("rollup", "grouping"),
+)
+def g_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() markers distinguish rollup-generated NULLs from data
+    NULLs — the disambiguation every rollup consumer needs."""
+    t = Tables(spark, sf_dir)
+    joined = F.broadcast(t.region).join(
+        t.nation, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "x_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+def x_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson correlation, sample covariance)
+    per group.  Note: covariance of near-independent columns is ~0,
+    where single-pass vs two-pass algorithms disagree in the noise
+    digits (and -0.0 hashes differently than 0.0) — use correlated
+    columns with meaningful magnitude for cross-engine checks."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+    )
+
+
+@query(
     "g_cube_flags",
     oracle="""
     SELECT l_returnflag, l_linestatus,
