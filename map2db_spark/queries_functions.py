@@ -1,0 +1,637 @@
+"""Scalar-function and additional TPC-H-shape surface: string/regexp,
+JSON extraction, higher-order array functions, conditional/bitwise
+aggregates, exact percentiles, ordered string aggregation, lateral
+explode, deterministic hash sampling, union-by-name, interval
+arithmetic, and the remaining classic TPC-H query shapes (Q6, Q12,
+Q14, Q19, Q22).
+
+The reference's scalar surface is P1-P10 (SURVEY.md §2.2 — tile math,
+tag decode, nibble unpack, JSON serialization, `map2db.py:322-451`);
+everything here is the engine-complete superset a Spark user expects
+on top of that, each declared as a (Spark plan, DuckDB oracle) pair.
+
+Parity conventions (see module docstring of queries_relational.py):
+identical aliases, explicit rounds/casts on both sides, total
+deterministic order for any top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+
+# ---------------------------------------------------------------------------
+# Remaining classic TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg, zero joins.
+
+    Scale: every predicate reaches the parquet scan (PushedFilters) and
+    only 4 columns are read (ReadSchema) — asserted in test_plans.py.
+    The aggregate is a map-side partial sum; the shuffle carries one row
+    per task regardless of SF.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q12_priority_case_agg",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "join", "case"),
+)
+def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-conditional counts inside one aggregation.
+
+    Scale: one shuffle for the orders⋈lineitem join, then map-side
+    partial sums; the CASE stays in whole-stage codegen (no UDF).
+    """
+    t = Tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                       / sum(l_extendedprice * (1 - l_discount)), 3) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("agg", "join", "case"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional sums over a month window.
+
+    Scale: part is broadcast (dimension-sized); lineitem is filtered at
+    the scan to one month before the join, so the join input is a
+    fraction of the fact table.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 3).alias("promo_pct"))
+    )
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("agg", "join", "pushdown"),
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+
+    Scale: Catalyst derives the single-table implications of the
+    disjunction (p_brand IN (...), l_quantity BETWEEN 1 AND 30) and
+    pushes them below the join, so both scans are pre-filtered even
+    though the full predicate must evaluate after the join.
+    """
+    t = Tables(spark, sf_dir)
+    joined = t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(bal), 2) AS totacctbal
+    FROM (
+        SELECT substring(c_name, 10, 2) AS cntrycode, c_acctbal AS bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    )
+    GROUP BY cntrycode
+    """,
+    tags=("agg", "antijoin", "subquery"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join
+    + substring-derived grouping key.
+
+    Scale: the threshold is a one-row broadcast (not a cross join of the
+    fact); the anti-join shuffles only customer keys against the orders
+    key projection.
+    """
+    t = Tables(spark, sf_dir)
+    cust = t.customer
+    threshold = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(threshold)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    recent = t.orders.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        idle.select(
+            F.substring("c_name", 10, 2).alias("cntrycode"), F.col("c_acctbal").alias("bal")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_string_surface",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           regexp_extract(p_name, '([a-z]+)$', 1)          AS last_word,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           CAST(length(p_name) AS INT)                     AS name_len,
+           replace(p_name, ' ', '_')                       AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           reverse(p_brand)                                AS brand_rev,
+           concat_ws('|', p_brand, p_type)                 AS brand_type
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+    tags=("scalar", "string"),
+)
+def f_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regexp scalar surface (the engine analog of the
+    reference's tag-string handling, map2db.py:424-451): case mapping,
+    regexp group extraction, split + 1-based element access, length,
+    replace, pad, reverse, multi-arg concat — all JVM-side builtins,
+    no UDFs.
+    """
+    p = Tables(spark, sf_dir).part
+    return p.where(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "f_json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS k_max,
+           CAST(count(*) AS BIGINT)                                            AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def f_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column, then aggregation on
+    the extracted value (the engine analog of the reference's JSON tag
+    serialization P10, map2db.py:872-875 — here read back, not just
+    written).
+
+    Scale: get_json_object is a JVM builtin evaluated inside codegen;
+    no Python involved.  For repeated multi-key extraction, from_json
+    to a struct once beats N path extractions.
+    """
+    ev = Tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_total"),
+        F.max(k).cast("int").alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "h_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT)    AS n_pos,
+           round(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 5)                      AS max_val
+    FROM embeddings
+    WHERE vec_id % 50 = 0
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def h_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate)
+    over the embedding column — the JVM-side lambda surface that keeps
+    vector math out of Python entirely.
+
+    Parity note: float32 elements are promoted to double BEFORE any
+    arithmetic on both sides; the fold order is left-to-right on both
+    engines so the sums agree bit-for-bit before rounding.
+    """
+    emb = Tables(spark, sf_dir).embeddings
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 5).alias(
+            "max_val"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate surface extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_conditional_bitwise_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_or(o_orderpriority = '1-URGENT')                         AS any_urgent,
+           bool_and(o_totalprice > 0)                                    AS all_positive,
+           CAST(bit_and(o_orderkey) AS BIGINT)                           AS key_bit_and,
+           CAST(bit_or(o_orderkey) AS BIGINT)                            AS key_bit_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT)                           AS key_bit_xor
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional", "bitwise"),
+)
+def x_conditional_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER/count_if), boolean (bool_and/bool_or) and
+    bitwise (bit_and/or/xor) aggregates — all commutative+associative,
+    so map-side partials apply and the shuffle stays O(groups)."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bit_and("o_orderkey").alias("key_bit_and"),
+        F.bit_or("o_orderkey").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").alias("key_bit_xor"),
+    )
+
+
+@query(
+    "x_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 2)                           AS med_qty,
+           round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 2) AS p90_price,
+           round(CAST(quantile_cont(l_extendedprice, 0.1) AS DOUBLE), 2) AS p10_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def x_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and continuous percentiles per group (the exact
+    counterparts of the approx sketches in x_approx_quantiles).
+
+    Scale: exact percentiles need the group's values together — this is
+    the one aggregate family where approx_percentile is the 100 TB
+    answer; the exact form is for dimension-sized groups.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.1)), 2).alias("p10_price"),
+    )
+
+
+@query(
+    "r_string_agg_ordered",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "string"),
+)
+def r_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): collect_list is
+    order-nondeterministic under parallelism, so the deterministic form
+    is sort-then-join — array_sort(collect_list()) + concat_ws."""
+    t = Tables(spark, sf_dir)
+    return (
+        F.broadcast(t.region)
+        .join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-generating / set-shaping surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r_lateral_explode",
+    oracle="""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS tok FROM orders)
+    GROUP BY tok
+    """,
+    tags=("generator", "explode"),
+)
+def r_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral row generation: split a scalar into an array and explode
+    one row per element (the tokenize-then-count shape every text
+    pipeline starts with; t_token_stats is the documents-scale version).
+
+    Scale: explode multiplies rows — repartition BEFORE a
+    work-amplifying explode when the source is few large files
+    (CLAUDE.md rule); here the amplification factor is 2, harmless.
+    """
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.select(F.explode(F.split("o_orderpriority", "-")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "r_sample_hash",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)      AS n_sampled,
+           round(avg(o_totalprice), 2)   AS avg_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
+    tags=("sampling", "filter"),
+)
+def r_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: md5-of-key prefix threshold gives a
+    reproducible ~1/16 sample on any engine — unlike TABLESAMPLE /
+    df.sample(seed), whose RNG streams are engine- and partition-
+    dependent and can never cross-check.
+
+    Scale: the predicate is a pure row-local function of the key — no
+    shuffle, no state, identical sample membership at any parallelism.
+    """
+    o = Tables(spark, sf_dir).orders
+    sampled = o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2) < "10"
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+@query(
+    "r_union_by_name",
+    oracle="""
+    SELECT src,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(bal), 2)       AS total_bal
+    FROM (
+        SELECT c_custkey AS id, c_acctbal AS bal, 'customer' AS src FROM customer
+        UNION ALL BY NAME
+        SELECT 'supplier' AS src, s_acctbal AS bal, s_suppkey AS id FROM supplier
+    )
+    GROUP BY src
+    """,
+    tags=("setop", "union"),
+)
+def r_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by column NAME, not position — the schema-evolution-safe
+    union (positional UNION ALL would silently pair id with src here).
+    """
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("customer").alias("src"),
+    )
+    supp = t.supplier.select(
+        F.lit("supplier").alias("src"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_suppkey").alias("id"),
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "d_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)  AS due_ts,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+           CAST(date_part('doy', o_orderdate) AS INT)        AS doy,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    tags=("scalar", "datetime"),
+)
+def d_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic and calendar decomposition: timestamp +
+    INTERVAL, quarter truncation, day-of-year, day difference from an
+    epoch — all codegen'd JVM builtins."""
+    o = Tables(spark, sf_dir).orders
+    return o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window + grouping-set completions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_cume_dist_first_last",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(cume_dist() OVER w, 4) AS cd,
+           round(first_value(s_acctbal) OVER
+                 (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS min_bal,
+           round(last_value(s_acctbal) OVER
+                 (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS max_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+    tags=("window", "analytic"),
+)
+def w_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + first_value/last_value with explicit ROWS frames
+    (last_value needs CURRENT ROW .. UNBOUNDED FOLLOWING — the default
+    frame ends at the current row, a classic silent-wrong-answer).
+
+    The frame windows tiebreak on s_suppkey for full determinism;
+    cume_dist orders by the value alone so ties share a value.
+    """
+    s = Tables(spark, sf_dir).supplier
+    w_cd = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    w_frame = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.cume_dist().over(w_cd), 4).alias("cd"),
+        F.round(
+            F.first("s_acctbal").over(
+                w_frame.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("min_bal"),
+        F.round(
+            F.last("s_acctbal").over(
+                w_frame.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+            2,
+        ).alias("max_bal"),
+    )
+
+
+@query(
+    "g_grouping_sets_explicit",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           CAST(count(*) AS BIGINT)     AS n,
+           round(sum(o_totalprice), 2)  AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """,
+    tags=("rollup", "sql"),
+)
+def g_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube desugar to)
+    via the SQL surface — the DataFrame API only exposes rollup/cube.
+
+    Scale: one Expand node + one shuffle for all three grouping sets —
+    not three scans.
+    """
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    t.nation.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               count(*)                    AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+        """
+    )

@@ -79,3 +79,33 @@ def test_decode_kernel_stays_arrow(spark):
     # decode is mapInPandas (Arrow), never row-at-a-time python UDFs
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q6_full_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema and "l_extendedprice" in read_schema
+
+
+def test_q19_broadcast_and_derived_pushdown(spark):
+    plan = plan_of(spark, "q19_disjunctive_pushdown")
+    assert "BroadcastHashJoin" in plan
+    # Catalyst derives the single-side implication of the OR-of-ANDs
+    # and pushes a p_brand filter into the part scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed)
+
+
+def test_grouping_sets_single_expand(spark):
+    plan = plan_of(spark, "g_grouping_sets_explicit")
+    assert "Expand" in plan
+    # 3 grouping sets from one pass over 3 tables, not 3 passes
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_q22_anti_join_with_broadcast_threshold(spark):
+    plan = plan_of(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
