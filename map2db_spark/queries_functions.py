@@ -635,3 +635,193 @@ def g_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
         """
     )
+
+
+@query(
+    "x_argmax_min_by",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(arg_max(o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey)
+                AS BIGINT) AS priciest_order,
+           CAST(arg_min(o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey)
+                AS BIGINT) AS cheapest_order,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "argmax"),
+)
+def x_argmax_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by / min_by ~ arg_max / arg_min) —
+    the single-shuffle form of "row with the extreme value per group"
+    that otherwise costs a window + filter.
+
+    Parity note: max_by ties are engine-arbitrary, so the ordering
+    value is made strictly unique by exact integer encoding
+    (price-cents * 1e6 + key) — same trick as the consolidation
+    argmax (operators/consolidate.py).
+    """
+    o = Tables(spark, sf_dir).orders
+    rank_val = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(1000000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", rank_val).alias("priciest_order"),
+        F.min_by("o_orderkey", rank_val).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "d_date_spine_fill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(gs AS TIMESTAMP) AS month
+      FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1998-12-01',
+                           INTERVAL 1 MONTH) AS t(gs)
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             sum(o_totalprice) AS r
+      FROM orders GROUP BY 1
+    )
+    SELECT s.month, round(coalesce(r, 0.0), 2) AS revenue
+    FROM spine s LEFT JOIN rev ON s.month = rev.month
+    """,
+    tags=("generator", "datetime", "join"),
+)
+def d_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: generate a complete month axis with
+    sequence(), left-join actual revenue, zero-fill missing months —
+    the reporting shape where absent data must appear as 0, not as a
+    missing row.
+
+    Scale: the spine is 48 rows — broadcast side of the join; the
+    revenue aggregate is the only shuffle.
+    """
+    o = Tables(spark, sf_dir).orders
+    spine = spark.sql(
+        """SELECT explode(sequence(TIMESTAMP '1995-01-01',
+                                   TIMESTAMP '1998-12-01',
+                                   INTERVAL 1 MONTH)) AS month"""
+    )
+    rev = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    return (
+        F.broadcast(spine)
+        .join(rev, "month", "left")
+        .select("month", F.round(F.coalesce(F.col("r"), F.lit(0.0)), 2).alias("revenue"))
+    )
+
+
+@query(
+    "w_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS last_purchase_value
+    FROM events
+    WHERE user_id < 40
+    """,
+    tags=("window", "timeseries"),
+)
+def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): sparse signal
+    (purchase value) propagated along each user's timeline via
+    last_value IGNORE NULLS with an explicit running frame — the
+    time-series imputation primitive.
+
+    Rows before a user's first purchase stay NULL on both engines.
+    """
+    ev = Tables(spark, sf_dir).events.where(F.col("user_id") < 40)
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(sparse, ignorenulls=True).over(w), 2).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "j_cross_join_grid",
+    oracle="""
+    WITH grid AS (
+      SELECT r_name, status
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+    ),
+    counts AS (
+      SELECT r_name AS rn, o_orderstatus AS st, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT g.r_name, g.status, CAST(coalesce(n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN counts c ON c.rn = g.r_name AND c.st = g.status
+    """,
+    tags=("join", "crossjoin"),
+)
+def j_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join building a dense (region x status) grid,
+    zero-filled from sparse counts — every grid cell present even when
+    empty.
+
+    Scale: cross joins are only ever sane dimension x dimension; both
+    sides here are tiny and broadcast.  The fact-table aggregation is
+    the one shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    statuses = t.orders.select(F.col("o_orderstatus").alias("status")).distinct()
+    grid = t.region.select("r_name").crossJoin(F.broadcast(statuses))
+    counts = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("rn"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        grid.join(
+            counts,
+            (F.col("rn") == F.col("r_name")) & (F.col("st") == F.col("status")),
+            "left",
+        )
+        .select("r_name", "status", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "r_values_inline",
+    oracle="""
+    SELECT n_name, tier
+    FROM nation
+    JOIN (VALUES (0, 'amer'), (1, 'emea'), (2, 'apac'), (3, 'amer'), (4, 'emea'))
+         AS m(rk, tier)
+      ON n_regionkey = rk
+    """,
+    tags=("source", "values"),
+)
+def r_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES as a first-class source (driver-defined lookup
+    table joined against data) — the idiom for small reference mappings
+    that live in code, broadcast to every executor."""
+    n = Tables(spark, sf_dir).nation
+    mapping = spark.createDataFrame(
+        [(0, "amer"), (1, "emea"), (2, "apac"), (3, "amer"), (4, "emea")],
+        "rk int, tier string",
+    )
+    return n.join(F.broadcast(mapping), F.col("n_regionkey") == F.col("rk")).select(
+        "n_name", "tier"
+    )

@@ -628,3 +628,59 @@ def m_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(Tables(spark, sf_dir).documents)
     plan = frame_sample_plan(media, every_ms=1000)
     return plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@query(
+    "d_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.02
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM sym
+      UNION
+      SELECT s.b AS node, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY cluster_id
+    """,
+    tags=("dedup", "graph", "pipeline"),
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: Jaccard candidate pairs become an
+    undirected graph; connected components (iterative min-label
+    propagation, operators/components.py) collapse chains A~B~C into
+    one cluster even when A~C was never directly scored — the step that
+    turns pairwise similarity into keep/drop decisions for a corpus.
+
+    The oracle computes the same components with a recursive CTE —
+    feasible at oracle scale, while the Spark loop is the shape that
+    survives 100 TB (one shuffle per round, diameter-bound rounds,
+    checkpointed lineage).
+    """
+    from map2db_spark.operators.components import duplicate_clusters
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select("id_a", "id_b")
+    return duplicate_clusters(edges, src="id_a", dst="id_b")

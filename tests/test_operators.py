@@ -196,3 +196,34 @@ def test_cluster_by_morton_sorts_neighbors(spark):
     ordered = [r["id"] for r in cluster_by_morton(df).collect()]
     assert sorted(ordered) == list(range(100))
     assert ordered != list(range(100))  # actually reordered (Z-curve)
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/components.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    from map2db_spark.operators.components import connected_components, duplicate_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 3)], "src bigint, dst bigint"
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5}
+    clusters = {
+        r.cluster_id: (r.size, r.members) for r in duplicate_clusters(edges).collect()
+    }
+    assert clusters == {1: (4, "1,2,3,8"), 5: (2, "5,6")}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A diameter-9 chain needs ~9 propagation rounds — exercises the
+    iteration + convergence check, not just the 1-hop case."""
+    from map2db_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "src bigint, dst bigint"
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {i: 1 for i in range(1, 11)}
