@@ -825,3 +825,70 @@ def r_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(F.broadcast(mapping), F.col("n_regionkey") == F.col("rk")).select(
         "n_name", "tier"
     )
+
+
+@query(
+    "f_map_surface",
+    oracle="""
+    SELECT o_orderkey, k, v FROM (
+      SELECT o_orderkey, 'status' AS k, o_orderstatus AS v
+      FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v
+      FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT o_orderkey, 'bucket' AS k,
+             CAST(CAST(o_totalprice AS BIGINT) // 100000 AS VARCHAR) AS v
+      FROM orders WHERE o_orderkey % 500 = 0
+    )
+    """,
+    tags=("scalar", "map"),
+)
+def f_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map from scalars (create_map), extend it
+    (map_concat), explode to (key, value) rows — the open-schema column
+    pattern the engine uses for variable tags (SURVEY §1.3: MapType
+    replaces the reference's ALTER TABLE, map2db.py:860-871).
+
+    The oracle states the same key/value set relationally; the
+    hash-compare is order-insensitive so map iteration order is free.
+    """
+    o = Tables(spark, sf_dir).orders.where(F.col("o_orderkey") % 500 == 0)
+    base = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    bucket = F.create_map(
+        F.lit("bucket"),
+        (F.col("o_totalprice").cast("bigint") / 100000).cast("bigint").cast("string"),
+    )
+    return (
+        o.select("o_orderkey", F.map_concat(base, bucket).alias("m"))
+        .select("o_orderkey", F.explode("m").alias("k", "v"))
+    )
+
+
+@query(
+    "f_regexp_surface",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INT) AS n_double_vowels,
+           md5(regexp_replace(text, '[0-9]+', '#', 'g'))            AS masked_md5,
+           regexp_matches(text, '^[a-z]')                           AS starts_lower
+    FROM documents WHERE doc_id < 150
+    """,
+    tags=("scalar", "regexp"),
+)
+def f_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: occurrence counting (regexp_count),
+    global substitution (regexp_replace), anchored matching (rlike) —
+    the text-normalization primitives every corpus pipeline applies
+    before tokenizing.  The substitution result is md5'd so the oracle
+    compares content without hauling full texts through the hash."""
+    d = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[aeiou]{2}")).alias("n_double_vowels"),
+        F.md5(F.regexp_replace("text", "[0-9]+", "#").cast("binary")).alias("masked_md5"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    )

@@ -122,3 +122,47 @@ def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start TIMESTAMP, session_end TIMESTAMP, user_id LONG,"
         " n_events LONG, session_value DOUBLE",
     )
+
+
+@query(
+    "s_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over an at-least-once (self-unioned)
+    stream: dropDuplicates with watermark-bounded state emits each
+    event_id exactly once — the streaming twin of d_exact_dedup.
+    Oracle: event_ids are unique in the source, so exactly-once output
+    equals the source table."""
+    from map2db_spark.streaming.events import dedup_events_stream
+
+    return _run(
+        spark, sf_dir, dedup_events_stream, "append",
+        "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+
+
+@query(
+    "s_stream_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) - i * INTERVAL 10 MINUTE AS win_start,
+           event_type,
+           round(sum(value), 2) AS total
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg"),
+)
+def s_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows — 1-hour span, 10-minute
+    slide, so each event lands in 6 windows.  The oracle expands the
+    same 6-window membership arithmetically."""
+    from map2db_spark.streaming.events import sliding_value_sums
+
+    return _run(
+        spark, sf_dir, sliding_value_sums, "complete",
+        "win_start TIMESTAMP, event_type STRING, total DOUBLE",
+    )

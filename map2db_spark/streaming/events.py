@@ -204,3 +204,17 @@ def run_available_now(stream_df: DataFrame, out_mode: str = "complete"):
     out = spark.table(name).collect()
     q.stop()
     return out
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: the input is doubled (self-union,
+    simulating an at-least-once upstream), then dropDuplicates on the
+    key emits each event exactly once.  The watermark bounds the dedup
+    state — keys older than the watermark are evicted, which is the
+    only way streaming dedup survives unbounded input."""
+    doubled = events.unionByName(events)
+    return (
+        doubled.withWatermark("ts", "30 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type")
+    )

@@ -43,3 +43,17 @@ def test_timestamp_survives_json(spark, tmp_path):
     want = {(r["event_id"], r["ts"]) for r in ev.collect()}
     got = {(r["event_id"], r["ts"]) for r in back.collect()}
     assert got == want
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC is the third columnar format the engine reads/writes natively
+    (after parquet and CSV/JSON); values and schema must survive a
+    round-trip including timestamps and doubles."""
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    a = sorted(src.collect(), key=lambda r: r.o_orderkey)
+    b = sorted(back.collect(), key=lambda r: r.o_orderkey)
+    assert a == b
