@@ -669,15 +669,15 @@ def m_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: Jaccard candidate pairs become an
-    undirected graph; connected components (iterative min-label
-    propagation, operators/components.py) collapse chains A~B~C into
+    undirected graph; connected components (alternating large-star/
+    small-star, operators/components.py) collapse chains A~B~C into
     one cluster even when A~C was never directly scored — the step that
     turns pairwise similarity into keep/drop decisions for a corpus.
 
     The oracle computes the same components with a recursive CTE —
     feasible at oracle scale, while the Spark loop is the shape that
-    survives 100 TB (one shuffle per round, diameter-bound rounds,
-    checkpointed lineage).
+    survives 100 TB (constant shuffles per round, O(log n) rounds
+    even on long chains, checkpointed lineage, exact fixpoint).
     """
     from map2db_spark.operators.components import duplicate_clusters
 

@@ -227,3 +227,14 @@ def test_connected_components_long_chain_converges(spark):
     )
     comps = {r.node: r.comp for r in connected_components(edges).collect()}
     assert comps == {i: 1 for i in range(1, 11)}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """max_iter=0 must raise, never return silently-wrong labels."""
+    import pytest as _pytest
+
+    from map2db_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=0)
