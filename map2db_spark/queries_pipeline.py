@@ -114,7 +114,9 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+def _langid_expr_sql() -> str:
+    """The detect_language() column as one SQL expression (replicates
+    the Spark-side fold exactly: strict > keeps the earlier lang)."""
     score = {
         lang: (
             f"len(list_filter({_TOKS_SQL}, t -> t IN "
@@ -123,16 +125,29 @@ def _langid_oracle() -> str:
         for lang, ws in T.STOPWORDS.items()
     }
     langs = list(T.STOPWORDS)
-    # replicate the Spark-side fold exactly (strict > keeps earlier lang)
     best_l, best_s = f"'{langs[0]}'", score[langs[0]]
     for lang in langs[1:]:
         s = score[lang]
         best_l = f"(CASE WHEN {s} > {best_s} THEN '{lang}' ELSE {best_l} END)"
         best_s = f"(CASE WHEN {s} > {best_s} THEN {s} ELSE {best_s} END)"
+    return f"CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'und' END"
+
+
+_QUALITY_EXPR_SQL = f"""CAST(round(
+        (CASE WHEN len({_TOKS_SQL}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN len(list_filter({_TOKS_SQL},
+               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+               / len({_TOKS_SQL}) BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))
+               / len({_TOKS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END),
+        2) AS DOUBLE)"""
+
+
+def _langid_oracle() -> str:
     return f"""
     SELECT detected, CAST(count(*) AS BIGINT) AS n
     FROM (
-      SELECT CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'und' END AS detected
+      SELECT {_langid_expr_sql()} AS detected
       FROM documents
     )
     GROUP BY detected
@@ -684,3 +699,82 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
     edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select("id_a", "id_b")
     return duplicate_clusters(edges, src="id_a", dst="id_b")
+
+
+@query(
+    "d_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.02
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM sym
+      UNION
+      SELECT s.b AS node, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    drops AS (
+      SELECT node FROM (SELECT node, min(lbl) AS c FROM reach GROUP BY node)
+      WHERE node != c
+    ),
+    feat AS (
+      SELECT doc_id,
+             {_langid_expr_sql()} AS lang,
+             {_QUALITY_EXPR_SQL} AS quality,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, quality, n_tokens
+    FROM feat
+    WHERE lang = 'en' AND quality >= 0.7
+      AND doc_id NOT IN (SELECT node FROM drops)
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the query a training-data pipeline
+    actually runs: language-ID filter, quality threshold, and
+    near-duplicate removal keeping one representative per cluster
+    (connected components over Jaccard candidate pairs), composed into
+    one selection.
+
+    Scale shape: the feature projection is one pass (pure column
+    expressions, whole-stage codegen); dedup adds the LSH/shingle
+    shuffle + O(log n) component rounds; the final anti-join ships only
+    the drop-list (duplicate members), which is tiny relative to the
+    corpus.
+    """
+    from map2db_spark.operators.components import connected_components
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select("id_a", "id_b")
+    comps = connected_components(edges, src="id_a", dst="id_b")
+    drops = comps.where(F.col("node") != F.col("comp")).select("node")
+    feat = docs.select(
+        "doc_id",
+        T.detect_language(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        feat.where((F.col("lang") == "en") & (F.col("quality") >= 0.7))
+        .join(F.broadcast(drops), F.col("doc_id") == F.col("node"), "left_anti")
+        .select("doc_id", "quality", "n_tokens")
+    )
