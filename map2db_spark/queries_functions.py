@@ -892,3 +892,117 @@ def f_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace("text", "[0-9]+", "#").cast("binary")).alias("masked_md5"),
         F.col("text").rlike("^[a-z]").alias("starts_lower"),
     )
+
+
+@query(
+    "f_file_provenance",
+    oracle="""
+    SELECT 'documents.parquet' AS file, CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    """,
+    tags=("scalar", "metadata"),
+)
+def f_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata column surface: every row carries its source
+    file via _metadata.file_path — the lineage hook for audit trails and
+    selective reprocessing (at 100 TB, "which files produced these bad
+    rows" must be a column, not a log grep).  The oracle pins the known
+    single-file layout; the Spark side actually extracts the name from
+    the scan metadata."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        F.regexp_extract(F.col("_metadata.file_path"), "([^/]+)$", 1).alias("file")
+    ).groupBy("file").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "h_array_setops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_intersect(toks,
+                ['the', 'a', 'of', 'and', 'to', 'in'])) AS INT) AS n_stop_kinds,
+           CAST(len(list_distinct(toks)) AS INT)                AS n_distinct,
+           CAST(len(list_filter(list_distinct(toks),
+                t -> NOT list_contains(['the', 'a', 'of', 'and', 'to', 'in'], t)))
+                AS INT)                                         AS n_content_kinds
+    FROM (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+      FROM documents WHERE doc_id < 120
+    )
+    """,
+    tags=("scalar", "array", "setop"),
+)
+def h_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect / distinct / except) on token
+    arrays — vocabulary-overlap primitives computed per row, JVM-side.
+    Outputs are cardinalities because set-op element ORDER is engine-
+    arbitrary; the sizes are exact."""
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]])
+    d = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 120)
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stop)).alias("n_stop_kinds"),
+        F.size(toks).alias("n_distinct"),
+        F.size(F.array_except(toks, stop)).alias("n_content_kinds"),
+    )
+
+
+@query(
+    "x_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 500000 THEN 11
+                     WHEN o_totalprice < 0 THEN 0
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def x_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (10 buckets over
+    [0, 500k]) — the fixed-bin companion to the quantile binning in
+    w_ntile_buckets.  The oracle spells out width_bucket's clamp
+    semantics arithmetically."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "f_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / NULLIF(o_orderkey % 5, 0), 3) AS price_per,
+           TRY_CAST(o_orderstatus AS INT)                     AS status_as_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)  AS priority_num
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("scalar", "null-safety"),
+)
+def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic and casting: try_divide yields NULL on
+    division by zero, try_cast yields NULL on malformed input — the
+    poison-row containment every batch pipeline needs (one bad row must
+    not kill a 100 TB job)."""
+    o = Tables(spark, sf_dir).orders.where(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 3).alias(
+            "price_per"
+        ),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_num"),
+    )
