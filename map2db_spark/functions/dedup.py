@@ -113,15 +113,19 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
+    shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None,
+    docs_prefiltered: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted index: self-join on
     shingle counts the intersection; doc sizes give the union.  With
     ``candidates`` (e.g. from LSH) the join is semi-filtered first —
     the MinHash+LSH pipeline at scale; without, it is the exact
-    all-overlapping-pairs computation."""
+    all-overlapping-pairs computation.  ``docs_prefiltered=True``
+    asserts the caller already restricted ``shingles`` to candidate
+    docs (filter-before-explode), skipping the redundant semi-join +
+    checkpoint here."""
     verify_shingles = shingles
-    if candidates is not None:
+    if candidates is not None and not docs_prefiltered:
         # verification only touches docs that appear in a candidate
         # pair — at scale this collapses the shingle self-join from
         # all-docs to the (tiny) near-dup neighborhood
@@ -192,3 +196,40 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         bit = F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * F.lit(2**b)
         sig = bit if sig is None else sig + bit
     return voted.select("sid", sig.cast("long").alias("simhash"))
+
+
+def minhash_signatures_rowlocal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, n: int = 3,
+) -> DataFrame:
+    """One-permutation minhash signatures computed ROW-LOCALLY: the
+    min of each 4-hex-digit md5 chunk over the row's own shingle array
+    (higher-order functions, no explode, no shuffle).  Value-identical
+    to minhash_signatures(shingle_table(docs)) — a groupBy-min over
+    exploded shingles equals an array_min over the same array.
+
+    Trade-off (measured at sf0.1): Spark's higher-order functions are
+    CodegenFallback — interpreted per element — so this runs ~2-3x
+    slower per core than the exploded form, whose explode + md5 +
+    partial min-agg stay inside whole-stage codegen AND whose shuffle
+    is already ~1 row/doc (shingles are co-located per doc, so
+    map-side combine collapses the groupBy).  Use this variant where a
+    strictly map-only stage matters more than CPU — e.g. signatures
+    appended during ingest of a source that must not be repartitioned;
+    otherwise prefer the exploded form (what d_minhash_lsh uses).
+
+    Docs with no shingles (< n tokens) are excluded, matching the
+    exploded form where they simply produce no rows."""
+    assert num_hashes * 4 <= 32
+    sh = word_shingles(F.col(text_col), n)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    base = docs.where(F.size(sh) > 0).select(
+        F.col(id_col).alias("sid"), hashed.alias("_h")
+    )
+    sigs = [
+        F.array_min(
+            F.transform("_h", lambda h: F.substring(h, i * 4 + 1, 4))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select("sid", *sigs)

@@ -282,19 +282,34 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
     tags=("dedup", "lsh", "pipeline"),
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: shingle -> 8 salted-md5
+    """Full MinHash+LSH near-dup pipeline: shingle -> 8 one-permutation
     minhashes -> 4 bands of 2 -> bucket-join candidates -> exact
-    Jaccard verification at 0.9.  The synthetic corpus contains real
+    Jaccard verification at 0.9, where only the candidate neighborhood
+    is shingle-exploded a second time.  The signature pass streams
+    explode -> partial-agg with NO materialization of the corpus-wide
+    shingle table (shingles are co-located per doc, so map-side
+    combine collapses the groupBy shuffle to ~1 row per doc); the
+    inverted-index self-join for verification then touches only docs
+    that collided in a band.  At 100 TB nothing corpus-sized is ever
+    checkpointed or shuffled.  The synthetic corpus contains real
     near-duplicate documents, so this returns genuine pairs; the
     oracle reimplements the identical pipeline in SQL."""
     docs = Tables(spark, sf_dir).documents
-    # the shingle table feeds signatures AND verification (4 branches);
-    # materialize it once instead of re-running the explode per branch
-    sh = D.shingle_table(docs).localCheckpoint()
-    sigs = D.minhash_signatures(sh, num_hashes=8)
+    # no checkpoint: this explode feeds only the partial-aggregated
+    # signature pass, so it streams instead of materializing 200x rows
+    sigs = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
     # candidates feed two verification branches; they're ~1k rows
     cands = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).localCheckpoint()
-    return D.jaccard_pairs(sh, threshold=0.9, candidates=cands)
+    # filter BEFORE the explode: only candidate docs get shingled
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = D.shingle_table(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ).localCheckpoint()
+    return D.jaccard_pairs(sh, threshold=0.9, candidates=cands, docs_prefiltered=True)
 
 
 def _simhash_oracle(bits: int = 16) -> str:

@@ -238,3 +238,15 @@ def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=0)
+
+
+def test_minhash_rowlocal_matches_exploded(spark):
+    """The shuffle-free row-local signatures must be value-identical
+    to the exploded groupBy-min form on real corpus data."""
+    from map2db_spark.functions import dedup as D
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
+    b = D.minhash_signatures_rowlocal(docs, num_hashes=8)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

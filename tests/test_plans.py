@@ -109,3 +109,15 @@ def test_q22_anti_join_with_broadcast_threshold(spark):
     plan = plan_of(spark, "q22_idle_customers")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_signatures_rowlocal_no_shuffle(spark):
+    """Row-local minhash signature generation must be a pure map stage
+    over the scan — zero Exchange nodes before the LSH join."""
+    from map2db_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        D.minhash_signatures_rowlocal(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
