@@ -77,5 +77,6 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_streaming  # noqa: F401
     import map2db_spark.queries_sql  # noqa: F401
     import map2db_spark.queries_functions  # noqa: F401
+    import map2db_spark.queries_curation  # noqa: F401
 
     _LOADED = True

@@ -121,3 +121,16 @@ def test_minhash_signatures_rowlocal_no_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         D.minhash_signatures_rowlocal(docs).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_pii_redaction_pure_projection(spark):
+    """PII scrub must be a map-only plan — no Exchange anywhere."""
+    assert "Exchange" not in plan_of(spark, "c_pii_redaction")
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast; the corpus side must
+    never shuffle for the join itself."""
+    plan = plan_of(spark, "c_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
