@@ -793,3 +793,162 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(drops), F.col("doc_id") == F.col("node"), "left_anti")
         .select("doc_id", "quality", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_vocab_topk",
+    oracle=f"""
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+    GROUP BY t ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    tags=("text", "vocab", "pipeline"),
+)
+def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by frequency (the first
+    pass of any tokenizer-training or vocab-pruning job).  Explode ->
+    partial-agg -> TakeOrderedAndProject: the full sort never
+    happens, and map-side combine shrinks the shuffle to distinct
+    tokens per partition."""
+    docs = Tables(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_TFIDF_NDOCS = 40  # doc_id < 40 sample; 41 = N+1 is prime, which makes
+# distinct (tf, df) pairs provably collision-free in tf*ln((N+1)/(df+1))
+# (unique factorization), so ranking on the double score is portable.
+
+
+@query(
+    "t_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term
+      FROM documents WHERE doc_id < {_TFIDF_NDOCS}
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS INT) AS df
+           FROM tok GROUP BY term),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             tf * ln({_TFIDF_NDOCS + 1} / (df + 1.0)) AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, round(score, 4) AS tfidf
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "pipeline"),
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode -> tf agg -> df agg ->
+    broadcast idf join -> per-doc window top-k.  The df table is
+    vocabulary-sized, so the idf join broadcasts; only the tf table
+    (distinct doc-term pairs) ever shuffles."""
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < _TFIDF_NDOCS)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("int").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score",
+        F.col("tf") * F.log(F.lit(float(_TFIDF_NDOCS + 1)) / (F.col("df") + 1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 4).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (iterative, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Layered-CTE reimplementation of kmeans_int: one (assign, update,
+    carry-forward) CTE triple per iteration, identical integer
+    arithmetic, ties broken by (dist, cid) exactly as the Spark side's
+    lexicographic struct min."""
+    iv = ("list_transform(embedding, "
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    dist = (f"list_sum(list_transform(generate_series(1, {dim}), "
+            "i -> (v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i])))")
+    parts = [
+        f"v AS (SELECT vec_id, {iv} AS iv FROM embeddings)",
+        f"c0f AS (SELECT CAST(vec_id AS INT) AS cid, iv FROM v WHERE vec_id < {k})",
+    ]
+    prev = "c0f"
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+      SELECT vec_id, iv, cid, d FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, v.iv, c.cid, {dist} AS d
+              FROM v CROSS JOIN {prev} c) s
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""c{t} AS (
+      SELECT cid, list(m ORDER BY i) AS iv FROM (
+        SELECT a.cid, gs.i AS i,
+               CAST(floor(sum(a.iv[gs.i]) / count(*)) AS BIGINT) AS m
+        FROM a{t} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) gs
+        GROUP BY a.cid, gs.i
+      ) GROUP BY cid
+    )""")
+        parts.append(
+            f"c{t}f AS (SELECT * FROM c{t} UNION ALL SELECT * FROM {prev} "
+            f"WHERE cid NOT IN (SELECT cid FROM c{t}))"
+        )
+        prev = f"c{t}f"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT s.cid, s.n, s.ssd, cs.csum
+    FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS ssd
+          FROM a{iters} GROUP BY cid) s
+    JOIN (SELECT cid, CAST(list_sum(iv) AS BIGINT) AS csum FROM {prev}) cs
+      USING (cid)
+    """
+
+
+@query(
+    "v_kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("clustering", "embedding", "iterative", "pipeline"),
+)
+def v_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations) over the embeddings table in
+    pure DataFrame ops with exact integer-scaled arithmetic: the
+    iterative-algorithm showcase whose per-cluster sizes, exact SSD,
+    and centroid component sums are value-checked against a layered-CTE
+    SQL reimplementation (see functions/clustering.py for the scale
+    analysis: O(N) map per iteration, O(k*dim) shuffle, O(k*dim)
+    driver state)."""
+    from map2db_spark.functions.clustering import kmeans_int
+
+    emb = Tables(spark, sf_dir).embeddings
+    return kmeans_int(emb, k=8, iters=3, dim=64)

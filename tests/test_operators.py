@@ -250,3 +250,18 @@ def test_minhash_rowlocal_matches_exploded(spark):
     a = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
     b = D.minhash_signatures_rowlocal(docs, num_hashes=8)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_kmeans_deterministic_and_exhaustive(spark):
+    """Two runs must produce identical exact values (integer-scaled
+    arithmetic leaves no float nondeterminism), clusters must
+    partition the input, and SSD must be non-negative."""
+    from map2db_spark.functions.clustering import kmeans_int
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = sorted(tuple(r) for r in kmeans_int(emb, k=4, iters=2).collect())
+    b = sorted(tuple(r) for r in kmeans_int(emb, k=4, iters=2).collect())
+    assert a == b
+    assert sum(r[1] for r in a) == emb.count()
+    assert all(r[2] >= 0 for r in a)
