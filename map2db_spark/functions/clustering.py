@@ -57,6 +57,45 @@ def _assign(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
     )
 
 
+def _assign_arrow(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """Arrow-batched assignment kernel: the same exact int64 argmin as
+    _assign, but vectorized in numpy instead of interpreted HOF
+    expressions (higher-order functions are CodegenFallback, ~10-40x
+    slower per element).  Ties break to the lowest cid because argmin
+    returns the first minimum and the centroid matrix rows are sorted
+    by cid.  All arithmetic stays in int64, so results are
+    bit-identical to the HOF path (asserted in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = sorted(centroids)
+    cmat = np.array([centroids[c] for c in cids], dtype=np.int64)
+    cidv = np.array(cids, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            dists = np.empty((len(x), len(cidv)), dtype=np.int64)
+            for j in range(len(cidv)):
+                diff = x - cmat[j]
+                dists[:, j] = np.einsum("ij,ij->i", diff, diff)
+            best = dists.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].values,
+                    "iv": pdf["iv"],
+                    "cid": cidv[best].astype("int32"),
+                    "dist": dists[np.arange(len(x)), best],
+                }
+            )
+
+    return base.mapInPandas(
+        kernel, "vid long, iv array<long>, cid int, dist long"
+    )
+
+
 def _update(assigned: DataFrame, dim: int) -> dict[int, list[int]]:
     """New centroids: element-wise floor(sum / count) per cluster.
     groupBy(cid, pos) keeps the shuffle O(k * dim), with map-side
@@ -73,9 +112,56 @@ def _update(assigned: DataFrame, dim: int) -> dict[int, list[int]]:
     return out
 
 
+def _update_arrow(assigned: DataFrame, dim: int) -> dict[int, list[int]]:
+    """Arrow-path centroid update: each partition emits one exact int64
+    partial (sum-vector, count) per cluster — O(partitions * k) rows
+    collected, no N*dim posexplode shuffle at all.  The final
+    floor-division merge runs on Python ints (arbitrary precision, //
+    is mathematical floor), identical to floor(sum/count) in both
+    engines."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        acc: dict[int, tuple] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            cids = pdf["cid"].values
+            for cid in np.unique(cids):
+                m = cids == cid
+                s, n = x[m].sum(axis=0), int(m.sum())
+                if cid in acc:
+                    s0, n0 = acc[cid]
+                    s, n = s0 + s, n0 + n
+                acc[int(cid)] = (s, n)
+        yield pd.DataFrame(
+            {
+                "cid": list(acc),
+                "s": [s.tolist() for s, _ in acc.values()],
+                "n": [n for _, n in acc.values()],
+            }
+        )
+
+    rows = assigned.mapInPandas(partials, "cid int, s array<long>, n long").collect()
+    sums: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        if r["cid"] in sums:
+            sums[r["cid"]] = [a + b for a, b in zip(sums[r["cid"]], r["s"])]
+            counts[r["cid"]] += r["n"]
+        else:
+            sums[r["cid"]], counts[r["cid"]] = list(r["s"]), r["n"]
+    return {
+        cid: [v // counts[cid] for v in vec] for cid, vec in sums.items()
+    }
+
+
 def kmeans_int(
     vecs: DataFrame, k: int = 8, iters: int = 3, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means with deterministic seeding (the
     k lowest-id vectors are the initial centroids) and exact integer
@@ -85,7 +171,14 @@ def kmeans_int(
 
     A cluster that goes empty keeps its previous centroid (both here
     and in the oracle), so cluster identity is stable across
-    iterations."""
+    iterations.
+
+    impl='arrow' (default) runs the assignment argmin as a vectorized
+    numpy kernel over Arrow batches — the 100 TB path; impl='hof' uses
+    pure column expressions (interpreted, oracle-mirrorable
+    structure).  Both produce bit-identical results."""
+    assign = _assign_arrow if impl == "arrow" else _assign
+    update = _update_arrow if impl == "arrow" else _update
     base = vecs.select(
         F.col(id_col).alias("vid"), int_vec(F.col(vec_col)).alias("iv")
     ).localCheckpoint()
@@ -93,8 +186,8 @@ def kmeans_int(
     centroids = {int(r["vid"]): list(r["iv"]) for r in seed_rows}
     assigned = None
     for _ in range(iters):
-        assigned = _assign(base, centroids)
-        fresh = _update(assigned, dim)
+        assigned = assign(base, centroids)
+        fresh = update(assigned, dim)
         centroids = {cid: fresh.get(cid, vec) for cid, vec in centroids.items()}
     csums = {cid: sum(vec) for cid, vec in centroids.items()}
     spark = vecs.sparkSession

@@ -265,3 +265,16 @@ def test_kmeans_deterministic_and_exhaustive(spark):
     assert a == b
     assert sum(r[1] for r in a) == emb.count()
     assert all(r[2] >= 0 for r in a)
+
+
+def test_kmeans_arrow_matches_hof(spark):
+    """The vectorized numpy assignment kernel must be bit-identical to
+    the interpreted HOF expression path (same int64 arithmetic, same
+    lowest-cid tie-break)."""
+    from map2db_spark.functions.clustering import kmeans_int
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = sorted(tuple(r) for r in kmeans_int(emb, k=4, iters=2, impl="arrow").collect())
+    h = sorted(tuple(r) for r in kmeans_int(emb, k=4, iters=2, impl="hof").collect())
+    assert a == h
