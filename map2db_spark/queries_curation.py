@@ -307,3 +307,91 @@ def c_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_N = 5
+
+
+@query(
+    "c_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+      ) AS rn
+      FROM documents
+    ) WHERE rn <= {_STRAT_N}
+    """,
+    tags=("curation", "sampling", "pipeline"),
+)
+def c_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: precisely N docs per language stratum,
+    chosen by md5 order — deterministic on any engine at any
+    parallelism (df.sampleBy is probabilistic AND partition-layout-
+    dependent; this is neither).  One shuffle on the stratum key; at
+    scale the window never materializes more than each stratum's
+    partition."""
+    from pyspark.sql.window import Window
+
+    docs = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")).cast("binary")),
+        F.col("doc_id"),
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _STRAT_N)
+        .select("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm statistics (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "v_norm_stats",
+    oracle="""
+    WITH iv AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS norm2
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(norm2) AS BIGINT) AS sum_norm2,
+           CAST(min(norm2) AS BIGINT) AS min_norm2,
+           CAST(max(norm2) AS BIGINT) AS max_norm2
+    FROM iv GROUP BY label
+    """,
+    tags=("embedding", "stats", "pipeline"),
+)
+def v_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm-squared statistics over integer-
+    scaled components: sums of int64 are order-independent, so even the
+    SUM aggregate is value-exact across engines — the pattern for any
+    float statistic that must be reproducible on a 1000-executor
+    cluster (scale first, aggregate integers, divide at the end)."""
+    from map2db_spark.functions.similarity import int_dot, int_vec
+
+    emb = Tables(spark, sf_dir).embeddings
+    norm2 = int_dot(int_vec(F.col("embedding")), int_vec(F.col("embedding")))
+    return (
+        emb.select("label", norm2.alias("norm2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("norm2").alias("sum_norm2"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+        )
+    )
