@@ -74,9 +74,11 @@ def connected_components(
     max_iter: int = 50,
 ) -> DataFrame:
     """Return (node, comp) where comp is the minimum node id in the
-    component.  Only nodes appearing in ``edges`` are labelled —
-    singletons are by definition their own component and never need the
-    loop.
+    component.  Only nodes appearing in non-degenerate edges are
+    labelled — singletons AND nodes whose only edge is a self-loop are
+    absent from the output (both are by definition their own component
+    and never need the loop; callers treat missing as "own component",
+    e.g. d_curation_pipeline keeps any doc without a label).
 
     Raises RuntimeError if the edge set has not reached its fixpoint
     within ``max_iter`` rounds (cannot happen for connected inputs of

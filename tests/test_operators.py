@@ -278,3 +278,51 @@ def test_kmeans_arrow_matches_hof(spark):
     a = sorted(tuple(r) for r in kmeans_int(emb, k=4, iters=2, impl="arrow").collect())
     h = sorted(tuple(r) for r in kmeans_int(emb, k=4, iters=2, impl="hof").collect())
     assert a == h
+
+
+def test_asof_join_edge_cases(spark):
+    """Backward as-of: inclusive on equal timestamps, None (outer mode)
+    when no earlier right row exists, no row duplication on duplicate
+    left timestamps."""
+    from map2db_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 100), (1, 50), (2, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 100, "exact"), (1, 99, "near"), (1, 40, "old"), (3, 5, "other")],
+        "k long, t long, v string",
+    )
+    out = {
+        (r["k"], r["t"]): r["asof_v"]
+        for r in asof_join_backward(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["v"], inner=False,
+        ).collect()
+    }
+    assert out == {(1, 100): "exact", (1, 50): "old", (2, 10): None}
+    dup = spark.createDataFrame([(1, 100), (1, 100)], "k long, t long")
+    assert (
+        asof_join_backward(
+            dup, right, on="k", left_ts="t", right_ts="t", right_value_cols=["v"]
+        ).count()
+        == 2
+    )
+
+
+def test_connected_components_self_loop_and_ids_sparse_partitions(spark):
+    """Self-loop-only nodes are absent (own component by convention);
+    sequential ids stay dense when partitions outnumber rows."""
+    from map2db_spark.operators.components import connected_components
+    from map2db_spark.operators.ids import assign_sequential_ids
+
+    edges = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 5)], "src bigint, dst bigint"
+    )
+    comps = sorted((r["node"], r["comp"]) for r in connected_components(edges).collect())
+    assert comps == [(2, 2), (3, 2), (4, 4), (5, 4)]
+    df = spark.range(0, 10).repartition(50).select(
+        F.col("id"), (F.col("id") * 7 % 10).alias("key")
+    )
+    out = assign_sequential_ids(df, [F.col("key")], id_col="seq", num_partitions=40)
+    assert sorted((r["key"], r["seq"]) for r in out.collect()) == [
+        (i, i) for i in range(10)
+    ]
