@@ -952,3 +952,70 @@ def v_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Tables(spark, sf_dir).embeddings
     return kmeans_int(emb, k=8, iters=3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup (sub-document granularity)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 20
+
+_SPANS_SQL = (
+    f"list_transform(generate_series(0, CAST(floor(len({_TOKS_SQL}) / {_SPAN_W})"
+    f" AS INT) - 1), i -> array_to_string("
+    f"list_slice({_TOKS_SQL}, i*{_SPAN_W}+1, i*{_SPAN_W}+{_SPAN_W}), ' '))"
+)
+
+
+@query(
+    "d_span_dedup",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, unnest({_SPANS_SQL}) AS span
+      FROM documents WHERE len({_TOKS_SQL}) >= {_SPAN_W}
+    ),
+    g AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (nd >= 2) AS BIGINT) AS n_shared,
+           round(count(*) FILTER (nd >= 2) / count(*), 6) AS shared_frac
+    FROM sp JOIN g USING (span)
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "span", "pipeline"),
+)
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: disjoint 20-token spans, flagged
+    when the identical span occurs in 2+ documents — catches boiler-
+    plate and partial copies that whole-document fingerprints miss.
+
+    Scale shape: spans are row-local (one projection); the occurrence
+    count is one groupBy(span) with map-side combine, and the join
+    back to spans reuses the same hash partitioning (no second
+    shuffle of the span table — Catalyst sees matching output
+    partitioning)."""
+    w = _SPAN_W
+    docs = Tables(spark, sf_dir).documents
+    tok = F.split(F.trim("text"), r"\s+")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor(F.size(tok) / w).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(tok, i * w + 1, F.lit(w))),
+    )
+    par = spark.sparkContext.defaultParallelism
+    sp = (
+        docs.where(F.size(tok) >= w)
+        .repartition(par, F.col("doc_id"))
+        .select("doc_id", F.explode(spans).alias("span"))
+    )
+    g = sp.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        sp.join(g, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(F.col("nd") >= 2).alias("n_shared"),
+            F.round(F.count_if(F.col("nd") >= 2) / F.count(F.lit(1)), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
