@@ -989,11 +989,13 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the identical span occurs in 2+ documents — catches boiler-
     plate and partial copies that whole-document fingerprints miss.
 
-    Scale shape: spans are row-local (one projection); the occurrence
-    count is one groupBy(span) with map-side combine, and the join
-    back to spans reuses the same hash partitioning (no second
-    shuffle of the span table — Catalyst sees matching output
-    partitioning)."""
+    Scale shape: spans are row-local (one projection).  Only the
+    SHARED spans (occurrence >= 2 — the boilerplate neighborhood,
+    tiny relative to the corpus) come back from the groupBy(span) and
+    broadcast into a semi-join; the corpus-wide span table is never
+    shuffled on span for a join, and both per-doc aggregations ride
+    the explicit doc_id partitioning with zero further exchanges
+    (asserted in test_plans.py)."""
     w = _SPAN_W
     docs = Tables(spark, sf_dir).documents
     tok = F.split(F.trim("text"), r"\s+")
@@ -1007,15 +1009,23 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, F.col("doc_id"))
         .select("doc_id", F.explode(spans).alias("span"))
     )
-    g = sp.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
-    return (
-        sp.join(g, "span")
+    shared = (
+        sp.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("span")
+    )
+    totals = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        sp.join(F.broadcast(shared), "span", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count_if(F.col("nd") >= 2).alias("n_shared"),
-            F.round(F.count_if(F.col("nd") >= 2) / F.count(F.lit(1)), 6).alias(
-                "shared_frac"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        F.round(
+            F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_spans"), 6
+        ).alias("shared_frac"),
     )

@@ -134,3 +134,12 @@ def test_decontamination_broadcasts_benchmark(spark):
     plan = plan_of(spark, "c_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_single_span_shuffle(spark):
+    """The corpus-wide span table must be exchanged on span exactly
+    once (the occurrence count); shared spans broadcast into a
+    semi-join, and per-doc aggregations ride the doc_id partitioning."""
+    plan = plan_of(spark, "d_span_dedup")
+    assert plan.count("hashpartitioning(span") == 1, plan
+    assert "BroadcastHashJoin LeftSemi" in plan
