@@ -166,3 +166,45 @@ def s_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, sliding_value_sums, "complete",
         "win_start TIMESTAMP, event_type STRING, total DOUBLE",
     )
+
+
+def _curation_stream_oracle() -> str:
+    from map2db_spark.queries_curation import _SPLIT_H_SQL
+    from map2db_spark.queries_pipeline import _QUALITY_EXPR_SQL, _langid_expr_sql
+
+    return f"""
+    SELECT doc_id,
+           {_langid_expr_sql()} AS detected,
+           {_QUALITY_EXPR_SQL} AS quality,
+           CASE WHEN {_SPLIT_H_SQL} < 'f0' THEN 'train'
+                WHEN {_SPLIT_H_SQL} < 'f8' THEN 'val'
+                ELSE 'test' END AS split,
+           ({_QUALITY_EXPR_SQL} >= 0.7 AND {_langid_expr_sql()} = 'en') AS keep
+    FROM documents
+    """
+
+
+@query(
+    "s_stream_curation",
+    oracle=_curation_stream_oracle(),
+    tags=("streaming", "curation", "map-only"),
+)
+def s_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time curation: language-ID, quality, deterministic split,
+    and keep decision computed row-locally on a document STREAM (append
+    mode, no state) — how a crawl pipeline filters before data lands.
+    Equals the batch projection over the bounded input, so it carries a
+    full SQL oracle (expressions shared with the batch queries, so the
+    two surfaces cannot drift)."""
+    from map2db_spark.streaming.events import (
+        curate_documents,
+        read_documents_stream,
+        run_available_now,
+    )
+
+    rows = run_available_now(
+        curate_documents(read_documents_stream(spark, sf_dir)), "append"
+    )
+    return spark.createDataFrame(
+        rows, schema="doc_id LONG, detected STRING, quality DOUBLE, split STRING, keep BOOLEAN"
+    )

@@ -218,3 +218,35 @@ def dedup_events_stream(events: DataFrame) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "ts", "event_type")
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the ingest-time
+    curation surface (streaming curation is how a crawl pipeline
+    applies row-local filters before anything lands in the lake)."""
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Row-local curation columns on a stream: detected language,
+    quality score, deterministic split, and the keep decision.  Pure
+    map — no state, no watermark, valid in append mode; identical
+    semantics to the batch operators it composes."""
+    from map2db_spark.functions.curation import split_assign
+    from map2db_spark.functions.text import detect_language, quality_score
+
+    lang = detect_language(F.col("text"))
+    q = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lang.alias("detected"),
+        q.alias("quality"),
+        split_assign(F.col("doc_id")).alias("split"),
+        ((q >= 0.7) & (lang == "en")).alias("keep"),
+    )
