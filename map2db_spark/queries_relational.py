@@ -1175,7 +1175,7 @@ def r_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_array_agg_roundtrip",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list(c_custkey)) AS custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
            CAST(len(list(c_custkey)) AS INT) AS n
     FROM nation JOIN customer ON c_nationkey = n_nationkey
     WHERE n_nationkey < 5
@@ -1185,15 +1185,23 @@ def r_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r_array_agg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect per-group keys into a sorted array
-    (collect_list + sort_array vs DuckDB list + list_sort) — the
-    nested-type aggregation surface."""
+    (collect_list + sort_array vs DuckDB list + list_sort), then
+    serialize to a comma-joined string — the nested-type aggregation
+    surface.  The string form keeps the result hashable for the
+    driver's value-hash (array-typed result columns are not)."""
     t = Tables(spark, sf_dir)
     return (
         t.nation.where(F.col("n_nationkey") < 5)
         .join(t.customer, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("c_custkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("custkeys"),
             F.size(F.collect_list("c_custkey")).cast("int").alias("n"),
         )
     )
@@ -1327,29 +1335,84 @@ def x_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver does rows-only
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("approx", "agg"),
 )
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type.  At 100 TB
     this replaces exact countDistinct's full shuffle with a fixed-size
-    sketch merge; rsd=0.01 keeps the error ~1%."""
+    sketch merge; rsd=0.01 keeps the error ~1%.
+
+    The sketch value is engine-specific, so the hash-matchable contract
+    is a bounded-error boolean: |approx - exact| <= 3*rsd*exact (+5
+    absolute slack for tiny groups) must hold, and the oracle asserts
+    TRUE alongside the exact count it can compute itself."""
     ev = Tables(spark, sf_dir).events
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 3 * 0.01 * F.col("exact_users") + F.lit(5)
+            ).alias("within_bounds"),
+            "n",
+        )
     )
 
 
 @query(
     "x_approx_quantiles",
-    oracle=None,
+    oracle="""
+    SELECT o_orderpriority,
+           TRUE AS within_p50,
+           TRUE AS within_p95,
+           TRUE AS within_p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
     tags=("approx", "agg"),
 )
 def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest-style sketch) of order value."""
+    """percentile_approx (GK-sketch) of order value per priority.
+
+    The sketch output is engine-specific and array-typed — both fatal
+    for the driver's value-hash — so the contract is rank-bounded
+    booleans: each approximate percentile p must land between the exact
+    percentiles at p±0.02 (accuracy=10000 gives rank error ~1e-4, so
+    0.02 is a generous rail).  The oracle asserts TRUE per bound."""
     o = Tables(spark, sf_dir).orders
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(x) for x in
+                                      (0.48, 0.52, 0.93, 0.97, 0.97999, 1.0)])
+        ).alias("exact"),
         F.count(F.lit(1)).alias("n"),
+    )
+    def _within(i: int, lo: int, hi: int):
+        return (
+            (F.col("pcts")[i] >= F.col("exact")[lo])
+            & (F.col("pcts")[i] <= F.col("exact")[hi])
+        )
+    return agg.select(
+        "o_orderpriority",
+        _within(0, 0, 1).alias("within_p50"),
+        _within(1, 2, 3).alias("within_p95"),
+        _within(2, 4, 5).alias("within_p99"),
+        "n",
     )

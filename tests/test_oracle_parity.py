@@ -42,7 +42,13 @@ def _norm_cell(v):
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        # The driver's value-hash dies on array-typed result columns
+        # (unhashable type: 'list') — fail loudly here so the lenient
+        # local mirror can never pass a query the driver would reject.
+        raise AssertionError(
+            "array-typed result cell: serialize arrays to strings in the "
+            f"registered query (driver value-hash cannot handle {v!r})"
+        )
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return v
