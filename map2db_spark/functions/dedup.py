@@ -114,7 +114,7 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(
     shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None,
-    docs_prefiltered: bool = False,
+    docs_prefiltered: bool = False, df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted index: self-join on
     shingle counts the intersection; doc sizes give the union.  With
@@ -123,7 +123,24 @@ def jaccard_pairs(
     all-overlapping-pairs computation.  ``docs_prefiltered=True``
     asserts the caller already restricted ``shingles`` to candidate
     docs (filter-before-explode), skipping the redundant semi-join +
-    checkpoint here."""
+    checkpoint here.
+
+    ``df_cap`` is the skew rail for the no-candidates path: a shingle
+    shared by d documents yields d^2 join rows, so one stopword 3-gram
+    in 1M docs is a 10^12-row bucket.  Shingles with document frequency
+    above the cap are dropped BEFORE the self-join (they carry ~zero
+    Jaccard signal); doc sizes are computed over the same capped set so
+    the result is exactly Jaccard-over-informative-shingles.  The df
+    join keys on shingle — the same key as the self-join that follows,
+    so the extra join is co-partitioned, not an extra shuffle pattern."""
+    if df_cap is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.countDistinct("sid").alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle", "left_semi")
     verify_shingles = shingles
     if candidates is not None and not docs_prefiltered:
         # verification only touches docs that appear in a candidate

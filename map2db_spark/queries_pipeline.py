@@ -387,6 +387,9 @@ def d_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_DF_CAP = 4  # sf-scaled demo value; the 100 TB setting is ~10^4
+
+
 @query(
     "d_ngram_jaccard",
     oracle=f"""
@@ -397,10 +400,16 @@ def d_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 200
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_JACCARD_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -412,17 +421,44 @@ def d_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "pipeline"),
 )
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard via shingle inverted index (all pairs with
-    any overlap, thresholded low enough that the word-salad corpus
-    produces real rows)."""
+    """Exact 3-gram Jaccard via shingle inverted index, thresholded low
+    enough that the word-salad corpus produces real rows.  Shingles
+    with document frequency > df_cap are dropped before the self-join
+    (the skew rail: a d-doc shingle costs d^2 join rows, so stopword
+    shingles are the 100 TB scale-killer); the oracle applies the same
+    cap, so both engines compute Jaccard over informative shingles."""
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
     sh = D.shingle_table(docs)
-    return D.jaccard_pairs(sh, threshold=0.02)
+    return D.jaccard_pairs(sh, threshold=0.02, df_cap=_JACCARD_DF_CAP)
 
 
-@query(
-    "d_cosine_near_dup",
-    oracle=f"""
+_NDUP_BANDS = 4
+_NDUP_PLANES = S.hyperplanes(dim=64, bits=32, seed=43)  # 4 bands x 8 bits
+
+
+def _ndup_oracle() -> str:
+    r = len(_NDUP_PLANES) // _NDUP_BANDS
+    band_selects = []
+    for j in range(_NDUP_BANDS):
+        terms = []
+        for b in range(r):
+            plane = _NDUP_PLANES[j * r + b]
+            arr = "[" + ", ".join(str(v) for v in plane) + "]::BIGINT[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+                f" THEN {2**b} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {j} AS band,"
+            f" CAST({' + '.join(terms)} AS INT) AS bucket FROM iv"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    sim = (
+        "round(list_dot_product(va.v, vb.v)"
+        " / (sqrt(list_dot_product(va.v, va.v))"
+        " * sqrt(list_dot_product(vb.v, vb.v))), 6)"
+    )
+    return f"""
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL SELECT vec_id + {_SHIFT}, embedding FROM embeddings
@@ -431,26 +467,41 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
       FROM corpus
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-    FROM iv a JOIN iv b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))) >= 0.99
-    """,
+    SELECT id_a, id_b, {sim} AS sim
+    FROM cand JOIN iv va ON va.vec_id = id_a JOIN iv vb ON vb.vec_id = id_b
+    WHERE {sim} >= 0.99
+    """
+
+
+@query(
+    "d_cosine_near_dup",
+    oracle=_ndup_oracle(),
     tags=("dedup", "embedding", "pipeline"),
 )
 def d_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over the doubled corpus
-    (int-exact cosine, so values match the oracle bit-for-bit)."""
+    """Embedding-cosine near-duplicate pairs over the doubled corpus:
+    banded-LSH candidates (4 bands x 8 bits, seeded hyperplanes shared
+    verbatim with the oracle SQL), then exact int-cosine verification —
+    never an all-pairs join (a pair at c=0.99 survives banding w.p.
+    >0.99; the shifted duplicates are identical vectors, which collide
+    in every band deterministically).  The oracle reproduces the same
+    buckets, so values match bit-for-bit."""
     emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
     )
-    return S.cosine_near_dup_pairs(corpus, threshold=0.99)
+    return S.cosine_near_dup_bucketed(
+        corpus, _NDUP_PLANES, bands=_NDUP_BANDS, threshold=0.99
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -143,3 +143,26 @@ def test_span_dedup_single_span_shuffle(spark):
     plan = plan_of(spark, "d_span_dedup")
     assert plan.count("hashpartitioning(span") == 1, plan
     assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_cosine_near_dup_never_all_pairs(spark):
+    """The registered near-dup query must candidate-generate via the
+    banded LSH equi-join — an all-pairs (cartesian / nested-loop)
+    self-join is the 100 TB scale-killer the bucketing exists to
+    avoid."""
+    plan = plan_of(spark, "d_cosine_near_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation joins on the (band, bucket) equi-key
+    assert "band" in plan and "bucket" in plan
+
+
+def test_ngram_jaccard_df_cap_bounds_self_join(spark):
+    """The shingle self-join input must be df-capped: the plan carries
+    the countDistinct(sid) aggregate + semi-join ahead of the
+    shingle-shingle join, so no shingle contributes more than cap^2
+    join rows."""
+    plan = plan_of(spark, "d_ngram_jaccard")
+    assert "LeftSemi" in plan, plan
+    # the df aggregate (count distinct sid per shingle) feeds the cap
+    assert plan.count("hashpartitioning(shingle") >= 1, plan
