@@ -84,12 +84,25 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of minhashes become a
     candidate pair.  Bands go to long format (sid, band_idx, key) and
     ONE self-join on (band_idx, key) finds all collisions — a single
-    shuffle instead of one join per band, and never all-pairs."""
+    shuffle instead of one join per band, and never all-pairs.
+
+    ``bucket_cap`` is the skew rail: a bucket of d docs yields d^2
+    candidate rows, and degenerate content (empty docs, boilerplate)
+    tends to collapse into a handful of huge buckets at 100 TB.
+    Buckets larger than the cap are skipped entirely — their members'
+    true near-dup pairs are still found by the OTHER bands with high
+    probability (a pair at Jaccard j collides per band w.p. j^r), and
+    a bucket that big signals degenerate signatures, not real near
+    duplicates.  Recall impact at cap c: only pairs whose every
+    colliding band is oversized are lost.  The cap count rides the
+    same (band_idx, bk) partitioning as the self-join — no extra
+    shuffle pattern."""
     n_bands = num_hashes // band_size
     band_arr = F.array(
         *[
@@ -102,6 +115,14 @@ def lsh_candidate_pairs(
     long = signatures.select(
         "sid", F.posexplode(band_arr).alias("band_idx", "bk")
     )
+    if bucket_cap is not None:
+        small = (
+            long.groupBy("band_idx", "bk")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= bucket_cap)
+            .select("band_idx", "bk")
+        )
+        long = long.join(small, ["band_idx", "bk"], "left_semi")
     left = long.select(F.col("sid").alias("id_a"), "band_idx", "bk")
     right = long.select(F.col("sid").alias("id_b"), "band_idx", "bk")
     return (

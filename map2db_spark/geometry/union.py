@@ -120,34 +120,152 @@ def _point_in_ring(p, ring) -> bool:
     return inside
 
 
-def union_polygons(fragments):
+class FragmentOverlapError(ValueError):
+    """Raised when union_polygons detects fragments with overlapping
+    interiors — inputs outside the operator's contract (tile-clipped
+    fragments of one geometry, disjoint interiors).  Silently running
+    the edge-cancellation dissolve on such inputs would produce a
+    wrong polygon; callers surface this as a validation violation."""
+
+
+def _sign(x: int) -> int:
+    return (x > 0) - (x < 0)
+
+
+def _properly_cross(a, b, c, d) -> bool:
+    """Segments ab and cd intersect at a point interior to both
+    (integer-exact; shared endpoints / T-touches / collinear overlaps
+    do NOT count — those are legitimate tile-boundary contact)."""
+    def orient(p, q, r):
+        return _sign((q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0]))
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
+def _strictly_inside(p, rings) -> bool:
+    """p in the polygon's open interior: inside the shell, on no ring
+    boundary, inside no hole (all integer-exact)."""
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            if p == ring[i] or _on_segment(ring[i], ring[i + 1], p):
+                return False
+    if not _point_in_ring(p, rings[0]):
+        return False
+    return not any(_point_in_ring(p, hole) for hole in rings[1:])
+
+
+def _frag_overlap_reason(frag_polys) -> str | None:
+    """Detect overlapping interiors across fragments.  Three exact
+    tests cover the ways disjoint-interior inputs can be violated:
+    edges properly crossing (partial overlap), a vertex of one
+    fragment strictly inside another (containment without boundary
+    contact), and — checked separately in union_polygons on the noded
+    edge multiset — same-direction duplicate boundary (identical /
+    co-oriented fragments).  Pairwise with bbox prefilters: legitimate
+    tile fragments only share thin boundary strips, so almost all
+    edge pairs are rejected by the bbox test."""
+    frags = []  # (closed int rings, edges, bbox) per fragment
+    for polys in frag_polys:
+        rings_int = []
+        edges = []
+        for rings in polys:
+            poly_rings = []
+            for ring in rings:
+                r = [_to_int(p) for p in ring]
+                if r[0] != r[-1]:
+                    r = r + [r[0]]
+                poly_rings.append(r)
+                for i in range(len(r) - 1):
+                    if r[i] != r[i + 1]:
+                        edges.append((r[i], r[i + 1]))
+            if poly_rings:
+                rings_int.append(poly_rings)
+        if not edges:
+            continue
+        xs = [p[0] for e in edges for p in e]
+        ys = [p[1] for e in edges for p in e]
+        frags.append((rings_int, edges, (min(xs), min(ys), max(xs), max(ys))))
+
+    def bbox_overlap(b1, b2):
+        return not (
+            b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
+        )
+
+    for i in range(len(frags)):
+        ri, ei, bi = frags[i]
+        for j in range(i + 1, len(frags)):
+            rj, ej, bj = frags[j]
+            if not bbox_overlap(bi, bj):
+                continue
+            for u, v in ei:
+                ebb = (
+                    min(u[0], v[0]), min(u[1], v[1]),
+                    max(u[0], v[0]), max(u[1], v[1]),
+                )
+                for c, d in ej:
+                    if (
+                        ebb[2] < min(c[0], d[0]) or max(c[0], d[0]) < ebb[0]
+                        or ebb[3] < min(c[1], d[1]) or max(c[1], d[1]) < ebb[1]
+                    ):
+                        continue
+                    if _properly_cross(u, v, c, d):
+                        return "edges-cross"
+            for rings_j in rj:
+                for u, _v in ei:
+                    if _strictly_inside(u, rings_j):
+                        return "vertex-inside-other-fragment"
+            for rings_i in ri:
+                for u, _v in ej:
+                    if _strictly_inside(u, rings_i):
+                        return "vertex-inside-other-fragment"
+    return None
+
+
+def union_polygons(fragments, check_disjoint: bool = True):
     """fragments: iterable of polygon lists (each polygon = rings list,
-    shell first) -> dissolved polygon list (float coords)."""
+    shell first) -> dissolved polygon list (float coords).
+
+    Precondition (G5 contract): fragment interiors are pairwise
+    disjoint — they are tile-clipped pieces of one source geometry
+    that share only boundary runs.  With ``check_disjoint`` (default)
+    violations raise FragmentOverlapError instead of dissolving to a
+    silently wrong result; the reference's GEOS ``.union()``
+    (map2db.py:776-784) would handle arbitrary overlap, so this guard
+    is what keeps the narrower contract honest."""
+    fragments = [list(frag) for frag in fragments]
     polys = [poly for frag in fragments for poly in frag]
     if len(polys) == 1:
         return normalize_multipolygon(polys)
+    if check_disjoint:
+        reason = _frag_overlap_reason(fragments)
+        if reason is not None:
+            raise FragmentOverlapError(reason)
 
-    # 1. orient (shells CCW, holes CW) and convert to exact integers
-    directed = []  # directed edges (u, v)
-    for rings in polys:
-        for k, ring in enumerate(rings):
-            r = _orient([_to_int(p) for p in ring], ccw=(k == 0))
-            if r is None:
-                continue
-            for i in range(len(r) - 1):
-                if r[i] != r[i + 1]:
-                    directed.append((r[i], r[i + 1]))
+    # 1. orient (shells CCW, holes CW) and convert to exact integers,
+    #    remembering which fragment each directed edge came from
+    directed = []  # (frag_idx, u, v)
+    for fi, frag in enumerate(fragments):
+        for rings in frag:
+            for k, ring in enumerate(rings):
+                r = _orient([_to_int(p) for p in ring], ccw=(k == 0))
+                if r is None:
+                    continue
+                for i in range(len(r) - 1):
+                    if r[i] != r[i + 1]:
+                        directed.append((fi, r[i], r[i + 1]))
 
     # 2. node edges at any vertex lying on them (shared-boundary splits)
     vertices = set()
-    for u, v in directed:
+    for _fi, u, v in directed:
         vertices.add(u)
         vertices.add(v)
     noded = []
-    for u, v in directed:
+    for fi, u, v in directed:
         splits = [p for p in vertices if _on_segment(u, v, p)]
         if not splits:
-            noded.append((u, v))
+            noded.append((fi, u, v))
             continue
         if u[0] != v[0]:
             splits.sort(key=lambda p: p[0], reverse=u[0] > v[0])
@@ -155,12 +273,31 @@ def union_polygons(fragments):
             splits.sort(key=lambda p: p[1], reverse=u[1] > v[1])
         chain = [u] + splits + [v]
         for i in range(len(chain) - 1):
-            noded.append((chain[i], chain[i + 1]))
+            noded.append((fi, chain[i], chain[i + 1]))
 
-    # 3. cancel opposite directed pairs (shared boundary disappears)
+    # 3a. cancel opposite directed pairs WITHIN each fragment first: a
+    # fragment whose hole boundary coincides with its own shell (a
+    # degenerate touching strip) contributes nothing along that run.
+    per_frag: dict = defaultdict(lambda: defaultdict(int))
+    for fi, u, v in noded:
+        per_frag[fi][(u, v)] += 1
     count: dict = defaultdict(int)
-    for e in noded:
-        count[e] += 1
+    for fi, edges in per_frag.items():
+        for (u, v), n in edges.items():
+            keep = n - min(n, edges.get((v, u), 0))
+            if keep:
+                count[(u, v)] += keep
+
+    # 3b. interiors sit to the LEFT of directed edges (CCW shells, CW
+    # holes), so a surviving duplicate SAME-direction edge means two
+    # interiors on the same side of one boundary run — overlapping
+    # fragments (e.g. an exactly duplicated polygon), which the
+    # crossing/containment probes cannot see.
+    if check_disjoint and any(n >= 2 for n in count.values()):
+        raise FragmentOverlapError("coincident-boundary-same-direction")
+
+    # 3c. cancel opposite pairs across fragments (shared tile-boundary
+    # runs disappear; net counts equal global cancellation)
     survivors = []
     for (u, v), n in sorted(count.items()):
         m = count.get((v, u), 0)

@@ -28,7 +28,12 @@ from typing import Iterator
 import pandas as pd
 
 from map2db_spark.geometry import wkb as gwkb
-from map2db_spark.geometry.union import union_lines, union_points, union_polygons
+from map2db_spark.geometry.union import (
+    FragmentOverlapError,
+    union_lines,
+    union_points,
+    union_polygons,
+)
 from map2db_spark.sources.header import MapHeader
 
 CONSOLIDATED_SCHEMA = (
@@ -43,13 +48,23 @@ def _vt_key(vtags) -> str:
     return json.dumps(dict(sorted(vtags.items())), ensure_ascii=False)
 
 
-def _union_geoms(ftype: str, wkbs) -> bytes:
+def _union_geoms(ftype: str, wkbs) -> tuple[bytes, str | None]:
+    """Union fragment WKBs; returns (geom, violation).  Overlapping
+    polygon fragments (outside the G5 disjoint-interior contract) are
+    surfaced as a violation with the fragments kept un-dissolved —
+    never a silently wrong union."""
     frags = [gwkb.decode(b)[1] for b in wkbs]
     if ftype == "point":
-        return gwkb.encode_multipoint(union_points(frags))
+        return gwkb.encode_multipoint(union_points(frags)), None
     if ftype == "line":
-        return gwkb.encode_multilinestring(union_lines(frags))
-    return gwkb.encode_multipolygon(union_polygons(frags))
+        return gwkb.encode_multilinestring(union_lines(frags)), None
+    try:
+        return gwkb.encode_multipolygon(union_polygons(frags)), None
+    except FragmentOverlapError as exc:
+        from map2db_spark.geometry.normalize import normalize_multipolygon
+
+        kept = normalize_multipolygon([p for f in frags for p in f])
+        return gwkb.encode_multipolygon(kept), f"union-overlap:{exc}"
 
 
 def make_consolidate_kernel(header: MapHeader):
@@ -121,11 +136,12 @@ def make_consolidate_kernel(header: MapHeader):
                     f"zoom-discontinuity:{minz_by_level[hi]}!={lo_maxzoom + 1}"
                 )
 
-        geom = (
-            _union_geoms(ftype, [r.geom for r in top])
-            if len(top) > 1
-            else top[0].geom
-        )
+        if len(top) > 1:
+            geom, union_violation = _union_geoms(ftype, [r.geom for r in top])
+            if union_violation is not None:
+                violations.append(union_violation)
+        else:
+            geom = top[0].geom
         first = top[0]
         return {
             "ftype": ftype,

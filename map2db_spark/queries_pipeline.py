@@ -234,7 +234,7 @@ _SHINGLES_SQL = (
 
 
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
-                    threshold: float = 0.9) -> str:
+                    threshold: float = 0.9, bucket_cap: int = 50) -> str:
     mins = ", ".join(
         f"min(substr(md5(shingle), {i * 4 + 1}, 4)) AS mh{i}"
         for i in range(num_hashes)
@@ -246,9 +246,8 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
         + f") AS band{b}"
         for b in range(n_bands)
     )
-    cand_union = "\n      UNION\n".join(
-        f"      SELECT a.sid AS id_a, b.sid AS id_b FROM bands a"
-        f" JOIN bands b ON a.band{b} = b.band{b} AND a.sid < b.sid"
+    band_long = "\n      UNION ALL ".join(
+        f"SELECT sid, {b} AS band_idx, band{b} AS bk FROM bands"
         for b in range(n_bands)
     )
     return f"""
@@ -257,8 +256,19 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
     ),
     sig AS (SELECT sid, {mins} FROM sh GROUP BY sid),
     bands AS (SELECT sid, {band_cols} FROM sig),
+    bl AS (
+      {band_long}
+    ),
+    blc AS (
+      SELECT bl.* FROM bl JOIN (
+        SELECT band_idx, bk FROM bl GROUP BY band_idx, bk
+        HAVING count(*) <= {bucket_cap}
+      ) keep USING (band_idx, bk)
+    ),
     cand AS (
-{cand_union}
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM blc a JOIN blc b
+        ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.sid < b.sid
     ),
     sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
     inter AS (
@@ -299,7 +309,9 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature pass, so it streams instead of materializing 200x rows
     sigs = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
     # candidates feed two verification branches; they're ~1k rows
-    cands = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).localCheckpoint()
+    cands = D.lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, bucket_cap=50
+    ).localCheckpoint()
     # filter BEFORE the explode: only candidate docs get shingled
     cand_docs = (
         cands.select(F.col("id_a").alias("doc_id"))

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from map2db_spark.geometry.linemerge import linemerge, merge_feature
-from map2db_spark.geometry.union import union_polygons
+from map2db_spark.geometry.union import FragmentOverlapError, union_polygons
 from map2db_spark.operators.ids import assign_sequential_ids
 
 
@@ -81,6 +81,45 @@ def test_union_polygons_four_quadrants():
     xs = {p[0] for p in ring}
     ys = {p[1] for p in ring}
     assert xs == {0.0, 1.0, 2.0} and ys == {0.0, 1.0, 2.0}
+
+
+def test_union_polygons_rejects_overlapping_fragments():
+    """G5 precondition guard: inputs with overlapping interiors must
+    raise, never dissolve to a silently wrong polygon."""
+    import pytest
+
+    sq = lambda x0, y0, s: [[
+        (x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)
+    ]]
+    # partial overlap: edges properly cross
+    with pytest.raises(FragmentOverlapError, match="edges-cross"):
+        union_polygons([[sq(0.0, 0.0, 2.0)], [sq(1.0, 1.0, 2.0)]])
+    # containment without boundary contact: vertex strictly inside
+    with pytest.raises(FragmentOverlapError, match="vertex-inside"):
+        union_polygons([[sq(0.0, 0.0, 3.0)], [sq(1.0, 1.0, 1.0)]])
+    # exact duplicate: same-direction coincident boundary
+    with pytest.raises(FragmentOverlapError, match="coincident-boundary"):
+        union_polygons([[sq(0.0, 0.0, 1.0)], [sq(0.0, 0.0, 1.0)]])
+    # legitimate shared-edge fragments still dissolve with the guard on
+    out = union_polygons([[sq(0.0, 0.0, 1.0)], [sq(1.0, 0.0, 1.0)]])
+    assert len(out) == 1 and len(out[0]) == 1
+
+
+def test_lsh_bucket_cap_skips_hot_bucket(spark):
+    """The bucket-size rail: a band bucket over the cap contributes no
+    candidate pairs; pairs from small buckets survive."""
+    import map2db_spark.functions.dedup as D
+
+    # 30 docs with identical signatures (one huge bucket per band) +
+    # 2 docs sharing a distinct signature (small buckets)
+    rows = [(i, "aaaa", "bbbb", "cccc", "dddd") for i in range(30)]
+    rows += [(100 + i, "eeee", "ffff", "gggg", "hhhh") for i in range(2)]
+    sigs = spark.createDataFrame(rows, "sid LONG, mh0 STRING, mh1 STRING, mh2 STRING, mh3 STRING")
+    capped = D.lsh_candidate_pairs(sigs, num_hashes=4, band_size=2, bucket_cap=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(100, 101)}
+    uncapped = D.lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+    assert uncapped.count() == 30 * 29 // 2 + 1
 
 
 def test_union_polygons_hole_preserved():
