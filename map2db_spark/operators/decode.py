@@ -24,6 +24,7 @@ import pandas as pd
 
 from map2db_spark.geometry import clip as gclip
 from map2db_spark.geometry import normalize as gnorm
+from map2db_spark.geometry import repair as grepair
 from map2db_spark.geometry import wkb as gwkb
 from map2db_spark.sources.header import MapHeader
 from map2db_spark.sources.primitives import Cursor
@@ -246,7 +247,7 @@ def tile_feature_rows(
     box = tile_bounds_deg(level, tile_x, tile_y)
     trim = dbl or TRIM_NONUM
     rows = []
-    seq = {"point": 0, "line": 0, "area": 0}
+    seq = {"point": 0, "line": 0, "area": 0, "reject": 0}
 
     for p in points:
         pts = [(p["lon"], p["lat"])]
@@ -291,6 +292,30 @@ def tile_feature_rows(
                 [_close_ring(db[0])] + [_close_ring(h) for h in db[1:]]
                 for db in w["blocks"]
             ]
+            # F7/G4 (map2db.py:979-1011): microdegree rounding can make
+            # decoded rings invalid; repair (bowtie split, pocket->hole)
+            # or route to the auditable rejects path — the reference's
+            # make_valid-or-discard, with the discard kept as data.
+            polys, reject_reason = grepair.make_valid_polygons(polys)
+            if reject_reason is not None:
+                rows.append(
+                    (
+                        "reject",
+                        w.get("fid"),
+                        level,
+                        w["minz"],
+                        maxzoom,
+                        w["layer"],
+                        w["tags"],
+                        {"m2db:reject": reject_reason},
+                        b"",
+                        tile_x,
+                        tile_y,
+                        seq["reject"],
+                    )
+                )
+                seq["reject"] += 1
+                continue
             if trim and not gclip.covers_points(
                 [pt for rings in polys for ring in rings for pt in ring], box
             ):

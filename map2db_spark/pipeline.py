@@ -44,13 +44,23 @@ def load_features(spark: SparkSession, src: str, header: MapHeader | None = None
     return decode_features(spark, src, header, manifest)
 
 
+def decode_rejects(feats: DataFrame) -> DataFrame:
+    """Features the decoder could not repair to valid geometry (F7/G4
+    rejects path): the reference discards these with a log line
+    (map2db.py:996-1011); here they stay queryable, with the reason
+    under vtags['m2db:reject']."""
+    return feats.where(F.col("ftype") == "reject")
+
+
 def consolidated_features(
     spark: SparkSession, src: str, header: MapHeader | None = None
 ) -> DataFrame:
     """map file -> final feature rows (dbl: consolidated + line-merged;
-    non-dbl: deterministically numbered raw rows)."""
+    non-dbl: deterministically numbered raw rows).  Unreparable
+    geometries (ftype='reject') are excluded, as the reference
+    discards them; audit them via decode_rejects(load_features(...))."""
     header = header or read_header(src)
-    feats = load_features(spark, src, header)
+    feats = load_features(spark, src, header).where(F.col("ftype") != "reject")
     if not header.is_dbl:
         return assign_ids(feats).select(
             "ftype", "fid", "level", "minz", "maxz", "layer", "tags", "vtags", "geom",
@@ -68,7 +78,9 @@ def map2db(spark: SparkSession, src_pathname: str, db_pathname: str) -> dict:
     """Full reference-parity run: writes the SQLite geodatabase and,
     for dbl maps, the forgemap TOML config.  Returns a summary dict."""
     header = read_header(src_pathname)
-    feats = load_features(spark, src_pathname, header)
+    feats = load_features(spark, src_pathname, header).where(
+        F.col("ftype") != "reject"  # unreparable geometry: discarded, per reference
+    )
     # cache: the feature scan feeds consolidation AND vtag-order; at
     # export scale this is the working set, materialized once
     feats.persist()

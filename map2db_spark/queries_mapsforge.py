@@ -330,3 +330,66 @@ def m2db_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _consolidated(spark).where(F.col("violation").isNotNull()).select(
         "ftype", "fid", "violation"
     )
+
+
+_INVALID_FIXTURE = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "invalid.map"
+)
+
+
+def _invalid_fixture_path() -> str:
+    if not os.path.exists(_INVALID_FIXTURE):
+        from map2db_spark.sources.sample_maps import invalid_map
+
+        os.makedirs(os.path.dirname(_INVALID_FIXTURE), exist_ok=True)
+        invalid_map().write(_INVALID_FIXTURE)
+    return _INVALID_FIXTURE
+
+
+@query(
+    "m2db_repair_salvage",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',   CAST(91 AS BIGINT), 2, 2, NULL),
+        ('area',   CAST(93 AS BIGINT), 1, 2, NULL),
+        ('area',   CAST(94 AS BIGINT), 1, 1, NULL),
+        ('reject', CAST(92 AS BIGINT), 0, 0, 'no-area-after-repair')
+    ) AS t(ftype, fid, n_polys, n_rings, reason)
+    """,
+    tags=("mapsforge", "repair"),
+)
+def m2db_repair_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/G4 validity repair as a hard-checked query: decoding a map
+    with invalid area geometries must keep what the reference's GEOS
+    make_valid would keep (map2db.py:979-1011) — the bowtie split into
+    two lobes (fid 91), the self-touching pocket turned into a hole
+    (93), the valid control untouched (94) — and route the zero-area
+    sliver (92) to the rejects path with its reason, never silently
+    dropping or silently keeping it."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from map2db_spark.pipeline import load_features
+
+    @pandas_udf(IntegerType())
+    def n_polys(geom: pd.Series) -> pd.Series:
+        from map2db_spark.geometry import wkb as gwkb
+
+        return geom.map(lambda b: len(gwkb.decode(b)[1]) if b else 0)
+
+    @pandas_udf(IntegerType())
+    def n_rings(geom: pd.Series) -> pd.Series:
+        from map2db_spark.geometry import wkb as gwkb
+
+        return geom.map(
+            lambda b: sum(len(rings) for rings in gwkb.decode(b)[1]) if b else 0
+        )
+
+    feats = load_features(spark, _invalid_fixture_path())
+    return feats.select(
+        "ftype",
+        "fid",
+        n_polys(F.col("geom")).alias("n_polys"),
+        n_rings(F.col("geom")).alias("n_rings"),
+        F.element_at(F.col("vtags"), "m2db:reject").alias("reason"),
+    )

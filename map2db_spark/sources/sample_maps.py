@@ -187,3 +187,25 @@ def nondbl_map() -> MapWriter:
     # open polyline -> line
     w.add_way(0, *T_MAIN, Way(blocks=[[[(1.0, 1.0), (1.1, 1.1), (1.2, 1.0)]]], zoom=9))
     return w
+
+
+def invalid_map() -> MapWriter:
+    """A dbl map whose area geometries exercise the F7/G4 validity
+    repair (reference map2db.py:979-1011): a bowtie (self-crossing), a
+    self-touching pocket, an unreparable zero-area sliver, and a valid
+    control square."""
+    w = MapWriter(BBOX, [(8, 8, 11)], dbl_license=LICENSE)
+    cx, cy = 0.7, 0.7
+    d = 0.01
+    bowtie = [(cx, cy), (cx + d, cy + d), (cx + d, cy), (cx, cy + d), (cx, cy)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[bowtie]], zoom=8, anum=91))
+    sliver = [(cx - d, cy), (cx - d / 2, cy), (cx - d / 4, cy), (cx - d, cy)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[sliver]], zoom=8, anum=92))
+    pocket = [
+        (0.2, 0.2), (0.6, 0.2), (0.4, 0.4), (0.5, 0.4), (0.4, 0.5),
+        (0.4, 0.4), (0.6, 0.201), (0.6, 0.6), (0.2, 0.6), (0.2, 0.2),
+    ]
+    w.add_way(0, *T_MAIN, Way(blocks=[[pocket]], zoom=8, anum=93))
+    square = [(1.0, 1.0), (1.1, 1.0), (1.1, 1.1), (1.0, 1.1), (1.0, 1.0)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[square]], zoom=8, anum=94))
+    return w

@@ -161,6 +161,36 @@ def test_debuginfo_markers_roundtrip(tmp_path):
     assert {(r[0], r[1]) for r in rows} == {("point", 7), ("line", 7)}
 
 
+def test_invalid_polygon_repaired_or_rejected(tmp_path):
+    """F7/G4 parity: a bowtie area decodes to the make_valid result
+    (two lobes, crossing point as a vertex) exactly as the reference's
+    GEOS path keeps it; an unreparable zero-area ring lands on the
+    rejects path instead of silently vanishing (map2db.py:979-1011)."""
+    w = MapWriter(BBOX, [(8, 8, 11)], dbl_license=LICENSE)
+    b = tile_bounds_deg(8, *T_MAIN)
+    cx, cy = round((b[0] + b[2]) / 2, 4), round((b[1] + b[3]) / 2, 4)
+    d = 0.01
+    bowtie = [
+        (cx, cy), (cx + d, cy + d), (cx + d, cy), (cx, cy + d), (cx, cy),
+    ]
+    sliver = [(cx - d, cy), (cx - d / 2, cy), (cx - d / 4, cy), (cx - d, cy)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[bowtie]], zoom=8, anum=91))
+    w.add_way(0, *T_MAIN, Way(blocks=[[sliver]], zoom=8, anum=92))
+    path = str(tmp_path / "invalid.map")
+    w.write(path)
+    h = read_header(path)
+    rows = _decode_tile(path, h, 0, *T_MAIN)
+    by_id = {(r[0], r[1]): r for r in rows}
+    assert ("area", 91) in by_id and ("reject", 92) in by_id
+    # bowtie became two one-ring polygons sharing the crossing vertex
+    _, polys = gwkb.decode(by_id[("area", 91)][8])
+    assert len(polys) == 2 and all(len(p) == 1 for p in polys)
+    shared = set(map(tuple, polys[0][0])) & set(map(tuple, polys[1][0]))
+    assert len(shared) == 1
+    # reject row carries the reason, no geometry
+    assert by_id[("reject", 92)][7] == {"m2db:reject": "no-area-after-repair"}
+
+
 def test_nondbl_ring_heuristic(tmp_path):
     path = str(tmp_path / "nondbl.map")
     nondbl_map().write(path)

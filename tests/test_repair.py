@@ -1,0 +1,74 @@
+"""Validity repair (F7/G4) unit tests: the pure-Python make_valid
+covering the invalidity classes microdegree rounding produces
+(reference guards these with GEOS make_valid, map2db.py:979-1011)."""
+
+from __future__ import annotations
+
+from map2db_spark.geometry.repair import make_valid_polygons
+
+
+SQ = [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]
+
+
+def _area2(ring):
+    s = 0.0
+    for i in range(len(ring) - 1):
+        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return s
+
+
+def test_valid_polygon_unchanged():
+    out, reason = make_valid_polygons([SQ])
+    assert reason is None and out == [SQ]
+
+
+def test_bowtie_splits_into_two_shells():
+    bow = [[[(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]]]
+    out, reason = make_valid_polygons(bow)
+    assert reason is None
+    assert len(out) == 2 and all(len(p) == 1 for p in out)
+    # total area is preserved: two unit triangles... each lobe is
+    # a triangle with |area| 1.0 (half of the 2x2 square per side)
+    areas = sorted(abs(_area2(p[0])) / 2 for p in out)
+    assert areas == [1.0, 1.0]
+    # the crossing point became a vertex of both
+    assert all((1.0, 1.0) in p[0] for p in out)
+
+
+def test_self_touch_pocket_becomes_hole():
+    touch = [[[
+        (0.0, 0.0), (4.0, 0.0), (2.0, 2.0), (3.0, 2.0), (2.0, 3.0),
+        (2.0, 2.0), (4.0, 0.001), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0),
+    ]]]
+    out, reason = make_valid_polygons(touch)
+    assert reason is None
+    assert len(out) == 1 and len(out[0]) == 2  # shell + repaired hole
+    assert set(out[0][1]) == {(2.0, 2.0), (3.0, 2.0), (2.0, 3.0)}
+
+
+def test_zero_area_sliver_rejected():
+    sliver = [[[(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (0.0, 0.0)]]]
+    out, reason = make_valid_polygons(sliver)
+    assert out is None and reason == "no-area-after-repair"
+
+
+def test_hole_outside_shell_rejected():
+    bad = [[
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)],
+        [(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0), (5.0, 5.0)],
+    ]]
+    out, reason = make_valid_polygons(bad)
+    assert out is None and reason == "hole-outside-shell"
+
+
+def test_multipolygon_mixed_valid_and_bowtie():
+    bow = [[(10.0, 10.0), (12.0, 12.0), (12.0, 10.0), (10.0, 12.0), (10.0, 10.0)]]
+    out, reason = make_valid_polygons([SQ, bow])
+    assert reason is None
+    assert len(out) == 3  # valid square + two bowtie lobes
+
+
+def test_degenerate_polygon_dropped_but_rest_kept():
+    sliver = [[(5.0, 5.0), (6.0, 5.0), (7.0, 5.0), (5.0, 5.0)]]
+    out, reason = make_valid_polygons([SQ, sliver])
+    assert reason is None and out == [SQ]
