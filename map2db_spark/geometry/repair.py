@@ -235,6 +235,23 @@ def _inner_probe(loop, other) -> bool:
     return False
 
 
+def polygons_valid(polys) -> bool:
+    """Validity predicate matching make_valid_polygons' fast path:
+    every ring simple with nonzero area, holes strictly inside their
+    shell, no collapsed rings."""
+    for rings in polys:
+        int_rings = [_closed_int_ring(ring) for ring in rings]
+        if any(r is None for r in int_rings) or not int_rings:
+            return False
+        if not all(
+            _ring_is_simple(r) and _ring_area2_int(r) != 0 for r in int_rings
+        ):
+            return False
+        if not all(_inner_probe(h, int_rings[0]) for h in int_rings[1:]):
+            return False
+    return True
+
+
 def make_valid_polygons(polys):
     """Repair a multipolygon's float-coordinate polygons.
 

@@ -209,3 +209,78 @@ def invalid_map() -> MapWriter:
     square = [(1.0, 1.0), (1.1, 1.0), (1.1, 1.1), (1.0, 1.1), (1.0, 1.0)]
     w.add_way(0, *T_MAIN, Way(blocks=[[square]], zoom=8, anum=94))
     return w
+
+
+def parity_dbl_map() -> MapWriter:
+    """dbl fixture the UNMODIFIED reference can process for golden
+    parity: like dbl_map but without the label-offset way (the
+    reference's label path crashes on its dlat/dlon vs lat/lon key
+    bug, map2db.py:557-627) and without the deliberate P4 zoom
+    discontinuity (the reference raises mid-run where this engine
+    surfaces a violation row)."""
+    w = MapWriter(
+        BBOX,
+        [(6, 0, 7), (8, 8, 11)],
+        dbl_license=LICENSE,
+        comment="fixture comment",
+        createdby="map2db_spark fixture encoder",
+    )
+    b = tile_bounds_deg(8, *T_MAIN)
+    cx = round((b[0] + b[2]) / 2, 6)
+    cy = round((b[1] + b[3]) / 2, 6)
+    w.add_poi(
+        1, *T_MAIN,
+        Poi(
+            lat=cy, lon=cx, zoom=9, layer=2,
+            tags=("amenity=cafe",),
+            vtags={"population": 1234, "width": 2.5, "note": "hi"},
+            name="Cafe One", house_num="12b", elevation=345, pnum=1,
+        ),
+    )
+    w.add_poi(1, *T_MAIN, Poi(lat=cy, lon=cx, zoom=8, tags=("place=town",), pnum=2))
+    w.add_poi(0, *T_Z6, Poi(lat=cy, lon=cx, zoom=6, tags=("place=town",), pnum=2))
+    w.add_poi(1, *T_EAST, Poi(lat=cy, lon=cx, zoom=9, pnum=3))
+
+    cross = [(1.2, 0.5), (1.6, 0.5)]
+    w.add_way(1, *T_MAIN, Way(blocks=[[cross]], zoom=9, lnum=1,
+                              tags=("highway=primary",), name="Cross Road"))
+    w.add_way(1, *T_EAST, Way(blocks=[[cross]], zoom=9, lnum=1,
+                              tags=("highway=primary",), name="Cross Road"))
+    wiggle = [(0.2, 0.2), (0.3, 0.25), (0.35, 0.4), (0.5, 0.45), (0.55, 0.6)]
+    w.add_way(1, *T_MAIN, Way(blocks=[[wiggle]], zoom=10, lnum=2,
+                              double_delta=True, reference="R2",
+                              vtags={"lanes": 2}))
+    arc1 = [(0.7, 0.1), (0.8, 0.1), (0.8, 0.2)]
+    arc2 = [(0.8, 0.2), (0.7, 0.2), (0.7, 0.1)]
+    stray = [(0.95, 0.05), (0.99, 0.05)]
+    w.add_way(1, *T_MAIN, Way(blocks=[[arc1], [arc2], [stray]], zoom=9, lnum=4))
+
+    shell = [(0.2, 0.95), (0.8, 0.95), (0.8, 1.35), (0.2, 1.35), (0.2, 0.95)]
+    hole = [(0.4, 1.05), (0.6, 1.05), (0.6, 1.25), (0.4, 1.25), (0.4, 1.05)]
+    w.add_way(1, *T_MAIN, Way(blocks=[[shell, hole]], zoom=8, anum=1,
+                              tags=("landuse=park",), name="Hole Park"))
+    big = [(1.3, 0.2), (1.5, 0.2), (1.5, 0.4), (1.3, 0.4), (1.3, 0.2)]
+    w.add_way(1, *T_MAIN, Way(blocks=[[big]], zoom=8, anum=2))
+    w.add_way(1, *T_EAST, Way(blocks=[[big]], zoom=8, anum=2))
+    w.add_way(0, *T_Z6, Way(blocks=[[big]], zoom=7, anum=2))
+
+    w.mark_water(1, 129, 126)
+    return w
+
+
+def parity_nondbl_map() -> MapWriter:
+    """non-dbl fixture for golden parity.  Ways carry tags: the
+    reference unconditionally reads fileheader['wtags'][-1]
+    (map2db.py:1363), so an empty way-tag dictionary crashes it."""
+    w = MapWriter(BBOX, [(8, 6, 12)], dbl_license=None)
+    b = tile_bounds_deg(8, *T_MAIN)
+    cx = round((b[0] + b[2]) / 2, 6)
+    cy = round((b[1] + b[3]) / 2, 6)
+    w.add_poi(0, *T_MAIN, Poi(lat=cy, lon=cx, zoom=8, tags=("amenity=pub",)))
+    ring = [(0.2, 0.2), (0.5, 0.2), (0.5, 0.5), (0.2, 0.5), (0.2, 0.2)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[ring]], zoom=9, tags=("landuse=farm",)))
+    near = [(1.0, 0.6), (1.3, 0.6), (1.3, 0.9), (1.0, 0.9), (1.000001, 0.6)]
+    w.add_way(0, *T_MAIN, Way(blocks=[[near]], zoom=9, tags=("natural=water",)))
+    w.add_way(0, *T_MAIN, Way(blocks=[[[(1.0, 1.0), (1.1, 1.1), (1.2, 1.0)]]],
+                              zoom=9, tags=("highway=track",)))
+    return w
