@@ -45,12 +45,18 @@ except Exception:
     HAVE_PIL = False
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover
-    """Production decode slot: replace the fake extractor with real
-    pixel decode when PIL is available."""
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """Real image decode: PNG payloads decode with the stdlib-only
+    codec (functions/png.py — zlib + unfiltering, no PIL needed);
+    other formats (JPEG/WebP) genuinely need a codec library and keep
+    the NotImplementedError slot until one is present."""
+    from map2db_spark.functions.png import decode_png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; this container stubs it "
+            "non-PNG image decode requires PIL; this container stubs it "
             "(fake_decode_features provides the deterministic stand-in)"
         )
     raise NotImplementedError("wire PIL decode here")
@@ -105,6 +111,81 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def documents_as_png_media(docs: DataFrame) -> DataFrame:
+    """Real-payload media table: each doc becomes a deterministic PNG
+    whose pixels follow a closed-form pattern of (doc_id, x, y,
+    channel) — so a SQL oracle can compute the expected pixel sums
+    without being able to decode PNG itself.  The payload bytes are a
+    REAL compressed PNG (filters cycling per scanline), produced and
+    consumed by the stdlib codec inside an Arrow kernel."""
+    import numpy as np  # noqa: F811 - executors re-import
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.png import encode_png
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf["doc_id"].astype("int64"):
+                w = 4 + int(did) % 5
+                h = 3 + int(did) % 4
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = ((int(did) * 7 + x * 3 + y * 5 + c * 11) % 256).astype(
+                    "uint8"
+                )
+                payloads.append(encode_png(px))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta_width": pd.Series(widths, dtype="int32"),
+                    "meta_height": pd.Series(heights, dtype="int32"),
+                    "meta_duration_ms": pd.Series([0] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "media_id LONG, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+)
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """REAL decode path: unfilter + decompress each PNG payload and
+    emit exact per-channel pixel sums (integer-exact, so the oracle
+    can hash-match values).  Errors are not swallowed — a corrupt
+    payload fails the task, surfacing data problems instead of
+    silently zeroing features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.png import decode_png
+
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for p in pdf["payload"]:
+                px = decode_png(bytes(p))
+                h, w, _ = px.shape
+                sums = px.astype("int64").sum(axis=(0, 1))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=PNG_FEATURE_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

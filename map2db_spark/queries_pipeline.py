@@ -705,6 +705,47 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_png_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 60
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y
+      FROM m
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sum((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 7 + x * 3 + y * 5 + 11) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 7 + x * 3 + y * 5 + 22) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "png", "pipeline"),
+)
+def m_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, stdlib-only: deterministic RGB PNGs (pixel =
+    closed-form function of doc_id/x/y/channel, scanline filters
+    cycling through all five types) are encoded AND decoded by
+    functions/png.py inside Arrow kernels; exact per-channel pixel
+    sums must match the oracle's closed-form arithmetic — which can
+    verify the decode without being able to read PNG, because the
+    payload round-trips zlib compression and unfiltering in between."""
+    from map2db_spark.functions.multimodal import (
+        documents_as_png_media,
+        extract_png_features,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 60)
+    return extract_png_features(documents_as_png_media(docs))
+
+
+@query(
     "m_frame_sample_plan",
     oracle="""
     SELECT doc_id AS media_id,

@@ -1,0 +1,46 @@
+"""Stdlib PNG codec tests (functions/png.py): the real decode slot
+behind the multimodal media column (VERDICT r1 item 10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map2db_spark.functions.multimodal import decode_image_real
+from map2db_spark.functions.png import decode_png, encode_png
+
+
+def test_roundtrip_rgb_rgba_gray():
+    rng = np.random.RandomState(7)
+    for shape in [(6, 4, 3), (9, 5, 4), (3, 3), (1, 1, 3), (17, 13, 3)]:
+        px = rng.randint(0, 256, size=shape, dtype="uint8")
+        out = decode_png(encode_png(px))
+        exp = px if px.ndim == 3 else px[:, :, None]
+        assert (out == exp).all(), shape
+
+
+def test_all_filter_types_exercised():
+    # >= 5 rows means the encoder emits filter types 0..4; a gradient
+    # makes sub/up/average/paeth all produce distinct filtered bytes
+    g = (np.arange(7 * 8 * 3, dtype=np.int64) * 37 % 256).astype("uint8")
+    g = g.reshape(7, 8, 3)
+    assert (decode_png(encode_png(g)) == g).all()
+
+
+def test_non_png_rejected():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+
+
+def test_corrupt_crc_rejected():
+    buf = bytearray(encode_png(np.zeros((4, 4, 3), dtype="uint8")))
+    buf[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError):
+        decode_png(bytes(buf))
+
+
+def test_decode_image_real_dispatches_png():
+    px = np.full((2, 2, 3), 9, dtype="uint8")
+    assert (decode_image_real(encode_png(px)) == px).all()
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff\xe0 fake jpeg")
