@@ -201,3 +201,26 @@ def kmeans_int(
     return stats.join(F.broadcast(csum_df), "cid", "left").select(
         "cid", "n", "ssd", "csum"
     )
+
+
+def train_centroids(
+    vecs: DataFrame, k: int = 16, iters: int = 3, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Train IVF coarse-quantizer centroids with the same exact-integer
+    Lloyd's loop as kmeans_int (deterministic seeding, empty clusters
+    keep their previous centroid).  Returns integer-scaled centroid
+    vectors ordered by seed id — drop-in for similarity.ivf_topk in
+    place of the random ivf_centroids.  At 100 TB you train on a
+    sample (vecs.sample(...)); the loop's per-iteration traffic is
+    O(partitions*k*dim), independent of N."""
+    base = vecs.select(
+        F.col(id_col).alias("vid"), int_vec(F.col(vec_col)).alias("iv")
+    ).localCheckpoint()
+    seed_rows = base.where(F.col("vid") < k).collect()
+    centroids = {int(r["vid"]): list(r["iv"]) for r in seed_rows}
+    for _ in range(iters):
+        assigned = _assign_arrow(base, centroids)
+        fresh = _update_arrow(assigned, dim)
+        centroids = {cid: fresh.get(cid, vec) for cid, vec in centroids.items()}
+    return [centroids[cid] for cid in sorted(centroids)]

@@ -201,6 +201,18 @@ def _cell_from_int_vec_np(iv_matrix, centroids):
     return scores.argmin(axis=1).astype("int32")
 
 
+def _cells_from_int_vec_np(iv_matrix, centroids, nprobe: int):
+    """The nprobe nearest cells per vector (exact int64 scores, stable
+    sort so ties break by cell index — the same order SQL's
+    first-occurrence list_indexof picks)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.int64)
+    norms = (C * C).sum(axis=1)
+    scores = norms[None, :] - 2 * (iv_matrix @ C.T)
+    return np.argsort(scores, axis=1, kind="stable")[:, :nprobe].astype("int32")
+
+
 def ivf_prepared(
     df: DataFrame, centroids: list[list[int]], id_col: str, vec_col: str,
     out_id: str, out_vec: str, out_norm: str,
@@ -241,15 +253,48 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: candidates restricted to the query's coarse cell
-    (nprobe=1).  Same join/topk shape as lsh_topk; only the partition
-    function differs — at scale the cell id doubles as the physical
-    partitioning key so a cell's vectors are co-located."""
+    """IVF-style ANN: each corpus vector lives in its single nearest
+    coarse cell; each query probes its ``nprobe`` nearest cells (the
+    standard IVF recall knob — recall rises with nprobe while the
+    candidate count stays nprobe/n_cells of the corpus).  Same
+    join/topk shape as lsh_topk; at scale the cell id doubles as the
+    physical partitioning key so a cell's vectors are co-located, and
+    probing more cells touches more partitions, never all of them.
+    Centroids: seeded literals for oracle-checked parity, or trained
+    ones from clustering.train_centroids for real recall."""
+    import numpy as np
     from pyspark.sql.window import Window
 
     c = ivf_prepared(embeddings, centroids, id_col, vec_col, "cand_id", "cvec", "cnorm")
-    q = ivf_prepared(queries, centroids, id_col, vec_col, "query_id", "qvec", "qnorm")
+
+    schema = "query_id LONG, qvec ARRAY<LONG>, qnorm DOUBLE, cell INT"
+
+    def qkernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scaled = mat * SCALE
+            iv = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            norms = np.sqrt((iv * iv).sum(axis=1).astype(np.float64))
+            cells = _cells_from_int_vec_np(iv, centroids, nprobe)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].astype("int64").repeat(nprobe),
+                    "qvec": [iv[i] for i in range(n) for _ in range(nprobe)],
+                    "qnorm": norms.repeat(nprobe),
+                    "cell": cells.reshape(-1),
+                }
+            )
+
+    q = queries.select(id_col, vec_col).mapInPandas(qkernel, schema=schema)
     scored = c.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("cand_id")
     ).select("query_id", "cand_id", _pair_sim().alias("sim"))

@@ -632,6 +632,66 @@ def _ivf_ann_oracle() -> str:
     """
 
 
+def _ivf_nprobe_oracle(nprobe: int = 2) -> str:
+    dists = []
+    for c in _CENTROIDS:
+        arr = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+        norm = sum(v * v for v in c)
+        dists.append(f"({norm} - 2 * list_dot_product(v, {arr}))")
+    dist_list = "[" + ", ".join(dists) + "]"
+    probes = ", ".join(
+        f"CAST(list_indexof(dl, ranked[{i + 1}]) - 1 AS INT)" for i in range(nprobe)
+    )
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    celled AS (SELECT vec_id, v, {dist_list} AS dl FROM iv),
+    corpus AS (
+      SELECT vec_id, v,
+             CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell
+      FROM celled
+    ),
+    q AS (
+      SELECT vec_id AS query_id, qv, unnest(cells) AS cell FROM (
+        SELECT vec_id, v AS qv, [{probes}] AS cells
+        FROM (SELECT *, list_sort(dl) AS ranked FROM celled)
+        WHERE vec_id < 10
+      )
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM corpus c JOIN q USING (cell)
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query(
+    "v_ann_ivf_nprobe",
+    oracle=_ivf_nprobe_oracle(),
+    tags=("ann", "ivf", "pipeline"),
+)
+def v_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 — the recall knob: each query probes its
+    two nearest coarse cells while the corpus stays partitioned by its
+    single cell, so candidates grow to ~2/n_cells of the corpus
+    instead of 1/n_cells.  Exact int64 cell ranking is shared with the
+    oracle (stable tiebreak by cell index on both engines).  Trained
+    centroids (clustering.train_centroids, same exact-int Lloyd's as
+    v_kmeans_clusters) are the production path; seeded literals keep
+    this query oracle-checkable."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, _CENTROIDS, k=5, nprobe=2)
+
+
 @query("v_ann_ivf_topk", oracle=_ivf_ann_oracle(), tags=("ann", "ivf", "pipeline"))
 def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer cells, nprobe=1): candidates

@@ -122,6 +122,44 @@ def test_lsh_bucket_cap_skips_hot_bucket(spark):
     assert uncapped.count() == 30 * 29 // 2 + 1
 
 
+def test_ivf_trained_centroids_exact_on_separated_clusters(spark):
+    """Trained coarse centroids (exact-int Lloyd's) on well-separated
+    clusters make nprobe=1 IVF exactly match brute force: every true
+    neighbor shares the query's cell."""
+    import map2db_spark.functions.similarity as S
+    from map2db_spark.functions.clustering import train_centroids
+
+    rows = []
+    for cid in range(3):
+        for j in range(20):
+            vec = [0.05 * ((cid * 7 + j * 3 + d) % 5) for d in range(8)]
+            vec[cid] += 3.0
+            rows.append((j * 3 + cid, vec))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    centroids = train_centroids(df, k=3, iters=3, dim=8)
+    queries = df.where(F.col("vec_id") < 3)
+    ivf = S.ivf_topk(df, queries, centroids, k=3, nprobe=1)
+    brute = S.brute_force_topk(df, queries, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_nprobe_all_cells_equals_brute(spark):
+    """Probing every cell must recover brute-force exactly, whatever
+    the centroids — the recall knob's boundary condition."""
+    import map2db_spark.functions.similarity as S
+
+    rows = [
+        (i, [0.1 * ((i * 13 + d * 5) % 11) - 0.5 for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    centroids = S.ivf_centroids(dim=8, n_cells=4, seed=7)
+    queries = df.where(F.col("vec_id") < 4)
+    ivf = S.ivf_topk(df, queries, centroids, k=5, nprobe=4)
+    brute = S.brute_force_topk(df, queries, k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+
+
 def test_union_polygons_hole_preserved():
     # fragment A covers left half incl. half the hole; B the right half
     a = [[
