@@ -145,6 +145,15 @@ def test_span_dedup_single_span_shuffle(spark):
     assert "BroadcastHashJoin LeftSemi" in plan
 
 
+def test_ivf_nprobe_broadcast_cell_join(spark):
+    """IVF candidate generation is an equi-join on the cell id with
+    the (tiny) probed query side broadcast — never a cartesian."""
+    plan = plan_of(spark, "v_ann_ivf_nprobe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cosine_near_dup_never_all_pairs(spark):
     """The registered near-dup query must candidate-generate via the
     banded LSH equi-join — an all-pairs (cartesian / nested-loop)
