@@ -209,3 +209,43 @@ def pack_sequences(
         F.col(id_col),
         F.col(token_col),
     )
+
+
+TEMP_SALT = "temp:"
+
+
+def temperature_rates(counts: dict[str, int], alpha: float) -> dict[str, float]:
+    """Temperature-scaled downsampling rates per domain: the kept
+    distribution follows p^alpha (alpha<1 flattens, 1 keeps, >1
+    sharpens).  rate_d = (n_min / n_d)^(1-alpha), so the rarest domain
+    keeps everything and overrepresented domains shed mass.  Both
+    engines compute the same IEEE doubles from the same integer
+    counts, so the keep decision below is bit-stable."""
+    n_min = min(counts.values())
+    return {d: (n_min / n) ** (1.0 - alpha) for d, n in counts.items()}
+
+
+def temperature_keep(key: Column, rate: Column) -> Column:
+    """Keep iff the md5-fraction draw (first 8 hex digits / 16^8,
+    exact dyadic rational) falls under the domain's rate.  Row-local:
+    no shuffle beyond the tiny broadcast of per-domain rates."""
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(TEMP_SALT), key.cast("string")).cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / float(16 ** 8)
+    )
+    return frac < rate
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization for dedup: drop query/fragment, collapse
+    trailing slashes, lowercase.  The standard first pass of web-corpus
+    dedup — pure column expressions, no UDF."""
+    stripped = F.regexp_replace(url, r"[?#].*$", "")
+    no_slash = F.regexp_replace(stripped, r"/+$", "")
+    return F.lower(no_slash)

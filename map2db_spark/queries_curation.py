@@ -395,3 +395,106 @@ def v_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("norm2").alias("max_norm2"),
         )
     )
+
+
+_TEMP_FRAC_SQL = (
+    "(CAST(concat('0x', substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) * 1.0 / 4294967296)"
+)
+
+
+@query(
+    "c_temperature_sampling",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n, sqrt((SELECT min(n) FROM c) * 1.0 / n) AS rate FROM c
+    )
+    SELECT d.lang, r.n,
+           CAST(sum(CASE WHEN {_TEMP_FRAC_SQL} < r.rate THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           round(r.rate, 6) AS rate
+    FROM documents d JOIN r USING (lang)
+    GROUP BY d.lang, r.n, r.rate
+    """,
+    tags=("curation", "sampling", "pipeline"),
+)
+def c_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (alpha=0.5): the kept
+    corpus follows p^alpha, i.e. rate_l = sqrt(n_min/n_l), so the
+    rarest language keeps everything and overrepresented ones shed
+    mass.  Plan shape at 100 TB: one tiny per-language count aggregate
+    broadcast back onto the corpus, then a row-local md5-draw filter —
+    no corpus shuffle at all.  sqrt is IEEE-correctly-rounded in both
+    engines, and the draw is an exact dyadic rational, so keep
+    decisions are bit-identical."""
+    docs = Tables(spark, sf_dir).documents
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang", "n", F.sqrt(F.col("n_min") / F.col("n")).alias("rate")
+    )
+    joined = docs.select("lang", "doc_id").join(F.broadcast(rates), "lang")
+    return joined.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            C.temperature_keep(F.col("doc_id"), F.col("rate")).cast("long")
+        ).alias("kept"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )
+
+
+_URL_SQL = (
+    "concat('https://', source, '.Example.com/page/', CAST(doc_id % 40 AS VARCHAR),"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed#frag' ELSE '' END)"
+)
+
+
+@query(
+    "c_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                  '/+$', '')) AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) > 1
+    """,
+    tags=("curation", "dedup", "url", "pipeline"),
+)
+def c_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first pass of web-corpus
+    cleaning: strip query/fragment, collapse trailing slashes,
+    lowercase, then first-wins (min doc_id) per canonical URL.  The
+    synthetic URLs are a closed-form function of (source, doc_id) so
+    the oracle builds the identical input; mixed case, utm params and
+    trailing slashes all collapse.  One shuffle on the canonical URL;
+    canonicalization itself is pure column expressions (no UDF)."""
+    docs = Tables(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed#frag").otherwise(""),
+    )
+    canon = docs.select(
+        "doc_id", C.canonicalize_url(url).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
