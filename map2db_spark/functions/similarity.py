@@ -363,6 +363,7 @@ def cosine_near_dup_bucketed(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: banded random-hyperplane LSH
     candidates, then exact integer-cosine verification — never an
@@ -380,6 +381,17 @@ def cosine_near_dup_bucketed(
     (or write it as a table) instead of recomputing per branch."""
     prep = banded_prepared(embeddings, planes, bands, id_col, vec_col, "vid")
     slim = prep.select("vid", F.posexplode("buckets").alias("band", "bucket"))
+    if bucket_cap is not None:
+        # skew rail (same as dedup.lsh_candidate_pairs): a degenerate
+        # bucket of d vectors costs d^2 join rows; members of a skipped
+        # bucket still pair through their other bands
+        small = (
+            slim.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        slim = slim.join(small, ["band", "bucket"], "left_semi")
     a = slim.select(F.col("vid").alias("id_a"), "band", "bucket")
     b = slim.select(F.col("vid").alias("id_b"), "band", "bucket")
     cand = (

@@ -139,9 +139,62 @@ def _closed_int_ring(ring):
     return out + [out[0]]
 
 
+_SWEEP_THRESHOLD = 128  # rings above this use the interval sweep
+
+
+def _ring_is_simple_sweep(r) -> bool:
+    """x-interval sweep for large rings: the decode hot path runs the
+    validity predicate per area feature, and the all-pairs scan is
+    O(E^2) — ~1e8 interpreter ops for a 10k-vertex coastline ring.
+    Sorting edges by xmin and testing only x-overlapping pairs (plus a
+    y-bbox reject) visits O(E + K) pairs where K is the number of
+    bbox-overlapping pairs — near-linear for real geometry, with the
+    same exact integer predicates as the small-ring path."""
+    import bisect
+
+    verts = r[:-1]
+    if len(set(verts)) != len(verts):
+        return False
+    n = len(verts)
+    items = sorted(
+        (
+            min(r[i][0], r[i + 1][0]),
+            max(r[i][0], r[i + 1][0]),
+            r[i],
+            r[i + 1],
+            i,
+        )
+        for i in range(n)
+    )
+    for k in range(n):
+        x0, x1, a, b, i = items[k]
+        ay0, ay1 = min(a[1], b[1]), max(a[1], b[1])
+        for m in range(k + 1, n):
+            if items[m][0] > x1:
+                break
+            _, _, c, d, j = items[m]
+            if (j - i) % n <= 1 or (i - j) % n <= 1:
+                continue  # same or adjacent edge (incl. closure)
+            if max(c[1], d[1]) < ay0 or ay1 < min(c[1], d[1]):
+                continue
+            if _properly_cross(a, b, c, d):
+                return False
+    sv = sorted(verts)
+    xs = [p[0] for p in sv]
+    for x0, x1, a, b, _i in items:
+        lo = bisect.bisect_left(xs, x0)
+        hi = bisect.bisect_right(xs, x1)
+        for p in sv[lo:hi]:
+            if _on_segment(a, b, p):
+                return False
+    return True
+
+
 def _ring_is_simple(r) -> bool:
     """Closed ring r: no repeated vertex, no vertex on another edge's
     interior, no properly crossing edge pair."""
+    if len(r) > _SWEEP_THRESHOLD:
+        return _ring_is_simple_sweep(r)
     verts = r[:-1]
     if len(set(verts)) != len(verts):
         return False

@@ -446,6 +446,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NDUP_BANDS = 4
 _NDUP_PLANES = S.hyperplanes(dim=64, bits=32, seed=43)  # 4 bands x 8 bits
+_NDUP_BUCKET_CAP = 200  # skew rail; scale setting ~10^4
 
 
 def _ndup_oracle() -> str:
@@ -483,9 +484,15 @@ def _ndup_oracle() -> str:
     bands AS (
       {bands_sql}
     ),
+    bandsc AS (
+      SELECT bands.* FROM bands JOIN (
+        SELECT band, bucket FROM bands GROUP BY band, bucket
+        HAVING count(*) <= {_NDUP_BUCKET_CAP}
+      ) keep USING (band, bucket)
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bands a JOIN bands b
+      FROM bandsc a JOIN bandsc b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, {sim} AS sim
@@ -512,7 +519,8 @@ def d_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
     )
     return S.cosine_near_dup_bucketed(
-        corpus, _NDUP_PLANES, bands=_NDUP_BANDS, threshold=0.99
+        corpus, _NDUP_PLANES, bands=_NDUP_BANDS, threshold=0.99,
+        bucket_cap=_NDUP_BUCKET_CAP,
     )
 
 
