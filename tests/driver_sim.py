@@ -29,8 +29,14 @@ def norm_cell(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        # the external driver's value-hash dies on container cells
+        # (unhashable type) — fail here so the sim is never more
+        # lenient than the gate it mirrors
+        raise AssertionError(
+            f"container-typed result cell {v!r}: serialize to string "
+            "in the registered query"
+        )
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return v
