@@ -1416,3 +1416,30 @@ def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _within(2, 4, 5).alias("within_p99"),
         "n",
     )
+
+
+@query(
+    "x_heavy_hitters_mg",
+    oracle="""
+    SELECT user_id AS key, n, rank FROM (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+                  AS INT) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+    tags=("sketch", "heavy-hitters", "agg"),
+)
+def x_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters via Misra-Gries partition summaries
+    (functions/sketches.py): bounded-memory candidates, then exact
+    counts over candidates only.  m=512 clears the exactness bar
+    (true k-th frequency > N/m), so the result equals the plain exact
+    top-10 the oracle computes — while the plan's shuffle carries
+    candidate keys, not the key universe, which is the whole point at
+    a 100 TB key cardinality."""
+    from map2db_spark.functions.sketches import heavy_hitters_topk
+
+    ev = Tables(spark, sf_dir).events
+    out = heavy_hitters_topk(ev, "user_id", k=10, m=512)
+    return out.withColumn("rank", F.col("rank").cast("int"))

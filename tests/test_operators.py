@@ -160,6 +160,31 @@ def test_ivf_nprobe_all_cells_equals_brute(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
 
 
+def test_misra_gries_prunes_but_keeps_heavy_keys(spark):
+    """In the pruning regime (m far below the key cardinality) the MG
+    summaries must still surface every key above the N/m bar, and the
+    verified top-k must equal the exact top-k when the k-th frequency
+    clears that bar."""
+    from map2db_spark.functions.sketches import (
+        heavy_hitters_topk,
+        mg_partition_summaries,
+    )
+
+    # 2000 singleton keys + 3 heavy keys (600/400/200 occurrences)
+    rows = [(i + 10_000,) for i in range(2000)]
+    rows += [(1,)] * 600 + [(2,)] * 400 + [(3,)] * 200
+    df = spark.createDataFrame(rows, "k LONG").repartition(8)
+    n_total = len(rows)
+    m = 24  # bar = N/m ≈ 133 < 200, far below the 2003 distinct keys
+    cands = {r.key for r in mg_partition_summaries(df, "k", m).collect()}
+    assert {1, 2, 3} <= cands
+    assert len(cands) < 2003  # it actually pruned
+    top = heavy_hitters_topk(df, "k", k=3, m=m).collect()
+    assert [(r.key, r.n) for r in sorted(top, key=lambda r: r.rank)] == [
+        (1, 600), (2, 400), (3, 200),
+    ]
+
+
 def test_union_polygons_hole_preserved():
     # fragment A covers left half incl. half the hole; B the right half
     a = [[
