@@ -1,0 +1,776 @@
+"""TPC-H query-surface completion: Q4, Q7-Q11, Q13, Q15-Q17, Q20, Q21.
+
+Together with q1/q3/q5/q6/q12/q14/q18/q19/q22 and sql_min_cost_supplier
+(the Q2 shape) in queries_relational.py / queries_sql.py, this module
+completes all 22 TPC-H query *shapes* — the join topologies, subquery
+patterns and aggregation structures the spec exercises.
+
+The driver's TPC-H-ish tables (TESTDATA.md) omit ``partsupp``,
+``l_commitdate``/``l_receiptdate``, ``p_container``/``p_mfgr`` and the
+comment columns, so some queries carry a documented column adaptation
+while keeping the reference plan shape:
+
+- Q4/Q21 "late delivery" (commitdate < receiptdate) becomes
+  ``l_shipdate > o_orderdate + INTERVAL N DAYS``.
+- Q9's profit drops the ``ps_supplycost`` term (no partsupp); the
+  4-way part/supplier/lineitem/orders join and nation-year rollup stay.
+- Q11/Q16/Q20 derive the part-supplier relation from lineitem
+  (``DISTINCT l_partkey, l_suppkey`` / shipped-quantity sums) instead
+  of partsupp.
+- Q16's "customer complaints" exclusion keys on ``s_acctbal < 0``
+  (the comment column doesn't exist).
+
+Parity conventions follow queries_relational.py: identical aliases both
+sides, integer-scaled exact arithmetic wherever a comparison or
+division depends on an aggregate (cents * (100 - discount_pct) as
+BIGINT; quantities as BIGINT), round(,N) only at the display edge.
+
+Scale notes are per-query docstrings.  Shared rules: nation/region are
+always broadcast; supplier/part/customer are scaled tables and only
+broadcast when pre-filtered to a small fraction; every aggregate is
+declared so Catalyst plans a map-side partial before the one keyed
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents for a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _volume_e4() -> F.Column:
+    """l_extendedprice*(1-l_discount) scaled by 1e4, exact in BIGINT."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+_SQL_VOLUME_E4 = (
+    "CAST(round(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount*100) AS BIGINT))"
+)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "exists"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated order-priority count.
+
+    Adaptation: "committed later than received" -> shipped more than 60
+    days after the order date (no commit/receipt dates in the data).
+
+    Scale: the EXISTS is a LEFT SEMI join on l_orderkey — one shuffle
+    of the date-filtered orders slice against the 2-column lineitem
+    projection; no row multiplication regardless of lineitems per
+    order.  The date filter pushes into the orders scan.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= _ts("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-10-01 00:00:00"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume_e4) / 10000.0, 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             {_SQL_VOLUME_E4} AS volume_e4
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+
+    Scale: both nation lookups broadcast (25 rows); supplier and
+    customer are pre-filtered to the two nations *before* joining the
+    fact tables, so the only big shuffle is orders⋈lineitem.  The
+    nation pair predicate is applied post-join on two broadcast-derived
+    columns — no cartesian anywhere.
+    """
+    t = Tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_name").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = t.supplier.join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = t.customer.join(
+        F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = t.orders.select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _volume_e4().alias("volume_e4"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume_e4") / 10000.0, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume_e4 ELSE 0 END) AS DOUBLE)
+                 / sum(volume_e4), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_SQL_VOLUME_E4} AS volume_e4,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "agg", "case"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share within a region for a part type.
+
+    Scale: the share division runs over two exact BIGINT sums (volume
+    scaled by 1e4), so the quotient is bit-identical across engines and
+    partial-agg orders.  part is filtered to one type before the fact
+    join (broadcast at this selectivity); nation/region broadcast; the
+    single big shuffle is orders⋈lineitem.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n2 = (
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    cust = t.customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nationkey")
+    ).select("c_custkey")
+    sup = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    o = t.orders.where(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t.lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _volume_e4().alias("volume_e4"),
+            "supp_nation",
+        )
+    )
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume_e4")).otherwise(F.lit(0)))
+        .cast("double")
+        / F.sum("volume_e4")
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, round(sum(volume_e4) / 10000.0, 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_SQL_VOLUME_E4} AS volume_e4
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: part-name-filtered profit rollup by nation/year.
+
+    Adaptation: no partsupp table, so the ``ps_supplycost * l_quantity``
+    term is dropped and profit degrades to discounted revenue — the
+    plan shape (LIKE-filtered part ⋈ lineitem ⋈ supplier ⋈ orders ⋈
+    nation, then a two-key rollup) is the thing under test.
+
+    Scale: LIKE '%widget%' cannot push to parquet but prunes to a
+    broadcast-sized part list right after the scan; the remaining big
+    shuffle is orders⋈lineitem.  nation broadcast.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    sup = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    li = t.lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            _volume_e4().alias("volume_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("volume_e4") / 10000.0, 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           round(sum(volume_e4) / 10000.0, 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             {_SQL_VOLUME_E4} AS volume_e4
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND l_returnflag = 'R'
+    ) returned
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter.
+
+    Scale: orders is date-sliced (pushed filter) before the lineitem
+    join; l_returnflag pushes to the lineitem scan.  The grouping keys
+    ride the o_custkey shuffle; the LIMIT compiles to
+    TakeOrderedAndProject (no global sort).  nation broadcast.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = t.customer.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_volume_e4()) / 10000.0, 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS value_c
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(value_c / 100.0, 2) AS part_value
+    FROM supply
+    WHERE value_c * 100 > (SELECT CAST(sum(value_c) AS BIGINT) FROM supply)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("tpch", "having", "scalar-subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part supply value above a global fraction.
+
+    Adaptation: supply value comes from lineitem extended price of one
+    nation's suppliers (no partsupp ``supplycost*availqty``); threshold
+    is 1% of the national total.
+
+    Scale: the HAVING-vs-scalar-subquery compiles to one keyed
+    aggregation plus a 1-row broadcast cross join — the national total
+    never shuffles the fact table a second time.  The 1% comparison is
+    exact integer cents (value_c*100 > total), immune to float order.
+    """
+    t = Tables(spark, sf_dir)
+    nat = t.nation.where(F.col("n_name") == "NATION_5").select("n_nationkey")
+    sup = t.supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    supply = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
+    )
+    total = supply.agg(F.sum("value_c").cast("bigint").alias("total_c"))
+    return (
+        supply.join(F.broadcast(total))
+        .where(F.col("value_c") * 100 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_c") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer, including
+    zero-order customers (the LEFT JOIN's whole point).
+
+    Adaptation: the anti-predicate filters on o_orderpriority (the
+    spec's ``o_comment NOT LIKE`` column doesn't exist).
+
+    Scale: the join predicate's non-key conjunct rides the join (no
+    pre-shuffle filter possible on the preserved side); count(o_orderkey)
+    ignores the nulls introduced for order-less customers.  Two keyed
+    aggregations: the first shuffles by c_custkey (same key as the
+    join, so AQE coalesces into one exchange), the second by the tiny
+    c_count domain.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_SQL_VOLUME_E4}) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_e4 / 10000.0, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_e4 = (SELECT max(total_e4) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "scalar-subquery", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
+
+    Scale: revenue is summed in exact 1e-4-scaled BIGINT so the
+    max-equality join can't be broken by float partial-agg order (the
+    classic Q15 parity trap).  The max is a 1-row broadcast; supplier
+    joins on its key.  One fact shuffle total.
+    """
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_volume_e4()).cast("bigint").alias("total_e4"))
+    )
+    mx = rev.agg(F.max("total_e4").alias("max_e4"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_e4") == F.col("max_e4"))
+        .join(
+            t.supplier.select("s_suppkey", "s_name"),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_e4") / 10000.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "distinct", "not-in", "anti-join"),
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier counts per excluded-brand part group.
+
+    Adaptation: the part-supplier relation is ``DISTINCT l_partkey,
+    l_suppkey`` from lineitem (no partsupp); the "complaints" exclusion
+    keys on s_acctbal < 0 (no comment column).
+
+    Scale: the DISTINCT pre-shrinks lineitem to the (part, supplier)
+    cross-section before the part join; the NOT IN subquery is a
+    broadcast null-aware anti join against a pre-filtered sliver of
+    supplier.  The negated brand/type predicates still push to the
+    part scan.
+    """
+    t = Tables(spark, sf_dir)
+    ps = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    p = t.part.where(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pq_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                 / 100.0 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pq_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty
+    """,
+    tags=("tpch", "correlated-scalar", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue of small-quantity orders vs per-part average.
+
+    The correlated scalar subquery (``l_quantity < 0.2 * avg per
+    part``) is decorrelated into one per-part aggregate joined back —
+    the comparison is exact integers: qty*5*cnt < sum_qty  <=>
+    qty < 0.2*avg.
+
+    Scale: brand filter prunes part to a broadcast list; the per-part
+    aggregate runs only over that brand's lineitems (the join
+    restricts partkeys identically on both sides).  One shuffle keyed
+    by l_partkey serves both the aggregate and the join-back.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .where(F.col("l_quantity").cast("bigint") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(_cents("l_extendedprice")) / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey AS t_partkey, CAST(sum(qty) AS BIGINT) AS tot_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN tot ON l_partkey = t_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty * 2 > tot_qty
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "nested-agg", "semi-join"),
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding the majority share of a
+    part's yearly shipments.
+
+    Adaptation: "availqty > half of shipped quantity" becomes "this
+    supplier shipped more than half of the part's total" (no partsupp
+    availqty) — same nested IN-over-aggregate plan shape.
+
+    Scale: the name-LIKE part list broadcasts; shipped quantities
+    aggregate on (partkey, suppkey), totals reuse the same partkey
+    partitioning (AQE plans the second agg shuffle-free after the
+    first), and the majority test is exact integer qty*2 > tot.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(F.col("p_name").like("%widget")).select("p_partkey")
+    shipped = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").cast("bigint").alias("tot_qty")
+    )
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("qty") * 2 > F.col("tot_qty"))
+        .join(
+            t.supplier.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    stats AS (
+      SELECT l_orderkey AS st_orderkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             CAST(count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                  AS BIGINT) AS n_late
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo
+    JOIN stats ON l_orderkey = st_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE late = 1 AND n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_7'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "exists", "not-exists", "agg"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who alone held up multi-supplier orders.
+
+    The spec's EXISTS(other supplier) AND NOT EXISTS(other late
+    supplier) pair is decorrelated into one per-order aggregate
+    (distinct suppliers, distinct late suppliers); a row qualifies when
+    it is late, the order has >= 2 suppliers, and exactly one late
+    supplier (necessarily this one).  Adaptation: lateness is
+    ``l_shipdate > o_orderdate + 30 days`` (no receipt/commit dates).
+
+    Scale: this replaces TWO correlated lineitem self-joins with one
+    orderkey-keyed aggregate reusing the orders⋈lineitem shuffle —
+    at 100 TB that's the difference between 3 fact shuffles and 1.
+    nation broadcasts; the supplier join keys on s_suppkey.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("late"),
+        )
+    )
+    stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    )
+    sup = t.supplier.join(
+        F.broadcast(t.nation.where(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        lo.where(F.col("late") == 1)
+        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

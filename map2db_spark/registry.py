@@ -105,8 +105,10 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_streaming  # noqa: F401
     import map2db_spark.queries_curation  # noqa: F401
     import map2db_spark.queries_relational  # noqa: F401
+    import map2db_spark.queries_tpch  # noqa: F401
     import map2db_spark.queries_sql  # noqa: F401
     import map2db_spark.queries_functions  # noqa: F401
+    import map2db_spark.queries_extra  # noqa: F401
 
     # Stable partition: not-yet-driver-verified queries keep their relative
     # order at the front; verified ones keep theirs at the back.
