@@ -188,6 +188,67 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_wav_media(docs: DataFrame) -> DataFrame:
+    """Audio twin of ``documents_as_png_media``: each doc becomes a
+    REAL RIFF/PCM WAV payload (functions/wav.py, stdlib ``wave``)
+    whose int16 samples are a closed-form function of doc_id — so a
+    SQL oracle can verify the decode without reading WAV."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.wav import SAMPLE_RATE, encode_wav, synth_samples
+
+        for pdf in batches:
+            payloads, durations = [], []
+            for did in pdf["doc_id"].astype("int64"):
+                n = 32 + (int(did) % 41) * 3
+                payloads.append(encode_wav(synth_samples(int(did), n)))
+                durations.append(n * 1000 // SAMPLE_RATE)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta_width": pd.Series([0] * len(pdf), dtype="int32"),
+                    "meta_height": pd.Series([0] * len(pdf), dtype="int32"),
+                    "meta_duration_ms": pd.Series(durations, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id LONG, n_samples INT, sample_rate INT, "
+    "sum_samples BIGINT, sum_abs BIGINT, peak INT"
+)
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode path: parse the RIFF container, unpack int16
+    PCM, emit integer-exact aggregate features.  Corrupt payloads fail
+    the task (no silent zeroing) — same policy as the PNG path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "n_samples": [], "sample_rate": [],
+                   "sum_samples": [], "sum_abs": [], "peak": []}
+            for p in pdf["payload"]:
+                samples, rate = decode_wav(bytes(p))
+                s64 = samples.astype("int64")
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(rate)
+                out["sum_samples"].append(int(s64.sum()))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["peak"].append(int(np.abs(s64).max()) if len(s64) else 0)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=WAV_FEATURE_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: the Arrow-batched shape of an image-resize pass
     (payload in, payload + updated metadata out).  The pixel transform
