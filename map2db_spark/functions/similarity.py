@@ -432,3 +432,41 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", _pair_sim().alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def semantic_near_dup(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster the embedding
+    space (exact int64 nearest-centroid assignment, same quantizer as
+    IVF), then verify exact cosine ONLY within clusters.
+
+    Contract: returns pairs that are near-duplicates AND co-clustered —
+    the standard semantic-dedup trade (a pair straddling a cell
+    boundary is missed; raise n_cells' training quality or combine with
+    the LSH path for recall).  Scale: each vector's payload crosses the
+    wire ONCE per side of the single cell-keyed shuffle join (unlike a
+    candidate fetch-back, which ships payloads per-pair); within-cell
+    pairing happens partition-locally.  Cell population is bounded by
+    choosing n_cells ~ N / target_cell_size at ingest, so the per-cell
+    quadratic verify stays constant-sized as N grows."""
+    prep = ivf_prepared(embeddings, centroids, id_col, vec_col, "vid", "vec", "norm")
+    a = prep.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"), "cell",
+    )
+    b = prep.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"), "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("cell").cast("int").alias("cell"),
+                _pair_sim().alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

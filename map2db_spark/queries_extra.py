@@ -16,8 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map2db_spark.functions import similarity as S
 from map2db_spark.registry import query
 from map2db_spark.tables import Tables
+
+_INT_VEC_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
 
 
 @query(
@@ -64,3 +70,378 @@ def m_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 80)
     return extract_wav_features(documents_as_wav_media(docs))
+
+
+@query(
+    "v_int8_quantization",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_INT_VEC_SQL} AS v FROM embeddings
+    ),
+    wm AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, e -> abs(e))) AS m
+      FROM iv WHERE list_max(list_transform(v, e -> abs(e))) > 0
+    ),
+    dims AS (
+      SELECT vec_id, label, m, v[i] AS x
+      FROM wm CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(v))) AS i) t
+    ),
+    qd AS (
+      SELECT vec_id, label, x,
+             (CASE WHEN x < 0 THEN -1 ELSE 1 END) *
+             CAST(floor((CAST(abs(x) AS DOUBLE) * 254.0 + CAST(m AS DOUBLE))
+                        / (CAST(m AS DOUBLE) * 2.0)) AS BIGINT) AS q
+      FROM dims
+    ),
+    sums AS (
+      SELECT vec_id, label,
+             CAST(sum(x * q) AS BIGINT) AS dvq,
+             CAST(sum(x * x) AS BIGINT) AS dvv,
+             CAST(sum(q * q) AS BIGINT) AS dqq
+      FROM qd GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(min(CAST(dvq AS DOUBLE)
+                     / (sqrt(CAST(dvv AS DOUBLE)) * sqrt(CAST(dqq AS DOUBLE)))),
+                 6) AS min_cos,
+           round(max(CAST(dvq AS DOUBLE)
+                     / (sqrt(CAST(dvv AS DOUBLE)) * sqrt(CAST(dqq AS DOUBLE)))),
+                 6) AS max_cos
+    FROM sums GROUP BY label ORDER BY label
+    """,
+    tags=("embedding", "quantization", "pipeline"),
+)
+def v_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with exact
+    cross-engine fidelity metrics: per-vector symmetric quantization to
+    [-127, 127] (scale = max |component|), then the cosine between the
+    original and quantized vector, min/max-aggregated per label.
+
+    All arithmetic that decides a value is integer or bit-deterministic
+    double (floor of an IEEE quotient of exactly-representable int64s),
+    so the oracle hash-matches without tolerance.
+
+    Scale: quantization is a map-only projection (array ops compile to
+    whole-stage codegen, no shuffle); int8 storage is the 4x memory /
+    bandwidth lever for the ANN paths — the fidelity numbers this query
+    emits are the evidence the compression is safe (min_cos stays
+    > 0.999 on real embeddings)."""
+    emb = Tables(spark, sf_dir).embeddings
+    iv = S.int_vec(F.col("embedding"))
+    withm = emb.select(
+        "vec_id", "label", iv.alias("v"),
+        F.array_max(F.transform(iv, lambda x: F.abs(x))).alias("m"),
+    ).where(F.col("m") > 0)
+    sign = lambda x: F.when(x < 0, F.lit(-1)).otherwise(F.lit(1))  # noqa: E731
+    quant = withm.select(
+        "vec_id", "label", "v",
+        F.transform(
+            F.col("v"),
+            lambda x: sign(x)
+            * F.floor(
+                (F.abs(x).cast("double") * F.lit(254.0) + F.col("m").cast("double"))
+                / (F.col("m").cast("double") * F.lit(2.0))
+            ).cast("bigint"),
+        ).alias("q"),
+    )
+    dots = quant.select(
+        "vec_id", "label",
+        S.int_dot(F.col("v"), F.col("q")).alias("dvq"),
+        S.int_dot(F.col("v"), F.col("v")).alias("dvv"),
+        S.int_dot(F.col("q"), F.col("q")).alias("dqq"),
+    )
+    cos = F.col("dvq").cast("double") / (
+        F.sqrt(F.col("dvv").cast("double")) * F.sqrt(F.col("dqq").cast("double"))
+    )
+    return (
+        dots.select("label", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+_SEM_CENTROIDS = S.ivf_centroids(dim=64, n_cells=16, seed=7)
+_SEM_SHIFT = 10_000
+_SEM_THRESHOLD = 0.35
+
+
+def _semantic_dedup_oracle() -> str:
+    dists = []
+    for c in _SEM_CENTROIDS:
+        arr = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+        norm = sum(v * v for v in c)
+        dists.append(f"({norm} - 2 * list_dot_product(v, {arr}))")
+    dist_list = "[" + ", ".join(dists) + "]"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, {_INT_VEC_SQL} AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SEM_SHIFT} AS vec_id, {_INT_VEC_SQL} AS v
+      FROM embeddings
+    ),
+    celled AS (
+      SELECT vec_id, v,
+             CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell
+      FROM (SELECT vec_id, v, {dist_list} AS dl FROM base)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM celled a
+      JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cell, sim FROM pairs WHERE sim >= {_SEM_THRESHOLD}
+    """
+
+
+@query(
+    "d_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "embedding", "clustering", "pipeline"),
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the doubled corpus: cluster
+    the embedding space into coarse cells (exact int64 nearest-centroid,
+    seeded centroids shared verbatim with the oracle), then exact
+    integer-cosine verification ONLY within cells.  The planted
+    duplicates are identical vectors, so they co-cluster
+    deterministically and always survive; the threshold is low enough
+    (0.35) that natural same-cell moderate-similarity pairs appear too.
+
+    Scale: complements d_cosine_near_dup (banded LSH) — clustering
+    gives semantically-coherent buckets a curator can also inspect,
+    and the quadratic verify is bounded per cell by choosing n_cells
+    ~ N / target_cell_size.  One cell-keyed shuffle; payloads cross
+    once per side, never per-pair."""
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + _SEM_SHIFT).alias("vec_id"), "embedding")
+    )
+    return S.semantic_near_dup(
+        corpus, _SEM_CENTROIDS, threshold=_SEM_THRESHOLD
+    )
+
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+# identical char-for-char mapping on both sides (translate() has the
+# same per-character semantics in Spark and DuckDB)
+_ACCENTS = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+_PLAIN = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+
+@query(
+    "t_text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           substr(norm, 1, 40) AS norm_prefix,
+           md5(norm) AS norm_md5
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(translate(lower(text),
+                                           '{_ACCENTS}', '{_PLAIN}'),
+                                 '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    """,
+    tags=("text", "normalize", "pipeline"),
+)
+def t_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: lowercase, accent fold (explicit
+    char map so both engines apply the identical mapping), whitespace
+    collapse, trim — fingerprinted with md5 so the oracle hash-matches
+    the full normalized string without emitting megabytes.
+
+    Scale: pure map-only projection over string builtins —
+    whole-stage-codegen, zero shuffles, streams at scan speed at any
+    corpus size."""
+    docs = Tables(spark, sf_dir).documents
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _ACCENTS, _PLAIN),
+            r"\s+", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "t_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, s
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t), 1), {_STRIDE})) AS s
+      ) g
+      WHERE s = 1 OR s + {_CHUNK} - 1 <= len(t) + {_STRIDE} - 1
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_STRIDE} AS INT) AS chunk_idx,
+           CAST(s - 1 AS INT) AS start_tok,
+           CAST(len(list_slice(t, s, s + {_CHUNK} - 1)) AS INT) AS n_tok,
+           md5(array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+    tags=("text", "chunking", "pipeline"),
+)
+def t_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for LLM context packing:
+    fixed 32-token windows at stride 24 (8-token overlap), each chunk
+    fingerprinted with md5 of its joined tokens.
+
+    Scale: explode amplifies rows ~len/stride, so the input is
+    repartitioned upstream at ingest (small-file rule, CLAUDE.md);
+    everything else is array builtins in one codegen stage — no
+    shuffle, no UDF."""
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.repartition(32).select("doc_id", t.alias("t"))
+    starts = base.select(
+        "doc_id", "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(_STRIDE))
+        ).alias("s"),
+    ).where(
+        (F.col("s") == 1)
+        | (F.col("s") + _CHUNK - 1 <= F.size("t") + _STRIDE - 1)
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), F.lit(_CHUNK))
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        (F.col("s") - 1).cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "c_embedding_decontam",
+    oracle=f"""
+    WITH iv AS (SELECT vec_id, {_INT_VEC_SQL} AS v FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, v AS bv FROM iv WHERE vec_id < 20),
+    corpus AS (SELECT vec_id, v FROM iv WHERE vec_id >= 20),
+    scored AS (
+      SELECT corpus.vec_id,
+             max(round(list_dot_product(v, bv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(bv, bv))), 6)) AS max_sim
+      FROM corpus CROSS JOIN bench
+      GROUP BY corpus.vec_id
+    )
+    SELECT vec_id, max_sim FROM scored WHERE max_sim >= 0.3
+    """,
+    tags=("curation", "decontamination", "embedding", "pipeline"),
+)
+def c_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors too similar to
+    any benchmark vector (exact integer cosine >= 0.3 against a small
+    held-out set) are flagged for removal — the semantic complement of
+    the n-gram c_decontaminate.
+
+    Scale: the benchmark side is tiny and BROADCAST; scoring is a
+    map-side nested loop over ~20 vectors per row followed by a
+    map-side partial max — the corpus never shuffles.  At a 100 TB
+    corpus this runs at scan speed; only the flagged sliver leaves the
+    stage."""
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    iv = S.int_vec(F.col("embedding"))
+    bench = (
+        emb.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("bench_id"), iv.alias("bv"))
+    )
+    corpus = emb.where(F.col("vec_id") >= 20).select("vec_id", iv.alias("v"))
+    dot = S.int_dot(F.col("v"), F.col("bv")).cast("double")
+    sim = F.round(
+        dot
+        / (
+            F.sqrt(S.int_dot(F.col("v"), F.col("v")).cast("double"))
+            * F.sqrt(S.int_dot(F.col("bv"), F.col("bv")).cast("double"))
+        ),
+        6,
+    )
+    return (
+        corpus.join(F.broadcast(bench))
+        .select("vec_id", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("max_sim"))
+        .where(F.col("max_sim") >= 0.3)
+    )
+
+
+@query(
+    "t_bpe_top_merges",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) g
+    )
+    SELECT pair, n, rank FROM (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS INT)
+               AS rank
+      FROM pairs GROUP BY pair
+    ) WHERE rank <= 20
+    """,
+    tags=("text", "tokenizer", "pipeline"),
+)
+def t_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training step: corpus-wide adjacent-pair
+    frequencies and the top-20 merge candidates (deterministic
+    count-desc, pair-asc tiebreak).  Iterating this (re-tokenize with
+    the merged symbol, recount) is exactly tokenizer induction.
+
+    Scale: pair explosion is map-side; the count is one keyed shuffle
+    with map-side partial aggregation (pairs follow a Zipf law, so
+    partials collapse hard); top-20 is TakeOrderedAndProject, no
+    global sort."""
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.repartition(32).select(t.alias("t"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    from pyspark.sql.window import Window
+
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # top-k FIRST via TakeOrderedAndProject (no global sort, no
+    # single-partition window over the full pair vocabulary), THEN
+    # rank the 20 survivors with a window that only ever sees 20 rows
+    top = counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    return top.select(
+        "pair", "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("pair")))
+        .cast("int")
+        .alias("rank"),
+    )

@@ -383,12 +383,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON n_nationkey = s_nationkey
-      WHERE n_name = 'NATION_5'
+      WHERE n_name = 'NATION_12'
       GROUP BY l_partkey
     )
     SELECT l_partkey AS p_partkey, round(value_c / 100.0, 2) AS part_value
     FROM supply
-    WHERE value_c * 100 > (SELECT CAST(sum(value_c) AS BIGINT) FROM supply)
+    WHERE value_c * 400 > (SELECT CAST(sum(value_c) AS BIGINT) FROM supply)
     ORDER BY part_value DESC, p_partkey
     """,
     tags=("tpch", "having", "scalar-subquery"),
@@ -398,15 +398,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptation: supply value comes from lineitem extended price of one
     nation's suppliers (no partsupp ``supplycost*availqty``); threshold
-    is 1% of the national total.
+    is 0.25% of the national total.
 
     Scale: the HAVING-vs-scalar-subquery compiles to one keyed
     aggregation plus a 1-row broadcast cross join — the national total
-    never shuffles the fact table a second time.  The 1% comparison is
-    exact integer cents (value_c*100 > total), immune to float order.
+    never shuffles the fact table a second time.  The 0.25% comparison is
+    exact integer cents (value_c*400 > total), immune to float order.
     """
     t = Tables(spark, sf_dir)
-    nat = t.nation.where(F.col("n_name") == "NATION_5").select("n_nationkey")
+    nat = t.nation.where(F.col("n_name") == "NATION_12").select("n_nationkey")
     sup = t.supplier.join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
@@ -419,7 +419,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = supply.agg(F.sum("value_c").cast("bigint").alias("total_c"))
     return (
         supply.join(F.broadcast(total))
-        .where(F.col("value_c") * 100 > F.col("total_c"))
+        .where(F.col("value_c") * 400 > F.col("total_c"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("value_c") / 100.0, 2).alias("part_value"),

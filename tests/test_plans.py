@@ -175,3 +175,76 @@ def test_ngram_jaccard_df_cap_bounds_self_join(spark):
     assert "LeftSemi" in plan, plan
     # the df aggregate (count distinct sid per shingle) feeds the cap
     assert plan.count("hashpartitioning(shingle") >= 1, plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+    # lineitem side reads only the 2 columns the semi join needs
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any(
+        "l_orderkey" in ln and "l_shipdate" in ln and "l_extendedprice" not in ln
+        for ln in schemas
+    )
+
+
+def test_q15_max_equality_is_broadcast_not_second_scan(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    # the scalar max joins back via broadcast; lineitem is scanned once
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 2  # reused scan, not per-branch
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_parts_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_decorrelation_no_cartesian(spark):
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # supplier-nation slice broadcasts; per-order stats join on orderkey
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    plan = plan_of(spark, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantization_is_map_only(spark):
+    plan = plan_of(spark, "v_int8_quantization")
+    # one shuffle total: the tiny label aggregation (plus its sort for
+    # the orderBy); quantization itself adds no exchange.  Formatted
+    # explain prints each node twice (tree + details), so count the
+    # tree form only.
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Exchange") <= 2
+
+
+def test_semantic_dedup_single_cell_shuffle_no_cartesian(spark):
+    plan = plan_of(spark, "d_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_topk_no_global_sort_window(spark):
+    plan = plan_of(spark, "t_bpe_top_merges")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_decontam_broadcast_no_corpus_shuffle(spark):
+    plan = plan_of(spark, "c_embedding_decontam")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_normalize_map_only(spark):
+    plan = plan_of(spark, "t_text_normalize")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert "Exchange" not in tree
