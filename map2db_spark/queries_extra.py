@@ -445,3 +445,127 @@ def t_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12: integer ranks, exact in BIGINT
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    lines = [f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges),
+    r0 AS (SELECT src AS node, CAST({_PR_SCALE} // n AS BIGINT) AS rank
+           FROM deg, nn)"""]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        lines.append(f""",
+    in{i} AS (
+      SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inflow
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT node,
+             CAST((({_PR_SCALE} // n) * 15) // 100 + (85 * inflow) // 100
+                  AS BIGINT) AS rank
+      FROM in{i}, nn
+    )""")
+        prev = f"r{i}"
+    lines.append(f"""
+    SELECT node, rank_e12, rnk FROM (
+      SELECT node, rank AS rank_e12,
+             CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT) AS rnk
+      FROM {prev}
+    ) WHERE rnk <= 20""")
+    return "".join(lines)
+
+
+@query(
+    "g_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "pipeline"),
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank, 3 fixed iterations, EXACT integer
+    arithmetic: ranks are 1e12-scaled BIGINTs; per-edge contribution is
+    integer division rank div outdeg; damping is (85*x) div 100 — so
+    both engines compute bit-identical ranks and the oracle (layered
+    CTEs, one per iteration) hash-matches without tolerance.  The
+    graph is the bidirectional customer-supplier trade graph derived
+    from orders x lineitem (suppliers offset by 1e6); bidirectional
+    edges mean no dangling nodes, so no rank mass leaks.
+
+    Scale: the classic join-agg loop — per iteration one shuffle of
+    (edge src)-keyed contributions and one dst-keyed aggregation;
+    edges and degrees are computed ONCE and localCheckpoint-ed
+    (components.py convention) so each iteration's lineage stays flat
+    and Catalyst never replans the derivation.  At 100 TB: persist
+    edges partitioned by src, and ranks co-partition with edges so
+    AQE coalesces the join shuffle; iterations are O(E) each,
+    independent of iteration count compounding."""
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.orders.select("o_orderkey", "o_custkey")
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    n = deg.count()  # node count: O(1) driver-side scalar, not a collect of data
+    base = F.lit(_PR_SCALE // n).cast("bigint")
+    teleport = F.lit(((_PR_SCALE // n) * 15) // 100).cast("bigint")
+    ranks = deg.select(F.col("src").alias("node"), base.alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").cast("bigint").alias("contrib"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("contrib").cast("bigint").alias("inflow"))
+            .select(
+                "node",
+                (teleport + F.expr("(85 * inflow) div 100").cast("bigint")).alias(
+                    "rank"
+                ),
+            )
+        )
+    from pyspark.sql.window import Window
+
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+    return top.select(
+        "node",
+        F.col("rank").alias("rank_e12"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("rank")), F.asc("node")))
+        .cast("int")
+        .alias("rnk"),
+    )
