@@ -203,6 +203,54 @@ def jaccard_pairs(
     )
 
 
+def overlap_pairs(
+    shingles: DataFrame, threshold: float = 0.8, df_cap: int | None = None,
+) -> DataFrame:
+    """Overlap (Szymkiewicz-Simpson) coefficient over the shingle
+    inverted index: shared / min(|A|, |B|) — the near-SUPERSET
+    detector.  A short document quoted wholesale inside a long one
+    scores 1.0 here but near 0 on Jaccard, which is why containment
+    pruning (quotes, boilerplate inclusions, excerpt pages) needs this
+    metric and not jaccard_pairs.
+
+    Same machinery and skew rail as jaccard_pairs: one self-join on
+    shingle; ``df_cap`` drops stopword shingles before the join (a
+    d-doc shingle is a d^2-row bucket), and sizes are computed over
+    the same capped set so the coefficient is exact over informative
+    shingles."""
+    if df_cap is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.countDistinct("sid").alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle", "left_semi")
+    sizes = shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
+    a = shingles.select(F.col("sid").alias("id_a"), "shingle")
+    b = shingles.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap_coef"),
+        )
+        .where(F.col("overlap_coef") >= threshold)
+    )
+
+
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

@@ -188,6 +188,45 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = "media_id LONG, width INT, height INT, ahash_bits STRING"
+
+
+def extract_png_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprint (average-hash family) from the REAL PNG
+    decode: bit (y, x) is 1 iff the R-channel pixel exceeds the image
+    mean.  The comparison is ``r * (w*h) > sum_r`` — threshold-vs-mean
+    without a division, so it is exact integer arithmetic an oracle can
+    reproduce closed-form.  Bits are emitted raster-order (y-major) as
+    a '0'/'1' string; identical strings = perceptual duplicates, small
+    Hamming distance = near-duplicates (pairs via groupBy on the hash,
+    never all-pairs pixel comparison).
+
+    Scale: decode + hash is one mapInPandas stage over binary payloads
+    (never collected); downstream dedup shuffles w*h-char hashes, not
+    images — the same metadata-not-media rule as the other kernels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.png import decode_png
+
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "ahash_bits": []}
+            for p in pdf["payload"]:
+                px = decode_png(bytes(p))
+                h, w, _ = px.shape
+                r = px[:, :, 0].astype("int64")
+                s = int(r.sum())
+                bits = (r * (w * h) > s).astype("uint8").ravel()  # y-major
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_bits"].append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AHASH_SCHEMA
+    )
+
+
 def documents_as_wav_media(docs: DataFrame) -> DataFrame:
     """Audio twin of ``documents_as_png_media``: each doc becomes a
     REAL RIFF/PCM WAV payload (functions/wav.py, stdlib ``wave``)
@@ -246,6 +285,44 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=WAV_FEATURE_SCHEMA
+    )
+
+
+WAV_ENERGY_SCHEMA = "media_id LONG, win_idx INT, n INT, energy BIGINT"
+
+
+def extract_wav_energy(media: DataFrame, win: int = 16) -> DataFrame:
+    """Windowed energy from the REAL WAV decode: int16 PCM samples are
+    split into fixed ``win``-sample windows (last window may be short)
+    and each window emits its exact sum of squared samples — the
+    integer-exact core of silence detection / voice-activity gating.
+    max energy per window: 32768^2 * win ~ 1.7e13, well inside BIGINT.
+
+    Scale: decode + windowing is one mapInPandas stage; the explode to
+    per-window rows happens INSIDE the Arrow kernel (numpy reshape),
+    so the expensive decode runs once per payload, and what leaves the
+    stage is (id, win_idx, 2 ints) — windows, not waveforms."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            ids, wins, ns, energies = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(p))
+                s64 = samples.astype("int64")
+                for wi in range(0, len(s64), win):
+                    chunk = s64[wi : wi + win]
+                    ids.append(mid)
+                    wins.append(wi // win)
+                    ns.append(len(chunk))
+                    energies.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "win_idx": wins, "n": ns, "energy": energies}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=WAV_ENERGY_SCHEMA
     )
 
 

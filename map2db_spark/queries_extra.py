@@ -569,3 +569,393 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rnk"),
     )
+
+
+@query(
+    "m_image_ahash",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 60
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y, (doc_id * 7 + x * 3 + y * 5) % 256 AS r
+      FROM m
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys
+    ),
+    sums AS (
+      SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r FROM px GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.w AS INT) AS width,
+           CAST(p.h AS INT) AS height,
+           string_agg(CASE WHEN p.r * (p.w * p.h) > s.sum_r
+                           THEN '1' ELSE '0' END,
+                      '' ORDER BY p.y, p.x) AS ahash_bits
+    FROM px p JOIN sums s ON p.doc_id = s.doc_id
+    GROUP BY p.doc_id, p.w, p.h
+    """,
+    tags=("multimodal", "image", "dedup", "pipeline"),
+)
+def m_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint over the REAL PNG decode path:
+    each deterministic PNG is decompressed + unfiltered
+    (functions/png.py), then hashed bit-per-pixel as R > image-mean —
+    computed as r*(w*h) > sum_r, pure integer arithmetic, so the
+    oracle reproduces the exact bit string from the closed-form pixel
+    pattern without being able to read PNG.  Grouping on this hash is
+    image near-dup detection (the aHash family) with no pixel-level
+    pair comparison.
+
+    Scale: one mapInPandas decode stage; the dedup shuffle downstream
+    carries w*h-character strings, never images."""
+    from map2db_spark.functions.multimodal import (
+        documents_as_png_media,
+        extract_png_ahash,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 60)
+    return extract_png_ahash(documents_as_png_media(docs))
+
+
+@query(
+    "m_wav_energy",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 32 + (doc_id % 41) * 3 AS n
+      FROM documents WHERE doc_id < 40
+    ),
+    s AS (
+      SELECT doc_id, i,
+             ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp
+      FROM m
+      CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(0, n - 1)) AS i) xs
+    )
+    SELECT doc_id AS media_id,
+           CAST(i // 16 AS INT) AS win_idx,
+           CAST(count(*) AS INT) AS n,
+           CAST(sum(smp * smp) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, i // 16
+    """,
+    tags=("multimodal", "audio", "pipeline"),
+)
+def m_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over the REAL WAV decode path: RIFF/PCM
+    payloads decode inside the Arrow kernel and each 16-sample window
+    emits its exact sum of squares — the silence-detection /
+    voice-activity primitive.  Integer-exact, so the oracle's
+    closed-form sample arithmetic hash-matches.
+
+    Scale: the per-window explode happens inside the kernel (numpy),
+    so decode runs once per payload and the stage emits window
+    metadata, not waveforms."""
+    from map2db_spark.functions.multimodal import (
+        documents_as_wav_media,
+        extract_wav_energy,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 40)
+    return extract_wav_energy(documents_as_wav_media(docs), win=16)
+
+
+_EXCERPT_SHIFT = 10_000
+_EXCERPT_TOKENS = 14
+_OVERLAP_DF_CAP = 4
+
+
+@query(
+    "d_containment_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + {_EXCERPT_SHIFT} AS doc_id,
+             array_to_string(list_slice({_TOKS_SQL}, 1, {_EXCERPT_TOKENS}), ' ')
+               AS text
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' '))))
+             AS shingle
+      FROM corpus
+    ),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_OVERLAP_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / least(na.n, nb.n), 6) AS overlap_coef
+    FROM inter JOIN sizes na ON na.sid = id_a
+               JOIN sizes nb ON nb.sid = id_b
+    WHERE round(shared / least(na.n, nb.n), 6) >= 0.8
+    """,
+    tags=("dedup", "containment", "pipeline"),
+)
+def d_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup via the overlap (Szymkiewicz-Simpson)
+    coefficient: shared / min(|A|, |B|) over 3-gram shingles — the
+    near-SUPERSET detector Jaccard misses.  The corpus is documents
+    plus a 14-token excerpt of each (ids shifted +10000): every
+    (doc, excerpt) pair scores exactly 1.0 because the excerpt's
+    shingles are a subset of its source's, while Jaccard on the same
+    pair is ~12/n.  This is the quote/boilerplate-inclusion pruning
+    pass of a curation pipeline.
+
+    Scale: same inverted-index self-join + df_cap skew rail as
+    d_ngram_jaccard (functions/dedup.py overlap_pairs); the excerpt
+    derivation is a map-only projection."""
+    import map2db_spark.functions.dedup as D
+
+    docs = (
+        Tables(spark, sf_dir).documents
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    excerpts = docs.select(
+        (F.col("doc_id") + _EXCERPT_SHIFT).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, _EXCERPT_TOKENS)).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    sh = D.shingle_table(corpus)
+    return D.overlap_pairs(sh, threshold=0.8, df_cap=_OVERLAP_DF_CAP)
+
+
+@query(
+    "t_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks
+      CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ),
+    counts AS (SELECT bigram, count(*) AS cnt FROM big GROUP BY bigram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cnt) AS BIGINT) AS freq_sum,
+           round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_freq
+    FROM big JOIN counts USING (bigram)
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "pipeline"),
+)
+def t_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality score (the exact-arithmetic core of
+    a CCNet-style LM perplexity filter): each document is scored by
+    the corpus-wide frequency of its own bigrams — word-salad text
+    built from rare bigrams scores low, formulaic/common text scores
+    high.  Two passes over the same bigram explode: a global count,
+    then a doc-grouped sum of the counts.  All sums are exact
+    integers; only the final average divides (identical IEEE double
+    division on both engines).
+
+    Scale: the count is one keyed shuffle with map-side combine
+    (Zipf-collapsed); the score join keys on bigram — the SAME key as
+    the count shuffle, so it co-partitions — and stopword-bigram hot
+    keys are exactly what AQE skew-join splitting handles (the join
+    is N-to-1 on the count side, so splitting is safe)."""
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        docs.repartition(32)
+        .select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 2)
+    )
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        big.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "freq_sum",
+            F.round(
+                F.col("freq_sum").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("avg_freq"),
+        )
+    )
+
+
+_GRID_START, _GRID_END = "2024-01-02 00:00:00", "2024-01-30 00:00:00"
+
+
+@query(
+    "w_linear_interp",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 40
+    ),
+    grid AS (
+      SELECT u.user_id, g.g AS grid_ts
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '{_GRID_START}',
+                                      TIMESTAMP '{_GRID_END}',
+                                      INTERVAL 6 HOUR)) AS g
+      ) g
+    ),
+    j AS (
+      SELECT grid.user_id, grid.grid_ts, p.t0, p.v0, n.t1, n.v1
+      FROM grid
+      CROSS JOIN LATERAL (
+        SELECT e.ts AS t0, e.value AS v0 FROM ev e
+        WHERE e.user_id = grid.user_id AND e.ts <= grid.grid_ts
+        ORDER BY e.ts DESC, e.value DESC LIMIT 1
+      ) p
+      CROSS JOIN LATERAL (
+        SELECT e.ts AS t1, e.value AS v1 FROM ev e
+        WHERE e.user_id = grid.user_id AND e.ts >= grid.grid_ts
+        ORDER BY e.ts ASC, e.value ASC LIMIT 1
+      ) n
+    )
+    SELECT user_id, grid_ts,
+           round(CASE WHEN t0 = t1 THEN v0
+                      ELSE v0 + (v1 - v0) *
+                           (CAST(epoch_us(grid_ts) - epoch_us(t0) AS DOUBLE)
+                            / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE))
+                 END, 6) AS interp_value
+    FROM j
+    """,
+    tags=("timeseries", "window", "interpolation"),
+)
+def w_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling by linear interpolation: each user's
+    irregular event stream is sampled onto a fixed 6-hour grid; every
+    grid point strictly inside the user's observed range gets
+    v0 + (v1-v0) * (tg-t0)/(t1-t0) from its surrounding events.
+    Implemented with the union-sort trick (operators/asof.py) run in
+    BOTH directions over one (user)-keyed shuffle: events and grid
+    points union, one forward window carries the previous event, one
+    backward window carries the next — no inequality join, no
+    per-grid-point probe.  Interpolation arithmetic is
+    exactly-mirrored IEEE double on exact integer microsecond deltas,
+    so the oracle (lateral neighbor probes) hash-matches.
+
+    Scale: two windows over the same partitioning = one shuffle total;
+    grid density controls output size, state per task is O(1).  The
+    deterministic tie rule (max value backward, min value forward at
+    equal ts) keeps the result partition-order independent."""
+    from map2db_spark.operators.resample import linear_interp_grid
+
+    ev = (
+        Tables(spark, sf_dir).events
+        .where(F.col("user_id") < 40)
+        .select("user_id", "ts", "value")
+    )
+    grid = ev.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(_GRID_START)),
+                F.to_timestamp(F.lit(_GRID_END)),
+                F.expr("INTERVAL 6 HOURS"),
+            )
+        ).alias("ts"),
+    )
+    out = linear_interp_grid(ev, grid, key="user_id")
+    return out.select(
+        "user_id", "grid_ts", F.round("interp_value", 6).alias("interp_value")
+    )
+
+
+_BUCKET_US = 1_800_000_000  # 30-minute interval-join bins
+
+
+@query(
+    "j_interval_overlap",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS err_id, user_id,
+             ts AS es, ts + INTERVAL 30 MINUTE AS ee
+      FROM events WHERE event_type = 'error' AND user_id < 60
+    ),
+    pur AS (
+      SELECT event_id AS pur_id, user_id,
+             ts - INTERVAL 15 MINUTE AS ps, ts + INTERVAL 15 MINUTE AS pe
+      FROM events WHERE event_type = 'purchase' AND user_id < 60
+    )
+    SELECT e.user_id, err_id, pur_id,
+           CAST(epoch_us(least(ee, pe)) - epoch_us(greatest(es, ps))
+                AS BIGINT) AS overlap_us
+    FROM err e JOIN pur p
+      ON e.user_id = p.user_id AND es <= pe AND ps <= ee
+    """,
+    tags=("join", "interval", "timeseries"),
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — error windows [ts, ts+30m] against
+    purchase windows [ts-15m, ts+15m] per user — via the binning
+    strategy: each interval explodes into the fixed 30-minute buckets
+    it touches, the join is EQUI on (user, bucket), and the exact
+    overlap predicate + distinct run after.  An interval can only
+    overlap another if they share a bucket, so this finds exactly the
+    inequality-join result without any nested-loop/cartesian operator
+    (asserted in test_plans.py).
+
+    Scale: the naive form is a per-key cross join (quadratic in events
+    per user); binned, each interval lands in O(len/bucket + 1)
+    buckets and the join is a plain shuffled equi-join whose skew rail
+    is bucket width — narrower buckets = fewer pairs per bucket, more
+    duplicate candidates (deduped by the distinct, which rides the
+    same keys)."""
+    from map2db_spark.operators.intervals import interval_overlap_join
+
+    ev = Tables(spark, sf_dir).events.where(F.col("user_id") < 60)
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("es"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ee"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("ps"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("pe"),
+    )
+    joined = interval_overlap_join(
+        err, pur, key="user_id", a_start="es", a_end="ee",
+        b_start="ps", b_end="pe", bucket_us=_BUCKET_US,
+    )
+    overlap = (
+        F.unix_micros(F.least("ee", "pe"))
+        - F.unix_micros(F.greatest("es", "ps"))
+    ).cast("bigint")
+    return joined.select(
+        "user_id", "err_id", "pur_id", overlap.alias("overlap_us")
+    )

@@ -248,3 +248,54 @@ def test_text_normalize_map_only(spark):
     plan = plan_of(spark, "t_text_normalize")
     tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert "Exchange" not in tree
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """The interval-overlap join must run as an EQUI join on
+    (user_id, bucket) — never a nested-loop/cartesian inequality
+    join, which is quadratic per user at scale."""
+    plan = plan_of(spark, "j_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bucket" in plan, plan
+
+
+def test_linear_interp_single_user_shuffle(spark):
+    """Both interpolation windows (previous + next event carry) must
+    ride ONE user_id exchange — the union-sort trick run twice over
+    the same partitioning, not an inequality join per direction."""
+    plan = plan_of(spark, "w_linear_interp")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    # exactly one exchange keyed on user_id feeds the windows (the
+    # grid side adds its own small pre-union exchanges; the window
+    # partitioning is the one that carries data volume)
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+
+def test_containment_dedup_df_capped(spark):
+    """The overlap-coefficient self-join reuses the jaccard skew rail:
+    shingles above the document-frequency cap are semi-joined away
+    BEFORE the shingle-shingle join."""
+    plan = plan_of(spark, "d_containment_dedup")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_image_ahash_stays_arrow(spark):
+    """PNG encode + decode + perceptual hash must be mapInPandas
+    stages (Arrow batches); hash grouping shuffles strings, never
+    payloads."""
+    plan = plan_of(spark, "m_image_ahash")
+    assert plan.count("MapInPandas") >= 2, plan
+
+
+def test_bigram_score_join_co_partitions_with_count(spark):
+    """The score join keys on bigram — the same key as the count
+    shuffle — so the plan shows bigram hash partitioning reused, and
+    no nested-loop operator anywhere."""
+    plan = plan_of(spark, "t_bigram_lm_score")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("hashpartitioning(bigram") >= 1, plan
