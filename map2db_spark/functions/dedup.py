@@ -284,6 +284,56 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return voted.select("sid", sig.cast("long").alias("simhash"))
 
 
+def simhash_banded_pairs(
+    sigs: DataFrame, bits: int = 16, n_bands: int = 4, max_dist: int = 3,
+) -> DataFrame:
+    """Scale path for SimHash near-dup: band each signature into
+    ``n_bands`` equal bit segments and equi-join on exact segment
+    match, then verify Hamming distance on candidates only.
+
+    With ``n_bands > max_dist`` this is EXACT, not approximate: a pair
+    within Hamming ``max_dist`` differs in at most ``max_dist`` bits,
+    which can dirty at most ``max_dist`` bands, so at least one band
+    matches exactly (pigeonhole) and the pair is guaranteed to be a
+    candidate.  Candidate generation is a single (band_idx, band_val)
+    equi-join — the same shuffle shape as banded MinHash LSH — instead
+    of the all-pairs cross join of the baseline form.
+
+    Input: (sid, simhash) from ``simhash()``.  Output: (id_a, id_b,
+    hamming) — identical to the all-pairs result."""
+    assert n_bands > max_dist, "exactness needs n_bands > max_dist"
+    assert bits % n_bands == 0
+    r = bits // n_bands
+    band_arr = F.array(
+        *[
+            (F.shiftright(F.col("simhash"), j * r) % F.lit(2**r)).cast("int")
+            for j in range(n_bands)
+        ]
+    )
+    long = sigs.select("sid", "simhash", F.posexplode(band_arr).alias("band_idx", "bv"))
+    a = long.select(
+        F.col("sid").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band_idx", "bv",
+    )
+    b = long.select(
+        F.col("sid").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band_idx", "bv",
+    )
+    return (
+        a.join(b, ["band_idx", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
 def minhash_signatures_rowlocal(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, n: int = 3,

@@ -959,3 +959,158 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id", "err_id", "pur_id", overlap.alias("overlap_us")
     )
+
+
+@query(
+    "d_simhash_banded",
+    oracle=None,  # assigned below: identical result contract to d_simhash_hamming
+    tags=("dedup", "simhash", "lsh", "pipeline"),
+)
+def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup at scale: signatures band into 4 x 4-bit
+    segments, candidates come from a (band_idx, band_val) EQUI join,
+    and Hamming <= 3 verifies candidates only.  With 4 bands and
+    distance 3 this is pigeonhole-EXACT — the result set is identical
+    to the all-pairs d_simhash_hamming, so the oracle is the same
+    all-pairs SQL; what changes is the plan: the O(N^2) cross join
+    becomes banded-LSH shuffle shape (functions/dedup.py
+    simhash_banded_pairs), the form that survives a 100 TB corpus."""
+    import map2db_spark.functions.dedup as D
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    return D.simhash_banded_pairs(D.simhash(docs, bits=16), bits=16, n_bands=4)
+
+
+# identical result contract -> identical oracle (the oracle engine
+# doesn't need the banding; exactness is proven by pigeonhole + tests)
+from map2db_spark.queries_pipeline import _simhash_hamming_oracle  # noqa: E402
+
+from map2db_spark.registry import QUERIES as _Q  # noqa: E402
+
+_Q["d_simhash_banded"].oracle = _simhash_hamming_oracle()
+
+
+@query(
+    "x_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+             AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM c) AS DOUBLE), 6)
+             AS click_to_purchase
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: users whose first view precedes a
+    click precedes a purchase, each stage anchored at the earliest
+    event satisfying the order constraint (strict event-sequence
+    matching, not independent counts).
+
+    Scale: three user-keyed aggregations chained by equi-joins on
+    user_id — every stage co-partitions with the previous one, so the
+    funnel costs one user_id shuffle followed by AQE-coalesced reuse;
+    stage outputs are one row per qualifying user, shrinking
+    monotonically down the funnel."""
+    ev = Tables(spark, sf_dir).events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        nv.crossJoin(nc).crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(
+                F.col("n_clicked").cast("double")
+                / F.col("n_viewed").cast("double"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchased").cast("double")
+                / F.col("n_clicked").cast("double"), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+@query(
+    "d_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, act_week) // 7 AS INT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM firstw JOIN act USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def d_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event; n_users counts who was active k weeks later.  The
+    standard product-analytics triangle, computed with exact integer
+    week arithmetic (Monday-truncated weeks in both engines).
+
+    Scale: first-event and activity-week aggs both key on user_id
+    (one shuffle, reused); the final (cohort, offset) agg is tiny —
+    O(weeks^2) output regardless of corpus size."""
+    ev = Tables(spark, sf_dir).events.select("user_id", "ts")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        firstw.join(act, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(act_week, cohort_week) div 7")
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -299,3 +299,20 @@ def test_bigram_score_join_co_partitions_with_count(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("hashpartitioning(bigram") >= 1, plan
+
+
+def test_simhash_banded_no_cross_join(spark):
+    """The banded simhash path must candidate-generate via the
+    (band_idx, band_val) equi-join — the all-pairs cross join it
+    replaces (d_simhash_hamming's baseline) must not appear."""
+    plan = plan_of(spark, "d_simhash_banded")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_idx" in plan, plan
+
+
+def test_funnel_stages_co_partition_on_user(spark):
+    """Funnel stages chain user_id-keyed aggs and joins; no
+    nested-loop operator except the final three 1-row stitches."""
+    plan = plan_of(spark, "x_funnel_conversion")
+    assert plan.count("hashpartitioning(user_id") >= 1, plan

@@ -171,3 +171,34 @@ def test_png_ahash_matches_closed_form(spark):
         assert (got.width, got.height) == (w, h)
         assert got.ahash_bits == expect
         assert len(got.ahash_bits) == w * h
+
+
+def test_simhash_banded_equals_all_pairs(spark):
+    """Pigeonhole exactness: 4 bands / Hamming <= 3 banded candidates
+    verify to EXACTLY the all-pairs result."""
+    import map2db_spark.functions.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 7} z{i % 3}") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    sigs = D.simhash(docs, bits=16)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_banded_pairs(sigs, bits=16, n_bands=4).collect()
+    }
+    a = sigs.select(F.col("sid").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("sid").alias("id_b"), F.col("simhash").alias("sh_b"))
+    allpairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == allpairs
+    assert len(allpairs) > 0
