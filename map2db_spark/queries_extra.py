@@ -1072,11 +1072,11 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_cohort_retention",
     oracle="""
     WITH firstw AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
       FROM events GROUP BY user_id
     ),
     act AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
       FROM events
     )
     SELECT cohort_week,
@@ -1099,10 +1099,10 @@ def d_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(weeks^2) output regardless of corpus size."""
     ev = Tables(spark, sf_dir).events.select("user_id", "ts")
     firstw = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     act = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("act_week")
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
     ).distinct()
     return (
         firstw.join(act, "user_id")
@@ -1113,4 +1113,207 @@ def d_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "x_salted_join",
+    oracle="""
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                  ELSE l_orderkey % 100 END AS k,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT i AS k, CAST((i * 7) % 13 AS INT) AS grp
+      FROM (SELECT unnest(generate_series(0, 99)) AS i)
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM big JOIN dim USING (k)
+    GROUP BY grp
+    """,
+    tags=("join", "skew", "salting"),
+)
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join for a skewed key: 90% of fact rows share
+    key 0, which would pile onto one reducer in a plain shuffle join.
+    The fact side gets a deterministic salt (row-derived, not rand()),
+    the dim side replicates once per salt value, and the join runs on
+    (k, salt) — spreading the hot key over 8 reducers.  The join is
+    hinted merge to model the regime where the dim is too big to
+    broadcast (broadcast is the FIRST answer to skew; salting is for
+    when both sides must shuffle).  Result is identical to the plain
+    join (the oracle IS the plain join); revenue is summed in exact
+    integer cents so distribution order can't change the value."""
+    li = Tables(spark, sf_dir).lineitem.select(
+        F.when(F.col("l_orderkey") % 100 < 90, 0)
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("l_linenumber") % 8).cast("int").alias("salt"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7) % 13).cast("int").alias("grp"),
+    )
+    dim_salted = dim.select(
+        "k", "grp", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt")
+    )
+    joined = li.join(dim_salted.hint("merge"), ["k", "salt"])
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+@query(
+    "r_cdc_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    merged AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT m.user_id,
+           m.ts AS last_ts,
+           round(m.value, 6) AS last_value,
+           CAST(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_new
+    FROM merged m
+    LEFT JOIN (SELECT DISTINCT user_id FROM base) b USING (user_id)
+    WHERE m.rn = 1
+    """,
+    tags=("cdc", "merge", "upsert"),
+)
+def r_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics re-expressed relationally (the batch CDC
+    upsert; reference S12's upsert sink by another road): a base
+    snapshot and a change stream union, one row_number window keyed on
+    the merge key picks the latest version (deterministic event_id
+    tiebreak), and an is_new flag marks inserts vs updates.
+
+    Scale: this is the standard scalable MERGE shape — one shuffle on
+    the merge key for the window, one co-partitioned left join for the
+    flag; no per-row point lookups.  Late-arriving changes fold in by
+    construction because versions order by event time, not arrival."""
+    ev = Tables(spark, sf_dir).events.select("user_id", "ts", "event_id", "value")
+    cutoff = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    base = ev.where(F.col("ts") < cutoff)
+    changes = ev.where(F.col("ts") >= cutoff)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    merged = (
+        base.unionByName(changes)
+        .select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+    )
+    base_users = base.select("user_id").distinct().withColumn("in_base", F.lit(1))
+    return (
+        merged.join(base_users, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+            F.when(F.col("in_base").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("is_new"),
+        )
+    )
+
+
+@query(
+    "w_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 50
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_type IS NULL
+                       OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    islands AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, island, event_type AS state,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, island, event_type
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY island) AS valid_to,
+           n_events
+    FROM runs
+    """,
+    tags=("scd2", "window", "change-tracking"),
+)
+def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change-interval construction (slowly-changing-dimension
+    type 2): each user's event_type stream collapses into consecutive
+    runs with [valid_from, valid_to) validity — valid_to is the next
+    run's start, NULL while current.  Gaps-and-islands via
+    lag-compare + running sum, then one lead for interval close-off.
+
+    Scale: all three windows partition on user_id — ONE shuffle total;
+    run collapse is a co-partitioned groupBy.  The deterministic
+    (ts, event_id) tiebreak keeps island numbering stable under
+    re-partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        Tables(spark, sf_dir).events
+        .where(F.col("user_id") < 50)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "*",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    islands = flagged.select(
+        "*",
+        F.sum("chg")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    runs = islands.groupBy(
+        "user_id", "island", F.col("event_type").alias("state")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wi).alias("valid_to"),
+        "n_events",
     )

@@ -316,3 +316,19 @@ def test_funnel_stages_co_partition_on_user(spark):
     nested-loop operator except the final three 1-row stitches."""
     plan = plan_of(spark, "x_funnel_conversion")
     assert plan.count("hashpartitioning(user_id") >= 1, plan
+
+
+def test_salted_join_is_shuffle_on_salted_keys(spark):
+    """The salted join must actually shuffle on (k, salt) — a merge
+    join with salt in its partitioning — not collapse back to a
+    broadcast (which would bypass the technique being demonstrated)."""
+    plan = plan_of(spark, "x_salted_join")
+    assert "SortMergeJoin" in plan, plan
+    assert "salt" in plan, plan
+
+
+def test_scd2_windows_share_one_user_shuffle(spark):
+    """lag, running-sum, and lead all partition on user_id; the plan
+    must not add a second user-keyed exchange for the lead."""
+    plan = plan_of(spark, "w_scd2_intervals")
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
