@@ -1317,3 +1317,118 @@ def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wi).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "u_udtf_chunker",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE doc_id < 100
+    ),
+    starts AS (
+      SELECT doc_id, t, s
+      FROM toks CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t), 16)) AS s) g
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 16 AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, s, s + 15)) AS INT) AS n_tok,
+           md5(array_to_string(list_slice(t, s, s + 15), ' ')) AS chunk_md5
+    FROM starts
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def u_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 3.5+ table functions): a
+    row-to-many-rows chunker invoked through SQL LATERAL — the
+    API-complete counterpart of the vectorized pandas_udf
+    (u_pandas_udf_haversine) on the table-function side.  Emits
+    disjoint 16-token chunks with md5 fingerprints; the oracle
+    recomputes them with array builtins.
+
+    Scale note (documented trade-off): UDTFs evaluate row-at-a-time
+    in Python — fine for control-plane fan-outs like this, but hot
+    paths should use the codegen array form (t_doc_chunking) or
+    Arrow-batched mapInPandas; this query exists to cover the API
+    surface with a correctness-checked example, capped at 100 docs."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tok int, chunk_md5 string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            for i in range(0, len(toks), 16):
+                chunk = toks[i : i + 16]
+                yield (
+                    i // 16,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunker_udtf", Chunker)
+    Tables(spark, sf_dir).documents.where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tok, c.chunk_md5 "
+        "FROM _udtf_docs d, LATERAL chunker_udtf(d.text) c"
+    )
+
+
+@query(
+    "t_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 4),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 4), ' '))))
+             AS shingle
+      FROM documents
+    ),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT sid AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN dfc USING (shingle)
+    GROUP BY sid
+    """,
+    tags=("text", "novelty", "dedup", "pipeline"),
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty score: the fraction of a document's distinct
+    5-gram shingles that appear in NO other document — the curation
+    signal for prioritizing near-dup review (low novelty = heavily
+    shared content) and for corpus diversity dashboards.
+
+    Scale: shingle document frequencies are one keyed shuffle with
+    map-side combine; the score join keys on shingle (co-partitioned
+    with the count), and the per-doc rollup keys on doc_id.  Since a
+    doc's shingles are distinct, count(*) per shingle IS document
+    frequency — no countDistinct shuffle needed."""
+    import map2db_spark.functions.dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+    sh = D.shingle_table(docs, n=5)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy(F.col("sid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
