@@ -1432,3 +1432,206 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "x_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("storage", "bucketing", "join", "scale"),
+)
+def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides are written with
+    ``bucketBy(8, <orderkey>)`` + ``sortBy`` and re-read through the
+    catalog, so the merge join consumes the on-disk bucketing and
+    needs NO Exchange on either side — the canonical layout for a
+    fact-fact join that would otherwise shuffle 100 TB twice.  The
+    only Exchange in the whole plan is the final small groupBy
+    (asserted in test_plans.py).  The join is hinted merge because at
+    test SF the optimizer would broadcast instead (which would hide
+    the layout effect this query exists to demonstrate).
+
+    The oracle is the plain logical join — bucketing is a physical
+    layout choice and must not change results.  Revenue is summed in
+    exact integer cents so reducer order can't perturb the value.
+    """
+    import os
+    import tempfile
+
+    t = Tables(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"m2s_bucketed_{app}")
+    for name, df, key, cols in (
+        ("m2s_orders_b", t.orders, "o_orderkey",
+         ["o_orderkey", "o_orderpriority"]),
+        ("m2s_lineitem_b", t.lineitem, "l_orderkey",
+         ["l_orderkey", "l_extendedprice"]),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.select(*cols)
+            .write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("m2s_orders_b")
+    li = spark.table("m2s_lineitem_b")
+    joined = o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+@query(
+    "x_partition_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type
+    """,
+    tags=("storage", "partitioning", "pruning", "scale"),
+)
+def x_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: events are written
+    ``partitionBy(event_date)`` and re-read with a date-range filter,
+    which Catalyst resolves against the DIRECTORY layout
+    (``PartitionFilters`` in the scan, asserted in test_plans.py) —
+    at 100 TB the other ~3 weeks of files are never opened, the
+    strongest form of pushdown (no row groups read at all, vs
+    row-group stats skipping for in-file predicates).
+
+    The oracle filters the unpartitioned table by the same derived
+    date: partition layout is physical, results must be identical.
+    """
+    import os
+    import tempfile
+
+    ev = Tables(spark, sf_dir).events
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"m2s_events_bydate_{app}")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path).where(
+        (F.col("event_date") >= F.lit("2024-01-08"))
+        & (F.col("event_date") <= F.lit("2024-01-14"))
+    )
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+@query(
+    "x_bloom_semi_join",
+    oracle="""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_nationkey = 5
+    ),
+    bits AS (
+      SELECT DISTINCT substr(md5(s || CAST(c_custkey AS VARCHAR)), 1, 3) AS p
+      FROM build CROSS JOIN (SELECT unnest(['a', 'b', 'c']) AS s) sa
+    ),
+    probe AS (
+      SELECT o_orderstatus,
+             (substr(md5('a' || CAST(o_custkey AS VARCHAR)), 1, 3)
+                IN (SELECT p FROM bits)
+              AND substr(md5('b' || CAST(o_custkey AS VARCHAR)), 1, 3)
+                IN (SELECT p FROM bits)
+              AND substr(md5('c' || CAST(o_custkey AS VARCHAR)), 1, 3)
+                IN (SELECT p FROM bits)) AS pass,
+             o_custkey IN (SELECT c_custkey FROM build) AS member
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos
+    FROM probe
+    GROUP BY o_orderstatus
+    """,
+    tags=("sketch", "bloom", "join", "scale"),
+)
+def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, engine-portable: the build
+    side (customers of one nation) is compressed into a k=3 Bloom
+    filter whose positions are 3-hex-char salted md5 prefixes
+    (m=4096 possible positions — the repo's portable-hash idiom, no
+    hex->int conversion), and the fact probe keeps rows only when ALL
+    k positions are set.  The filter is bounded at m entries no
+    matter how large the build side grows, so shipping it to 1000
+    executors costs O(m), not O(|build|) — the same trick Spark's own
+    runtime row-group Bloom pushdown uses, made explicit and
+    cross-engine reproducible.
+
+    False positives are COUNTED exactly (n_false_pos) by comparing
+    against true membership via a broadcast flag join — diagnostics
+    you'd sample rather than fully join at 100 TB; the Bloom pass
+    itself never touches the build side after the O(m) collect.
+    """
+    t = Tables(spark, sf_dir)
+    build = t.customer.where(F.col("c_nationkey") == 5).select("c_custkey")
+    salted = build.select(
+        F.explode(F.array(F.lit("a"), F.lit("b"), F.lit("c"))).alias("s"),
+        F.col("c_custkey"),
+    ).select(
+        F.substring(
+            F.md5(F.concat(F.col("s"), F.col("c_custkey").cast("string"))),
+            1,
+            3,
+        ).alias("p")
+    )
+    bits = sorted({r.p for r in salted.distinct().collect()})  # O(m) <= 4096
+
+    def pos(salt: str):
+        return F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("o_custkey").cast("string"))),
+            1,
+            3,
+        )
+
+    probe = t.orders.select("o_orderstatus", "o_custkey").withColumn(
+        "pass",
+        pos("a").isin(bits) & pos("b").isin(bits) & pos("c").isin(bits),
+    )
+    flagged = probe.join(
+        F.broadcast(build.withColumn("member", F.lit(True))),
+        probe.o_custkey == build.c_custkey,
+        "left",
+    ).withColumn("member", F.coalesce(F.col("member"), F.lit(False)))
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_member"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )

@@ -332,3 +332,33 @@ def test_scd2_windows_share_one_user_shuffle(spark):
     must not add a second user-keyed exchange for the lead."""
     plan = plan_of(spark, "w_scd2_intervals")
     assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+
+def test_bucketed_join_no_join_exchange(spark):
+    """Both scans consume the on-disk bucketing (Bucketed: true) and
+    the merge join runs with NO shuffle on the join key — the only
+    Exchange left is the final small groupBy."""
+    plan = plan_of(spark, "x_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert plan.count("hashpartitioning(") == 1, plan  # groupBy only
+
+
+def test_partition_pruning_reaches_directory_layout(spark):
+    """The date-range predicate must resolve against partition
+    directories (PartitionFilters), not per-row filtering."""
+    plan = plan_of(spark, "x_partition_pruned_scan")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_date" in pf and ">= 2024-01-08" in pf, pf
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The Bloom pass is a pure map-side In-set filter; the only
+    joins are the broadcast diagnostics flag — no shuffle join, one
+    final agg exchange."""
+    plan = plan_of(spark, "x_bloom_semi_join")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("hashpartitioning(") == 1, plan
