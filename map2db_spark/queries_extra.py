@@ -1635,3 +1635,130 @@ def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+def _morton_sql(xc: str, yc: str, spark_side: bool) -> str:
+    """12-bit Morton (Z-order) interleave of two 6-bit coordinates,
+    written with div/mod arithmetic only so the SAME closed form works
+    in Spark SQL (`div`) and DuckDB (`//`) without bit operators."""
+    idiv = "div" if spark_side else "//"
+    terms = []
+    for i in range(6):
+        terms.append(f"((({xc}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({yc}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "x_zorder_layout",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST({_morton_sql('o_custkey % 64', 'o_orderkey % 64', False)}
+                  AS BIGINT) AS morton,
+             o_custkey % 64 AS x, o_orderkey % 64 AS y
+      FROM orders
+    )
+    SELECT CAST(morton // 256 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(morton) AS BIGINT) AS min_morton,
+           CAST(max(morton) AS BIGINT) AS max_morton,
+           CAST(sum(CASE WHEN x >= 32 AND y >= 32 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quad_xy,
+           CAST(sum(CASE WHEN morton >= 3072 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quad_morton
+    FROM m GROUP BY 1
+    """,
+    tags=("layout", "zorder", "scale"),
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality key, the multi-dimensional clustering
+    trick behind Delta/Iceberg Z-ordering: interleaving the bits of two
+    columns gives ONE sort key under which a 2-D box predicate becomes
+    a small set of contiguous key ranges, so min/max file statistics
+    prune files for BOTH dimensions at once.  The query proves the
+    locality property instead of asserting it: the quadrant
+    ``x >= 32 AND y >= 32`` is exactly the single Morton interval
+    ``[3072, 4095]`` (top two interleaved bits set), so per-cell counts
+    of the 2-D predicate (n_quad_xy) and the 1-D key-range predicate
+    (n_quad_morton) must be identical.  The interleave is closed-form
+    div/mod arithmetic — whole-stage-codegen column expressions, no
+    UDF, no shuffle before the 16-cell aggregate."""
+    o = Tables(spark, sf_dir).orders.select(
+        (F.col("o_custkey") % 64).alias("x"),
+        (F.col("o_orderkey") % 64).alias("y"),
+    )
+    m = o.withColumn(
+        "morton", F.expr(_morton_sql("x", "y", True)).cast("bigint")
+    )
+    return m.groupBy(F.expr("morton div 256").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("morton").alias("min_morton"),
+        F.max("morton").alias("max_morton"),
+        F.sum(F.when((F.col("x") >= 32) & (F.col("y") >= 32), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quad_xy"),
+        F.sum(F.when(F.col("morton") >= 3072, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quad_morton"),
+    )
+
+
+@query(
+    "w_ewma_dyadic",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    recent AS (SELECT * FROM ranked WHERE rn <= 16)
+    SELECT user_id,
+           CAST(count(*) AS INT) AS n_used,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT)
+             AS ewma_num,
+           CAST(sum(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT) AS ewma_den,
+           CAST((sum(cents * (CAST(1 AS BIGINT) << (16 - rn))) * 1000000)
+                // sum(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT)
+             AS ewma_micros
+    FROM recent
+    GROUP BY user_id
+    """,
+    tags=("window", "timeseries", "scale"),
+)
+def w_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with a dyadic decay
+    (alpha = 1/2) over each user's 16 most recent events, computed in
+    EXACT integer arithmetic: weight(rank r) = 2^(16-r), numerator and
+    denominator are bigint sums, and the fixed-point ratio is floor
+    division — order-independent across any shuffle, so the result is
+    bit-identical on 1 or 1000 executors (floats folded left-to-right
+    would not be).  One window (partitioned by user_id — the same key
+    as the final aggregate, so AQE coalesces to a single Exchange) and
+    one partial-aggregated groupBy; the per-user state is bounded at
+    16 rows regardless of history length, which is what makes the
+    pattern safe for unbounded event history at 100 TB."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 16)
+        .withColumn("wt", F.expr("shiftleft(cast(1 as bigint), 16 - rn)"))
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_used"),
+        F.sum(F.col("cents") * F.col("wt")).cast("bigint").alias("ewma_num"),
+        F.sum("wt").cast("bigint").alias("ewma_den"),
+        F.expr("sum(cents * wt) * 1000000 div sum(wt)")
+        .cast("bigint")
+        .alias("ewma_micros"),
+    )
