@@ -22,12 +22,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-_PKG_SHIPPED: set[str] = set()
-
-
 def _nanos_as_long(spark: SparkSession) -> None:
-    # events.parquet stores TIMESTAMP(NANOS); the driver's session may not
-    # have the legacy flag set, so set it here (runtime-settable SQL conf).
+    # Some testdata generations store events.ts as TIMESTAMP(NANOS); the
+    # driver's session may not have the legacy flag set, so set it here
+    # (runtime-settable SQL conf).  tables.load branches on the loaded
+    # dtype, so this is harmless for TIMESTAMP(MICROS) generations.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Parquet timestamps are timezone-naive; DuckDB reads them verbatim.
     # Pin the Spark session to UTC so both engines render identical values.
@@ -35,19 +34,10 @@ def _nanos_as_long(spark: SparkSession) -> None:
     # Ship the package to executor Python workers: queries with Arrow
     # kernels (mapInPandas/applyInPandas) unpickle references to
     # map2db_spark on the worker side, and the harness's session may not
-    # have this repo on the workers' sys.path.  Same mechanism ships the
-    # code to a real cluster.
-    app_id = spark.sparkContext.applicationId
-    if app_id not in _PKG_SHIPPED:
-        import zipfile
+    # have this repo on the workers' sys.path.
+    from map2db_spark.session import ship_package
 
-        pkg_dir = Path(_REPO) / "map2db_spark"
-        zip_path = Path(_REPO) / ".map2db_spark_pkg.zip"
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for f in sorted(pkg_dir.rglob("*.py")):
-                zf.write(f, f"map2db_spark/{f.relative_to(pkg_dir)}")
-        spark.sparkContext.addPyFile(str(zip_path))
-        _PKG_SHIPPED.add(app_id)
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

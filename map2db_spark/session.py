@@ -23,6 +23,32 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+_PKG_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship map2db_spark to executor Python workers via addPyFile.
+
+    Arrow kernels (mapInPandas/applyInPandas/pandas_udf) unpickle
+    references to this package on the worker side; workers only have
+    the launch cwd on sys.path, so any session whose driver process
+    didn't start inside the repo needs the zip.  Same mechanism ships
+    the code to a real cluster — addPyFile distributes to every
+    executor.  Idempotent per application."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PKG_SHIPPED:
+        return
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = pkg_dir.parent / ".map2db_spark_pkg.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            zf.write(f, f"map2db_spark/{f.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
+    _PKG_SHIPPED.add(app_id)
+
 
 def get_spark(app_name: str = "map2db_spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
@@ -48,4 +74,6 @@ def get_spark(app_name: str = "map2db_spark", cpus: str | None = None) -> SparkS
         # integer division — no double round-trip).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -39,13 +39,22 @@ from pyspark.sql.types import (
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table.  The nanosecond
-    timestamp is read as long (same legacy conf as batch) and converted
-    with exact integer division."""
+    """File-source stream over the events table.  The stream schema
+    must match the file's physical type, so probe it the same way
+    tables.load does: long-nanos generations of events.parquet read ts
+    as LONG and convert with exact integer division; micros
+    generations read ts as TIMESTAMP directly."""
     import os
 
+    import pyarrow.parquet as pq
+    from pyarrow import types as patypes
+
+    ts_field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    nanos_as_long = patypes.is_timestamp(ts_field.type) and ts_field.type.unit == "ns"
+
+    ts_ddl = "ts LONG" if nanos_as_long else "ts TIMESTAMP"
     schema = (
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING,"
+        f"event_id LONG, {ts_ddl}, user_id LONG, event_type STRING,"
         " value DOUBLE, props STRING"
     )
     raw = (
@@ -55,7 +64,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos_as_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_event_counts(events: DataFrame, window: str = "6 hours",

@@ -36,13 +36,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, read as long nanoseconds via
-        # spark.sql.legacy.parquet.nanosAsLong.  Truncate to microseconds
-        # with exact integer division (`div`, not `/` — a double round-trip
-        # of ~1.7e18 ns loses precision) to match DuckDB's µs timestamps.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The driver has generated events.ts as TIMESTAMP(NANOS) in some
+        # rounds (read as long nanoseconds via
+        # spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS)
+        # in others.  Branch on the loaded dtype so both generations work:
+        # nanos truncate to microseconds with exact integer division
+        # (`div`, not `/` — a double round-trip of ~1.7e18 ns loses
+        # precision); NTZ micros just re-type to session-TZ timestamp so
+        # every downstream window/date function sees one type.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
