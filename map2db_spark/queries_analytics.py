@@ -1,0 +1,340 @@
+"""Corpus/graph analytics extensions: triangle counting, weighted
+sampling without replacement, and a count-min sketch — three more
+operations a large-scale training-data pipeline needs, each expressed
+Spark-first with an exact DuckDB oracle.
+
+Shared parity conventions (CLAUDE.md): every cross-engine value is
+integer or md5-string; hex->int via Spark ``conv(x,16,10)`` vs DuckDB
+``CAST(concat('0x',x) AS BIGINT)``; identical column aliases both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# --------------------------------------------------------------------------
+
+@query(
+    "g_triangle_count",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           (SELECT CAST((SELECT n_triangles FROM tri) * 3000000
+                        // sum(d * (d - 1) // 2) AS BIGINT)
+            FROM deg) AS closure_ppm
+    """,
+    tags=("graph", "analytics", "scale"),
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the part co-purchase graph (parts are
+    adjacent iff some order contains both), via DEGREE-ORDERED
+    ORIENTATION — the standard trick that makes distributed triangle
+    counting survive skewed degree distributions: orient every edge
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's oriented out-degree is O(sqrt(E)) regardless of its raw
+    degree, and the wedge join (pairs of oriented edges sharing a
+    source) generates O(E^1.5) candidates instead of the
+    sum-of-d-squared blowup a hub node causes in the naive plan.  Each
+    triangle is found exactly once, pivoted at its lowest-(deg, id)
+    vertex.
+
+    The edge derivation itself is bounded: lineitem explodes per
+    ORDER (<= 7 items -> <= 21 pairs), never per part, so a
+    best-selling part with 10^6 orders costs nothing extra at pair
+    time.  Global wedge count sum(d*(d-1)/2) is orientation-free, so
+    the closure rate (3*triangles/wedges, exact ppm integer) is
+    cross-engine checkable.
+
+    Scale: three keyed shuffles (distinct items, distinct edges,
+    degree agg) + the wedge self-join keyed on the oriented source.
+    No cartesian anywhere — asserted in test_plans.py.
+    """
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint()  # reused 4x below; keep lineage flat (components.py convention)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").where(F.col("v") < F.col("w"))
+    triangles = wedges.join(
+        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")), "left_semi"
+    )
+
+    n_tri = triangles.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    return (
+        deg_stats.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("n_triangles * 3000000 div n_wedges")
+            .cast("bigint")
+            .alias("closure_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, exact)
+# --------------------------------------------------------------------------
+
+_WS_KEY_SPARK = (
+    "array_max(transform(sequence(1, w),"
+    " j -> md5(cast(concat(cast(doc_id as string), ':', cast(j as string))"
+    " as binary))))"
+)
+
+_WS_KEY_DUCK = (
+    "list_max(list_transform(range(1, w + 1),"
+    " j -> md5(CAST(doc_id AS VARCHAR) || ':' || j)))"
+)
+
+
+@query(
+    "c_weighted_sample",
+    oracle=f"""
+    WITH wtd AS (
+      SELECT doc_id, source,
+             CAST(least(1 + n_chars // 80, 8) AS BIGINT) AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, w, {_WS_KEY_DUCK} AS sample_key FROM wtd
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY sample_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, w, sample_key
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("curation", "sampling", "pipeline"),
+)
+def c_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (top-3 per source,
+    weight = document length bucket) via the Efraimidis-Spirakis
+    exponential-key construction made EXACT and deterministic: for
+    integer weight w, the max of w iid uniforms has CDF x^w — the
+    same distribution as the classic u^(1/w) key — so taking
+    ``max_{{j=1..w}} md5(doc_id:j)`` and keeping the top-k keys IS
+    weighted sampling without replacement, with no floating-point
+    pow/log anywhere (an ordering flip in the last ulp would change
+    the selected set; md5-string comparison cannot drift between
+    engines).
+
+    Scale: the key is computed in ONE row-local higher-order-function
+    expression (transform + array_max over a <= 8-element array — no
+    explode, no extra rows), then one window shuffle partitioned by
+    source picks top-3.  For few huge strata, swap the window for the
+    per-partition-partial + global-merge top-k (s_global_topk
+    pattern).
+    """
+    from pyspark.sql.window import Window
+
+    docs = Tables(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.expr("cast(least(1 + n_chars div 80, 8) as bigint)").alias("w"),
+    )
+    keyed = docs.withColumn("sample_key", F.expr(_WS_KEY_SPARK))
+    win = Window.partitionBy("source").orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("source", "rk", "doc_id", "w", "sample_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (deterministic md5 rows, exact overestimate audit)
+# --------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows
+_CMS_W = 16  # buckets per row — small on purpose so collisions are real
+
+
+def _cms_col_spark(i: int, tok: str) -> str:
+    return (
+        f"cast(conv(substring(md5(cast(concat('cms{i}:', {tok}) as binary)),"
+        f" 1, 8), 16, 10) as bigint) % {_CMS_W}"
+    )
+
+
+def _cms_col_duck(i: int, tok: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('cms{i}:' || {tok}), 1, 8)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "x_countmin_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t AS tok FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok
+    ),
+    cells AS (
+      SELECT i, col, CAST(count(*) AS BIGINT) AS cnt FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS i, {_cms_col_duck(i, 'tok')} AS col FROM tok"
+            for i in range(_CMS_D)
+        )}
+      ) GROUP BY i, col
+    ),
+    est AS (
+      SELECT e.tok, e.exact_n, min(c.cnt) AS est_n
+      FROM exact e
+      JOIN cells c ON (
+        {" OR ".join(
+            f"(c.i = {i} AND c.col = {_cms_col_duck(i, 'e.tok')})"
+            for i in range(_CMS_D)
+        )}
+      )
+      GROUP BY e.tok, e.exact_n
+    )
+    SELECT tok, exact_n, est_n, est_n - exact_n AS overestimate
+    FROM est
+    ORDER BY exact_n DESC, tok
+    LIMIT 10
+    """,
+    tags=("sketch", "analytics", "scale"),
+)
+def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream, with an EXACT
+    overestimate audit: d=3 hash rows x w=16 buckets
+    (md5-derived, deterministic — both engines build the identical
+    sketch), estimate = min over rows of the hit counter, and the
+    result reports est_n - exact_n per top-10 token, which the CMS
+    guarantee says is >= 0 always and small with high probability.
+    The bucket count is deliberately tiny so collisions actually
+    happen at test scale and the overestimate column is non-trivial.
+
+    Scale: THE point of a CMS — the sketch is d*w cells regardless of
+    corpus size, each token occurrence updates d cells map-side, and
+    the groupBy(i, col) partial-aggregates to at most d*w rows per
+    partition before one fixed-size shuffle.  Sketches from disjoint
+    corpus shards merge by cell-wise addition (the same groupBy).
+    The exact side here exists only to audit the error; production
+    keeps just the 48-cell sketch.  Token explode happens after a
+    repartition so a single input file still parallelizes
+    (CLAUDE.md explode rule).
+    """
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text").repartition(32)
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .localCheckpoint()  # reused by the exact side and all d sketch rows
+    )
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.expr(_cms_col_spark(i, "tok")).alias("col"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.col")
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        *[
+            F.expr(_cms_col_spark(i, "tok")).alias(f"col{i}")
+            for i in range(_CMS_D)
+        ],
+    )
+    est = probes
+    for i in range(_CMS_D):
+        ci = cells.where(F.col("i") == i).select(
+            F.col("col").alias(f"col{i}"), F.col("cnt").alias(f"cnt{i}")
+        )
+        est = est.join(F.broadcast(ci), f"col{i}")
+    return (
+        est.select(
+            "tok",
+            "exact_n",
+            F.least(*[F.col(f"cnt{i}") for i in range(_CMS_D)]).alias("est_n"),
+        )
+        .withColumn("overestimate", F.col("est_n") - F.col("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(10)
+    )

@@ -109,6 +109,10 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_sql  # noqa: F401
     import map2db_spark.queries_functions  # noqa: F401
     import map2db_spark.queries_extra  # noqa: F401
+    # imported LAST on purpose: new (not yet driver-verified) queries
+    # append after the existing unverified block, keeping the driver's
+    # graded-50 window stable within a round
+    import map2db_spark.queries_analytics  # noqa: F401
 
     # Stable partition: not-yet-driver-verified queries keep their relative
     # order at the front; verified ones keep theirs at the back.

@@ -362,3 +362,47 @@ def test_bloom_probe_is_map_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Degree-ordered triangle counting must stay equi-join keyed:
+    edge derivation joins on orderkey, the wedge join on the oriented
+    source, and the closing-edge check is a LeftSemi on (v, w) — a
+    CartesianProduct or nested-loop join anywhere means the O(E^1.5)
+    guarantee is gone."""
+    plan = plan_of(spark, "g_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # wedge + closing-edge + degree joins are all keyed hash/merge
+    # joins (nested-loop joins appear ONLY as the 1x1-row stat
+    # combiners at the top: every BNLJ the plan prints must be a
+    # Cross over build sides, never an inner data-path join)
+    keyed_joins = sum(
+        plan.count(op)
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert keyed_joins >= 4, plan
+    for ln in plan.splitlines():
+        # tree lines carry the join type ("BroadcastNestedLoopJoin
+        # Cross BuildRight (12)"); detail headers repeat the name bare
+        if "BroadcastNestedLoopJoin" in ln and "Build" in ln:
+            assert "Cross" in ln, ln
+
+
+def test_weighted_sample_key_is_row_local(spark):
+    """The Efraimidis-Spirakis key must come from a row-local
+    higher-order function (transform + array_max), not an explode:
+    no Generate operator before the single source-partitioned window
+    shuffle."""
+    plan = plan_of(spark, "c_weighted_sample")
+    assert "Generate" not in plan, plan  # explode would appear as Generate
+    assert plan.count("hashpartitioning(source") == 1, plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark):
+    """The 16-cell-per-row sketch tables must broadcast to the probe
+    side — a shuffle join against a 48-cell table would be absurd at
+    corpus scale."""
+    plan = plan_of(spark, "x_countmin_sketch")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
