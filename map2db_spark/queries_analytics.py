@@ -338,3 +338,204 @@ def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), F.asc("tok"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group median via integer order statistics
+# --------------------------------------------------------------------------
+
+@query(
+    "g_exact_median",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(cents * (
+                 (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END)
+           )) AS BIGINT) AS med2_cents,
+           CAST(sum(cents * (
+                 (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END)
+           )) * 5000 AS BIGINT) AS median_micros
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "quantile", "analytics"),
+)
+def g_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median — no approx_percentile, no float
+    interpolation ambiguity: values go to integer cents, each group is
+    rank-numbered, and the median is reconstructed from the one or two
+    middle order statistics as ``med2 = cents[(n+1)/2] + cents[n/2+1]``
+    (the two indices coincide for odd n, so the indicator sum counts
+    that row twice) — med2 is twice the median, kept integer; the
+    display value is exact fixed-point micros (med2 * 5000).  Both
+    engines agree bit-for-bit because ties need no ordering rule:
+    order statistics only depend on the sorted multiset.
+
+    Scale: one shuffle on the group key; rank + per-group count ride
+    the same window partitioning (single Exchange).  For groups too
+    large to sort in one task, swap to the two-pass
+    count-then-locate form (histogram of value buckets, then exact
+    scan of the straddling bucket) — same integer semantics.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = (
+        F.when(F.col("rn") == F.expr("(n + 1) div 2"), 1).otherwise(0)
+        + F.when(F.col("rn") == F.expr("n div 2 + 1"), 1).otherwise(0)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * pick).cast("bigint").alias("med2_cents"),
+        (F.sum(F.col("cents") * pick) * 5000).cast("bigint").alias("median_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental re-aggregation (partial -> merge, never re-read raw)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_incremental_reagg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    monthly_from_daily AS (
+      SELECT date_trunc('month', day) AS month, event_type,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY 1, 2
+    ),
+    monthly_direct AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS month, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(m.month AS DATE) AS month, m.event_type, m.n, m.cents,
+           CAST(m.n = d.n AND m.cents = d.cents AS BOOLEAN) AS merge_exact
+    FROM monthly_from_daily m
+    JOIN monthly_direct d ON m.month = d.month AND m.event_type = d.event_type
+    """,
+    tags=("aggregate", "incremental", "scale"),
+)
+def x_incremental_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-aggregation — the materialized-rollup pattern
+    that makes 100 TB dashboards affordable: daily partial aggregates
+    (count + integer-cents sum, both MERGEABLE: merge = add) roll up
+    to monthly totals WITHOUT re-reading raw events, and the query
+    proves the contract by computing the monthly totals both ways and
+    emitting a per-row ``merge_exact`` flag the oracle must agree is
+    always true.  Works because count/sum are commutative monoids in
+    exact integers — the same property that makes map-side partial
+    aggregation correct, lifted to storage.
+
+    Scale: in production the daily table is written once per day
+    (O(days x types) rows); month-end reads scan partials, a ~10^4x
+    data reduction here.  AVG-like stats stay mergeable by storing
+    (sum, n) pairs, never the ratio.
+    """
+    ev = Tables(spark, sf_dir).events.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    monthly_from_daily = daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    monthly_direct = ev.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum("cents").cast("bigint").alias("dcents"),
+    )
+    return (
+        monthly_from_daily.join(monthly_direct, ["month", "event_type"])
+        .select(
+            "month",
+            "event_type",
+            "n",
+            "cents",
+            ((F.col("n") == F.col("dn")) & (F.col("cents") == F.col("dcents"))).alias(
+                "merge_exact"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profiler (log2 frequency histogram)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(length(bin(c)) AS BIGINT) AS bits,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(c) AS BIGINT) AS min_c,
+           CAST(max(c) AS BIGINT) AS max_c,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM per_key
+    GROUP BY 1
+    """,
+    tags=("diagnostics", "skew", "scale"),
+)
+def x_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler: the diagnostic you run BEFORE choosing a
+    shuffle strategy on a 100 TB join — per-key row counts bucketed by
+    bit length (``length(bin(c))`` = floor(log2 c)+1, exact integer in
+    both engines — no float log whose boundary rounding could differ),
+    yielding the frequency histogram that tells you whether AQE skew
+    splitting suffices, salting is needed, or a hot key must be
+    broadcast-isolated.  A top bucket with few keys and a huge
+    n_rows IS the skew signature.
+
+    Scale: one keyed shuffle for per-key counts (map-side combined),
+    then a ~64-row histogram aggregate — the profile costs one pass
+    regardless of key cardinality.
+    """
+    orders = Tables(spark, sf_dir).orders.select("o_custkey")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per_key.groupBy(
+        F.length(F.bin(F.col("c"))).cast("bigint").alias("bits")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("c").cast("bigint").alias("min_c"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+    )
