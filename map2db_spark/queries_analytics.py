@@ -539,3 +539,200 @@ def x_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("max_c"),
         F.sum("c").cast("bigint").alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-style)
+# --------------------------------------------------------------------------
+
+_TOKSET_DUCK = """
+    SELECT DISTINCT doc_id AS sid, t AS tok FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      FROM documents WHERE doc_id < 100
+    ) WHERE t <> ''
+"""
+
+
+@query(
+    "d_prefix_filter_join",
+    oracle=f"""
+    WITH tok AS ({_TOKSET_DUCK}),
+    sizes AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, CAST(count(*) AS BIGINT) AS inter_n
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.sid < b.sid
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter_n,
+           na.n + nb.n - inter_n AS union_n,
+           CAST(inter_n * 1000000 // (na.n + nb.n - inter_n) AS BIGINT)
+             AS jac_ppm
+    FROM inter JOIN sizes na ON na.sid = id_a
+               JOIN sizes nb ON nb.sid = id_b
+    WHERE 10 * inter_n >= 9 * (na.n + nb.n - inter_n)
+    """,
+    tags=("dedup", "similarity-join", "scale"),
+)
+def d_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join at Jaccard >= 0.9 via PREFIX
+    FILTERING (the PPJoin family) — the third similarity-join
+    technique in the engine, complementary to LSH (probabilistic,
+    d_minhash_lsh) and df-capped inverted-index (exact but
+    all-overlapping-pairs, d_ngram_jaccard): order every document's
+    token set by ascending global document frequency, index ONLY the
+    first |s| - ceil(t*|s|) + 1 tokens, and join on those.  Lossless
+    by the pigeonhole bound — two sets meeting threshold t must share
+    a token within either's prefix — so unlike LSH there is no recall
+    loss, yet at t=0.9 only ~10% of each set is indexed, and those
+    are its RAREST tokens, exactly the ones with small join fan-out
+    (frequent tokens never enter any prefix: the stopword-skew rail
+    falls out of the algorithm instead of needing a df_cap).
+
+    The verify stage is the candidate-restricted inverted-index count
+    (jaccard_pairs convention, functions/dedup.py:137); the threshold
+    compare is exact integer cross-multiplication (10*i >= 9*u — no
+    float ratio at the decision boundary), and the oracle computes
+    the ground truth by the BRUTE-FORCE method, so the test proves
+    losslessness, not just self-agreement.
+
+    Scale: shuffles are (a) the tokenize+distinct, (b) the window for
+    df-rank (keyed on sid), (c) the prefix self-join keyed on token,
+    (d) the candidate-restricted verification join.  No all-pairs
+    anywhere; candidate volume is sum over prefix-tokens of df^2
+    where df is small by construction.
+    """
+    from pyspark.sql.window import Window
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 100)
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("sid"),
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint()  # base of 4 plan branches (df, sizes, prefix, verify)
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("sid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .join(sizes, "sid")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("sid").orderBy("df", "tok")
+            ),
+        )
+        # prefix length |s| - ceil(0.9|s|) + 1, exact integer ceil
+        .where(F.col("rn") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1)
+        .select("sid", "tok")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "tok")
+        .where(F.col("a.sid") < F.col("b.sid"))
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+    a = tok.select(F.col("sid").alias("id_a"), "tok")
+    b = tok.select(F.col("sid").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_n"))
+    )
+    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter_n"))
+        .where(10 * F.col("inter_n") >= 9 * F.col("union_n"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_n",
+            "union_n",
+            F.expr("inter_n * 1000000 div union_n").cast("bigint").alias("jac_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association (co-occurrence lift)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_basket_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS big_n FROM li),
+    pc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           pa.n_p AS n_a, pb.n_p AS n_b,
+           CAST(n_ab * big_n * 1000000 // (pa.n_p * pb.n_p) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN pc pa ON pa.p = part_a
+    JOIN pc pb ON pb.p = part_b
+    CROSS JOIN n_orders
+    WHERE n_ab >= 3
+    """,
+    tags=("analytics", "association", "scale"),
+)
+def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-purchase pair supports and
+    LIFT (P(a,b) / P(a)P(b), the association-rule strength measure),
+    kept exact with integer cross-multiplication — lift_ppm =
+    n_ab * N * 1e6 div (n_a * n_b) — so a 1000-executor shuffle cannot
+    perturb a single row.  Pairs with support >= 3 only: the support
+    threshold is what bounds A-priori-style mining at scale (a pair
+    seen twice in 10^10 baskets is noise, and pruning it early is the
+    entire algorithm).
+
+    Scale: pair generation is per-basket bounded (<= 7 items per
+    order -> <= 21 pairs), NEVER per part — the classic bipartite
+    projection blowup is avoided by exploding along the small axis.
+    One pair-keyed shuffle with map-side combine; the per-part count
+    joins key on part_a/part_b.
+    """
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()  # base of 3 branches (N, per-part counts, pairs)
+    )
+    big_n = li.agg(F.countDistinct("o").cast("bigint").alias("big_n"))
+    pc = li.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    pa = pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a"))
+    pb = pc.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(big_n)
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * big_n * 1000000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

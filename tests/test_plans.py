@@ -406,3 +406,14 @@ def test_countmin_probe_broadcasts_sketch(spark):
     plan = plan_of(spark, "x_countmin_sketch")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """PPJoin must be keyed end-to-end: prefix join on token,
+    verification restricted by the broadcast candidate semi-join —
+    never an all-pairs product (the oracle brute-forces on purpose;
+    the Spark side may not)."""
+    plan = plan_of(spark, "d_prefix_filter_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
