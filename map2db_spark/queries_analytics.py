@@ -736,3 +736,201 @@ def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users (bounded explode, no range join)
+# --------------------------------------------------------------------------
+
+@query(
+    "w_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    au AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+      FROM days d
+      JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    ),
+    ev7 AS (
+      SELECT d.day, CAST(sum(daily.n_events) AS BIGINT) AS events_7d
+      FROM days d
+      JOIN daily ON daily.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT au.day, au.active_users_7d, ev7.events_7d
+    FROM au JOIN ev7 ON au.day = ev7.day
+    """,
+    tags=("window", "timeseries", "scale"),
+)
+def w_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric every
+    growth dashboard needs and the one a naive range frame CANNOT
+    compute (COUNT(DISTINCT) over a RANGE window isn't supported, and
+    a range JOIN of events x days is quadratic pressure).  Spark-first
+    form: distinct (user, day) pairs explode to the <= 7 target days
+    they contribute to (a BOUNDED explode along the small axis — 7x,
+    compare the unbounded per-day probe join), then one
+    (target-day)-keyed countDistinct.  The oracle computes the same
+    thing by the lateral range join DuckDB is happy with at test
+    scale — two different algorithms, one answer.
+
+    Scale: distinct-pair dedup is one shuffle keyed (user, day);
+    the 7x explode is map-side; the final agg keys on ~10^3 days.
+    countDistinct(user) per day re-shuffles by (day, user) — for
+    10^9-user days switch to the two-level exact form (groupBy(day,
+    user) then groupBy(day)) which Catalyst already plans here.
+    """
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    ud = ev.distinct()
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    # each (user, day) contributes to target days day..day+6
+    targets = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("tday"),
+    )
+    daily_t = daily.select(
+        F.col("n_events"),
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("tday"),
+    )
+    users_7d = targets.groupBy("tday").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users_7d")
+    )
+    events_7d = daily_t.groupBy("tday").agg(
+        F.sum("n_events").cast("bigint").alias("events_7d")
+    )
+    return (
+        users_7d.join(events_7d, "tday")
+        .crossJoin(F.broadcast(bounds))
+        # clip to days that actually exist in the data (the explode
+        # manufactures up to 6 days past the horizon)
+        .where((F.col("tday") >= F.col("lo")) & (F.col("tday") <= F.col("hi")))
+        .select(F.col("tday").alias("day"), "active_users_7d", "events_7d")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (fixed rounds, layered-CTE oracle)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 100
+_KCORE_ROUNDS = 2
+
+
+@query(
+    "g_kcore_peel",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    d0 AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+      GROUP BY node
+    ),
+    s1 AS (SELECT node FROM d0 WHERE d >= {_KCORE_K}),
+    e1 AS (
+      SELECT e0.a, e0.b FROM e0
+      JOIN s1 x ON x.node = e0.a JOIN s1 y ON y.node = e0.b
+    ),
+    d1 AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1)
+      GROUP BY node
+    ),
+    s2 AS (SELECT node FROM d1 WHERE d >= {_KCORE_K}),
+    e2 AS (
+      SELECT e1.a, e1.b FROM e1
+      JOIN s2 x ON x.node = e1.a JOIN s2 y ON y.node = e1.b
+    )
+    SELECT 0 AS round, (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+    UNION ALL
+    SELECT 1, (SELECT CAST(count(*) AS BIGINT) FROM s1),
+           (SELECT CAST(count(*) AS BIGINT) FROM e1)
+    UNION ALL
+    SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM s2),
+           (SELECT CAST(count(*) AS BIGINT) FROM e2)
+    """,
+    tags=("graph", "iterative", "scale"),
+)
+def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=100) on the part co-purchase graph, 2 fixed
+    peel rounds: drop every node with degree < k, recompute degrees on
+    the induced subgraph, repeat — each round removes nodes whose
+    degree only LOOKED sufficient because of since-peeled neighbors
+    (the cascade is the whole point; a single degree filter is not a
+    core).  Fixed-round form keeps the oracle expressible as layered
+    CTEs (g_pagerank convention) and is how production jobs bound
+    iteration cost; convergence is detectable by n_nodes reaching a
+    fixpoint between rounds.
+
+    Scale: per round one degree aggregation (map-side combined) and
+    two semi-joins of edges against survivors — all keyed on node
+    ids; edges localCheckpoint between rounds so the plan never
+    re-derives round i-1 (components.py convention).  At 100 TB:
+    persist per-round edges; rounds are O(E) each and typically <= 20
+    even for billion-node graphs.
+    """
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    rows = []
+    deg = degrees(edges)
+    rows.append((0, deg, edges))
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        survivors = deg.where(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                survivors.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(survivors.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        deg = degrees(edges)
+        rows.append((rnd, survivors, edges))
+
+    out = None
+    for rnd, nodes, e in rows:
+        stat = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).crossJoin(
+            e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        ).select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        out = stat if out is None else out.unionByName(stat)
+    return out

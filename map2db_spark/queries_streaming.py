@@ -208,3 +208,39 @@ def s_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="doc_id LONG, detected STRING, quality DOUBLE, split STRING, keep BOOLEAN"
     )
+
+
+@query(
+    "s_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (the dimension-join shape of
+    every ingest pipeline): streaming events join the static customer
+    table — broadcast, so the unbounded side never shuffles for the
+    join — then aggregate per (mktsegment, event_type) in complete
+    mode.  Over bounded input this equals the batch join+aggregate the
+    oracle computes.  Exact integer cents keep the sum
+    order-independent across micro-batches."""
+    from map2db_spark.streaming.events import (
+        enrich_with_customer,
+        read_events_stream,
+        run_available_now,
+    )
+    from map2db_spark.tables import Tables
+
+    customer = Tables(spark, sf_dir).customer
+    rows = run_available_now(
+        enrich_with_customer(read_events_stream(spark, sf_dir), customer),
+        "complete",
+    )
+    return spark.createDataFrame(
+        rows, schema="c_mktsegment STRING, event_type STRING, n LONG, cents LONG"
+    )

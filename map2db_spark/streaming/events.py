@@ -261,3 +261,27 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         split_assign(F.col("doc_id")).alias("split"),
         ((q >= 0.7) & (lang == "en")).alias("keep"),
     )
+
+
+def enrich_with_customer(events: DataFrame, customer_static: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: each streaming event joins
+    to the STATIC customer dimension (no watermark needed on the
+    static side — Spark re-plans it per micro-batch, and a broadcast
+    hash join means the stream side never shuffles), then a
+    complete-mode aggregate per (mktsegment, event_type).  This is the
+    canonical dimension-enrichment shape of every production ingest
+    pipeline; the stream-stream interval join (purchases_joined_to_views)
+    covers the harder dual-watermark case."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 (self-contained)
+
+    dim = customer_static.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
