@@ -934,3 +934,145 @@ def g_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
         out = stat if out is None else out.unionByName(stat)
     return out
+
+
+# --------------------------------------------------------------------------
+# Exact z-score outlier gate (decimal-exact, no sqrt)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_zscore_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DECIMAL(38, 0)) AS s1,
+             CAST(sum(cents * cents) AS DECIMAL(38, 0)) AS s2
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, max(s.n) AS n,
+           CAST(sum(CASE WHEN
+                 (CAST(c.cents AS DECIMAL(38,0)) * s.n - s.s1)
+               * (CAST(c.cents AS DECIMAL(38,0)) * s.n - s.s1)
+               > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1) / s.n
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(coalesce(min(CASE WHEN
+                 (CAST(c.cents AS DECIMAL(38,0)) * s.n - s.s1)
+               * (CAST(c.cents AS DECIMAL(38,0)) * s.n - s.s1)
+               > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1) / s.n
+               THEN c.cents END), -1) AS BIGINT) AS min_out_cents,
+           CAST(coalesce(max(CASE WHEN
+                 (CAST(c.cents AS DECIMAL(38,0)) * s.n - s.s1)
+               * (CAST(c.cents AS DECIMAL(38,0)) * s.n - s.s1)
+               > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1) / s.n
+               THEN c.cents END), -1) AS BIGINT) AS max_out_cents
+    FROM c JOIN s USING (event_type)
+    GROUP BY c.event_type
+    """,
+    tags=("analytics", "outliers", "scale"),
+)
+def x_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier gate computed EXACTLY — no sqrt, no
+    float variance: |z| > 3 is equivalent to the cross-multiplied
+    integer inequality (x*n - sum)^2 > 9*(n*sumsq - sum^2), so the
+    outlier decision is bit-identical on any executor count (a float
+    mean/std pipeline can flip boundary rows between runs when the
+    reduction order changes).  Products are carried in DECIMAL(38,0):
+    cents*n is ~1e9 here and its square ~1e18 — already at the int64
+    edge at sf0.1, so the decimal widening is the overflow rail, not
+    pedantry.
+
+    Scale: two passes over the group — one map-side-combined moment
+    aggregation (n, sum, sumsq per key), one re-scan with the
+    broadcast moments to gate each row.  Never a self-join; never a
+    sort.  The same cross-multiplication trick generalizes to any
+    rational threshold test (see g_exact_median, x_basket_lift).
+    """
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("s2"),
+    )
+    dev = "(cast(cents as decimal(38,0)) * n - s1)"
+    is_out = F.expr(
+        f"{dev} * {dev} > 9 * n * (n * s2 - s1 * s1) / n"
+    )
+    return (
+        ev.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.coalesce(F.min(F.when(is_out, F.col("cents"))), F.lit(-1))
+            .cast("bigint")
+            .alias("min_out_cents"),
+            F.coalesce(F.max(F.when(is_out, F.col("cents"))), F.lit(-1))
+            .cast("bigint")
+            .alias("max_out_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigrams
+# --------------------------------------------------------------------------
+
+@query(
+    "t_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram
+    LIMIT 10
+    """,
+    tags=("analytics", "sequence-mining", "pipeline"),
+)
+def t_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the n=3 case: the most frequent
+    behavioral trigrams (ordered event-type triples per user) across
+    the corpus — the first question any funnel/recommendation analysis
+    asks of an event log.  Ordering inside a user is (ts, event_id) so
+    simultaneous events have a deterministic tiebreak and both engines
+    see identical sequences.
+
+    Scale: one user-keyed window shuffle builds the trigrams (lead x2
+    — state is 2 rows regardless of history length), then a
+    map-side-combined count and a TakeOrdered top-10; the trigram
+    alphabet is tiny (|types|^3) so the final agg is bounded.  For
+    n-grams over 10^9-event users the window partitioning is the same
+    — per-user state stays O(n) of the gram, never of the history.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_type", "ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(10)
+    )
