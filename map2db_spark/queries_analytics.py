@@ -1076,3 +1076,225 @@ def t_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("trigram"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Table-version diff (snapshot reconciliation)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_table_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(o_orderstatus || ':' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+               AS h
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             md5(CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                      ELSE o_orderstatus END || ':' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+               AS h
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT CAST(sum(CASE WHEN v1.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN v2.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+                          AND v1.h <> v2.h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    """,
+    tags=("data-ops", "reconciliation", "scale"),
+)
+def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the diff between two versions of a
+    keyed table (v2 simulates the next day's snapshot: keys divisible
+    by 97 deleted, statuses of keys divisible by 13 rewritten),
+    classified into added / removed / changed / same via ONE full
+    outer join on the key comparing md5 row digests.  The digest
+    hashes integer cents, not raw doubles — float-to-string rendering
+    differs between engines and would poison the hash (CLAUDE.md
+    parity rule).
+
+    Scale: this is how you audit a CDC feed or a migrated table at
+    100 TB — one co-partitioned full outer join (both sides key-hash
+    to the same partitioning) and a 4-counter aggregate; the digest
+    collapses arbitrary row width to 32 bytes BEFORE the shuffle, so
+    wide tables diff at key-column cost.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v1 = base.select(
+        "k",
+        F.md5(
+            F.concat_ws(":", "o_orderstatus", F.col("cents").cast("string")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    v2 = (
+        base.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.when(F.col("k") % 13 == 0, F.lit("X")).otherwise(
+                        F.col("o_orderstatus")
+                    ),
+                    F.col("cents").cast("string"),
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("a.k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("b.k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("a.h") != F.col("b.h")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("a.h") == F.col("b.h"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_same"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup reporting)
+# --------------------------------------------------------------------------
+
+@query(
+    "d_dup_size_histogram",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST(sz * count(*) - count(*) AS BIGINT) AS n_removable
+    FROM fp GROUP BY sz
+    """,
+    tags=("dedup", "reporting", "pipeline"),
+)
+def d_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: histogram of exact-duplicate cluster sizes
+    (md5 text fingerprint), with ``n_removable`` = docs the dedup pass
+    would delete per size class — the number a data curator actually
+    asks for before committing a dedup run ("how much of the corpus is
+    copies, and in how big clusters?").
+
+    Scale: two map-side-combined aggregations (fingerprint -> size,
+    size -> class counts); the second input is one row per distinct
+    document, the histogram is O(max cluster size) rows.  The same
+    two-level rollup shape reports MinHash cluster sizes by feeding
+    it d_dup_clusters output instead.
+    """
+    docs = Tables(spark, sf_dir).documents
+    fp = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return fp.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        (F.col("sz") * F.count(F.lit(1)) - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    ).select(
+        F.col("sz").alias("cluster_size"), "n_clusters", "n_docs", "n_removable"
+    )
+
+
+# --------------------------------------------------------------------------
+# Integer random projection (signed Johnson-Lindenstrauss sketch)
+# --------------------------------------------------------------------------
+
+def _rp_signs(k: int, dim: int = 64) -> list[int]:
+    """Deterministic +-1 projection vector k: sign i is the top bit of
+    md5("rp{k}:{i}") — reproducible in any engine/language, so the
+    SAME constants are embedded in the Spark plan and the oracle."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"rp{k}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+        for i in range(dim)
+    ]
+
+
+def _rp_duck_term(k: int) -> str:
+    terms = []
+    for i, s in enumerate(_rp_signs(k)):
+        sign = "+" if s > 0 else "-"
+        terms.append(
+            f"{sign} CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000)"
+            " AS BIGINT)"
+        )
+    return " ".join(terms)
+
+
+@query(
+    "v_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           CAST({_rp_duck_term(0)} AS BIGINT) AS p0,
+           CAST({_rp_duck_term(1)} AS BIGINT) AS p1,
+           CAST({_rp_duck_term(2)} AS BIGINT) AS p2,
+           CAST({_rp_duck_term(3)} AS BIGINT) AS p3
+    FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("similarity", "projection", "pipeline"),
+)
+def v_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (the +-1 Johnson-Lindenstrauss /
+    Achlioptas construction): 64-dim embeddings project to 4
+    coordinates via md5-derived +-1 vectors, computed EXACTLY on
+    integer-scaled components (zip_with multiply + aggregate sum — the
+    int_dot convention, similarity.py:33) so both engines produce
+    identical bigints.  This is the primitive under the hyperplane LSH
+    the ANN queries already use; exposed standalone because dimension
+    reduction before a downstream index is its own pipeline stage
+    (project once, store 4 ints instead of 64 floats — a 64x index
+    shrink whose distance distortion is the JL bound).
+
+    Scale: pure map — one row-local HOF chain per projection, no
+    shuffle at all; the projection constants live in the plan
+    (closure), not in a join.
+    """
+    from map2db_spark.functions.similarity import int_vec
+
+    emb = Tables(spark, sf_dir).embeddings.where(F.col("vec_id") < 50)
+    v = int_vec(F.col("embedding"))
+    cols = [F.col("vec_id")]
+    for k in range(4):
+        signs = F.array(*[F.lit(s).cast("long") for s in _rp_signs(k)])
+        proj = F.aggregate(
+            F.zip_with(v, signs, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cols.append(proj.cast("bigint").alias(f"p{k}"))
+    return emb.select(*cols)
