@@ -1298,3 +1298,110 @@ def v_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(proj.cast("bigint").alias(f"p{k}"))
     return emb.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations suite (dbt-test style, one result row per check)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           CAST(count(*) = count(DISTINCT o_orderkey) AS BOOLEAN) AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                AS BOOLEAN)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'events_value_range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) = 0
+                AS BOOLEAN)
+    FROM events
+    UNION ALL
+    SELECT 'customer_key_not_null',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                AS BOOLEAN)
+    FROM customer
+    """,
+    tags=("data-ops", "quality", "pipeline"),
+)
+def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (the dbt-test / Great-
+    Expectations shape): primary-key uniqueness, referential
+    integrity, value-range, and not-null checks, each emitted as a
+    result ROW (check_name, n_checked, n_violations, pass) rather than
+    a mid-run exception — the same violations-are-data philosophy as
+    the MapsForge pipeline (COVERAGE.md divergence table): on a
+    distributed run you want the full audit report, not the first
+    stack trace.
+
+    Scale: uniqueness is count vs countDistinct in one
+    map-side-combined pass; referential integrity is ONE left join
+    keyed on the fk (at 100 TB: the dimension side broadcast if it
+    fits, else co-partitioned); range/null checks are pure map
+    aggregates.  Each check scans its table once, no check scans
+    twice.
+    """
+    t = Tables(spark, sf_dir)
+    orders_chk = t.orders.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+        (F.count(F.lit(1)) == F.countDistinct("o_orderkey")).alias("pass"),
+    )
+    fk = (
+        t.lineitem.select("l_orderkey")
+        .join(
+            t.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem_fk_orders").alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            (
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)) == 0
+            ).alias("pass"),
+        )
+    )
+    rng = t.events.agg(
+        F.lit("events_value_range").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        (
+            F.sum(
+                F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
+            )
+            == 0
+        ).alias("pass"),
+    )
+    nn = t.customer.agg(
+        F.lit("customer_key_not_null").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        (F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)) == 0).alias(
+            "pass"
+        ),
+    )
+    return orders_chk.unionByName(fk).unionByName(rng).unionByName(nn)
