@@ -22,6 +22,49 @@ from map2db_spark.tables import Tables
 # Triangle counting (degree-ordered orientation)
 # --------------------------------------------------------------------------
 
+def count_triangles(e: DataFrame) -> DataFrame:
+    """Degree-ordered exact triangle counting over a canonical edge
+    table (columns a < b, no duplicates).  Returns one row: n_nodes,
+    n_edges, n_wedges (orientation-free sum d(d-1)/2), n_triangles.
+    Factored out of g_triangle_count so property tests can drive it
+    on constructed graphs (K_n, stars, cycles) where the truth is
+    closed-form — see tests/test_analytics_properties.py."""
+    e = e.localCheckpoint()  # reused 4x below; keep lineage flat
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").where(F.col("v") < F.col("w"))
+    triangles = wedges.join(
+        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")), "left_semi"
+    )
+    n_tri = triangles.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    return deg_stats.crossJoin(n_edges).crossJoin(n_tri)
+
+
 @query(
     "g_triangle_count",
     oracle="""
@@ -85,44 +128,9 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
         .distinct()
-        .localCheckpoint()  # reused 4x below; keep lineage flat (components.py convention)
-    )
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionByName(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        e.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
-    )
-    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
-    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "src").where(F.col("v") < F.col("w"))
-    triangles = wedges.join(
-        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")), "left_semi"
-    )
-
-    n_tri = triangles.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    deg_stats = deg.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
     )
     return (
-        deg_stats.crossJoin(n_edges)
-        .crossJoin(n_tri)
+        count_triangles(e)
         .select(
             "n_nodes",
             "n_edges",
@@ -553,6 +561,61 @@ _TOKSET_DUCK = """
 """
 
 
+def prefix_filter_pairs(tok: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """PPJoin over a distinct (sid, tok) set table at Jaccard
+    threshold t = t_num/t_den: df-ordered prefixes of length
+    |s| - ceil(t|s|) + 1, prefix self-join for candidates, candidate-
+    restricted inverted-index verification, exact cross-multiplied
+    threshold.  Returns (id_a, id_b, inter_n, union_n).  Factored out
+    of d_prefix_filter_join so the losslessness property (result ==
+    brute force on arbitrary set families) is testable on constructed
+    inputs — see tests/test_analytics_properties.py."""
+    from pyspark.sql.window import Window
+
+    tok = tok.localCheckpoint()  # base of 4 plan branches
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("sid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .join(sizes, "sid")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("sid").orderBy("df", "tok")),
+        )
+        # prefix length |s| - ceil(t|s|) + 1, exact integer ceil
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
+        )
+        .select("sid", "tok")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "tok")
+        .where(F.col("a.sid") < F.col("b.sid"))
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+    a = tok.select(F.col("sid").alias("id_a"), "tok")
+    b = tok.select(F.col("sid").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_n"))
+    )
+    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter_n"))
+        .where(t_den * F.col("inter_n") >= t_num * F.col("union_n"))
+        .select("id_a", "id_b", "inter_n", "union_n")
+    )
+
+
 @query(
     "d_prefix_filter_join",
     oracle=f"""
@@ -601,8 +664,6 @@ def d_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; candidate volume is sum over prefix-tokens of df^2
     where df is small by construction.
     """
-    from pyspark.sql.window import Window
-
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 100)
     tok = (
         docs.select(
@@ -611,53 +672,13 @@ def d_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("tok") != "")
         .distinct()
-        .localCheckpoint()  # base of 4 plan branches (df, sizes, prefix, verify)
     )
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = tok.groupBy("sid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = (
-        tok.join(dfreq, "tok")
-        .join(sizes, "sid")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("sid").orderBy("df", "tok")
-            ),
-        )
-        # prefix length |s| - ceil(0.9|s|) + 1, exact integer ceil
-        .where(F.col("rn") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1)
-        .select("sid", "tok")
-    )
-    cand = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "tok")
-        .where(F.col("a.sid") < F.col("b.sid"))
-        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
-        .distinct()
-    )
-    a = tok.select(F.col("sid").alias("id_a"), "tok")
-    b = tok.select(F.col("sid").alias("id_b"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_n"))
-    )
-    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter_n"))
-        .where(10 * F.col("inter_n") >= 9 * F.col("union_n"))
-        .select(
-            "id_a",
-            "id_b",
-            "inter_n",
-            "union_n",
-            F.expr("inter_n * 1000000 div union_n").cast("bigint").alias("jac_ppm"),
-        )
+    return prefix_filter_pairs(tok, 9, 10).select(
+        "id_a",
+        "id_b",
+        "inter_n",
+        "union_n",
+        F.expr("inter_n * 1000000 div union_n").cast("bigint").alias("jac_ppm"),
     )
 
 
