@@ -89,6 +89,20 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+# Queries first registered during round 2 (no hard signal yet, but
+# lower grading priority than the r1 backlog the driver has never
+# seen + the 3 protocol-fixed r1 FAILs).  Promote to the front by
+# removing from this set once the r1 backlog is graded.
+_ROUND2_NEW = frozenset({
+    "g_triangle_count", "c_weighted_sample", "x_countmin_sketch",
+    "g_exact_median", "x_incremental_reagg", "x_key_skew_profile",
+    "d_prefix_filter_join", "x_basket_lift", "s_stream_static_enrich",
+    "w_rolling_active_users", "g_kcore_peel", "x_zscore_outliers",
+    "t_event_trigrams", "x_table_diff", "d_dup_size_histogram",
+    "v_random_projection", "x_dq_expectations",
+})
+
+
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent).
 
@@ -114,13 +128,24 @@ def _ensure_loaded() -> None:
     # graded-50 window stable within a round
     import map2db_spark.queries_analytics  # noqa: F401
 
-    # Stable partition: not-yet-driver-verified queries keep their relative
-    # order at the front; verified ones keep theirs at the back.
+    # Stable three-tier partition (relative order preserved per tier):
+    #   0. r1-registered, never driver-graded + the 3 fixed r1 FAILs —
+    #      these must occupy the graded-50 window this round;
+    #   1. queries added during round 2 — graded next if the window is
+    #      larger, but never allowed to evict tier 0;
+    #   2. already driver-verified (green hard signal exists).
+    def tier(name: str) -> int:
+        if name in _DRIVER_VERIFIED:
+            return 2
+        if name in _ROUND2_NEW:
+            return 1
+        return 0
+
     reordered = {
         name: QUERIES[name]
-        for bucket in (False, True)
+        for t in (0, 1, 2)
         for name in QUERIES
-        if (name in _DRIVER_VERIFIED) is bucket
+        if tier(name) == t
     }
     QUERIES.clear()
     QUERIES.update(reordered)
