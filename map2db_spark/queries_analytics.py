@@ -1426,3 +1426,80 @@ def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return orders_chk.unionByName(fk).unionByName(rng).unionByName(nn)
+
+
+# --------------------------------------------------------------------------
+# Exact group-wise linear regression (rational slope, no floats)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_group_linreg",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                            (SELECT min(ts) FROM events), ts) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38, 0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38, 0)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38, 0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38, 0)) AS sxx
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DECIMAL(38, 0)) AS slope_num,
+           CAST(n * sxx - sx * sx AS DECIMAL(38, 0)) AS slope_den,
+           CAST(CAST((n * sxy - sx * sy) * 1000000000 AS HUGEINT)
+                // CAST(n * sxx - sx * sx AS HUGEINT)
+                AS BIGINT) AS slope_nanos,
+           CAST(CAST(sy * 1000000 AS HUGEINT) // CAST(n AS HUGEINT) AS BIGINT)
+             AS mean_cents_e6
+    FROM s
+    """,
+    tags=("analytics", "regression", "scale"),
+)
+def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (value over time)
+    computed as an EXACT RATIONAL: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), numerator and denominator emitted as DECIMAL(38,0)
+    integers plus a fixed-point quotient (nanocents/second) — no float
+    covariance pipeline, so the fitted trend is bit-identical across
+    any shuffle order and the oracle hash-matches without tolerance.
+    x is seconds since the corpus min timestamp: re-basing keeps
+    n*Sxx ~ 1e21 at sf0.1 (vs ~1e29 on raw epoch seconds), well
+    inside DECIMAL(38) even at petabyte row counts — the docstring
+    math IS the overflow audit (x_zscore_outliers convention).
+
+    Scale: one map-side-combined moment aggregation per group (five
+    sums), O(groups) output — regression over a trillion rows costs
+    exactly one shuffle of 5-number partials.  The global min(ts) is
+    an O(1) broadcast scalar.
+    """
+    ev = Tables(spark, sf_dir).events
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0")).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("cast(n * sxy - sx * sy as decimal(38,0))").alias("slope_num"),
+        F.expr("cast(n * sxx - sx * sx as decimal(38,0))").alias("slope_den"),
+        F.expr("cast((n * sxy - sx * sy) * 1000000000 div (n * sxx - sx * sx) as bigint)")
+        .alias("slope_nanos"),
+        F.expr("cast(sy * 1000000 div n as bigint)").alias("mean_cents_e6"),
+    )

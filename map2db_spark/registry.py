@@ -99,7 +99,7 @@ _ROUND2_NEW = frozenset({
     "d_prefix_filter_join", "x_basket_lift", "s_stream_static_enrich",
     "w_rolling_active_users", "g_kcore_peel", "x_zscore_outliers",
     "t_event_trigrams", "x_table_diff", "d_dup_size_histogram",
-    "v_random_projection", "x_dq_expectations",
+    "v_random_projection", "x_dq_expectations", "x_group_linreg",
 })
 
 
