@@ -1503,3 +1503,138 @@ def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_nanos"),
         F.expr("cast(sy * 1000000 div n as bigint)").alias("mean_cents_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Gini coefficient per segment
+# --------------------------------------------------------------------------
+
+@query(
+    "x_gini_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS segment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, cents) AS rk,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM c
+    )
+    SELECT segment, CAST(max(n) AS BIGINT) AS n,
+           CAST(2 * sum(CAST(rk AS DECIMAL(38,0)) * cents)
+                - (max(n) + 1) * sum(CAST(cents AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS gini_num,
+           CAST(CAST(max(n) AS DECIMAL(38,0)) * sum(CAST(cents AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS gini_den,
+           CAST(CAST((2 * sum(CAST(rk AS DECIMAL(38,0)) * cents)
+                      - (max(n) + 1) * sum(CAST(cents AS DECIMAL(38,0))))
+                     * 1000000 AS HUGEINT)
+                // CAST(CAST(max(n) AS DECIMAL(38,0))
+                        * sum(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+                AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY segment
+    """,
+    tags=("analytics", "concentration", "scale"),
+)
+def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of order value per market segment via
+    the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending-sorted cents — rational numerator/denominator in
+    DECIMAL(38,0) plus an exact ppm quotient (HUGEINT-matched integral
+    division, see x_group_linreg).  Rank ties need no tiebreak column
+    for cross-engine equality: a block of equal values x spanning
+    consecutive ranks contributes x * (sum of those ranks) to
+    sum(i*x_i) regardless of which tied row receives which rank.
+
+    Scale: one segment-keyed window shuffle (rank + count ride the
+    same Exchange) and one map-side-combined aggregate.  sum(rk*cents)
+    is ~1e16 at sf0.1 and grows with n^2*x — DECIMAL(38) holds to
+    ~1e10 rows/segment; beyond that, switch to the binned Lorenz
+    approximation (the docstring IS the overflow audit).
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    c = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    wr = Window.partitionBy("segment").orderBy("cents")
+    wn = Window.partitionBy("segment")
+    ranked = c.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    g = ranked.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(rk as decimal(38,0)) * cents")).alias("srx"),
+        F.sum(F.expr("cast(cents as decimal(38,0))")).alias("sx"),
+    )
+    return g.select(
+        "segment",
+        "n",
+        F.expr("cast(2 * srx - (n + 1) * sx as decimal(38,0))").alias("gini_num"),
+        F.expr("cast(cast(n as decimal(38,0)) * sx as decimal(38,0))").alias(
+            "gini_den"
+        ),
+        F.expr(
+            "cast((2 * srx - (n + 1) * sx) * 1000000"
+            " div (cast(n as decimal(38,0)) * sx) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group mode with deterministic tie-break
+# --------------------------------------------------------------------------
+
+@query(
+    "g_mode_per_group",
+    oracle="""
+    WITH f AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY nation
+                                   ORDER BY n DESC, segment) AS rk
+      FROM f
+    )
+    SELECT nation, segment AS mode_segment, n AS mode_n
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("aggregate", "analytics"),
+)
+def g_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent market segment per nation) with a
+    DETERMINISTIC tie-break (count desc, then value asc) — the detail
+    that separates a reproducible pipeline from a flaky one: Spark's
+    built-in ``mode()`` aggregate is non-deterministic under ties, so
+    re-running a job could silently flip labels downstream.  Two
+    map-side-combined aggregations: (group, value) counts, then a
+    top-1 window over the ~|values|-sized count table — the window
+    input is already reduced, never the raw rows.
+
+    Scale: both shuffles key on the group; the second operates on
+    |groups| x |distinct values| rows regardless of input size.
+    """
+    from pyspark.sql.window import Window
+
+    cust = Tables(spark, sf_dir).customer
+    f = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("nation").orderBy(F.desc("n"), F.asc("segment"))
+    return (
+        f.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("nation", F.col("segment").alias("mode_segment"), F.col("n").alias("mode_n"))
+    )
