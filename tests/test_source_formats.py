@@ -57,3 +57,27 @@ def test_orc_source_roundtrip(spark, tmp_path):
     a = sorted(src.collect(), key=lambda r: r.o_orderkey)
     b = sorted(back.collect(), key=lambda r: r.o_orderkey)
     assert a == b
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Parquet schema evolution: a partition written before a column
+    existed must still union-read with later partitions (mergeSchema),
+    nulling the missing column — how a long-lived 100 TB table
+    actually looks after a year of pipeline changes."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema="id long, name string"
+    )
+    v2 = spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], schema="id long, name string, score int"
+    )
+    v1.write.parquet(f"{base}/batch=1")
+    v2.write.parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows[1] == ("a", None)  # pre-evolution rows null the new column
+    assert rows[3] == ("c", 30)
+    # and the new column filters without error across both generations
+    assert merged.where(F.col("score") > 35).count() == 1
