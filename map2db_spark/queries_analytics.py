@@ -1638,3 +1638,159 @@ def g_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("nation", F.col("segment").alias("mode_segment"), F.col("n").alias("mode_n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-domain capped sampling (boilerplate-domain rail)
+# --------------------------------------------------------------------------
+
+@query(
+    "c_domain_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_total
+      FROM documents
+    )
+    SELECT source,
+           CAST(max(n_total) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(max(n_total) - sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY source
+    """,
+    tags=("curation", "sampling", "scale"),
+)
+def c_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (keep <= 15 per source) — the standard
+    crawl-curation rail against boilerplate-heavy domains: without it,
+    one template-spam host contributes millions of near-identical
+    pages and dominates the training mixture.  Selection is a
+    DETERMINISTIC md5 rank (salted hash of doc_id, tiebreak doc_id),
+    so the kept set is identical across reruns, engines, and cluster
+    sizes — Spark's sample() is partition-layout dependent and would
+    not be (the reason every sampling op in this engine draws from
+    md5, CLAUDE.md rule).
+
+    Scale: one source-keyed window shuffle.  For pathological single
+    domains holding 10^8+ docs, pre-aggregate a per-partition top-cap
+    first (the s_global_topk two-level pattern) so no task sorts more
+    than its own slice.
+    """
+    from pyspark.sql.window import Window
+
+    docs = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")).cast("binary")),
+        F.asc("doc_id"),
+    )
+    wn = Window.partitionBy("source")
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn("n_total", F.count(F.lit(1)).over(wn))
+    return ranked.groupBy("source").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("rk") <= 15, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        (
+            F.max("n_total")
+            - F.sum(F.when(F.col("rk") <= 15, 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group quartiles (integer order statistics, generalized median)
+# --------------------------------------------------------------------------
+
+def _q_pick_sql(num: int, den: int) -> str:
+    """Indicator pair selecting the one-or-two order statistics that
+    straddle quantile num/den (median-style rule generalized):
+    lo = ceil(num*n/den), hi = floor(num*n/den) + 1.  When n*num is
+    divisible by den the two ranks differ (average of neighbors);
+    otherwise they coincide and the indicator counts that row twice —
+    either way the sum is exactly 2x the quantile."""
+    lo = f"({num} * n + {den} - 1) // {den}"
+    hi = f"{num} * n // {den} + 1"
+    return (
+        f"(CASE WHEN rn = {lo} THEN 1 ELSE 0 END"
+        f" + CASE WHEN rn = {hi} THEN 1 ELSE 0 END)"
+    )
+
+
+@query(
+    "g_exact_quartiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(cents * {_q_pick_sql(1, 4)}) AS BIGINT) AS q1_x2,
+           CAST(sum(cents * {_q_pick_sql(2, 4)}) AS BIGINT) AS q2_x2,
+           CAST(sum(cents * {_q_pick_sql(3, 4)}) AS BIGINT) AS q3_x2,
+           CAST(sum(cents * {_q_pick_sql(3, 4)})
+                - sum(cents * {_q_pick_sql(1, 4)}) AS BIGINT) AS iqr_x2
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "quantile", "analytics"),
+)
+def g_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles + IQR, generalizing g_exact_median's
+    order-statistic reconstruction to p25/p50/p75: each quartile is
+    the sum of its one-or-two straddling order statistics (doubled
+    when they coincide), kept as the exact integer 2x value — no
+    interpolation convention ambiguity, no float percentile, and the
+    IQR (the robust spread measure behind every outlier fence) comes
+    out exact by subtraction.  Contrast x_approx_quantiles: that
+    checks the SKETCH within bounds; this is the exact answer the
+    sketch approximates.
+
+    Scale: identical to g_exact_median — rank and count ride ONE
+    group-keyed window Exchange, then a map-side-combined aggregate;
+    all three quartiles come from the same pass (the indicator sums
+    just select different ranks).
+    """
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def pick(num: int, den: int):
+        lo = F.expr(f"({num} * n + {den} - 1) div {den}")
+        hi = F.expr(f"{num} * n div {den} + 1")
+        return (
+            F.when(F.col("rn") == lo, 1).otherwise(0)
+            + F.when(F.col("rn") == hi, 1).otherwise(0)
+        )
+
+    q1 = F.sum(F.col("cents") * pick(1, 4)).cast("bigint")
+    q2 = F.sum(F.col("cents") * pick(2, 4)).cast("bigint")
+    q3 = F.sum(F.col("cents") * pick(3, 4)).cast("bigint")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        q1.alias("q1_x2"),
+        q2.alias("q2_x2"),
+        q3.alias("q3_x2"),
+        (q3 - q1).alias("iqr_x2"),
+    )

@@ -100,7 +100,8 @@ _ROUND2_NEW = frozenset({
     "w_rolling_active_users", "g_kcore_peel", "x_zscore_outliers",
     "t_event_trigrams", "x_table_diff", "d_dup_size_histogram",
     "v_random_projection", "x_dq_expectations", "x_group_linreg",
-    "x_gini_concentration", "g_mode_per_group",
+    "x_gini_concentration", "g_mode_per_group", "c_domain_cap",
+    "g_exact_quartiles",
 })
 
 
