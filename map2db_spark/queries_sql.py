@@ -265,3 +265,49 @@ def u_pandas_udf_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             haversine_km(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)), 4
         ).alias("km_to_origin"),
     )
+
+
+@query(
+    "sql_except_intersect_all",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+    recent AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM recent)
+    UNION ALL
+    SELECT 'intersect_all', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM recent)
+    """,
+    tags=("sql", "set-ops"),
+)
+def sql_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    unlike the DISTINCT forms (set_except / set_intersect), the ALL
+    variants preserve multiplicity — a customer with 3 high-value
+    orders and 1 recent order survives EXCEPT ALL twice — which is
+    the semantics you need when rows represent occurrences, not
+    membership.  Both engines implement multiset difference per the
+    SQL standard (min/max multiplicity rules), so the counts check
+    the semantics exactly.
+
+    Scale: Spark plans both as a single aggregate-style shuffle on
+    the compared columns (count per side, emit the multiplicity
+    difference) — no pairwise matching, no sort.
+    """
+    _register(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        recent AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM recent)
+        UNION ALL
+        SELECT 'intersect_all', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT)
+        FROM (SELECT o_custkey FROM hi INTERSECT ALL
+              SELECT o_custkey FROM recent)
+    """)

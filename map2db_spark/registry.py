@@ -101,7 +101,7 @@ _ROUND2_NEW = frozenset({
     "t_event_trigrams", "x_table_diff", "d_dup_size_histogram",
     "v_random_projection", "x_dq_expectations", "x_group_linreg",
     "x_gini_concentration", "g_mode_per_group", "c_domain_cap",
-    "g_exact_quartiles",
+    "g_exact_quartiles", "sql_except_intersect_all",
 })
 
 

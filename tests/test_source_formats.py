@@ -81,3 +81,31 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert rows[3] == ("c", 30)
     # and the new column filters without error across both generations
     assert merged.where(F.col("score") > 35).count() == 1
+
+
+def test_corrupt_json_records_are_quarantined(spark, tmp_path):
+    """PERMISSIVE-mode JSON ingestion: malformed lines land in
+    _corrupt_record instead of killing the job — the ingest-robustness
+    contract a crawl pipeline needs (violations-are-data, same
+    philosophy as the pipeline's rejects tables)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10}\n'
+        "{broken json line\n"
+        '{"id": 2, "v": 20}\n'
+        '{"id": "not-a-number", "v": 30}\n'
+    )
+    df = spark.read.schema(
+        "id LONG, v LONG, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    # the syntactically-broken line AND the type-mismatched line are
+    # both quarantined with their original text preserved
+    assert len(bad) == 2
+    assert any("broken" in r._corrupt_record for r in bad)
+    assert any("not-a-number" in r._corrupt_record for r in bad)
