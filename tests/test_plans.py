@@ -417,3 +417,41 @@ def test_prefix_filter_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def _exchange_count(plan: str) -> int:
+    # formatted mode prints each Exchange once in the tree as
+    # "Exchange (N)"; count tree lines, not the detail block
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().lstrip("+-: ").startswith("Exchange (")
+    )
+
+
+def test_exact_quartiles_single_exchange(spark):
+    """rank + per-group count + the final aggregate must all ride ONE
+    group-keyed Exchange (the single-window-shuffle claim)."""
+    plan = plan_of(spark, "g_exact_quartiles")
+    assert _exchange_count(plan) == 1, plan
+
+
+def test_gini_single_window_exchange(spark):
+    """Gini's rank window and moment aggregate share the segment
+    Exchange; the only other exchange is the small dim join side."""
+    plan = plan_of(spark, "x_gini_concentration")
+    assert _exchange_count(plan) <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_single_exchange(spark):
+    plan = plan_of(spark, "c_domain_cap")
+    assert _exchange_count(plan) == 1, plan
+
+
+def test_group_linreg_single_exchange(spark):
+    """Five moment sums partial-aggregate map-side into one keyed
+    Exchange; the min-ts scalar is a broadcast, not a shuffle."""
+    plan = plan_of(spark, "x_group_linreg")
+    assert _exchange_count(plan) <= 2, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
