@@ -1794,3 +1794,145 @@ def g_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q3.alias("q3_x2"),
         (q3 - q1).alias("iqr_x2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP, exact integral)
+# --------------------------------------------------------------------------
+
+@query(
+    "w_twap_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(date_diff('second', ts, nxt) AS BIGINT) AS dt_s,
+             cents
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(sum(dt_s) AS BIGINT) AS span_s,
+           CAST(sum(dt_s * cents) AS BIGINT) AS twap_num,
+           CAST(CAST(sum(dt_s * cents) * 1000000 AS HUGEINT)
+                // CAST(sum(dt_s) AS HUGEINT) AS BIGINT) AS twap_micros
+    FROM seg
+    GROUP BY user_id
+    HAVING sum(dt_s) > 0
+    """,
+    tags=("window", "timeseries", "analytics"),
+)
+def w_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the telemetry/
+    finance staple that plain AVG gets wrong when observations are
+    irregularly spaced: a value held for an hour must weigh 3600x one
+    held for a second).  Each observation is held until the next
+    (step-function integral): twap = sum(dt_i * v_i) / sum(dt_i),
+    carried as exact integer second-cents with a fixed-point micros
+    quotient (HUGEINT-matched division, x_group_linreg convention).
+    Ordering ties break on event_id so simultaneous events integrate
+    identically in both engines.
+
+    Scale: one user-keyed window Exchange (lead has 1-row state) and
+    a map-side-combined aggregate on the same key — AQE coalesces to
+    a single shuffle.  Unbounded history per user costs O(1) memory.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    seg = (
+        ev.withColumn("nxt", F.lead("ts").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_timestamp("nxt") - F.unix_timestamp("ts"))
+            .cast("bigint")
+            .alias("dt_s"),
+            "cents",
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+            F.sum("dt_s").cast("bigint").alias("span_s"),
+            F.sum(F.col("dt_s") * F.col("cents")).cast("bigint").alias("twap_num"),
+            F.expr("cast(sum(dt_s * cents) * 1000000 div sum(dt_s) as bigint)").alias(
+                "twap_micros"
+            ),
+        )
+        .where(F.col("span_s") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified k-fold assignment (cross-validation splits)
+# --------------------------------------------------------------------------
+
+@query(
+    "c_kfold_assign",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_stratum
+      FROM documents
+    )
+    SELECT lang, CAST(rk % 5 AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(n_stratum) AS BIGINT) AS n_stratum,
+           CAST(count(*) - (max(n_stratum) // 5) <= 1 AS BOOLEAN)
+             AS balanced
+    FROM ranked
+    GROUP BY lang, rk % 5
+    """,
+    tags=("curation", "ml-ops", "pipeline"),
+)
+def c_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment (k=5) for cross-validation:
+    within each language stratum, documents are md5-rank-numbered and
+    folds are rank mod k — EXACTLY balanced (fold sizes differ by at
+    most 1 within every stratum, asserted by the ``balanced`` column)
+    and fully deterministic, where the naive hash(doc_id) % k is only
+    balanced in expectation and can leave a small stratum's folds
+    skewed 2:1.  The md5 rank also makes folds stable under corpus
+    append-with-new-ids: existing docs keep their relative order.
+
+    Scale: one stratum-keyed window Exchange; the mod-k bucketing and
+    balance audit ride the same partitioning.  For strata too large
+    for one task's sort, the two-pass partition-offset rank
+    (operators/ids.py:25) drops in with identical output.
+    """
+    from pyspark.sql.window import Window
+
+    docs = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string")).cast("binary")),
+        F.asc("doc_id"),
+    )
+    wn = Window.partitionBy("lang")
+    ranked = docs.select("lang", "doc_id").withColumn(
+        "rk", F.row_number().over(w) - 1
+    ).withColumn("n_stratum", F.count(F.lit(1)).over(wn))
+    return ranked.groupBy("lang", (F.col("rk") % 5).cast("bigint").alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("n_stratum").cast("bigint").alias("n_stratum"),
+        (
+            F.count(F.lit(1)) - F.expr("max(n_stratum) div 5") <= 1
+        ).alias("balanced"),
+    )
