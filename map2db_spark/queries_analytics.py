@@ -1936,3 +1936,98 @@ def c_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) - F.expr("max(n_stratum) div 5") <= 1
         ).alias("balanced"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-depth BFS layers (frontier expansion with visited pruning)
+# --------------------------------------------------------------------------
+
+@query(
+    "g_bfs_layers",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+    l0 AS (SELECT node FROM seed),
+    l1 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN l0 ON adj.u = l0.node
+      WHERE adj.v NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN l1 ON adj.u = l1.node
+      WHERE adj.v NOT IN (SELECT node FROM l0)
+        AND adj.v NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT adj.v AS node FROM adj JOIN l2 ON adj.u = l2.node
+      WHERE adj.v NOT IN (SELECT node FROM l0)
+        AND adj.v NOT IN (SELECT node FROM l1)
+        AND adj.v NOT IN (SELECT node FROM l2)
+    )
+    SELECT 0 AS layer, (SELECT CAST(count(*) AS BIGINT) FROM l0) AS n_nodes
+    UNION ALL SELECT 1, (SELECT CAST(count(*) AS BIGINT) FROM l1)
+    UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM l2)
+    UNION ALL SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM l3)
+    """,
+    tags=("graph", "iterative", "scale"),
+)
+def g_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth BFS from the highest-degree part (3 hops): per-hop
+    frontier = neighbors of the previous frontier MINUS everything
+    already visited — the visited-set anti-join is what distinguishes
+    BFS from the static per-iteration shape of PageRank (state GROWS
+    across iterations) and is the core of every distributed reachability
+    / shortest-path job.  Deterministic seed: max (degree, node id).
+
+    Scale: per hop one neighbor join keyed on the frontier node +
+    one anti-join against the visited set; frontier and visited are
+    localCheckpointed per hop so hop i's plan never re-derives hop
+    i-1 (components.py convention).  Visited grows monotonically —
+    at 10^9 nodes switch the anti-join to a broadcast Bloom/In-set
+    probe per hop (x_bloom_semi_join pattern).
+    """
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    seed = deg.orderBy(F.desc("d"), F.asc("node")).limit(1).select("node")
+
+    frontier = seed.localCheckpoint()
+    visited = frontier
+    out = frontier.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
+        F.lit(0).cast("int").alias("layer"), "n_nodes"
+    )
+    for hop in range(1, 4):
+        nxt = (
+            adj.join(frontier.select(F.col("node").alias("u")), "u", "left_semi")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            nxt.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
+                F.lit(hop).cast("int").alias("layer"), "n_nodes"
+            )
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return out
