@@ -2031,3 +2031,101 @@ def g_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return out
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (exact integer, argmax with tiebreak)
+# --------------------------------------------------------------------------
+
+@query(
+    "w_cusum_changepoint",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type, cents,
+             row_number() OVER w AS rn,
+             sum(cents) OVER w AS prefix,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(cents) OVER (PARTITION BY event_type) AS total
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dev AS (
+      SELECT event_type, rn, n,
+             abs(CAST(n AS DECIMAL(38,0)) * prefix
+                 - CAST(rn AS DECIMAL(38,0)) * total) AS adev
+      FROM seq
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY adev DESC, rn) AS pk
+      FROM dev
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(rn AS BIGINT) AS change_idx,
+           CAST(adev AS DECIMAL(38,0)) AS peak_dev
+    FROM ranked WHERE pk = 1
+    """,
+    tags=("analytics", "changepoint", "timeseries"),
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per series, EXACT: the classic
+    cumulative-deviation statistic cusum_i = prefix_i - (i/n)*total
+    peaks at the index where the series' mean shifts — scaled through
+    by n (adev = |n*prefix_i - i*total|, DECIMAL(38,0)) so the argmax
+    is over exact integers and no float accumulation can move the
+    detected index.  The argmax itself is a rank window with an
+    earliest-index tiebreak — the deterministic-argmax idiom
+    (g_mode_per_group convention) rather than max_by, whose tie
+    behavior is engine-defined.
+
+    Scale: the running prefix, total, and the argmax rank all ride
+    ONE series-keyed window Exchange.  n*prefix is ~2e13 at sf0.1 and
+    ~1e9 rows/series needs the decimal widening already applied —
+    the overflow audit convention (x_zscore_outliers).
+    """
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("prefix", F.sum("cents").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("total", F.sum("cents").over(wn))
+        .select(
+            "event_type",
+            "rn",
+            "n",
+            F.abs(
+                F.expr(
+                    "cast(n as decimal(38,0)) * prefix"
+                    " - cast(rn as decimal(38,0)) * total"
+                )
+            ).alias("adev"),
+        )
+    )
+    pk = Window.partitionBy("event_type").orderBy(F.desc("adev"), F.asc("rn"))
+    return (
+        seq.withColumn("pk", F.row_number().over(pk))
+        .where(F.col("pk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rn").cast("bigint").alias("change_idx"),
+            F.col("adev").cast("decimal(38,0)").alias("peak_dev"),
+        )
+    )

@@ -102,7 +102,7 @@ _ROUND2_NEW = frozenset({
     "v_random_projection", "x_dq_expectations", "x_group_linreg",
     "x_gini_concentration", "g_mode_per_group", "c_domain_cap",
     "g_exact_quartiles", "sql_except_intersect_all", "w_twap_per_user",
-    "c_kfold_assign", "g_bfs_layers",
+    "c_kfold_assign", "g_bfs_layers", "w_cusum_changepoint",
 })
 
 
