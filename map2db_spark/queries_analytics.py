@@ -2129,3 +2129,84 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adev").cast("decimal(38,0)").alias("peak_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization across strata (exact rank mapping)
+# --------------------------------------------------------------------------
+
+@query(
+    "c_quantile_normalize",
+    oracle="""
+    WITH pooled AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pr
+      FROM documents
+    ),
+    big AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM documents),
+    strat AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_g
+      FROM documents
+    ),
+    mapped AS (
+      SELECT s.lang,
+             p.n_chars AS norm_chars
+      FROM strat s
+      CROSS JOIN big
+      JOIN pooled p
+        ON p.pr = ((2 * s.rn - 1) * big.big_n) // (2 * s.n_g)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(norm_chars) AS BIGINT) AS sum_norm,
+           CAST(min(norm_chars) AS BIGINT) AS min_norm,
+           CAST(max(norm_chars) AS BIGINT) AS max_norm
+    FROM mapped GROUP BY lang
+    """,
+    tags=("curation", "normalization", "ml-ops"),
+)
+def c_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across strata — the preprocessing step
+    that forces every language's document-length distribution onto
+    the POOLED distribution (rank-to-rank mapping, the microarray /
+    feature-normalization classic): each doc's within-stratum rank rn
+    of n_g maps to pooled position ((2rn-1)*N) div (2*n_g) (exact
+    integer midpoint — no float quantile), whose pooled value becomes
+    the normalized value.  After normalization every stratum has
+    byte-identical value distributions, which the per-lang min/max/sum
+    audit exposes.
+
+    Scale: the within-stratum rank is a keyed window; the POOLED rank
+    — a global total order — deliberately avoids the single-reducer
+    `row_number() OVER (ORDER BY ...)` and uses the two-pass
+    range-partitioned rank (operators/ids.py:25) instead; the rank
+    join keys on the pooled position.  The oracle uses the naive
+    global window — same answer, different algorithm (DuckDB is
+    single-node; the Spark side is the one that must scale).
+    """
+    from pyspark.sql.window import Window
+
+    from map2db_spark.operators.ids import assign_sequential_ids
+
+    docs = Tables(spark, sf_dir).documents.select("lang", "doc_id", "n_chars")
+    pooled = assign_sequential_ids(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], id_col="pr"
+    ).select("pr", F.col("n_chars").alias("norm_chars"))
+    big_n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("big_n"))
+    ws = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    strat = (
+        docs.withColumn("rn", F.row_number().over(ws))
+        .withColumn("n_g", F.count(F.lit(1)).over(wn))
+        .crossJoin(F.broadcast(big_n))
+        .withColumn("pr", F.expr("((2 * rn - 1) * big_n) div (2 * n_g)"))
+    )
+    mapped = strat.join(pooled, "pr")
+    return mapped.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("norm_chars").cast("bigint").alias("sum_norm"),
+        F.min("norm_chars").cast("bigint").alias("min_norm"),
+        F.max("norm_chars").cast("bigint").alias("max_norm"),
+    )

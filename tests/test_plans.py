@@ -455,3 +455,27 @@ def test_group_linreg_single_exchange(spark):
     plan = plan_of(spark, "x_group_linreg")
     assert _exchange_count(plan) <= 2, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantile_normalize_no_single_partition_sort(spark):
+    """The pooled global rank must come from the two-pass
+    range-partitioned path, not a single-reducer global window: no
+    Exchange SinglePartition ahead of a Window/Sort in the plan."""
+    plan = plan_of(spark, "c_quantile_normalize")
+    # the two-pass global rank is in use...
+    assert "rangepartitioning" in plan, plan
+    # ...and the only SinglePartition exchanges are scalar aggregates:
+    # no Sort node may sit directly above a SinglePartition exchange
+    # (the single-reducer global-window signature)
+    import re
+
+    tree = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)$", ln.strip())]
+    single_ids = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Exchange\b", plan)
+        if "SinglePartition" in plan.split(f"({m.group(1)}) Exchange", 2)[-1][:200]
+    }
+    for i, ln in enumerate(tree):
+        if " Sort (" in ln and i + 1 < len(tree):
+            child = re.search(r"\((\d+)\)$", tree[i + 1].strip())
+            assert child and child.group(1) not in single_ids, (ln, tree[i + 1])
