@@ -479,3 +479,12 @@ def test_quantile_normalize_no_single_partition_sort(spark):
         if " Sort (" in ln and i + 1 < len(tree):
             child = re.search(r"\((\d+)\)$", tree[i + 1].strip())
             assert child and child.group(1) not in single_ids, (ln, tree[i + 1])
+
+
+def test_edit_blocked_join_no_cartesian(spark):
+    """The SymSpell candidate join must be an equi-join on the
+    deletion variant — brute-force all-pairs is exactly what the
+    blocking exists to avoid."""
+    plan = plan_of(spark, "d_edit_blocked_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
