@@ -2279,3 +2279,157 @@ def d_edit_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dist")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Positional inverted index + exact phrase search
+# --------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")
+
+
+@query(
+    "t_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS p
+      FROM toks
+    ),
+    hits AS (
+      SELECT a.doc_id
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.tok = 'table' AND b.tok = 'hash'
+    )
+    SELECT 'table hash' AS phrase,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hits
+    """,
+    tags=("text", "search", "pipeline"),
+)
+def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the IR
+    primitive bag-of-words token stats can't answer (the tokens
+    'table' and 'hash' co-occurring anywhere is not the phrase 'table
+    hash' occurring): tokenize with positions, keep only the two
+    phrase terms' postings, and adjacency is the equi-join
+    b.pos = a.pos + 1 within a document.  Catalyst extracts
+    (doc_id, pos+1) = (doc_id, pos) as hash keys, so the adjacency
+    join is a keyed hash join, not a positional scan.
+
+    Scale: the term filter cuts the postings to the phrase terms
+    BEFORE the join (pushdown visible as the tok predicate), so join
+    input is document frequency of the rarer term, not corpus token
+    count — the standard phrase-query plan of a search engine,
+    expressed relationally.
+    """
+    docs = Tables(spark, sf_dir).documents.repartition(32)
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("l"),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("l").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    a = pos.where(F.col("tok") == _PHRASE[0]).select("doc_id", F.col("p").alias("pa"))
+    b = pos.where(F.col("tok") == _PHRASE[1]).select("doc_id", F.col("p").alias("pb"))
+    hits = a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("pb") == F.col("pa") + 1)).select(
+        a["doc_id"]
+    )
+    return hits.agg(
+        F.lit(" ".join(_PHRASE)).alias("phrase"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped Arrow kernel (applyInPandas over a cogroup)
+# --------------------------------------------------------------------------
+
+@query(
+    "u_cogroup_merge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS event_cents
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents
+      FROM orders WHERE o_custkey < 150 GROUP BY o_custkey
+    )
+    SELECT user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(e.event_cents, 0) AS event_cents,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.order_cents, 0) AS order_cents
+    FROM e FULL OUTER JOIN o USING (user_id)
+    """,
+    tags=("udf-surface", "cogroup", "api"),
+)
+def u_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped Arrow kernel — the
+    ``groupBy().cogroup(other.groupBy()).applyInPandas`` API surface:
+    both inputs shuffle ONCE on the shared key and arrive at the same
+    task as two aligned pandas frames per key, the escape hatch for
+    per-key logic that needs BOTH sides at once (custom as-of merges,
+    per-key reconciliation, feature joins with in-kernel logic).
+    The kernel here computes both sides' exact-cents totals in one
+    pass; the oracle is the equivalent relational full outer join of
+    two grouped aggregates — kernel and plan must agree exactly.
+
+    Scale: one co-partitioned shuffle per side, Arrow-batched
+    transfer, per-task memory bounded by the largest single key group
+    (same rail as any applyInPandas; for skewed keys pre-aggregate
+    inside mapInPandas first).
+    """
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    od = t.orders.where(F.col("o_custkey") < 150).select(
+        F.col("o_custkey").alias("user_id"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(left)],
+                "event_cents": [int(left["cents"].sum()) if len(left) else 0],
+                "n_orders": [len(right)],
+                "order_cents": [int(right["cents"].sum()) if len(right) else 0],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, event_cents long,"
+            " n_orders long, order_cents long",
+        )
+    )

@@ -103,7 +103,8 @@ _ROUND2_NEW = frozenset({
     "x_gini_concentration", "g_mode_per_group", "c_domain_cap",
     "g_exact_quartiles", "sql_except_intersect_all", "w_twap_per_user",
     "c_kfold_assign", "g_bfs_layers", "w_cusum_changepoint",
-    "c_quantile_normalize", "d_edit_blocked_join",
+    "c_quantile_normalize", "d_edit_blocked_join", "t_phrase_search",
+    "u_cogroup_merge",
 })
 
 
