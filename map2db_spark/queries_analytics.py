@@ -2433,3 +2433,168 @@ def u_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_orders long, order_cents long",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow kernel (RecordBatch-level Arrow surface)
+# --------------------------------------------------------------------------
+
+@query(
+    "u_map_in_arrow",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(text), '[^a-z0-9]+'))
+                    - len(list_filter(string_split_regex(lower(text),
+                                                         '[^a-z0-9]+'),
+                          x -> x = ''))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("udf-surface", "arrow", "api"),
+)
+def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow kernel — the RecordBatch-level sibling of
+    mapInPandas (no pandas conversion at all: the kernel sees raw
+    pyarrow batches, the lowest-overhead Python surface Spark
+    offers).  Tokenizes and counts per document inside Arrow compute,
+    emits per-batch partials, and a tiny keyed aggregate merges them
+    — the pre-aggregate-inside-the-kernel shape that keeps Python
+    boundary traffic at O(shards), not O(rows).
+
+    Scale: map-side kernel + one 16-row aggregate; use this API over
+    mapInPandas when the kernel is itself vectorized (Arrow compute /
+    numpy on buffers) and the pandas conversion would just burn
+    cycles.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text").repartition(32)
+
+    def kernel(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column("text")), "[^a-z0-9]+"
+            )
+            # count non-empty tokens per row: list lengths minus empties
+            n_all = pc.list_value_length(toks)
+            flat = pc.list_flatten(toks)
+            empty_mask = pc.equal(flat, "")
+            # per-row empty counts via parent indices of the flattened list
+            parents = pc.list_parent_indices(toks)
+            empt = pa.table(
+                {"p": parents, "e": pc.cast(empty_mask, pa.int64())}
+            ).group_by("p").aggregate([("e", "sum")])
+            empties = dict(
+                zip(empt.column("p").to_pylist(), empt.column("e_sum").to_pylist())
+            )
+            shard = pc.cast(
+                pc.subtract(
+                    doc_id, pc.multiply(pc.divide(doc_id, 16), 16)
+                ),
+                pa.int64(),
+            )
+            n_tok = [
+                int(n_all[i].as_py()) - int(empties.get(i, 0))
+                for i in range(len(batch))
+            ]
+            out = pa.table(
+                {
+                    "shard": shard,
+                    "n_docs": pa.array([1] * len(batch), pa.int64()),
+                    "n_tokens": pa.array(n_tok, pa.int64()),
+                }
+            )
+            yield from out.to_batches()
+
+    partial = docs.mapInArrow(
+        kernel, schema="shard long, n_docs long, n_tokens long"
+    )
+    return partial.groupBy("shard").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Longest increasing streak per user (gaps-and-islands on direction)
+# --------------------------------------------------------------------------
+
+@query(
+    "w_longest_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER w AS rn,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, rn,
+             CASE WHEN prev IS NULL OR cents <= prev THEN 1 ELSE 0 END
+               AS brk
+      FROM seq
+    ),
+    islands AS (
+      SELECT user_id, rn,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY user_id
+    """,
+    tags=("window", "streaks", "analytics"),
+)
+def w_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing value streak per user — the
+    gaps-and-islands pattern applied to run DIRECTION instead of time
+    gaps (w_scd2_intervals' sibling): a break flag wherever the value
+    fails to increase, a running sum of breaks as the island id, then
+    run lengths per island.  Integer cents make the comparison exact;
+    (ts, event_id) ordering makes islands deterministic.
+
+    Scale: the lag, the running sum, and both aggregates all ride ONE
+    user-keyed window Exchange — four logical steps, one shuffle;
+    state per row is O(1).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev", F.lag("cents").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("cents") <= F.col("prev")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wrun))
+    )
+    runs = seq.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )

@@ -104,7 +104,7 @@ _ROUND2_NEW = frozenset({
     "g_exact_quartiles", "sql_except_intersect_all", "w_twap_per_user",
     "c_kfold_assign", "g_bfs_layers", "w_cusum_changepoint",
     "c_quantile_normalize", "d_edit_blocked_join", "t_phrase_search",
-    "u_cogroup_merge",
+    "u_cogroup_merge", "u_map_in_arrow", "w_longest_streak",
 })
 
 
