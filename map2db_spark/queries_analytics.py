@@ -2598,3 +2598,165 @@ def w_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-parent contribution (share-of-hierarchy analysis)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_share_of_parent",
+    oracle="""
+    WITH seg AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, segment, cents,
+           CAST(cents * 1000000 //
+                sum(cents) OVER (PARTITION BY nation) AS BIGINT)
+             AS share_of_nation_ppm,
+           CAST(cents * 1000000 // sum(cents) OVER () AS BIGINT)
+             AS share_of_total_ppm
+    FROM seg
+    """,
+    tags=("analytics", "contribution", "window-over-agg"),
+)
+def x_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution analysis — each (nation,
+    segment) cell's share of its nation and of the grand total, the
+    drill-down ratio every BI hierarchy needs — computed as windows
+    OVER THE AGGREGATE OUTPUT (~125 rows), never over raw orders: the
+    base aggregation reduces first, then two window passes on the
+    tiny result supply both denominator levels.  Shares are exact ppm
+    integers (cents * 1e6 div parent cents).
+
+    Scale: the expensive shuffle is the one keyed base aggregation
+    (map-side combined, dims broadcast); the nation window and the
+    global window run on O(|nations| x |segments|) rows where a
+    single-partition exchange is FINE — the single-reducer rule is
+    about row counts, not operator names.
+    """
+    t = Tables(spark, sf_dir)
+    seg = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return seg.withColumn(
+        "share_of_nation_ppm",
+        F.expr("cents * 1000000 div sum(cents) over (partition by nation)").cast(
+            "bigint"
+        ),
+    ).withColumn(
+        "share_of_total_ppm",
+        F.expr("cents * 1000000 div sum(cents) over ()").cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution (earliest qualifying event in a bounded window)
+# --------------------------------------------------------------------------
+
+@query(
+    "j_first_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'view'
+                  THEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                       * 10000000 + event_id END AS view_key
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    attributed AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(view_key) OVER (
+               PARTITION BY user_id
+               ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+             ) AS first_view_key
+      FROM tagged
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN first_view_key IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(coalesce(min(CASE WHEN first_view_key IS NOT NULL
+                                  THEN first_view_key % 10000000 END), -1)
+                AS BIGINT) AS min_first_view_event
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("analytics", "attribution", "window"),
+)
+def j_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits the EARLIEST
+    view within the preceding 7 days — the mirror image of the as-of
+    join (j_asof_join credits the LATEST prior event) and the other
+    half of marketing attribution.  Computed with zero joins: views
+    and purchases are unioned into one stream, each view carries a
+    composite (epoch*1e7 + event_id) key, and a RANGE-framed running
+    min over event-time surfaces the earliest view key still inside
+    the 7-day window at each purchase.  The composite key keeps the
+    tiebreak deterministic and lets the view's event_id be recovered
+    exactly (mod 1e7).
+
+    Scale: ONE user-keyed window Exchange for the whole attribution —
+    no purchase x view join, no row multiplication; the range frame's
+    state is bounded by the 7-day horizon.  This union-then-window
+    shape is why event streams should carry a type tag instead of
+    living in separate tables.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "view",
+            F.unix_timestamp("ts") * 10_000_000 + F.col("event_id"),
+        ).alias("view_key"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604_800, Window.currentRow)
+    )
+    attributed = ev.withColumn("first_view_key", F.min("view_key").over(w))
+    return (
+        attributed.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("first_view_key").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("first_view_key").isNotNull(),
+                        F.col("first_view_key") % 10_000_000,
+                    )
+                ),
+                F.lit(-1),
+            )
+            .cast("bigint")
+            .alias("min_first_view_event"),
+        )
+    )

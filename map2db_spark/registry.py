@@ -105,6 +105,7 @@ _ROUND2_NEW = frozenset({
     "c_kfold_assign", "g_bfs_layers", "w_cusum_changepoint",
     "c_quantile_normalize", "d_edit_blocked_join", "t_phrase_search",
     "u_cogroup_merge", "u_map_in_arrow", "w_longest_streak",
+    "x_share_of_parent", "j_first_touch_attribution",
 })
 
 
