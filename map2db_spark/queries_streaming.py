@@ -244,3 +244,27 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="c_mktsegment STRING, event_type STRING, n LONG, cents LONG"
     )
+
+
+@query(
+    "s_stream_dedup_within_wm",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def s_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark — unlike
+    s_stream_dedup (plain dropDuplicates), this API suppresses
+    duplicates whose RE-DELIVERY got a different event time, keying
+    state on event_id alone and evicting it one watermark delay after
+    first sighting.  Exactly-once output over the doubled bounded
+    input equals the source table (event_ids unique at source); ts is
+    projected out because within-watermark semantics don't promise
+    WHICH copy's timestamp survives."""
+    from map2db_spark.streaming.events import dedup_within_watermark_stream
+
+    return _run(
+        spark, sf_dir, dedup_within_watermark_stream, "append",
+        "event_id LONG, user_id LONG, event_type STRING",
+    )

@@ -285,3 +285,20 @@ def enrich_with_customer(events: DataFrame, customer_static: DataFrame) -> DataF
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
         )
     )
+
+
+def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    API built for the at-least-once case where duplicate arrivals
+    carry *different* event times (retries restamp ts, so plain
+    dropDuplicates on (event_id, ts) would pass both copies):
+    duplicates of a key are suppressed as long as they arrive within
+    the watermark delay of the first sighting, and state for a key is
+    dropped once the watermark passes it.  The doubled input
+    simulates the redelivery."""
+    doubled = events.unionByName(events)
+    return (
+        doubled.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
