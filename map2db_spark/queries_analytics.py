@@ -2760,3 +2760,72 @@ def j_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("min_first_view_event"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiler (dataset documentation / stats pass)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_column_profile",
+    oracle="""
+    SELECT 'orders.o_orderstatus' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(min(len(o_orderstatus)) AS BIGINT) AS min_len,
+           CAST(max(len(o_orderstatus)) AS BIGINT) AS max_len
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_mktsegment',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(min(len(c_mktsegment)) AS BIGINT),
+           CAST(max(len(c_mktsegment)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'documents.lang',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(len(lang)) AS BIGINT),
+           CAST(max(len(lang)) AS BIGINT)
+    FROM documents
+    """,
+    tags=("data-ops", "profiling", "pipeline"),
+)
+def x_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the stats pass behind dataset documentation
+    and automatic quality baselines (row count, null count, exact
+    distinct cardinality, value-length range per column), emitted as
+    one row per profiled column across multiple tables.  The DQ suite
+    (x_dq_expectations) asserts invariants; this MEASURES the shape a
+    curator reads before writing those invariants.
+
+    Scale: one map-side-combined pass per table; exact countDistinct
+    shuffles the (few) distinct values only.  For 10^9-cardinality
+    columns swap exact distinct for the bounded-error sketch
+    (x_approx_distinct pattern) — profiling never needs the last
+    digit.
+    """
+    t = Tables(spark, sf_dir)
+
+    def profile(df: DataFrame, table: str, col: str) -> DataFrame:
+        c = F.col(col)
+        return df.agg(
+            F.lit(f"{table}.{col}").alias("col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            F.min(F.length(c)).cast("bigint").alias("min_len"),
+            F.max(F.length(c)).cast("bigint").alias("max_len"),
+        )
+
+    return (
+        profile(t.orders, "orders", "o_orderstatus")
+        .unionByName(profile(t.customer, "customer", "c_mktsegment"))
+        .unionByName(profile(t.documents, "documents", "lang"))
+    )

@@ -106,7 +106,7 @@ _ROUND2_NEW = frozenset({
     "c_quantile_normalize", "d_edit_blocked_join", "t_phrase_search",
     "u_cogroup_merge", "u_map_in_arrow", "w_longest_streak",
     "x_share_of_parent", "j_first_touch_attribution",
-    "s_stream_dedup_within_wm",
+    "s_stream_dedup_within_wm", "x_column_profile",
 })
 
 
