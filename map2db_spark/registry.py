@@ -110,6 +110,17 @@ _ROUND2_NEW = frozenset({
 })
 
 
+# Queries first registered during round 3: graded after the round-2
+# additions (which are themselves behind the r1 backlog), so a new
+# query can never evict one still waiting for its first hard signal.
+_ROUND3_NEW = frozenset({
+    "w_mad_outliers", "x_hll_manual", "d_winnow_fingerprints",
+    "t_rake_keywords", "v_pq_adc_topk", "g_label_prop",
+    "j_point_in_time", "x_itemset_triples", "x_decimal_ledger",
+    "w_holt_linear", "d_connected_docs", "x_grouped_sampling_exact",
+})
+
+
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent).
 
@@ -134,15 +145,19 @@ def _ensure_loaded() -> None:
     # append after the existing unverified block, keeping the driver's
     # graded-50 window stable within a round
     import map2db_spark.queries_analytics  # noqa: F401
+    import map2db_spark.queries_round3  # noqa: F401
 
-    # Stable three-tier partition (relative order preserved per tier):
+    # Stable tier partition (relative order preserved per tier):
     #   0. r1-registered, never driver-graded + the 3 fixed r1 FAILs —
     #      these must occupy the graded-50 window this round;
     #   1. queries added during round 2 — graded next if the window is
     #      larger, but never allowed to evict tier 0;
-    #   2. already driver-verified (green hard signal exists).
+    #   2. queries added during round 3 — behind the round-2 backlog;
+    #   3. already driver-verified (green hard signal exists).
     def tier(name: str) -> int:
         if name in _DRIVER_VERIFIED:
+            return 3
+        if name in _ROUND3_NEW:
             return 2
         if name in _ROUND2_NEW:
             return 1
@@ -150,7 +165,7 @@ def _ensure_loaded() -> None:
 
     reordered = {
         name: QUERIES[name]
-        for t in (0, 1, 2)
+        for t in (0, 1, 2, 3)
         for name in QUERIES
         if tier(name) == t
     }

@@ -9,6 +9,7 @@ from __future__ import annotations
 from map2db_spark.registry import (
     _DRIVER_VERIFIED,
     _ROUND2_NEW,
+    _ROUND3_NEW,
     QUERIES,
     _ensure_loaded,
 )
@@ -36,7 +37,9 @@ def test_round2_additions_do_not_evict_r1_backlog():
     last_tier0 = max(
         i
         for i, n in enumerate(NAMES)
-        if n not in _DRIVER_VERIFIED and n not in _ROUND2_NEW
+        if n not in _DRIVER_VERIFIED
+        and n not in _ROUND2_NEW
+        and n not in _ROUND3_NEW
     )
     first_tier1 = min(
         (i for i, n in enumerate(NAMES) if n in _ROUND2_NEW), default=len(NAMES)
@@ -44,6 +47,18 @@ def test_round2_additions_do_not_evict_r1_backlog():
     assert last_tier0 < first_tier1
 
 
+def test_round3_additions_behind_round2_backlog():
+    last_tier1 = max(
+        (i for i, n in enumerate(NAMES) if n in _ROUND2_NEW), default=-1
+    )
+    first_tier2 = min(
+        (i for i, n in enumerate(NAMES) if n in _ROUND3_NEW), default=len(NAMES)
+    )
+    assert last_tier1 < first_tier2
+
+
 def test_every_query_is_classified():
-    # a name in both sets would make the tiering ambiguous
+    # a name in two sets would make the tiering ambiguous
     assert not (_DRIVER_VERIFIED & _ROUND2_NEW)
+    assert not (_DRIVER_VERIFIED & _ROUND3_NEW)
+    assert not (_ROUND2_NEW & _ROUND3_NEW)
