@@ -275,3 +275,430 @@ def x_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("exact_custkeys")
         ).alias("within_15pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# MOSS winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003)
+# --------------------------------------------------------------------------
+
+_WIN_K = 8   # k-gram length (chars)
+_WIN_W = 4   # window of consecutive k-gram positions
+_WIN_PREFIX = 200  # chars of each document fingerprinted
+
+
+@query(
+    "d_winnow_fingerprints",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(substr(text, 1, {_WIN_PREFIX})) AS t
+      FROM documents
+      WHERE length(lower(substr(text, 1, {_WIN_PREFIX}))) >= {_WIN_K + _WIN_W - 1}
+    ),
+    g AS (
+      SELECT doc_id, p,
+             CAST(concat('0x',
+               substr(md5(substr(t, CAST(p AS INT), {_WIN_K})), 1, 8))
+               AS BIGINT) AS h
+      FROM d, UNNEST(generate_series(1, length(t) - {_WIN_K - 1})) AS u(p)
+    ),
+    k AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+             min(h * 1024 + (1023 - p)) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW
+             ) AS wmin
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin FROM k WHERE rn >= {_WIN_W}
+    ),
+    dec AS (
+      SELECT doc_id, wmin // 1024 AS h, 1023 - (wmin % 1024) AS p FROM sel
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           md5(string_agg(h || ':' || p, ',' ORDER BY p)) AS fp_digest
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("dedup", "fingerprint", "text"),
+)
+def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer
+    et al. 2003): hash every k-gram, slide a w-gram window, select the
+    window minimum (ties -> rightmost), record distinct (hash, pos)
+    pairs.  Guarantees every shared substring of length >= k+w-1 shares
+    a fingerprint — the coverage bound 0-mod-p fingerprinting
+    (t_rolling_fingerprint) cannot give.
+
+    The rightmost-min-tie rule is folded into ONE window ``min`` by key
+    packing: ``key = h*1024 + (1023 - p)`` orders first by hash then by
+    DESCENDING position, so a plain frame min selects (min h, max p)
+    and both engines decode the identical (h, p) back out of the winner
+    — no self-join per window, no nested window functions.
+
+    Scale: explode(xG grams) happens after a repartition on doc_id and
+    the selection window rides that same partitioning (single Exchange,
+    asserted in test_plans.py); everything else is per-doc-local.  The
+    fingerprint index (join docs sharing a fingerprint) then follows
+    the d_minhash_lsh candidate pattern with its df_cap rail.
+    """
+    docs = Tables(spark, sf_dir).documents
+    d = (
+        docs.select(
+            "doc_id",
+            F.lower(F.substring("text", 1, _WIN_PREFIX)).alias("t"),
+        )
+        .where(F.length("t") >= _WIN_K + _WIN_W - 1)
+        .repartition(32, "doc_id")
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - (_WIN_K - 1))
+        ).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "p",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(t, p, {_WIN_K})")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("p")
+    key = F.col("h") * 1024 + (1023 - F.col("p"))
+    k = g.select(
+        "doc_id",
+        F.row_number().over(wo).alias("rn"),
+        F.min(key).over(wo.rowsBetween(-(_WIN_W - 1), 0)).alias("wmin"),
+    )
+    dec = k.where(F.col("rn") >= _WIN_W).select(
+        "doc_id",
+        F.struct(
+            (1023 - F.col("wmin") % 1024).alias("p"),
+            F.expr("wmin div 1024").alias("h"),
+        ).alias("fp"),
+    )
+    # dedup INSIDE the aggregate (array_distinct), not via .distinct():
+    # the window already partitioned by doc_id, so this groupBy reuses
+    # that Exchange and the whole query is a single shuffle
+    arr = F.array_sort(F.array_distinct(F.collect_list("fp")))
+    return dec.groupBy("doc_id").agg(
+        F.size(arr).cast("bigint").alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    arr,
+                    lambda s: F.concat(
+                        s["h"].cast("string"), F.lit(":"), s["p"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010), integer-exact scoring
+# --------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "for", "with",
+    "is", "are", "was", "were", "be", "by", "at", "as", "it", "this",
+    "that", "from", "not", "but",
+)
+_RAKE_MAX_WORDS = 4
+_RAKE_TOPK = 10
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@query(
+    "t_rake_keywords",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             string_split_regex(lower(text), '[^a-z]+') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT lang, doc_id, p, arr[CAST(p AS INT)] AS word,
+             CASE WHEN arr[CAST(p AS INT)] = ''
+                    OR arr[CAST(p AS INT)] IN ({_RAKE_STOP_SQL})
+                  THEN 1 ELSE 0 END AS boundary
+      FROM d, UNNEST(generate_series(1, len(arr))) AS u(p)
+    ),
+    grouped AS (
+      SELECT lang, doc_id, p, word, boundary,
+             sum(boundary) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING
+             ) AS grp
+      FROM toks
+    ),
+    words AS (
+      SELECT lang, doc_id, grp, p, word,
+             count(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+      FROM grouped WHERE boundary = 0
+    ),
+    stats AS (
+      SELECT lang, word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(phrase_len) AS BIGINT) AS deg
+      FROM words GROUP BY lang, word
+    ),
+    phrases AS (
+      SELECT w.lang, w.doc_id, w.grp,
+             string_agg(w.word, ' ' ORDER BY w.p) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum((1000000 * s.deg) // s.freq) AS BIGINT) AS score_micros
+      FROM words w JOIN stats s ON w.lang = s.lang AND w.word = s.word
+      GROUP BY w.lang, w.doc_id, w.grp
+      HAVING count(*) <= {_RAKE_MAX_WORDS}
+    ),
+    uniq AS (
+      SELECT DISTINCT lang, phrase, n_words, score_micros FROM phrases
+    ),
+    ranked AS (
+      SELECT lang, phrase, n_words, score_micros,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY score_micros DESC, phrase
+             ) AS rank
+      FROM uniq
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, phrase, n_words, score_micros
+    FROM ranked WHERE rank <= {_RAKE_TOPK}
+    """,
+    tags=("text", "keywords", "analytics"),
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; each word scores
+    deg(w)/freq(w) over the corpus (deg = summed length of every
+    phrase the word occurs in); a phrase scores the sum of its word
+    scores.  Top-10 phrases per language.
+
+    The classic float ratio becomes integer-exact per the repo rule:
+    word score = (1_000_000 * deg) div freq (integer floor division in
+    BOTH engines), summed per phrase — identical bigints, no rounding
+    divergence.  Ties rank deterministically by phrase text.
+
+    Scale: tokenization and phrase grouping are doc-local windows (one
+    Exchange on doc_id); word stats are one groupBy(lang, word) whose
+    output is vocabulary-sized; the stats join back to word
+    occurrences is broadcast-able (vocab << corpus).  Final top-k is
+    per-lang TakeOrdered.
+    """
+    docs = Tables(spark, sf_dir).documents
+    d = docs.select(
+        "lang", "doc_id", F.split(F.lower("text"), "[^a-z]+").alias("arr")
+    ).repartition(32, "doc_id")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.posexplode("arr").alias("p0", "word"),
+    ).select(
+        "lang",
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "word",
+        F.when(
+            (F.col("word") == "") | F.col("word").isin(*_RAKE_STOP), 1
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    wg = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = toks.withColumn("grp", F.sum("boundary").over(wg))
+    words = grouped.where(F.col("boundary") == 0).withColumn(
+        "phrase_len", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
+    )
+    stats = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("deg"),
+    )
+    phrases = (
+        words.join(F.broadcast(stats), ["lang", "word"])
+        .groupBy("lang", "doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.expr("(1000000 * deg) div freq"))
+            .cast("bigint")
+            .alias("score_micros"),
+        )
+        .where(F.col("n_words") <= _RAKE_MAX_WORDS)
+    )
+    uniq = phrases.select("lang", "phrase", "n_words", "score_micros").distinct()
+    wr = Window.partitionBy("lang").orderBy(
+        F.desc("score_micros"), F.asc("phrase")
+    )
+    return (
+        uniq.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= _RAKE_TOPK)
+        .select("lang", "rank", "phrase", "n_words", "score_micros")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization ANN (Jegou et al. 2011): ADC top-k
+# --------------------------------------------------------------------------
+
+_PQ_M = 8      # subspaces
+_PQ_SUB = 8    # dims per subspace (8 x 8 = 64-dim embeddings)
+_PQ_K = 16     # centroids per subspace codebook
+_PQ_QUERY_IDS = (0, 101, 202, 303)
+_PQ_TOPK = 5
+
+
+def _pq_codebook() -> list[tuple[int, int, int, int]]:
+    """Deterministic integer codebook rows (s, c, j, v), seeded so the
+    oracle SQL inlines the SAME literals (the hyperplanes() pattern).
+    Values span the integer-scaled embedding range (~±5.3e5)."""
+    import random
+
+    rng = random.Random(11)
+    return [
+        (s, c, j, rng.randint(-300000, 300000))
+        for s in range(_PQ_M)
+        for c in range(_PQ_K)
+        for j in range(_PQ_SUB)
+    ]
+
+
+_PQ_ROWS = _pq_codebook()
+_PQ_VALUES_SQL = ", ".join(f"({s},{c},{j},{v})" for s, c, j, v in _PQ_ROWS)
+_PQ_QIDS_SQL = ", ".join(str(q) for q in _PQ_QUERY_IDS)
+
+
+@query(
+    "v_pq_adc_topk",
+    oracle=f"""
+    WITH cent(s, c, j, v) AS (VALUES {_PQ_VALUES_SQL}),
+    iv AS (
+      SELECT vec_id, (p - 1) // {_PQ_SUB} AS s, (p - 1) % {_PQ_SUB} AS j,
+             CAST(round(CAST(embedding[CAST(p AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, UNNEST(generate_series(1, {_PQ_M * _PQ_SUB})) AS u(p)
+    ),
+    dists AS (
+      SELECT iv.vec_id, iv.s, cent.c,
+             sum((iv.x - cent.v) * (iv.x - cent.v)) AS dist
+      FROM iv JOIN cent ON iv.s = cent.s AND iv.j = cent.j
+      GROUP BY iv.vec_id, iv.s, cent.c
+    ),
+    codes AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (
+                 PARTITION BY vec_id, s ORDER BY dist, c
+               ) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, s, c, dist FROM dists
+      WHERE vec_id IN ({_PQ_QIDS_SQL})
+    ),
+    scored AS (
+      SELECT qd.query_id, codes.vec_id AS cand_id,
+             CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+      FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.c
+      WHERE codes.vec_id NOT IN ({_PQ_QIDS_SQL})
+      GROUP BY qd.query_id, codes.vec_id
+    )
+    SELECT query_id, cand_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, cand_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze, Schmid 2011) with
+    asymmetric distance computation: each 64-dim embedding is split
+    into 8 subvectors, each encoded as its nearest of 16 codebook
+    centroids (integer-exact squared L2, ties -> lowest code), so a
+    vector compresses 64 floats -> 8 nibbles.  A query scores a
+    candidate by summing its PRECOMPUTED per-subspace distances to the
+    candidate's codes — the table-lookup trick that makes
+    billion-vector search RAM-resident.
+
+    The codebook is seeded-literal (shared verbatim with the oracle,
+    the hyperplanes() pattern); real deployments train it with
+    functions/clustering.py's k-means on a sample — the operator shape
+    is identical.
+
+    Scale: encoding is a map stage against a broadcast codebook (16
+    rows per subspace); the stored index is codes only (4 bytes/vec
+    here vs 256 raw).  Query time touches the code table, never the
+    raw vectors: distance tables are query_ids x 8 x 16 rows,
+    broadcast; the only aggregation is per (query, candidate) over 8
+    rows.  Recall/compression trades by _PQ_K and _PQ_M, not by plan
+    shape.
+    """
+    emb = Tables(spark, sf_dir).embeddings
+    cent = spark.createDataFrame(_PQ_ROWS, "s INT, c INT, j INT, v LONG")
+    iv = (
+        emb.repartition(32, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("p0", "e"))
+        .select(
+            "vec_id",
+            F.expr(f"p0 div {_PQ_SUB}").cast("int").alias("s"),
+            (F.col("p0") % _PQ_SUB).cast("int").alias("j"),
+            F.round(F.col("e").cast("double") * 1000000)
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    dists = (
+        iv.join(F.broadcast(cent), ["s", "j"])
+        .groupBy("vec_id", "s", "c")
+        .agg(
+            F.sum((F.col("x") - F.col("v")) * (F.col("x") - F.col("v"))).alias(
+                "dist"
+            )
+        )
+    )
+    dists = dists.localCheckpoint()  # reused by codes AND query tables
+    codes = (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+    qids = list(_PQ_QUERY_IDS)
+    qd = dists.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "s", "c", "dist"
+    )
+    scored = (
+        codes.where(~F.col("vec_id").isin(qids))
+        .join(
+            F.broadcast(qd),
+            (codes["s"] == qd["s"]) & (codes["code"] == qd["c"]),
+        )
+        .groupBy("query_id", codes["vec_id"].alias("cand_id"))
+        .agg(F.sum("dist").cast("bigint").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )

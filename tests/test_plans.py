@@ -488,3 +488,47 @@ def test_edit_blocked_join_no_cartesian(spark):
     plan = plan_of(spark, "d_edit_blocked_join")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_single_exchange(spark):
+    """Winnowing: explode, hash, selection window, and the digest
+    aggregate all ride the one doc_id repartition (dedup happens inside
+    the aggregate via array_distinct, never a .distinct() shuffle)."""
+    plan = plan_of(spark, "d_winnow_fingerprints")
+    assert _exchange_count(plan) == 1, plan
+
+
+def test_rake_stats_join_broadcast(spark):
+    """RAKE: the vocabulary-sized (lang, word) stats side must
+    broadcast back onto word occurrences, never shuffle the corpus."""
+    plan = plan_of(spark, "t_rake_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_query_tables_broadcast(spark):
+    """PQ ADC: the per-query distance tables join the code table via
+    broadcast; no cartesian anywhere in the scoring."""
+    plan = plan_of(spark, "v_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_medians_broadcast_back(spark):
+    """MAD gate: both median tables re-join the events scan as
+    broadcasts (group-count-sized), never a corpus-to-corpus shuffle
+    join."""
+    plan = plan_of(spark, "w_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_combines_map_side(spark):
+    """Manual HLL: the (group, bucket) register max must partially
+    aggregate before its Exchange — the sketch's mergeability is the
+    whole point."""
+    plan = plan_of(spark, "x_hll_manual")
+    assert "CartesianProduct" not in plan
+    assert _exchange_count(plan) <= 5, plan
+    # partial_max(rho) on the map side of the register aggregate
+    assert "partial_max" in plan or "Partial" in plan, plan
