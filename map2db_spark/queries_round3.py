@@ -702,3 +702,424 @@ def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "cand_id", "adc_dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Decimal-typed ledger: exact money arithmetic through the type system
+# --------------------------------------------------------------------------
+
+@query(
+    "x_decimal_ledger",
+    oracle="""
+    WITH amts AS (
+      SELECT o_orderstatus AS status,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)) AS amt
+      FROM orders
+    ),
+    monthly AS (
+      SELECT status, month,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(amt) AS msum
+      FROM amts GROUP BY status, month
+    )
+    SELECT status, month, n,
+           CAST(CAST(msum AS DECIMAL(20,2)) AS VARCHAR) AS month_total,
+           CAST(CAST(sum(msum) OVER (
+                  PARTITION BY status ORDER BY month
+                  ROWS UNBOUNDED PRECEDING
+                ) AS DECIMAL(20,2)) AS VARCHAR) AS running_total
+    FROM monthly
+    """,
+    tags=("types", "decimal", "window"),
+)
+def x_decimal_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money ledger through the DECIMAL type system: amounts enter as
+    exact DECIMAL(18,2) (via integer cents, so the double->decimal
+    boundary is rounding-rule-proof), monthly sums and the running
+    balance stay decimal end-to-end, and the result renders the exact
+    scale-2 string — '123.40', never 123.39999.
+
+    This is the type-propagation surface the TPC-H-on-double queries
+    skip: Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2) and DuckDB
+    to DECIMAL(38,2); both are exact, and the final cast to
+    DECIMAL(20,2) -> VARCHAR proves value AND scale agree across
+    engines.  No floats anywhere after ingestion.
+
+    Scale: one groupBy(status, month) with map-side combine, then a
+    per-status running-total window over month-cardinality rows
+    (O(groups), not O(orders)).
+    """
+    o = Tables(spark, sf_dir).orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr(
+            "CAST(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2))"
+        ).alias("amt"),
+    )
+    monthly = o.groupBy("status", "month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("amt").alias("msum"),
+    )
+    wrun = (
+        Window.partitionBy("status")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        "status",
+        "month",
+        "n",
+        F.col("msum").cast("decimal(20,2)").cast("string").alias("month_total"),
+        F.sum("msum")
+        .over(wrun)
+        .cast("decimal(20,2)")
+        .cast("string")
+        .alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF: the missing UDF surface
+# --------------------------------------------------------------------------
+
+@query(
+    "u_grouped_agg_udf",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN rn > n // 4 AND rn <= n - n // 4
+                         THEN cents ELSE 0 END) AS BIGINT) AS trimmed_cents
+    FROM r GROUP BY event_type
+    """,
+    tags=("udf", "pandas", "aggregate"),
+)
+def u_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the GROUPED_AGG surface — scalar
+    pandas UDFs, UDTFs, mapInPandas/Arrow and cogroup are covered
+    elsewhere; this is the one Arrow UDF shape the engine didn't yet
+    exercise): an interquartile-trimmed sum per group, computed as a
+    numpy sort + slice inside the kernel, returning one integer per
+    group.
+
+    The trim is order-statistic-defined (drop the bottom and top n//4
+    by rank), so the oracle reproduces it exactly with a rank window —
+    integer cents make kernel and SQL agree bit-for-bit.
+
+    Scale: Spark evaluates grouped-agg pandas UDFs after a hash
+    shuffle on the group key with Arrow transfer per group — fine for
+    bounded groups (trim needs the group in memory anyway).  Unbounded
+    groups would swap to the rank-window formulation the oracle uses
+    (two-pass, no whole-group materialization).
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: `from __future__ import annotations` stringifies
+    # type hints, which defeats pandas_udf's signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_sum(cents):
+        a = np.sort(cents.to_numpy(dtype=np.int64))
+        n = len(a)
+        return int(a[n // 4 : n - n // 4].sum())
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg(), so the group size is a second kernel, not F.count
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_n(cents):
+        return len(cents)
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return ev.groupBy("event_type").agg(
+        group_n("cents").alias("n"),
+        trimmed_sum("cents").alias("trimmed_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Apriori frequent-triple mining (candidate generation + pruning)
+# --------------------------------------------------------------------------
+
+_AP_MINSUP_NUM = 1   # support threshold: cnt * 10 >= 1 * total  (>= 10%)
+
+
+@query(
+    "x_itemset_triples",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT user_id, event_type AS item FROM events
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM b),
+    l1 AS (
+      SELECT item FROM b, tot GROUP BY item, tot.n
+      HAVING count(*) * 10 >= {_AP_MINSUP_NUM} * tot.n
+    ),
+    bf AS (SELECT b.* FROM b JOIN l1 USING (item)),
+    p2 AS (
+      SELECT x.item AS a, y.item AS bb, count(*) AS cnt
+      FROM bf x JOIN bf y ON x.user_id = y.user_id AND x.item < y.item
+      GROUP BY x.item, y.item
+    ),
+    l2 AS (SELECT a, bb FROM p2, tot
+           WHERE cnt * 10 >= {_AP_MINSUP_NUM} * tot.n),
+    c3 AS (
+      SELECT p.a, p.bb AS b2, q.bb AS c
+      FROM l2 p JOIN l2 q ON p.a = q.a AND p.bb < q.bb
+      WHERE EXISTS (SELECT 1 FROM l2 z WHERE z.a = p.bb AND z.bb = q.bb)
+    ),
+    supp AS (
+      SELECT c3.a, c3.b2, c3.c, CAST(count(*) AS BIGINT) AS supp_cnt
+      FROM c3
+      JOIN bf x ON x.item = c3.a
+      JOIN bf y ON y.item = c3.b2 AND y.user_id = x.user_id
+      JOIN bf z ON z.item = c3.c AND z.user_id = x.user_id
+      GROUP BY c3.a, c3.b2, c3.c
+    )
+    SELECT a, b2 AS b, c, supp_cnt,
+           CAST((1000000 * supp_cnt) // tot.n AS BIGINT) AS supp_ppm
+    FROM supp, tot
+    WHERE supp_cnt * 10 >= {_AP_MINSUP_NUM} * tot.n
+    """,
+    tags=("itemsets", "apriori", "analytics"),
+)
+def x_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining with real Apriori structure (Agrawal
+    & Srikant 1994): frequent singles -> frequent pairs -> candidate
+    triples generated by joining L2 pairs sharing a prefix, PRUNED by
+    the downward-closure check that the (b, c) suffix is itself
+    frequent, and only then counted against baskets.  x_basket_lift
+    stops at pairs; the candidate-generation + pruning step is what
+    keeps the exponential lattice tractable.
+
+    Support thresholds are integer cross-multiplications
+    (cnt * 10 >= total), support shares exact ppm — no float ratios.
+
+    Scale: baskets shuffle once on user_id for the pair count; L1/L2
+    are item-vocabulary-sized and broadcast; the triple count joins
+    baskets on (user, item) with candidates broadcast — never an
+    all-triples cartesian.  Deeper levels iterate the same
+    generate-prune-count template.
+    """
+    ev = Tables(spark, sf_dir).events
+    b = ev.select("user_id", F.col("event_type").alias("item")).distinct()
+    b = b.localCheckpoint()  # reused by L1, pair, and triple counting
+    total = b.select("user_id").distinct().count()
+
+    l1 = (
+        b.groupBy("item")
+        .count()
+        .where(F.col("count") * 10 >= _AP_MINSUP_NUM * total)
+        .select("item")
+    )
+    bf = b.join(F.broadcast(l1), "item").select("user_id", "item")
+    x = bf.alias("x")
+    y = bf.alias("y")
+    p2 = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .count()
+    )
+    l2 = p2.where(F.col("count") * 10 >= _AP_MINSUP_NUM * total).select("a", "b")
+    p = l2.alias("p")
+    q = l2.alias("q")
+    cand = (
+        p.join(
+            q,
+            (F.col("p.a") == F.col("q.a")) & (F.col("p.b") < F.col("q.b")),
+        )
+        .select(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.col("q.b").alias("c"),
+        )
+        # downward closure: the (b, c) suffix must be frequent too
+        .join(
+            F.broadcast(l2.select(F.col("a").alias("b"), F.col("b").alias("c"))),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    s1 = bf.join(F.broadcast(cand), bf["item"] == cand["a"]).select(
+        "user_id", "a", "b", "c"
+    )
+    s2 = s1.join(
+        bf.select(F.col("user_id").alias("uy"), F.col("item").alias("ib")),
+        (F.col("user_id") == F.col("uy")) & (F.col("b") == F.col("ib")),
+    ).select("user_id", "a", "b", "c")
+    supp = (
+        s2.join(
+            bf.select(F.col("user_id").alias("uz"), F.col("item").alias("ic")),
+            (F.col("user_id") == F.col("uz")) & (F.col("c") == F.col("ic")),
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_cnt"))
+    )
+    return supp.where(F.col("supp_cnt") * 10 >= _AP_MINSUP_NUM * total).select(
+        "a",
+        "b",
+        "c",
+        "supp_cnt",
+        F.expr(f"(1000000 * supp_cnt) div {total}").cast("bigint").alias("supp_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-supervised label propagation over an LSH similarity graph
+# --------------------------------------------------------------------------
+
+_LP_BITS = 4
+_LP_ROUNDS = 3
+
+
+def _lp_planes() -> list[list[int]]:
+    import map2db_spark.functions.similarity as S
+
+    return S.hyperplanes(dim=64, bits=_LP_BITS, seed=9)
+
+
+def _lp_oracle() -> str:
+    planes = _lp_planes()
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]::BIGINT[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    iv = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    rounds = []
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+    v{r} AS (
+      SELECT e.u, l.label, count(*) AS c
+      FROM edges e JOIN l{r - 1} l ON e.v = l.vec_id
+      WHERE l.label IS NOT NULL
+      GROUP BY e.u, l.label
+    ),
+    b{r} AS (
+      SELECT u, label FROM (
+        SELECT u, label,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+        FROM v{r}
+      ) WHERE rn = 1
+    ),
+    l{r} AS (
+      SELECT n.vec_id, COALESCE(n.seed, b.label, p.label) AS label
+      FROM nodes n
+      LEFT JOIN b{r} b ON n.vec_id = b.u
+      JOIN l{r - 1} p ON n.vec_id = p.vec_id
+    )""")
+    return f"""
+    WITH ivs AS (SELECT vec_id, label, {iv} AS v FROM embeddings),
+    nodes AS (
+      SELECT vec_id, {bucket} AS bucket,
+             CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS seed
+      FROM ivs
+    ),
+    edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM nodes a JOIN nodes b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    l0 AS (SELECT vec_id, seed AS label FROM nodes),
+    {", ".join(rounds)}
+    SELECT n.vec_id, l{_LP_ROUNDS}.label AS final_label,
+           n.seed IS NOT NULL AS is_seed
+    FROM l{_LP_ROUNDS} JOIN nodes n USING (vec_id)
+    """
+
+
+@query("g_label_prop", oracle=_lp_oracle(), tags=("graph", "semisup", "analytics"))
+def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    an LSH-bucket similarity graph: 20% of embeddings keep their label
+    as clamped seeds; each synchronous round, every node takes the
+    majority label among its neighbors (ties -> lowest label), keeping
+    its previous label when no neighbor is labeled.  Fixed round count
+    makes the fixpoint-free iteration deterministic and lets the
+    oracle unroll it as layered CTEs (the g_pagerank pattern).
+
+    The graph itself is the scale-safe candidate structure: edges come
+    from 4-bit random-hyperplane buckets (seeded literals shared with
+    the oracle) — never an all-pairs similarity join.
+
+    Scale: per round, one shuffle groupBy((node, label)) for votes and
+    one broadcast-sized argmax join back; edges are checkpointed once
+    and re-partitioned by dst so each round's join is co-located.
+    Rounds are O(log diameter) in practice; components.py handles the
+    exact-fixpoint regime.
+    """
+    import map2db_spark.functions.similarity as S
+
+    planes = _lp_planes()
+    emb = Tables(spark, sf_dir).embeddings
+    nodes = emb.select(
+        "vec_id",
+        S.lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label").cast("bigint")).alias(
+            "seed"
+        ),
+    ).localCheckpoint()
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+        .localCheckpoint()
+    )
+    cur = nodes.select("vec_id", F.col("seed").alias("label"))
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            edges.join(
+                cur.where(F.col("label").isNotNull()).select(
+                    F.col("vec_id").alias("v"), "label"
+                ),
+                "v",
+            )
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("negc"), "label")).alias("m"))
+            .select(F.col("u").alias("vec_id"), F.col("m.label").alias("maj"))
+        )
+        cur = (
+            nodes.select("vec_id", "seed")
+            .join(best, "vec_id", "left")
+            .join(cur.select("vec_id", F.col("label").alias("prev")), "vec_id")
+            .select(
+                "vec_id",
+                F.coalesce("seed", "maj", "prev").alias("label"),
+            )
+            .localCheckpoint()  # keep the iterative lineage flat
+        )
+    return cur.join(nodes.select("vec_id", "seed"), "vec_id").select(
+        "vec_id",
+        F.col("label").alias("final_label"),
+        F.col("seed").isNotNull().alias("is_seed"),
+    )

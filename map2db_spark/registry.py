@@ -116,8 +116,7 @@ _ROUND2_NEW = frozenset({
 _ROUND3_NEW = frozenset({
     "w_mad_outliers", "x_hll_manual", "d_winnow_fingerprints",
     "t_rake_keywords", "v_pq_adc_topk", "g_label_prop",
-    "j_point_in_time", "x_itemset_triples", "x_decimal_ledger",
-    "w_holt_linear", "d_connected_docs", "x_grouped_sampling_exact",
+    "x_itemset_triples", "x_decimal_ledger", "u_grouped_agg_udf",
 })
 
 

@@ -532,3 +532,18 @@ def test_hll_register_agg_combines_map_side(spark):
     assert _exchange_count(plan) <= 5, plan
     # partial_max(rho) on the map side of the register aggregate
     assert "partial_max" in plan or "Partial" in plan, plan
+
+
+def test_itemset_counting_broadcasts_candidates(spark):
+    """Apriori: candidate triples and L1/L2 join baskets as
+    broadcasts; the only corpus shuffle is the basket pair count."""
+    plan = plan_of(spark, "x_itemset_triples")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_label_prop_no_allpairs_graph(spark):
+    """Label propagation: edges come from LSH-bucket equi-joins —
+    the plan must not contain a cartesian similarity join."""
+    plan = plan_of(spark, "g_label_prop")
+    assert "CartesianProduct" not in plan
