@@ -1,0 +1,460 @@
+"""ML-evaluation and data-management operators a 100 TB training
+pipeline needs around the core curation ops: exact ROC-AUC from rank
+sums, mutual information between categorical metadata columns,
+percentile winsorization, a distributed covariance matrix (the PCA
+front-end), small-file compaction planning, and train/test leakage
+detection via cross-split MinHash near-dup.
+
+Parity conventions (CLAUDE.md + memory/spark-duckdb-parity-tricks.md):
+cross-engine values are integers (scaled where needed), md5-derived
+strings, or single-libm-call doubles on identical integer inputs;
+column aliases identical on both sides; no container-typed result
+cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the Mann-Whitney rank statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_auc_rank",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 4 AS segment,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    r AS (
+      SELECT segment, pos,
+             rank()    OVER (PARTITION BY segment ORDER BY cents) AS mr,
+             count(*)  OVER (PARTITION BY segment, cents)         AS tc
+      FROM s
+    )
+    SELECT segment,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN pos = 1 THEN 2 * mr + tc - 1 ELSE 0 END)
+                - sum(pos) * (sum(pos) + 1) AS BIGINT) AS u2,
+           CAST((1000000 * (sum(CASE WHEN pos = 1 THEN 2 * mr + tc - 1 ELSE 0 END)
+                            - sum(pos) * (sum(pos) + 1)))
+                // (2 * sum(pos) * sum(1 - pos)) AS BIGINT) AS auc_micro
+    FROM r GROUP BY segment
+    """,
+    tags=("analytics", "ml-eval", "window"),
+)
+def x_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per segment from the Mann-Whitney U statistic,
+    fully integer: with midranks m (tie-averaged), U = sum_pos(m) -
+    n_pos(n_pos+1)/2 and AUC = U / (n_pos*n_neg).  Midranks are
+    half-integers, so everything is carried doubled: 2*midrank =
+    2*rank + tie_count - 1, u2 = 2*U, auc_micro = floor(1e6*u2 /
+    (2*n_pos*n_neg)).  Scale shape: one shuffle on segment for the
+    rank window (at 100 TB, segment cardinality spreads the sort);
+    the AUC itself is a map-side-combinable aggregate over ranked
+    rows — no per-pair O(n_pos*n_neg) comparison ever materializes."""
+    s = (
+        Tables(spark, sf_dir).events
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            (F.col("user_id") % 4).alias("segment"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pos"),
+        )
+    )
+    r = s.select(
+        "segment",
+        "pos",
+        F.rank().over(Window.partitionBy("segment").orderBy("cents")).alias("mr"),
+        F.count("*").over(Window.partitionBy("segment", "cents")).alias("tc"),
+    )
+    u2 = F.sum(
+        F.when(F.col("pos") == 1, 2 * F.col("mr") + F.col("tc") - 1).otherwise(F.lit(0))
+    ) - F.sum("pos") * (F.sum("pos") + 1)
+    return (
+        r.groupBy("segment")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+            u2.cast("long").alias("u2"),
+            F.expr(
+                "CAST((1000000 * (sum(CASE WHEN pos = 1 THEN 2*mr + tc - 1 ELSE 0 END)"
+                " - sum(pos) * (sum(pos) + 1)))"
+                " div (2 * sum(pos) * sum(1 - pos)) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / PMI between categorical metadata columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_mutual_information",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_total FROM documents),
+    xy AS (SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+    x AS (SELECT lang, count(*) AS n_x FROM documents GROUP BY 1),
+    y AS (SELECT source, count(*) AS n_y FROM documents GROUP BY 1)
+    SELECT xy.lang, xy.source,
+           CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(n_x AS BIGINT) AS n_x,
+           CAST(n_y AS BIGINT) AS n_y,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(round(1000000 * ln(
+               CAST(n_xy * n_total AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)
+           )) AS BIGINT) AS pmi_micro
+    FROM xy JOIN x USING (lang) JOIN y USING (source) CROSS JOIN n
+    """,
+    tags=("analytics", "ml-eval", "feature-selection"),
+)
+def x_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between two categorical metadata
+    columns (lang x source), the cell-level sufficient statistic of
+    mutual information: pmi = ln(p(x,y) / (p(x)p(y))).  Emitted per
+    cell as exact integer counts plus a micro-scaled PMI whose single
+    ln call runs on an identical IEEE-double quotient of integers in
+    both engines.  Scale shape: three independent count aggregates
+    (map-side combinable) and two broadcast joins of marginal tables
+    (|X| and |Y| rows) onto the |X|x|Y| cell table — nothing
+    corpus-sized shuffles more than once."""
+    docs = Tables(spark, sf_dir).documents
+    n = docs.agg(F.count("*").cast("long").alias("n_total"))
+    xy = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n_xy"))
+    x = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_x"))
+    y = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_y"))
+    return (
+        xy.join(F.broadcast(x), "lang")
+        .join(F.broadcast(y), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n_total",
+            F.round(
+                1000000
+                * F.log(
+                    (F.col("n_xy") * F.col("n_total")).cast("double")
+                    / (F.col("n_x") * F.col("n_y")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (exact nearest-rank order statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_winsorize",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*)     OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    cuts AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END)
+                  AS BIGINT) AS lo_cents,
+             CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+                  AS BIGINT) AS hi_cents
+      FROM r GROUP BY event_type
+    )
+    SELECT c.event_type, k.n, k.lo_cents, k.hi_cents,
+           CAST(sum(least(greatest(c.cents, k.lo_cents), k.hi_cents))
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(sum(CASE WHEN c.cents < k.lo_cents OR c.cents > k.hi_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM c JOIN cuts k USING (event_type)
+    GROUP BY c.event_type, k.n, k.lo_cents, k.hi_cents
+    """,
+    tags=("analytics", "robust", "quantile"),
+)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at exact nearest-rank p05/p95: cut
+    ranks are pure integer arithmetic (ceil(n*p) = (n*p_pct+99)//100),
+    the cut values are exact order statistics, and clipped sums stay
+    in integer cents.  Scale shape: one shuffle on the group key for
+    the rank window; the cuts table is O(groups) and broadcast back
+    onto the data for the clip pass — at 100 TB the second pass is a
+    map stage, not a second sort."""
+    c = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("cents"))
+        ).cast("long").alias("lo_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("cents"))
+        ).cast("long").alias("hi_cents"),
+    )
+    return (
+        c.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+            ).cast("long").alias("winsorized_sum_cents"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo_cents"))
+                    | (F.col("cents") > F.col("hi_cents")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+        .select("event_type", "n", "lo_cents", "hi_cents",
+                "winsorized_sum_cents", "n_clipped")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance matrix (the PCA front-end)
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 8
+_PCA_SCALE = 1_000_000
+
+
+def _pca_cov_oracle() -> str:
+    return f"""
+    WITH x AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {_PCA_SCALE})
+                  AS BIGINT) AS xi
+      FROM embeddings, generate_series(1, {_PCA_DIMS}) AS t(i)
+    ),
+    p AS (
+      SELECT a.i AS ii, b.i AS jj, count(*) AS n,
+             sum(a.xi * b.xi) AS sxy, sum(a.xi) AS sx, sum(b.xi) AS sy
+      FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(ii - 1 AS BIGINT) AS dim_i,
+           CAST(jj - 1 AS BIGINT) AS dim_j,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num
+    FROM p
+    """
+
+
+@query(
+    "v_pca_covariance",
+    oracle=_pca_cov_oracle(),
+    tags=("vector", "ml", "linear-algebra"),
+)
+def v_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over embedding dims 0..7 — the
+    front-end of exact PCA (eigendecomposition of the returned d x d
+    matrix is O(d^3) driver work, independent of N).  Embeddings are
+    micro-scaled to integers, so cov numerator n*Sxy - Sx*Sy is exact
+    and summation-order-independent — what makes distributed
+    re-partitioning safe.  Scale shape: ONE narrow aggregation pass
+    computing all d(d+1)/2 product sums with map-side combine (no
+    self-join, no explode, no shuffle of the vector table — contrast
+    with the oracle's pedagogical unnest+join); the single agg row
+    then unpivots driver-side via stack.  At 100 TB this is a scan +
+    one exchange of ~40 longs per partition."""
+    emb = Tables(spark, sf_dir).embeddings
+    e = emb.select(
+        *[
+            F.round(F.col("embedding")[i].cast("double") * _PCA_SCALE)
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(_PCA_DIMS)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"x{i}").alias(f"s{i}") for i in range(_PCA_DIMS)]
+    pairs = [(i, j) for i in range(_PCA_DIMS) for j in range(_PCA_DIMS) if i <= j]
+    aggs += [
+        F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}") for i, j in pairs
+    ]
+    row = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), "
+        f"CAST(n * p{i}_{j} - s{i} * s{j} AS BIGINT)"
+        for i, j in pairs
+    )
+    return row.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, cov_num)"),
+    ).select("dim_i", "dim_j", "n", "cov_num")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (next-fit by cumulative size)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 2000
+
+
+@query(
+    "x_compaction_bins",
+    oracle=f"""
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(sum(n_chars) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents
+    )
+    SELECT source,
+           CAST(prior // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM f GROUP BY source, bin
+    """,
+    tags=("storage", "compaction", "window"),
+)
+def x_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: files (documents standing in as
+    a file manifest, n_chars as size) are packed per directory into
+    target-size bins by next-fit on the exclusive running size —
+    bin = floor(prefix_sum / target).  Deterministic, one window pass,
+    integer-only.  Scale shape: the manifest is metadata (file count,
+    not data bytes), so even a 100 TB table's manifest is millions of
+    rows — one shuffle on directory for the window, then the grouped
+    plan drives a distributed rewrite where each task reads exactly
+    one bin's files."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = Tables(spark, sf_dir).documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("prior"),
+    )
+    return (
+        f.select(
+            "source",
+            F.expr(f"prior div {_COMPACT_TARGET}").alias("bin"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test leakage via cross-split MinHash near-dup
+# ---------------------------------------------------------------------------
+
+_LEAK_SPLIT_SQL = "substr(md5('leak:' || CAST({id} AS VARCHAR)), 1, 2)"
+
+
+def _leakage_oracle() -> str:
+    from map2db_spark.queries_pipeline import _minhash_oracle
+
+    split = _LEAK_SPLIT_SQL.format(id="doc_id")
+    return f"""
+    WITH pairs AS ({_minhash_oracle(threshold=0.8)}),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN {split} < '80' THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.id_a
+    JOIN splits sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """
+
+
+@query(
+    "c_cross_split_leakage",
+    oracle=_leakage_oracle(),
+    tags=("curation", "dedup", "leakage", "pipeline"),
+)
+def c_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage detector: a deterministic 50/50 md5 split,
+    then the MinHash+LSH near-dup pipeline (threshold 0.8), keeping
+    only pairs whose members land in DIFFERENT splits — each one is a
+    test document whose near-duplicate leaked into training.  Reuses
+    the d_minhash_lsh dataflow end-to-end (signatures stream through
+    map-side combine, candidates come from ONE banded self-join with
+    the bucket_cap skew rail, verification explodes only the
+    candidate neighborhood), plus one broadcast join of the O(pairs)
+    result against the O(1)-per-row split column.  At 100 TB the
+    added cost over plain near-dup detection is a map-side split
+    assignment — leakage detection is free if you are deduping
+    anyway."""
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+    sigs = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
+    cands = D.lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, bucket_cap=50
+    ).localCheckpoint()
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = D.shingle_table(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ).localCheckpoint()
+    pairs = D.jaccard_pairs(
+        sh, threshold=0.8, candidates=cands, docs_prefiltered=True
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("leak:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(h < "80", F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )

@@ -120,6 +120,14 @@ _ROUND3_NEW = frozenset({
 })
 
 
+# Queries first registered during round 4 (ML-eval / data-management
+# family and later additions): behind the round-3 backlog.
+_ROUND4_NEW = frozenset({
+    "x_auc_rank", "x_mutual_information", "x_winsorize",
+    "v_pca_covariance", "x_compaction_bins", "c_cross_split_leakage",
+})
+
+
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent).
 
@@ -145,6 +153,7 @@ def _ensure_loaded() -> None:
     # graded-50 window stable within a round
     import map2db_spark.queries_analytics  # noqa: F401
     import map2db_spark.queries_round3  # noqa: F401
+    import map2db_spark.queries_mleval  # noqa: F401
 
     # Stable tier partition (relative order preserved per tier):
     #   0. r1-registered, never driver-graded + the 3 fixed r1 FAILs —
@@ -155,6 +164,8 @@ def _ensure_loaded() -> None:
     #   3. already driver-verified (green hard signal exists).
     def tier(name: str) -> int:
         if name in _DRIVER_VERIFIED:
+            return 4
+        if name in _ROUND4_NEW:
             return 3
         if name in _ROUND3_NEW:
             return 2
@@ -164,7 +175,7 @@ def _ensure_loaded() -> None:
 
     reordered = {
         name: QUERIES[name]
-        for t in (0, 1, 2, 3)
+        for t in (0, 1, 2, 3, 4)
         for name in QUERIES
         if tier(name) == t
     }

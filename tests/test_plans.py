@@ -547,3 +547,47 @@ def test_label_prop_no_allpairs_graph(spark):
     the plan must not contain a cartesian similarity join."""
     plan = plan_of(spark, "g_label_prop")
     assert "CartesianProduct" not in plan
+
+
+def test_auc_single_rank_exchange(spark):
+    """Exact AUC: one Exchange for the segment rank window feeding a
+    map-side-combinable aggregate — never an O(pos*neg) pair join."""
+    plan = plan_of(spark, "x_auc_rank")
+    assert "Join" not in plan, plan
+    assert _exchange_count(plan) <= 2, plan
+
+
+def test_mutual_information_broadcasts_marginals(spark):
+    """PMI cells: marginal tables join back as broadcasts; the corpus
+    shuffles only for the three count aggregates."""
+    plan = plan_of(spark, "x_mutual_information")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winsorize_cuts_broadcast_back(spark):
+    """Winsorize: the O(groups) cuts table returns as a broadcast —
+    the clip pass is a map stage, not a second sort of the data."""
+    plan = plan_of(spark, "x_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_covariance_single_pass_no_join(spark):
+    """Distributed covariance: all d(d+1)/2 product sums come from ONE
+    narrow aggregation pass — no self-join, no explode of the vector
+    table (the oracle's unnest+join form is pedagogical, not the
+    plan)."""
+    plan = plan_of(spark, "v_pca_covariance")
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_cross_split_leakage_no_allpairs(spark):
+    """Leakage detection rides the banded-LSH dataflow: candidates
+    from equi-joins only, split columns broadcast onto the O(pairs)
+    result."""
+    plan = plan_of(spark, "c_cross_split_leakage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -10,6 +10,7 @@ from map2db_spark.registry import (
     _DRIVER_VERIFIED,
     _ROUND2_NEW,
     _ROUND3_NEW,
+    _ROUND4_NEW,
     QUERIES,
     _ensure_loaded,
 )
@@ -40,6 +41,7 @@ def test_round2_additions_do_not_evict_r1_backlog():
         if n not in _DRIVER_VERIFIED
         and n not in _ROUND2_NEW
         and n not in _ROUND3_NEW
+        and n not in _ROUND4_NEW
     )
     first_tier1 = min(
         (i for i, n in enumerate(NAMES) if n in _ROUND2_NEW), default=len(NAMES)
@@ -57,8 +59,19 @@ def test_round3_additions_behind_round2_backlog():
     assert last_tier1 < first_tier2
 
 
+def test_round4_additions_behind_round3_backlog():
+    last_tier2 = max(
+        (i for i, n in enumerate(NAMES) if n in _ROUND3_NEW), default=-1
+    )
+    first_tier3 = min(
+        (i for i, n in enumerate(NAMES) if n in _ROUND4_NEW), default=len(NAMES)
+    )
+    assert last_tier2 < first_tier3
+
+
 def test_every_query_is_classified():
     # a name in two sets would make the tiering ambiguous
-    assert not (_DRIVER_VERIFIED & _ROUND2_NEW)
-    assert not (_DRIVER_VERIFIED & _ROUND3_NEW)
-    assert not (_ROUND2_NEW & _ROUND3_NEW)
+    tiers = (_DRIVER_VERIFIED, _ROUND2_NEW, _ROUND3_NEW, _ROUND4_NEW)
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1:]:
+            assert not (a & b)
