@@ -458,3 +458,256 @@ def c_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration top eigenvector over the distributed covariance matrix
+# ---------------------------------------------------------------------------
+
+_POW_ITERS = 4
+_POW_DOWN = 1_000_000_000  # covariance numerator downscale before matvec
+
+
+def _pow_sql_iter(prev: str, idx: int) -> str:
+    """One integer power-iteration step as SQL CTEs (matvec, infinity
+    norm, truncating renormalize to ~1e6 scale)."""
+    return f"""
+    w{idx} AS (
+      SELECT m.i, sum(m.c * v.x) AS w
+      FROM mat m JOIN {prev} v ON v.j = m.j GROUP BY m.i
+    ),
+    n{idx} AS (SELECT max(abs(w)) AS mx FROM w{idx}),
+    v{idx} AS (
+      SELECT i AS j,
+             (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+             * CAST(abs(w) // greatest(mx // 1000000, 1) AS BIGINT) AS x
+      FROM w{idx}, n{idx}
+    )"""
+
+
+def _pca_power_oracle() -> str:
+    iters = ",".join(_pow_sql_iter(f"v{i - 1}" if i > 1 else "v0", i)
+                     for i in range(1, _POW_ITERS + 1))
+    return f"""
+    WITH x AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {_PCA_SCALE})
+                  AS BIGINT) AS xi
+      FROM embeddings, generate_series(1, {_PCA_DIMS}) AS t(i)
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j, count(*) AS n,
+             sum(a.xi * b.xi) AS sxy, sum(a.xi) AS sx, sum(b.xi) AS sy
+      FROM x a JOIN x b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    mat AS (
+      SELECT i - 1 AS i, j - 1 AS j,
+             (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+             * CAST(abs(n * sxy - sx * sy) // {_POW_DOWN} AS BIGINT) AS c
+      FROM p
+    ),
+    v0 AS (
+      SELECT i - 1 AS j, CAST(1000000 AS BIGINT) AS x
+      FROM generate_series(1, {_PCA_DIMS}) AS t(i)
+    ),
+    {iters}
+    SELECT j AS dim, CAST(x AS BIGINT) AS v_scaled FROM v{_POW_ITERS}
+    """
+
+
+@query(
+    "v_pca_power",
+    oracle=_pca_power_oracle(),
+    tags=("vector", "ml", "linear-algebra", "iterative"),
+)
+def v_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by integer power iteration: the d x d
+    covariance matrix comes from the same ONE-pass distributed
+    aggregation as v_pca_covariance (no join, no explode — map-side
+    combine all the way), and the {iters}-step power iteration runs on
+    the driver over d^2 = 64 integers, exactly how Spark MLlib's PCA
+    eigen-solves the Gramian: per-iteration cost O(d^2), independent
+    of N.  Every step is exact integer arithmetic (matvec, infinity
+    norm, truncating renormalize), so Spark and the oracle's layered
+    CTEs agree bit-for-bit.  Collect volume is O(d^2) — the documented
+    bounded-driver-data exception, not a corpus collect."""
+    emb = Tables(spark, sf_dir).embeddings
+    e = emb.select(
+        *[
+            F.round(F.col("embedding")[i].cast("double") * _PCA_SCALE)
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(_PCA_DIMS)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"x{i}").alias(f"s{i}") for i in range(_PCA_DIMS)]
+    aggs += [
+        F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
+        for i in range(_PCA_DIMS)
+        for j in range(_PCA_DIMS)
+        if i <= j
+    ]
+    r = e.agg(*aggs).collect()[0]  # O(d^2) scalars — bounded driver data
+    n = r["n"]
+    cov = {}
+    for i in range(_PCA_DIMS):
+        for j in range(_PCA_DIMS):
+            lo, hi = (i, j) if i <= j else (j, i)
+            num = n * r[f"p{lo}_{hi}"] - r[f"s{i}"] * r[f"s{j}"]
+            sign = -1 if num < 0 else 1
+            cov[(i, j)] = sign * (abs(num) // _POW_DOWN)
+    v = [1_000_000] * _PCA_DIMS
+    for _ in range(_POW_ITERS):
+        w = [
+            sum(cov[(i, j)] * v[j] for j in range(_PCA_DIMS))
+            for i in range(_PCA_DIMS)
+        ]
+        mx = max(abs(x) for x in w)
+        s = max(mx // 1_000_000, 1)
+        v = [(-1 if x < 0 else 1) * (abs(x) // s) for x in w]
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(_PCA_DIMS)], "dim BIGINT, v_scaled BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probability calibration bins + Brier components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(concat('0x', substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+                                      1, 6)) AS BIGINT)
+             * 1000000 // 16777216 AS pred_micro,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    )
+    SELECT CAST(pred_micro // 100000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(pred_micro) AS BIGINT) AS sum_pred_micro,
+           CAST(sum((pred_micro - pos * 1000000)
+                    * (pred_micro - pos * 1000000)) AS BIGINT) AS brier_num
+    FROM s GROUP BY bin
+    """,
+    tags=("analytics", "ml-eval"),
+)
+def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-curve bins with exact Brier-score components: a
+    deterministic md5-derived pseudo-probability (micro-scaled
+    integer) is bucketed into deciles; each bin reports count,
+    positives, summed prediction, and the integer Brier numerator
+    sum((p - y)^2).  Mean calibration error and the Brier score fall
+    out as ratios of the returned integers.  Scale shape: one
+    map-side-combinable aggregate over a pure projection — the
+    standard model-eval pass a 100 TB scored corpus needs, with no
+    shuffle beyond 10 bin rows."""
+    ev = Tables(spark, sf_dir).events
+    pred = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("event_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 1000000
+    )
+    s = ev.select(
+        F.expr(
+            "CAST(conv(substr(md5('cal:' || CAST(event_id AS STRING)), 1, 6),"
+            " 16, 10) AS BIGINT) * 1000000 div 16777216"
+        ).alias("pred_micro"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    err = F.col("pred_micro") - F.col("pos") * 1000000
+    return (
+        s.groupBy(F.expr("pred_micro div 100000").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("pred_micro").cast("long").alias("sum_pred_micro"),
+            F.sum(err * err).cast("long").alias("brier_num"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (centered moving average, exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT d, cents,
+             sum(cents) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+             count(*)   OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM daily
+    )
+    SELECT CAST(((d - DATE '1970-01-01') + 4) % 7 AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(7 * cents - sum7) AS BIGINT) AS sum_detrended7,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM win WHERE cnt7 = 7
+    GROUP BY dow
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition on the daily revenue series:
+    detrend with a centered 7-day moving sum (detrended7 = 7*cents -
+    sum7 keeps everything integer — no division), then aggregate the
+    detrended residual by day-of-week to expose the weekly seasonal
+    profile.  Day-of-week is computed arithmetically ((epoch_days + 4)
+    % 7, Sunday = 0) so both engines agree without calendar-function
+    convention drift.  Scale shape: the daily rollup is the only
+    corpus shuffle; the window then runs over O(days) rows — at 100 TB
+    the series table is tiny regardless of event volume."""
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).alias("sum7"),
+        F.count("*").over(w).alias("cnt7"),
+    )
+    return (
+        win.where(F.col("cnt7") == 7)
+        .groupBy(
+            ((F.datediff(F.col("d"), F.lit("1970-01-01")) + 4) % 7)
+            .cast("long")
+            .alias("dow")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(7 * F.col("cents") - F.col("sum7")).cast("long")
+            .alias("sum_detrended7"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

@@ -591,3 +591,19 @@ def test_cross_split_leakage_no_allpairs(spark):
     plan = plan_of(spark, "c_cross_split_leakage")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_calibration_bins_single_exchange(spark):
+    """Calibration: a pure projection feeding one map-side-combinable
+    aggregate — a single Exchange of 10 bin rows."""
+    plan = plan_of(spark, "x_calibration_bins")
+    assert "Join" not in plan, plan
+    assert _exchange_count(plan) <= 1, plan
+
+
+def test_seasonal_decompose_series_scale_windows(spark):
+    """Seasonal decomposition: the corpus shuffles once for the daily
+    rollup; everything after runs over O(days) rows."""
+    plan = plan_of(spark, "w_seasonal_decompose")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
