@@ -711,3 +711,117 @@ def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+# Token-start sentinel representation: every token is prefixed with
+# chr(1) and tokens are space-joined, so the chosen pair's substring
+# "\x01x \x01y" can only match at a token boundary and a plain
+# (non-regex) replace() — identical leftmost-non-overlapping scan in
+# Spark and DuckDB — implements BPE's greedy left-to-right merge
+# exactly (consecutive occurrences "x y x y" both merge; overlapping
+# "a a a" merges once).  chr(2) joins merged halves inside a token.
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        r"""s0 AS (
+      SELECT array_to_string(list_transform(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 x -> chr(1) || x), ' ') AS s
+      FROM documents
+    )"""
+    ]
+    for k in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""c{k} AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair, count(*) AS n
+      FROM (SELECT string_split(s, ' ') AS t FROM s{k - 1}) z
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) g
+      GROUP BY 1
+    ),
+    t{k} AS (SELECT pair, n FROM c{k} ORDER BY n DESC, pair ASC LIMIT 1),
+    s{k} AS (
+      SELECT replace(s, (SELECT pair FROM t{k}),
+                     replace((SELECT pair FROM t{k}), ' ', chr(2))) AS s
+      FROM s{k - 1}
+    )""")
+        # NB: s{_BPE_ROUNDS} is defined but unused — harmless
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round,"
+        f" replace(replace(pair, chr(1), ''), chr(2), ' ') AS merge,"
+        f" CAST(n AS BIGINT) AS n FROM t{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@query(
+    "t_bpe_train_rounds",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "iterative", "pipeline"),
+)
+def t_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING, three full induction
+    rounds: count corpus-wide adjacent-pair frequencies, pick the
+    most frequent pair (count-desc, pair-asc tiebreak), merge it
+    everywhere, recount on the merged corpus.  The merge itself is a
+    plain substring replace over a sentinel-prefixed representation
+    (see module comment), which reproduces BPE's greedy
+    left-to-right non-overlapping semantics identically in both
+    engines — no regex, no lookaround, no UDF.
+
+    Scale shape: per round, the pair count is one keyed shuffle with
+    map-side partial aggregation (Zipf pairs collapse hard), the
+    winning pair is top-1 via TakeOrderedAndProject, and the merge
+    application is a map-only pass with the 1-row winner broadcast —
+    the corpus itself never shuffles.  A production trainer would
+    persist the corpus between rounds to cut lineage; at 100 TB each
+    round is a scan, which is the known cost floor of distributed
+    BPE induction."""
+    docs = Tables(spark, sf_dir).documents
+    cur = docs.select(
+        F.expr(
+            r"array_join(transform(split(trim(text), '\\s+'),"
+            r" x -> concat(char(1), x)), ' ')"
+        ).alias("s")
+    )
+    merges = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(s, ' ')) - 1),"
+                    " i -> concat(element_at(split(s, ' '), i), ' ',"
+                    " element_at(split(s, ' '), i + 1)))"
+                )
+            ).alias("pair")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+        )
+        merges.append(
+            top1.select(
+                F.lit(k).cast("long").alias("round"),
+                F.expr(
+                    "replace(replace(pair, char(1), ''), char(2), ' ')"
+                ).alias("merge"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(top1)).select(
+            F.expr("replace(s, pair, replace(pair, ' ', char(2)))").alias("s")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -607,3 +607,12 @@ def test_seasonal_decompose_series_scale_windows(spark):
     plan = plan_of(spark, "w_seasonal_decompose")
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_training_rounds_topk_and_broadcast(spark):
+    """BPE training: each round's winner comes from
+    TakeOrderedAndProject (top-1, no global sort) and applies as a
+    broadcast onto the corpus — never a shuffle of the corpus strings."""
+    plan = plan_of(spark, "t_bpe_train_rounds")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "CartesianProduct" not in plan
