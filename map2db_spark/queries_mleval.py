@@ -825,3 +825,103 @@ def t_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT ingestion of semi-structured JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_variant_histogram",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY k_bucket
+    """,
+    tags=("functions", "json", "variant"),
+)
+def f_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` converts the JSON string column to a binary
+    variant ONCE, and ``variant_get`` extracts the typed path without
+    re-parsing per access — the engine-native path for open-schema
+    event payloads (the oracle reaches the same values through
+    DuckDB's JSON functions; VARIANT is the Spark-side physical
+    representation, invisible in the result).  Scale shape: parse and
+    extract are map-side; one shuffle for the bucket histogram with
+    map-side combine."""
+    ev = Tables(spark, sf_dir).events
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.count_distinct(F.col("event_type")).cast("long").alias("n_types"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (deterministic Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_SCALE_B = 10  # Laplace scale b = 1/epsilon, epsilon = 0.1
+
+
+@query(
+    "x_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(concat('0x', substr(md5('dp:' || event_type), 1, 6))
+                  AS BIGINT) AS h
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             (CAST(h AS DOUBLE) + 0.5) / 16777216.0 - 0.5 AS c
+      FROM g
+    )
+    SELECT event_type, n,
+           CAST(round(1000 * (CAST(n AS DOUBLE)
+               - {_DP_SCALE_B} * (CASE WHEN c < 0 THEN -1.0 ELSE 1.0 END)
+                 * ln(1.0 - 2.0 * abs(c)))) AS BIGINT) AS noisy_milli
+    FROM u
+    """,
+    tags=("analytics", "privacy"),
+)
+def x_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release via the Laplace mechanism
+    with a DETERMINISTIC noise draw: uniform u derives from md5 of the
+    group key (centered c = u - 0.5), and the inverse-CDF transform
+    -b*sign(c)*ln(1-2|c|) yields Laplace(b= 1/eps) noise — one libm ln
+    on an identical IEEE double in both engines, released milli-scaled.
+    (A production release would use a secret seed; the mechanism,
+    sensitivity-1 count + Laplace(1/eps), is the textbook one.)  Scale
+    shape: one map-side-combinable count; noise is O(groups) post-
+    processing."""
+    ev = Tables(spark, sf_dir).events
+    g = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    c = (h.cast("double") + 0.5) / 16777216.0 - 0.5
+    noise = -F.lit(float(_DP_SCALE_B)) * F.when(c < 0, -1.0).otherwise(1.0) * F.log(
+        1.0 - 2.0 * F.abs(c)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(1000 * (F.col("n").cast("double") + noise))
+        .cast("long")
+        .alias("noisy_milli"),
+    )

@@ -126,7 +126,7 @@ _ROUND4_NEW = frozenset({
     "x_auc_rank", "x_mutual_information", "x_winsorize",
     "v_pca_covariance", "x_compaction_bins", "c_cross_split_leakage",
     "v_pca_power", "x_calibration_bins", "w_seasonal_decompose",
-    "t_bpe_train_rounds",
+    "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
 })
 
 
