@@ -147,11 +147,21 @@ def write_features(
     vtag_cols: dict[str, list[str]],
     batch_rows: int = 10_000,
 ) -> dict[str, int]:
-    """Stream the consolidated features into the three tables.
+    """Stream the consolidated features into the three tables in ONE
+    pass: a single (ftype, fid) sort, a single toLocalIterator, and
+    driver-side dispatch onto per-table prepared INSERTs.
 
-    Rows arrive via toLocalIterator (one partition's batches at a
-    time).  Returns per-table row counts."""
+    A per-table filtered pass would re-execute the entire
+    consolidate + merge plan upstream once per table (the final
+    DataFrame is lazy and deliberately not persisted — at export
+    scale it IS the working set); measured on the 23k-feature
+    throughput fixture, three passes made the sink 3x the cost of
+    the whole compute pipeline.  Rows arrive one Arrow batch at a
+    time (bounded driver memory), per-table fid order is preserved
+    by the composite sort."""
     counts = {"points": 0, "lines": 0, "areas": 0}
+    sqls: dict[str, str] = {}
+    extras: dict[str, list[str]] = {}
     for ftype, table in TABLE_FOR_FTYPE.items():
         extra = vtag_cols.get(ftype, [])
         for col in extra:
@@ -164,36 +174,43 @@ def write_features(
         pk = PK_FOR_FTYPE[ftype]
         cols = [pk] + FIXED_COLS + list(extra)
         col_list = ",".join('"' + c.replace('"', '""') + '"' for c in cols)
-        sql = (
+        sqls[ftype] = (
             f"INSERT INTO {table} ({col_list})"
             f" VALUES ({','.join(['?'] * len(cols))});"
         )
-        rows_df = (
-            consolidated.where(F.col("ftype") == ftype)
-            .select("fid", "level", "minz", "maxz", "geom", "layer", "tags", "vtags")
-            .orderBy("fid")
-        )
-        batch = []
-        for r in rows_df.toLocalIterator(prefetchPartitions=True):
-            vt = r["vtags"] or {}
-            row = [
-                r["fid"],
-                r["level"],
-                r["minz"],
-                r["maxz"],
-                r["geom"],
-                r["layer"],
-                json.dumps(list(r["tags"] or []), ensure_ascii=False),
-            ] + [_coerce(k, vt.get(k)) for k in extra]
-            batch.append(row)
-            if len(batch) >= batch_rows:
-                dbc.executemany(sql, batch)
-                counts[table] += len(batch)
-                batch = []
-        if batch:
-            dbc.executemany(sql, batch)
-            counts[table] += len(batch)
-        dbc.commit()
+        extras[ftype] = list(extra)
+    rows_df = (
+        consolidated.select(
+            "ftype", "fid", "level", "minz", "maxz", "geom", "layer", "tags", "vtags"
+        ).orderBy("ftype", "fid")
+    )
+    batches: dict[str, list] = {ft: [] for ft in TABLE_FOR_FTYPE}
+
+    def flush(ftype: str) -> None:
+        b = batches[ftype]
+        if b:
+            dbc.executemany(sqls[ftype], b)
+            counts[TABLE_FOR_FTYPE[ftype]] += len(b)
+            batches[ftype] = []
+
+    for r in rows_df.toLocalIterator(prefetchPartitions=True):
+        ftype = r["ftype"]
+        vt = r["vtags"] or {}
+        row = [
+            r["fid"],
+            r["level"],
+            r["minz"],
+            r["maxz"],
+            r["geom"],
+            r["layer"],
+            json.dumps(list(r["tags"] or []), ensure_ascii=False),
+        ] + [_coerce(k, vt.get(k)) for k in extras[ftype]]
+        batches[ftype].append(row)
+        if len(batches[ftype]) >= batch_rows:
+            flush(ftype)
+    for ftype in batches:
+        flush(ftype)
+    dbc.commit()
     return counts
 
 
