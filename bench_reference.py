@@ -33,7 +33,14 @@ if _REPO not in sys.path:
 REFERENCE = "/root/reference/src/map2db.py"
 SHIM = str(Path(_REPO) / "tests" / "support" / "shapely_shim")
 
-SIZES = [30, 90, 240]  # feats_per_tile over the 256-tile z10 grid
+# (feats_per_tile, bbox): three densities on the 256-tile z10 grid,
+# then the default density on a ~1024-tile grid (the 10^3 regime)
+SIZES = [
+    (30, (0.1, 0.1, 5.5, 5.5)),
+    (90, (0.1, 0.1, 5.5, 5.5)),
+    (240, (0.1, 0.1, 5.5, 5.5)),
+    (30, (0.1, 0.1, 11.0, 11.0)),
+]
 
 
 def _load_reference():
@@ -56,36 +63,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     with tempfile.TemporaryDirectory() as tmp:
         maps = {}
-        for fpt in SIZES:
-            src = f"{tmp}/fpt{fpt}.map"
-            large_map(fpt).write(src)
-            maps[fpt] = src
-        map2db(spark, maps[SIZES[0]], f"{tmp}/warm.db")  # session warm-up
-        for fpt in SIZES:
-            src = maps[fpt]
+        for idx, (fpt, bbox) in enumerate(SIZES):
+            src = f"{tmp}/size{idx}.map"
+            large_map(fpt, bbox=bbox).write(src)
+            maps[idx] = (src, fpt)
+        map2db(spark, maps[0][0], f"{tmp}/warm.db")  # session warm-up
+        for idx, (fpt, bbox) in enumerate(SIZES):
+            src, _ = maps[idx]
             ref_best = min(
-                _timed(lambda i=i: _run_ref(ref, src, f"{tmp}/ref{fpt}_{i}.db"))
+                _timed(lambda i=i: _run_ref(ref, src, f"{tmp}/ref{idx}_{i}.db"))
                 for i in range(repeats)
             )
             eng_best = min(
-                _timed(lambda i=i: map2db(spark, src, f"{tmp}/eng{fpt}_{i}.db"))
+                _timed(lambda i=i: map2db(spark, src, f"{tmp}/eng{idx}_{i}.db"))
                 for i in range(repeats)
             )
             import sqlite3
 
-            con = sqlite3.connect(f"{tmp}/eng{fpt}_0.db")
+            con = sqlite3.connect(f"{tmp}/eng{idx}_0.db")
             feats = sum(
                 con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
                 for t in ["points", "lines", "areas"]
             )
             con.close()
+            ntiles = round(
+                ((bbox[3] - bbox[1]) / 0.3515625 + 1)
+                * ((bbox[2] - bbox[0]) / 0.3515625 + 1)
+            )
             print(
                 json.dumps(
                     {
                         "feats_per_tile": fpt,
-                        "input_features": 256 * fpt,
+                        "tiles_approx": ntiles,
+                        "input_features": ntiles * fpt,
                         "features": feats,
-                        "tiles": 256,
                         "ref_sec": round(ref_best, 2),
                         "engine_sec": round(eng_best, 2),
                         "speedup": round(ref_best / eng_best, 2),

@@ -109,11 +109,15 @@ def dbl_map() -> MapWriter:
     return w
 
 
-def large_map(feats_per_tile: int = 30) -> MapWriter:
-    """Throughput-bench map: a z10 grid (~256 tiles) filled with
+def large_map(
+    feats_per_tile: int = 30,
+    bbox: tuple[float, float, float, float] = (0.1, 0.1, 5.5, 5.5),
+) -> MapWriter:
+    """Throughput-bench map: a z10 grid (~256 tiles at the default
+    bbox; pass a wider bbox for the 10^3-tile regime) filled with
     deterministic features — grids of POIs, multi-part lines (so the
-    merge stage has work), and small polygons.  ~7.7k features."""
-    bbox = (0.1, 0.1, 5.5, 5.5)
+    merge stage has work), and small polygons.  ~7.7k features at the
+    defaults."""
     w = MapWriter(bbox, [(10, 9, 13)], dbl_license=LICENSE)
     from map2db_spark.sources.tilemath import x_from_lon, y_from_lat
 
