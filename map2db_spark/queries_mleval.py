@@ -925,3 +925,114 @@ def x_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 3
+
+
+@query(
+    "c_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, size_bucket, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END AS BIGINT)
+             AS risky
+    FROM q
+    """,
+    tags=("curation", "privacy"),
+)
+def c_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group by the quasi-identifier tuple (lang,
+    source, bucketed size) and flag equivalence classes smaller than
+    k=3 — rows in those classes are re-identifiable by their
+    metadata alone and need suppression or generalization before
+    release.  Pairs with x_dp_noisy_counts as the privacy surface.
+    Scale shape: one map-side-combinable count over a pure
+    projection; the audit output is O(classes)."""
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("size_bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "n",
+            F.when(F.col("n") < _K_ANON, F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("risky"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (per-cell contributions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_chi_squared",
+    oracle="""
+    WITH n AS (SELECT count(*) AS nt FROM documents),
+    xy AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+    x AS (SELECT lang, count(*) AS nx FROM documents GROUP BY 1),
+    y AS (SELECT source, count(*) AS ny FROM documents GROUP BY 1)
+    SELECT xy.lang, xy.source,
+           CAST(o AS BIGINT) AS observed,
+           CAST(round(1000000.0 * nx * ny / nt) AS BIGINT)
+             AS expected_micro,
+           CAST(round(1000000.0
+                * (CAST(o * nt - nx * ny AS DOUBLE)
+                   * CAST(o * nt - nx * ny AS DOUBLE))
+                / (CAST(nt AS DOUBLE) * nx * ny)) AS BIGINT)
+             AS chi2_term_micro
+    FROM xy JOIN x USING (lang) JOIN y USING (source) CROSS JOIN n
+    """,
+    tags=("analytics", "ml-eval", "feature-selection"),
+)
+def x_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between two categorical columns,
+    emitted per contingency cell: observed count, micro-scaled
+    expected count, and the chi2 contribution (O-E)^2/E computed as
+    (O*N - nx*ny)^2 / (N*nx*ny) so the numerator stays exact integer
+    and the single double division is identical in both engines.  The
+    statistic is the sum of the returned terms; with the per-cell
+    form the whole test is hash-checkable.  Scale shape: same as
+    x_mutual_information — three count aggregates, marginals
+    broadcast onto the cells."""
+    docs = Tables(spark, sf_dir).documents
+    nt = docs.agg(F.count("*").cast("long").alias("nt"))
+    xy = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    x = docs.groupBy("lang").agg(F.count("*").cast("long").alias("nx"))
+    y = docs.groupBy("source").agg(F.count("*").cast("long").alias("ny"))
+    num = F.col("o") * F.col("nt") - F.col("nx") * F.col("ny")
+    return (
+        xy.join(F.broadcast(x), "lang")
+        .join(F.broadcast(y), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            F.round(
+                1000000.0 * F.col("nx") * F.col("ny") / F.col("nt")
+            ).cast("long").alias("expected_micro"),
+            F.round(
+                1000000.0
+                * (num.cast("double") * num.cast("double"))
+                / (F.col("nt").cast("double") * F.col("nx") * F.col("ny"))
+            ).cast("long").alias("chi2_term_micro"),
+        )
+    )
