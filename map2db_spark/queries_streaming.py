@@ -268,3 +268,38 @@ def s_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, dedup_within_watermark_stream, "append",
         "event_id LONG, user_id LONG, event_type STRING",
     )
+
+
+@query(
+    "s_stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, n_events, last_event_id FROM (
+      SELECT user_id,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_events,
+             CAST(event_id AS BIGINT) AS last_event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "foreachbatch", "exactly-once"),
+)
+def s_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once upsert sink: ~4 real micro-batches
+    (maxFilesPerTrigger=1 under Trigger.AvailableNow) MERGE into a
+    keyed store through an idempotency ledger — last (ts, event_id)
+    wins per user, counts accumulate, and replaying a delivered batch
+    is asserted to be a no-op before the result is returned (the
+    query RAISES if replay mutates state).  The final upserted state
+    equals the batch argmax aggregation, which is the oracle."""
+    from map2db_spark.streaming.events import foreach_batch_upsert
+
+    state, ledger, replay_noop = foreach_batch_upsert(spark, sf_dir)
+    assert replay_noop, "foreachBatch replay must be idempotent"
+    assert len(ledger) >= 2, "expected multiple micro-batches"
+    rows = [(uid, v[0], v[2]) for uid, v in state.items()]
+    return spark.createDataFrame(
+        rows, "user_id LONG, n_events LONG, last_event_id LONG"
+    )

@@ -127,7 +127,7 @@ _ROUND4_NEW = frozenset({
     "v_pca_covariance", "x_compaction_bins", "c_cross_split_leakage",
     "v_pca_power", "x_calibration_bins", "w_seasonal_decompose",
     "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
-    "c_k_anonymity", "x_chi_squared",
+    "c_k_anonymity", "x_chi_squared", "s_stream_foreachbatch_upsert",
 })
 
 

@@ -302,3 +302,67 @@ def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
+
+
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str):
+    """Multi-micro-batch foreachBatch upsert with an idempotency
+    ledger: the bounded events table is split into 4 files, streamed
+    with maxFilesPerTrigger=1 (so Trigger.AvailableNow delivers ~4
+    real micro-batches), and each batch MERGEs into a keyed store —
+    last (ts, event_id) wins per user, counts accumulate — guarded by
+    a batch-id ledger so replaying a delivered batch is a no-op
+    (the exactly-once contract every transactional streaming sink
+    implements; Delta/JDBC sinks keep the ledger in the target
+    transaction, this demo keeps it driver-side with the state).
+
+    Returns (state dict, ledger set, replay_noop bool): replay_noop
+    re-applies the last batch through the same function and reports
+    whether the state survived unchanged."""
+    import tempfile
+
+    from map2db_spark.tables import Tables
+
+    src = Tables(spark, sf_dir).events.select("event_id", "ts", "user_id")
+    tmp = tempfile.mkdtemp(prefix="m2db_fbu_")
+    src.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    state: dict[int, list] = {}  # user_id -> [n_events, ts, event_id]
+    ledger: set[int] = set()
+    last_batch_rows: dict[int, list] = {"rows": None, "id": None}  # type: ignore[dict-item]
+
+    def apply_batch(rows, batch_id: int) -> bool:
+        """Idempotent MERGE: returns False (no-op) if batch_id was
+        already applied."""
+        if batch_id in ledger:
+            return False
+        for r in rows:
+            cur = state.get(r["user_id"])
+            key = (r["ts"], r["event_id"])
+            if cur is None:
+                state[r["user_id"]] = [1, r["ts"], r["event_id"]]
+            else:
+                cur[0] += 1
+                if key > (cur[1], cur[2]):
+                    cur[1], cur[2] = key
+        ledger.add(batch_id)
+        return True
+
+    def handle(batch_df, batch_id: int) -> None:
+        rows = batch_df.collect()  # O(micro-batch) driver rows — demo sink
+        last_batch_rows["rows"], last_batch_rows["id"] = rows, batch_id
+        apply_batch(rows, batch_id)
+
+    q = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    before = {k: tuple(v) for k, v in state.items()}
+    replay_applied = apply_batch(last_batch_rows["rows"], last_batch_rows["id"])
+    after = {k: tuple(v) for k, v in state.items()}
+    replay_noop = (not replay_applied) and before == after
+    return state, ledger, replay_noop
