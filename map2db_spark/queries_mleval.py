@@ -1036,3 +1036,177 @@ def x_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("chi2_term_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test (z statistic from four integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_ab_test_proportions",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                 substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 300
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                  AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                  AS BIGINT) AS x_b
+      FROM u
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(round(1000000 *
+             (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt(
+                 (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)
+             )) AS BIGINT) AS z_micro
+    FROM c
+    """,
+    tags=("analytics", "ml-eval", "ab-test"),
+)
+def x_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test: users split into arms by md5 parity,
+    conversion = any purchase over $300 (a rare event, so variance is nonzero); the pooled two-proportion z statistic
+    is computed from the four exact integer counts in one identical
+    IEEE expression (two divisions, one sqrt) on both engines,
+    released micro-scaled.  Scale shape: one shuffle to the per-user
+    conversion flag (map-side combine), then a 4-integer global
+    aggregate — the experiment-analysis pass over any event volume is
+    two map-side-combinable aggregations."""
+    ev = Tables(spark, sf_dir).events
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long").alias("x_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long").alias("x_b"),
+    )
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("x_a").cast("double") / F.col("n_a")
+        - F.col("x_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return c.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(1000000 * z).cast("long").alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law exponent of the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+@query(
+    "t_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token ASC) AS r
+      FROM freq ORDER BY f DESC, token ASC LIMIT {_ZIPF_TOPK}
+    ),
+    pts AS (
+      SELECT CAST(round(1000 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+             CAST(round(1000 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_micro
+    FROM s
+    """,
+    tags=("text", "analytics", "ml-eval"),
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus vocabulary: log-log OLS slope
+    over the top-100 token frequencies.  ln(rank), ln(freq) are
+    milli-scaled to integers per point (single libm call each, on
+    identical double inputs), then the slope is EXACT integer OLS —
+    n*Sxy - Sx*Sy over n*Sxx - Sx^2 — so distributed summation order
+    cannot move the estimate (~ -1 for natural text, shallower for
+    templated/synthetic corpora: a cheap corpus-quality fingerprint).
+    Scale shape: token counts map-side combine; top-100 is
+    TakeOrderedAndProject; the regression runs over 100 rows."""
+    docs = Tables(spark, sf_dir).documents
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    top = freq.orderBy(F.desc("f"), F.asc("token")).limit(_ZIPF_TOPK)
+    ranked = top.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("token")))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.round(1000 * F.log(F.col("r").cast("double"))).cast("long").alias("x"),
+        F.round(1000 * F.log(F.col("f").cast("double"))).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_micro"),
+    )
