@@ -1210,3 +1210,140 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival sufficient statistics (user retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+               AS t_days,
+             CAST(CASE WHEN max(CAST(ts AS DATE)) <
+                 (SELECT max(CAST(ts AS DATE)) FROM events) - 7
+               THEN 1 ELSE 0 END AS BIGINT) AS churned
+      FROM events GROUP BY user_id
+    ),
+    risk AS (
+      SELECT t_days,
+             CAST(sum(churned) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_ending
+      FROM span GROUP BY t_days
+    ),
+    tot AS (SELECT count(*) AS n_total FROM span)
+    SELECT t_days, n_events, n_ending,
+           CAST(n_total - COALESCE(sum(n_ending) OVER (
+               ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_at_risk
+    FROM risk CROSS JOIN tot
+    """,
+    tags=("analytics", "ml-eval", "survival"),
+)
+def x_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival sufficient statistics for user
+    retention: each user's observation span in days, churn = last
+    activity more than 7 days before the dataset horizon (otherwise
+    right-censored).  Emits, per distinct span length, the exact
+    integer K-M inputs — events (churns), endings, and the at-risk
+    count from a running prefix — from which S(t) = prod(1 -
+    d_i/r_i) follows.  Products of rationals are deliberately NOT
+    emitted (cross-engine float products drift); the integer table
+    IS the estimator's state.  Scale shape: one shuffle to per-user
+    spans (map-side combine), one O(distinct-spans) window."""
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    horizon = ev.agg(F.max("d").alias("hmax"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("dmax", "dmin").cast("long").alias("t_days"),
+            F.when(
+                F.datediff("hmax", "dmax") > 7, F.lit(1)
+            ).otherwise(F.lit(0)).cast("long").alias("churned"),
+        )
+    )
+    risk = span.groupBy("t_days").agg(
+        F.sum("churned").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_ending"),
+    )
+    tot = span.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        risk.crossJoin(F.broadcast(tot))
+        .select(
+            "t_days",
+            "n_events",
+            "n_ending",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_ending").over(w), F.lit(0))
+            ).cast("long").alias("n_at_risk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts between event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+             AS from_total
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("analytics", "sequence", "ml-eval"),
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences ((ts, event_id)-ordered, so ties are deterministic):
+    the |types|^2 transition matrix as exact integers with row
+    totals — transition probabilities are n/from_total.  The
+    user-behavior model every sessionized product-analytics stack
+    fits.  Scale shape: one shuffle on user_id for the lead window,
+    then a map-side-combinable count to O(types^2) rows; the row
+    totals are a window over that tiny table."""
+    ev = Tables(spark, sf_dir).events
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    counted = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(Window.partitionBy("from_type")).cast("long")
+        .alias("from_total"),
+    )

@@ -128,7 +128,8 @@ _ROUND4_NEW = frozenset({
     "v_pca_power", "x_calibration_bins", "w_seasonal_decompose",
     "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
     "c_k_anonymity", "x_chi_squared", "s_stream_foreachbatch_upsert",
-    "x_ab_test_proportions", "t_zipf_fit",
+    "x_ab_test_proportions", "t_zipf_fit", "x_survival_km",
+    "x_markov_transitions",
 })
 
 
