@@ -1347,3 +1347,212 @@ def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(Window.partitionBy("from_type")).cast("long")
         .alias("from_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: LSH top-k vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    from map2db_spark.queries_pipeline import _ANN_INT, _PLANES
+
+    bucket_terms = []
+    for b, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}::BIGINT[]) > 0"
+            f" THEN {2**b} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM iv),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < 10),
+    lsh AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(qv, c.v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id) AS rank
+        FROM bucketed c JOIN q USING (bucket)
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    ),
+    brute AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(qv, c.v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id) AS rank
+        FROM iv c CROSS JOIN q
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_brute,
+           CAST(COALESCE(max(l.n_lsh), 0) AS BIGINT) AS n_lsh,
+           CAST(COALESCE(max(m.n_matched), 0) AS BIGINT) AS n_matched
+    FROM brute b
+    LEFT JOIN (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY 1) l
+      USING (query_id)
+    LEFT JOIN (
+      SELECT l2.query_id, count(*) AS n_matched
+      FROM lsh l2 JOIN brute b2 USING (query_id, cand_id) GROUP BY 1
+    ) m USING (query_id)
+    GROUP BY b.query_id
+    """
+
+
+@query(
+    "v_ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    tags=("ann", "ml-eval", "vector"),
+)
+def v_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN against the exact brute-force baseline,
+    per query: how many of the true top-5 the bucketed search
+    retrieved (n_matched / n_brute is the recall; n_lsh < 5 means the
+    probed bucket ran short).  The quality measurement every ANN
+    deployment needs running continuously — and the exact-integer
+    similarity arithmetic is what makes the comparison itself
+    deterministic.  Scale shape: the brute side broadcasts the query
+    set and never shuffles the corpus; the LSH side joins only the
+    probed bucket; the recall join is O(queries*k)."""
+    from map2db_spark.functions import similarity as S
+    from map2db_spark.queries_pipeline import _PLANES
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
+    lsh = S.lsh_topk(emb, queries, _PLANES, k=5).select("query_id", "cand_id")
+    n_lsh = lsh.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    matched = (
+        lsh.join(brute, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        brute.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_brute"))
+        .join(F.broadcast(n_lsh), "query_id", "left")
+        .join(F.broadcast(matched), "query_id", "left")
+        .select(
+            "query_id",
+            "n_brute",
+            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long")
+            .alias("n_matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_did_estimator",
+    oracle="""
+    WITH lim AS (
+      SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+      FROM events
+    ),
+    s AS (
+      SELECT CASE WHEN CAST(concat('0x',
+                 substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN CAST(ts AS DATE) <=
+                    dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN lim
+    ),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN arm='A' AND period='pre'  THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+        CAST(sum(CASE WHEN arm='A' AND period='pre'  THEN cents ELSE 0 END) AS BIGINT) AS s_a_pre,
+        CAST(sum(CASE WHEN arm='A' AND period='post' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+        CAST(sum(CASE WHEN arm='A' AND period='post' THEN cents ELSE 0 END) AS BIGINT) AS s_a_post,
+        CAST(sum(CASE WHEN arm='B' AND period='pre'  THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+        CAST(sum(CASE WHEN arm='B' AND period='pre'  THEN cents ELSE 0 END) AS BIGINT) AS s_b_pre,
+        CAST(sum(CASE WHEN arm='B' AND period='post' THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+        CAST(sum(CASE WHEN arm='B' AND period='post' THEN cents ELSE 0 END) AS BIGINT) AS s_b_post
+      FROM s
+    )
+    SELECT *,
+           CAST(round(1000 * (
+             (CAST(s_a_post AS DOUBLE)/n_a_post - CAST(s_a_pre AS DOUBLE)/n_a_pre)
+           - (CAST(s_b_post AS DOUBLE)/n_b_post - CAST(s_b_pre AS DOUBLE)/n_b_pre)
+           )) AS BIGINT) AS did_milli_cents
+    FROM c
+    """,
+    tags=("analytics", "ml-eval", "ab-test"),
+)
+def x_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment-effect estimate: md5-parity
+    arms x pre/post periods (midpoint of the observed date range),
+    effect = (A_post - A_pre) - (B_post - B_pre) on mean value.  The
+    eight cell statistics are exact integers; the effect is one IEEE
+    expression over them, milli-cent scaled.  Scale shape: date
+    limits broadcast, then a single map-side-combinable global
+    aggregate — the standard quasi-experimental readout at any event
+    volume."""
+    ev = Tables(spark, sf_dir).events
+    lim = ev.agg(
+        F.min(F.to_date("ts")).alias("dmin"), F.max(F.to_date("ts")).alias("dmax")
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    period = F.when(
+        F.datediff(F.to_date("ts"), F.col("dmin"))
+        <= F.expr("CAST(datediff(dmax, dmin) div 2 AS INT)"),
+        "pre",
+    ).otherwise("post")
+    s = ev.crossJoin(F.broadcast(lim)).select(
+        arm.alias("arm"),
+        period.alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def cell(a: str, p: str, what):
+        return F.sum(
+            F.when((F.col("arm") == a) & (F.col("period") == p), what).otherwise(0)
+        ).cast("long")
+
+    c = s.agg(
+        cell("A", "pre", 1).alias("n_a_pre"),
+        cell("A", "pre", F.col("cents")).alias("s_a_pre"),
+        cell("A", "post", 1).alias("n_a_post"),
+        cell("A", "post", F.col("cents")).alias("s_a_post"),
+        cell("B", "pre", 1).alias("n_b_pre"),
+        cell("B", "pre", F.col("cents")).alias("s_b_pre"),
+        cell("B", "post", 1).alias("n_b_post"),
+        cell("B", "post", F.col("cents")).alias("s_b_post"),
+    )
+    did = (
+        F.col("s_a_post").cast("double") / F.col("n_a_post")
+        - F.col("s_a_pre").cast("double") / F.col("n_a_pre")
+    ) - (
+        F.col("s_b_post").cast("double") / F.col("n_b_post")
+        - F.col("s_b_pre").cast("double") / F.col("n_b_pre")
+    )
+    return c.select(
+        "*", F.round(1000 * did).cast("long").alias("did_milli_cents")
+    )

@@ -129,7 +129,7 @@ _ROUND4_NEW = frozenset({
     "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
     "c_k_anonymity", "x_chi_squared", "s_stream_foreachbatch_upsert",
     "x_ab_test_proportions", "t_zipf_fit", "x_survival_km",
-    "x_markov_transitions",
+    "x_markov_transitions", "v_ann_recall_eval", "x_did_estimator",
 })
 
 
