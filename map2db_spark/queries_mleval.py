@@ -1556,3 +1556,118 @@ def x_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "*", F.round(1000 * did).cast("long").alias("did_milli_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: recall recovered, measured against the same baseline
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_recall_oracle() -> str:
+    from map2db_spark.queries_pipeline import _ANN_INT, _PLANES
+
+    bucket_terms = []
+    for b, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}::BIGINT[]) > 0"
+            f" THEN {2**b} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << b})" for b in range(len(_PLANES))
+    ) + "]"
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM iv),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < 10),
+    qp AS (
+      SELECT query_id, qv, unnest({probe_list}) AS bucket FROM q
+    ),
+    lsh AS (
+      SELECT query_id, cand_id FROM (
+        SELECT qp.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                 round(list_dot_product(qv, c.v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id) AS rank
+        FROM bucketed c JOIN qp USING (bucket)
+        WHERE c.vec_id != qp.query_id
+      ) WHERE rank <= 5
+    ),
+    brute AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(qv, c.v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id) AS rank
+        FROM iv c CROSS JOIN q
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_brute,
+           CAST(COALESCE(max(l.n_lsh), 0) AS BIGINT) AS n_lsh,
+           CAST(COALESCE(max(m.n_matched), 0) AS BIGINT) AS n_matched
+    FROM brute b
+    LEFT JOIN (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY 1) l
+      USING (query_id)
+    LEFT JOIN (
+      SELECT l2.query_id, count(*) AS n_matched
+      FROM lsh l2 JOIN brute b2 USING (query_id, cand_id) GROUP BY 1
+    ) m USING (query_id)
+    GROUP BY b.query_id
+    """
+
+
+@query(
+    "v_ann_multiprobe_recall",
+    oracle=_multiprobe_recall_oracle(),
+    tags=("ann", "ml-eval", "vector", "multiprobe"),
+)
+def v_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of MULTI-PROBE LSH (own bucket + every 1-bit-flip
+    neighbor, Lv et al.) against the exact baseline.  Versus
+    single-probe (v_ann_recall_eval) it restores the CANDIDATE
+    BUDGET — every query fills its top-5 (n_lsh=5 where single-probe
+    returned 0-2) at 9 probed buckets — and recovers every neighbor
+    that disagrees on exactly one hyperplane.  Measured honestly on
+    this corpus recall stays low: the synthetic embeddings are
+    near-isotropic (pairwise cosine ~0.3 at best), so a "true"
+    neighbor's signature differs on several planes — the textbook
+    demonstration that LSH recall is a property of the embedding
+    geometry, which is exactly what this evaluator exists to surface
+    before an ANN index ships.  Same single equi-join dataflow; each
+    candidate lives in one bucket, so no pair dedup is needed."""
+    from map2db_spark.functions import similarity as S
+    from map2db_spark.queries_pipeline import _PLANES
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
+    lsh = S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5).select(
+        "query_id", "cand_id"
+    )
+    n_lsh = lsh.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    matched = (
+        lsh.join(brute, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        brute.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_brute"))
+        .join(F.broadcast(n_lsh), "query_id", "left")
+        .join(F.broadcast(matched), "query_id", "left")
+        .select(
+            "query_id",
+            "n_brute",
+            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long")
+            .alias("n_matched"),
+        )
+    )
