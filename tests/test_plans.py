@@ -616,3 +616,51 @@ def test_bpe_training_rounds_topk_and_broadcast(spark):
     plan = plan_of(spark, "t_bpe_train_rounds")
     assert plan.count("TakeOrderedAndProject") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ab_test_two_aggregations_no_join(spark):
+    """A/B z-test: per-user conversion then a 4-integer global
+    aggregate — two map-side-combinable aggs, no join anywhere."""
+    plan = plan_of(spark, "x_ab_test_proportions")
+    assert "Join" not in plan, plan
+    assert _exchange_count(plan) <= 3, plan
+
+
+def test_zipf_topk_no_global_sort(spark):
+    """Zipf fit: the top-100 vocabulary comes from
+    TakeOrderedAndProject, not a global sort of the term table."""
+    plan = plan_of(spark, "t_zipf_fit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_km_horizon_broadcast(spark):
+    """K-M: the 1-row horizon and total broadcast onto the span
+    table; the only data shuffle is the per-user span aggregate."""
+    plan = plan_of(spark, "x_survival_km")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_markov_single_user_shuffle(spark):
+    """Markov transitions: one Exchange on user_id feeds the lead
+    window; everything downstream is O(types^2)."""
+    plan = plan_of(spark, "x_markov_transitions")
+    assert "Join" not in plan, plan
+
+
+def test_did_broadcast_limits_single_agg(spark):
+    """DiD: date limits broadcast, then ONE global aggregate over a
+    map-side projection."""
+    plan = plan_of(spark, "x_did_estimator")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_recall_eval_no_corpus_shuffle_joins(spark):
+    """Recall eval: brute side broadcasts queries, LSH side joins the
+    probed bucket, recall joins are O(queries*k) broadcasts."""
+    for q in ("v_ann_recall_eval", "v_ann_multiprobe_recall"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert plan.count("BroadcastHashJoin") >= 2, q
