@@ -1671,3 +1671,102 @@ def v_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_cuped_adjustment",
+    oracle="""
+    WITH lim AS (
+      SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <=
+                     dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS pre_cents,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >
+                     dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS post_cents
+      FROM events CROSS JOIN lim GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_cents) AS BIGINT) AS sx,
+             CAST(sum(post_cents) AS BIGINT) AS sy,
+             CAST(sum(pre_cents * post_cents) AS BIGINT) AS sxy,
+             CAST(sum(pre_cents * pre_cents) AS BIGINT) AS sxx,
+             CAST(sum(post_cents * post_cents) AS BIGINT) AS syy
+      FROM per_user
+    )
+    SELECT n, sx, sy, sxy, sxx, syy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS theta_den,
+           CAST(round(1000000.0 *
+             (1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE))))
+             AS BIGINT) AS var_ratio_micro
+    FROM s
+    """,
+    tags=("analytics", "ml-eval", "ab-test"),
+)
+def x_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al.): per-user pre-period
+    spend as the covariate for the post-period metric.  Emits the six
+    exact integer moments, the exact rational theta = cov(pre, post)
+    / var(pre) as (num, den), and the adjusted-to-raw variance ratio
+    1 - rho^2 micro-scaled (one IEEE expression over the integers) —
+    on this corpus the readout shows how much experiment sensitivity
+    the covariate buys.  Scale shape: one shuffle to per-user
+    (pre, post) pairs with map-side combine, then a six-integer
+    global aggregate.  Overflow ceiling: n * sxx must stay under
+    2^63 — at ~1.2e6 cents/user that holds to ~4k users; at larger
+    cohorts drop to dollar scaling or DECIMAL(38,0) moments (the
+    x_decimal_ledger pattern)."""
+    ev = Tables(spark, sf_dir).events
+    lim = ev.agg(
+        F.min(F.to_date("ts")).alias("dmin"), F.max(F.to_date("ts")).alias("dmax")
+    )
+    is_pre = F.datediff(F.to_date("ts"), F.col("dmin")) <= F.expr(
+        "CAST(datediff(dmax, dmin) div 2 AS INT)"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_pre, cents).otherwise(0)).cast("long").alias("pre_cents"),
+            F.sum(F.when(~is_pre, cents).otherwise(0)).cast("long")
+            .alias("post_cents"),
+        )
+    )
+    s = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre_cents").cast("long").alias("sx"),
+        F.sum("post_cents").cast("long").alias("sy"),
+        F.sum(F.col("pre_cents") * F.col("post_cents")).cast("long").alias("sxy"),
+        F.sum(F.col("pre_cents") * F.col("pre_cents")).cast("long").alias("sxx"),
+        F.sum(F.col("post_cents") * F.col("post_cents")).cast("long").alias("syy"),
+    )
+    tn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    td = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        tn.cast("long").alias("theta_num"),
+        td.cast("long").alias("theta_den"),
+        F.round(
+            1000000.0
+            * (1.0 - (tn.cast("double") * tn.cast("double"))
+               / (td.cast("double") * vy.cast("double")))
+        ).cast("long").alias("var_ratio_micro"),
+    )

@@ -130,7 +130,7 @@ _ROUND4_NEW = frozenset({
     "c_k_anonymity", "x_chi_squared", "s_stream_foreachbatch_upsert",
     "x_ab_test_proportions", "t_zipf_fit", "x_survival_km",
     "x_markov_transitions", "v_ann_recall_eval", "x_did_estimator",
-    "v_ann_multiprobe_recall",
+    "v_ann_multiprobe_recall", "x_cuped_adjustment",
 })
 
 
