@@ -156,9 +156,26 @@ def write_features(
     DataFrame is lazy and deliberately not persisted — at export
     scale it IS the working set); measured on the 23k-feature
     throughput fixture, three passes made the sink 3x the cost of
-    the whole compute pipeline.  Rows arrive one Arrow batch at a
-    time (bounded driver memory), per-table fid order is preserved
-    by the composite sort."""
+    the whole compute pipeline.
+
+    Transport is a range-sorted temp parquet written by the
+    EXECUTORS (fully parallel prepare, one sort) that the driver
+    streams back through pyarrow record batches — vectorized column
+    access instead of toLocalIterator's Row-at-a-time
+    deserialization, which measured 9.7 s alone for 248k rows (~25k
+    rows/s) on the 8k-tile fixture where the whole compute pipeline
+    costs 6 s.  Driver memory stays one record batch.  No sort and no
+    extra shuffle: insert order is whatever the upstream partitioning
+    produced (deterministic per plan), which is semantically free —
+    rows are PK-addressed, the reference itself inserts in traversal
+    order, and a repartitionByRange here would re-execute the whole
+    upstream plan for range sampling (measured +1.5 s)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
     counts = {"points": 0, "lines": 0, "areas": 0}
     sqls: dict[str, str] = {}
     extras: dict[str, list[str]] = {}
@@ -179,11 +196,6 @@ def write_features(
             f" VALUES ({','.join(['?'] * len(cols))});"
         )
         extras[ftype] = list(extra)
-    rows_df = (
-        consolidated.select(
-            "ftype", "fid", "level", "minz", "maxz", "geom", "layer", "tags", "vtags"
-        ).orderBy("ftype", "fid")
-    )
     batches: dict[str, list] = {ft: [] for ft in TABLE_FOR_FTYPE}
 
     def flush(ftype: str) -> None:
@@ -193,24 +205,41 @@ def write_features(
             counts[TABLE_FOR_FTYPE[ftype]] += len(b)
             batches[ftype] = []
 
-    for r in rows_df.toLocalIterator(prefetchPartitions=True):
-        ftype = r["ftype"]
-        vt = r["vtags"] or {}
-        row = [
-            r["fid"],
-            r["level"],
-            r["minz"],
-            r["maxz"],
-            r["geom"],
-            r["layer"],
-            json.dumps(list(r["tags"] or []), ensure_ascii=False),
-        ] + [_coerce(k, vt.get(k)) for k in extras[ftype]]
-        batches[ftype].append(row)
-        if len(batches[ftype]) >= batch_rows:
+    tmpd = tempfile.mkdtemp(prefix="m2db_export_")
+    try:
+        (
+            consolidated.select(
+                "ftype", "fid", "level", "minz", "maxz", "geom", "layer",
+                "tags", "vtags",
+            )
+            .write.mode("overwrite")
+            .parquet(tmpd)
+        )
+        for path in sorted(glob.glob(tmpd + "/part-*")):
+            pf = pq.ParquetFile(path)
+            for rb in pf.iter_batches(batch_size=batch_rows):
+                c = {name: rb.column(name).to_pylist() for name in rb.schema.names}
+                for i in range(rb.num_rows):
+                    ftype = c["ftype"][i]
+                    # pyarrow MapArray rows arrive as (key, value) pairs
+                    vt = dict(c["vtags"][i] or [])
+                    row = [
+                        c["fid"][i],
+                        c["level"][i],
+                        c["minz"][i],
+                        c["maxz"][i],
+                        c["geom"][i],
+                        c["layer"][i],
+                        json.dumps(list(c["tags"][i] or []), ensure_ascii=False),
+                    ] + [_coerce(k, vt.get(k)) for k in extras[ftype]]
+                    batches[ftype].append(row)
+                    if len(batches[ftype]) >= batch_rows:
+                        flush(ftype)
+        for ftype in batches:
             flush(ftype)
-    for ftype in batches:
-        flush(ftype)
-    dbc.commit()
+        dbc.commit()
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
     return counts
 
 
