@@ -4,8 +4,9 @@ map2db.py:129-255 DDL + metadata emit 1398-1467, 1519-1527).
 The canonical large-scale output of this engine is partitioned parquet
 (parquet_sink.py); SQLite is an *export format* — a single-file
 database written on the driver from the final consolidated DataFrames
-via ``toLocalIterator`` (bounded driver memory: one Arrow batch at a
-time, never a full collect).
+via an executor-written temp parquet streamed back as pyarrow record
+batches (bounded driver memory: one batch at a time, never a full
+collect).
 
 Schema parity: the reference grows feature tables with ALTER TABLE as
 new variable-tag keys appear mid-stream (map2db.py:860-871).  Here the
@@ -148,8 +149,7 @@ def write_features(
     batch_rows: int = 10_000,
 ) -> dict[str, int]:
     """Stream the consolidated features into the three tables in ONE
-    pass: a single (ftype, fid) sort, a single toLocalIterator, and
-    driver-side dispatch onto per-table prepared INSERTs.
+    pass with driver-side dispatch onto per-table prepared INSERTs.
 
     A per-table filtered pass would re-execute the entire
     consolidate + merge plan upstream once per table (the final
