@@ -158,9 +158,9 @@ def write_features(
     throughput fixture, three passes made the sink 3x the cost of
     the whole compute pipeline.
 
-    Transport is a range-sorted temp parquet written by the
-    EXECUTORS (fully parallel prepare, one sort) that the driver
-    streams back through pyarrow record batches — vectorized column
+    Transport is a temp parquet written by the EXECUTORS (fully
+    parallel prepare) that the driver streams back through pyarrow
+    record batches — vectorized column
     access instead of toLocalIterator's Row-at-a-time
     deserialization, which measured 9.7 s alone for 248k rows (~25k
     rows/s) on the 8k-tile fixture where the whole compute pipeline
