@@ -1770,3 +1770,83 @@ def x_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (td.cast("double") * vy.cast("double")))
         ).cast("long").alias("var_ratio_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-format breadth: ORC round-trip, binaryFile ingestion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "formats", "source"),
+)
+def f_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: events round-trip through ORC (write
+    by the executors, read back through Spark's native ORC reader
+    with predicate/column pushdown) and aggregate to the same cents
+    as the parquet-source oracle — byte-preserving transcode proven
+    by the hash match.  Scale shape: format transcode is a map-only
+    parallel pass; the aggregate is one map-side-combinable
+    shuffle."""
+    import tempfile
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="m2db_orc_")
+    ev.write.mode("overwrite").orc(tmp)
+    return (
+        spark.read.orc(tmp)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "m_binaryfile_ingest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           min(md5(text)) AS first_md5
+    FROM (
+      SELECT n_chars, text FROM documents WHERE doc_id < 8
+    )
+    """,
+    tags=("multimodal", "source", "binary"),
+)
+def m_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion through Spark's `binaryFile` source —
+    the entry path for multimodal payloads (images/audio/video land
+    as (path, length, content) rows, never driver-side): eight
+    documents are materialized as files, ingested via binaryFile,
+    and fingerprinted; counts, total bytes, and the min content md5
+    hash-match the table-side oracle, proving byte-exact ingestion.
+    Scale shape: the source lists files on the driver but reads
+    contents in executor tasks; partition sizing must be by BYTES
+    (maxPartitionBytes), not rows — one 4K video row is not one CSV
+    row."""
+    import os
+    import tempfile
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 8)
+    tmp = tempfile.mkdtemp(prefix="m2db_bin_")
+    for r in docs.select("doc_id", "text").collect():  # 8 rows, test rig only
+        with open(os.path.join(tmp, f"{r['doc_id']:04d}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(tmp)
+    return bf.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.length("content")).cast("long").alias("total_bytes"),
+        F.min(F.md5(F.col("content"))).alias("first_md5"),
+    )
