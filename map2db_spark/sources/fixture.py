@@ -321,17 +321,23 @@ class MapWriter:
                 for tx in range(minx, maxx + 1):
                     tiles.append((tx, ty, self._enc_tile(sf_idx, tx, ty, ptags, wtags)))
             index_size = (16 if self.debuginfo else 0) + 5 * len(tiles)
-            entries = b""
-            tile_data = b""
+            # accumulate in lists: bytes += is O(n^2) and dominated a
+            # 70k-tile encode before this fix (b"".join is linear)
+            entry_parts: list[bytes] = []
+            tile_parts: list[bytes] = []
             cursor = index_size
             for tx, ty, blob in tiles:
                 v = cursor
                 if (sf_idx, tx, ty) in self.water_tiles:
                     v |= 0x80_0000_0000  # water bit (decoder masks it off)
-                entries += v.to_bytes(5, "big")
-                tile_data += blob
+                entry_parts.append(v.to_bytes(5, "big"))
+                tile_parts.append(blob)
                 cursor += len(blob)
-            body = (b"+++IndexStart+++" if self.debuginfo else b"") + entries + tile_data
+            body = (
+                (b"+++IndexStart+++" if self.debuginfo else b"")
+                + b"".join(entry_parts)
+                + b"".join(tile_parts)
+            )
             bodies.append(body)
 
         # header after the 28-byte prefix (magic + header_size + version)
