@@ -255,3 +255,50 @@ def test_colour_vtag_column_in_sqlite(spark, tmp_path):
         assert val == "ff00"
     finally:
         con.close()
+
+
+def test_export_typed_vtag_coercion_roundtrip(spark, tmp_path):
+    """The vectorized export flattens variable tags via Spark casts
+    (m2db_elevation -> long, m2db_label_lat/lon -> double); this must
+    stay equivalent to the reference's Python int()/float() coercion
+    for every value the decoder can produce."""
+    import sqlite3
+
+    from map2db_spark.sinks.sqlite_sink import prepare_db, write_features
+
+    rows = [
+        ("point", 1, 1, 9, 13, b"\x01", 0, ["kind=a"],
+         {"m2db_elevation": "120", "m2db_label_lat": "1.234567",
+          "m2db_name": "x"}),
+        ("point", 2, 1, 9, 13, b"\x02", 0, [],
+         {"m2db_elevation": "-5", "m2db_label_lon": "-0.5"}),
+        ("line", 1, 1, 10, 13, b"\x03", 2, ["highway=x"], {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ftype STRING, fid LONG, level LONG, minz LONG, maxz LONG,"
+        " geom BINARY, layer LONG, tags ARRAY<STRING>,"
+        " vtags MAP<STRING,STRING>",
+    )
+    db = str(tmp_path / "coerce.db")
+    with sqlite3.connect(db) as dbc:
+        prepare_db(dbc)
+        counts = write_features(
+            dbc,
+            df,
+            {"point": ["m2db_elevation", "m2db_label_lat", "m2db_label_lon",
+                       "m2db_name"],
+             "line": [], "area": []},
+        )
+    assert counts == {"points": 2, "lines": 1, "areas": 0}
+    con = sqlite3.connect(db)
+    got = con.execute(
+        "SELECT m2db_pnum, m2db_elevation, m2db_label_lat, m2db_label_lon,"
+        " m2db_name, m2db_tags FROM points ORDER BY m2db_pnum"
+    ).fetchall()
+    con.close()
+    # ints stay INTEGER (not "120"), floats stay REAL, text stays TEXT,
+    # missing keys are NULL, tags use the reference's json.dumps format
+    assert got[0] == (1, 120, 1.234567, None, "x", '["kind=a"]')
+    assert got[1] == (2, -5, None, -0.5, None, "[]")
+    assert isinstance(got[0][1], int) and isinstance(got[0][2], float)
