@@ -1354,6 +1354,35 @@ def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _recall_vs_brute(spark, sf_dir, approx_pairs):
+    """Shared recall assembly: approx top-k (query_id, cand_id) pairs
+    vs the exact brute baseline; per-query integer counts."""
+    from map2db_spark.functions import similarity as S
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
+    n_lsh = approx_pairs.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    matched = (
+        approx_pairs.join(brute, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        brute.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_brute"))
+        .join(F.broadcast(n_lsh), "query_id", "left")
+        .join(F.broadcast(matched), "query_id", "left")
+        .select(
+            "query_id",
+            "n_brute",
+            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long")
+            .alias("n_matched"),
+        )
+    )
+
+
 def _ann_recall_oracle() -> str:
     from map2db_spark.queries_pipeline import _ANN_INT, _PLANES
 
@@ -1429,27 +1458,8 @@ def v_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 10)
-    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
     lsh = S.lsh_topk(emb, queries, _PLANES, k=5).select("query_id", "cand_id")
-    n_lsh = lsh.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
-    matched = (
-        lsh.join(brute, ["query_id", "cand_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_matched"))
-    )
-    return (
-        brute.groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_brute"))
-        .join(F.broadcast(n_lsh), "query_id", "left")
-        .join(F.broadcast(matched), "query_id", "left")
-        .select(
-            "query_id",
-            "n_brute",
-            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
-            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long")
-            .alias("n_matched"),
-        )
-    )
+    return _recall_vs_brute(spark, sf_dir, lsh)
 
 
 # ---------------------------------------------------------------------------
@@ -1648,29 +1658,10 @@ def v_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 10)
-    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
-    lsh = S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5).select(
+    mp = S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5).select(
         "query_id", "cand_id"
     )
-    n_lsh = lsh.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
-    matched = (
-        lsh.join(brute, ["query_id", "cand_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_matched"))
-    )
-    return (
-        brute.groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_brute"))
-        .join(F.broadcast(n_lsh), "query_id", "left")
-        .join(F.broadcast(matched), "query_id", "left")
-        .select(
-            "query_id",
-            "n_brute",
-            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
-            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long")
-            .alias("n_matched"),
-        )
-    )
+    return _recall_vs_brute(spark, sf_dir, mp)
 
 
 # ---------------------------------------------------------------------------
