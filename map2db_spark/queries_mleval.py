@@ -1841,3 +1841,116 @@ def m_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).cast("long").alias("total_bytes"),
         F.min(F.md5(F.col("content"))).alias("first_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly days: detrend then robust-gate the residuals
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from map2db_spark.queries_round3 import _MED2
+
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT d, cents,
+             sum(cents) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+             count(*)   OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM daily
+    ),
+    det AS (
+      SELECT d, cents, 7 * cents - sum7 AS det7
+      FROM win WHERE cnt7 = 7
+    ),
+    r1 AS (
+      SELECT d, cents, det7,
+             row_number() OVER (ORDER BY det7) AS rn,
+             count(*) OVER () AS n
+      FROM det
+    ),
+    med AS (SELECT {_MED2.format(v="det7")} AS med2 FROM r1),
+    r2 AS (
+      SELECT d, cents, det7, abs(2 * det7 - (SELECT med2 FROM med)) AS dev2
+      FROM det
+    ),
+    r3 AS (
+      SELECT dev2, row_number() OVER (ORDER BY dev2) AS rn,
+             count(*) OVER () AS n
+      FROM r2
+    ),
+    mad AS (SELECT {_MED2.format(v="dev2")} AS mad4 FROM r3)
+    SELECT d, cents, CAST(det7 AS BIGINT) AS det7
+    FROM r2 WHERE 2 * dev2 > 3 * (SELECT mad4 FROM mad)
+    """
+
+
+@query(
+    "x_seasonal_anomaly_days",
+    oracle=_seasonal_anomaly_oracle(),
+    tags=("timeseries", "robust", "analytics"),
+)
+def x_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous revenue days: detrend the daily series with the
+    centered 7-day moving sum (det7 = 7*cents - sum7, integer), then
+    gate the residuals with the doubled-order-statistic MAD rule
+    (|x - median| > 3*MAD carried as 2*dev2 > 3*mad4 — everything
+    integer, no division).  The trend-then-robust-gate composition is
+    the standard production anomaly detector; both medians come from
+    indicator sums over ONE ordered window pass each.  Scale shape:
+    the corpus shuffles once for the daily rollup; everything after
+    is O(days)."""
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "d",
+            "cents",
+            F.sum("cents").over(w).alias("sum7"),
+            F.count("*").over(w).alias("cnt7"),
+        )
+        .where(F.col("cnt7") == 7)
+        .select("d", "cents", (7 * F.col("cents") - F.col("sum7")).alias("det7"))
+    )
+
+    def med2_of(df: DataFrame, col: str) -> DataFrame:
+        r = df.select(
+            F.col(col).alias("v"),
+            F.row_number().over(Window.orderBy(col)).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        return r.agg(
+            F.sum(
+                F.col("v")
+                * (
+                    F.when(F.col("rn") == F.expr("(n + 1) div 2"), 1).otherwise(0)
+                    + F.when(F.col("rn") == F.expr("n div 2 + 1"), 1).otherwise(0)
+                )
+            ).cast("long").alias("m2")
+        )
+
+    med2 = med2_of(det, "det7")
+    r2 = det.crossJoin(F.broadcast(med2)).select(
+        "d", "cents", "det7",
+        F.abs(2 * F.col("det7") - F.col("m2")).alias("dev2"),
+    )
+    mad4 = med2_of(r2, "dev2").select(F.col("m2").alias("mad4"))
+    return (
+        r2.crossJoin(F.broadcast(mad4))
+        .where(2 * F.col("dev2") > 3 * F.col("mad4"))
+        .select("d", "cents", F.col("det7").cast("long").alias("det7"))
+    )
