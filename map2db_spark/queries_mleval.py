@@ -1954,3 +1954,119 @@ def x_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(2 * F.col("dev2") > 3 * F.col("mad4"))
         .select("d", "cents", F.col("det7").cast("long").alias("det7"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the label partition over the similarity graph
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from map2db_spark.queries_round3 import _lp_planes
+
+    terms = []
+    for b, plane in enumerate(_lp_planes()):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]::BIGINT[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    iv = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    return f"""
+    WITH nodes AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST({bucket.replace('v,', f'{iv},')} AS INT) AS bucket
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS u, a.label AS lu, b.label AS lv
+      FROM nodes a JOIN nodes b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    m AS (SELECT count(*) AS m2 FROM edges),
+    deg AS (SELECT u, lu AS label, count(*) AS d FROM edges GROUP BY 1, 2),
+    comm AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS deg_sum
+      FROM deg GROUP BY label
+    ),
+    ein AS (
+      SELECT lu AS label, CAST(count(*) AS BIGINT) AS e_in
+      FROM edges WHERE lu = lv GROUP BY 1
+    )
+    SELECT c.label, c.n_nodes, c.deg_sum,
+           CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+           CAST(m2 AS BIGINT) AS m2,
+           CAST(COALESCE(e.e_in, 0) * m2 - c.deg_sum * c.deg_sum AS BIGINT)
+             AS q_num
+    FROM comm c LEFT JOIN ein e USING (label) CROSS JOIN m
+    """
+
+
+@query(
+    "g_modularity",
+    oracle=_modularity_oracle(),
+    tags=("graph", "analytics", "ml-eval"),
+)
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the ground-truth label partition over the
+    LSH-bucket similarity graph (same seeded 4-bit buckets as
+    g_label_prop): per community, the exact integer components
+    q_num = e_in * 2m - deg_sum^2 whose sum over (2m)^2 is Q — high Q
+    means labels align with embedding-similarity structure, the
+    cluster-quality readout for any learned partition.  Isolated
+    nodes (degree 0) drop out of the graph, as in the standard
+    definition.  Scale shape: edges come from the bucket equi-join
+    (never all-pairs), degrees and community sums are
+    map-side-combinable counts, 2m broadcasts as one row."""
+    import map2db_spark.functions.similarity as S
+    from map2db_spark.queries_round3 import _lp_planes
+
+    emb = Tables(spark, sf_dir).embeddings
+    nodes = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        S.lsh_bucket(F.col("embedding"), _lp_planes()).alias("bucket"),
+    ).localCheckpoint()
+    a, b = nodes.alias("a"), nodes.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("u"),
+        F.col("a.label").alias("lu"),
+        F.col("b.label").alias("lv"),
+    )
+    m = edges.agg(F.count("*").cast("long").alias("m2"))
+    deg = edges.groupBy("u", F.col("lu").alias("label")).agg(
+        F.count("*").alias("d")
+    )
+    comm = deg.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("deg_sum"),
+    )
+    ein = (
+        edges.where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    return (
+        comm.join(F.broadcast(ein), "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            "deg_sum",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            "m2",
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)) * F.col("m2")
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("long").alias("q_num"),
+        )
+    )
