@@ -2070,3 +2070,98 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("q_num"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank of the true nearest neighbor in the approximate list (MRR input)
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    from map2db_spark.queries_pipeline import _ANN_INT, _PLANES
+
+    bucket_terms = []
+    for b, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}::BIGINT[]) > 0"
+            f" THEN {2**b} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << b})" for b in range(len(_PLANES))
+    ) + "]"
+    sim = ("round(list_dot_product(qv, c.v)"
+           " / (sqrt(list_dot_product(qv, qv))"
+           "    * sqrt(list_dot_product(c.v, c.v))), 6)")
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM iv),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < 10),
+    qp AS (SELECT query_id, qv, unnest({probe_list}) AS bucket FROM q),
+    approx AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT qp.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY qp.query_id
+                                  ORDER BY {sim} DESC, c.vec_id) AS rank
+        FROM bucketed c JOIN qp USING (bucket)
+        WHERE c.vec_id != qp.query_id
+      ) WHERE rank <= 5
+    ),
+    truth AS (
+      SELECT query_id, cand_id AS true_top1 FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {sim} DESC, c.vec_id) AS rank
+        FROM iv c CROSS JOIN q
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank = 1
+    )
+    SELECT t.query_id, CAST(t.true_top1 AS BIGINT) AS true_top1,
+           CAST(COALESCE(a.rank, 0) AS BIGINT) AS found_rank
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.cand_id = t.true_top1
+    """
+
+
+@query(
+    "v_ann_mrr_rank",
+    oracle=_mrr_oracle(),
+    tags=("ann", "ml-eval", "vector"),
+)
+def v_ann_mrr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank of the TRUE nearest neighbor inside the multi-probe
+    approximate top-5, per query (0 = missed) — the per-query input
+    to mean reciprocal rank, the metric that distinguishes "found it
+    first" from "found it at all" (recall@k can't).  Kept integer:
+    reciprocal-rank averaging is for the consumer.  Scale shape:
+    identical to the recall evaluators — brute side broadcasts the
+    query set, approximate side joins the probed buckets."""
+    from pyspark.sql.window import Window as W
+
+    from map2db_spark.functions import similarity as S
+    from map2db_spark.queries_pipeline import _PLANES
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5).select(
+        "query_id", "cand_id", "rank"
+    )
+    truth = (
+        S.brute_force_topk(emb, queries, k=1)
+        .where(F.col("rank") == 1)
+        .select("query_id", F.col("cand_id").alias("true_top1"))
+    )
+    return (
+        truth.join(
+            F.broadcast(approx).withColumnRenamed("cand_id", "true_top1"),
+            ["query_id", "true_top1"],
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("true_top1").cast("long").alias("true_top1"),
+            F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("found_rank"),
+        )
+    )
