@@ -2165,3 +2165,129 @@ def v_ann_mrr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("found_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit test (data-quality / fraud screening)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_benford_test",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM events WHERE round(value * 100) >= 1
+    ),
+    c AS (SELECT d, count(*) AS n_d FROM s GROUP BY d),
+    t AS (SELECT sum(n_d) AS n FROM c)
+    SELECT d, CAST(n_d AS BIGINT) AS n_d, CAST(n AS BIGINT) AS n_total,
+           CAST(round(1000000 * log10(1.0 + 1.0 / d)) AS BIGINT)
+             AS benford_p_micro,
+           CAST(round(1000000
+               * (n_d - n * log10(1.0 + 1.0 / d))
+               * (n_d - n * log10(1.0 + 1.0 / d))
+               / (n * log10(1.0 + 1.0 / d))) AS BIGINT) AS chi2_term_micro
+    FROM c CROSS JOIN t
+    """,
+    tags=("analytics", "data-quality"),
+)
+def x_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over transaction amounts: the
+    classic data-quality / fraud-detection test.  Per digit: observed
+    count, the Benford expectation log10(1 + 1/d) micro-scaled, and
+    the chi-squared contribution — each a deterministic per-row IEEE
+    expression over exact integers (one log10 per digit).  Scale
+    shape: first-digit extraction is a string op on the map side; one
+    9-row aggregate."""
+    ev = Tables(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = ev.where(cents >= 1).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("d")
+    )
+    c = s.groupBy("d").agg(F.count("*").alias("n_d"))
+    t = c.agg(F.sum("n_d").alias("n"))
+    p = F.log10(1.0 + 1.0 / F.col("d"))
+    dev = F.col("n_d") - F.col("n") * p
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "d",
+            F.col("n_d").cast("long").alias("n_d"),
+            F.col("n").cast("long").alias("n_total"),
+            F.round(1000000 * p).cast("long").alias("benford_p_micro"),
+            F.round(1000000 * dev * dev / (F.col("n") * p))
+            .cast("long").alias("chi2_term_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two heuristic quality raters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_rater_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS both_pass,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS only_a,
+             CAST(sum((1 - a) * b) AS BIGINT) AS only_b,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS neither
+      FROM r
+    )
+    SELECT n, both_pass, only_a, only_b, neither,
+           CAST(round(1000000 *
+             (CAST(n * (both_pass + neither)
+                   - ((both_pass + only_a) * (both_pass + only_b)
+                      + (only_b + neither) * (only_a + neither)) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n
+                - ((both_pass + only_a) * (both_pass + only_b)
+                   + (only_b + neither) * (only_a + neither)))) AS BIGINT)
+             AS kappa_micro
+    FROM c
+    """,
+    tags=("analytics", "ml-eval", "data-quality"),
+)
+def x_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic quality raters (size-band
+    vs token-count) — the chance-corrected agreement statistic used
+    to validate LLM-judge and heuristic-filter pipelines against each
+    other.  The 2x2 confusion table is exact integers; kappa =
+    (n*agree - sum_marginal_products) / (n^2 - sum_marginal_products)
+    is one IEEE expression over them, micro-scaled.  Scale shape: one
+    map-side-combinable 4-cell aggregate over a pure projection."""
+    docs = Tables(spark, sf_dir).documents
+    a = F.when(F.col("n_chars").between(100, 400), 1).otherwise(0)
+    b = F.when(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 20, 1
+    ).otherwise(0)
+    r = docs.select(a.alias("a"), b.alias("b"))
+    c = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("both_pass"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("only_a"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("only_b"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("neither"),
+    )
+    pa, pb = F.col("both_pass") + F.col("only_a"), F.col("both_pass") + F.col("only_b")
+    qa, qb = F.col("only_b") + F.col("neither"), F.col("only_a") + F.col("neither")
+    agree = F.col("both_pass") + F.col("neither")
+    marg = pa * pb + qb * qa
+    return c.select(
+        "n", "both_pass", "only_a", "only_b", "neither",
+        F.round(
+            1000000
+            * (F.col("n") * agree - marg).cast("double")
+            / (F.col("n").cast("double") * F.col("n") - marg)
+        ).cast("long").alias("kappa_micro"),
+    )

@@ -132,7 +132,7 @@ _ROUND4_NEW = frozenset({
     "x_markov_transitions", "v_ann_recall_eval", "x_did_estimator",
     "v_ann_multiprobe_recall", "x_cuped_adjustment",
     "f_orc_roundtrip", "m_binaryfile_ingest", "x_seasonal_anomaly_days",
-    "g_modularity", "v_ann_mrr_rank",
+    "g_modularity", "v_ann_mrr_rank", "x_benford_test", "x_rater_kappa",
 })
 
 
