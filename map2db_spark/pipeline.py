@@ -66,7 +66,10 @@ def consolidated_features(
             "ftype", "fid", "level", "minz", "maxz", "layer", "tags", "vtags", "geom",
             F.lit(None).cast("string").alias("violation"),
         )
-    cons = consolidate(feats, header)
+    # materialize once before branching: the line/non-line split would
+    # otherwise re-execute decode + consolidate per branch (measured
+    # 2x the pipeline cost at 5.2M features)
+    cons = consolidate(feats, header).localCheckpoint()
     lines = cons.where(F.col("ftype") == "line")
     merged = merge_lines(lines).drop(
         "was_multi", "still_multi_after_merge", "still_multi_after_snap", "has_loop"
@@ -86,7 +89,9 @@ def map2db(spark: SparkSession, src_pathname: str, db_pathname: str) -> dict:
     feats.persist()
     try:
         if header.is_dbl:
-            cons = consolidate(feats, header)
+            # one consolidate execution; the line/non-line branches and
+            # the export all read the checkpoint
+            cons = consolidate(feats, header).localCheckpoint()
             lines = cons.where(F.col("ftype") == "line")
             merged = merge_lines(lines).drop(
                 "was_multi", "still_multi_after_merge",
