@@ -136,6 +136,14 @@ _ROUND4_NEW = frozenset({
 })
 
 
+# Queries first registered during round-2's continuation session:
+# graded after the round-4 additions, never evicting earlier backlog.
+_ROUND5_NEW = frozenset({
+    "x_ks_two_sample", "x_spearman_corr", "x_welch_ttest",
+    "x_poisson_bootstrap", "x_entropy_segments",
+})
+
+
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent).
 
@@ -162,6 +170,7 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_analytics  # noqa: F401
     import map2db_spark.queries_round3  # noqa: F401
     import map2db_spark.queries_mleval  # noqa: F401
+    import map2db_spark.queries_round5  # noqa: F401
 
     # Stable tier partition (relative order preserved per tier):
     #   0. r1-registered, never driver-graded + the 3 fixed r1 FAILs —
@@ -172,6 +181,8 @@ def _ensure_loaded() -> None:
     #   3. already driver-verified (green hard signal exists).
     def tier(name: str) -> int:
         if name in _DRIVER_VERIFIED:
+            return 5
+        if name in _ROUND5_NEW:
             return 4
         if name in _ROUND4_NEW:
             return 3
@@ -183,7 +194,7 @@ def _ensure_loaded() -> None:
 
     reordered = {
         name: QUERIES[name]
-        for t in (0, 1, 2, 3, 4)
+        for t in (0, 1, 2, 3, 4, 5)
         for name in QUERIES
         if tier(name) == t
     }
