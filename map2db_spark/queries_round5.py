@@ -442,3 +442,420 @@ def x_entropy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term).cast("long").alias("h_micro"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_AA_DEG_CAP = 64
+
+
+@query(
+    "g_adamic_adar",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT x.p AS u, y.p AS v
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e
+    ),
+    deg AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY w
+    ),
+    wedge AS (
+      SELECT a.x AS u, b.x AS v,
+             CAST(round(1000000 / ln(CAST(d.d AS DOUBLE))) AS BIGINT) AS aa
+      FROM adj a
+      JOIN adj b ON a.w = b.w AND a.x < b.x
+      JOIN deg d ON d.w = a.w
+      WHERE d.d <= {_AA_DEG_CAP}
+    ),
+    score AS (
+      SELECT u, v,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(aa) AS BIGINT) AS aa_micro
+      FROM wedge
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wedge.u AND e.v = wedge.v)
+      GROUP BY u, v
+    )
+    SELECT u, v, common_neighbors, aa_micro
+    FROM score
+    ORDER BY aa_micro DESC, u, v LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "analytics"),
+)
+def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part co-purchase graph:
+    for every non-adjacent pair (u, v), score = sum over common
+    neighbors w of 1/ln(deg(w)) — rarer shared neighbors carry more
+    signal than hubs.  The sixth graph pattern in the engine (after
+    components, PageRank, triangles, k-core, BFS, label prop); link
+    prediction is the recommender/graph-completion primitive.  Each
+    1/ln(deg) term is micro-scaled and rounded individually (single
+    ln on an identical integer input), so scores are exact integer
+    sums — order-independent under any partitioning; top-20 with a
+    total (score, u, v) tiebreak is deterministic.
+
+    Scale shape: wedges are generated per CENTER node, so the hub
+    rail is explicit — centers with deg > {_AA_DEG_CAP} are skipped
+    (a 1M-degree hub would emit 10^12 wedges and carries ~no AA
+    signal: 1/ln(10^6) per term).  The wedge join keys on the center,
+    the score aggregation on the pair, the exclusion anti-join on the
+    pair again (co-partitioned), then TakeOrderedAndProject.
+    """
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # base of adjacency + exclusion branches
+    )
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    aa = F.round(1000000 / F.log(F.col("d").cast("double"))).cast("long")
+    degc = deg.where(F.col("d") <= _AA_DEG_CAP).select(
+        F.col("w").alias("dw"), "d"
+    )
+    wedge = (
+        adj.alias("a")
+        .join(adj.alias("b"), (F.col("a.w") == F.col("b.w")) & (F.col("a.x") < F.col("b.x")))
+        .join(degc.hint("broadcast"), F.col("a.w") == F.col("dw"))
+        .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"), aa.alias("aa"))
+    )
+    score = (
+        wedge.join(e, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("aa").cast("long").alias("aa_micro"),
+        )
+    )
+    return score.orderBy(F.desc("aa_micro"), "u", "v").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (node2vec-style corpus generation)
+# ---------------------------------------------------------------------------
+
+_WALK_SEEDS = 20
+
+
+def _walk_step_sql(step: int, prev: str) -> str:
+    return f"""
+      SELECT s.seed, arg_max(a.x, md5('rw:{step}:' ||
+                 CAST(s.{prev} AS VARCHAR) || ':' ||
+                 CAST(a.x AS VARCHAR))) AS n{step}
+      FROM s{step - 1} s JOIN adj a ON a.w = s.{prev}
+      GROUP BY s.seed
+    """
+
+
+@query(
+    "g_random_walk",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT x.p AS u, y.p AS v
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e
+    ),
+    s0 AS (
+      SELECT w AS seed, w AS n0 FROM adj GROUP BY w
+      ORDER BY w LIMIT {_WALK_SEEDS}
+    ),
+    s1 AS ({_walk_step_sql(1, "n0")}),
+    s2 AS ({_walk_step_sql(2, "n1")}),
+    s3 AS ({_walk_step_sql(3, "n2")})
+    SELECT s0.seed, s1.n1, s2.n2, s3.n3
+    FROM s0 JOIN s1 USING (seed) JOIN s2 USING (seed) JOIN s3 USING (seed)
+    ORDER BY seed
+    """,
+    tags=("graph", "random-walk", "embeddings"),
+)
+def g_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the co-purchase graph — the
+    corpus-generation step of DeepWalk/node2vec-style graph
+    embeddings (walk sequences feed a skip-gram trainer).  The
+    "random" neighbor choice is an argmax of md5('rw:' || step ||
+    ':' || current || ':' || neighbor): uniform over neighbors,
+    step-decorrelated, and bit-reproducible on any cluster layout —
+    no RNG state to synchronize across executors.
+
+    Scale shape: the walk frontier is one row per seed; each step is
+    an equi-join of the frontier against the adjacency list keyed on
+    the current node, then a map-side-combinable argmax per seed —
+    O(steps) rounds of bounded joins, the BFS dataflow with an argmax
+    instead of a union.  Hub nodes cost one task's scan of their
+    neighbor block, not a cross product.
+    """
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    adj = (
+        e.select(F.col("u").alias("w"), F.col("v").alias("x"))
+        .unionAll(e.select(F.col("v").alias("w"), F.col("u").alias("x")))
+        .localCheckpoint()  # reused by every step join
+    )
+    state = (
+        adj.select("w").distinct().orderBy("w").limit(_WALK_SEEDS)
+        .select(F.col("w").alias("seed"), F.col("w").alias("cur"))
+    )
+    out_cols = []
+    for step in (1, 2, 3):
+        key = F.md5(
+            F.concat(
+                F.lit(f"rw:{step}:"),
+                F.col("cur").cast("string"),
+                F.lit(":"),
+                F.col("x").cast("string"),
+            )
+        )
+        state = (
+            state.join(adj, state["cur"] == adj["w"])
+            .groupBy("seed", *out_cols)
+            .agg(F.max_by("x", key).alias(f"n{step}"))
+            .withColumnRenamed(f"n{step}", f"n{step}")
+            .withColumn("cur", F.col(f"n{step}"))
+        )
+        out_cols.append(f"n{step}")
+    return state.select("seed", "n1", "n2", "n3").orderBy("seed")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (hashed-n-gram domain reweighting)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "c_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i + 1]), 1, 6))
+                  AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+      FROM toks
+      CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    bs AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS r_c,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_c
+      FROM big GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(r_c) AS BIGINT) AS r_n, CAST(sum(t_c) AS BIGINT) AS t_n
+      FROM bs
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(round(1000000 * ln(
+                 CAST((t_c + 1) * (r_n + {_DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((r_c + 1) * (t_n + {_DSIR_BUCKETS}) AS DOUBLE)
+             )) AS BIGINT) AS w_micro
+      FROM bs CROSS JOIN tot
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(w.w_micro) AS BIGINT) AS dsir_micro
+    FROM big JOIN w USING (bucket)
+    GROUP BY big.doc_id
+    ORDER BY dsir_micro DESC, doc_id LIMIT 20
+    """,
+    tags=("curation", "sampling", "pipeline"),
+)
+def c_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Data Selection via Importance
+    Resampling): documents are scored by how much their hashed-bigram
+    profile looks like a target domain (here lang='en') relative to
+    the raw corpus — the published recipe for selecting pretraining
+    data that matches a high-quality target without training a
+    classifier.  Per-bucket weight = ln of the Laplace-smoothed
+    target/raw frequency ratio, micro-rounded (single ln on an
+    identical integer-product quotient); a document's score is the
+    exact integer sum of its bigram-instance weights.
+
+    Scale shape: bigram -> 256 hash buckets collapses the vocabulary
+    before anything shuffles (map-side combine straight to 256 rows);
+    the weight table is broadcast back onto the bigram stream, so the
+    corpus is read twice and shuffled once (doc-keyed score sum).
+    The top-20 release is TakeOrderedAndProject.
+    """
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.repartition(32).select("doc_id", "lang", t.alias("t")).where(
+        F.size("t") >= 2
+    )
+    big = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 6), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    bs = big.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("t_c"),
+    )
+    tot = bs.agg(
+        F.sum("r_c").cast("long").alias("r_n"), F.sum("t_c").cast("long").alias("t_n")
+    )
+    w = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            1000000
+            * F.log(
+                ((F.col("t_c") + 1) * (F.col("r_n") + _DSIR_BUCKETS)).cast("double")
+                / ((F.col("r_c") + 1) * (F.col("t_n") + _DSIR_BUCKETS)).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return (
+        big.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("w_micro").cast("long").alias("dsir_micro"),
+        )
+        .orderBy(F.desc("dsir_micro"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text source-format round-trips: CSV and JSON-lines
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           min(md5(props)) AS min_props_md5
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "formats", "source"),
+)
+def f_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-format breadth: events round-trip through CSV — written and
+    read by executor tasks through Spark's native CSV source with an
+    explicit schema (never inferSchema: schema inference is a second
+    full scan).  The props column carries embedded JSON (quotes,
+    commas, braces), so the hash match proves the writer's
+    quote/escape handling survives the round trip byte-exactly, not
+    just for friendly values.  Scale shape: format transcode is a
+    map-only parallel pass; the aggregate is one map-side-combinable
+    shuffle.  CSV files split by line, so parallelism survives large
+    files (unlike multiline JSON).
+    """
+    import tempfile
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "props",
+    )
+    tmp = tempfile.mkdtemp(prefix="m2db_csv_")
+    ev.write.mode("overwrite").option("header", True).csv(tmp)
+    back = (
+        spark.read.schema("event_type STRING, cents BIGINT, props STRING")
+        .option("header", True)
+        .csv(tmp)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min(F.md5(F.col("props"))).alias("min_props_md5"),
+    )
+
+
+@query(
+    "f_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(md5(text)) AS min_text_md5
+    FROM documents GROUP BY lang
+    """,
+    tags=("functions", "formats", "source"),
+)
+def f_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-format breadth: documents round-trip through JSON Lines —
+    the lingua franca of LLM corpus interchange (one JSON object per
+    line, splittable by newline, so a 100 GB shard still reads in
+    parallel).  Written and read by executor tasks with an explicit
+    schema; md5 over the round-tripped text proves the JSON string
+    escaping is byte-exact.  Multiline JSON would serialize the read
+    to one task per file — JSONL is the scale-safe shape.
+    """
+    import tempfile
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="m2db_jsonl_")
+    docs.write.mode("overwrite").json(tmp)
+    back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.min(F.md5(F.col("text"))).alias("min_text_md5"),
+    )

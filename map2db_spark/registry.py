@@ -141,6 +141,8 @@ _ROUND4_NEW = frozenset({
 _ROUND5_NEW = frozenset({
     "x_ks_two_sample", "x_spearman_corr", "x_welch_ttest",
     "x_poisson_bootstrap", "x_entropy_segments",
+    "g_adamic_adar", "g_random_walk", "c_dsir_importance",
+    "f_csv_roundtrip", "f_jsonl_roundtrip",
 })
 
 
