@@ -367,3 +367,87 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Real-marker-layout media table: each doc becomes a structurally
+    valid JPEG stream (SOI/APP0/COM/DQT/SOF0/DHT/SOS/EOI) whose frame
+    geometry follows a closed form of doc_id — so a SQL oracle can
+    compute the expected dimensions without parsing JPEG itself."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.jpeg import encode_jpeg_shell
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf["doc_id"].astype("int64"):
+                w = 16 + int(did) % 7 * 3
+                h = 9 + int(did) % 5 * 4
+                nc = 1 if int(did) % 2 == 0 else 3
+                payloads.append(encode_jpeg_shell(w, h, nc))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta_width": pd.Series(widths, dtype="int32"),
+                    "meta_height": pd.Series(heights, dtype="int32"),
+                    "meta_duration_ms": pd.Series([0] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+JPEG_DIMS_SCHEMA = (
+    "media_id LONG, width INT, height INT, ncomp INT, "
+    "precision INT, n_segments INT, n_bytes INT"
+)
+
+
+def extract_jpeg_dims(media: DataFrame) -> DataFrame:
+    """REAL metadata decode: walk each payload's marker segments
+    (functions/jpeg.py, ITU-T T.81 §B.2) and emit frame geometry —
+    the size/aspect-filter pass that runs over every image before any
+    pixel decode.  Errors are not swallowed: a malformed stream
+    raises, surfacing as a task failure (route through a rejects
+    filter upstream for quarantine semantics)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.jpeg import parse_jpeg_header
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].astype("int64"), pdf["payload"]
+            ):
+                hdr = parse_jpeg_header(bytes(payload))
+                rows.append(
+                    (
+                        int(mid),
+                        hdr["width"],
+                        hdr["height"],
+                        hdr["ncomp"],
+                        hdr["precision"],
+                        hdr["n_segments"],
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "ncomp",
+                    "precision",
+                    "n_segments",
+                    "n_bytes",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=JPEG_DIMS_SCHEMA
+    )

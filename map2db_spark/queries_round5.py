@@ -859,3 +859,157 @@ def f_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("total_chars"),
         F.min(F.md5(F.col("text"))).alias("min_text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG frame-geometry decode (real marker walk, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_jpeg_dims",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + (doc_id % 7) * 3 AS INTEGER) AS width,
+           CAST(9 + (doc_id % 5) * 4 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+             AS ncomp,
+           CAST(8 AS INTEGER) AS precision,
+           CAST(6 AS INTEGER) AS n_segments,
+           CAST(189 + 5 * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)
+                AS INTEGER) AS n_bytes
+    FROM documents WHERE doc_id < 40
+    """,
+    tags=("multimodal", "image", "metadata"),
+)
+def m_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG metadata decode: structurally-valid JPEG streams
+    (full SOI/APP0/COM/DQT/SOF0/DHT/SOS marker layout, fabricated
+    in-kernel with closed-form geometry) are walked per ITU-T T.81
+    §B.2 by functions/jpeg.py to recover width/height/components/
+    precision — the dimension-filter pass a multimodal pipeline runs
+    over EVERY image before deciding what to pixel-decode.  The
+    oracle recomputes geometry and byte length from the closed form,
+    so the marker walker (segment lengths, fill bytes, SOF layout)
+    is value-verified end to end; pixel entropy decode stays an
+    honest NotImplementedError slot (needs a Huffman+DCT codec).
+
+    Scale shape: payload bytes stream through ONE mapInPandas pass
+    (never collected); the walker touches only marker segments
+    (~200 bytes) regardless of payload size, so the metadata pass
+    over a 100 TB image corpus is I/O-bound on the binary column,
+    not CPU-bound.
+    """
+    from map2db_spark.functions.multimodal import (
+        documents_as_jpeg_media,
+        extract_jpeg_dims,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 40)
+    return extract_jpeg_dims(documents_as_jpeg_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer ENCODE: apply trained merges to the corpus
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_ROUNDS = 3
+
+
+def _bpe_apply_oracle() -> str:
+    parts = [
+        r"""s0 AS (
+      SELECT doc_id, array_to_string(list_transform(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 x -> chr(1) || x), ' ') AS s
+      FROM documents
+    )"""
+    ]
+    for k in range(1, _BPE_APPLY_ROUNDS + 1):
+        parts.append(f"""c{k} AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair, count(*) AS n
+      FROM (SELECT string_split(s, ' ') AS t FROM s{k - 1}) z
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) g
+      GROUP BY 1
+    ),
+    t{k} AS (SELECT pair FROM c{k} ORDER BY n DESC, pair ASC LIMIT 1),
+    s{k} AS (
+      SELECT doc_id, replace(s, (SELECT pair FROM t{k}),
+                     replace((SELECT pair FROM t{k}), ' ', chr(2))) AS s
+      FROM s{k - 1}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id,
+           CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(s, ' '),
+                                t -> strpos(t, chr(2)) > 0)) AS BIGINT)
+             AS n_merged
+    FROM s{_BPE_APPLY_ROUNDS} WHERE doc_id < 100
+    """
+    )
+
+
+@query(
+    "t_bpe_encode_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "tokenizer", "pipeline"),
+)
+def t_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE — the other half of t_bpe_train_rounds:
+    the three corpus-trained merges are applied to every document and
+    the per-document token counts emitted (n_tokens after merging,
+    n_merged = tokens that absorbed a merge).  This is the pass that
+    actually tokenizes a pretraining corpus once a vocabulary exists;
+    its output feeds sequence packing (c_sequence_packing) and token
+    accounting.  Merge application is the sentinel-replace trick
+    (greedy left-to-right non-overlapping, identical in both
+    engines), so the token counts are exact integers.
+
+    Scale shape: training reruns the t_bpe_train_rounds dataflow
+    (pair count shuffles collapse Zipf-hard under map-side combine;
+    each winner is a 1-row broadcast); the encode itself is a
+    MAP-ONLY pass over the corpus — documents never shuffle, and the
+    per-doc stats are computed in the same projection.
+    """
+    docs = Tables(spark, sf_dir).documents
+    cur = docs.select(
+        "doc_id",
+        F.expr(
+            r"array_join(transform(split(trim(text), '\\s+'),"
+            r" x -> concat(char(1), x)), ' ')"
+        ).alias("s"),
+    )
+    for _ in range(_BPE_APPLY_ROUNDS):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(s, ' ')) - 1),"
+                    " i -> concat(element_at(split(s, ' '), i), ' ',"
+                    " element_at(split(s, ' '), i + 1)))"
+                )
+            ).alias("pair")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select("pair")
+        )
+        cur = cur.crossJoin(F.broadcast(top1)).select(
+            "doc_id",
+            F.expr("replace(s, pair, replace(pair, ' ', char(2)))").alias("s"),
+        )
+    return cur.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.expr("CAST(size(split(s, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            "CAST(size(filter(split(s, ' '),"
+            " t -> instr(t, char(2)) > 0)) AS BIGINT)"
+        ).alias("n_merged"),
+    )

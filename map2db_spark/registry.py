@@ -143,6 +143,7 @@ _ROUND5_NEW = frozenset({
     "x_poisson_bootstrap", "x_entropy_segments",
     "g_adamic_adar", "g_random_walk", "c_dsir_importance",
     "f_csv_roundtrip", "f_jsonl_roundtrip",
+    "m_jpeg_dims", "t_bpe_encode_apply",
 })
 
 
