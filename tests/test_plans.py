@@ -664,3 +664,67 @@ def test_ann_recall_eval_no_corpus_shuffle_joins(spark):
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, q
         assert plan.count("BroadcastHashJoin") >= 2, q
+
+
+def test_ks_filter_pushed_and_distinct_value_window(spark):
+    """KS drift test: the two-sample filter reaches the parquet scan;
+    the corpus collapses to distinct values via one map-side-combined
+    Exchange before the (distinct-value-sized) cumulative window."""
+    plan = plan_of(spark, "x_ks_two_sample")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "event_type" in pushed, pushed
+    assert "CartesianProduct" not in plan  # totals join is broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_poisson_bootstrap_no_join_map_side_combine(spark):
+    """Poisson bootstrap: 32x explode feeds ONE map-side-combined
+    aggregate — no join anywhere, one Exchange carrying O(parts*R)."""
+    plan = plan_of(spark, "x_poisson_bootstrap")
+    assert "Join" not in plan, plan
+    assert _exchange_count(plan) <= 2, plan  # agg + final orderBy
+
+
+def test_welch_single_aggregate_no_join(spark):
+    """Welch t-test: six moments from one aggregate over the pushed
+    purchase filter; no join, single Exchange."""
+    plan = plan_of(spark, "x_welch_ttest")
+    assert "Join" not in plan, plan
+    assert _exchange_count(plan) <= 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "event_type" in pushed, pushed
+
+
+def test_entropy_totals_broadcast_back(spark):
+    """Segment entropy: the O(sources) totals broadcast back onto the
+    cells — the corpus shuffles once, as counts."""
+    plan = plan_of(spark, "x_entropy_segments")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_no_cartesian_topk(spark):
+    """Adamic-Adar: wedges via center-keyed equi-joins with the
+    deg-cap table broadcast; release is top-k, not a global sort."""
+    plan = plan_of(spark, "g_adamic_adar")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_weight_table_broadcast_topk(spark):
+    """DSIR: the 256-row bucket-weight table is broadcast back onto
+    the bigram stream; top-20 release is TakeOrderedAndProject."""
+    plan = plan_of(spark, "c_dsir_importance")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jpeg_dims_single_python_stage_no_shuffle(spark):
+    """JPEG metadata: fixture build + marker walk are back-to-back
+    Arrow kernels in one map-only stage — payload bytes never cross
+    an Exchange."""
+    plan = plan_of(spark, "m_jpeg_dims")
+    assert _exchange_count(plan) == 0, plan
+    assert "CartesianProduct" not in plan
