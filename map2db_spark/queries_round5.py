@@ -1013,3 +1013,206 @@ def t_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " t -> instr(t, char(2)) > 0)) AS BIGINT)"
         ).alias("n_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "x_acf_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT g.lag,
+             a.cents AS x, b.cents AS y
+      FROM daily a
+      CROSS JOIN generate_series(1, {_ACF_MAX_LAG}) g(lag)
+      JOIN daily b ON b.d = a.d + CAST(g.lag AS INTEGER)
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n, {_SPEARMAN_RHO} AS r_micro
+    FROM m ORDER BY lag
+    """,
+    tags=("analytics", "timeseries", "statistics"),
+)
+def x_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..{_ACF_MAX_LAG} — the first diagnostic of any time series (a
+    spike at lag 7 = weekly seasonality; slow decay = trend; both
+    decide the detrend/difference step before modeling).  Each lag's
+    Pearson r over the (x_t, x_t+k) pairs is computed from exact
+    BIGINT moments and released micro-scaled through the same shared
+    IEEE expression as x_spearman_corr.
+
+    Scale shape: the corpus collapses to the O(days) daily table in
+    one map-side-combinable aggregate; everything after — the 7-way
+    lag expansion, the shifted self-join, the moment sums — runs on
+    series-scale data (broadcast joins, no corpus re-shuffle).
+    """
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+        .localCheckpoint()  # O(days) table, base of both join sides
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    pairs = a.join(
+        F.broadcast(daily.alias("b")),
+        F.col("b.d") == F.date_add(F.col("a.d"), F.col("lag")),
+    ).select("lag", F.col("a.cents").alias("x"), F.col("b.cents").alias("y"))
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"), "n", F.expr(_SPEARMAN_RHO).alias("r_micro")
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL (modern SQL-surface ergonomics, Spark 4 + DuckDB)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "surface"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern SQL ergonomic (DuckDB-originated,
+    adopted by Spark 4): every non-aggregate select item becomes a
+    grouping key, eliminating the classic copy-paste drift between
+    SELECT list and GROUP BY clause.  Same physical plan as the
+    explicit form (partial agg -> one Exchange); this query pins the
+    SURFACE, proving both engines resolve ALL to the identical key
+    set."""
+    li = Tables(spark, sf_dir).lineitem
+    li.createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem_gba
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> array_to_string(list_slice(
+                      regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.02
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM sym
+      UNION
+      SELECT s.b AS node, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(arg_max(comp.node, d.n_chars * 1000000 - comp.node) AS BIGINT)
+             AS keeper_id,
+           CAST(max(d.n_chars * 1000000 - comp.node) // 1000000 AS BIGINT)
+             AS keeper_chars,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM comp JOIN documents d ON d.doc_id = comp.node
+    GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("dedup", "curation", "pipeline"),
+)
+def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the decision step AFTER
+    duplicate clustering: each near-dup cluster keeps exactly one
+    exemplar (longest document, smaller doc_id on ties) and marks the
+    rest removable.  The argmax is tie-proof by integer encoding
+    (n_chars * 1e6 - doc_id packs the preference into one orderable
+    key), so keep/drop decisions are bit-deterministic — the property
+    that makes a 100 TB dedup re-run reproduce the same corpus.
+
+    Scale shape: rides the d_dup_clusters dataflow (banded-LSH
+    candidate edges + large-star/small-star components), then ONE
+    cluster-keyed aggregate over the component assignment joined with
+    the doc-metadata columns it needs (n_chars only — column pruning
+    keeps the join narrow).
+    """
+    from map2db_spark.functions import dedup as D
+    from map2db_spark.operators.components import connected_components
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(edges, src="id_a", dst="id_b")
+    key = F.col("n_chars") * 1000000 - F.col("node")
+    return (
+        comps.join(docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.max_by("node", key).cast("long").alias("keeper_id"),
+            F.expr(
+                "CAST(max(n_chars * 1000000 - node) DIV 1000000 AS BIGINT)"
+            ).alias("keeper_chars"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -144,6 +144,7 @@ _ROUND5_NEW = frozenset({
     "g_adamic_adar", "g_random_walk", "c_dsir_importance",
     "f_csv_roundtrip", "f_jsonl_roundtrip",
     "m_jpeg_dims", "t_bpe_encode_apply",
+    "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
 })
 
 
