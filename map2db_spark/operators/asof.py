@@ -73,3 +73,107 @@ def asof_join_backward(
     if inner:
         carried = carried.where(F.col("asof_ts").isNotNull())
     return carried
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    inner: bool = True,
+) -> DataFrame:
+    """For each left row: the right row with the smallest |right_ts -
+    left_ts| within the same `on` key (nearest in EITHER direction —
+    the sensor/telemetry alignment variant; backward-only is
+    asof_join_backward).  Ties between an earlier and a later right
+    row at equal distance resolve to the earlier one.
+
+    Same union-sort cost model as the backward join — ONE shuffle on
+    the key — but a single window pass computes BOTH carries: the
+    latest prior right row (running last_value ignoring nulls) and
+    the earliest following right row (first_value over the following
+    frame).  The per-row pick is then a plain comparison, so the
+    inequality-join blowup never appears.
+
+    Rights sharing an identical (key, ts) should be deduplicated by
+    the caller (the carried row among exact ts duplicates is
+    deterministic but direction-asymmetric).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    ).select(*l.columns)
+
+    unioned = l.unionByName(r)
+    order = ["__ts", "__side", *[f"__r_{c}" for c in right_value_cols]]
+    w_prev = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = unioned.select(
+        *lcols,
+        "__ts",
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w_prev).alias(f"__p_{c}")
+            for c in right_value_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w_prev).alias("__p_ts"),
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w_next).alias(f"__n_{c}")
+            for c in right_value_cols
+        ],
+        F.first("__r_ts", ignorenulls=True).over(w_next).alias("__n_ts"),
+    ).where(F.col("__side") == 1)
+    # distance compare in exact integers (microseconds for timestamp
+    # keys, raw values for numeric keys); prev wins ties
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ts_type = left.schema[left_ts].dataType
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        def _num(c: F.Column) -> F.Column:
+            return F.unix_micros(c)
+    else:
+        def _num(c: F.Column) -> F.Column:
+            return c.cast("long")
+
+    use_prev = F.col("__n_ts").isNull() | (
+        F.col("__p_ts").isNotNull()
+        & (
+            _num(F.col("__ts")) - _num(F.col("__p_ts"))
+            <= _num(F.col("__n_ts")) - _num(F.col("__ts"))
+        )
+    )
+    out = both.select(
+        *lcols,
+        *[
+            F.when(use_prev, F.col(f"__p_{c}")).otherwise(F.col(f"__n_{c}"))
+            .alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+        F.when(use_prev, F.col("__p_ts")).otherwise(F.col("__n_ts")).alias("asof_ts"),
+    )
+    if inner:
+        out = out.where(F.col("asof_ts").isNotNull())
+    return out

@@ -1216,3 +1216,194 @@ def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-in-time join (bidirectional as-of)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_asof_nearest",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS e_id
+      FROM events WHERE event_type = 'error' AND user_id < 50
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    )
+    SELECT p.p_id, sel.e_id, sel.gap_us
+    FROM p CROSS JOIN LATERAL (
+      SELECT e.e_id,
+             CAST(abs(epoch_us(e.ts) - epoch_us(p.ts)) AS BIGINT) AS gap_us
+      FROM err e WHERE e.user_id = p.user_id
+      ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)), e.ts LIMIT 1
+    ) sel
+    ORDER BY p.p_id
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each purchase aligns to the user's
+    closest error event in EITHER direction — the telemetry/sensor
+    alignment variant of as-of (backward-only j_asof_join answers
+    "state at the time"; nearest answers "what happened around
+    then").  Spark lacks the operator; operators/asof.py composes it
+    as ONE union-sort window pass that carries both the latest prior
+    and earliest following right row, then picks by exact integer
+    microsecond distance (prev wins ties) — never the O(L x R)
+    inequality join the naive form implies (the oracle IS that naive
+    lateral form, feasible only at oracle scale).
+
+    Scale shape: one shuffle on the join key, identical to a regular
+    equi-join; rights are deduplicated per (key, ts) first so the
+    carried row is direction-symmetric.
+    """
+    from map2db_spark.operators.asof import asof_join_nearest
+
+    ev = Tables(spark, sf_dir).events.where(F.col("user_id") < 50)
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").cast("long").alias("e_id"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    near = asof_join_nearest(
+        p, err, on="user_id", left_ts="ts", right_ts="ts", right_value_cols=["e_id"]
+    )
+    return near.select(
+        "p_id",
+        F.col("asof_e_id").alias("e_id"),
+        F.abs(F.unix_micros(F.col("asof_ts")) - F.unix_micros(F.col("ts")))
+        .cast("long")
+        .alias("gap_us"),
+    ).orderBy("p_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) sub-document dedup
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4       # rolling window, words
+_CDC_MASK = 16   # boundary when window hash % 16 == 0 -> ~16-word chunks
+
+# window hash over the last 4 words: polynomial with base 31 over
+# v(tok) = len(tok)*256 + ascii(first char); the weighted sum stays
+# < 2^63, so no intermediate mod is needed and both engines compute
+# the identical integer.
+_CDC_V_SPARK = "(length(element_at(t, {j})) * 256 + ascii(element_at(t, {j})))"
+_CDC_V_DUCK = "(length(t[{j}]) * 256 + ascii(t[{j}]))"
+
+
+def _cdc_hash(v: str) -> str:
+    return (
+        f"({v.format(j='i - 3')} * 29791 + {v.format(j='i - 2')} * 961 + "
+        f"{v.format(j='i - 1')} * 31 + {v.format(j='i')})"
+    )
+
+
+@query(
+    "d_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    bounds AS (
+      SELECT doc_id, t,
+             list_filter(generate_series({_CDC_W}, len(t)),
+                         i -> {_cdc_hash(_CDC_V_DUCK)} % {_CDC_MASK} = 0) AS b
+      FROM toks WHERE len(t) >= {_CDC_W}
+    ),
+    closed AS (
+      SELECT doc_id, t,
+             CASE WHEN len(b) > 0 AND b[-1] = len(t) THEN b
+                  ELSE list_concat(b, [len(t)]) END AS b2
+      FROM bounds
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(b2)),
+                 j -> md5(array_to_string(list_slice(t,
+                        (CASE WHEN j = 1 THEN 0 ELSE b2[j - 1] END) + 1,
+                        b2[j]), ' ')))) AS chunk_md5
+      FROM closed
+    )
+    SELECT chunk_md5,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY chunk_md5 HAVING count(*) >= 2
+    ORDER BY n_occ DESC, chunk_md5 LIMIT 20
+    """,
+    tags=("dedup", "chunking", "pipeline"),
+)
+def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS boundary trick):
+    chunk boundaries fall where a rolling window hash hits a mask, so
+    they are determined by CONTENT, not position — insert one word at
+    the top of a document and every downstream chunk of a fixed-span
+    scheme (d_span_dedup) shifts and stops matching, while CDC
+    boundaries re-synchronize within one window.  This is the
+    storage-dedup primitive applied to corpus text: duplicated chunks
+    across documents surface shared boilerplate/quotations at
+    sub-document granularity, robust to prefix edits.
+
+    The window hash is a base-31 polynomial over (len*256 + first
+    char) of the last {_CDC_W} words — exact integers below 2^63 in
+    both engines; chunks are md5'd in place by a JVM/vectorized
+    higher-order transform (no UDF).
+
+    Scale shape: boundary detection and chunk hashing are MAP-ONLY
+    (per-row HOFs); the only shuffle is the chunk-keyed count with
+    map-side combine — the d_span_dedup cost model with
+    shift-robust boundaries.
+    """
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.repartition(32).select("doc_id", t.alias("t")).where(
+        F.size("t") >= _CDC_W
+    )
+    bounds = base.select(
+        "doc_id",
+        "t",
+        F.expr(
+            f"filter(sequence({_CDC_W}, size(t)),"
+            f" i -> {_cdc_hash(_CDC_V_SPARK)} % {_CDC_MASK} = 0)"
+        ).alias("b"),
+    )
+    closed = bounds.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "CASE WHEN size(b) > 0 AND element_at(b, -1) = size(t) THEN b"
+            " ELSE concat(b, array(size(t))) END"
+        ).alias("b2"),
+    )
+    chunks = closed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(b2)),"
+                " j -> md5(array_join(slice(t,"
+                " (CASE WHEN j = 1 THEN 0 ELSE element_at(b2, j - 1) END) + 1,"
+                " b2[j - 1] - (CASE WHEN j = 1 THEN 0"
+                "              ELSE element_at(b2, j - 1) END)), ' ')))"
+            )
+        ).alias("chunk_md5"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .orderBy(F.desc("n_occ"), "chunk_md5")
+        .limit(20)
+    )

@@ -428,3 +428,32 @@ def test_connected_components_self_loop_and_ids_sparse_partitions(spark):
     assert sorted((r["key"], r["seq"]) for r in out.collect()) == [
         (i, i) for i in range(10)
     ]
+
+
+def test_asof_nearest_directions_ties_and_no_match(spark):
+    """Nearest as-of: picks the closer side, earlier row wins exact
+    ties, no-match drops in inner mode and nulls in outer mode."""
+    from map2db_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 10), (1, 55), (2, 7)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 97, "back"), (1, 102, "fwd"), (1, 50, "lo"), (1, 60, "hi")],
+        "k long, t long, v string",
+    )
+    out = {
+        (r["k"], r["t"]): (r["asof_v"], r["asof_ts"])
+        for r in asof_join_nearest(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["v"], inner=False,
+        ).collect()
+    }
+    assert out[(1, 100)] == ("fwd", 102)   # dist 2 fwd beats 3 back
+    assert out[(1, 10)] == ("lo", 50)      # only forward exists
+    assert out[(1, 55)] == ("lo", 50)      # exact tie 5/5 -> earlier
+    assert out[(2, 7)] == (None, None)     # no rights for key
+    inner = asof_join_nearest(
+        left, right, on="k", left_ts="t", right_ts="t", right_value_cols=["v"]
+    )
+    assert inner.count() == 3
