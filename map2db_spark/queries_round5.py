@@ -1407,3 +1407,118 @@ def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "chunk_md5")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the customer-part bipartite graph
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+
+
+@query(
+    "g_hits_authorities",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h1 AS (
+      SELECT c, CAST(count(*) * {_HITS_SCALE} AS BIGINT) AS hub FROM e GROUP BY c
+    ),
+    h1n AS (
+      SELECT c, CAST(hub * {_HITS_SCALE} // (SELECT max(hub) FROM h1) AS BIGINT)
+               AS hub
+      FROM h1
+    ),
+    a1 AS (
+      SELECT p, CAST(sum(h.hub) AS BIGINT) AS auth
+      FROM e JOIN h1n h USING (c) GROUP BY p
+    ),
+    a1n AS (
+      SELECT p, CAST(auth * {_HITS_SCALE} // (SELECT max(auth) FROM a1) AS BIGINT)
+               AS auth
+      FROM a1
+    ),
+    h2 AS (
+      SELECT c, CAST(sum(a.auth) AS BIGINT) AS hub
+      FROM e JOIN a1n a USING (p) GROUP BY c
+    ),
+    h2n AS (
+      SELECT c, CAST(hub * {_HITS_SCALE} // (SELECT max(hub) FROM h2) AS BIGINT)
+               AS hub
+      FROM h2
+    ),
+    a2 AS (
+      SELECT p, CAST(sum(h.hub) AS BIGINT) AS auth,
+             CAST(count(*) AS BIGINT) AS n_buyers
+      FROM e JOIN h2n h USING (c) GROUP BY p
+    )
+    SELECT p, auth, n_buyers
+    FROM a2 ORDER BY auth DESC, p LIMIT 20
+    """,
+    tags=("graph", "ranking", "analytics"),
+)
+def g_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) on the customer-part bipartite graph,
+    two full mutual-reinforcement rounds: a part is authoritative when
+    bought by strong hub customers; a customer is a strong hub when
+    buying authoritative parts.  The eighth graph pattern in the
+    engine — the ranking dual of PageRank for bipartite interaction
+    data (recommender candidate generation).  All arithmetic is exact
+    integers: scores carry a 1e6 fixed-point scale and each round
+    renormalizes by truncating division by the max (the v_pca_power
+    renormalize trick), so both engines agree bit-for-bit — no L2
+    norm, no float accumulation.
+
+    Scale shape per round: one edge-keyed join against the O(nodes)
+    score table + one map-side-combinable aggregate; the max is an
+    O(1) broadcast scalar.  Edges are checkpointed once and reused by
+    all four half-rounds — the corpus-sized table never recomputes.
+    """
+    t = Tables(spark, sf_dir)
+    e = (
+        t.orders.select(F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c"))
+        .join(
+            t.lineitem.select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+            ),
+            "ok",
+        )
+        .select("c", "p")
+        .distinct()
+        .localCheckpoint()  # reused by all four half-rounds
+    )
+
+    def renorm(df: DataFrame, key: str, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key, F.expr(f"CAST({col} * {_HITS_SCALE} DIV mx AS BIGINT)").alias(col)
+        )
+
+    hub = renorm(
+        e.groupBy("c").agg(
+            (F.count(F.lit(1)) * _HITS_SCALE).cast("long").alias("hub")
+        ),
+        "c",
+        "hub",
+    )
+    auth = renorm(
+        e.join(hub, "c").groupBy("p").agg(F.sum("hub").cast("long").alias("auth")),
+        "p",
+        "auth",
+    )
+    hub2 = renorm(
+        e.join(auth, "p").groupBy("c").agg(F.sum("auth").cast("long").alias("hub")),
+        "c",
+        "hub",
+    )
+    a2 = (
+        e.join(hub2, "c")
+        .groupBy("p")
+        .agg(
+            F.sum("hub").cast("long").alias("auth"),
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        )
+    )
+    return a2.orderBy(F.desc("auth"), "p").limit(20)

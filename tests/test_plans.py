@@ -728,3 +728,46 @@ def test_jpeg_dims_single_python_stage_no_shuffle(spark):
     plan = plan_of(spark, "m_jpeg_dims")
     assert _exchange_count(plan) == 0, plan
     assert "CartesianProduct" not in plan
+
+
+def test_acf_series_scale_joins(spark):
+    """ACF: the corpus collapses to the O(days) daily table in one
+    aggregate; the lag expansion and shifted self-join are broadcast
+    joins on series-scale data."""
+    plan = plan_of(spark, "x_acf_lags")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_no_join_operator(spark):
+    """Nearest as-of: the union-sort composition — there must be NO
+    join operator in the plan at all (the naive form is an
+    inequality join; the oracle keeps that shape, the engine must
+    not)."""
+    plan = plan_of(spark, "j_asof_nearest")
+    assert "Join" not in plan, plan
+
+
+def test_cdc_chunking_map_only_then_one_shuffle(spark):
+    """CDC chunking: boundary detection + chunk hashing are per-row
+    HOFs; the only shuffle is the chunk-keyed count, released top-k."""
+    plan = plan_of(spark, "d_cdc_chunks")
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hits_no_cartesian_edges_reused(spark):
+    """HITS: four half-rounds of edge-keyed joins + broadcast max
+    scalars — never a cartesian blowup."""
+    plan = plan_of(spark, "g_hits_authorities")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cluster_canonical_narrow_metadata_join(spark):
+    """Canonical selection: the doc-metadata join reads only n_chars
+    (column pruning) next to the component assignment."""
+    plan = plan_of(spark, "d_cluster_canonical")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    doc_reads = [ln for ln in reads if "n_chars" in ln]
+    assert doc_reads and all("text" not in ln for ln in doc_reads), reads
