@@ -303,3 +303,48 @@ def s_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id LONG, n_events LONG, last_event_id LONG"
     )
+
+
+
+@query(
+    "s_stream_append_emission",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    w AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY 1
+    )
+    SELECT win_start, n, sum_cents
+    FROM w CROSS JOIN mx
+    WHERE win_start + INTERVAL 6 HOUR <= m - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "watermark", "append-mode"),
+)
+def s_stream_append_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode emission timing under a watermark, proven against
+    a batch oracle: a window emits exactly once, and only after the
+    watermark (max event time - 30 min) passes its END — so the
+    append output over the bounded stream equals the batch
+    aggregation RESTRICTED to watermark-closed windows, with the
+    trailing open windows withheld.  This is the semantics that makes
+    append sinks idempotent-by-construction (each window appears
+    once, final) and explains why streaming dashboards lag by the
+    watermark delay.
+
+    Empirical note pinned by this query's development: this Spark
+    build does NOT drop late input rows in the aggregation itself
+    (a very-late row re-creates state for its expired window and
+    emits at the next flush; numRowsDroppedByWatermark stays 0).
+    Strict late-row DROP therefore requires an explicit upstream
+    filter; the guaranteed watermark semantics are emission timing
+    and state eviction — which is what this query pins.
+    """
+    from map2db_spark.streaming.events import append_emission_counts
+
+    rows = append_emission_counts(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, schema="win_start TIMESTAMP, n LONG, sum_cents LONG"
+    )

@@ -146,6 +146,7 @@ _ROUND5_NEW = frozenset({
     "m_jpeg_dims", "t_bpe_encode_apply",
     "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
     "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
+    "s_stream_append_emission",
 })
 
 

@@ -366,3 +366,32 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str):
     after = {k: tuple(v) for k, v in state.items()}
     replay_noop = (not replay_applied) and before == after
     return state, ledger, replay_noop
+
+
+
+def append_emission_counts(spark: SparkSession, sf_dir: str):
+    """Append-mode emission timing, made oracle-checkable: a
+    watermarked tumbling aggregation over the bounded events stream
+    emits a window ONLY once the watermark (max event time - 30min)
+    has passed its end — the trailing still-open windows are withheld
+    even at stream end.  The collected append output must therefore
+    equal the batch aggregation restricted to watermark-closed
+    windows.  (Note for this Spark build: late INPUT rows are not
+    dropped by the aggregation — they create state for their old
+    window and emit at the next flush, numRowsDroppedByWatermark
+    stays 0; the enforced semantics is emission timing + state
+    eviction, so strict late-drop must be an explicit upstream filter
+    if required.  Verified empirically; see s_stream_late window
+    query docstring.)"""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+            .alias("sum_cents"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_cents")
+    )
+    return run_available_now(agg, "append")
