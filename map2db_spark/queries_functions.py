@@ -985,7 +985,8 @@ def x_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_try_arithmetic",
     oracle="""
     SELECT o_orderkey,
-           round(o_totalprice / NULLIF(o_orderkey % 5, 0), 3) AS price_per,
+           CAST(round(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                      / NULLIF(o_orderkey % 5, 0)) AS BIGINT) AS price_per_milli,
            TRY_CAST(o_orderstatus AS INT)                     AS status_as_int,
            TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)  AS priority_num
     FROM orders WHERE o_orderkey % 97 = 0
@@ -996,13 +997,21 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe arithmetic and casting: try_divide yields NULL on
     division by zero, try_cast yields NULL on malformed input — the
     poison-row containment every batch pipeline needs (one bad row must
-    not kill a 100 TB job)."""
+    not kill a 100 TB job).
+
+    Parity note: the division runs on exact integer milli-cents and
+    rounds to an INTEGER, where Spark's HALF_UP and DuckDB's
+    round-half-away agree for every representable quotient; rounding
+    a raw double quotient to 3 DECIMALS is engine-divergent at
+    shortest-representation .0005 boundaries (Spark rounds the
+    decimal string, DuckDB the scaled double — one sf0.1 row hit it)."""
     o = Tables(spark, sf_dir).orders.where(F.col("o_orderkey") % 97 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
         "o_orderkey",
-        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 3).alias(
-            "price_per"
-        ),
+        F.round(F.try_divide(cents * 10, F.col("o_orderkey") % 5))
+        .cast("long")
+        .alias("price_per_milli"),
         F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_num"),
     )
