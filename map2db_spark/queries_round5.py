@@ -1522,3 +1522,325 @@ def g_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a2.orderBy(F.desc("auth"), "p").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (model-monitoring drift)
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 5000  # cents per bucket over the ~0..49k value domain
+
+
+@query(
+    "x_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(round(value * 100) AS BIGINT) // {_PSI_WIDTH},
+                   {_PSI_BUCKETS - 1}) AS bucket,
+             CASE WHEN epoch_us(ts) * 2 <=
+                  (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events)
+                  THEN 1 ELSE 0 END AS first_half
+      FROM events
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(sum(first_half) AS BIGINT) AS c1,
+             CAST(sum(1 - first_half) AS BIGINT) AS c2
+      FROM b GROUP BY bucket
+    ),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+          FROM c)
+    SELECT c.bucket, c.c1, c.c2,
+           CAST(round(1000000 *
+               (CAST((c1 + 1) * (n2 + {_PSI_BUCKETS}) -
+                     (c2 + 1) * (n1 + {_PSI_BUCKETS}) AS DOUBLE)
+                / (CAST(n1 + {_PSI_BUCKETS} AS DOUBLE)
+                   * (n2 + {_PSI_BUCKETS})))
+               * ln(CAST((c1 + 1) * (n2 + {_PSI_BUCKETS}) AS DOUBLE)
+                    / ((c2 + 1) * (n1 + {_PSI_BUCKETS})))
+           ) AS BIGINT) AS term_micro
+    FROM c CROSS JOIN t
+    ORDER BY c.bucket
+    """,
+    tags=("analytics", "drift", "ml-eval"),
+)
+def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the event history — THE production model-monitoring drift metric
+    (PSI > 0.2 conventionally triggers retraining), complementing the
+    KS test: PSI weighs the whole distribution, KS the worst point.
+    Per-bucket term (p-q)*ln(p/q) with Laplace smoothing is released
+    micro-rounded from one shared IEEE expression (a single ln over
+    an exact integer-product quotient), so the per-bucket terms and
+    their sum are engine-exact integers.
+
+    Scale shape: the time midpoint is an O(1) broadcast scalar; the
+    corpus collapses to {_PSI_BUCKETS} bucket counts in one
+    map-side-combinable aggregate — drift monitoring costs one scan
+    regardless of volume.
+    """
+    ev = Tables(spark, sf_dir).events
+    mid = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("mm")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        F.least(
+            F.expr(f"CAST(round(value * 100) AS BIGINT) DIV {_PSI_WIDTH}"),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+        F.when(F.unix_micros("ts") * 2 <= F.col("mm"), 1).otherwise(0).alias(
+            "first_half"
+        ),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("first_half").cast("long").alias("c1"),
+        F.sum(1 - F.col("first_half")).cast("long").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    k = _PSI_BUCKETS
+    term = F.round(
+        1000000
+        * (
+            ((F.col("c1") + 1) * (F.col("n2") + k)
+             - (F.col("c2") + 1) * (F.col("n1") + k)).cast("double")
+            / ((F.col("n1") + k).cast("double") * (F.col("n2") + k))
+        )
+        * F.log(
+            ((F.col("c1") + 1) * (F.col("n2") + k)).cast("double")
+            / ((F.col("c2") + 1) * (F.col("n1") + k))
+        )
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("bucket", "c1", "c2", term.alias("term_micro"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (sMAPE + MAE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_smape_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.cents AS x, b.cents AS f
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(x - f)) AS BIGINT) AS mae_cents_sum,
+           CAST(sum(CAST(round(1000000 * 2.0 * abs(x - f) / (x + f))
+                    AS BIGINT)) AS BIGINT) AS smape_micro_sum,
+           CAST(sum(CAST(round(1000000 * 2.0 * abs(x - f) / (x + f))
+                    AS BIGINT)) // count(*) AS BIGINT) AS smape_micro
+    FROM p
+    """,
+    tags=("analytics", "timeseries", "forecast-eval"),
+)
+def x_smape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy floor: evaluate the SEASONAL-NAIVE forecast
+    (tomorrow = same weekday last week) with sMAPE and MAE — the
+    baseline every real forecasting model must beat, and the standard
+    first row of a forecast-eval report (M-competitions convention).
+    Per-day sMAPE terms 2|x-f|/(x+f) are micro-rounded individually
+    (one IEEE division over exact integers), so the sums and the
+    integer-divided mean are engine-exact.
+
+    Scale shape: the corpus collapses to the O(days) daily series in
+    one aggregate; the lag-7 alignment is a broadcast self-join on the
+    tiny series; the eval is a 4-integer global aggregate.
+    """
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()  # O(days); both join sides
+    )
+    p = (
+        daily.alias("a")
+        .join(
+            F.broadcast(daily.alias("b")),
+            F.col("b.d") == F.date_sub(F.col("a.d"), 7),
+        )
+        .select(F.col("a.cents").alias("x"), F.col("b.cents").alias("f"))
+    )
+    term = F.round(
+        1000000 * 2.0 * F.abs(F.col("x") - F.col("f")) / (F.col("x") + F.col("f"))
+    ).cast("long")
+    return p.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("x") - F.col("f"))).cast("long").alias("mae_cents_sum"),
+        F.sum(term).cast("long").alias("smape_micro_sum"),
+        F.expr(
+            "CAST(sum(CAST(round(1000000 * 2.0 * abs(x - f) / (x + f)) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("smape_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity reranking (retrieval post-processing)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    return (
+        f"CAST(round(1000000 * list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    from map2db_spark.queries_pipeline import _ANN_INT
+
+    return f"""
+    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+    cands AS (
+      SELECT vec_id, v, {_mmr_cos("qv", "v")} AS rel
+      FROM iv CROSS JOIN q WHERE vec_id != 0
+      ORDER BY rel DESC, vec_id LIMIT 10
+    ),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {_mmr_cos("a.v", "b.v")} AS sim
+      FROM cands a JOIN cands b ON a.vec_id != b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel FROM cands ORDER BY rel DESC, vec_id LIMIT 1),
+    m2 AS (
+      SELECT c.vec_id, c.rel, c.rel - s.sim AS mmr
+      FROM cands c JOIN sims s
+        ON s.ia = c.vec_id AND s.ib = (SELECT vec_id FROM s1)
+      WHERE c.vec_id != (SELECT vec_id FROM s1)
+    ),
+    s2 AS (SELECT vec_id, rel, mmr FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel12 AS (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2),
+    m3 AS (
+      SELECT c.vec_id, c.rel, c.rel - max(s.sim) AS mmr
+      FROM cands c JOIN sims s
+        ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel12)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel12)
+      GROUP BY c.vec_id, c.rel
+    ),
+    s3 AS (SELECT vec_id, rel, mmr FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS pick, vec_id, rel AS rel_micro,
+           rel AS mmr_micro FROM s1
+    UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+    UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
+    """
+
+
+@query("v_mmr_rerank", oracle=_mmr_oracle(), tags=("ann", "retrieval", "rerank"))
+def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking — the diversity
+    post-processor of retrieval (RAG context selection, dedup of
+    near-identical hits): after a top-10 relevance shortlist, picks
+    are greedy argmax of rel - max_similarity_to_already_picked
+    (lambda = 1/2 scaled out), so the second and third picks trade
+    relevance for novelty.  All scores are micro-rounded cosines —
+    integers — so the greedy selection (the part where a float ulp
+    could flip a pick) is engine-exact, with vec_id tiebreaks.
+
+    Scale shape: the corpus is touched ONLY by the brute shortlist
+    pass (broadcast query, no corpus shuffle — swap in the LSH/IVF
+    path at scale); everything after runs on the k=10 shortlist
+    (O(k^2) sims), which is driver-trivial but kept distributed and
+    deterministic.
+    """
+    from map2db_spark.functions.similarity import int_dot, int_vec
+
+    emb = Tables(spark, sf_dir).embeddings
+    iv = emb.select("vec_id", int_vec(F.col("embedding")).alias("v"))
+
+    def cos_micro(a, b):
+        return F.round(
+            1000000
+            * int_dot(a, b).cast("double")
+            / (
+                F.sqrt(int_dot(a, a).cast("double"))
+                * F.sqrt(int_dot(b, b).cast("double"))
+            )
+        ).cast("long")
+
+    q = iv.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cands = (
+        iv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", cos_micro(F.col("qv"), F.col("v")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(10)
+        .localCheckpoint()  # k-row shortlist, base of every greedy round
+    )
+    sims = (
+        cands.alias("a")
+        .join(cands.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            cos_micro(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+    )
+    s1 = cands.orderBy(F.desc("rel"), "vec_id").limit(1).select("vec_id", "rel")
+    sel1 = s1.select(F.col("vec_id").alias("sel_id"))
+    m2 = (
+        cands.join(sel1.hint("broadcast"), F.col("vec_id") == F.col("sel_id"), "left_anti")
+        .join(
+            sims.join(sel1.hint("broadcast"), sims["ib"] == F.col("sel_id")).select(
+                "ia", "sim"
+            ),
+            F.col("vec_id") == F.col("ia"),
+        )
+        .select("vec_id", "rel", (F.col("rel") - F.col("sim")).alias("mmr"))
+    )
+    s2 = m2.orderBy(F.desc("mmr"), "vec_id").limit(1).select("vec_id", "rel", "mmr")
+    sel12 = sel1.unionByName(s2.select(F.col("vec_id").alias("sel_id")))
+    m3 = (
+        cands.join(sel12.hint("broadcast"), F.col("vec_id") == F.col("sel_id"), "left_anti")
+        .join(
+            sims.join(sel12.hint("broadcast"), sims["ib"] == F.col("sel_id")).select(
+                "ia", "sim"
+            ),
+            F.col("vec_id") == F.col("ia"),
+        )
+        .groupBy("vec_id", "rel")
+        .agg((F.col("rel") - F.max("sim")).alias("mmr"))
+    )
+    s3 = m3.orderBy(F.desc("mmr"), "vec_id").limit(1).select("vec_id", "rel", "mmr")
+    return (
+        s1.select(
+            F.lit(1).cast("long").alias("pick"),
+            "vec_id",
+            F.col("rel").alias("rel_micro"),
+            F.col("rel").alias("mmr_micro"),
+        )
+        .unionByName(
+            s2.select(
+                F.lit(2).cast("long").alias("pick"),
+                "vec_id",
+                F.col("rel").alias("rel_micro"),
+                F.col("mmr").alias("mmr_micro"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                F.lit(3).cast("long").alias("pick"),
+                "vec_id",
+                F.col("rel").alias("rel_micro"),
+                F.col("mmr").alias("mmr_micro"),
+            )
+        )
+    )

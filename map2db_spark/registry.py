@@ -147,6 +147,7 @@ _ROUND5_NEW = frozenset({
     "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
     "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
     "s_stream_append_emission",
+    "x_psi_drift", "x_smape_seasonal_naive", "v_mmr_rerank",
 })
 
 
