@@ -1292,18 +1292,70 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_W = 4       # rolling window, words
 _CDC_MASK = 16   # boundary when window hash % 16 == 0 -> ~16-word chunks
 
-# window hash over the last 4 words: polynomial with base 31 over
-# v(tok) = len(tok)*256 + ascii(first char); the weighted sum stays
-# < 2^63, so no intermediate mod is needed and both engines compute
-# the identical integer.
-_CDC_V_SPARK = "(length(element_at(t, {j})) * 256 + ascii(element_at(t, {j})))"
-_CDC_V_DUCK = "(length(t[{j}]) * 256 + ascii(t[{j}]))"
+# Window hash over the last 4 words: polynomial with base 31 over
+# v(tok) = first 16 bits of md5(tok), precomputed ONCE per token into
+# the vs array.  md5 mixing matters: a surface feature like
+# len*256+ascii(first char) collapses mod 16 to the first character
+# alone (256 = 0 mod 16), and a single-prefix vocabulary then makes
+# EVERY position a boundary — caught by the resync property test.
+# The weighted sum stays < 2^63*? (65535 * 30784 < 2^31), so no
+# intermediate mod is needed and both engines compute the identical
+# integer.
+_CDC_V_SPARK = "element_at(vs, {j})"
+_CDC_V_DUCK = "vs[{j}]"
+_CDC_VS_SPARK = (
+    "transform(t, x -> CAST(conv(substring(md5(x), 1, 4), 16, 10) AS BIGINT))"
+)
+_CDC_VS_DUCK = (
+    "list_transform(t, x -> CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT))"
+)
 
 
 def _cdc_hash(v: str) -> str:
     return (
         f"({v.format(j='i - 3')} * 29791 + {v.format(j='i - 2')} * 961 + "
         f"{v.format(j='i - 1')} * 31 + {v.format(j='i')})"
+    )
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> exploded (doc_id, chunk_md5) rows under
+    content-defined boundaries — per-row HOFs only, no UDF, no
+    shuffle.  Shared by d_cdc_chunks and the boundary-resync property
+    test."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).where(F.size("t") >= _CDC_W)
+    bounds = base.select(
+        "doc_id",
+        "t",
+        F.expr(_CDC_VS_SPARK).alias("vs"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(
+            f"filter(sequence({_CDC_W}, size(t)),"
+            f" i -> {_cdc_hash(_CDC_V_SPARK)} % {_CDC_MASK} = 0)"
+        ).alias("b"),
+    )
+    closed = bounds.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "CASE WHEN size(b) > 0 AND element_at(b, -1) = size(t) THEN b"
+            " ELSE concat(b, array(size(t))) END"
+        ).alias("b2"),
+    )
+    return closed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(b2)),"
+                " j -> md5(array_join(slice(t,"
+                " (CASE WHEN j = 1 THEN 0 ELSE element_at(b2, j - 1) END) + 1,"
+                " b2[j - 1] - (CASE WHEN j = 1 THEN 0"
+                "              ELSE element_at(b2, j - 1) END)), ' ')))"
+            )
+        ).alias("chunk_md5"),
     )
 
 
@@ -1314,11 +1366,15 @@ def _cdc_hash(v: str) -> str:
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
     ),
+    vtab AS (
+      SELECT doc_id, t, {_CDC_VS_DUCK} AS vs
+      FROM toks WHERE len(t) >= {_CDC_W}
+    ),
     bounds AS (
       SELECT doc_id, t,
              list_filter(generate_series({_CDC_W}, len(t)),
                          i -> {_cdc_hash(_CDC_V_DUCK)} % {_CDC_MASK} = 0) AS b
-      FROM toks WHERE len(t) >= {_CDC_W}
+      FROM vtab
     ),
     closed AS (
       SELECT doc_id, t,
@@ -1365,38 +1421,7 @@ def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift-robust boundaries.
     """
     docs = Tables(spark, sf_dir).documents
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.repartition(32).select("doc_id", t.alias("t")).where(
-        F.size("t") >= _CDC_W
-    )
-    bounds = base.select(
-        "doc_id",
-        "t",
-        F.expr(
-            f"filter(sequence({_CDC_W}, size(t)),"
-            f" i -> {_cdc_hash(_CDC_V_SPARK)} % {_CDC_MASK} = 0)"
-        ).alias("b"),
-    )
-    closed = bounds.select(
-        "doc_id",
-        "t",
-        F.expr(
-            "CASE WHEN size(b) > 0 AND element_at(b, -1) = size(t) THEN b"
-            " ELSE concat(b, array(size(t))) END"
-        ).alias("b2"),
-    )
-    chunks = closed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(b2)),"
-                " j -> md5(array_join(slice(t,"
-                " (CASE WHEN j = 1 THEN 0 ELSE element_at(b2, j - 1) END) + 1,"
-                " b2[j - 1] - (CASE WHEN j = 1 THEN 0"
-                "              ELSE element_at(b2, j - 1) END)), ' ')))"
-            )
-        ).alias("chunk_md5"),
-    )
+    chunks = cdc_chunk_frame(docs.repartition(32))
     return (
         chunks.groupBy("chunk_md5")
         .agg(
