@@ -233,8 +233,12 @@ _SHINGLES_SQL = (
 )
 
 
-def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
-                    threshold: float = 0.9, bucket_cap: int = 50) -> str:
+def _minhash_cte_body(num_hashes: int = 8, band_size: int = 2,
+                      bucket_cap: int = 50) -> str:
+    """Shared WITH-body of the MinHash/LSH SQL reimplementation:
+    shingles -> signatures -> capped band buckets -> candidate pairs
+    -> exact intersections + sizes.  Used by the d_minhash_lsh oracle
+    and the LSH recall-evaluation oracle."""
     mins = ", ".join(
         f"min(substr(md5(shingle), {i * 4 + 1}, 4)) AS mh{i}"
         for i in range(num_hashes)
@@ -275,7 +279,13 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
-    )
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
+                    threshold: float = 0.9, bucket_cap: int = 50) -> str:
+    return f"""
+    {_minhash_cte_body(num_hashes, band_size, bucket_cap)}
     SELECT id_a, id_b,
            round(shared / (na.n + nb.n - shared), 6) AS jaccard
     FROM inter JOIN cand USING (id_a, id_b)

@@ -1869,3 +1869,206 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Measured recall of the MinHash-LSH dedup vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_recall_oracle(threshold: float = 0.5) -> str:
+    from map2db_spark.queries_pipeline import _minhash_cte_body
+
+    return f"""
+    {_minhash_cte_body()},
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= {threshold}
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+                AS BIGINT) AS n_hit,
+           CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+                * 1000000
+                // (SELECT count(*) FROM exact) AS BIGINT) AS recall_ppm
+    """
+
+
+@query(
+    "d_minhash_recall_eval",
+    oracle=_minhash_recall_oracle(),
+    tags=("dedup", "lsh", "evaluation", "pipeline"),
+)
+def d_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured RECALL of the engine's own MinHash-LSH dedup against
+    exact Jaccard ground truth at threshold 0.5 — the evaluation that
+    turns "we use LSH" into a dial: 8 hashes in 4 bands of 2 catch
+    pairs with P = 1-(1-j^2)^4 (j=0.5 -> ~68%), so a measured recall
+    in that region CONFIRMS the theory on real data, and a production
+    run sizes num_hashes from this curve rather than folklore.  The
+    sibling of v_ann_recall_eval for the token-similarity side.
+    Counts and the ppm recall are exact integers.
+
+    Scale shape: ground truth uses the inverted-index exact join
+    (bounded here; df-capped at corpus scale); the LSH side is the
+    production candidate dataflow; the comparison is a co-partitioned
+    pair join.  At 100 TB one runs this on a SAMPLE — the dataflow is
+    identical.
+    """
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+    sh = D.shingle_table(docs).localCheckpoint()  # base of both sides
+    exact = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
+    cand = D.lsh_candidate_pairs(
+        D.minhash_signatures(sh, num_hashes=8), num_hashes=8, band_size=2,
+        bucket_cap=50,
+    ).select("id_a", "id_b")
+    hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_cand",
+            "n_hit",
+            F.expr("CAST(n_hit * 1000000 DIV n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval for the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_conformal_interval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.d, abs(a.cents - b.cents) AS resid
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    ),
+    lim AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM p
+    ),
+    split AS (
+      SELECT p.d, p.resid,
+             CASE WHEN (p.d - l.d0) * 2 <= (l.d1 - l.d0) THEN 1 ELSE 0 END
+               AS cal
+      FROM p CROSS JOIN lim l
+    ),
+    calr AS (
+      SELECT resid,
+             row_number() OVER (ORDER BY resid) AS rn,
+             count(*) OVER () AS n
+      FROM split WHERE cal = 1
+    ),
+    q AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_cal,
+             CAST(max(CASE WHEN rn = least((n * 9 + 18) // 10, n)
+                           THEN resid END) AS BIGINT) AS q_hat
+      FROM calr
+    )
+    SELECT q.n_cal, q.q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN s.resid <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered
+    FROM split s CROSS JOIN q
+    WHERE s.cal = 0
+    GROUP BY q.n_cal, q.q_hat
+    """,
+    tags=("analytics", "ml-eval", "uncertainty"),
+)
+def x_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around the seasonal-naive
+    forecast: calibrate the 90% residual quantile q_hat = the
+    ceil(0.9*(n+1))-th order statistic of |x - f| on the FIRST half
+    of days, then measure empirical coverage (resid <= q_hat) on the
+    second half — distribution-free uncertainty quantification, the
+    finite-sample guarantee (coverage >= 90% in expectation) that
+    model-agnostic forecasting pipelines ship with their point
+    predictions.  All quantities — the nearest-rank quantile, the
+    split, the coverage counts — are exact integers.
+
+    Scale shape: the corpus collapses to the O(days) series; the
+    calibration quantile is one rank window over that series; the
+    coverage check is a broadcast of one (q_hat) row.  Conformal
+    calibration at 100 TB is series- or residual-sample-sized, never
+    corpus-sized.
+    """
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()  # O(days); both join sides
+    )
+    p = (
+        daily.alias("a")
+        .join(F.broadcast(daily.alias("b")), F.col("b.d") == F.date_sub(F.col("a.d"), 7))
+        .select(
+            F.col("a.d").alias("d"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias("resid"),
+        )
+    )
+    lim = p.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    split = p.crossJoin(F.broadcast(lim)).select(
+        "d",
+        "resid",
+        F.when(
+            F.datediff(F.col("d"), F.col("d0")) * 2
+            <= F.datediff(F.col("d1"), F.col("d0")),
+            1,
+        )
+        .otherwise(0)
+        .alias("cal"),
+    )
+    from pyspark.sql.window import Window as W
+
+    calr = (
+        split.where(F.col("cal") == 1)
+        .select(
+            "resid",
+            F.row_number().over(W.orderBy("resid")).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+    )
+    q = calr.agg(
+        F.max("n").cast("long").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn") == F.least(F.expr("(n * 9 + 18) DIV 10"), F.col("n")),
+                F.col("resid"),
+            )
+        )
+        .cast("long")
+        .alias("q_hat"),
+    )
+    return (
+        split.where(F.col("cal") == 0)
+        .crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("resid") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )

@@ -148,6 +148,7 @@ _ROUND5_NEW = frozenset({
     "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
     "s_stream_append_emission",
     "x_psi_drift", "x_smape_seasonal_naive", "v_mmr_rerank",
+    "d_minhash_recall_eval", "x_conformal_interval",
 })
 
 
