@@ -451,3 +451,80 @@ def extract_jpeg_dims(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=JPEG_DIMS_SCHEMA
     )
+
+
+def documents_as_webp_media(docs: DataFrame) -> DataFrame:
+    """Real-container media table: each doc becomes a structurally
+    valid WebP (layout cycling VP8 /VP8L/VP8X by doc_id) with
+    closed-form geometry — a SQL oracle can compute expected dims and
+    byte lengths without parsing RIFF itself."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.webp import encode_webp_shell
+
+        layouts = ["VP8 ", "VP8L", "VP8X"]
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf["doc_id"].astype("int64"):
+                w = 20 + int(did) % 11 * 5
+                h = 10 + int(did) % 6 * 7
+                payloads.append(encode_webp_shell(w, h, layouts[int(did) % 3]))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta_width": pd.Series(widths, dtype="int32"),
+                    "meta_height": pd.Series(heights, dtype="int32"),
+                    "meta_duration_ms": pd.Series([0] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+WEBP_DIMS_SCHEMA = (
+    "media_id LONG, width INT, height INT, layout STRING, "
+    "n_chunks INT, n_bytes INT"
+)
+
+
+def extract_webp_dims(media: DataFrame) -> DataFrame:
+    """REAL metadata decode: walk each payload's RIFF chunks
+    (functions/webp.py) and emit frame geometry + container layout —
+    the filter/routing pass before any pixel decode (VP8X signals
+    animation/alpha features a pipeline routes differently).  Errors
+    raise, never silently zero."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.webp import parse_webp_header
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].astype("int64"), pdf["payload"]
+            ):
+                hdr = parse_webp_header(bytes(payload))
+                rows.append(
+                    (
+                        int(mid),
+                        hdr["width"],
+                        hdr["height"],
+                        hdr["layout"],
+                        hdr["n_chunks"],
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "layout", "n_chunks",
+                    "n_bytes",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=WEBP_DIMS_SCHEMA
+    )

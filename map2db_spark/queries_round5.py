@@ -2072,3 +2072,271 @@ def x_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_covered"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WebP frame-geometry decode (real RIFF chunk walk, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_webp_dims",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(20 + (doc_id % 11) * 5 AS INTEGER) AS width,
+           CAST(10 + (doc_id % 6) * 7 AS INTEGER) AS height,
+           CASE doc_id % 3 WHEN 0 THEN 'VP8 ' WHEN 1 THEN 'VP8L'
+                ELSE 'VP8X' END AS layout,
+           CAST(1 AS INTEGER) AS n_chunks,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 36 ELSE 30 END
+                AS INTEGER) AS n_bytes
+    FROM documents WHERE doc_id < 45
+    """,
+    tags=("multimodal", "image", "metadata"),
+)
+def m_webp_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP metadata decode across all three container layouts:
+    lossy VP8 (sync-coded u16 dims), lossless VP8L (28-bit LSB-first
+    packing), extended VP8X (24-bit canvas) — fabricated in-kernel
+    with closed-form geometry and walked by functions/webp.py's RIFF
+    chunk parser.  Together with m_jpeg_dims and m_png_decode this
+    closes the metadata pass over the three dominant web image
+    formats; WebP pixel decode keeps its honest stub (needs a VP8
+    codec).  The oracle recomputes geometry, layout, and container
+    byte length from the closed form, value-verifying the chunk walk
+    (sizes, padding, per-layout bit packing) end to end.
+
+    Scale shape: one map-only mapInPandas pass; the walker reads only
+    chunk headers — metadata extraction over an image corpus is
+    I/O-bound, not CPU-bound.
+    """
+    from map2db_spark.functions.multimodal import (
+        documents_as_webp_media,
+        extract_webp_dims,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 45)
+    return extract_webp_dims(documents_as_webp_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of the daily series)
+# ---------------------------------------------------------------------------
+
+_RUNS_Z = """
+    CAST(round(1000000 * (
+        (CAST(runs AS DOUBLE)
+         - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0))
+        / sqrt(
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+               * (CAST(n1 AS DOUBLE) + n2 - 1.0))
+        )
+    )) AS BIGINT)"""
+
+
+@query(
+    "x_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    r1 AS (
+      SELECT d, cents,
+             row_number() OVER (ORDER BY cents) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT CAST(sum(cents * (
+          (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+        + (CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END))) AS BIGINT) AS med2
+      FROM r1
+    ),
+    s AS (
+      SELECT d, CASE WHEN 2 * cents > med2 THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN med
+      WHERE 2 * cents != med2
+    ),
+    runs_t AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                  OR lag(above) OVER (ORDER BY d) != above
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    c AS (
+      SELECT CAST(sum(above) AS BIGINT) AS n1,
+             CAST(sum(1 - above) AS BIGINT) AS n2,
+             CAST(sum(new_run) AS BIGINT) AS runs
+      FROM runs_t
+    )
+    SELECT n1, n2, runs, {_RUNS_Z} AS z_micro FROM c
+    """,
+    tags=("analytics", "statistics", "randomness"),
+)
+def x_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: is the
+    above/below-median sequence random, or does it trend/cluster
+    (too few runs) or oscillate (too many)?  The randomness
+    diagnostic that catches serial dependence ACF's linear
+    correlation can miss.  Median comparison uses the doubled order
+    statistic (2c vs med2 — exact, tie rows excluded exactly); run
+    boundaries come from one lag window; z is released micro-scaled
+    from one shared IEEE expression over the three integer counts.
+
+    Scale shape: corpus -> O(days) series in one aggregate; both
+    windows run at series scale.  The median over an unbounded
+    series swaps to the histogram two-pass locate, semantics
+    unchanged.
+    """
+    from map2db_spark.queries_round3 import _MED2  # noqa: F401 (doc link)
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()  # O(days); median + sign passes
+    )
+    r1 = daily.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pick = (
+        F.when(F.col("rn") == F.expr("(n + 1) div 2"), 1).otherwise(0)
+        + F.when(F.col("rn") == F.expr("n div 2 + 1"), 1).otherwise(0)
+    )
+    med = r1.agg(F.sum(F.col("cents") * pick).cast("long").alias("med2"))
+    s = (
+        daily.crossJoin(F.broadcast(med))
+        .where(2 * F.col("cents") != F.col("med2"))
+        .select(
+            "d", F.when(2 * F.col("cents") > F.col("med2"), 1).otherwise(0).alias("above")
+        )
+    )
+    lagged = s.select(
+        "above",
+        F.when(
+            F.lag("above").over(W.orderBy("d")).isNull()
+            | (F.lag("above").over(W.orderBy("d")) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    c = lagged.agg(
+        F.sum("above").cast("long").alias("n1"),
+        F.sum(1 - F.col("above")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    return c.select("n1", "n2", "runs", F.expr(_RUNS_Z).alias("z_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_CC_DEG_CAP = 64
+
+
+@query(
+    "g_clustering_coefficient",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT x.p AS u, y.p AS v
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e
+    ),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY w),
+    tri AS (
+      SELECT a.w AS node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM adj a
+      JOIN adj b ON a.w = b.w AND a.x < b.x
+      JOIN e ON e.u = a.x AND e.v = b.x
+      JOIN deg dd ON dd.w = a.w
+      WHERE dd.d <= {_CC_DEG_CAP}
+      GROUP BY a.w
+    )
+    SELECT deg.w AS node, deg.d AS degree,
+           CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(coalesce(tri.n_tri, 0) * 2 * 1000000
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_ppm
+    FROM deg LEFT JOIN tri ON tri.node = deg.w
+    WHERE deg.d BETWEEN 2 AND {_CC_DEG_CAP}
+    ORDER BY coeff_ppm DESC, node LIMIT 25
+    """,
+    tags=("graph", "analytics"),
+)
+def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — how much of each
+    node's neighborhood is itself connected (2*tri / deg*(deg-1)),
+    the community-structure statistic that separates tightly-knit
+    product families from hub-and-spoke accessories.  Complements the
+    global triangle count (g_triangle_count) with the per-node view.
+    Exact integers throughout: triangle counts via neighbor-pair
+    wedges closed against the edge set, coefficient as integer ppm.
+
+    Scale shape: wedges generate per CENTER with the explicit
+    deg <= {_CC_DEG_CAP} rail (a deg-d center emits d^2/2 wedges);
+    the closure check joins the wedge against the edge table on the
+    (a, b) pair key — co-partitioned with the pair aggregation.  Hub
+    coefficients, when needed, come from degree-ordered orientation
+    (the g_triangle_count dataflow) rather than raw wedges.
+    """
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # adjacency + closure branches
+    )
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    degc = deg.where(F.col("d") <= _CC_DEG_CAP).select(
+        F.col("w").alias("dw"), "d"
+    )
+    tri = (
+        adj.alias("a")
+        .join(adj.alias("b"), (F.col("a.w") == F.col("b.w")) & (F.col("a.x") < F.col("b.x")))
+        .join(degc.hint("broadcast"), F.col("a.w") == F.col("dw"))
+        .join(e.alias("e"), (F.col("e.u") == F.col("a.x")) & (F.col("e.v") == F.col("b.x")))
+        .groupBy(F.col("a.w").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        deg.where((F.col("d") >= 2) & (F.col("d") <= _CC_DEG_CAP))
+        .join(tri, F.col("w") == F.col("node"), "left")
+        .select(
+            F.col("w").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST(coalesce(n_tri, 0) * 2 * 1000000 DIV (d * (d - 1))"
+                " AS BIGINT)"
+            ).alias("coeff_ppm"),
+        )
+    )
+    return out.orderBy(F.desc("coeff_ppm"), "node").limit(25)
