@@ -2340,3 +2340,239 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("coeff_ppm"), "node").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization retrieval: sign-bit pack + Hamming prefilter + rerank
+# ---------------------------------------------------------------------------
+
+
+def _bq_word_duck(lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN v[{lo + b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _bq_word_spark(lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN element_at(v, {lo + b + 1}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "v_binary_quantization",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    packed AS (
+      SELECT vec_id, v, {_bq_word_duck(0)} AS w0, {_bq_word_duck(32)} AS w1
+      FROM iv
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1
+          FROM packed WHERE vec_id < 3),
+    ham AS (
+      SELECT q.query_id, c.vec_id AS cand_id, c.v AS cv, q.qv,
+             CAST(bit_count(xor(c.w0, q.qw0))
+                  + bit_count(xor(c.w1, q.qw1)) AS BIGINT) AS hamming
+      FROM packed c CROSS JOIN q WHERE c.vec_id != q.query_id
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY hamming, cand_id) AS hrank
+        FROM ham
+      ) WHERE hrank <= 20
+    ),
+    rer AS (
+      SELECT query_id, cand_id, hamming,
+             CAST(round(1000000 * list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))) AS BIGINT) AS cos_micro
+      FROM short
+    )
+    SELECT query_id, cand_id, hamming, cos_micro, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_micro DESC, cand_id) AS rank
+      FROM rer
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("ann", "quantization", "retrieval"),
+)
+def v_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval — the 64x-compression pattern
+    modern vector stores ship (sign-bit embeddings + Hamming
+    prefilter + exact rerank): each 64-dim vector packs its sign
+    bits into two 32-bit words; candidate generation scans ONLY the
+    16-byte codes by Hamming distance (bit_count(xor)); the top-20
+    shortlist is then reranked by exact integer-scaled cosine.
+    Complements v_int8_quantization (8-bit fidelity) and v_pq_adc
+    (codebook ADC) as the third quantization regime.  All scores are
+    integers — Hamming exactly, cosine micro-rounded.
+
+    Scale shape: the Hamming scan touches 16 bytes/vector with the
+    query codes broadcast — no corpus shuffle, and at 100 TB the
+    packed codes fit ~64x more vectors per executor page; full
+    vectors are fetched only for the k=20 shortlist (here carried
+    inline; at scale a by-id join back).
+    """
+    from map2db_spark.functions.similarity import int_dot, int_vec
+    from pyspark.sql.window import Window as W
+
+    emb = Tables(spark, sf_dir).embeddings
+    packed = emb.select(
+        "vec_id", int_vec(F.col("embedding")).alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        F.expr(_bq_word_spark(0)).alias("w0"),
+        F.expr(_bq_word_spark(32)).alias("w1"),
+    )
+    q = packed.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        packed.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cv"),
+            "qv",
+            (
+                F.bit_count(F.expr("w0 ^ qw0")) + F.bit_count(F.expr("w1 ^ qw1"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    short = (
+        ham.withColumn(
+            "hrank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("hamming", "cand_id")
+            ),
+        )
+        .where(F.col("hrank") <= 20)
+    )
+    cos = F.round(
+        1000000
+        * int_dot(F.col("qv"), F.col("cv")).cast("double")
+        / (
+            F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+            * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+        )
+    ).cast("long")
+    rer = short.select(
+        "query_id", "cand_id", "hamming", cos.alias("cos_micro")
+    )
+    return (
+        rer.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos_micro"), "cand_id")
+            ),
+        )
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "hamming", "cos_micro",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_degree_assortativity",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT x.p AS u, y.p AS v
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e
+    ),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY w),
+    ends AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM adj JOIN deg da ON da.w = adj.w JOIN deg db ON db.w = adj.x
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT n, {_SPEARMAN_RHO} AS r_micro FROM m
+    """,
+    tags=("graph", "analytics", "statistics"),
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge instances
+    — positive means hubs link to hubs (social-network shape),
+    negative means hubs link to leaves (star/dependency shape); it
+    predicts how the graph fragments under node removal and how skew
+    concentrates in edge-keyed joins.  Exact BIGINT moments over the
+    symmetrized edge list; r released micro-scaled through the shared
+    IEEE Pearson expression.
+
+    Scale shape: the degree table joins back onto the edge list by
+    each endpoint (two co-partitioned joins on node keys), then one
+    map-side-combinable moment aggregate — no wedges, no pair
+    explosion.
+    """
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    ).localCheckpoint()
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("w").alias("wa"), F.col("d").alias("dx"))
+    db = deg.select(F.col("w").alias("wb"), F.col("d").alias("dy"))
+    ends = (
+        adj.join(da, F.col("w") == F.col("wa"))
+        .join(db, F.col("x") == F.col("wb"))
+        .select("dx", "dy")
+    )
+    m = ends.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    return m.select("n", F.expr(_SPEARMAN_RHO).alias("r_micro"))

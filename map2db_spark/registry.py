@@ -150,6 +150,7 @@ _ROUND5_NEW = frozenset({
     "x_psi_drift", "x_smape_seasonal_naive", "v_mmr_rerank",
     "d_minhash_recall_eval", "x_conformal_interval",
     "m_webp_dims", "x_runs_test", "g_clustering_coefficient",
+    "v_binary_quantization", "g_degree_assortativity",
 })
 
 
