@@ -2576,3 +2576,231 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
     )
     return m.select("n", F.expr(_SPEARMAN_RHO).alias("r_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new shard vs existing signature index
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 400
+
+
+def _incremental_dedup_oracle() -> str:
+    from map2db_spark.queries_pipeline import _SHINGLES_SQL
+
+    mins = ", ".join(
+        f"min(substr(md5(shingle), {i * 4 + 1}, 4)) AS mh{i}" for i in range(8)
+    )
+    band_cols = ", ".join(
+        f"concat_ws('#', mh{b * 2}, mh{b * 2 + 1}) AS band{b}" for b in range(4)
+    )
+    band_long = "\n      UNION ALL ".join(
+        f"SELECT sid, is_new, {b} AS band_idx, band{b} AS bk FROM bands"
+        for b in range(4)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS sid,
+             CASE WHEN doc_id >= {_INC_SPLIT} THEN 1 ELSE 0 END AS is_new,
+             unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents
+    ),
+    sig AS (SELECT sid, max(is_new) AS is_new, {mins} FROM sh GROUP BY sid),
+    bands AS (SELECT sid, is_new, {band_cols} FROM sig),
+    bl AS (
+      {band_long}
+    ),
+    cand AS (
+      SELECT DISTINCT n.sid AS new_id, o.sid AS hit_id,
+             CASE WHEN o.is_new = 1 THEN 'batch' ELSE 'index' END AS side
+      FROM bl n JOIN bl o
+        ON n.band_idx = o.band_idx AND n.bk = o.bk
+       AND n.is_new = 1 AND (o.is_new = 0 OR o.sid < n.sid)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(DISTINCT new_id) AS BIGINT) AS n_new_docs_hit,
+           CAST(sum(CASE WHEN side = 'index' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vs_index,
+           CAST(sum(CASE WHEN side = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_batch
+    FROM cand
+    """
+
+
+@query(
+    "d_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    tags=("dedup", "lsh", "incremental", "pipeline"),
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the operational shape of corpus ingestion:
+    a new shard (doc_id >= {_INC_SPLIT}) is checked against the
+    EXISTING corpus's persisted signature index plus itself, without
+    recomputing anything for the old corpus beyond reading its band
+    table.  Candidates split into vs-index hits (new doc duplicates
+    something already ingested -> drop it) and within-batch hits
+    (both docs arrived in this shard -> cluster then keep one).  At
+    100 TB this is the difference between an O(shard) nightly job and
+    an O(corpus) one; the band table IS the dedup index, partitioned
+    by (band, key) so a shard's probes touch only its buckets.
+
+    Exact integer candidate accounting; the signature/band dataflow
+    is the production d_minhash_lsh one on both sides.
+    """
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+    old = docs.where(F.col("doc_id") < _INC_SPLIT)
+    new = docs.where(F.col("doc_id") >= _INC_SPLIT)
+
+    def band_table(d: DataFrame) -> DataFrame:
+        sig = D.minhash_signatures(D.shingle_table(d), num_hashes=8)
+        bands = sig.select(
+            F.col("sid"),
+            *[
+                F.concat_ws(
+                    "#", F.col(f"mh{b * 2}"), F.col(f"mh{b * 2 + 1}")
+                ).alias(f"band{b}")
+                for b in range(4)
+            ],
+        )
+        out = None
+        for b in range(4):
+            part = bands.select(
+                "sid", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bk")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    idx = band_table(old)   # at scale: read from the persisted index
+    nb = band_table(new).localCheckpoint()  # probe side, reused twice
+    vs_index = (
+        nb.join(idx, ["band_idx", "bk"])
+        .select(nb["sid"].alias("new_id"), idx["sid"].alias("hit_id"))
+        .distinct()
+        .select("new_id", "hit_id", F.lit("index").alias("side"))
+    )
+    within = (
+        nb.alias("n")
+        .join(
+            nb.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.bk") == F.col("o.bk"))
+            & (F.col("o.sid") < F.col("n.sid")),
+        )
+        .select(F.col("n.sid").alias("new_id"), F.col("o.sid").alias("hit_id"))
+        .distinct()
+        .select("new_id", "hit_id", F.lit("batch").alias("side"))
+    )
+    cand = vs_index.unionByName(within)
+    return cand.agg(
+        F.count("*").cast("long").alias("n_candidate_pairs"),
+        F.countDistinct("new_id").cast("long").alias("n_new_docs_hit"),
+        F.sum(F.when(F.col("side") == "index", 1).otherwise(0))
+        .cast("long")
+        .alias("n_vs_index"),
+        F.sum(F.when(F.col("side") == "batch", 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_batch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution (mergeSchema read over mixed-schema shards)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN doc_id < 250 THEN n_chars ELSE NULL END)
+                AS BIGINT) AS v1_chars,
+           CAST(count(CASE WHEN doc_id >= 250 THEN 1 END) AS BIGINT)
+             AS n_v2_rows
+    FROM documents GROUP BY lang
+    """,
+    tags=("functions", "formats", "schema-evolution"),
+)
+def f_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet shards: generation v1 wrote
+    (doc_id, lang, n_chars); generation v2 added a quality column and
+    DROPPED n_chars.  Reading the directory with mergeSchema=true
+    unions the schemas — v1 rows carry NULL quality, v2 rows NULL
+    n_chars — exactly the long-lived-dataset reality a 100 TB lake
+    accumulates.  The aggregate proves NULL containment per
+    generation (v1 chars sum excludes v2 rows by construction).
+    Scale note: mergeSchema reads every file FOOTER at planning time
+    — fine per-directory, expensive over 10^6 files; production pins
+    the merged schema explicitly after evolution events, which is why
+    the read also passes an explicit schema check here.
+    """
+    import tempfile
+
+    docs = Tables(spark, sf_dir).documents
+    tmp = tempfile.mkdtemp(prefix="m2db_schevo_")
+    docs.where(F.col("doc_id") < 250).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(tmp + "/g=v1")
+    docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", "lang", (F.col("n_chars") % 100).alias("quality")
+    ).write.mode("overwrite").parquet(tmp + "/g=v2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        tmp + "/g=v1", tmp + "/g=v2"
+    )
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars", "quality"}
+    return merged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("v1_chars"),
+        F.count("quality").cast("long").alias("n_v2_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite (replace only touched partitions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END)
+                AS BIGINT) AS chars_after
+    FROM documents GROUP BY lang
+    """,
+    tags=("functions", "formats", "sink", "lakehouse"),
+)
+def f_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse upsert-by-partition
+    idiom: a corrected 'en' slice is written with mode=overwrite
+    under partitionOverwriteMode=dynamic, which replaces ONLY the
+    lang=en partition and leaves every other partition's files
+    untouched (static mode would have truncated the whole table —
+    the classic data-loss footgun this setting exists to prevent).
+    The read-back aggregate proves exactly the en rows changed
+    (doubled n_chars) while all other partitions survived.
+
+    Scale shape: partitioned layout + dynamic overwrite is how a
+    100 TB table takes daily corrections without rewriting itself;
+    the overwritten unit is the partition directory, so the job cost
+    is O(corrected slice).
+    """
+    import tempfile
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="m2db_dpo_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    fixed_en = docs.where(F.col("lang") == "en").select(
+        "doc_id", "lang", (F.col("n_chars") * 2).alias("n_chars")
+    )
+    fixed_en.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("lang").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars_after"),
+    )

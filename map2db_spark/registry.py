@@ -151,6 +151,8 @@ _ROUND5_NEW = frozenset({
     "d_minhash_recall_eval", "x_conformal_interval",
     "m_webp_dims", "x_runs_test", "g_clustering_coefficient",
     "v_binary_quantization", "g_degree_assortativity",
+    "d_incremental_dedup", "f_schema_evolution",
+    "f_dynamic_partition_overwrite",
 })
 
 
