@@ -2804,3 +2804,282 @@ def f_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n"),
         F.sum("n_chars").cast("long").alias("chars_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily series
+# ---------------------------------------------------------------------------
+
+_MK_Z = """
+    CAST(round(1000000 * (
+        CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             ELSE 0.0 END
+    )) AS BIGINT)"""
+
+
+@query(
+    "x_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ties AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents
+    ),
+    c AS (
+      SELECT (SELECT CAST(sum(sgn) AS BIGINT) FROM pairs) AS s,
+             (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+             (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) FROM ties)
+               AS tie18
+    ),
+    v AS (
+      SELECT s, n, CAST(n * (n - 1) * (2 * n + 5) - tie18 AS BIGINT) AS var18
+      FROM c
+    )
+    SELECT n, s, var18, {_MK_Z} AS z_micro FROM v
+    """,
+    tags=("analytics", "timeseries", "statistics"),
+)
+def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test: S = sum of sign(x_j - x_i) over all
+    day pairs i < j — the standard nonparametric monotone-trend
+    detector (hydrology/ops-monitoring canon), robust where OLS slope
+    (x_group_linreg) is pulled by outliers.  S, n, and the
+    tie-corrected variance numerator var18 = n(n-1)(2n+5) - sum
+    t(t-1)(2t+5) are exact integers; z (with the +-1 continuity
+    correction) is one shared IEEE expression.
+
+    Scale shape: the corpus collapses to the O(days) series first;
+    the O(days^2) pair comparison runs on series-scale data (a
+    broadcast self-join).  For series too long for pairs, S converts
+    to a rank formulation (one window) with identical semantics.
+    """
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    pairs = (
+        daily.alias("a")
+        .join(F.broadcast(daily.alias("b")), F.col("b.d") > F.col("a.d"))
+        .select(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+            .alias("sgn")
+        )
+    )
+    s = pairs.agg(F.sum("sgn").cast("long").alias("s"))
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tie18 = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tie18))
+        .select(
+            "s",
+            "n",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    return v.select("n", "s", "var18", F.expr(_MK_Z).alias("z_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  - 350000 AS BIGINT) AS delta
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, sum(delta) OVER (ORDER BY d) AS level
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, level,
+             max(level) OVER (ORDER BY d) AS peak
+      FROM cum
+    )
+    SELECT CAST(max(peak - level) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(CASE WHEN peak - level =
+                 (SELECT max(peak - level) FROM dd) THEN d END) AS DATE)
+             AS trough_day,
+           CAST(max(peak) AS BIGINT) AS peak_level_cents
+    FROM dd
+    """,
+    tags=("analytics", "timeseries", "window"),
+)
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the demeaned cumulative daily revenue —
+    the largest peak-to-trough fall, THE risk statistic of any
+    cumulative metric (P&L, cache hit budget, error-budget burn).
+    Classic two-window composition: running sum -> running max ->
+    max gap, all in exact integer cents (the daily deltas are
+    centered by a constant so the cumulative path actually goes up
+    AND down on this data).  Trough day reported with a
+    deterministic latest-day tiebreak.
+
+    Scale shape: corpus -> O(days) series, then two ordered windows
+    over the series (range-partitioned two-pass prefix form for
+    unbounded series, operators/ids.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) - 350000
+        )
+        .cast("long")
+        .alias("delta")
+    )
+    cum = daily.select(
+        "d",
+        F.sum("delta").over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)).alias("level"),
+    )
+    dd = cum.select(
+        "d",
+        "level",
+        F.max("level").over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)).alias("peak"),
+    ).localCheckpoint()
+    mx = dd.agg(F.max(F.col("peak") - F.col("level")).alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.max("mdd").cast("long").alias("max_drawdown_cents"),
+            F.max(
+                F.when(F.col("peak") - F.col("level") == F.col("mdd"), F.col("d"))
+            ).alias("trough_day"),
+            F.max("peak").cast("long").alias("peak_level_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chatterjee's xi correlation (rank-based dependence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_xicor",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d, cents,
+             CAST(count(*) OVER (ORDER BY cents
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS r,
+             CAST(count(*) OVER (ORDER BY cents DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS l,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    seq AS (
+      SELECT r, l, n,
+             lead(r) OVER (ORDER BY d) AS r_next
+      FROM ranked
+    ),
+    c AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(abs(r_next - r)) AS BIGINT) AS s1,
+             CAST(sum(l * (n - l)) AS BIGINT) AS s2
+      FROM seq
+    )
+    SELECT n, s1, s2,
+           CAST(round(1000000 *
+               (1.0 - CAST(n AS DOUBLE) * s1 / (2.0 * s2))) AS BIGINT)
+             AS xi_micro
+    FROM c
+    """,
+    tags=("analytics", "statistics", "dependence"),
+)
+def x_xicor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi correlation of the daily revenue series against
+    time — the modern rank-based dependence coefficient (Chatterjee
+    2021): ~0 iff independent, ->1 iff y is a measurable FUNCTION of
+    x, linear or not — detecting dependence shapes Pearson and
+    Spearman both score ~0 (e.g. seasonal oscillation).  The general
+    tie-valid form: xi = 1 - n*sum|r_(i+1) - r_i| / (2*sum l_i(n-l_i))
+    with r_i = #{y_j <= y_i}, l_i = #{y_j >= y_i} — every ingredient
+    an exact integer count (RANGE-framed cume counts), one IEEE
+    division at the end.
+
+    Scale shape: corpus -> O(days) series; two cume-count windows
+    plus one lead over the series.  Asymmetric by design (xi(x,y) !=
+    xi(y,x)) — here ordered by time, ranks over value.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    ranked = daily.select(
+        "d",
+        F.count(F.lit(1))
+        .over(W.orderBy("cents").rangeBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(W.orderBy(F.desc("cents")).rangeBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("l"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("n"),
+    )
+    seq = ranked.select(
+        "r", "l", "n", F.lead("r").over(W.orderBy("d")).alias("r_next")
+    )
+    c = seq.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.abs(F.col("r_next") - F.col("r"))).cast("long").alias("s1"),
+        F.sum(F.col("l") * (F.col("n") - F.col("l"))).cast("long").alias("s2"),
+    )
+    return c.select(
+        "n",
+        "s1",
+        "s2",
+        F.round(
+            1000000
+            * (1.0 - F.col("n").cast("double") * F.col("s1") / (2.0 * F.col("s2")))
+        )
+        .cast("long")
+        .alias("xi_micro"),
+    )

@@ -153,6 +153,7 @@ _ROUND5_NEW = frozenset({
     "v_binary_quantization", "g_degree_assortativity",
     "d_incremental_dedup", "f_schema_evolution",
     "f_dynamic_partition_overwrite",
+    "x_mann_kendall", "w_max_drawdown", "x_xicor",
 })
 
 
