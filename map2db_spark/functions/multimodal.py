@@ -528,3 +528,75 @@ def extract_webp_dims(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=WEBP_DIMS_SCHEMA
     )
+
+
+def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
+    """Real-container media table: each doc becomes a structurally
+    valid ISO-BMFF (MP4) stream with closed-form timescale/duration
+    (mvhd v0/v1 alternating) so a SQL oracle can compute expected
+    durations without parsing boxes itself."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.mp4 import encode_mp4_shell
+
+        for pdf in batches:
+            payloads, durs = [], []
+            for did in pdf["doc_id"].astype("int64"):
+                ts = 600 + int(did) % 5 * 300
+                dur = (int(did) % 20 + 1) * ts + int(did) % 7
+                payloads.append(
+                    encode_mp4_shell(ts, dur, version=int(did) % 2)
+                )
+                durs.append(dur * 1000 // ts)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta_width": pd.Series([0] * len(pdf), dtype="int32"),
+                    "meta_height": pd.Series([0] * len(pdf), dtype="int32"),
+                    "meta_duration_ms": pd.Series(durs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+MP4_META_SCHEMA = (
+    "media_id LONG, brand STRING, timescale LONG, duration LONG, "
+    "duration_ms LONG, version INT, n_boxes INT"
+)
+
+
+def extract_mp4_meta(media: DataFrame) -> DataFrame:
+    """REAL metadata decode: walk each payload's ISO-BMFF boxes
+    (functions/mp4.py) and emit brand/timescale/duration — the
+    duration/routing pass before any frame decode.  Errors raise,
+    never silently zero."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.mp4 import parse_mp4_header
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].astype("int64"), pdf["payload"]
+            ):
+                h = parse_mp4_header(bytes(payload))
+                rows.append(
+                    (
+                        int(mid), h["brand"], h["timescale"], h["duration"],
+                        h["duration_ms"], h["version"], h["n_boxes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "brand", "timescale", "duration",
+                    "duration_ms", "version", "n_boxes",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=MP4_META_SCHEMA
+    )

@@ -3083,3 +3083,53 @@ def x_xicor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("xi_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF duration decode (real box walk, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_mp4_duration",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+             CAST(((doc_id % 20) + 1) * (600 + (doc_id % 5) * 300)
+                  + doc_id % 7 AS BIGINT) AS duration
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id AS media_id, 'isom' AS brand, timescale, duration,
+           CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms,
+           CAST(doc_id % 2 AS INTEGER) AS version,
+           CAST(4 AS INTEGER) AS n_boxes
+    FROM g
+    """,
+    tags=("multimodal", "video", "metadata"),
+)
+def m_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 metadata decode: structurally-valid ISO-BMFF streams
+    (ftyp + moov(mvhd) + mdat, mvhd v0/v1 alternating — v1's 64-bit
+    times included) are walked per ISO/IEC 14496-12 by
+    functions/mp4.py to recover brand, movie timescale, and duration
+    — the clip-length/routing pass that runs over every video before
+    any frame decode (frame sampling plans, m_frame_sample_plan, are
+    derived FROM this duration).  duration_ms is the exact integer
+    duration*1000 div timescale, matched closed-form by the oracle.
+    With JPEG/WebP/PNG (images) and WAV (audio), this completes real
+    metadata decode across all three modalities; codec-level frame
+    decode stays an honest stub.
+
+    Scale shape: one map-only mapInPandas pass reading only box
+    headers (~200 bytes) regardless of mdat size — at 100 TB the
+    duration sweep is bounded by I/O on the binary column, and with
+    a range-request source it reads only the moov prefix.
+    """
+    from map2db_spark.functions.multimodal import (
+        documents_as_mp4_media,
+        extract_mp4_meta,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 40)
+    return extract_mp4_meta(documents_as_mp4_media(docs))
