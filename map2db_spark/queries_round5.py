@@ -3133,3 +3133,223 @@ def m_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 40)
     return extract_mp4_meta(documents_as_mp4_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# PMI-ranked collocations (bigram association mining)
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_N = 30
+
+
+@query(
+    "t_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks
+      CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM big),
+    bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM big
+           GROUP BY 1, 2),
+    u1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_x FROM big GROUP BY 1),
+    u2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_y FROM big GROUP BY 1)
+    SELECT bg.w1, bg.w2, bg.n_xy,
+           CAST(round(1000000 * ln(
+               CAST(bg.n_xy * n.n_total AS DOUBLE)
+               / CAST(u1.n_x * u2.n_y AS DOUBLE)
+           )) AS BIGINT) AS pmi_micro
+    FROM bg JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+    WHERE bg.n_xy >= {_COLL_MIN_N}
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+    """,
+    tags=("text", "collocations", "pipeline"),
+)
+def t_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations: word pairs that co-occur adjacently
+    far more than their unigram frequencies predict — the classic
+    multiword-expression miner (tokenizer vocab seeding, phrase
+    detection a la word2vec's phrase pass).  The min-support floor
+    ({_COLL_MIN_N}) removes the rare-pair PMI bias (a 1-occurrence
+    pair of two rare words gets absurd PMI).  Token-level sibling of
+    x_mutual_information; the single ln runs on an identical
+    integer-product quotient, micro-rounded.
+
+    Scale shape: one bigram count with map-side combine
+    (Zipf-collapsed), unigram marginals the same, broadcast back
+    onto the surviving cells; top-20 is TakeOrderedAndProject.
+    """
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    big = (
+        docs.repartition(32)
+        .select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    n = big.agg(F.count("*").cast("long").alias("n_total"))
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    u1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    u2 = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    return (
+        bg.where(F.col("n_xy") >= _COLL_MIN_N)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                1000000
+                * F.log(
+                    (F.col("n_xy") * F.col("n_total")).cast("double")
+                    / (F.col("n_x") * F.col("n_y")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift (vector-space distribution monitoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "v_centroid_drift",
+    oracle="""
+    WITH iv AS (
+      SELECT label,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    cnt AS (
+      SELECT label, half, CAST(count(*) AS BIGINT) AS n
+      FROM iv GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT label, half, g.d, CAST(sum(v[g.d]) AS BIGINT) AS s
+      FROM iv CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, 64)) AS d) g
+      GROUP BY 1, 2, 3
+    ),
+    dots AS (
+      SELECT a.label,
+             CAST(sum(a.s * b.s) AS BIGINT) AS dot_ab,
+             CAST(sum(a.s * a.s) AS BIGINT) AS dot_aa,
+             CAST(sum(b.s * b.s) AS BIGINT) AS dot_bb
+      FROM sums a JOIN sums b
+        ON a.label = b.label AND a.d = b.d
+       AND a.half = 'a' AND b.half = 'b'
+      GROUP BY a.label
+    )
+    SELECT d.label, ca.n AS n_a, cb.n AS n_b,
+           CAST(round(1000000 * CAST(dot_ab AS DOUBLE)
+                / (sqrt(CAST(dot_aa AS DOUBLE))
+                   * sqrt(CAST(dot_bb AS DOUBLE)))) AS BIGINT)
+             AS centroid_cos_micro
+    FROM dots d
+    JOIN cnt ca ON ca.label = d.label AND ca.half = 'a'
+    JOIN cnt cb ON cb.label = d.label AND cb.half = 'b'
+    ORDER BY d.label
+    """,
+    tags=("ann", "drift", "monitoring"),
+)
+def v_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between
+    the centroid of one data half and the other (cohorts by vec_id
+    parity standing in for time slices) — the vector-side sibling of
+    PSI: when an upstream encoder changes or the input distribution
+    shifts, centroid cosine drops before any downstream metric does.
+    Centroid cosine == cosine of the per-half SUM vectors (the 1/n
+    scalars cancel), so the whole statistic reduces to exact integer
+    per-dimension sums (milli-scaled components keep every product
+    within BIGINT through corpus scale) with one IEEE expression at
+    the end — no float mean vectors, no order-dependent float sums.
+
+    Scale shape: one map-side-combinable aggregate collapses the
+    corpus to O(labels * halves * dim) per-dimension sums — a few
+    thousand integers cross the network regardless of corpus size;
+    the cosines are computed on that tiny table.
+    """
+    emb = Tables(spark, sf_dir).embeddings
+    iv = emb.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("v"),
+    )
+    cnt = iv.groupBy("label", "half").agg(F.count("*").cast("long").alias("n"))
+    sums = (
+        iv.select("label", "half", F.posexplode("v").alias("p", "val"))
+        .groupBy("label", "half", "p")
+        .agg(F.sum("val").cast("long").alias("s"))
+    )
+    a = sums.where(F.col("half") == "a").select(
+        F.col("label").alias("la"), F.col("p").alias("pa"), F.col("s").alias("sa")
+    )
+    b = sums.where(F.col("half") == "b").select(
+        F.col("label").alias("lb"), F.col("p").alias("pb"), F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("pa") == F.col("pb")))
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot_ab"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("dot_aa"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("dot_bb"),
+        )
+    )
+    ca = cnt.where(F.col("half") == "a").select(
+        F.col("label").alias("cl_a"), F.col("n").alias("n_a")
+    )
+    cb = cnt.where(F.col("half") == "b").select(
+        F.col("label").alias("cl_b"), F.col("n").alias("n_b")
+    )
+    return (
+        dots.join(F.broadcast(ca), F.col("label") == F.col("cl_a"))
+        .join(F.broadcast(cb), F.col("label") == F.col("cl_b"))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                1000000
+                * F.col("dot_ab").cast("double")
+                / (
+                    F.sqrt(F.col("dot_aa").cast("double"))
+                    * F.sqrt(F.col("dot_bb").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("centroid_cos_micro"),
+        )
+        .orderBy("label")
+    )
+
+

@@ -154,7 +154,7 @@ _ROUND5_NEW = frozenset({
     "d_incremental_dedup", "f_schema_evolution",
     "f_dynamic_partition_overwrite",
     "x_mann_kendall", "w_max_drawdown", "x_xicor",
-    "m_mp4_duration",
+    "m_mp4_duration", "t_collocations_pmi", "v_centroid_drift",
 })
 
 
