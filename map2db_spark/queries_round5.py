@@ -3353,3 +3353,216 @@ def v_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# SQL LATERAL correlated subquery surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_lateral_subquery",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey, t.cents
+    FROM nation n
+    CROSS JOIN LATERAL (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.cents DESC, t.o_orderkey
+    """,
+    tags=("sql", "surface", "lateral"),
+)
+def sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the SQL-standard form of
+    "top-N per outer row" (each nation's 2 largest orders), supported
+    natively by Spark since 3.2 and by DuckDB: the inner query
+    references the outer row, and the optimizer decorrelates it into
+    a ranked window rather than executing per-row.  The DataFrame
+    twin is w_topn_per_group; this pins the SQL SURFACE and the
+    decorrelation.  Exact cents keep the hash stable.
+    """
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation_lat")
+    t.orders.createOrReplaceTempView("orders_lat")
+    t.customer.createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.cents
+        FROM nation_lat n,
+        LATERAL (
+          SELECT o.o_orderkey,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders_lat o JOIN customer_lat c ON c.c_custkey = o.o_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.cents DESC, t.o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet compression-codec round-trips (zstd / snappy / gzip)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_compression_codecs",
+    oracle="""
+    SELECT codec,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    CROSS JOIN (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+    GROUP BY codec ORDER BY codec
+    """,
+    tags=("functions", "formats", "compression"),
+)
+def f_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec breadth: the events table round-trips
+    through snappy, zstd and gzip parquet (written and read by
+    executor tasks) and every codec's aggregate hash-matches the
+    source — byte-preserving transcode across the three codecs a
+    100 TB lake actually chooses between (zstd ~30-40% smaller than
+    snappy at similar scan speed is the modern default; the CHOICE is
+    a table property, and this query proves the engine reads them all
+    interchangeably).  Scale shape: transcode is map-only per codec;
+    aggregates are map-side-combinable.
+    """
+    import tempfile
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="m2db_codec_")
+    out = None
+    for codec in ("gzip", "snappy", "zstd"):
+        path = f"{tmp}/{codec}"
+        ev.write.mode("overwrite").option("compression", codec).parquet(path)
+        agg = (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(F.lit(codec).alias("codec"), "n", "sum_cents")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("codec")
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted treatment effect (observational ATE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_ipw_ate",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS seg,
+             CASE WHEN CAST(concat('0x',
+                 substr(md5('ipw:' || CAST(event_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) % 100 <
+                 (CASE event_type WHEN 'purchase' THEN 70
+                                  WHEN 'click' THEN 40 ELSE 20 END)
+                  THEN 1 ELSE 0 END AS treated,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    seg AS (
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(treated * cents) AS BIGINT) AS y_t,
+             CAST(sum((1 - treated) * cents) AS BIGINT) AS y_c
+      FROM base GROUP BY seg
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM seg)
+    SELECT s.seg, s.n, s.n_t, s.y_t, s.y_c,
+           CAST(round(1000000 * (
+               CAST(s.y_t AS DOUBLE) / s.n_t
+             - CAST(s.y_c AS DOUBLE) / (s.n - s.n_t)
+           )) AS BIGINT) AS seg_effect_micro,
+           CAST(round(1000000 * CAST(s.n AS DOUBLE) / t.big_n
+                * (CAST(s.y_t AS DOUBLE) / s.n_t
+                   - CAST(s.y_c AS DOUBLE) / (s.n - s.n_t)))
+                AS BIGINT) AS weighted_term_micro
+    FROM seg s CROSS JOIN tot t
+    ORDER BY s.seg
+    """,
+    tags=("analytics", "ml-eval", "causal"),
+)
+def x_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect under confounded
+    (observational) assignment: treatment probability deliberately
+    VARIES by segment (70%/40%/20% by event type, md5-deterministic),
+    so the naive treated-vs-control mean difference is confounded by
+    segment mix.  Stratified IPW recovers the effect: within each
+    segment the treated/control means are unconfounded (propensity is
+    constant there), and the ATE is the segment-size-weighted sum —
+    exactly the Horvitz-Thompson estimator with exact cell counts.
+    Completes the causal family (x_did_estimator, x_cuped_adjustment)
+    with the observational-data case.  All sufficient statistics are
+    exact integers; the per-segment and weighted terms are each one
+    IEEE expression, micro-rounded.
+
+    Scale shape: ONE map-side-combinable aggregate to O(segments)
+    rows; the total is a broadcast scalar.  Event volume changes scan
+    time only.
+    """
+    ev = Tables(spark, sf_dir).events
+    prop = (
+        F.when(F.col("event_type") == "purchase", 70)
+        .when(F.col("event_type") == "click", 40)
+        .otherwise(20)
+    )
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ipw:"), F.col("event_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < prop
+    ).cast("int")
+    base = ev.select(
+        F.col("event_type").alias("seg"),
+        treated.alias("treated"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    seg = base.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(F.col("treated") * F.col("cents")).cast("long").alias("y_t"),
+        F.sum((1 - F.col("treated")) * F.col("cents")).cast("long").alias("y_c"),
+    )
+    tot = seg.agg(F.sum("n").cast("long").alias("big_n"))
+    eff = (
+        F.col("y_t").cast("double") / F.col("n_t")
+        - F.col("y_c").cast("double") / (F.col("n") - F.col("n_t"))
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n",
+            "n_t",
+            "y_t",
+            "y_c",
+            F.round(1000000 * eff).cast("long").alias("seg_effect_micro"),
+            F.round(
+                1000000 * F.col("n").cast("double") / F.col("big_n") * eff
+            )
+            .cast("long")
+            .alias("weighted_term_micro"),
+        )
+        .orderBy("seg")
+    )
