@@ -3566,3 +3566,167 @@ def x_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (required sample size per arm)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_power_analysis",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' AND value > 300
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events
+    ),
+    rel AS (SELECT unnest([5, 10, 20]) AS mde_pct)
+    SELECT rel.mde_pct, base.n, base.conv,
+           CAST(ceil(
+             2.0 * power(1.959964 + 0.841621, 2)
+             * (CAST(conv AS DOUBLE) / n) * (1.0 - CAST(conv AS DOUBLE) / n)
+             / power((CAST(conv AS DOUBLE) / n) * rel.mde_pct / 100.0, 2)
+           ) AS BIGINT) AS n_per_arm
+    FROM base CROSS JOIN rel
+    ORDER BY rel.mde_pct
+    """,
+    tags=("analytics", "ml-eval", "experimentation"),
+)
+def x_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the required sample size per arm to
+    detect a 5/10/20% relative lift on the measured baseline
+    conversion rate at alpha=0.05, power=0.8 — the go/no-go
+    calculation that precedes every A/B test (x_ab_test_proportions
+    is the readout; this is the planning step).  n = 2(z_a+z_b)^2 *
+    p(1-p) / (p*mde)^2 with the z quantiles inlined as shared
+    literals; the baseline p comes from exact integer counts, and the
+    whole formula is one shared IEEE expression (power() on identical
+    doubles is correctly-rounded-enough to agree: both engines call
+    the same libm pow on identical inputs, and the ceil absorbs any
+    ulp at the 6th digit).
+
+    Scale shape: one map-side-combinable count pair; everything else
+    is O(1).
+    """
+    ev = Tables(spark, sf_dir).events
+    base = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 300), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    rel = spark.createDataFrame([(5,), (10,), (20,)], "mde_pct int")
+    p = F.col("conv").cast("double") / F.col("n")
+    n_arm = F.ceil(
+        2.0
+        * F.pow(F.lit(1.959964 + 0.841621), 2)
+        * p
+        * (1.0 - p)
+        / F.pow(p * F.col("mde_pct") / 100.0, 2)
+    ).cast("long")
+    return (
+        base.crossJoin(F.broadcast(rel))
+        .select("mde_pct", "n", "conv", n_arm.alias("n_per_arm"))
+        .orderBy("mde_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bar resampling (open/high/low/close per window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_ohlc_bars",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bar_start,
+           CAST(arg_min(CAST(round(value * 100) AS BIGINT),
+                        (epoch_us(ts) - 1672531200000000) * 100000 + event_id) AS BIGINT) AS open,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low,
+           CAST(arg_max(CAST(round(value * 100) AS BIGINT),
+                        (epoch_us(ts) - 1672531200000000) * 100000 + event_id) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "timeseries", "resample"),
+)
+def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: purchase values roll up into 6-hour bars
+    of open (first tick), high, low, close (last tick) — the
+    canonical tick-to-bar downsampling of market/sensor data, and a
+    shape Spark expresses as ONE aggregation because min_by/max_by
+    make first/last order statistics aggregable (no window over raw
+    ticks).  First/last ties at equal timestamps resolve by
+    event_id through the packed integer key ((epoch_us rebased to a
+    2023 origin) * 1e5 + event_id — exact below 2^63 for multi-year
+    spans), so the bars are deterministic.
+
+    Scale shape: one map-side-combinable aggregate per bar key; at
+    100 TB of ticks the shuffle carries O(bars), not O(ticks) — the
+    reason min_by/max_by beat the window formulation at scale.
+    """
+    ev = Tables(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = (F.unix_micros("ts") - 1672531200000000) * 100000 + F.col("event_id")
+    return (
+        ev.select(
+            F.window("ts", "6 hours").alias("w"),
+            cents.alias("cents"),
+            key.alias("k"),
+        )
+        .groupBy(F.col("w.start").alias("bar_start"))
+        .agg(
+            F.min_by("cents", "k").cast("long").alias("open"),
+            F.max("cents").cast("long").alias("high"),
+            F.min("cents").cast("long").alias("low"),
+            F.max_by("cents", "k").cast("long").alias("close"),
+            F.count("*").cast("long").alias("n_ticks"),
+        )
+        .orderBy("bar_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plain-text source (spark.read.text over one-doc-per-line shards)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_text_source",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(md5(text)) AS min_md5
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("functions", "formats", "source"),
+)
+def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source breadth: documents are written one per line
+    and read back through ``spark.read.text`` — the rawest corpus
+    entry path (crawl dumps, log shards), splittable by newline so a
+    large shard still reads in parallel.  Byte-exactness proven by
+    md5 over the round-tripped lines.  Scale note: ``wholetext``
+    mode (one row per FILE) is the non-splittable variant for
+    document-per-file layouts — use binaryFile (m_binaryfile_ingest)
+    instead when files can be large.
+    """
+    import os
+    import tempfile
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    tmp = tempfile.mkdtemp(prefix="m2db_text_")
+    docs.select("text").coalesce(2).write.mode("overwrite").text(tmp)
+    back = spark.read.text(tmp)
+    return back.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.min(F.md5(F.col("value"))).alias("min_md5"),
+    )
