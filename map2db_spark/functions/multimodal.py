@@ -600,3 +600,117 @@ def extract_mp4_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=MP4_META_SCHEMA
     )
+
+
+def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
+    """Mixed-format media table: payload format cycles PNG / JPEG /
+    WebP / WAV / MP4 by doc_id — the realistic ingest shape where the
+    column does NOT tell you the codec and the pipeline must sniff
+    magic bytes before routing."""
+    import numpy as np  # noqa: F811
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.jpeg import encode_jpeg_shell
+        from map2db_spark.functions.mp4 import encode_mp4_shell
+        from map2db_spark.functions.png import encode_png
+        from map2db_spark.functions.wav import encode_wav
+        from map2db_spark.functions.webp import encode_webp_shell
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                k = did % 5
+                if k == 0:
+                    w, h = 4 + did % 3, 3 + did % 2
+                    px = (
+                        (did * 7 + np.arange(w * h * 3)) % 256
+                    ).astype("uint8").reshape(h, w, 3)
+                    payloads.append(encode_png(px))
+                elif k == 1:
+                    payloads.append(
+                        encode_jpeg_shell(16 + did % 7 * 3, 9 + did % 5 * 4, 3)
+                    )
+                elif k == 2:
+                    payloads.append(
+                        encode_webp_shell(20 + did % 11 * 5, 10 + did % 6 * 7,
+                                          "VP8L")
+                    )
+                elif k == 3:
+                    n = 8 + did % 9
+                    samples = np.array(
+                        [(did * 31 + i * 17) % 2001 - 1000 for i in range(n)],
+                        dtype="<i2",
+                    )
+                    payloads.append(encode_wav(samples, sample_rate=8000))
+                else:
+                    ts = 600 + did % 5 * 300
+                    payloads.append(
+                        encode_mp4_shell(ts, (did % 20 + 1) * ts + did % 7)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "mixed",
+                    "payload": payloads,
+                    "meta_width": pd.Series([0] * len(pdf), dtype="int32"),
+                    "meta_height": pd.Series([0] * len(pdf), dtype="int32"),
+                    "meta_duration_ms": pd.Series([0] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+DISPATCH_SCHEMA = "media_id LONG, fmt STRING, a LONG, b LONG"
+
+
+def sniff_and_extract(media: DataFrame) -> DataFrame:
+    """Magic-byte dispatch in ONE Arrow pass: sniff each payload's
+    container (PNG/JPEG/WebP/WAV/MP4) from its leading bytes and route
+    to the matching stdlib parser, emitting a normalized (fmt, a, b)
+    feature pair — (width, height) for images, (sample_rate,
+    n_samples) for audio, (timescale, duration_ms) for video.
+    Unknown magic raises (quarantine upstream).  This is the realistic
+    front door of a multimodal corpus: one pass, per-row routing, no
+    per-format job."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.jpeg import parse_jpeg_header
+        from map2db_spark.functions.mp4 import parse_mp4_header
+        from map2db_spark.functions.png import decode_png
+        from map2db_spark.functions.wav import decode_wav
+        from map2db_spark.functions.webp import parse_webp_header
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].astype("int64"), pdf["payload"]
+            ):
+                buf = bytes(payload)
+                if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = decode_png(buf)
+                    rows.append((int(mid), "png", px.shape[1], px.shape[0]))
+                elif buf[:2] == b"\xff\xd8":
+                    h = parse_jpeg_header(buf)
+                    rows.append((int(mid), "jpeg", h["width"], h["height"]))
+                elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+                    h = parse_webp_header(buf)
+                    rows.append((int(mid), "webp", h["width"], h["height"]))
+                elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                    samples, rate = decode_wav(buf)
+                    rows.append((int(mid), "wav", rate, len(samples)))
+                elif len(buf) >= 8 and buf[4:8] == b"ftyp":
+                    h = parse_mp4_header(buf)
+                    rows.append(
+                        (int(mid), "mp4", h["timescale"], h["duration_ms"])
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown magic for media_id {mid}: {buf[:8]!r}"
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "a", "b"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=DISPATCH_SCHEMA
+    )

@@ -3730,3 +3730,189 @@ def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).cast("long").alias("total_chars"),
         F.min(F.md5(F.col("value"))).alias("min_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Magic-byte media dispatch (one-pass multi-format routing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_media_dispatch",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
+           CAST(CASE doc_id % 5
+                WHEN 0 THEN 4 + doc_id % 3
+                WHEN 1 THEN 16 + (doc_id % 7) * 3
+                WHEN 2 THEN 20 + (doc_id % 11) * 5
+                WHEN 3 THEN 8000
+                ELSE 600 + (doc_id % 5) * 300 END AS BIGINT) AS a,
+           CAST(CASE doc_id % 5
+                WHEN 0 THEN 3 + doc_id % 2
+                WHEN 1 THEN 9 + (doc_id % 5) * 4
+                WHEN 2 THEN 10 + (doc_id % 6) * 7
+                WHEN 3 THEN 8 + doc_id % 9
+                ELSE (((doc_id % 20) + 1) * (600 + (doc_id % 5) * 300)
+                      + doc_id % 7) * 1000
+                     // (600 + (doc_id % 5) * 300) END AS BIGINT) AS b
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("multimodal", "dispatch", "metadata"),
+)
+def m_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte media dispatch — the realistic front door of a
+    multimodal corpus: the binary column does NOT declare its codec,
+    so ONE Arrow pass sniffs each payload's leading bytes and routes
+    to the matching stdlib parser (PNG pixel decode, JPEG marker
+    walk, WebP RIFF walk, WAV PCM parse, MP4 box walk), emitting a
+    normalized (fmt, a, b) feature pair.  Composes all five real
+    codecs in a single kernel; unknown magic raises (quarantine
+    upstream), never silently mis-parses.  The oracle recomputes
+    every routed feature closed-form from the doc_id construction —
+    value-verifying the sniffing AND each per-format parser at once.
+
+    Scale shape: one map-only mapInPandas pass, per-row dispatch
+    inside the kernel — no per-format jobs, no payload shuffle;
+    partition sizing by bytes as with every media pass.
+    """
+    from map2db_spark.functions.multimodal import (
+        documents_as_mixed_media,
+        sniff_and_extract,
+    )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 50)
+    return sniff_and_extract(documents_as_mixed_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT rf, cents, w,
+             sum(w) OVER (PARTITION BY rf ORDER BY cents) AS cw,
+             sum(w) OVER (PARTITION BY rf) AS tw
+      FROM c
+    )
+    SELECT rf,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS wmedian_cents
+    FROM cum GROUP BY rf ORDER BY rf
+    """,
+    tags=("analytics", "quantile", "statistics"),
+)
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the smallest price whose cumulative
+    quantity weight reaches half the total — the inventory/portfolio
+    median where each row counts by its size, not once (unweighted
+    median is g_exact_median).  Entirely integer: weights in
+    quantity-hundredths, the half test doubled (2*cw >= tw) so no
+    division ever happens; ties collapse by aggregating weight per
+    distinct price BEFORE the cumulative, making the window length
+    the price cardinality, not the row count.
+
+    Scale shape: one map-side-combinable (group, price) aggregate,
+    then a cumulative window over distinct prices within each group —
+    the same collapse-then-compute shape as the KS test.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = Tables(spark, sf_dir).lineitem
+    c = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("w")
+    )
+    cum = c.select(
+        "rf",
+        "cents",
+        "w",
+        F.sum("w")
+        .over(W.partitionBy("rf").orderBy("cents").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(W.partitionBy("rf")).alias("tw"),
+    )
+    return (
+        cum.groupBy("rf")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            .cast("long")
+            .alias("wmedian_cents"),
+        )
+        .orderBy("rf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-style, exact counts + one IEEE expression)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+               AS n_syll
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, n_words, n_syll,
+           CAST(round(1000 * (206.835
+               - 1.015 * CAST(n_words AS DOUBLE)
+               - 84.6 * CAST(n_syll AS DOUBLE) / n_words)) AS BIGINT)
+             AS flesch_milli
+    FROM c ORDER BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring: 206.835 - 1.015*(words per
+    sentence) - 84.6*(syllables per word), with syllables counted as
+    vowel groups (the standard cheap proxy) and the whole document as
+    one sentence (the corpus carries no terminal punctuation —
+    documented degradation, not hidden).  Readability joins length /
+    stopword-ratio / LM-frequency in the quality-filter toolbox: a
+    pretraining corpus drops both unreadable fragments and
+    too-templated text.  Counts are exact integers; the score is one
+    shared IEEE expression, milli-rounded.
+
+    Scale shape: map-only column expressions (two regexp passes per
+    row), no shuffle at all beyond the ordered release.
+    """
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 100)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_syll = F.regexp_count(F.col("text"), F.lit("[aeiouy]+")).cast("long")
+    c = docs.select(
+        "doc_id", n_words.alias("n_words"), n_syll.alias("n_syll")
+    )
+    flesch = F.round(
+        1000
+        * (
+            206.835
+            - 1.015 * F.col("n_words").cast("double")
+            - 84.6 * F.col("n_syll").cast("double") / F.col("n_words")
+        )
+    ).cast("long")
+    return c.select(
+        "doc_id", "n_words", "n_syll", flesch.alias("flesch_milli")
+    ).orderBy("doc_id")

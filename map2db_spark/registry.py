@@ -157,6 +157,7 @@ _ROUND5_NEW = frozenset({
     "m_mp4_duration", "t_collocations_pmi", "v_centroid_drift",
     "sql_lateral_subquery", "f_compression_codecs", "x_ipw_ate",
     "x_power_analysis", "w_ohlc_bars", "f_text_source",
+    "m_media_dispatch", "x_weighted_median", "t_readability",
 })
 
 
