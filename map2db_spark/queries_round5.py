@@ -3916,3 +3916,252 @@ def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "doc_id", "n_words", "n_syll", flesch.alias("flesch_milli")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation diagnostic on forecast residuals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    resid AS (
+      SELECT a.d, a.cents - b.cents AS e
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    ),
+    seq AS (
+      SELECT e, lag(e) OVER (ORDER BY d) AS e_prev FROM resid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e_prev IS NOT NULL
+                         THEN (e - e_prev) * (e - e_prev) END) AS BIGINT)
+             AS diff_sq,
+           CAST(sum(e * e) AS BIGINT) AS resid_sq,
+           CAST(round(1000000 *
+               CAST(sum(CASE WHEN e_prev IS NOT NULL
+                        THEN (e - e_prev) * (e - e_prev) END) AS DOUBLE)
+               / sum(e * e)) AS BIGINT) AS dw_micro
+    FROM seq
+    """,
+    tags=("analytics", "timeseries", "forecast-eval"),
+)
+def x_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the seasonal-naive forecast
+    residuals: DW = sum((e_t - e_t-1)^2) / sum(e_t^2) — ~2 means the
+    residuals are white (the forecast extracted all structure), <<2
+    means positive autocorrelation remains (a better model exists).
+    The diagnostic that closes the forecast-eval loop: sMAPE says how
+    big the errors are, DW says whether they are still predictable.
+    Both quadratic forms are exact BIGINTs; the ratio is one IEEE
+    division, micro-rounded.
+
+    Scale shape: corpus -> O(days) series -> lag-1 window at series
+    scale -> 3-integer aggregate.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    resid = (
+        daily.alias("a")
+        .join(F.broadcast(daily.alias("b")), F.col("b.d") == F.date_sub(F.col("a.d"), 7))
+        .select(F.col("a.d").alias("d"), (F.col("a.cents") - F.col("b.cents")).alias("e"))
+    )
+    seq = resid.select("e", F.lag("e").over(W.orderBy("d")).alias("e_prev"))
+    diff_sq = F.sum(
+        F.when(
+            F.col("e_prev").isNotNull(),
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")),
+        )
+    ).cast("long")
+    resid_sq = F.sum(F.col("e") * F.col("e")).cast("long")
+    return seq.agg(
+        F.count("*").cast("long").alias("n"),
+        diff_sq.alias("diff_sq"),
+        resid_sq.alias("resid_sq"),
+        F.round(1000000 * diff_sq.cast("double") / resid_sq)
+        .cast("long")
+        .alias("dw_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment (largest-remainder / Hamilton method)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 100_000
+
+
+@query(
+    "c_token_budget",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS big_t FROM src),
+    quota AS (
+      SELECT source, toks,
+             CAST(toks * {_BUDGET_TOKENS} // big_t AS BIGINT) AS floor_alloc,
+             CAST(toks * {_BUDGET_TOKENS} % big_t AS BIGINT) AS remainder
+      FROM src CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rr,
+             CAST({_BUDGET_TOKENS} - sum(floor_alloc) OVER () AS BIGINT)
+               AS leftover
+      FROM quota
+    )
+    SELECT source, toks, floor_alloc,
+           CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked ORDER BY source
+    """,
+    tags=("curation", "sampling", "allocation"),
+)
+def c_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment by the largest-remainder (Hamilton)
+    method: a {_BUDGET_TOKENS}-token training budget is split across
+    sources proportionally to their token mass, with the integer
+    leftovers going to the largest fractional remainders — the exact
+    integer apportionment that sums EXACTLY to the budget (naive
+    rounding drifts by up to n_sources/2 tokens, and at a 10^12-token
+    budget that drift is a reproducibility bug).  The decision is
+    pure integer arithmetic (floor via DIV, remainder via MOD,
+    deterministic remainder-rank tiebreak) — bit-stable across
+    engines and cluster layouts.
+
+    Scale shape: one map-side-combinable token count per source, then
+    O(sources) window work.  This is the allocation step upstream of
+    c_domain_mixing / c_temperature_sampling, which spend the
+    allocation row-locally.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = Tables(spark, sf_dir).documents
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("toks")
+    )
+    tot = src.agg(F.sum("toks").cast("long").alias("big_t"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr(f"CAST(toks * {_BUDGET_TOKENS} DIV big_t AS BIGINT)").alias(
+            "floor_alloc"
+        ),
+        F.expr(f"CAST(toks * {_BUDGET_TOKENS} % big_t AS BIGINT)").alias(
+            "remainder"
+        ),
+    )
+    ranked = quota.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("remainder"), "source"))
+        .alias("rr"),
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc").over(W.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "toks",
+        "floor_alloc",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (difficulty buckets, stratified interleave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_curriculum_order",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id,
+             CAST(ntile(5) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS difficulty
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, difficulty,
+             row_number() OVER (
+               PARTITION BY difficulty
+               ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR))
+             ) AS pos_in_bucket
+      FROM bucketed
+    )
+    SELECT row_number() OVER (ORDER BY pos_in_bucket, difficulty, doc_id)
+             AS seq,
+           doc_id, difficulty
+    FROM scored
+    ORDER BY seq LIMIT 30
+    """,
+    tags=("curation", "ordering", "pipeline"),
+)
+def c_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with stratified interleave: documents fall
+    into 5 difficulty buckets (by length here; any score plugs in),
+    are md5-shuffled within their bucket, and the final training
+    order takes one document from each bucket per cycle (easy ->
+    hard, repeat) — the anti-clumping schedule curriculum-learning
+    pipelines use so no batch is all-hard or all-easy.  Every
+    ordering key is deterministic (ntile over a total order,
+    md5-shuffle, lexicographic interleave), so the curriculum is
+    bit-reproducible — resuming a run reproduces the same stream.
+
+    Scale shape: two windows — the difficulty ntile over the score
+    order and the per-bucket shuffle rank — then the interleave is a
+    SORT KEY, not a shuffle of its own; at corpus scale both windows
+    swap to the two-pass range-partitioned rank (operators/ids.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = Tables(spark, sf_dir).documents
+    diff = F.ntile(5).over(W.orderBy("n_chars", "doc_id")).cast("long")
+    scored = docs.select("doc_id", diff.alias("difficulty")).select(
+        "doc_id",
+        "difficulty",
+        F.row_number()
+        .over(
+            W.partitionBy("difficulty").orderBy(
+                F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+            )
+        )
+        .alias("pos_in_bucket"),
+    )
+    return (
+        scored.select(
+            F.row_number()
+            .over(W.orderBy("pos_in_bucket", "difficulty", "doc_id"))
+            .alias("seq"),
+            "doc_id",
+            "difficulty",
+        )
+        .orderBy("seq")
+        .limit(30)
+    )

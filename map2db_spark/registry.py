@@ -158,6 +158,7 @@ _ROUND5_NEW = frozenset({
     "sql_lateral_subquery", "f_compression_codecs", "x_ipw_ate",
     "x_power_analysis", "w_ohlc_bars", "f_text_source",
     "m_media_dispatch", "x_weighted_median", "t_readability",
+    "x_durbin_watson", "c_token_budget", "c_curriculum_order",
 })
 
 
