@@ -4165,3 +4165,207 @@ def c_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seq")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON promotion (from_json with explicit struct schema)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_from_json_typed",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           min(json_extract_string(props, '$.tag')) AS min_tag
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("functions", "json", "schema"),
+)
+def f_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON promotion: the semi-structured props column is
+    parsed ONCE by ``from_json`` with an explicit struct schema into
+    real typed columns — the third point on the JSON-access spectrum
+    the engine covers (get_json_object = per-path string extraction,
+    VARIANT = open-schema binary, from_json = closed-schema struct).
+    Closed-schema structs are the right end-state for stabilized
+    event payloads: downstream expressions are codegen'd column
+    reads, no per-row parsing ever again after the first
+    materialization.  Schema inference (schema_of_json) exists but
+    costs a sampling pass and drifts — production pins the struct,
+    as here.
+
+    Scale shape: parse is map-side; one map-side-combinable
+    aggregate.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("tag", StringType())]
+    )
+    ev = Tables(spark, sf_dir).events
+    parsed = ev.select(F.from_json(F.col("props"), schema).alias("p"))
+    return (
+        parsed.groupBy((F.col("p.k") % 7).alias("k_mod"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p.k").cast("long").alias("k_sum"),
+            F.min("p.tag").alias("min_tag"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF (Spark 3.5+/4 useArrow surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u_arrow_python_udf",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN n_chars % 2 = 0
+                         THEN n_chars * 3 + 7 ELSE n_chars * 5 + 1 END)
+                AS BIGINT) AS mix_sum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("udf", "arrow", "surface"),
+)
+def u_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``F.udf(useArrow=True)``) —
+    the third Python-execution surface the engine pins next to
+    pandas_udf (u_pandas_udf_haversine) and mapInPandas kernels:
+    row-at-a-time author ergonomics with Arrow-batched transfer, the
+    migration path for legacy pickled UDFs (~2x from serialization
+    alone, still below vectorized pandas_udf — which is why every
+    HOT kernel in this engine is mapInPandas/built-in, and this query
+    exists to cover the surface, not to recommend it).  The UDF is an
+    integer branch-and-mix, value-checked against the SQL twin.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def mix(n: int) -> int:
+        return n * 3 + 7 if n % 2 == 0 else n * 5 + 1
+
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.select("lang", mix(F.col("n_chars")).alias("m"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("m").cast("long").alias("mix_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength (variance-ratio decomposition readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    detr AS (
+      SELECT d,
+             7 * cents - sum(cents) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS dt7,
+             count(*) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+      FROM daily
+    ),
+    ok AS (
+      SELECT dayofweek(d) AS dow, dt7 FROM detr WHERE wn = 7
+    ),
+    sea AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dt7) AS BIGINT) AS s
+      FROM ok GROUP BY dow
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_days,
+             (SELECT CAST(sum(dt7 * dt7) AS BIGINT) FROM ok) AS tot_sq,
+             (SELECT CAST(sum(s * s // n) AS BIGINT) FROM sea)
+               AS sea_sum
+    )
+    SELECT n_days,
+           CAST(round(1000000 * CAST(sea_sum AS DOUBLE) / tot_sq)
+                AS BIGINT) AS strength_micro
+    FROM agg
+    """,
+    tags=("analytics", "timeseries", "seasonality"),
+)
+def x_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength of the daily series: after centered-7
+    detrending (the w_seasonal_decompose trick — 7*x - sum7 stays
+    integer), strength = 1 - var(residual)/var(detrended) where the
+    residual removes day-of-week means — the 0..1 readout (Hyndman's
+    FPP convention) that turns the decomposition into one routing
+    decision: strong seasonality -> seasonal model / weekly partition
+    keys; weak -> treat as noise.  Computed through the exact
+    within-group variance identity (sum of resid^2 = sum dt7^2 -
+    sum_dow s^2/n), so strength = (sum_dow s^2/n) / (sum dt7^2):
+    every sum is an exact integer (the per-dow rational is carried as
+    a truncating integer division — absolute error < 7 against sums
+    of ~1e16, and the headroom keeps every product inside BIGINT
+    through sf0.1; promote to DECIMAL(38,0) beyond) and
+    ONE IEEE division releases the ratio.  No float is ever summed,
+    so partitioning cannot perturb the value — the policy a naive
+    sum-of-squared-residual-doubles formulation would violate.
+
+    Scale shape: corpus -> O(days) series; one centered window, one
+    7-row day-of-week aggregate, two integer moment sums.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    detr = daily.select(
+        "d",
+        (7 * F.col("cents") - F.sum("cents").over(w7)).alias("dt7"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    )
+    ok = detr.where(F.col("wn") == 7).select(
+        F.dayofweek("d").alias("dow"), "dt7"
+    ).localCheckpoint()  # O(days); feeds both moment passes
+    tot = ok.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("dt7") * F.col("dt7")).cast("long").alias("tot_sq"),
+    )
+    sea = (
+        ok.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dt7").cast("long").alias("s"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(s * s DIV n AS BIGINT)"))
+            .cast("long")
+            .alias("sea_sum")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(sea))
+        .select(
+            "n_days",
+            F.round(
+                1000000 * F.col("sea_sum").cast("double") / F.col("tot_sq")
+            )
+            .cast("long")
+            .alias("strength_micro"),
+        )
+    )

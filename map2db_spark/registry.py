@@ -159,6 +159,7 @@ _ROUND5_NEW = frozenset({
     "x_power_analysis", "w_ohlc_bars", "f_text_source",
     "m_media_dispatch", "x_weighted_median", "t_readability",
     "x_durbin_watson", "c_token_budget", "c_curriculum_order",
+    "f_from_json_typed", "u_arrow_python_udf", "x_seasonality_strength",
 })
 
 
