@@ -4369,3 +4369,106 @@ def x_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("strength_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finder (weighted Gini impurity scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_gini_split",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents,
+             sum(n) OVER (ORDER BY cents) AS n_l,
+             sum(pos) OVER (ORDER BY cents) AS pos_l,
+             sum(n) OVER () AS big_n,
+             sum(pos) OVER () AS big_pos
+      FROM c
+    ),
+    scored AS (
+      SELECT cents AS threshold_cents,
+             CAST(n_l AS BIGINT) AS n_left,
+             CAST(pos_l AS BIGINT) AS pos_left,
+             CAST(big_n - n_l AS BIGINT) AS n_right,
+             CAST(big_pos - pos_l AS BIGINT) AS pos_right,
+             CAST(round(1000000 * 2.0 * (
+               CAST(pos_l * (n_l - pos_l) AS DOUBLE) / n_l
+             + CAST((big_pos - pos_l) * ((big_n - n_l) - (big_pos - pos_l))
+                    AS DOUBLE) / (big_n - n_l)
+             ) / big_n) AS BIGINT) AS impurity_micro
+      FROM cum WHERE n_l < big_n
+    )
+    SELECT threshold_cents, n_left, pos_left, n_right, pos_right,
+           impurity_micro
+    FROM scored
+    ORDER BY impurity_micro, threshold_cents LIMIT 1
+    """,
+    tags=("analytics", "ml-eval", "tree"),
+)
+def x_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finder: the value threshold minimizing
+    weighted Gini impurity for separating purchases from other events
+    — the inner loop of decision-tree/GBDT training, expressed as ONE
+    cumulative scan: per distinct value, the left/right class counts
+    come from a running sum, the weighted impurity 2*(p_l q_l n_l +
+    p_r q_r n_r)/N from those exact integers, and the argmin is a
+    deterministic (score, threshold) top-1.  Both engines evaluate
+    the identical IEEE expression on identical integers, so the
+    SELECTED threshold — the part a float ulp could flip — agrees
+    bit-for-bit.
+
+    Scale shape: collapse-then-compute — the corpus becomes its
+    distinct-value class histogram in one map-side-combinable
+    aggregate; the cumulative window and argmin run over distinct
+    values only.  A full tree layer evaluates every feature this way
+    in parallel; XGBoost's histogram mode is exactly this scan with
+    pre-bucketed values.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    c = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    cum = c.select(
+        "cents",
+        F.sum("n").over(W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)).alias("n_l"),
+        F.sum("pos").over(W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)).alias("pos_l"),
+        F.sum("n").over(W.partitionBy()).alias("big_n"),
+        F.sum("pos").over(W.partitionBy()).alias("big_pos"),
+    )
+    pos_r = F.col("big_pos") - F.col("pos_l")
+    n_r = F.col("big_n") - F.col("n_l")
+    impurity = F.round(
+        1000000
+        * 2.0
+        * (
+            (F.col("pos_l") * (F.col("n_l") - F.col("pos_l"))).cast("double")
+            / F.col("n_l")
+            + (pos_r * (n_r - pos_r)).cast("double") / n_r
+        )
+        / F.col("big_n")
+    ).cast("long")
+    scored = cum.where(F.col("n_l") < F.col("big_n")).select(
+        F.col("cents").alias("threshold_cents"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("pos_l").cast("long").alias("pos_left"),
+        n_r.cast("long").alias("n_right"),
+        pos_r.cast("long").alias("pos_right"),
+        impurity.alias("impurity_micro"),
+    )
+    return scored.orderBy("impurity_micro", "threshold_cents").limit(1)

@@ -160,6 +160,7 @@ _ROUND5_NEW = frozenset({
     "m_media_dispatch", "x_weighted_median", "t_readability",
     "x_durbin_watson", "c_token_budget", "c_curriculum_order",
     "f_from_json_typed", "u_arrow_python_udf", "x_seasonality_strength",
+    "x_gini_split",
 })
 
 
