@@ -4472,3 +4472,299 @@ def x_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         impurity.alias("impurity_micro"),
     )
     return scored.orderBy("impurity_micro", "threshold_cents").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary growth exponent (first-occurrence trick)
+# ---------------------------------------------------------------------------
+
+_HEAPS_STEP = 50
+
+
+@query(
+    "t_heaps_law",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM tok GROUP BY token
+    ),
+    toks_cum AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_tok
+      FROM tok GROUP BY doc_id
+    ),
+    marks AS (SELECT unnest(generate_series({_HEAPS_STEP}, 500,
+                                            {_HEAPS_STEP})) AS m),
+    pts AS (
+      SELECT m,
+             (SELECT CAST(sum(n_tok) AS BIGINT) FROM toks_cum
+              WHERE doc_id < m) AS n_corpus,
+             (SELECT CAST(count(*) AS BIGINT) FROM first_seen
+              WHERE first_doc < m) AS v
+      FROM marks
+    ),
+    lg AS (
+      SELECT CAST(round(1000 * ln(CAST(n_corpus AS DOUBLE))) AS BIGINT) AS x,
+             CAST(round(1000 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS y
+      FROM pts
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM lg
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS beta_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS beta_den,
+           CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) AS beta_micro
+    FROM s
+    """,
+    tags=("text", "analytics", "vocabulary"),
+)
+def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth exponent: V(n) ~ K * n^beta fitted
+    log-log over checkpoints every {_HEAPS_STEP} documents — the
+    companion of t_zipf_fit (beta ~ 0.4-0.6 for natural text; beta
+    near 1 means near-disjoint vocabularies, near 0 means a closed
+    template vocabulary — both pretraining red flags).  Cumulative
+    distinct counting is made ONE-PASS by the first-occurrence trick:
+    V(m) = #{{tokens whose MIN doc_id < m}}, so no per-checkpoint
+    distinct pass and no stateful scan — two map-side-combinable
+    aggregates (min per token, sum per doc) answer every checkpoint
+    at once.  The slope is exact integer OLS over milli-ln points
+    (the t_zipf_fit machinery).
+
+    Scale shape: min-per-token and tokens-per-doc collapse the corpus
+    in one shuffle each; checkpoints are a broadcast O(points) probe
+    of those tables.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = Tables(spark, sf_dir).documents
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    first_seen = tok.groupBy("token").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    toks_cum = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    marks = spark.range(_HEAPS_STEP, 501, _HEAPS_STEP).select(
+        F.col("id").alias("m")
+    )
+    n_corpus = (
+        marks.join(toks_cum, toks_cum["doc_id"] < marks["m"])
+        .groupBy("m")
+        .agg(F.sum("n_tok").cast("long").alias("n_corpus"))
+    )
+    v = (
+        marks.join(first_seen, first_seen["first_doc"] < marks["m"])
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    pts = n_corpus.join(v, "m").select(
+        F.round(1000 * F.log(F.col("n_corpus").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.round(1000 * F.log(F.col("v").cast("double"))).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("beta_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("beta_den"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("beta_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware train/test split (leakage-free by construction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_cluster_aware_split",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> array_to_string(list_slice(
+                      regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.02
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM sym
+      UNION
+      SELECT s.b AS node, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS unit,
+             CASE WHEN CAST(concat('0x', substr(md5('cas:' ||
+                  CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 10 < 8 THEN 'train' ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      WHERE d.doc_id < 200
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+           CAST(sum(CASE WHEN unit != doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("curation", "split", "dedup", "pipeline"),
+)
+def c_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split — leakage prevention by
+    CONSTRUCTION, the complement of c_cross_split_leakage's
+    detection: near-duplicate clusters are the split UNIT, so a
+    document and its near-copies can never straddle the boundary (a
+    doc-level md5 split leaks every duplicated document with
+    probability 2*p*(1-p)).  Unclustered documents split
+    individually; the decision is an md5 draw on the CLUSTER id —
+    deterministic, and stable under re-clustering of unrelated docs.
+
+    Scale shape: rides the d_dup_clusters dataflow (LSH candidates +
+    large-star/small-star components), then the split is a broadcast
+    join of the O(clustered-docs) assignment onto the corpus and a
+    row-local md5 — the split itself adds no corpus shuffle.
+    """
+    from map2db_spark.functions import dedup as D
+    from map2db_spark.operators.components import connected_components
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    unit = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    split = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cas:"), unit.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 8,
+        "train",
+    ).otherwise("test")
+    assigned = docs.join(F.broadcast(comps), "doc_id", "left").select(
+        "doc_id", unit.alias("unit"), split.alias("split")
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("unit").cast("long").alias("n_units"),
+            F.sum(F.when(F.col("unit") != F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clustered_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-safe categorical feature)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id < 500
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM base GROUP BY event_type
+    )
+    SELECT b.event_id,
+           CAST(round(1000000 * CAST(g.s - b.cents AS DOUBLE) / (g.n - 1))
+                AS BIGINT) AS loo_mean_micro
+    FROM base b JOIN g USING (event_type)
+    ORDER BY b.event_id
+    """,
+    tags=("analytics", "ml-eval", "feature-engineering"),
+)
+def w_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature
+    becomes the mean target of its category EXCLUDING the row itself
+    — (sum - own)/(n - 1) — the standard high-cardinality encoding
+    that avoids self-leakage (plain mean encoding memorizes each
+    row's own target and inflates validation scores).  The LOO
+    subtraction makes the per-row encode exact from two broadcast
+    integers per category plus the row's own value — no window over
+    the raw rows, no second shuffle.
+
+    Scale shape: one map-side-combinable (category -> n, sum)
+    aggregate broadcast back onto the stream; the encode is a
+    row-local expression.  The category table is O(categories)
+    regardless of row count — the scalable shape that makes target
+    encoding a one-scan feature at 100 TB.
+    """
+    ev = Tables(spark, sf_dir).events.where(F.col("event_id") < 500)
+    base = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return (
+        base.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            F.round(
+                1000000
+                * (F.col("s") - F.col("cents")).cast("double")
+                / (F.col("n") - 1)
+            )
+            .cast("long")
+            .alias("loo_mean_micro"),
+        )
+        .orderBy("event_id")
+    )

@@ -160,7 +160,8 @@ _ROUND5_NEW = frozenset({
     "m_media_dispatch", "x_weighted_median", "t_readability",
     "x_durbin_watson", "c_token_budget", "c_curriculum_order",
     "f_from_json_typed", "u_arrow_python_udf", "x_seasonality_strength",
-    "x_gini_split",
+    "x_gini_split", "t_heaps_law", "c_cluster_aware_split",
+    "w_target_encoding",
 })
 
 
