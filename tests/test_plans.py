@@ -771,3 +771,67 @@ def test_cluster_canonical_narrow_metadata_join(spark):
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     doc_reads = [ln for ln in reads if "n_chars" in ln]
     assert doc_reads and all("text" not in ln for ln in doc_reads), reads
+
+
+def test_ohlc_no_window_single_agg(spark):
+    """OHLC: min_by/max_by make open/close aggregable — no Window
+    operator over raw ticks; one map-side-combined Exchange."""
+    plan = plan_of(spark, "w_ohlc_bars")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_weighted_median_collapse_then_window(spark):
+    """Weighted median: (group, price) aggregate BEFORE the
+    cumulative window; no join anywhere."""
+    plan = plan_of(spark, "x_weighted_median")
+    assert "Join" not in plan, plan
+
+
+def test_gini_split_no_join_distinct_value_scan(spark):
+    """Gini split: distinct-value class histogram + cumulative
+    windows; no join, and the release is top-1."""
+    plan = plan_of(spark, "x_gini_split")
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_target_encoding_category_table_broadcast(spark):
+    """LOO target encoding: the O(categories) stats table broadcasts
+    back; the encode is row-local."""
+    plan = plan_of(spark, "w_target_encoding")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_dispatch_zero_shuffle(spark):
+    """Media dispatch: fixture build + sniff/route are back-to-back
+    Arrow kernels — payload bytes never cross an Exchange."""
+    plan = plan_of(spark, "m_media_dispatch")
+    assert _exchange_count(plan) == 0, plan
+
+
+def test_binary_quantization_no_cartesian_rerank_windows(spark):
+    """Binary quantization: query codes broadcast for the Hamming
+    scan; shortlist + rerank are per-query windows, no cartesian."""
+    plan = plan_of(spark, "v_binary_quantization")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ipw_single_aggregate_broadcast_total(spark):
+    """IPW: one map-side-combined aggregate to O(segments); total is
+    a broadcast scalar."""
+    plan = plan_of(spark, "x_ipw_ate")
+    # one corpus-sized Exchange (the seg aggregate); the others carry
+    # O(segments) rows (total-scalar branch + ordered release)
+    assert _exchange_count(plan) <= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_heaps_checkpoint_probes_are_small_side(spark):
+    """Heaps: the checkpoint probes join the O(points) marks against
+    collapsed aggregates — never a corpus-sized cartesian."""
+    plan = plan_of(spark, "t_heaps_law")
+    assert "CartesianProduct" not in plan, plan
