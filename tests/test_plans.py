@@ -827,7 +827,7 @@ def test_ipw_single_aggregate_broadcast_total(spark):
     # O(segments) rows (total-scalar branch + ordered release)
     assert _exchange_count(plan) <= 4, plan
     assert "CartesianProduct" not in plan
-    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
 
 
 def test_heaps_checkpoint_probes_are_small_side(spark):
