@@ -1,9 +1,22 @@
-"""Round-5 additions: the distribution-comparison statistics a
-training-data pipeline runs continuously — two-sample KS drift
-detection, Spearman rank correlation, Welch's unequal-variance t-test,
-Poisson-bootstrap uncertainty, and per-segment Shannon entropy — plus
-(further down) link prediction, deterministic random walks, DSIR
-importance weighting, and text/row source-format round-trips.
+"""Round-5 additions, grouped by family:
+
+- distribution statistics: KS / PSI drift, Spearman, Welch t, runs
+  test, Mann-Kendall, xi correlation, Poisson bootstrap, entropy,
+  weighted median, ACF, Durbin-Watson, seasonality strength, sMAPE,
+  conformal intervals, max drawdown, power analysis, IPW, Gini split;
+- graph: Adamic-Adar, deterministic random walks, HITS, clustering
+  coefficient, degree assortativity;
+- retrieval / dedup: MMR reranking, binary quantization, LSH recall
+  eval, incremental dedup, CDC chunking, canonical selection,
+  cluster-aware splitting;
+- text/curation: DSIR weighting, BPE encode, collocations, Heaps'
+  law, readability, token budgeting, curriculum ordering, target
+  encoding;
+- sources/surfaces: CSV/JSONL/text/codec round-trips, schema
+  evolution, dynamic partition overwrite, GROUP BY ALL, LATERAL,
+  typed from_json, Arrow Python UDF;
+- multimodal metadata: JPEG/WebP/MP4 walkers + magic-byte dispatch
+  (queries here; kernels in functions/).
 
 Shared parity conventions (CLAUDE.md + memory/spark-duckdb-parity-
 tricks.md): every cross-engine value is an exact integer, an md5
