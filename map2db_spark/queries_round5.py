@@ -4781,3 +4781,275 @@ def w_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated harmonic centrality (multi-seed BFS with exact 1/d credit)
+# ---------------------------------------------------------------------------
+
+_HC_SEEDS = 5
+_HC_HOPS = 3
+
+
+@query(
+    "g_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY u),
+    seeds AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_HC_SEEDS}),
+    reach(seed, node, dist) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT r.seed, adj.v, r.dist + 1
+      FROM reach r JOIN adj ON adj.u = r.node
+      WHERE r.dist < {_HC_HOPS}
+    ),
+    md AS (
+      SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+      FROM reach GROUP BY seed, node
+    )
+    SELECT seed,
+           CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+                AS BIGINT) AS harmonic_micro
+    FROM md GROUP BY seed ORDER BY seed
+    """,
+    tags=("graph", "centrality", "analytics"),
+)
+def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of the {_HC_SEEDS} highest-degree
+    parts: H(s) = sum over nodes within {_HC_HOPS} hops of 1/dist —
+    the centrality that handles disconnected graphs gracefully
+    (unreachable nodes contribute 0, no infinite closeness), here
+    truncated at {_HC_HOPS} hops, which is how it is actually run at
+    scale (full-radius harmonic centrality on a big graph uses
+    HyperBall-style HLL frontiers — the engine's x_hll_manual shows
+    the sketch; this query pins the exact small-radius form).  The
+    1/dist credits are micro-scaled truncating integer divisions, so
+    the centralities are exact integers.
+
+    Scale shape: one multi-seed BFS — frontier rows are (seed, node)
+    pairs, each hop one adjacency equi-join + a min-dist aggregate;
+    per-seed visited state rides the same keyed shuffle.
+    """
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    adj = (
+        e.select("u", "v")
+        .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), "u")
+        .limit(_HC_SEEDS)
+        .select(F.col("u").alias("seed"))
+    )
+    # frontier/visited carry (seed, node, dist); min-dist by first visit
+    visited = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+    frontier = visited
+    for hop in range(1, _HC_HOPS + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(hop).alias("dist"))
+            .localCheckpoint()  # truncate lineage per hop
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("CAST(1000000 DIV dist AS BIGINT)"))
+            .cast("long")
+            .alias("harmonic_micro"),
+        )
+        .orderBy("seed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_linear_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, ts, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT c.conv_id, t.touch_id, t.channel
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 7 DAY
+    ),
+    k AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_touches
+      FROM pairs GROUP BY conv_id
+    )
+    SELECT p.channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT p.conv_id) AS BIGINT) AS n_conversions,
+           CAST(sum(1000000 // k.n_touches) AS BIGINT) AS credit_micro
+    FROM pairs p JOIN k USING (conv_id)
+    GROUP BY p.channel ORDER BY p.channel
+    """,
+    tags=("analytics", "attribution", "marketing"),
+)
+def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 7 days
+    before a purchase shares the conversion credit equally (1/k per
+    touch) — the multi-touch counterpart of j_first_touch_attribution
+    (first-touch gives winner-take-all; linear answers "which
+    channels PARTICIPATE in converting paths").  Credits are
+    micro-scaled truncating integer divisions, so channel totals are
+    exact and order-independent.
+
+    Scale shape: the conversion-touch pairing is a user-keyed join
+    bounded by per-user activity in the window (never a cross join
+    over users); the per-conversion touch count co-partitions on the
+    same conversion key; channel totals are map-side-combinable.
+    Hot users are the skew rail — AQE skew-split applies, and a
+    per-user activity cap is the content-level rail.
+    """
+    ev = Tables(spark, sf_dir).events
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("cts")
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(touch, "user_id").where(
+        (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") > F.col("cts") - F.expr("INTERVAL 7 DAYS"))
+    ).select("conv_id", "touch_id", "channel")
+    k = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    return (
+        pairs.join(k, "conv_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            F.sum(F.expr("CAST(1000000 DIV n_touches AS BIGINT)"))
+            .cast("long")
+            .alias("credit_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (who copies from whom)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_cross_source_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> array_to_string(list_slice(
+                      regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 300
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.5
+    ),
+    lab AS (
+      SELECT p.id_a, p.id_b,
+             least(da.source, db.source) AS src_lo,
+             greatest(da.source, db.source) AS src_hi
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM lab GROUP BY 1, 2 ORDER BY n_dup_pairs DESC, src_lo, src_hi
+    """,
+    tags=("dedup", "provenance", "pipeline"),
+)
+def d_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-duplicate pairs (Jaccard
+    >= 0.5) labeled by the SOURCE pair of their endpoints — the
+    provenance report that turns dedup output into acquisition
+    decisions (a source pair with heavy off-diagonal mass means one
+    mirrors the other: drop the mirror, don't dedup it forever;
+    heavy diagonal means within-source templating).  Source pairs are
+    order-normalized (least/greatest) so the matrix is triangular and
+    counts are exact.
+
+    Scale shape: rides the exact-Jaccard pair dataflow (df-capped
+    inverted index at corpus scale); the source labeling is two
+    narrow joins on the pair endpoints (doc_id -> source only —
+    column pruning keeps the metadata side thin).
+    """
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 300)
+    pairs = D.jaccard_pairs(D.shingle_table(docs), threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    meta = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            meta.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            meta.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+    )
+    return (
+        lab.groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), "src_lo", "src_hi")
+    )

@@ -161,7 +161,8 @@ _ROUND5_NEW = frozenset({
     "x_durbin_watson", "c_token_budget", "c_curriculum_order",
     "f_from_json_typed", "u_arrow_python_udf", "x_seasonality_strength",
     "x_gini_split", "t_heaps_law", "c_cluster_aware_split",
-    "w_target_encoding",
+    "w_target_encoding", "g_harmonic_centrality",
+    "x_linear_attribution", "d_cross_source_matrix",
 })
 
 
