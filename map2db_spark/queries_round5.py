@@ -5053,3 +5053,284 @@ def d_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
         .orderBy(F.desc("n_dup_pairs"), "src_lo", "src_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q-Q decile comparison (where two distributions differ)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_qq_deciles",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    r AS (
+      SELECT side, cents,
+             row_number() OVER (PARTITION BY side ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY side) AS n
+      FROM s
+    ),
+    d AS (SELECT unnest(generate_series(1, 9)) AS dec),
+    q AS (
+      SELECT d.dec, r.side, CAST(max(r.cents) AS BIGINT) AS qv
+      FROM r JOIN d ON r.rn = (r.n * d.dec + 9) // 10
+      GROUP BY d.dec, r.side
+    )
+    SELECT a.dec,
+           a.qv AS q_click,
+           b.qv AS q_view,
+           CAST(a.qv - b.qv AS BIGINT) AS gap_cents
+    FROM q a JOIN q b ON a.dec = b.dec AND a.side = 'a' AND b.side = 'b'
+    ORDER BY a.dec
+    """,
+    tags=("analytics", "statistics", "drift"),
+)
+def x_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q decile comparison between two event types' value
+    distributions: nearest-rank deciles of each sample side by side —
+    the diagnostic that says WHERE two distributions differ (KS gives
+    one worst-point number, PSI one mass number; the Q-Q gaps show
+    tails-vs-center shape).  Nearest-rank order statistics keep every
+    quantile an exact observed value; the gaps are exact integer
+    cents.
+
+    Scale shape: one rank window per side over the group-keyed
+    Exchange; the decile probe joins rank = ceil(n*k/10) — O(9) rows
+    out.  Unbounded domains swap to the histogram two-pass locate.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events.where(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias("side"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = s.select(
+        "side",
+        "cents",
+        F.row_number().over(W.partitionBy("side").orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("side")).alias("n"),
+    )
+    d = spark.range(1, 10).select(F.col("id").alias("dec"))
+    q = (
+        r.join(F.broadcast(d), r["rn"] == F.expr("(n * dec + 9) div 10"))
+        .groupBy("dec", "side")
+        .agg(F.max("cents").cast("long").alias("qv"))
+    )
+    a = q.where(F.col("side") == "a").select(F.col("dec").alias("da"), F.col("qv").alias("q_click"))
+    b = q.where(F.col("side") == "b").select(F.col("dec").alias("db"), F.col("qv").alias("q_view"))
+    return (
+        a.join(b, F.col("da") == F.col("db"))
+        .select(
+            F.col("da").alias("dec"),
+            "q_click",
+            "q_view",
+            (F.col("q_click") - F.col("q_view")).cast("long").alias("gap_cents"),
+        )
+        .orderBy("dec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 of the LSH ANN ranking vs the exact brute ranking
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    from map2db_spark.queries_pipeline import _ANN_INT, _lsh_ann_oracle
+
+    # the whole seeded-bucket LSH top-5 oracle nests as a subquery
+    # (DuckDB allows WITH inside a CTE body), then its ranking is
+    # graded against brute-force relevance
+    base = _lsh_ann_oracle()
+    ideal = " + ".join(
+        f"CAST(round(1000000 * {6 - rk} / ln(CAST({rk} + 1 AS DOUBLE)))"
+        f" AS BIGINT)"
+        for rk in range(1, 6)
+    )
+    return f"""
+    WITH lsh5 AS (
+      SELECT query_id, cand_id, rank FROM ({base}) z
+    ),
+    brute AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(q.qv, c.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+               c.vec_id) AS brank
+      FROM (SELECT vec_id, {_ANN_INT} AS v FROM embeddings) c
+      CROSS JOIN (SELECT vec_id AS query_id, {_ANN_INT} AS qv
+                  FROM embeddings WHERE vec_id < 10) q
+      WHERE c.vec_id != q.query_id
+    ),
+    graded AS (
+      SELECT l.query_id, l.rank,
+             CASE WHEN b.brank <= 5 THEN 6 - b.brank ELSE 0 END AS rel
+      FROM lsh5 l JOIN brute b
+        ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+    )
+    SELECT query_id,
+           CAST(sum(CAST(round(1000000 * rel /
+                 ln(CAST(rank + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+             AS dcg_micro,
+           CAST({ideal} AS BIGINT) AS idcg_micro
+    FROM graded GROUP BY query_id ORDER BY query_id
+    """
+
+
+@query(
+    "v_ann_ndcg",
+    oracle=_ndcg_oracle(),
+    tags=("ann", "evaluation", "ranking"),
+)
+def v_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the LSH ANN ranking against exact brute-force
+    relevance: each LSH top-5 candidate is graded by its TRUE rank
+    (brute top-1 -> relevance 5 ... top-5 -> 1, else 0), discounted
+    by 1/ln(rank+1) at its LSH position — the position-aware ranking
+    metric that completes the ANN evaluation family (recall@k counts
+    hits anywhere, MRR scores only the top hit; NDCG grades the whole
+    ordering).  Each discount term is micro-rounded individually
+    (single ln on an identical integer argument), so DCG sums are
+    exact integers; the ideal DCG is a shared closed-form constant.
+
+    Scale shape: the LSH side is the production bucketed dataflow;
+    the brute grading side broadcasts the 10-query set (corpus never
+    shuffles) — the evaluator stays cheap enough to run continuously.
+    """
+    from map2db_spark.functions import similarity as S
+    from map2db_spark.queries_pipeline import _PLANES
+    from pyspark.sql.window import Window as W
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 10)
+    lsh5 = S.lsh_topk(emb, queries, planes=_PLANES, k=5).select(
+        "query_id", "cand_id", "rank"
+    )
+    brute = S.brute_force_topk(emb, queries, k=1_000_000_000).select(
+        "query_id", "cand_id", F.col("rank").alias("brank")
+    )
+    graded = lsh5.join(brute, ["query_id", "cand_id"]).select(
+        "query_id",
+        "rank",
+        F.when(F.col("brank") <= 5, 6 - F.col("brank")).otherwise(0).alias("rel"),
+    )
+    term = F.round(
+        1000000 * F.col("rel") / F.log(F.col("rank").cast("double") + 1)
+    ).cast("long")
+    import math as _m
+
+    idcg = sum(
+        int(round(1000000 * (6 - rk) / _m.log(rk + 1))) for rk in range(1, 6)
+    )
+    return (
+        graded.groupBy("query_id")
+        .agg(F.sum(term).cast("long").alias("dcg_micro"))
+        .select(
+            "query_id", "dcg_micro", F.lit(idcg).cast("long").alias("idcg_micro")
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (sketch estimate vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_estimate_oracle() -> str:
+    from map2db_spark.queries_pipeline import _minhash_cte_body
+
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+    {_minhash_cte_body()},
+    est AS (
+      SELECT c.id_a, c.id_b, CAST({matches} AS BIGINT) AS n_match
+      FROM cand c JOIN sig a ON a.sid = c.id_a JOIN sig b ON b.sid = c.id_b
+    ),
+    err AS (
+      SELECT e.n_match,
+             abs(e.n_match * 125000
+                 - CAST(round(1000000.0 * i.shared
+                              / (na.n + nb.n - i.shared)) AS BIGINT))
+               AS abs_err_micro
+      FROM est e
+      JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      JOIN sizes na ON na.sid = e.id_a
+      JOIN sizes nb ON nb.sid = e.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs_err_micro) AS BIGINT) AS sum_abs_err_micro,
+           CAST(max(abs_err_micro) AS BIGINT) AS max_abs_err_micro,
+           CAST(sum(abs_err_micro) // count(*) AS BIGINT)
+             AS mean_abs_err_micro
+    FROM err
+    """
+
+
+@query(
+    "d_minhash_estimate_error",
+    oracle=_minhash_estimate_oracle(),
+    tags=("dedup", "lsh", "evaluation", "sketch"),
+)
+def d_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION: over the LSH candidate pairs,
+    the 8-hash similarity estimate (matching minhashes / 8) is
+    compared against exact Jaccard — the measured error of the sketch
+    (theory: std ~ sqrt(j(1-j)/8) ~ 0.17 at j=0.5), which is what
+    justifies (or indicts) skipping exact verification at a given
+    hash budget.  Completes the sketch-quality family next to
+    d_minhash_recall_eval (does LSH FIND the pairs) with "does the
+    sketch SCORE them accurately".  The estimate is an integer match
+    count; the per-pair error is an exact integer micro difference
+    (one IEEE division for the exact-Jaccard micro value).
+
+    Scale shape: estimates join the O(candidates) pair table against
+    the signature table twice (id-keyed); the exact side rides the
+    candidate-filtered inverted index — nothing corpus-sized beyond
+    the production dedup dataflow.
+    """
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+    sh = D.shingle_table(docs).localCheckpoint()
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    cand = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, bucket_cap=50)
+    exact = D.jaccard_pairs(sh, threshold=0.0, candidates=cand).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sa = sigs.select(
+        F.col("sid").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("sid").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    est = cand.select("id_a", "id_b").join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", n_match.cast("long").alias("n_match")
+    )
+    err = est.join(exact, ["id_a", "id_b"]).select(
+        F.abs(
+            F.col("n_match") * 125000
+            - F.round(1000000 * F.col("jaccard")).cast("long")
+        ).alias("abs_err_micro")
+    )
+    return err.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("abs_err_micro").cast("long").alias("sum_abs_err_micro"),
+        F.max("abs_err_micro").cast("long").alias("max_abs_err_micro"),
+        F.expr(
+            "CAST(sum(abs_err_micro) DIV count(*) AS BIGINT)"
+        ).alias("mean_abs_err_micro"),
+    )

@@ -163,6 +163,7 @@ _ROUND5_NEW = frozenset({
     "x_gini_split", "t_heaps_law", "c_cluster_aware_split",
     "w_target_encoding", "g_harmonic_centrality",
     "x_linear_attribution", "d_cross_source_matrix",
+    "x_qq_deciles", "v_ann_ndcg", "d_minhash_estimate_error",
 })
 
 
