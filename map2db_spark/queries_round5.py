@@ -5334,3 +5334,294 @@ def d_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(abs_err_micro) DIV count(*) AS BIGINT)"
         ).alias("mean_abs_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table (decile targeting quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_gains_deciles",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT pos,
+             ntile(10) OVER (ORDER BY cents DESC, event_id) AS dec
+      FROM base
+    ),
+    d AS (
+      SELECT CAST(dec AS BIGINT) AS dec,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM r GROUP BY dec
+    ),
+    t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos,
+                 CAST(sum(n) AS BIGINT) AS total_n FROM d)
+    SELECT d.dec, d.n, d.n_pos,
+           CAST(sum(d.n_pos) OVER (ORDER BY d.dec) AS BIGINT) AS cum_pos,
+           CAST(sum(d.n_pos) OVER (ORDER BY d.dec) * 1000000
+                // t.total_pos AS BIGINT) AS cum_gain_ppm,
+           CAST(d.n_pos * t.total_n * 1000000
+                // (CAST(d.n AS BIGINT) * t.total_pos) AS BIGINT)
+             AS lift_ppm
+    FROM d CROSS JOIN t ORDER BY d.dec
+    """,
+    tags=("analytics", "ml-eval", "ranking"),
+)
+def x_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table: rank rows by a score (here the
+    event value standing in for a model score), split into deciles,
+    and report what share of all positives each cumulative decile
+    captures plus the per-decile lift over random — the business
+    rendering of ranking quality (AUC compresses the same curve to
+    one number; the gains table says "calling the top 20% captures
+    X% of buyers", which is what a targeting budget needs).  All
+    quantities are exact integer counts and truncating ppm divisions;
+    the decile assignment has a deterministic event_id tiebreak.
+
+    Scale shape: one global ntile window (range-partitioned two-pass
+    at corpus scale), one 10-row aggregate, O(1) broadcast totals.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    base = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        "event_id",
+    )
+    r = base.select(
+        "pos",
+        F.ntile(10).over(W.orderBy(F.desc("cents"), "event_id")).alias("dec"),
+    )
+    d = r.groupBy(F.col("dec").cast("long").alias("dec")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    t = d.agg(
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        F.sum("n").cast("long").alias("total_n"),
+    )
+    wc = W.orderBy("dec").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "dec",
+            "n",
+            "n_pos",
+            F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+            F.expr(
+                "CAST(sum(n_pos) OVER (ORDER BY dec"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * 1000000 DIV total_pos AS BIGINT)"
+            ).alias("cum_gain_ppm"),
+            F.expr(
+                "CAST(n_pos * total_n * 1000000"
+                " DIV (n * total_pos) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("dec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: duplication-count downweighting instead of removal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_soft_dedup_weights",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> array_to_string(list_slice(
+                      regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' '))))
+             AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.02
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM sym
+      UNION
+      SELECT s.b AS node, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+              FROM comp GROUP BY cluster_id),
+    weighted AS (
+      SELECT d.doc_id,
+             coalesce(cs.k, 1) AS k,
+             CAST(1000000 // coalesce(cs.k, 1) AS BIGINT) AS weight_micro
+      FROM documents d
+      LEFT JOIN comp c ON c.node = d.doc_id
+      LEFT JOIN csize cs ON cs.cluster_id = c.cluster_id
+      WHERE d.doc_id < 200
+    )
+    SELECT CAST(k AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(weight_micro) AS BIGINT) AS weight_micro,
+           CAST(sum(weight_micro) AS BIGINT) AS effective_mass_micro
+    FROM weighted GROUP BY k ORDER BY k
+    """,
+    tags=("curation", "dedup", "sampling"),
+)
+def c_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, every member
+    of a k-doc cluster gets sampling weight 1/k, so each piece of
+    CONTENT contributes one unit of training mass regardless of how
+    many times it was crawled — the downweighting alternative
+    (repetition-aware sampling) that keeps rare-context copies a hard
+    dedup would destroy.  Weights are truncating micro integers; the
+    report shows, per cluster size, how many raw documents collapse
+    to how much effective mass.
+
+    Scale shape: rides the components dataflow; the cluster-size
+    table is O(clusters) and broadcast back; the weight itself is a
+    row-local expression the sampler (c_weighted_sample) consumes
+    directly.
+    """
+    from map2db_spark.functions import dedup as D
+    from map2db_spark.operators.components import connected_components
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    csize = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    weighted = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(csize), "cluster_id", "left")
+        .select(
+            F.coalesce(F.col("k"), F.lit(1)).alias("k"),
+            F.expr("CAST(1000000 DIV coalesce(k, 1) AS BIGINT)").alias(
+                "weight_micro"
+            ),
+        )
+    )
+    return (
+        weighted.groupBy(F.col("k").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("weight_micro").cast("long").alias("weight_micro"),
+            F.sum("weight_micro").cast("long").alias("effective_mass_micro"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard-boundary overlap: suffix-of-one == prefix-of-another
+# ---------------------------------------------------------------------------
+
+_BOUND_W = 10
+
+
+@query(
+    "t_boundary_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+      WHERE doc_id < 20 AND len(regexp_split_to_array(trim(text), '\\s+'))
+            >= {_BOUND_W} * 2 + 10
+    ),
+    frags AS (
+      SELECT doc_id * 2 AS frag_id,
+             list_slice(t, 1, len(t) // 2 + {_BOUND_W}) AS t
+      FROM toks
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS frag_id,
+             list_slice(t, len(t) // 2 + 1, len(t)) AS t
+      FROM toks
+    ),
+    ends AS (
+      SELECT frag_id,
+             md5(array_to_string(list_slice(t, 1, {_BOUND_W}), ' '))
+               AS prefix_md5,
+             md5(array_to_string(list_slice(t, len(t) - {_BOUND_W} + 1,
+                                            len(t)), ' ')) AS suffix_md5
+      FROM frags
+    )
+    SELECT a.frag_id AS tail_frag, b.frag_id AS head_frag
+    FROM ends a JOIN ends b
+      ON a.suffix_md5 = b.prefix_md5 AND a.frag_id != b.frag_id
+    ORDER BY tail_frag, head_frag
+    """,
+    tags=("text", "dedup", "provenance"),
+)
+def t_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-boundary overlap detection: fragment pairs where one's
+    {_BOUND_W}-word SUFFIX equals another's PREFIX — the signature of
+    a long source document split across extraction shards with
+    overlapping windows (the seam double-counts, and reassembly order
+    is recoverable from the chain).  Jaccard dedup misses these (two
+    halves of a long doc share few shingles overall); the boundary
+    join finds exactly them.  The fixture corpus is built IN-QUERY by
+    splitting each source doc into two fragments sharing a
+    {_BOUND_W}-word seam, so every expected pair is a known positive
+    the oracle reconstructs independently.
+
+    Scale shape: two row-local md5s per fragment, one equi-join on
+    the fingerprint — exact-dedup cost; a df-cap on hot fingerprints
+    (boilerplate openings) is the skew rail.
+    """
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    toks = (
+        docs.where(F.col("doc_id") < 20)
+        .select("doc_id", t.alias("t"))
+        .where(F.size("t") >= _BOUND_W * 2 + 10)
+    )
+    frag_a = toks.select(
+        (F.col("doc_id") * 2).alias("frag_id"),
+        F.expr(f"slice(t, 1, size(t) div 2 + {_BOUND_W})").alias("t"),
+    )
+    frag_b = toks.select(
+        (F.col("doc_id") * 2 + 1).alias("frag_id"),
+        F.expr("slice(t, size(t) div 2 + 1, size(t))").alias("t"),
+    )
+    frags = frag_a.unionByName(frag_b)
+    ends = frags.select(
+        "frag_id",
+        F.md5(F.expr(f"array_join(slice(t, 1, {_BOUND_W}), ' ')")).alias(
+            "prefix_md5"
+        ),
+        F.md5(
+            F.expr(
+                f"array_join(slice(t, size(t) - {_BOUND_W} + 1,"
+                f" {_BOUND_W}), ' ')"
+            )
+        ).alias("suffix_md5"),
+    )
+    a = ends.select(F.col("frag_id").alias("tail_frag"), "suffix_md5")
+    b = ends.select(F.col("frag_id").alias("head_frag"), "prefix_md5")
+    return (
+        a.join(b, a["suffix_md5"] == b["prefix_md5"])
+        .where(F.col("tail_frag") != F.col("head_frag"))
+        .select("tail_frag", "head_frag")
+        .orderBy("tail_frag", "head_frag")
+    )
