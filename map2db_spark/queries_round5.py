@@ -5625,3 +5625,73 @@ def t_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tail_frag", "head_frag")
         .orderBy("tail_frag", "head_frag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compressibility quality filter (zlib-ratio heuristic, invariant-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_compressibility_filter",
+    oracle="""
+    SELECT doc_id,
+           CAST(TRUE AS BOOLEAN) AS ratio_in_range,
+           CAST(TRUE AS BOOLEAN) AS doubling_compresses_better
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+    tags=("text", "quality", "curation"),
+)
+def t_compressibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality filter: the zlib compression ratio of a
+    document is the classic cheap proxy for templated/repetitive text
+    (highly compressible -> boilerplate; near-incompressible ->
+    binary junk or high-entropy noise — both pruned in published web
+    pipelines).  zlib runs inside an Arrow kernel (stdlib, level 6,
+    deterministic bytes for a given input), so the ratio itself is
+    engine-specific and NOT SQL-expressible; the hard signal instead
+    checks two per-document invariants the true ratio must satisfy —
+    0 < ratio < 2, and doubling the text strictly improves the
+    per-byte ratio (self-repetition must compress better, the very
+    property the filter exploits) — the bounded-error-boolean pattern
+    the approximate sketches use.  A false row means the kernel or
+    the heuristic broke.
+
+    Scale shape: one mapInPandas pass, two zlib calls per document —
+    CPU-bounded map work, no shuffle before the ordered release.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                c1 = len(zlib.compress(raw, 6))
+                c2 = len(zlib.compress(raw + raw, 6))
+                ratio_micro = c1 * 1_000_000 // len(raw)
+                out.append(
+                    (
+                        int(did),
+                        0 < ratio_micro < 2_000_000,
+                        c2 * len(raw) < c1 * len(raw + raw),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "ratio_in_range",
+                         "doubling_compresses_better"],
+            )
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            kernel,
+            schema="doc_id LONG, ratio_in_range BOOLEAN,"
+            " doubling_compresses_better BOOLEAN",
+        )
+        .orderBy("doc_id")
+    )
