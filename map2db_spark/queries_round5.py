@@ -5695,3 +5695,108 @@ def t_compressibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph robustness: largest component before/after hub removal
+# ---------------------------------------------------------------------------
+
+_ROB_HUBS = 5
+
+
+@query(
+    "g_robustness_hub_removal",
+    oracle=f"""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY u),
+    hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_ROB_HUBS}),
+    sym0 AS (SELECT u AS a, v AS b FROM adj),
+    reach0(node, lbl) AS (
+      SELECT DISTINCT a, a FROM sym0
+      UNION
+      SELECT s.b, r.lbl FROM reach0 r JOIN sym0 s ON s.a = r.node
+    ),
+    comp0 AS (SELECT node, min(lbl) AS c FROM reach0 GROUP BY node),
+    sym1 AS (
+      SELECT a, b FROM sym0
+      WHERE a NOT IN (SELECT node FROM hubs)
+        AND b NOT IN (SELECT node FROM hubs)
+    ),
+    reach1(node, lbl) AS (
+      SELECT DISTINCT a, a FROM sym1
+      UNION
+      SELECT s.b, r.lbl FROM reach1 r JOIN sym1 s ON s.a = r.node
+    ),
+    comp1 AS (SELECT node, min(lbl) AS c FROM reach1 GROUP BY node)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM comp0) AS n_nodes_before,
+           (SELECT CAST(max(sz) AS BIGINT) FROM
+              (SELECT count(*) AS sz FROM comp0 GROUP BY c) z) AS lcc_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp1) AS n_nodes_after,
+           (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) FROM
+              (SELECT count(*) AS sz FROM comp1 GROUP BY c) z) AS lcc_after
+    """,
+    tags=("graph", "robustness", "analytics"),
+)
+def g_robustness_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph robustness under targeted attack: the largest connected
+    component before and after removing the {_ROB_HUBS} highest-degree
+    hubs — the percolation readout that quantifies how much a
+    network's connectivity hangs on its hubs (scale-free graphs
+    shatter under targeted removal while staying robust to random
+    failure; the answer decides replication and rate-limit placement
+    for the hot keys the skew profiler found).  Deterministic hub
+    pick (degree, node); exact component sizes both rounds via the
+    large-star/small-star dataflow.
+
+    Scale shape: two runs of the O(log n)-round components algorithm
+    (the second on the hub-filtered edge list — two broadcast
+    anti-joins); hub removal at 100 TB is a {_ROB_HUBS}-row broadcast.
+    """
+    from map2db_spark.operators.components import connected_components
+
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # both component rounds + degree pass
+    )
+    adj = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hubs = (
+        deg.orderBy(F.desc("d"), "u").limit(_ROB_HUBS)
+        .select(F.col("u").alias("hub"))
+    )
+
+    comp0 = connected_components(e, src="u", dst="v")
+    s0 = comp0.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).agg(
+        F.sum("sz").cast("long").alias("n_nodes_before"),
+        F.max("sz").cast("long").alias("lcc_before"),
+    )
+    e1 = (
+        e.join(hubs.hint("broadcast"), e["u"] == hubs["hub"], "left_anti")
+        .join(hubs.hint("broadcast"), F.col("v") == hubs["hub"], "left_anti")
+    )
+    comp1 = connected_components(e1, src="u", dst="v")
+    s1 = comp1.groupBy("comp").agg(F.count(F.lit(1)).alias("sz")).agg(
+        F.sum("sz").cast("long").alias("n_nodes_after"),
+        F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("lcc_after"),
+    )
+    return s0.crossJoin(F.broadcast(s1))
