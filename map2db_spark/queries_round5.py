@@ -5800,3 +5800,176 @@ def g_robustness_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("lcc_after"),
     )
     return s0.crossJoin(F.broadcast(s1))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS di,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT (b.cents - a.cents) * 1000000 // (b.di - a.di) AS s_micro
+      FROM daily a JOIN daily b ON b.di > a.di
+    ),
+    r AS (
+      SELECT s_micro,
+             row_number() OVER (ORDER BY s_micro) AS rn,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(sum(s_micro * (
+               (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+             + (CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END))) AS BIGINT)
+             AS med2_slope_micro
+    FROM r
+    """,
+    tags=("analytics", "timeseries", "robust"),
+)
+def x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the daily revenue series: the MEDIAN of all
+    pairwise slopes — the robust trend ESTIMATOR that pairs with
+    Mann-Kendall's trend TEST (same pairwise structure; 29%
+    breakdown point, so outlier days cannot steer the slope the way
+    they steer OLS / x_group_linreg).  Each pairwise slope is an
+    exact truncating micro integer (cents-per-day over integer day
+    gaps — identical in both engines), and the median is the doubled
+    order statistic, so the estimate is bit-deterministic.
+
+    Scale shape: corpus -> O(days) series; the O(days^2) slope pairs
+    and their rank window run at series scale (a broadcast
+    self-join).  For very long series the estimator is computed on a
+    deterministic pair sample with the same dataflow.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("di"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    slopes = (
+        daily.alias("a")
+        .join(F.broadcast(daily.alias("b")), F.col("b.di") > F.col("a.di"))
+        .select(
+            F.expr(
+                "CAST((b.cents - a.cents) * 1000000 DIV (b.di - a.di)"
+                " AS BIGINT)"
+            ).alias("s_micro")
+        )
+    )
+    r = slopes.select(
+        "s_micro",
+        F.row_number().over(W.orderBy("s_micro")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pick = (
+        F.when(F.col("rn") == F.expr("(n + 1) div 2"), 1).otherwise(0)
+        + F.when(F.col("rn") == F.expr("n div 2 + 1"), 1).otherwise(0)
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.sum(F.col("s_micro") * pick).cast("long").alias("med2_slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy (corpus predictability / entropy rate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_conditional_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks
+      CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big
+           GROUP BY 1, 2),
+    u AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cx FROM bg GROUP BY w1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS big_n FROM bg)
+    SELECT n.big_n AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(CAST(round(1000000
+               * (CAST(bg.c AS DOUBLE) / n.big_n)
+               * ln(CAST(u.cx AS DOUBLE) / bg.c)) AS BIGINT)) AS BIGINT)
+             AS h_cond_micro
+    FROM bg JOIN u USING (w1) CROSS JOIN n
+    GROUP BY n.big_n
+    """,
+    tags=("text", "language-model", "analytics"),
+)
+def t_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(next | current) — the first-order
+    entropy rate of the corpus, the information-theoretic twin of the
+    compressibility filter (low H = templated/predictable text, high
+    H = word salad; natural language sits in a band, and a corpus
+    drifting out of it changed character).  Each term c(xy)/N *
+    ln(c(x)/c(xy)) is micro-rounded individually (single ln on an
+    identical integer quotient), so the sum is an exact
+    order-independent integer.
+
+    Scale shape: bigram and unigram counts collapse Zipf-hard under
+    map-side combine; the unigram marginals join back on w1 — the
+    same key as the bigram count shuffle (co-partitioned); one
+    O(cells) aggregate releases the statistic.
+    """
+    docs = Tables(spark, sf_dir).documents
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    big = (
+        docs.repartition(32)
+        .select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    u = bg.groupBy("w1").agg(F.sum("c").cast("long").alias("cx"))
+    n = bg.agg(F.sum("c").cast("long").alias("big_n"))
+    term = F.round(
+        1000000
+        * (F.col("c").cast("double") / F.col("big_n"))
+        * F.log(F.col("cx").cast("double") / F.col("c"))
+    ).cast("long")
+    return (
+        bg.join(u, "w1")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("big_n").alias("n_bigrams"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            F.sum(term).cast("long").alias("h_cond_micro"),
+        )
+    )

@@ -166,6 +166,7 @@ _ROUND5_NEW = frozenset({
     "x_qq_deciles", "v_ann_ndcg", "d_minhash_estimate_error",
     "x_gains_deciles", "c_soft_dedup_weights", "t_boundary_overlap",
     "t_compressibility_filter", "g_robustness_hub_removal",
+    "x_theil_sen", "t_conditional_entropy",
 })
 
 
