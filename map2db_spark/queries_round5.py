@@ -5973,3 +5973,187 @@ def t_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("long").alias("h_cond_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snake-balanced shard assignment (token-even data layout)
+# ---------------------------------------------------------------------------
+
+_SNAKE_SHARDS = 8
+
+
+@query(
+    "c_shard_snake_balance",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS toks,
+             row_number() OVER (ORDER BY
+               len(regexp_split_to_array(trim(text), '\\s+')) DESC, doc_id)
+               AS rk
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, toks,
+             CASE WHEN ((rk - 1) // {_SNAKE_SHARDS}) % 2 = 0
+                  THEN (rk - 1) % {_SNAKE_SHARDS}
+                  ELSE {_SNAKE_SHARDS - 1} - (rk - 1) % {_SNAKE_SHARDS} END
+               AS shard
+      FROM sized
+    ),
+    pershard AS (
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS shard_toks
+      FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, shard_toks,
+           CAST((shard_toks * {_SNAKE_SHARDS} - (SELECT sum(shard_toks)
+                 FROM pershard)) * 1000000
+                // (SELECT sum(shard_toks) FROM pershard) AS BIGINT)
+             AS imbalance_ppm
+    FROM pershard ORDER BY shard
+    """,
+    tags=("curation", "layout", "allocation"),
+)
+def c_shard_snake_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment by snake (boustrophedon)
+    ordering: documents sort by size descending and deal to
+    {_SNAKE_SHARDS} shards in alternating direction (1..k, k..1,
+    ...), so each round places one large-ish and one small-ish doc
+    per shard — the CLOSED-FORM load balancer (assignment is pure
+    arithmetic on the size rank, no sequential greedy state), within
+    a fraction of a percent of optimal for heavy-tailed sizes.  This
+    is the layout step that makes training shards finish together;
+    imbalance_ppm quantifies the residual skew.  All integers.
+
+    Scale shape: one size-rank window (two-pass range-partitioned at
+    corpus scale), then the shard id is a row-local expression —
+    the shuffle to the final layout IS the write.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = Tables(spark, sf_dir).documents
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    sized = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.row_number().over(W.orderBy(F.desc("toks"), "doc_id")).alias("rk"),
+    )
+    k = _SNAKE_SHARDS
+    shard = F.when(
+        ((F.col("rk") - 1) / k).cast("long") % 2 == 0, (F.col("rk") - 1) % k
+    ).otherwise(k - 1 - (F.col("rk") - 1) % k)
+    pershard = (
+        sized.select("toks", shard.cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("shard_toks"),
+        )
+    )
+    tot = pershard.agg(F.sum("shard_toks").cast("long").alias("big_t"))
+    return (
+        pershard.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_toks",
+            F.expr(
+                f"CAST((shard_toks * {k} - big_t) * 1000000 DIV big_t"
+                " AS BIGINT)"
+            ).alias("imbalance_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (index of dispersion across documents)
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 50
+
+
+@query(
+    "t_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+    m AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM per_doc GROUP BY token
+    )
+    SELECT token, df, s AS total_count,
+           CAST(round(1000000 * (
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd.n_docs)
+               / (nd.n_docs - 1)
+           ) / (CAST(s AS DOUBLE) / nd.n_docs)) AS BIGINT)
+             AS dispersion_micro
+    FROM m CROSS JOIN nd
+    WHERE df >= {_BURST_MIN_DF}
+    ORDER BY dispersion_micro DESC, token LIMIT 20
+    """,
+    tags=("text", "analytics", "ir"),
+)
+def t_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: the index of dispersion (variance-to-mean
+    ratio of per-document counts, zeros included) for each frequent
+    term — the classic IR statistic separating TOPICAL terms (bursty:
+    absent mostly, heavy where present, dispersion >> 1) from
+    function words (uniform, dispersion ~ 1, Poisson-like); it is the
+    principled replacement for hand-listed stopwords and a direct
+    input to RAKE/TF-IDF weighting.  Sufficient statistics (df, sum,
+    sum of squares over PRESENT docs — zeros enter through the N-doc
+    moments algebraically) are exact integers; the ratio is one
+    shared IEEE expression, micro-rounded.
+
+    Scale shape: one (token, doc) count with map-side combine, one
+    token-keyed moment aggregate, a broadcast O(1) doc total;
+    release is TakeOrderedAndProject.
+    """
+    docs = Tables(spark, sf_dir).documents
+    tok = docs.repartition(32).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    m = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    disp = F.round(
+        1000000
+        * (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n_docs")
+            )
+            / (F.col("n_docs") - 1)
+        )
+        / (F.col("s").cast("double") / F.col("n_docs"))
+    ).cast("long")
+    return (
+        m.where(F.col("df") >= _BURST_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .select("token", "df", F.col("s").alias("total_count"),
+                disp.alias("dispersion_micro"))
+        .orderBy(F.desc("dispersion_micro"), "token")
+        .limit(20)
+    )
