@@ -6157,3 +6157,72 @@ def t_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dispersion_micro"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (multi-objective dominance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sky AS (
+      SELECT rf, price, qty,
+             max(qty) OVER (PARTITION BY rf ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev
+      FROM pts
+    )
+    SELECT rf, price, qty
+    FROM sky WHERE best_prev IS NULL OR qty > best_prev
+    ORDER BY rf, price
+    """,
+    tags=("analytics", "skyline", "operator"),
+)
+def x_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: per return flag, the
+    (price, quantity) points not DOMINATED by any other (another
+    point with price <= and quantity >=, one strictly) — the
+    multi-objective shortlist operator (cheapest-for-the-quantity
+    offers; model points on a cost/quality frontier).  The naive form
+    is an all-pairs dominance join; the 2-D skyline reduces to ONE
+    cumulative window: collapse equal prices to their max quantity,
+    sort by price, keep points whose quantity strictly exceeds the
+    running max of everything cheaper.  Exact integer cents
+    throughout.
+
+    Scale shape: one map-side-combinable (group, price) aggregate,
+    one group-keyed cumulative window over distinct prices — the
+    collapse-then-compute shape again; higher dimensions use the
+    block-nested-loop skyline over this 2-D pre-filter.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = Tables(spark, sf_dir).lineitem
+    pts = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+    ).agg(
+        F.max(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("qty")
+    )
+    w = W.partitionBy("rf").orderBy("price").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sky = pts.select(
+        "rf", "price", "qty", F.max("qty").over(w).alias("best_prev")
+    )
+    return (
+        sky.where(F.col("best_prev").isNull() | (F.col("qty") > F.col("best_prev")))
+        .select("rf", "price", "qty")
+        .orderBy("rf", "price")
+    )

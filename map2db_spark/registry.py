@@ -167,7 +167,7 @@ _ROUND5_NEW = frozenset({
     "x_gains_deciles", "c_soft_dedup_weights", "t_boundary_overlap",
     "t_compressibility_filter", "g_robustness_hub_removal",
     "x_theil_sen", "t_conditional_entropy",
-    "c_shard_snake_balance", "t_term_burstiness",
+    "c_shard_snake_balance", "t_term_burstiness", "x_skyline_pareto",
 })
 
 
