@@ -6226,3 +6226,84 @@ def x_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rf", "price", "qty")
         .orderBy("rf", "price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold-response curve (similarity histogram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_threshold_sweep",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> array_to_string(list_slice(
+                      regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' '))))
+             AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT least(CAST(round(1000000.0 * i.shared
+                 / (na.n + nb.n - i.shared)) AS BIGINT) // 100000, 9)
+               AS bucket
+      FROM inter i JOIN sizes na ON na.sid = i.id_a
+                   JOIN sizes nb ON nb.sid = i.id_b
+    ),
+    hist AS (
+      SELECT CAST(bucket AS BIGINT) AS sim_decile,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM scored GROUP BY bucket
+    )
+    SELECT sim_decile, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY sim_decile DESC) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM hist ORDER BY sim_decile
+    """,
+    tags=("dedup", "tuning", "pipeline"),
+)
+def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-response curve: the histogram of pairwise
+    Jaccard similarities (decile buckets) with a reversed cumulative
+    count — n_pairs_at_or_above IS the number of pairs a dedup run at
+    each threshold would remove, computed from ONE exact pair table
+    instead of re-running dedup per candidate threshold.  This is how
+    the 0.8-vs-0.9 decision gets made with evidence: a cliff in the
+    curve marks the true-duplicate mode; a flat tail means the
+    threshold barely matters.
+
+    Scale shape: one inverted-index pair computation (df-capped at
+    corpus scale) feeding a 10-row histogram — the sweep costs one
+    dedup, not ten.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = Tables(spark, sf_dir).documents
+    from map2db_spark.functions import dedup as D
+
+    scored = D.jaccard_pairs(D.shingle_table(docs), threshold=0.0).select(
+        F.least(
+            F.expr(
+                "CAST(round(1000000 * jaccard) AS BIGINT) DIV 100000"
+            ),
+            F.lit(9),
+        ).alias("bucket")
+    )
+    hist = scored.groupBy(F.col("bucket").cast("long").alias("sim_decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return hist.select(
+        "sim_decile",
+        "n_pairs",
+        F.sum("n_pairs")
+        .over(W.orderBy(F.desc("sim_decile")).rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("n_pairs_at_or_above"),
+    ).orderBy("sim_decile")
