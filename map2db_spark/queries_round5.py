@@ -6307,3 +6307,149 @@ def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pairs_at_or_above"),
     ).orderBy("sim_decile")
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (query expansion)
+# ---------------------------------------------------------------------------
+
+
+def _rocchio_oracle() -> str:
+    from map2db_spark.queries_round5 import _mmr_cos  # self-import safe at call
+
+    return f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM iv WHERE vec_id = 1),
+    r1 AS (
+      SELECT vec_id, v,
+             row_number() OVER (ORDER BY
+               {_mmr_cos("qv", "v")} DESC, vec_id) AS rk
+      FROM iv CROSS JOIN q WHERE vec_id != 1
+    ),
+    fb AS (SELECT vec_id, v FROM r1 WHERE rk <= 3),
+    fbsum AS (
+      SELECT g.d, CAST(sum(v[g.d]) AS BIGINT) AS s
+      FROM fb CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, 64)) AS d) g
+      GROUP BY g.d
+    ),
+    qed AS (
+      SELECT g.d, 3 * q.qv[g.d] + fbsum.s AS comp
+      FROM q CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, 64)) AS d) g
+      JOIN fbsum ON fbsum.d = g.d
+    ),
+    qe AS (SELECT list(comp ORDER BY d) AS ev FROM qed),
+    r2 AS (
+      SELECT i.vec_id,
+             row_number() OVER (ORDER BY
+               {_mmr_cos("qe.ev", "i.v")} DESC, i.vec_id) AS rk2
+      FROM iv i CROSS JOIN qe WHERE i.vec_id != 1
+    )
+    SELECT a.rk AS orig_rank, a.vec_id AS orig_id,
+           b.rk2 AS exp_rank, b.vec_id AS exp_id
+    FROM (SELECT vec_id, rk FROM r1 WHERE rk <= 5) a
+    JOIN (SELECT vec_id, rk2 FROM r2 WHERE rk2 <= 5) b
+      ON b.rk2 = a.rk
+    ORDER BY orig_rank
+    """
+
+
+@query(
+    "v_rocchio_expansion",
+    oracle=_rocchio_oracle(),
+    tags=("ann", "retrieval", "feedback"),
+)
+def v_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: retrieve top-3 for the
+    query, move the query toward their centroid (q' = 3q + sum of
+    feedback vectors — the alpha/beta weights folded into exact
+    integer scales), and re-retrieve — the classic zero-supervision
+    recall booster (the expanded query pulls in neighbors-of-
+    neighbors the original embedding missed).  The output pairs the
+    original and expanded top-5 rank-by-rank so the reranking effect
+    is directly visible.  All vectors are milli-scaled integers; the
+    expansion is exact integer arithmetic; every ranking uses the
+    micro-rounded shared-IEEE cosine with vec_id tiebreaks, so both
+    retrievals are bit-deterministic.
+
+    Scale shape: two brute passes with the (1-row) query side
+    broadcast — at scale both swap to the LSH/IVF path unchanged;
+    the feedback centroid is an O(k * dim) aggregate.
+    """
+    from map2db_spark.functions.similarity import int_dot
+    from pyspark.sql.window import Window as W
+
+    emb = Tables(spark, sf_dir).embeddings
+    iv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint()  # both retrieval passes + feedback
+
+    def cos_micro(a, b):
+        return F.round(
+            1000000
+            * int_dot(a, b).cast("double")
+            / (
+                F.sqrt(int_dot(a, a).cast("double"))
+                * F.sqrt(int_dot(b, b).cast("double"))
+            )
+        ).cast("long")
+
+    q = iv.where(F.col("vec_id") == 1).select(F.col("v").alias("qv"))
+    r1 = (
+        iv.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.row_number()
+            .over(W.orderBy(F.desc(cos_micro(F.col("qv"), F.col("v"))), "vec_id"))
+            .alias("rk"),
+        )
+    ).localCheckpoint()
+    fb = r1.where(F.col("rk") <= 3)
+    fb_sum = fb.agg(
+        *[
+            F.sum(F.expr(f"element_at(v, {d})")).cast("long").alias(f"f{d}")
+            for d in range(1, 65)
+        ]
+    )
+    qe = (
+        q.crossJoin(F.broadcast(fb_sum))
+        .select(
+            F.expr(
+                "transform(sequence(1, 64), d -> 3 * element_at(qv, d) + "
+                + "element_at(array("
+                + ", ".join(f"f{d}" for d in range(1, 65))
+                + "), d))"
+            ).alias("ev")
+        )
+    )
+    r2 = (
+        iv.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.desc(cos_micro(F.col("ev"), F.col("v"))), "vec_id"))
+            .alias("rk2"),
+        )
+    )
+    a = r1.where(F.col("rk") <= 5).select(
+        F.col("rk").alias("orig_rank"), F.col("vec_id").alias("orig_id")
+    )
+    b = r2.where(F.col("rk2") <= 5).select(
+        F.col("rk2").alias("exp_rank"), F.col("vec_id").alias("exp_id")
+    )
+    return a.join(b, a["orig_rank"] == b["exp_rank"]).select(
+        "orig_rank", "orig_id", "exp_rank", "exp_id"
+    ).orderBy("orig_rank")

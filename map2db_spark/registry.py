@@ -168,7 +168,7 @@ _ROUND5_NEW = frozenset({
     "t_compressibility_filter", "g_robustness_hub_removal",
     "x_theil_sen", "t_conditional_entropy",
     "c_shard_snake_balance", "t_term_burstiness", "x_skyline_pareto",
-    "d_threshold_sweep",
+    "d_threshold_sweep", "v_rocchio_expansion",
 })
 
 
