@@ -424,7 +424,15 @@ def c_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     result against the O(1)-per-row split column.  At 100 TB the
     added cost over plain near-dup detection is a map-side split
     assignment — leakage detection is free if you are deduping
-    anyway."""
+    anyway.
+
+    Skew rail: edges are BUILT FROM THE LSH-CANDIDATE PATH (the
+    "build edges from candidates" alternative to df_cap) — the
+    verification self-join runs over shingles of candidate docs only,
+    every pair is semi-filtered against the bucket-capped candidate
+    set before aggregation, and bucket_cap=50 bounds each band
+    bucket, so no uncapped corpus-wide shingle self-join exists in
+    this plan (asserted in test_plans.py)."""
     from map2db_spark.functions import dedup as D
 
     docs = Tables(spark, sf_dir).documents

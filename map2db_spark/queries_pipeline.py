@@ -853,10 +853,16 @@ def m_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 200
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_JACCARD_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     edges AS (
@@ -890,11 +896,17 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible at oracle scale, while the Spark loop is the shape that
     survives 100 TB (constant shuffles per round, O(log n) rounds
     even on long chains, checkpointed lineage, exact fixpoint).
+
+    Edge building is df-capped (the d_ngram_jaccard skew rail): a
+    shingle shared by d docs costs d^2 join rows, so hot shingles are
+    dropped before the self-join on both engines.
     """
     from map2db_spark.operators.components import duplicate_clusters
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
-    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select("id_a", "id_b")
+    edges = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.02, df_cap=_JACCARD_DF_CAP
+    ).select("id_a", "id_b")
     return duplicate_clusters(edges, src="id_a", dst="id_b")
 
 
@@ -909,10 +921,16 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 200
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_JACCARD_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     edges AS (
@@ -953,15 +971,18 @@ def d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one selection.
 
     Scale shape: the feature projection is one pass (pure column
-    expressions, whole-stage codegen); dedup adds the LSH/shingle
-    shuffle + O(log n) component rounds; the final anti-join ships only
-    the drop-list (duplicate members), which is tiny relative to the
-    corpus.
+    expressions, whole-stage codegen); dedup adds the df-capped
+    shingle self-join (hot shingles dropped before the join on both
+    engines) + O(log n) component rounds; the final anti-join ships
+    only the drop-list (duplicate members), which is tiny relative to
+    the corpus.
     """
     from map2db_spark.operators.components import connected_components
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
-    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select("id_a", "id_b")
+    edges = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.02, df_cap=_JACCARD_DF_CAP
+    ).select("id_a", "id_b")
     comps = connected_components(edges, src="id_a", dst="id_b")
     drops = comps.where(F.col("node") != F.col("comp")).select("node")
     feat = docs.select(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from map2db_spark.queries_pipeline import _JACCARD_DF_CAP as _DF_CAP
 from map2db_spark.registry import query
 from map2db_spark.tables import Tables
 
@@ -1161,10 +1162,16 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 200
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     edges AS (
@@ -1201,8 +1208,8 @@ def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), so keep/drop decisions are bit-deterministic — the property
     that makes a 100 TB dedup re-run reproduce the same corpus.
 
-    Scale shape: rides the d_dup_clusters dataflow (banded-LSH
-    candidate edges + large-star/small-star components), then ONE
+    Scale shape: rides the d_dup_clusters dataflow (df-capped shingle
+    self-join edges + large-star/small-star components), then ONE
     cluster-keyed aggregate over the component assignment joined with
     the doc-metadata columns it needs (n_chars only — column pruning
     keeps the join narrow).
@@ -1211,9 +1218,9 @@ def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.operators.components import connected_components
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
-    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select(
-        "id_a", "id_b"
-    )
+    edges = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.02, df_cap=_DF_CAP
+    ).select("id_a", "id_b")
     comps = connected_components(edges, src="id_a", dst="id_b")
     key = F.col("n_chars") * 1000000 - F.col("node")
     return (
@@ -1925,11 +1932,15 @@ def d_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of v_ann_recall_eval for the token-similarity side.
     Counts and the ppm recall are exact integers.
 
-    Scale shape: ground truth uses the inverted-index exact join
-    (bounded here; df-capped at corpus scale); the LSH side is the
-    production candidate dataflow; the comparison is a co-partitioned
-    pair join.  At 100 TB one runs this on a SAMPLE — the dataflow is
-    identical.
+    Scale shape: ground truth uses the INTENTIONALLY-UNCAPPED exact
+    inverted-index join — a df cap would make the "ground truth"
+    itself lossy, corrupting the very recall number this query
+    measures, so this is the one registered jaccard_pairs call that
+    deliberately skips the skew rail.  At 100 TB one runs this
+    evaluation on a bounded SAMPLE of the corpus (the dataflow is
+    identical), never on the full corpus; the LSH side is the
+    production candidate dataflow and the comparison is a
+    co-partitioned pair join.
     """
     from map2db_spark.functions import dedup as D
 
@@ -4614,7 +4625,7 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c_cluster_aware_split",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     sh AS (
       SELECT doc_id AS sid, unnest(list_distinct(list_transform(
@@ -4624,10 +4635,16 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 200
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     edges AS (
@@ -4671,18 +4688,19 @@ def c_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually; the decision is an md5 draw on the CLUSTER id —
     deterministic, and stable under re-clustering of unrelated docs.
 
-    Scale shape: rides the d_dup_clusters dataflow (LSH candidates +
-    large-star/small-star components), then the split is a broadcast
-    join of the O(clustered-docs) assignment onto the corpus and a
-    row-local md5 — the split itself adds no corpus shuffle.
+    Scale shape: rides the d_dup_clusters dataflow (df-capped shingle
+    self-join edges + large-star/small-star components), then the
+    split is a broadcast join of the O(clustered-docs) assignment onto
+    the corpus and a row-local md5 — the split itself adds no corpus
+    shuffle.
     """
     from map2db_spark.functions import dedup as D
     from map2db_spark.operators.components import connected_components
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
-    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select(
-        "id_a", "id_b"
-    )
+    edges = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.02, df_cap=_DF_CAP
+    ).select("id_a", "id_b")
     comps = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
@@ -4978,7 +4996,7 @@ def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d_cross_source_matrix",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id AS sid, unnest(list_distinct(list_transform(
                generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
@@ -4987,10 +5005,16 @@ def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 300
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -5022,17 +5046,18 @@ def d_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-normalized (least/greatest) so the matrix is triangular and
     counts are exact.
 
-    Scale shape: rides the exact-Jaccard pair dataflow (df-capped
-    inverted index at corpus scale); the source labeling is two
-    narrow joins on the pair endpoints (doc_id -> source only —
-    column pruning keeps the metadata side thin).
+    Scale shape: rides the exact-Jaccard pair dataflow with the
+    df-capped inverted index (hot shingles dropped pre-join on both
+    engines); the source labeling is two narrow joins on the pair
+    endpoints (doc_id -> source only — column pruning keeps the
+    metadata side thin).
     """
     from map2db_spark.functions import dedup as D
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 300)
-    pairs = D.jaccard_pairs(D.shingle_table(docs), threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    pairs = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.5, df_cap=_DF_CAP
+    ).select("id_a", "id_b")
     meta = docs.select("doc_id", "source")
     lab = (
         pairs.join(
@@ -5437,7 +5462,7 @@ def x_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c_soft_dedup_weights",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     sh AS (
       SELECT doc_id AS sid, unnest(list_distinct(list_transform(
@@ -5447,10 +5472,16 @@ def x_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents WHERE doc_id < 200
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     edges AS (
@@ -5495,18 +5526,19 @@ def c_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     report shows, per cluster size, how many raw documents collapse
     to how much effective mass.
 
-    Scale shape: rides the components dataflow; the cluster-size
-    table is O(clusters) and broadcast back; the weight itself is a
-    row-local expression the sampler (c_weighted_sample) consumes
-    directly.
+    Scale shape: rides the components dataflow over df-capped
+    Jaccard edges (hot shingles dropped pre-join on both engines);
+    the cluster-size table is O(clusters) and broadcast back; the
+    weight itself is a row-local expression the sampler
+    (c_weighted_sample) consumes directly.
     """
     from map2db_spark.functions import dedup as D
     from map2db_spark.operators.components import connected_components
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
-    edges = D.jaccard_pairs(D.shingle_table(docs), threshold=0.02).select(
-        "id_a", "id_b"
-    )
+    edges = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.02, df_cap=_DF_CAP
+    ).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
@@ -6233,9 +6265,15 @@ def x_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Sweep-specific df cap: larger than the dedup queries' _DF_CAP because
+# the histogram needs the mid-similarity pairs the tight cap drops —
+# still a hard bound on self-join fan-out (<= cap^2 rows per shingle).
+_SWEEP_DF_CAP = 16
+
+
 @query(
     "d_threshold_sweep",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id AS sid, unnest(list_distinct(list_transform(
                generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
@@ -6244,10 +6282,16 @@ def x_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS shingle
       FROM documents
     ),
-    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM sh GROUP BY sid),
+    shc AS (
+      SELECT sh.* FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT sid) <= {_SWEEP_DF_CAP}
+      ) rare USING (shingle)
+    ),
+    sizes AS (SELECT sid, count(DISTINCT shingle) AS n FROM shc GROUP BY sid),
     inter AS (
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
     ),
     scored AS (
@@ -6279,16 +6323,20 @@ def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve marks the true-duplicate mode; a flat tail means the
     threshold barely matters.
 
-    Scale shape: one inverted-index pair computation (df-capped at
-    corpus scale) feeding a 10-row histogram — the sweep costs one
-    dedup, not ten.
+    Scale shape: one df-capped inverted-index pair computation (hot
+    shingles dropped before the self-join, here AND in the oracle)
+    feeding a 10-row histogram — the sweep costs one dedup, not ten.
+    The curve is therefore Jaccard-over-informative-shingles, the
+    same similarity every registered dedup query thresholds on.
     """
     from pyspark.sql.window import Window as W
 
     docs = Tables(spark, sf_dir).documents
     from map2db_spark.functions import dedup as D
 
-    scored = D.jaccard_pairs(D.shingle_table(docs), threshold=0.0).select(
+    scored = D.jaccard_pairs(
+        D.shingle_table(docs), threshold=0.0, df_cap=_SWEEP_DF_CAP
+    ).select(
         F.least(
             F.expr(
                 "CAST(round(1000000 * jaccard) AS BIGINT) DIV 100000"

@@ -10,6 +10,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from map2db_spark.registry import QUERIES, _ensure_loaded
 from tests.conftest import SF_CORRECT
 
@@ -175,6 +177,75 @@ def test_ngram_jaccard_df_cap_bounds_self_join(spark):
     assert "LeftSemi" in plan, plan
     # the df aggregate (count distinct sid per shingle) feeds the cap
     assert plan.count("hashpartitioning(shingle") >= 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # exact-Jaccard sites whose edge plan is visible in the final
+        # explain (no checkpoint between the self-join and the result):
+        # the df-cap semi-join must sit ahead of the shingle join.
+        "d_cross_source_matrix",
+        "d_threshold_sweep",
+    ],
+)
+def test_exact_jaccard_sites_are_df_capped(spark, name):
+    """Visible-plan variant of the skew rail: LeftSemi against the
+    rare-shingle set, partitioned on shingle — the same key as the
+    join that follows, so the rail adds no extra shuffle pattern."""
+    plan = plan_of(spark, name)
+    assert "LeftSemi" in plan, f"{name}: no df-cap semi-join\n{plan}"
+    assert plan.count("hashpartitioning(shingle") >= 1, name
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+class _SpyAbort(Exception):
+    """Raised by the jaccard_pairs spy to stop query construction the
+    moment the call under test has been captured."""
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # EVERY registered query that calls jaccard_pairs (r2 verdict
+        # item 1).  The components-based ones checkpoint their edges,
+        # hiding the semi-join from the final explain — so this test
+        # pins the CALL itself: each site must pass df_cap (the
+        # rare-shingle rail) or candidates (the bucket-capped LSH
+        # path).  d_minhash_recall_eval is deliberately absent: its
+        # exact pair table IS the ground truth being measured (see its
+        # docstring) and is sample-bounded at scale.
+        "d_ngram_jaccard",
+        "d_dup_clusters",
+        "d_curation_pipeline",
+        "d_cluster_canonical",
+        "c_cluster_aware_split",
+        "d_cross_source_matrix",
+        "c_soft_dedup_weights",
+        "d_threshold_sweep",
+        "c_cross_split_leakage",
+        "d_minhash_lsh",
+    ],
+)
+def test_registered_jaccard_calls_are_skew_railed(spark, name, monkeypatch):
+    import map2db_spark.functions.dedup as dd
+
+    seen: dict = {}
+
+    def spy(shingles, threshold=0.5, candidates=None,
+            docs_prefiltered=False, df_cap=None):
+        seen["df_cap"] = df_cap
+        seen["candidates"] = candidates
+        raise _SpyAbort
+
+    monkeypatch.setattr(dd, "jaccard_pairs", spy)
+    with pytest.raises(_SpyAbort):
+        QUERIES[name].fn(spark, SF_CORRECT)
+    assert seen["df_cap"] is not None or seen["candidates"] is not None, (
+        f"{name}: jaccard_pairs called with neither df_cap nor candidates "
+        "— unbounded shingle self-join (hot-shingle d^2 blow-up at scale)"
+    )
 
 
 def test_q4_exists_is_semi_join_with_pushed_dates(spark):
