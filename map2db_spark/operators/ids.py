@@ -33,8 +33,29 @@ def assign_sequential_ids(
     order_cols: list of Column or column-name strings (may include
     F.desc(...) expressions).
     """
+    return ranked(df, order_cols, rank_col=id_col, num_partitions=num_partitions)[0]
+
+
+def ranked(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank0",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Two-pass range-partitioned global rank: ``(df + 0-based rank
+    following order_cols, total row count)``.
+
+    The scale-safe replacement for ``row_number() OVER (ORDER BY ...)``
+    with no PARTITION BY: a global window funnels every row through ONE
+    task, while this ships only O(partitions) counts through the driver
+    and keeps the data range-partitioned.  When order_cols is a total
+    order (always pass a unique tiebreak), the rank equals
+    ``row_number() - 1`` and is deterministic.  The total count comes
+    free from the prefix-sum pass — ``with_ntile`` / ``with_percent_rank``
+    turn it into the classic global analytics without a window."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    id_col = rank_col
 
     pid_col = "__pid"
     # persist so the count pass and the id pass see identical partition
@@ -68,4 +89,57 @@ def assign_sequential_ids(
             local += len(pdf)
             yield pdf
 
-    return with_pid.mapInPandas(add_ids, schema=out_schema).drop(pid_col)
+    return with_pid.mapInPandas(add_ids, schema=out_schema).drop(pid_col), acc
+
+
+def _ntile_bounds(n: int, k: int) -> tuple[int, int, int]:
+    """(q, r, cut): ntile(k) over n rows gives the first r buckets
+    q+1 rows and the rest q; cut = r*(q+1) is the 0-based rank where
+    the small buckets start."""
+    q, r = divmod(n, k)
+    return q, r, r * (q + 1)
+
+
+def with_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order_cols)`` without the
+    single-partition window: two-pass global rank, then the bucket is
+    pure integer arithmetic on (rank, total) — first n%k buckets get
+    ceil(n/k) rows, the rest floor(n/k), exactly the SQL ntile
+    contract (verified against the DuckDB oracle).  order_cols must be
+    a total order for a deterministic assignment.  Output type is INT
+    to stay drop-in for ``F.ntile``."""
+    out, n = ranked(df, order_cols, rank_col="__rank0",
+                    num_partitions=num_partitions)
+    q, r, cut = _ntile_bounds(n, k)
+    i = F.col("__rank0")
+    small = F.expr(f"__rank0 DIV {q + 1} + 1")
+    big = F.expr(f"{r} + 1 + (__rank0 - {cut}) DIV {max(q, 1)}")
+    return out.withColumn(
+        bucket_col, F.when(i < cut, small).otherwise(big).cast("int")
+    ).drop("__rank0")
+
+
+def with_percent_rank(
+    df: DataFrame,
+    order_cols: list,
+    pr_col: str = "pr",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``percent_rank() OVER (ORDER BY order_cols)`` without the
+    single-partition window, for a TOTAL order (unique tiebreak):
+    rank0 / (n-1) as one IEEE double division — bit-identical to the
+    window function on both engines."""
+    out, n = ranked(df, order_cols, rank_col="__rank0",
+                    num_partitions=num_partitions)
+    pr = (
+        (F.col("__rank0") / F.lit(n - 1)).cast("double")
+        if n > 1
+        else F.lit(0.0)
+    )
+    return out.withColumn(pr_col, pr).drop("__rank0")

@@ -723,16 +723,23 @@ def w_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile bucketing (equal-count quantile assignment with a
-    deterministic tiebreak)."""
+    deterministic tiebreak).
+
+    Scale shape: NOT the ntile window (a global ORDER BY window is one
+    task for the whole table) — the two-pass range-partitioned rank
+    (operators/ids.py) plus driver-side bucket arithmetic, value-
+    identical to the oracle's ntile."""
+    from map2db_spark.operators.ids import with_ntile
+
     o = Tables(spark, sf_dir).orders
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
-        )
+    b = with_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
     )
 
 
@@ -755,12 +762,20 @@ def w_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_percent_rank_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-decile selection via percent_rank (quantile-based filtering
     with exact window semantics; the unique-key tiebreak makes the
-    decile boundary deterministic)."""
+    decile boundary deterministic).
+
+    Scale shape: two-pass range-partitioned rank (operators/ids.py)
+    + rank0/(n-1) — the same IEEE double the percent_rank window
+    computes, with no single-task global sort."""
+    from map2db_spark.operators.ids import with_percent_rank
+
     o = Tables(spark, sf_dir).orders
-    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    ranked = with_percent_rank(
+        o.select("o_totalprice", "o_orderkey", "o_orderpriority"),
+        [F.desc("o_totalprice"), "o_orderkey"],
+    )
     return (
-        o.withColumn("pr", F.percent_rank().over(w))
-        .where(F.col("pr") <= 0.1)
+        ranked.where(F.col("pr") <= 0.1)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_top_decile"),

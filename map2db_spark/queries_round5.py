@@ -4158,28 +4158,39 @@ def c_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-shuffle, lexicographic interleave), so the curriculum is
     bit-reproducible — resuming a run reproduces the same stream.
 
-    Scale shape: two windows — the difficulty ntile over the score
-    order and the per-bucket shuffle rank — then the interleave is a
-    SORT KEY, not a shuffle of its own; at corpus scale both windows
-    swap to the two-pass range-partitioned rank (operators/ids.py).
+    Scale shape: NO corpus-wide window — the difficulty ntile AND the
+    per-bucket shuffle rank both ride the two-pass range-partitioned
+    rank (operators/ids.py): one global rank over (difficulty,
+    md5-shuffle-key) is contiguous per bucket, so pos_in_bucket is
+    rank minus the bucket's start offset, and the exactly-known ntile
+    bucket sizes make that offset driver-side arithmetic.  The final
+    seq window runs over the 30 interleave survivors of a
+    TakeOrderedAndProject — bounded, never corpus-sized.
     """
     from pyspark.sql.window import Window as W
 
-    docs = Tables(spark, sf_dir).documents
-    diff = F.ntile(5).over(W.orderBy("n_chars", "doc_id")).cast("long")
-    scored = docs.select("doc_id", diff.alias("difficulty")).select(
+    from map2db_spark.operators.ids import _ntile_bounds, ranked, with_ntile
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+    b = with_ntile(docs, ["n_chars", "doc_id"], 5, "difficulty").select(
+        "doc_id",
+        F.col("difficulty").cast("long").alias("difficulty"),
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
+            "__shuf"
+        ),
+    )
+    out, n = ranked(b, ["difficulty", "__shuf"], rank_col="__g")
+    q, r, cut = _ntile_bounds(n, 5)
+    d0 = F.col("difficulty") - 1
+    start = F.when(d0 < r, d0 * (q + 1)).otherwise(cut + (d0 - r) * q)
+    scored = out.select(
         "doc_id",
         "difficulty",
-        F.row_number()
-        .over(
-            W.partitionBy("difficulty").orderBy(
-                F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
-            )
-        )
-        .alias("pos_in_bucket"),
+        (F.col("__g") - start + 1).alias("pos_in_bucket"),
     )
+    top = scored.orderBy("pos_in_bucket", "difficulty", "doc_id").limit(30)
     return (
-        scored.select(
+        top.select(
             F.row_number()
             .over(W.orderBy("pos_in_bucket", "difficulty", "doc_id"))
             .alias("seq"),
@@ -4187,7 +4198,6 @@ def c_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "difficulty",
         )
         .orderBy("seq")
-        .limit(30)
     )
 
 
@@ -5410,10 +5420,15 @@ def x_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantities are exact integer counts and truncating ppm divisions;
     the decile assignment has a deterministic event_id tiebreak.
 
-    Scale shape: one global ntile window (range-partitioned two-pass
-    at corpus scale), one 10-row aggregate, O(1) broadcast totals.
+    Scale shape: the decile assignment is the two-pass range-
+    partitioned rank + driver-side bucket arithmetic (operators/
+    ids.py with_ntile) — no single-task global window; then one
+    10-row aggregate and O(1) broadcast totals (the cumulative
+    window runs over the collapsed 10-row series only).
     """
     from pyspark.sql.window import Window as W
+
+    from map2db_spark.operators.ids import with_ntile
 
     ev = Tables(spark, sf_dir).events
     base = ev.select(
@@ -5421,10 +5436,9 @@ def x_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
         "event_id",
     )
-    r = base.select(
-        "pos",
-        F.ntile(10).over(W.orderBy(F.desc("cents"), "event_id")).alias("dec"),
-    )
+    r = with_ntile(
+        base, [F.desc("cents"), "event_id"], 10, bucket_col="dec"
+    ).select("pos", "dec")
     d = r.groupBy(F.col("dec").cast("long").alias("dec")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),

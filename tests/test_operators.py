@@ -20,6 +20,53 @@ def test_assign_sequential_ids_global_order(spark):
     assert [r["seq"] for r in rows] == list(range(1000))
 
 
+def test_with_ntile_matches_window_function(spark):
+    """with_ntile's two-pass arithmetic must reproduce the window
+    ntile exactly — including the uneven-bucket boundary (first n%k
+    buckets one row larger) and the n<k degenerate case."""
+    from pyspark.sql.window import Window as W
+
+    from map2db_spark.operators.ids import with_ntile
+
+    for n, k in [(1000, 10), (997, 7), (5, 9), (64, 64)]:
+        df = spark.range(0, n).select(
+            F.col("id"), (F.col("id") * 37 % n).alias("key")
+        )
+        got = {
+            r["id"]: r["b"]
+            for r in with_ntile(df, ["key", "id"], k, bucket_col="b").collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id", F.ntile(k).over(W.orderBy("key", "id")).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_with_percent_rank_matches_window_function(spark):
+    from pyspark.sql.window import Window as W
+
+    from map2db_spark.operators.ids import with_percent_rank
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 13 % 500).alias("key")
+    )
+    got = {
+        r["id"]: r["pr"]
+        for r in with_percent_rank(df, [F.desc("key"), "id"]).collect()
+    }
+    want = {
+        r["id"]: r["pr"]
+        for r in df.select(
+            "id",
+            F.percent_rank().over(W.orderBy(F.desc("key"), "id")).alias("pr"),
+        ).collect()
+    }
+    assert got == want  # bit-identical doubles, no tolerance
+
+
 def test_linemerge_chain_and_branch():
     # A-B-C chain merges; D junction (degree 3) stays split
     chain = [[(0, 0), (1, 0)], [(1, 0), (2, 0)], [(2, 0), (3, 0)]]

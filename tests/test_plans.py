@@ -200,6 +200,37 @@ def test_exact_jaccard_sites_are_df_capped(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+@pytest.mark.parametrize(
+    "name,max_single_partition_exchanges",
+    [
+        # r2 verdict item 3: corpus-scale queries must not run a
+        # global ORDER BY window over the base table (one task for
+        # every row).  All four now ride the two-pass range-
+        # partitioned rank (operators/ids.py); the remaining
+        # SinglePartition exchanges sit on collapsed series only
+        # (10-row decile table / 30-row interleave head).
+        ("w_ntile_buckets", 0),
+        ("w_percent_rank_decile", 0),
+        ("c_curriculum_order", 1),
+        ("x_gains_deciles", 1),
+    ],
+)
+def test_no_global_window_over_base_table(
+    spark, name, max_single_partition_exchanges
+):
+    plan = plan_of(spark, name)
+    # the two-pass rank's range partitioning replaces the global sort
+    assert "rangepartitioning" in plan, f"{name}: two-pass rank missing\n{plan}"
+    # no window function over an unpartitioned corpus-sized exchange
+    assert (
+        plan.count("Exchange SinglePartition")
+        <= max_single_partition_exchanges
+    ), f"{name}: unexpected single-partition exchange\n{plan}"
+    # ntile itself must be arithmetic now, not a window function
+    if name != "w_percent_rank_decile":
+        assert "ntile" not in plan, name
+
+
 class _SpyAbort(Exception):
     """Raised by the jaccard_pairs spy to stop query construction the
     moment the call under test has been captured."""
