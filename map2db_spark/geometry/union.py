@@ -20,6 +20,14 @@ All predicates run on integer microdegree coordinates (exact), never
 on floats.  The operation is commutative and associative, so it is a
 safe distributed aggregate (any combine order gives the same result
 after normalization).
+
+Fragments with OVERLAPPING interiors — outside the tile-fragment
+contract but inside the reference's ``.union()`` semantics — are
+detected exactly and routed to the winding-number overlay
+(geometry/overlay.py), so ``union_polygons`` now computes the general
+union like the reference instead of raising; ``on_overlap="raise"``
+restores the strict contract for callers (the consolidate pipeline)
+that must surface overlap as a data violation.
 """
 
 from __future__ import annotations
@@ -32,6 +40,19 @@ from map2db_spark.geometry.normalize import (
     normalize_multipoint,
     normalize_multipolygon,
 )
+from map2db_spark.geometry.overlay import (
+    FragmentOverlapError,
+    assemble_polygons,
+    chain_rings,
+    union_overlay,
+)
+
+__all__ = [
+    "FragmentOverlapError",
+    "union_points",
+    "union_lines",
+    "union_polygons",
+]
 
 SCALE = 1_000_000
 
@@ -118,14 +139,6 @@ def _point_in_ring(p, ring) -> bool:
                 if lhs > xnum:
                     inside = not inside
     return inside
-
-
-class FragmentOverlapError(ValueError):
-    """Raised when union_polygons detects fragments with overlapping
-    interiors — inputs outside the operator's contract (tile-clipped
-    fragments of one geometry, disjoint interiors).  Silently running
-    the edge-cancellation dissolve on such inputs would produce a
-    wrong polygon; callers surface this as a validation violation."""
 
 
 def _sign(x: int) -> int:
@@ -223,25 +236,35 @@ def _frag_overlap_reason(frag_polys) -> str | None:
     return None
 
 
-def union_polygons(fragments, check_disjoint: bool = True):
+def union_polygons(fragments, on_overlap: str = "overlay"):
     """fragments: iterable of polygon lists (each polygon = rings list,
     shell first) -> dissolved polygon list (float coords).
 
-    Precondition (G5 contract): fragment interiors are pairwise
-    disjoint — they are tile-clipped pieces of one source geometry
-    that share only boundary runs.  With ``check_disjoint`` (default)
-    violations raise FragmentOverlapError instead of dissolving to a
-    silently wrong result; the reference's GEOS ``.union()``
-    (map2db.py:776-784) would handle arbitrary overlap, so this guard
-    is what keeps the narrower contract honest."""
+    Fast path (the G5 tile-fragment contract): fragment interiors are
+    pairwise disjoint — tile-clipped pieces of one source geometry
+    that share only boundary runs — and the exact edge-cancellation
+    dissolve applies.  Overlapping interiors are detected exactly and
+    handled per ``on_overlap``:
+
+    - ``"overlay"`` (default): compute the general union via the
+      winding-number overlay — full reference ``.union()`` semantics
+      (map2db.py:776-784);
+    - ``"raise"``: raise FragmentOverlapError — the strict contract
+      for pipelines that must surface overlap as a data violation
+      instead of silently dissolving it (operators/consolidate.py);
+    - ``"assume-disjoint"``: skip the O(n^2) detection probes (the
+      caller guarantees the contract); the free same-direction
+      boundary check below still raises on exact duplicates."""
     fragments = [list(frag) for frag in fragments]
     polys = [poly for frag in fragments for poly in frag]
     if len(polys) == 1:
         return normalize_multipolygon(polys)
-    if check_disjoint:
+    if on_overlap != "assume-disjoint":
         reason = _frag_overlap_reason(fragments)
         if reason is not None:
-            raise FragmentOverlapError(reason)
+            if on_overlap == "raise":
+                raise FragmentOverlapError(reason)
+            return union_overlay(fragments)
 
     # 1. orient (shells CCW, holes CW) and convert to exact integers,
     #    remembering which fragment each directed edge came from
@@ -293,8 +316,10 @@ def union_polygons(fragments, check_disjoint: bool = True):
     # interiors on the same side of one boundary run — overlapping
     # fragments (e.g. an exactly duplicated polygon), which the
     # crossing/containment probes cannot see.
-    if check_disjoint and any(n >= 2 for n in count.values()):
-        raise FragmentOverlapError("coincident-boundary-same-direction")
+    if any(n >= 2 for n in count.values()):
+        if on_overlap == "raise" or on_overlap == "assume-disjoint":
+            raise FragmentOverlapError("coincident-boundary-same-direction")
+        return union_overlay(fragments)
 
     # 3c. cancel opposite pairs across fragments (shared tile-boundary
     # runs disappear; net counts equal global cancellation)
@@ -304,73 +329,8 @@ def union_polygons(fragments, check_disjoint: bool = True):
         keep = n - min(n, m)
         survivors.extend([(u, v)] * keep)
 
-    # 4. chain into rings (leftmost-turn walk keeps rings simple at
-    #    degree>2 junctions)
-    out_edges: dict = defaultdict(list)
-    for u, v in survivors:
-        out_edges[u].append(v)
-    for u in out_edges:
-        out_edges[u].sort()
-
-    def take_next(u, incoming):
-        cands = out_edges[u]
-        if not cands:
-            return None
-        if incoming is None or len(cands) == 1:
-            return cands.pop(0)
-        # face traversal at a junction: take the first edge CLOCKWISE
-        # from the reverse of the incoming direction — with CCW shells
-        # this keeps the interior on the left and closes each ring
-        # instead of crossing over at a touching vertex
-        import math
-
-        rev = math.atan2(incoming[1] - u[1], incoming[0] - u[0])
-
-        def cw_delta(v):
-            ang = math.atan2(v[1] - u[1], v[0] - u[0])
-            d = (rev - ang) % (2 * math.pi)
-            return d if d > 1e-12 else 2 * math.pi
-
-        best = min(range(len(cands)), key=lambda i: cw_delta(cands[i]))
-        return cands.pop(best)
-
-    rings = []
-    starts = sorted(out_edges.keys())
-    for start in starts:
-        while out_edges[start]:
-            ring = [start]
-            prev = None
-            cur = start
-            while True:
-                nxt = take_next(cur, prev)
-                if nxt is None:
-                    ring = None
-                    break
-                ring.append(nxt)
-                prev, cur = cur, nxt
-                if cur == start:
-                    break
-            if ring and len(ring) >= 4:
-                rings.append(ring)
-            elif ring is None:
-                break
-
-    # 5. classify: CCW = shell, CW = hole; attach holes to containing shell
-    shells = []
-    holes = []
-    for r in rings:
-        a2 = _ring_area2_int(r)
-        if a2 > 0:
-            shells.append(r)
-        elif a2 < 0:
-            holes.append(r)
-    result = []
-    for s in shells:
-        result.append([[_to_float(p) for p in s]])
-    for h in holes:
-        probe = h[0]
-        for i, s in enumerate(shells):
-            if _point_in_ring(probe, s):
-                result[i].append([_to_float(p) for p in h])
-                break
-    return normalize_multipolygon(result)
+    # 4+5. chain into rings (leftmost-turn walk keeps rings simple at
+    # degree>2 junctions) and classify shells/holes — shared with the
+    # overlay (geometry/overlay.py), which emits boundary edges in the
+    # same interior-on-the-left convention
+    return assemble_polygons(chain_rings(survivors))

@@ -59,7 +59,11 @@ def _union_geoms(ftype: str, wkbs) -> tuple[bytes, str | None]:
     if ftype == "line":
         return gwkb.encode_multilinestring(union_lines(frags)), None
     try:
-        return gwkb.encode_multipolygon(union_polygons(frags)), None
+        # strict contract: tile-clipped fragments must have disjoint
+        # interiors, so overlap here is corrupt data to SURFACE, not
+        # silently dissolve (the operator API's default "overlay" mode
+        # computes the general union for user-facing calls)
+        return gwkb.encode_multipolygon(union_polygons(frags, on_overlap="raise")), None
     except FragmentOverlapError as exc:
         from map2db_spark.geometry.normalize import normalize_multipolygon
 

@@ -393,3 +393,125 @@ def m2db_repair_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rings(F.col("geom")).alias("n_rings"),
         F.element_at(F.col("vtags"), "m2db:reject").alias("reason"),
     )
+
+
+@query(
+    "m2db_overlay_union",
+    oracle="""
+    WITH rects AS (
+      SELECT CAST(o_orderkey % 32 AS BIGINT) AS grp,
+             CAST(o_custkey % 40 AS BIGINT) AS x0,
+             CAST((o_orderkey // 7) % 40 AS BIGINT) AS y0,
+             CAST(o_custkey % 40 + 2 + o_orderkey % 9 AS BIGINT) AS x1,
+             CAST((o_orderkey // 7) % 40 + 2 + o_custkey % 6 AS BIGINT) AS y1
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    xs AS (
+      SELECT DISTINCT grp, x0 AS x FROM rects
+      UNION SELECT DISTINCT grp, x1 FROM rects
+    ),
+    xi AS (
+      SELECT grp, x AS xa, lead(x) OVER (PARTITION BY grp ORDER BY x) AS xb
+      FROM xs
+    ),
+    ys AS (
+      SELECT DISTINCT grp, y0 AS y FROM rects
+      UNION SELECT DISTINCT grp, y1 FROM rects
+    ),
+    yi AS (
+      SELECT grp, y AS ya, lead(y) OVER (PARTITION BY grp ORDER BY y) AS yb
+      FROM ys
+    ),
+    cells AS (
+      SELECT xi.grp, xa, xb, ya, yb
+      FROM xi JOIN yi ON yi.grp = xi.grp
+      WHERE xb IS NOT NULL AND yb IS NOT NULL
+    ),
+    cov AS (
+      SELECT DISTINCT c.grp, c.xa, c.xb, c.ya, c.yb
+      FROM cells c JOIN rects r ON r.grp = c.grp
+       AND r.x0 <= c.xa AND c.xb <= r.x1
+       AND r.y0 <= c.ya AND c.yb <= r.y1
+    ),
+    nre AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rects
+            FROM rects GROUP BY grp),
+    ar AS (SELECT grp, CAST(sum((xb - xa) * (yb - ya)) AS BIGINT)
+             AS union_area
+           FROM cov GROUP BY grp)
+    SELECT nre.grp AS grp, n_rects, union_area
+    FROM nre JOIN ar ON ar.grp = nre.grp
+    ORDER BY grp
+    """,
+    tags=("mapsforge", "geometry", "overlay"),
+)
+def m2db_overlay_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General OVERLAPPING-polygon union (G5 general case, reference
+    map2db.py:776-784): per group, heavily-overlapping axis-aligned
+    rectangles (deterministic arithmetic on orders keys, integer-µdeg
+    coordinates so every crossing is exactly on the grid) are unioned
+    by the winding-number overlay kernel (geometry/overlay.py) and the
+    exact union AREA is reported.  The DuckDB oracle computes the same
+    area through a COMPLETELY DIFFERENT algorithm — coordinate-
+    compressed cell decomposition (distinct x-cuts x y-cuts, a cell is
+    covered iff some rectangle contains it) — so a hash match here is
+    an independent cross-check of the overlay's noding, winding
+    classification, boundary emission and hole attachment (groups form
+    rings-with-holes and duplicate rectangles routinely).
+
+    Scale shape: one shuffle on grp; the union kernel is
+    applyInPandas per group (bounded fragments per feature — the same
+    granularity as the consolidate pipeline's per-feature dissolve).
+    """
+    from map2db_spark.geometry.union import union_polygons
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") < 2000
+    )
+    rects = o.select(
+        (F.col("o_orderkey") % 32).cast("long").alias("grp"),
+        (F.col("o_custkey") % 40).cast("long").alias("x0"),
+        F.expr("CAST((o_orderkey DIV 7) % 40 AS BIGINT)").alias("y0"),
+        F.expr("CAST(o_custkey % 40 + 2 + o_orderkey % 9 AS BIGINT)").alias("x1"),
+        F.expr(
+            "CAST((o_orderkey DIV 7) % 40 + 2 + o_custkey % 6 AS BIGINT)"
+        ).alias("y1"),
+    )
+
+    def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from map2db_spark.geometry.overlay import _ring_area2_int, _to_int
+
+        u = 1e-6
+        frags = []
+        for r in pdf.itertuples():
+            ring = [
+                (r.x0 * u, r.y0 * u), (r.x1 * u, r.y0 * u),
+                (r.x1 * u, r.y1 * u), (r.x0 * u, r.y1 * u),
+                (r.x0 * u, r.y0 * u),
+            ]
+            frags.append([[ring]])
+        out = union_polygons(frags)  # default mode: overlay on overlap
+        area2 = 0
+        for rings in out:
+            for idx, ring in enumerate(rings):
+                ir = [_to_int(p) for p in ring]
+                if ir[0] != ir[-1]:
+                    ir.append(ir[0])
+                a2 = abs(_ring_area2_int(ir))
+                area2 += a2 if idx == 0 else -a2
+        return pd.DataFrame(
+            {
+                "grp": [int(pdf["grp"].iloc[0])],
+                "n_rects": [len(pdf)],
+                "union_area": [area2 // 2],
+            }
+        )
+
+    return (
+        rects.groupBy("grp")
+        .applyInPandas(
+            union_group, schema="grp LONG, n_rects LONG, union_area LONG"
+        )
+        .orderBy("grp")
+    )

@@ -26,3 +26,16 @@ def test_readme_counts_match_registry():
     with_oracle, total = int(m.group(1)), int(m.group(2))
     assert total == len(QUERIES)
     assert with_oracle == sum(1 for s in QUERIES.values() if s.oracle is not None)
+
+
+def test_baseline_correctness_row_matches_registry():
+    """BASELINE.md's correctness claim can never drift from the
+    registry (the r2 git log shows the count was hand-synced 11
+    times; this pins it)."""
+    text = (REPO / "BASELINE.md").read_text()
+    m = re.search(r"Correctness \| (\d+)/(\d+) registered queries", text)
+    assert m, "BASELINE.md must state the N/N correctness row"
+    assert int(m.group(1)) == int(m.group(2)) == len(QUERIES), (
+        f"BASELINE.md says {m.group(1)}/{m.group(2)}, registry has "
+        f"{len(QUERIES)} queries"
+    )

@@ -130,26 +130,198 @@ def test_union_polygons_four_quadrants():
     assert xs == {0.0, 1.0, 2.0} and ys == {0.0, 1.0, 2.0}
 
 
-def test_union_polygons_rejects_overlapping_fragments():
-    """G5 precondition guard: inputs with overlapping interiors must
-    raise, never dissolve to a silently wrong polygon."""
-    import pytest
-
-    sq = lambda x0, y0, s: [[
+def _sq(x0, y0, s):
+    return [[
         (x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)
     ]]
+
+
+def test_union_polygons_strict_mode_rejects_overlapping_fragments():
+    """The consolidate pipeline's strict contract: overlapping
+    interiors raise (surfaced as a data violation), never dissolve to
+    a silently wrong polygon."""
+    import pytest
+
+    sq = _sq
     # partial overlap: edges properly cross
     with pytest.raises(FragmentOverlapError, match="edges-cross"):
-        union_polygons([[sq(0.0, 0.0, 2.0)], [sq(1.0, 1.0, 2.0)]])
+        union_polygons([[sq(0.0, 0.0, 2.0)], [sq(1.0, 1.0, 2.0)]], on_overlap="raise")
     # containment without boundary contact: vertex strictly inside
     with pytest.raises(FragmentOverlapError, match="vertex-inside"):
-        union_polygons([[sq(0.0, 0.0, 3.0)], [sq(1.0, 1.0, 1.0)]])
+        union_polygons([[sq(0.0, 0.0, 3.0)], [sq(1.0, 1.0, 1.0)]], on_overlap="raise")
     # exact duplicate: same-direction coincident boundary
     with pytest.raises(FragmentOverlapError, match="coincident-boundary"):
-        union_polygons([[sq(0.0, 0.0, 1.0)], [sq(0.0, 0.0, 1.0)]])
+        union_polygons([[sq(0.0, 0.0, 1.0)], [sq(0.0, 0.0, 1.0)]], on_overlap="raise")
     # legitimate shared-edge fragments still dissolve with the guard on
-    out = union_polygons([[sq(0.0, 0.0, 1.0)], [sq(1.0, 0.0, 1.0)]])
+    out = union_polygons([[sq(0.0, 0.0, 1.0)], [sq(1.0, 0.0, 1.0)]], on_overlap="raise")
     assert len(out) == 1 and len(out[0]) == 1
+
+
+def _area2_int(polys):
+    """Sum over polygons of |shell double-area| minus |hole
+    double-areas| (µdeg² units) — the union's exact area × 2,
+    independent of the normalizer's ring-orientation convention."""
+    from map2db_spark.geometry.overlay import _ring_area2_int, _to_int
+
+    total = 0
+    for rings in polys:
+        for idx, ring in enumerate(rings):
+            r = [_to_int(p) for p in ring]
+            if r[0] != r[-1]:
+                r.append(r[0])
+            a2 = abs(_ring_area2_int(r))
+            total += a2 if idx == 0 else -a2
+    return total
+
+
+def _covered_by_any(p_int, fragments):
+    """p covered by >= 1 input polygon (shell minus holes, exact)."""
+    from map2db_spark.geometry.overlay import _to_int
+    from map2db_spark.geometry.repair import _point_in_ring
+
+    for frag in fragments:
+        for rings in frag:
+            int_rings = []
+            for ring in rings:
+                r = [_to_int(q) for q in ring]
+                if r[0] != r[-1]:
+                    r.append(r[0])
+                int_rings.append(r)
+            if _point_in_ring(p_int, int_rings[0]) and not any(
+                _point_in_ring(p_int, h) for h in int_rings[1:]
+            ):
+                return True
+    return False
+
+
+def test_union_overlay_matches_pointwise_coverage():
+    """G5 general case: default union_polygons COMPUTES overlapping
+    unions (reference map2db.py:776-784 semantics).  Fixtures use
+    integer-grid crossings so the overlay is exact; a dense grid of
+    probe points must agree between 'covered by the union result' and
+    'covered by any input fragment', and the union area must match
+    the inclusion-exclusion value exactly."""
+    from map2db_spark.geometry.overlay import _to_int
+    from map2db_spark.geometry.repair import _on_ring_boundary, _point_in_ring
+
+    sq = _sq
+    u = 1e-6  # 1 µdeg in degrees
+    cases = [
+        # partial overlap of two squares: area 4 + 4 - 1 = 7
+        ([[sq(0 * u, 0 * u, 2 * u)], [sq(1 * u, 1 * u, 2 * u)]], 7),
+        # containment: inner square adds nothing -> 9
+        ([[sq(0 * u, 0 * u, 3 * u)], [sq(1 * u, 1 * u, 1 * u)]], 9),
+        # exact duplicate -> 1
+        ([[sq(0 * u, 0 * u, 1 * u)], [sq(0 * u, 0 * u, 1 * u)]], 1),
+        # three-way overlap chain: 4 + 4 + 4 - 1 - 1 = 10
+        (
+            [
+                [sq(0 * u, 0 * u, 2 * u)],
+                [sq(1 * u, 1 * u, 2 * u)],
+                [sq(2 * u, 2 * u, 2 * u)],
+            ],
+            10,
+        ),
+        # ring of 4 overlapping rectangles around an empty 2x2 center
+        # -> union is a square annulus: 16 - 4 = 12 (tests hole
+        # emission from pure overlap)
+        (
+            [
+                [[[ (0*u,0*u),(4*u,0*u),(4*u,1*u),(0*u,1*u),(0*u,0*u) ]]],
+                [[[ (0*u,3*u),(4*u,3*u),(4*u,4*u),(0*u,4*u),(0*u,3*u) ]]],
+                [[[ (0*u,0*u),(1*u,0*u),(1*u,4*u),(0*u,4*u),(0*u,0*u) ]]],
+                [[[ (3*u,0*u),(4*u,0*u),(4*u,4*u),(3*u,4*u),(3*u,0*u) ]]],
+            ],
+            12,
+        ),
+    ]
+    for fragments, want_area in cases:
+        out = union_polygons(fragments)
+        assert _area2_int(out) == 2 * want_area, (fragments, out)
+        # pointwise agreement on a dense probe grid (off boundaries,
+        # using quarter-µdeg offsets scaled up: probe the int grid at
+        # 1µdeg steps and skip points on any boundary)
+        out_int = [
+            [
+                ([_to_int(p) for p in ring] + [_to_int(ring[0])])
+                if _to_int(ring[0]) != _to_int(ring[-1])
+                else [_to_int(p) for p in ring]
+                for ring in rings
+            ]
+            for rings in out
+        ]
+
+        def covered_by_out(p):
+            for rings in out_int:
+                if _point_in_ring(p, rings[0]) and not any(
+                    _point_in_ring(p, h) and not _on_ring_boundary(p, h)
+                    for h in rings[1:]
+                ):
+                    return True
+            return False
+
+        for x in range(-1, 6):
+            for y in range(-1, 6):
+                p = (x, y)
+                on_any_boundary = any(
+                    _on_ring_boundary(p, ([_to_int(q) for q in ring] + [_to_int(ring[0])]))
+                    for frag in fragments
+                    for rings in frag
+                    for ring in rings
+                ) or any(
+                    _on_ring_boundary(p, rings_i[0]) or
+                    any(_on_ring_boundary(p, h) for h in rings_i[1:])
+                    for rings_i in out_int
+                )
+                if on_any_boundary:
+                    continue
+                assert covered_by_out(p) == _covered_by_any(p, fragments), (
+                    p, want_area,
+                )
+
+
+def test_union_overlay_order_independent():
+    """Overlay union is the same multipolygon for every fragment
+    order (normalization makes it canonical)."""
+    import itertools
+
+    u = 1e-6
+    frags = [
+        [_sq(0 * u, 0 * u, 2 * u)],
+        [_sq(1 * u, 1 * u, 2 * u)],
+        [_sq(1 * u, 0 * u, 1 * u)],
+    ]
+    results = {
+        repr(union_polygons(list(perm)))
+        for perm in itertools.permutations(frags)
+    }
+    assert len(results) == 1
+
+
+def test_union_overlay_nongrid_crossing_snaps():
+    """Diagonal overlap whose crossing points are NOT on the grid:
+    the overlay snaps them half-away to the µdeg grid (the kernel's
+    uniform contract) and still produces a valid polygon whose area
+    is within a half-grid band of the rational value."""
+    u = 1e-6
+    # diamond overlapping a square: crossings at half-integers
+    diamond = [[[
+        (3 * u, 0 * u), (6 * u, 3 * u), (3 * u, 6 * u), (0 * u, 3 * u),
+        (3 * u, 0 * u),
+    ]]]
+    square = [_sq(0 * u, 0 * u, 3 * u)]
+    out = union_polygons([square, diamond])
+    from map2db_spark.geometry.repair import polygons_valid
+
+    assert polygons_valid(out)
+    area2 = _area2_int(out)
+    # rational union area: square 9 + diamond 18 - overlap 4.75 = 22.25
+    assert abs(area2 - 2 * 22.25) <= 4  # within the snap tolerance
+    # strict mode still refuses
+    import pytest
+
+    with pytest.raises(FragmentOverlapError):
+        union_polygons([square, diamond], on_overlap="raise")
 
 
 def test_lsh_bucket_cap_skips_hot_bucket(spark):

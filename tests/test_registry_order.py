@@ -20,10 +20,20 @@ _ensure_loaded()
 NAMES = list(QUERIES)
 
 
-def test_r1_protocol_fixed_fails_inside_graded_window():
-    # the 3 r1 driver FAILs (array cells / no_oracle) were fixed in r2
-    # and MUST be re-graded: they have to sit inside the first 50
+def test_r1_protocol_fixed_fails_were_regraded():
+    # the 3 r1 driver FAILs (array cells / no_oracle) were fixed in r2,
+    # re-graded green in CORRECTNESS_r02.json, and are now demoted to
+    # the driver-verified tier so they never waste a graded slot again
     for name in ("r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles"):
+        assert name in _DRIVER_VERIFIED, name
+        assert NAMES.index(name) >= 50, (name, NAMES.index(name))
+
+
+def test_recapped_queries_back_in_graded_window():
+    # d_dup_clusters / d_curation_pipeline gained the df_cap skew rail
+    # in r3 (semantics changed after their r02 green row) and the new
+    # overlay query is brand new: all three must be re-graded
+    for name in ("d_dup_clusters", "d_curation_pipeline", "m2db_overlay_union"):
         assert NAMES.index(name) < 50, (name, NAMES.index(name))
 
 
