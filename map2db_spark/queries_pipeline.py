@@ -234,11 +234,16 @@ _SHINGLES_SQL = (
 
 
 def _minhash_cte_body(num_hashes: int = 8, band_size: int = 2,
-                      bucket_cap: int = 50) -> str:
+                      bucket_cap: int = 50, corpus_sql: str = "documents",
+                      include_uncapped: bool = False) -> str:
     """Shared WITH-body of the MinHash/LSH SQL reimplementation:
     shingles -> signatures -> capped band buckets -> candidate pairs
     -> exact intersections + sizes.  Used by the d_minhash_lsh oracle
-    and the LSH recall-evaluation oracle."""
+    and the LSH recall-evaluation oracles.  ``corpus_sql`` swaps the
+    document source (the skewed-fixture recall eval synthesizes a
+    hot-template corpus); ``include_uncapped`` additionally emits a
+    ``cand_nocap`` CTE (candidates with no bucket cap) for
+    with/without-cap recall comparison."""
     mins = ", ".join(
         f"min(substr(md5(shingle), {i * 4 + 1}, 4)) AS mh{i}"
         for i in range(num_hashes)
@@ -254,9 +259,19 @@ def _minhash_cte_body(num_hashes: int = 8, band_size: int = 2,
         f"SELECT sid, {b} AS band_idx, band{b} AS bk FROM bands"
         for b in range(n_bands)
     )
+    corpus_ref = (
+        corpus_sql if corpus_sql.strip().isidentifier() else f"({corpus_sql})"
+    )
+    uncapped = """,
+    cand_nocap AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM bl a JOIN bl b
+        ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.sid < b.sid
+    )""" if include_uncapped else ""
     return f"""
     WITH sh AS (
-      SELECT doc_id AS sid, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+      SELECT doc_id AS sid, unnest({_SHINGLES_SQL}) AS shingle
+      FROM {corpus_ref}
     ),
     sig AS (SELECT sid, {mins} FROM sh GROUP BY sid),
     bands AS (SELECT sid, {band_cols} FROM sig),
@@ -279,7 +294,7 @@ def _minhash_cte_body(num_hashes: int = 8, band_size: int = 2,
       SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS shared
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
       GROUP BY 1, 2
-    )"""
+    ){uncapped}"""
 
 
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,

@@ -1970,6 +1970,140 @@ def d_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH recall on a SKEWED corpus: what the bucket cap costs
+# ---------------------------------------------------------------------------
+
+_HOT_TEMPLATE = (
+    "breaking update the quick brown fox jumps over the lazy dog while "
+    "market analysts expect steady growth across all regional sectors "
+    "this quarter according to officials familiar with the matter"
+)
+_SKEW_CAP = 10  # deliberately below the hot-bucket size at sf >= 0.01
+
+
+def _skewed_corpus_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0
+                THEN '{_HOT_TEMPLATE} tailword' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE text END AS text
+    FROM documents WHERE doc_id < 300
+    """
+
+
+def _minhash_recall_skewed_oracle(threshold: float = 0.5) -> str:
+    from map2db_spark.queries_pipeline import _minhash_cte_body
+
+    body = _minhash_cte_body(
+        bucket_cap=_SKEW_CAP,
+        corpus_sql=_skewed_corpus_sql(),
+        include_uncapped=True,
+    )
+    return f"""
+    {body},
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes na ON na.sid = id_a
+                 JOIN sizes nb ON nb.sid = id_b
+      WHERE round(shared / (na.n + nb.n - shared), 6) >= {threshold}
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand_capped,
+           CAST((SELECT count(*) FROM cand_nocap) AS BIGINT)
+             AS n_cand_uncapped,
+           CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+                AS BIGINT) AS n_hit_capped,
+           CAST((SELECT count(*) FROM exact JOIN cand_nocap
+                 USING (id_a, id_b)) AS BIGINT) AS n_hit_uncapped,
+           CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+                * 1000000 // (SELECT count(*) FROM exact) AS BIGINT)
+             AS recall_capped_ppm,
+           CAST((SELECT count(*) FROM exact JOIN cand_nocap
+                 USING (id_a, id_b))
+                * 1000000 // (SELECT count(*) FROM exact) AS BIGINT)
+             AS recall_uncapped_ppm
+    """
+
+
+@query(
+    "d_minhash_recall_skewed",
+    oracle=_minhash_recall_skewed_oracle(),
+    tags=("dedup", "lsh", "evaluation", "skew", "pipeline"),
+)
+def d_minhash_recall_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall on a SKEWED corpus — the price tag on bucket_cap:
+    one hot template is stamped onto ~10% of documents (tail word
+    varies so hot pairs are near- not exact-duplicates), making every
+    band's hot bucket larger than the cap.  The capped candidate path
+    (the production skew rail) then SKIPS those buckets, so this
+    query reports recall with AND without the cap against exact
+    Jaccard ground truth — the measured recall cost that
+    d_minhash_recall_eval's uniform corpus cannot show (there the cap
+    never fires and both numbers coincide).  A production run reads
+    this pair: if capped recall on its skew profile is unacceptable,
+    raise the cap or add bands — with evidence, not folklore.
+
+    The exact ground-truth pair table is INTENTIONALLY UNCAPPED (a df
+    cap would corrupt the measurement); the corpus is a bounded
+    fixture (doc_id < 300), the same sample-bounded shape the uniform
+    recall eval uses at 100 TB.
+    """
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(_HOT_TEMPLATE + " tailword"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = D.shingle_table(docs).localCheckpoint()  # base of all sides
+    exact = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
+    sigs = D.minhash_signatures(sh, num_hashes=8).localCheckpoint()
+    capped = D.lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, bucket_cap=_SKEW_CAP
+    ).select("id_a", "id_b")
+    uncapped = D.lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, bucket_cap=None
+    ).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    ncc = capped.agg(F.count(F.lit(1)).cast("long").alias("n_cand_capped"))
+    ncu = uncapped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand_uncapped")
+    )
+    nhc = exact.join(capped, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_capped")
+    )
+    nhu = exact.join(uncapped, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_uncapped")
+    )
+    return (
+        ne.crossJoin(F.broadcast(ncc))
+        .crossJoin(F.broadcast(ncu))
+        .crossJoin(F.broadcast(nhc))
+        .crossJoin(F.broadcast(nhu))
+        .select(
+            "n_exact",
+            "n_cand_capped",
+            "n_cand_uncapped",
+            "n_hit_capped",
+            "n_hit_uncapped",
+            F.expr(
+                "CAST(n_hit_capped * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_capped_ppm"),
+            F.expr(
+                "CAST(n_hit_uncapped * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_uncapped_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-conformal prediction interval for the seasonal-naive forecast
 # ---------------------------------------------------------------------------
 

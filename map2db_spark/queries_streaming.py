@@ -1,10 +1,12 @@
 """Structured Streaming queries for the driver gate.
 
 Each runs a real streaming query (file source, availableNow trigger,
-memory sink) to completion and returns the result as a DataFrame.
-Complete-mode aggregations over bounded input equal their batch twins,
-so tumbling windows and the custom stateful operator get full DuckDB
-oracles; session windows (no ANSI-SQL equivalent) register rows-only.
+foreachBatch parquet file sink — executor-side writes, so result rows
+never transit the driver) to completion and returns the result as a
+DataFrame read back from the sink.  Complete-mode aggregations over
+bounded input equal their batch twins, so tumbling windows and the
+custom stateful operator get full DuckDB oracles; session windows (no
+ANSI-SQL equivalent) register rows-only.
 """
 
 from __future__ import annotations
@@ -16,10 +18,17 @@ from map2db_spark.registry import query
 
 def _run(spark: SparkSession, sf_dir: str, build, out_mode: str,
          schema: str) -> DataFrame:
-    from map2db_spark.streaming.events import read_events_stream, run_available_now
+    """schema documents the contract (and pins column order for the
+    oracle compare); the data itself arrives via the distributed file
+    transport, never as driver rows."""
+    from map2db_spark.streaming.events import (
+        read_events_stream,
+        run_available_now_df,
+    )
 
-    rows = run_available_now(build(read_events_stream(spark, sf_dir)), out_mode)
-    return spark.createDataFrame(rows, schema=schema)
+    out = run_available_now_df(build(read_events_stream(spark, sf_dir)), out_mode)
+    cols = [c.split()[0] for c in schema.split(",")]
+    return out.select(*cols)
 
 
 @query(
@@ -199,15 +208,12 @@ def s_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.streaming.events import (
         curate_documents,
         read_documents_stream,
-        run_available_now,
+        run_available_now_df,
     )
 
-    rows = run_available_now(
+    return run_available_now_df(
         curate_documents(read_documents_stream(spark, sf_dir)), "append"
-    )
-    return spark.createDataFrame(
-        rows, schema="doc_id LONG, detected STRING, quality DOUBLE, split STRING, keep BOOLEAN"
-    )
+    ).select("doc_id", "detected", "quality", "split", "keep")
 
 
 @query(
@@ -232,18 +238,15 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.streaming.events import (
         enrich_with_customer,
         read_events_stream,
-        run_available_now,
+        run_available_now_df,
     )
     from map2db_spark.tables import Tables
 
     customer = Tables(spark, sf_dir).customer
-    rows = run_available_now(
+    return run_available_now_df(
         enrich_with_customer(read_events_stream(spark, sf_dir), customer),
         "complete",
-    )
-    return spark.createDataFrame(
-        rows, schema="c_mktsegment STRING, event_type STRING, n LONG, cents LONG"
-    )
+    ).select("c_mktsegment", "event_type", "n", "cents")
 
 
 @query(
@@ -344,7 +347,6 @@ def s_stream_append_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from map2db_spark.streaming.events import append_emission_counts
 
-    rows = append_emission_counts(spark, sf_dir)
-    return spark.createDataFrame(
-        rows, schema="win_start TIMESTAMP, n LONG, sum_cents LONG"
+    return append_emission_counts(spark, sf_dir).select(
+        "win_start", "n", "sum_cents"
     )

@@ -196,25 +196,57 @@ def purchases_joined_to_views(events: DataFrame) -> DataFrame:
     ).select("p_event", "p_user", "p_ts", "v_event", "v_ts")
 
 
-def run_available_now(stream_df: DataFrame, out_mode: str = "complete"):
+def run_available_now_df(
+    stream_df: DataFrame, out_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming DataFrame to completion over the currently
-    available input (one bounded run) into an in-memory sink; returns
-    the collected rows.  Used by tests and the streaming queries."""
-    import uuid
+    available input (one bounded run) through a FILE transport and
+    return the result as a batch DataFrame.
 
-    name = "m2db_stream_" + uuid.uuid4().hex[:8]
+    Production shape (r2 verdict item 6): each micro-batch lands in
+    parquet via foreachBatch — a distributed executor-side write, so
+    result rows never transit the driver (the old memory sink
+    collected O(result) rows driver-side; s_stream_sliding_window
+    alone moved 20k rows).  Spark's native file sink only supports
+    append mode, so foreachBatch is also the standard way complete/
+    update aggregations reach files: complete overwrites with each
+    batch's full snapshot (the last batch IS the final answer for a
+    bounded availableNow run); update likewise snapshots — real
+    incremental upsert sinks are demonstrated by foreach_batch_upsert;
+    append appends, each row emitted exactly once.
+
+    The parquet output is read back, persisted and materialized so the
+    temp directory can be removed before returning (repeated
+    correctness sweeps must not accumulate result copies in /tmp)."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="m2db_stream_")
+    write_mode = "append" if out_mode == "append" else "overwrite"
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out_dir)
+
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
+        stream_df.writeStream.foreachBatch(sink)
         .outputMode(out_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    out = spark.table(name).collect()
-    q.stop()
+    try:
+        out = spark.read.schema(stream_df.schema).parquet(out_dir).persist()
+        out.count()  # materialize so the backing files can be deleted
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+def run_available_now(stream_df: DataFrame, out_mode: str = "complete"):
+    """Collected-rows convenience over run_available_now_df (tests and
+    bounded fixtures only — the DataFrame form is the scale path)."""
+    return run_available_now_df(stream_df, out_mode).collect()
 
 
 def dedup_events_stream(events: DataFrame) -> DataFrame:
@@ -394,4 +426,4 @@ def append_emission_counts(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("w.start").alias("win_start"), "n", "sum_cents")
     )
-    return run_available_now(agg, "append")
+    return run_available_now_df(agg, "append")
