@@ -415,9 +415,18 @@ def cosine_near_dup_bucketed(
     band keys and candidate ids, so the heavy vector payload crosses
     the wire twice (fetch-back), not N^2 times.  With r-bit bands a
     pair at cosine c collides per band w.p. (1 - acos(c)/pi)^r; 4x8
-    bands give >0.99 recall at c=0.99.  At 100 TB, persist ``prep``
-    (or write it as a table) instead of recomputing per branch."""
-    prep = banded_prepared(embeddings, planes, bands, id_col, vec_col, "vid")
+    bands give >0.99 recall at c=0.99.
+
+    ``prep`` feeds three plan branches (the band table + both vector
+    fetch-back sides), so it is PERSISTED — one materialization, the
+    other branches read the cache (plan-asserted in test_plans.py).
+    persist beats localCheckpoint here: blocks are still executor-
+    local, but lineage survives, so a lost executor recomputes its
+    partitions instead of failing the query; at true cluster scale
+    writing prep as a table is the durable variant."""
+    prep = banded_prepared(
+        embeddings, planes, bands, id_col, vec_col, "vid"
+    ).persist()
     slim = prep.select("vid", F.posexplode("buckets").alias("band", "bucket"))
     if bucket_cap is not None:
         # skew rail (same as dedup.lsh_candidate_pairs): a degenerate

@@ -333,10 +333,13 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no checkpoint: this explode feeds only the partial-aggregated
     # signature pass, so it streams instead of materializing 200x rows
     sigs = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
-    # candidates feed two verification branches; they're ~1k rows
+    # candidates feed two verification branches; they're ~1k rows.
+    # persist, not localCheckpoint (r2 verdict item 7): blocks are
+    # executor-local either way, but persist keeps lineage, so a lost
+    # executor recomputes instead of failing the query at 100 TB
     cands = D.lsh_candidate_pairs(
         sigs, num_hashes=8, band_size=2, bucket_cap=50
-    ).localCheckpoint()
+    ).persist()
     # filter BEFORE the explode: only candidate docs get shingled
     cand_docs = (
         cands.select(F.col("id_a").alias("doc_id"))
@@ -345,7 +348,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = D.shingle_table(
         docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    ).localCheckpoint()
+    ).persist()
     return D.jaccard_pairs(sh, threshold=0.9, candidates=cands, docs_prefiltered=True)
 
 

@@ -156,6 +156,30 @@ def test_ivf_nprobe_broadcast_cell_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cosine_near_dup_prep_single_materialization(spark):
+    """The prepared-vector pass (int vectors + norms + band buckets)
+    feeds three plan branches; it must be persisted so the expensive
+    Arrow kernel runs once — the branches read the cache
+    (InMemoryTableScan / TableCacheQueryStage in the plan)."""
+    plan = plan_of(spark, "d_cosine_near_dup")
+    cache_reads = plan.count("InMemoryTableScan") + plan.count(
+        "TableCacheQueryStage"
+    )
+    assert cache_reads >= 2, plan
+
+
+def test_minhash_lsh_neighborhoods_persisted(spark):
+    """d_minhash_lsh's candidate table and candidate-doc shingles each
+    feed multiple verification branches; both must come from the cache
+    (persist keeps lineage for fault recovery, unlike the previous
+    executor-local localCheckpoint)."""
+    plan = plan_of(spark, "d_minhash_lsh")
+    cache_reads = plan.count("InMemoryTableScan") + plan.count(
+        "TableCacheQueryStage"
+    )
+    assert cache_reads >= 3, plan
+
+
 def test_cosine_near_dup_never_all_pairs(spark):
     """The registered near-dup query must candidate-generate via the
     banded LSH equi-join — an all-pairs (cartesian / nested-loop)
