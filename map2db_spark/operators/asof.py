@@ -100,27 +100,42 @@ def asof_join_nearest(
     Rights sharing an identical (key, ts) should be deduplicated by
     the caller (the carried row among exact ts duplicates is
     deterministic but direction-asymmetric).
+
+    The right payload (ts + every value column) is packed into ONE
+    struct and carried with a single last/first per direction: with
+    per-column carries, a NULL in one right value column would let
+    the pick mix columns (and asof_ts) from DIFFERENT right rows —
+    the struct makes the carried row atomic, nullable value columns
+    included.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    payload_type = StructType(
+        [StructField("ts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c).alias(c) for c in right_value_cols],
+        ).alias("__r"),
     ).select(*l.columns)
 
     unioned = l.unionByName(r)
-    order = ["__ts", "__side", *[f"__r_{c}" for c in right_value_cols]]
+    # struct ordering (ts first, then values) keeps the tiebreak among
+    # identical-ts right rows deterministic, as before
+    order = ["__ts", "__side", "__r"]
     w_prev = (
         Window.partitionBy(on)
         .orderBy(*order)
@@ -135,17 +150,17 @@ def asof_join_nearest(
         *lcols,
         "__ts",
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w_prev).alias(f"__p_{c}")
-            for c in right_value_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w_prev).alias("__p_ts"),
-        *[
-            F.first(f"__r_{c}", ignorenulls=True).over(w_next).alias(f"__n_{c}")
-            for c in right_value_cols
-        ],
-        F.first("__r_ts", ignorenulls=True).over(w_next).alias("__n_ts"),
+        F.last("__r", ignorenulls=True).over(w_prev).alias("__p"),
+        F.first("__r", ignorenulls=True).over(w_next).alias("__n"),
     ).where(F.col("__side") == 1)
+    both = both.select(
+        *lcols,
+        "__ts",
+        *[F.col(f"__p.{c}").alias(f"__p_{c}") for c in right_value_cols],
+        F.col("__p.ts").alias("__p_ts"),
+        *[F.col(f"__n.{c}").alias(f"__n_{c}") for c in right_value_cols],
+        F.col("__n.ts").alias("__n_ts"),
+    )
     # distance compare in exact integers (microseconds for timestamp
     # keys, raw values for numeric keys); prev wins ties
     from pyspark.sql.types import TimestampNTZType, TimestampType

@@ -1800,15 +1800,18 @@ def f_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
+    from map2db_spark.tables import cleanup_roundtrip
+
     tmp = tempfile.mkdtemp(prefix="m2db_orc_")
     ev.write.mode("overwrite").orc(tmp)
-    return (
+    return cleanup_roundtrip(
         spark.read.orc(tmp)
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("cents").cast("long").alias("sum_cents"),
-        )
+        ),
+        tmp,
     )
 
 
@@ -1843,11 +1846,16 @@ def m_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in docs.select("doc_id", "text").collect():  # 8 rows, test rig only
         with open(os.path.join(tmp, f"{r['doc_id']:04d}.txt"), "wb") as f:
             f.write(r["text"].encode("utf-8"))
+    from map2db_spark.tables import cleanup_roundtrip
+
     bf = spark.read.format("binaryFile").load(tmp)
-    return bf.agg(
-        F.count("*").cast("long").alias("n_files"),
-        F.sum(F.length("content")).cast("long").alias("total_bytes"),
-        F.min(F.md5(F.col("content"))).alias("first_md5"),
+    return cleanup_roundtrip(
+        bf.agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.length("content")).cast("long").alias("total_bytes"),
+            F.min(F.md5(F.col("content"))).alias("first_md5"),
+        ),
+        tmp,
     )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 from map2db_spark.queries_pipeline import _JACCARD_DF_CAP as _DF_CAP
 from map2db_spark.registry import query
 from map2db_spark.tables import Tables
+from map2db_spark.tables import cleanup_roundtrip as _cleanup_roundtrip
 
 
 # ---------------------------------------------------------------------------
@@ -835,10 +836,13 @@ def f_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(tmp)
     )
-    return back.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sum_cents"),
-        F.min(F.md5(F.col("props"))).alias("min_props_md5"),
+    return _cleanup_roundtrip(
+        back.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min(F.md5(F.col("props"))).alias("min_props_md5"),
+        ),
+        tmp,
     )
 
 
@@ -868,10 +872,13 @@ def f_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="m2db_jsonl_")
     docs.write.mode("overwrite").json(tmp)
     back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
-    return back.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.length("text")).cast("long").alias("total_chars"),
-        F.min(F.md5(F.col("text"))).alias("min_text_md5"),
+    return _cleanup_roundtrip(
+        back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min(F.md5(F.col("text"))).alias("min_text_md5"),
+        ),
+        tmp,
     )
 
 
@@ -2908,10 +2915,13 @@ def f_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp + "/g=v1", tmp + "/g=v2"
     )
     assert set(merged.columns) == {"doc_id", "lang", "n_chars", "quality"}
-    return merged.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("n_chars").cast("long").alias("v1_chars"),
-        F.count("quality").cast("long").alias("n_v2_rows"),
+    return _cleanup_roundtrip(
+        merged.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("v1_chars"),
+            F.count("quality").cast("long").alias("n_v2_rows"),
+        ),
+        tmp,
     )
 
 
@@ -2958,9 +2968,12 @@ def f_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("lang").parquet(tmp)
     back = spark.read.parquet(tmp)
-    return back.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("n_chars").cast("long").alias("chars_after"),
+    return _cleanup_roundtrip(
+        back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars_after"),
+        ),
+        tmp,
     )
 
 
@@ -3611,7 +3624,7 @@ def f_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(codec).alias("codec"), "n", "sum_cents")
         )
         out = agg if out is None else out.unionByName(agg)
-    return out.orderBy("codec")
+    return _cleanup_roundtrip(out.orderBy("codec"), tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -3804,11 +3817,11 @@ def x_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bar_start,
            CAST(arg_min(CAST(round(value * 100) AS BIGINT),
-                        (epoch_us(ts) - 1672531200000000) * 100000 + event_id) AS BIGINT) AS open,
+                        CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id) AS BIGINT) AS open,
            CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high,
            CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low,
            CAST(arg_max(CAST(round(value * 100) AS BIGINT),
-                        (epoch_us(ts) - 1672531200000000) * 100000 + event_id) AS BIGINT) AS close,
+                        CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id) AS BIGINT) AS close,
            CAST(count(*) AS BIGINT) AS n_ticks
     FROM events WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY 1
@@ -3821,10 +3834,12 @@ def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical tick-to-bar downsampling of market/sensor data, and a
     shape Spark expresses as ONE aggregation because min_by/max_by
     make first/last order statistics aggregable (no window over raw
-    ticks).  First/last ties at equal timestamps resolve by
-    event_id through the packed integer key ((epoch_us rebased to a
-    2023 origin) * 1e5 + event_id — exact below 2^63 for multi-year
-    spans), so the bars are deterministic.
+    ticks).  First/last ties at equal timestamps resolve by event_id
+    through a 128-bit packed key — epoch_us * 1e10 + event_id as
+    decimal(38,0) on Spark / HUGEINT in the oracle — exact for any
+    representable timestamp and unique for event_id < 1e10 (both
+    engines compare the identical integer), so the bars are
+    deterministic with no multi-year overflow cliff.
 
     Scale shape: one map-side-combinable aggregate per bar key; at
     100 TB of ticks the shuffle carries O(bars), not O(ticks) — the
@@ -3832,7 +3847,10 @@ def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = Tables(spark, sf_dir).events.where(F.col("event_type") == "purchase")
     cents = F.round(F.col("value") * 100).cast("long")
-    key = (F.unix_micros("ts") - 1672531200000000) * 100000 + F.col("event_id")
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * 10000000000
+        + F.col("event_id")
+    )
     return (
         ev.select(
             F.window("ts", "6 hours").alias("w"),
@@ -3875,18 +3893,37 @@ def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode (one row per FILE) is the non-splittable variant for
     document-per-file layouts — use binaryFile (m_binaryfile_ingest)
     instead when files can be large.
+
+    Invariant made explicit: line-per-doc parity requires the written
+    column to contain NO newline (write.text would split such a row
+    into several lines, silently diverging from the oracle only when
+    the data generator changes) — the projection raises per-row on
+    violation instead of relying on the generator's current behavior.
     """
-    import os
     import tempfile
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 200)
     tmp = tempfile.mkdtemp(prefix="m2db_text_")
-    docs.select("text").coalesce(2).write.mode("overwrite").text(tmp)
+    guarded = docs.select(
+        F.when(
+            F.col("text").contains("\n"),
+            F.raise_error(
+                "f_text_source: newline in documents.text breaks "
+                "line-per-doc round-trip parity"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    guarded.coalesce(2).write.mode("overwrite").text(tmp)
     back = spark.read.text(tmp)
-    return back.agg(
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum(F.length("value")).cast("long").alias("total_chars"),
-        F.min(F.md5(F.col("value"))).alias("min_md5"),
+    return _cleanup_roundtrip(
+        back.agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.length("value")).cast("long").alias("total_chars"),
+            F.min(F.md5(F.col("value"))).alias("min_md5"),
+        ),
+        tmp,
     )
 
 

@@ -393,6 +393,9 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str):
         .start()
     )
     q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # scratch shards; state is in-memory
     before = {k: tuple(v) for k, v in state.items()}
     replay_applied = apply_batch(last_batch_rows["rows"], last_batch_rows["id"])
     after = {k: tuple(v) for k, v in state.items()}

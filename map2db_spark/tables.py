@@ -55,6 +55,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def cleanup_roundtrip(df: DataFrame, tmp: str) -> DataFrame:
+    """Materialize a (small) read-back result, then delete the
+    round-trip scratch directory — repeated correctness/bench sweeps
+    must not accumulate table copies in /tmp.  The persisted result
+    serves the caller from cache after the backing files are gone."""
+    import shutil
+
+    out = df.persist()
+    out.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 class Tables:
     """Lazy accessor: ``t.lineitem`` returns the DataFrame for that table."""
 

@@ -678,6 +678,28 @@ def test_asof_nearest_directions_ties_and_no_match(spark):
     assert inner.count() == 3
 
 
+def test_asof_nearest_null_value_columns_stay_atomic(spark):
+    """Regression (r2 ADVICE): with per-column carries, a NULL in one
+    right value column let the pick mix values (and asof_ts) from
+    DIFFERENT right rows.  The struct-packed carry must return the
+    nearest ROW atomically — its NULL fields included."""
+    from map2db_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    # nearest right row (t=99) has v1 NULL; the farther row (t=90)
+    # has both.  The old per-column carry returned v1 from t=90 with
+    # v2/ts from t=99 — a row that never existed.
+    right = spark.createDataFrame(
+        [(1, 90, "old1", "old2"), (1, 99, None, "new2")],
+        "k long, t long, v1 string, v2 string",
+    )
+    (row,) = asof_join_nearest(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_value_cols=["v1", "v2"],
+    ).collect()
+    assert (row["asof_v1"], row["asof_v2"], row["asof_ts"]) == (None, "new2", 99)
+
+
 def test_cdc_boundaries_resync_after_prefix_edit(spark):
     """The CDC claim: prepend words to a document and the chunking
     re-synchronizes — the two versions share most chunks, while a
