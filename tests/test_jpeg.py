@@ -72,3 +72,125 @@ def test_progressive_sof2_detected():
 def test_segment_count_matches_shell_layout():
     # APP0, COM, DQT, SOF0, DHT, SOS = 6 segments before entropy data
     assert parse_jpeg_header(encode_jpeg_shell(8, 8, 1))["n_segments"] == 6
+
+
+# ---------------------------------------------------------------------------
+# Real baseline codec (functions/jpeg_codec.py): encode + pixel decode
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from map2db_spark.functions.jpeg_codec import (
+    FIXTURE_QTABLE,
+    build_huffman,
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+
+
+def _const_block_img(seed: int, bh: int, bw: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (bh, bw))
+    return np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def test_jpeg_codec_constant_blocks_bit_exact_gray():
+    """Constant 8x8 blocks carry only DC; with DC quantizer 8 the
+    whole pipeline is exact integer arithmetic in float64, so the
+    REAL Huffman-coded stream round-trips bit-exactly."""
+    img = _const_block_img(7, 3, 4)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg_codec_constant_blocks_bit_exact_rgb():
+    """Gray-valued RGB: the BT.601 YCbCr forward/backward coefficients
+    sum to 1/0, so constant gray blocks survive the 3-component path
+    bit-exactly too (Cb=Cr=128 everywhere)."""
+    img = _const_block_img(11, 2, 3)
+    rgb = np.stack([img, img, img], axis=-1)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(rgb))
+    assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_codec_walker_reads_real_stream():
+    """The metadata walker and the real encoder agree on the layout."""
+    hdr = parse_jpeg_header(encode_jpeg_baseline(_const_block_img(3, 1, 2)))
+    assert (hdr["width"], hdr["height"], hdr["ncomp"]) == (16, 8, 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_jpeg_codec_lossy_error_bounded(seed):
+    """Arbitrary content: reconstruction error is bounded by the
+    quantization step (coefficient error <= q/2 per coefficient;
+    worst-case spatial amplification keeps pixels within ~q)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2 * int(
+        FIXTURE_QTABLE.max()
+    )
+
+
+def test_jpeg_codec_non_multiple_of_8_crops():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert dec.shape == (13, 21)
+
+
+def test_jpeg_codec_color_bounded():
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(rgb))
+    assert dec.shape == rgb.shape
+    # YCbCr transform + quantization: looser bound than grayscale
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4 * int(
+        FIXTURE_QTABLE.max()
+    )
+
+
+def test_jpeg_codec_rejects_out_of_envelope():
+    """Progressive / subsampled / restart inputs raise instead of
+    mis-decoding (the honest remaining envelope)."""
+    img = _const_block_img(1, 1, 1)
+    enc = bytearray(encode_jpeg_baseline(img))
+    # flip SOF0 (FFC0) to SOF2 (FFC2) -> progressive
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(prog)
+    # corrupt magic
+    with pytest.raises(JpegError):
+        decode_jpeg_baseline(b"\x00\x00" + bytes(enc[2:]))
+
+
+def test_jpeg_codec_huffman_canonical():
+    """Canonical code construction: prefix-free and length-ordered."""
+    counts = [0, 1, 2, 3] + [0] * 12
+    symbols = [10, 20, 21, 30, 31, 32]
+    table = build_huffman(counts, symbols)
+    assert len(table) == 6
+    codes = sorted((ln, code) for code, ln in table.values())
+    as_bits = [format(code, f"0{ln}b") for ln, code in codes]
+    for i, a in enumerate(as_bits):
+        for b in as_bits[i + 1:]:
+            assert not b.startswith(a), (a, b)
+
+
+def test_jpeg_codec_byte_stuffing_roundtrip():
+    """An image tuned to emit 0xFF bytes in the entropy stream must
+    still round-trip (stuffing + unstuffing)."""
+    found = False
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        enc = encode_jpeg_baseline(img)
+        scan = enc[enc.find(b"\xff\xda") + 2:-2]
+        if b"\xff\x00" in scan:
+            found = True
+            dec = decode_jpeg_baseline(enc)
+            assert dec.shape == img.shape
+    assert found, "no fixture produced a stuffed byte; widen the search"
