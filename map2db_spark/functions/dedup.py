@@ -172,12 +172,13 @@ def jaccard_pairs(
             .unionByName(candidates.select(F.col("id_b").alias("sid")))
             .distinct()
         )
-        # materialize: this small filtered table feeds three plan
-        # branches (sizes + both join sides) — don't re-run the
-        # semi-join per branch
+        # persist: this small filtered table feeds three plan branches
+        # (sizes + both join sides) — don't re-run the semi-join per
+        # branch; persist (vs localCheckpoint) keeps lineage so a lost
+        # executor recomputes instead of failing the query
         verify_shingles = shingles.join(
             F.broadcast(cand_docs), "sid", "left_semi"
-        ).localCheckpoint()
+        ).persist()
     # doc sizes are only needed for docs that reach verification
     sizes = verify_shingles.groupBy("sid").agg(F.countDistinct("shingle").alias("n"))
     a = verify_shingles.select(F.col("sid").alias("id_a"), "shingle")

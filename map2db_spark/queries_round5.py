@@ -6778,3 +6778,233 @@ def m_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, width INT, height INT, sum_px LONG,"
         " min_px LONG, max_px LONG",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity scoring (corpus quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+           FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1
+           FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(1000000 * ln(CAST(c1.n1 AS DOUBLE) / c2.n2))
+                  AS BIGINT) AS nll_micro
+      FROM big b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                 JOIN c1 ON c1.w1 = b.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(nll_micro) AS BIGINT) AS nll_sum_micro,
+           CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_avg_micro
+    FROM scored WHERE doc_id < 200
+    GROUP BY doc_id
+    """,
+    tags=("text", "language-model", "quality", "pipeline"),
+)
+def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity scoring — the model-based
+    quality signal every curation stack runs next to the heuristic
+    filters (t_quality_scores): a bigram LM is TRAINED on the corpus
+    itself (count tables) and each document is scored by its average
+    negative log-likelihood.  Low-NLL documents are templated or
+    duplicated (the LM predicts them — candidates for dedup/
+    downweighting), high-NLL documents are noise (candidates for the
+    quality gate) — this is the CCNet/KenLM filtering pattern with
+    the engine's own counts as the model.
+
+    Cross-engine exactness: one ln per bigram TYPE applied to the
+    identical double quotient of exact integer counts, rounded to
+    integer micro-nats BEFORE summation — the per-doc sum is then an
+    integer aggregate, immune to float summation order.
+
+    Scale shape: the bigram explode streams into two map-side-
+    combinable count aggregates; both count tables are
+    vocabulary-sized (quadratic only in DISTINCT tokens, not corpus
+    size) so the score-back joins are broadcasts; one final
+    doc_id-keyed aggregate.  Training and scoring are the same two
+    passes at any corpus size.
+    """
+    docs = Tables(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")
+        ).alias("_i", "bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    nll = F.round(
+        F.lit(1000000) * F.log(F.col("n1").cast("double") / F.col("n2"))
+    ).cast("long")
+    scored = (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select("doc_id", nll.alias("nll_micro"))
+    )
+    return (
+        scored.where(F.col("doc_id") < 200)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("nll_sum_micro"),
+            F.expr("CAST(sum(nll_micro) DIV count(*) AS BIGINT)").alias(
+                "nll_avg_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (build + probe, md5 k-hash, exact fp count)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_oracle() -> str:
+    pos_terms = ",\n        ".join(
+        f"CAST(concat('0x', substr(md5('bf{i}:' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_M} AS p{i}"
+        for i in range(_BLOOM_K)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT key, p{i} AS pos FROM probe_pos" for i in range(_BLOOM_K)
+    )
+    build_union = " UNION ALL ".join(
+        f"SELECT p{i} AS pos FROM build_pos" for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH members AS (SELECT c_custkey AS key FROM customer),
+    probes AS (
+      SELECT c_custkey AS key, TRUE AS is_member FROM customer
+      UNION ALL
+      SELECT p_partkey + 10000000 AS key, FALSE AS is_member FROM part
+    ),
+    build_pos AS (
+      SELECT {pos_terms}
+      FROM members
+    ),
+    bits AS (SELECT DISTINCT pos FROM ({build_union})),
+    probe_pos AS (
+      SELECT key, {pos_terms}
+      FROM probes
+    ),
+    hits AS (
+      SELECT pp.key, CAST(count(b.pos) AS BIGINT) AS n_set
+      FROM ({probe_union}) pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.key
+    ),
+    verdicts AS (
+      SELECT p.key, p.is_member, (h.n_set = {_BLOOM_K}) AS claimed
+      FROM probes p JOIN hits h ON h.key = p.key
+    )
+    SELECT CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN is_member AND claimed THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_member_hits,
+           CAST(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonmembers,
+           CAST(sum(CASE WHEN NOT is_member AND claimed THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(sum(CASE WHEN NOT is_member AND claimed THEN 1 ELSE 0 END)
+                * 1000000
+                // sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp_ppm
+    FROM verdicts
+    """
+
+
+@query(
+    "x_bloom_filter",
+    oracle=_bloom_oracle(),
+    tags=("analytics", "sketch", "membership"),
+)
+def x_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — build + probe as dataflow, the third
+    probabilistic structure next to x_hll_manual (cardinality) and
+    x_countmin_sketch (frequency): customer keys build an m=8192-bit
+    k=4 filter (bit positions from md5 slices, portable across
+    engines), then every member and a disjoint non-member set (part
+    keys shifted out of range) are probed.  The result certifies the
+    two Bloom properties exactly: ZERO false negatives (every member
+    hits) and a measured false-positive rate to compare against the
+    (1 - e^(-kn/m))^k ≈ theory value — how an engine sizes the
+    runtime bloom-join filters it pushes into scans.
+
+    Scale shape: the filter is the DISTINCT bit-position table
+    (bounded by m = 8192 rows regardless of input size) and is
+    BROADCAST to the probe side — membership probing never shuffles
+    the probe stream; build is one map + bounded distinct.
+    """
+    cust = Tables(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("key")
+    )
+    part = Tables(spark, sf_dir).part.select(
+        (F.col("p_partkey") + 10000000).alias("key")
+    )
+    probes = cust.select("key", F.lit(True).alias("is_member")).unionByName(
+        part.select("key", F.lit(False).alias("is_member"))
+    )
+
+    def pos(i: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"bf{i}:"), F.col("key").cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_M
+
+    bits = None
+    for i in range(_BLOOM_K):
+        b = cust.select(pos(i).alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()  # the filter: <= m rows, broadcastable
+
+    probe_pos = None
+    for i in range(_BLOOM_K):
+        p = probes.select("key", "is_member", pos(i).alias("pos"))
+        probe_pos = p if probe_pos is None else probe_pos.unionByName(p)
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("key", "is_member")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    verdicts = probes.join(hits, ["key", "is_member"], "left").select(
+        "is_member",
+        (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias("claimed"),
+    )
+    return verdicts.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("is_member") & F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_member_hits"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonmembers"),
+        F.sum(F.when(~F.col("is_member") & F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT is_member AND claimed THEN 1 ELSE 0 END)"
+            " * 1000000 DIV sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("fp_ppm"),
+    )

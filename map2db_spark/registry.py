@@ -160,6 +160,14 @@ _ROUND4_NEW = frozenset({
 })
 
 
+# Queries first registered during round 3 as nice-to-have additions
+# (NOT the verdict-mandated ones, which sit in tier 0 to get driver
+# rows): graded after the round-5 backlog, never evicting it.
+_ROUND6_NEW = frozenset({
+    "t_bigram_perplexity", "x_bloom_filter",
+})
+
+
 # Queries first registered during round-2's continuation session:
 # graded after the round-4 additions, never evicting earlier backlog.
 _ROUND5_NEW = frozenset({
@@ -232,9 +240,12 @@ def _ensure_loaded() -> None:
     #   2. queries added during round 3 — behind the round-2 backlog;
     #   3. queries added during round 4 — behind the round-3 backlog;
     #   4. round-5 / continuation-session additions — behind round 4;
-    #   5. already driver-verified (green hard row in r01 or r02).
+    #   5. round-3-session nice-to-have additions — behind round 5;
+    #   6. already driver-verified (green hard row in r01 or r02).
     def tier(name: str) -> int:
         if name in _DRIVER_VERIFIED:
+            return 6
+        if name in _ROUND6_NEW:
             return 5
         if name in _ROUND5_NEW:
             return 4
@@ -248,7 +259,7 @@ def _ensure_loaded() -> None:
 
     reordered = {
         name: QUERIES[name]
-        for t in (0, 1, 2, 3, 4, 5)
+        for t in (0, 1, 2, 3, 4, 5, 6)
         for name in QUERIES
         if tier(name) == t
     }

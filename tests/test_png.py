@@ -42,5 +42,15 @@ def test_corrupt_crc_rejected():
 def test_decode_image_real_dispatches_png():
     px = np.full((2, 2, 3), 9, dtype="uint8")
     assert (decode_image_real(encode_png(px)) == px).all()
+    # JPEG magic now routes to the REAL baseline codec (r3): a valid
+    # stream decodes, a malformed one raises a loud JpegError
+    from map2db_spark.functions.jpeg import JpegError
+    from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
+
+    jpg_px = np.full((8, 8), 55, dtype="uint8")
+    assert (decode_image_real(encode_jpeg_baseline(jpg_px)) == jpg_px).all()
+    with pytest.raises(JpegError):
+        decode_image_real(b"\xff\xd8\xff\xe0\x00\x04xxfake jpeg")
+    # WebP keeps the honest stub (VP8 needs a codec library)
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\xff\xd8\xff\xe0 fake jpeg")
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")

@@ -12,6 +12,7 @@ from map2db_spark.registry import (
     _ROUND3_NEW,
     _ROUND4_NEW,
     _ROUND5_NEW,
+    _ROUND6_NEW,
     QUERIES,
     _ensure_loaded,
 )
@@ -54,6 +55,7 @@ def test_round2_additions_do_not_evict_r1_backlog():
         and n not in _ROUND3_NEW
         and n not in _ROUND4_NEW
         and n not in _ROUND5_NEW
+        and n not in _ROUND6_NEW
     )
     first_tier1 = min(
         (i for i, n in enumerate(NAMES) if n in _ROUND2_NEW), default=len(NAMES)
@@ -91,9 +93,20 @@ def test_round5_additions_behind_round4_backlog():
     assert last_tier3 < first_tier4
 
 
+def test_round6_additions_behind_round5_backlog():
+    last_tier4 = max(
+        (i for i, n in enumerate(NAMES) if n in _ROUND5_NEW), default=-1
+    )
+    first_tier5 = min(
+        (i for i, n in enumerate(NAMES) if n in _ROUND6_NEW), default=len(NAMES)
+    )
+    assert last_tier4 < first_tier5
+
+
 def test_every_query_is_classified():
     # a name in two sets would make the tiering ambiguous
-    tiers = (_DRIVER_VERIFIED, _ROUND2_NEW, _ROUND3_NEW, _ROUND4_NEW, _ROUND5_NEW)
+    tiers = (_DRIVER_VERIFIED, _ROUND2_NEW, _ROUND3_NEW, _ROUND4_NEW,
+             _ROUND5_NEW, _ROUND6_NEW)
     for i, a in enumerate(tiers):
         for b in tiers[i + 1:]:
             assert not (a & b)
