@@ -350,3 +350,33 @@ def s_stream_append_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_emission_counts(spark, sf_dir).select(
         "win_start", "n", "sum_cents"
     )
+
+
+@query(
+    "s_stream_checkpoint_resume",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    """,
+    tags=("streaming", "checkpoint", "exactly-once"),
+)
+def s_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery exactly-once across THREE query lifetimes:
+    stream half the events into a native append-mode parquet sink,
+    append the second half to the source and RESUME from the same
+    checkpointLocation (the offset log admits only the new files),
+    then run once more with no new input (must be a no-op).  The sink
+    holds every event exactly once, so the read-back aggregate equals
+    the whole-table batch oracle — any replay doubles rows, any loss
+    drops them, and either flips the hash.  This is the crash-restart
+    contract (s_stream_foreachbatch_upsert covers the transactional-
+    sink side; this covers the source-offset-log side with the
+    native file sink)."""
+    from map2db_spark.streaming.events import checkpointed_resume
+
+    return checkpointed_resume(spark, sf_dir).select(
+        "n_rows", "n_distinct", "sum_cents"
+    )

@@ -164,7 +164,7 @@ _ROUND4_NEW = frozenset({
 # (NOT the verdict-mandated ones, which sit in tier 0 to get driver
 # rows): graded after the round-5 backlog, never evicting it.
 _ROUND6_NEW = frozenset({
-    "t_bigram_perplexity", "x_bloom_filter",
+    "t_bigram_perplexity", "x_bloom_filter", "s_stream_checkpoint_resume",
 })
 
 

@@ -404,6 +404,69 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str):
 
 
 
+def checkpointed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery exactly-once, demonstrated end to end with
+    Spark's NATIVE append-mode file sink: the events table is split in
+    half; run 1 streams generation A into a parquet sink under a
+    checkpointLocation; generation B is then appended to the SOURCE
+    directory and run 2 RESUMES from the same checkpoint — the file-
+    source offset log makes it process ONLY the new files; run 3 (no
+    new input) must process nothing.  The sink directory afterwards
+    holds each event exactly once across three separate query
+    lifetimes — the recovery contract that lets a production stream
+    restart after a crash without double-writing.
+
+    Returns the read-back sink aggregate (n_rows / n_distinct /
+    sum_cents): any replay would double rows, any loss would drop
+    them, and both flip the value hash vs the batch oracle."""
+    import shutil
+    import tempfile
+
+    from map2db_spark.tables import Tables, cleanup_roundtrip
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="m2db_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="m2db_ckpt_cp_")
+    sink = tempfile.mkdtemp(prefix="m2db_ckpt_out_")
+    schema = "event_id LONG, user_id LONG, cents LONG"
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src)
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # generation A
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_once()  # resume: only generation B's files are processed
+    run_once()  # no new input: must be a no-op
+    out = cleanup_roundtrip(
+        spark.read.schema(schema)
+        .parquet(sink)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ),
+        sink,
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def append_emission_counts(spark: SparkSession, sf_dir: str):
     """Append-mode emission timing, made oracle-checkable: a
     watermarked tumbling aggregation over the bounded events stream
