@@ -515,3 +515,78 @@ def m2db_overlay_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "m2db_datasource_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+        ('line',  CAST(5 AS BIGINT), CAST(4 AS BIGINT)),
+        ('point', CAST(5 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(ftype, n_sightings, n_features)
+    """,
+    tags=("mapsforge", "source", "datasource"),
+)
+def m2db_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapsForge as a FIRST-CLASS Spark format: the connector is
+    packaged behind Spark's official Python DataSource API
+    (sources/spark_datasource.py), so ``spark.read.format("mapsforge")
+    .load(path)`` works exactly like parquet — planning reads only
+    the KB-scale header, each InputPartition is a tile-index chunk,
+    and executors range-read + decode only their own tiles with the
+    same kernel the pipeline uses (S5-S9; reference map2db.py:
+    815-1077).  The aggregate equals m2db_decode_sightings' literal
+    oracle, certifying the connector path row-identical to
+    pipeline.load_features (also asserted directly in
+    tests/test_source_formats.py).
+
+    Scale shape: identical to the pipeline scan — per-chunk index
+    reads, per-tile payload reads, no driver-side data; Spark owns
+    scheduling/retries/Arrow conversion through the standard source
+    interface."""
+    from map2db_spark.session import ship_package
+    from map2db_spark.sources import spark_datasource as sds
+
+    ship_package(spark)
+    sds.register(spark)
+    feats = spark.read.format("mapsforge").load(_fixture_path())
+    return feats.groupBy("ftype").agg(
+        F.count(F.lit(1)).alias("n_sightings"),
+        F.countDistinct("fid").alias("n_features"),
+    )
+
+
+@query(
+    "m2db_datasource_pushdown",
+    oracle="""
+    SELECT CAST(14 AS BIGINT) AS n_all,
+           CAST(3 AS BIGINT) AS n_points_l8
+    """,
+    tags=("mapsforge", "source", "datasource", "pushdown"),
+)
+def m2db_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector filter pushdown through the official
+    DataSourceReader.pushFilters hook: ``level = 8`` prunes whole
+    SUBFILES at planning (other zoom levels' index and tile bytes are
+    never read — partition pruning), and ``ftype = 'point'`` filters
+    rows inside the reader before they cross the Arrow boundary.
+    Unsupported predicates are handed back for Spark to re-apply, so
+    pushdown can only optimize, never change semantics.  The counts
+    are literal fixture truth (14 sightings total; 3 level-8 points);
+    partition-level pruning is asserted structurally in
+    tests/test_source_formats.py."""
+    from map2db_spark.session import ship_package
+    from map2db_spark.sources import spark_datasource as sds
+
+    ship_package(spark)
+    sds.register(spark)
+    feats = spark.read.format("mapsforge").load(_fixture_path())
+    n_all = feats.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    n_pts = (
+        spark.read.format("mapsforge")
+        .load(_fixture_path())
+        .where((F.col("level") == 8) & (F.col("ftype") == "point"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points_l8"))
+    )
+    return n_all.crossJoin(F.broadcast(n_pts))

@@ -109,3 +109,59 @@ def test_corrupt_json_records_are_quarantined(spark, tmp_path):
     assert len(bad) == 2
     assert any("broken" in r._corrupt_record for r in bad)
     assert any("not-a-number" in r._corrupt_record for r in bad)
+
+
+# ---------------------------------------------------------------------------
+# MapsForge Python DataSource connector (official Spark 4 source API)
+# ---------------------------------------------------------------------------
+
+
+def test_mapsforge_datasource_rows_identical_to_pipeline(spark):
+    """The connector path (spark.read.format('mapsforge')) must be
+    row-identical to pipeline.load_features — same kernel, different
+    packaging."""
+    from map2db_spark.pipeline import load_features
+    from map2db_spark.queries_mapsforge import _fixture_path
+    from map2db_spark.sources import spark_datasource as sds
+
+    sds.register(spark)
+    via_ds = spark.read.format("mapsforge").load(_fixture_path())
+    via_pipe = load_features(spark, _fixture_path())
+    a = sorted(map(str, via_ds.collect()))
+    b = sorted(map(str, via_pipe.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_mapsforge_datasource_level_filter_prunes_partitions():
+    """pushFilters(level = N) must drop the other subfiles' partitions
+    at PLANNING time — their index and tile bytes are never read."""
+    from pyspark.sql.datasource import EqualTo
+
+    from map2db_spark.queries_mapsforge import _fixture_path
+    from map2db_spark.sources.spark_datasource import MapsforgeReader
+
+    r = MapsforgeReader({"path": _fixture_path()})
+    levels = [sf.level for sf in r.header.subfiles]
+    assert len(set(levels)) > 1, "fixture must have multiple zoom levels"
+    all_parts = r.partitions()
+    leftover = list(r.pushFilters([EqualTo(("level",), levels[0])]))
+    assert leftover == []  # fully consumed
+    pruned = r.partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    kept_levels = {r.header.subfiles[p.subfile_idx].level for p in pruned}
+    assert kept_levels == {levels[0]}
+
+
+def test_mapsforge_datasource_unsupported_filters_handed_back():
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from map2db_spark.queries_mapsforge import _fixture_path
+    from map2db_spark.sources.spark_datasource import MapsforgeReader
+
+    r = MapsforgeReader({"path": _fixture_path()})
+    unsupported = list(
+        r.pushFilters([GreaterThan(("layer",), 2), EqualTo(("ftype",), "line")])
+    )
+    # the layer predicate comes back for Spark to re-apply; ftype is kept
+    assert len(unsupported) == 1
+    assert r.ftype_filter == {"line"}
