@@ -590,3 +590,47 @@ def m2db_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_points_l8"))
     )
     return n_all.crossJoin(F.broadcast(n_pts))
+
+
+@query(
+    "m2db_stream_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(4 AS BIGINT)),
+        ('line',  CAST(5 AS BIGINT)),
+        ('point', CAST(5 AS BIGINT))
+    ) AS t(ftype, n_sightings)
+    """,
+    tags=("mapsforge", "source", "datasource", "streaming"),
+)
+def m2db_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest of the reference format:
+    ``spark.readStream.format("mapsforge_stream")`` via the official
+    Python DataSourceStreamReader — offsets are tile-index chunk
+    counts (checkpointable, so a restarted query resumes at the first
+    unprocessed chunk), micro-batch partitions are chunk ranges, and
+    executors decode their own tiles with the same kernel as the
+    batch connector.  Planning is split by PROCESS REALITY: Spark's
+    streaming-source runner is a separate Python process that never
+    receives addPyFile zips, so the source class is built by-value
+    (package-free) and the chunk plan arrives pre-computed as a JSON
+    option from the driver (sources/spark_datasource.py docstrings).
+    Driven to completion with availableNow through the foreachBatch
+    file transport (no driver collect); the aggregate over the
+    streamed features equals the batch fixture truth — the connector
+    family covers batch read, filter pushdown, AND streaming."""
+    from map2db_spark.session import ship_package
+    from map2db_spark.sources import spark_datasource as sds
+    from map2db_spark.streaming.events import run_available_now_df
+
+    ship_package(spark)
+    sds.register(spark)
+    stream = (
+        spark.readStream.format("mapsforge_stream")
+        .option("plan", sds.stream_plan_json(_fixture_path()))
+        .load(_fixture_path())
+    )
+    agg = stream.groupBy("ftype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sightings")
+    )
+    return run_available_now_df(agg, "complete").select("ftype", "n_sightings")

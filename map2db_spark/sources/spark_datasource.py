@@ -38,6 +38,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -140,10 +141,132 @@ class MapsforgeDataSource(DataSource):
         return MapsforgeReader(self.options)
 
 
+def _stream_source_class():
+    """Build the STREAMING DataSource class at call time.
+
+    Why a factory: Spark runs Python streaming-source PLANNING
+    (initialOffset / latestOffset / partitions) in a dedicated
+    "python streaming source runner" process that — unlike executor
+    Python workers — does NOT receive sc.addPyFile zips, so a class
+    that lives in this package cannot be unpickled there.  A class
+    created inside a function is serialized BY VALUE by cloudpickle,
+    and its planning path below touches only stdlib + pyspark +
+    plain option strings (the tile-chunk plan arrives pre-computed as
+    JSON via .option("plan", stream_plan_json(path)) — computed in
+    the driver process, where the package IS importable).  Only the
+    executor-side read() imports the package, and executors do get
+    the addPyFile zip.
+
+    Offset model: the offset is the number of tile-index chunks
+    admitted; it travels through the checkpoint log, so a restarted
+    query resumes at the first unprocessed chunk.  read() decodes
+    with the identical kernel as the batch connector."""
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        DataSourceStreamReader as _DSR,
+        InputPartition as _IP,
+    )
+
+    schema_str = FEATURE_SCHEMA  # captured as a plain string
+
+    class _Chunk(_IP):
+        def __init__(self, v):
+            self.v = v
+
+    class _Reader(_DSR):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("mapsforge_stream requires a path")
+            plan = options.get("plan")
+            if not plan:
+                raise ValueError(
+                    "mapsforge_stream requires .option('plan', "
+                    "stream_plan_json(path)) — planning must happen in the "
+                    "driver process, where the engine package is importable"
+                )
+            self.chunks = [tuple(c) for c in json.loads(plan)["chunks"]]
+
+        def initialOffset(self) -> dict:
+            return {"chunk": 0}
+
+        def latestOffset(self) -> dict:
+            return {"chunk": len(self.chunks)}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["chunk"]), int(end["chunk"])
+            parts = [_Chunk(c) for c in self.chunks[lo:hi]]
+            return parts if parts else [_Chunk((-1, 0, 0))]
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets are positional; nothing to clean up
+
+        def read(self, partition):
+            sf_idx, start, count = partition.v
+            if sf_idx < 0:
+                return
+            # executor-side: the package zip shipped via addPyFile;
+            # the KB-scale header re-parses per task
+            from map2db_spark.operators.decode import tile_feature_rows
+            from map2db_spark.sources.header import (
+                _manifest_chunk_rows,
+                read_header,
+            )
+
+            hdr = read_header(self.path)
+            sf = hdr.subfiles[sf_idx]
+            manifest = _manifest_chunk_rows(
+                self.path, sf_idx, sf, hdr.debuginfo, start, count
+            )
+            with open(self.path, "rb") as f:
+                for r in manifest.itertuples(index=False):
+                    if r.offset == r.end_offset:
+                        continue
+                    f.seek(r.offset)
+                    buf = f.read(r.end_offset - r.offset)
+                    yield from tile_feature_rows(
+                        buf, int(r.level), sf.minzoom, sf.maxzoom,
+                        int(r.tile_x), int(r.tile_y),
+                        hdr.ptags, hdr.wtags, hdr.debuginfo, hdr.is_dbl,
+                    )
+
+    class _Source(_DS):
+        @classmethod
+        def name(cls) -> str:
+            return "mapsforge_stream"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def streamReader(self, schema) -> _Reader:
+            return _Reader(self.options)
+
+    return _Source
+
+
+def stream_plan_json(path: str, chunk_entries: int = 4096) -> str:
+    """Driver-side planning for the streaming source: tile-index chunk
+    specs as JSON, passed via .option('plan', ...) so the package-free
+    runner never needs to parse the header itself."""
+    import json
+
+    from map2db_spark.sources.header import read_header
+
+    header = read_header(path)
+    chunks = []
+    for i, sf in enumerate(header.subfiles):
+        for start in range(0, sf.tile_count, chunk_entries):
+            chunks.append((i, start, min(chunk_entries, sf.tile_count - start)))
+    return json.dumps({"chunks": chunks})
+
+
 def register(spark) -> None:
-    """Register the format for this session (idempotent) and enable
+    """Register both formats for this session (idempotent) and enable
     Python-source filter pushdown (a runtime SQL conf, off by default
     in Spark 4.1; Spark refuses a reader that implements pushFilters
     while the conf is off, so the two must travel together)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MapsforgeDataSource)
+    spark.dataSource.register(_stream_source_class())

@@ -53,7 +53,15 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[16]").appName("driver-sim").getOrCreate()
+    # 8g heap: one long-lived JVM runs 300+ queries back-to-back (the
+    # external driver grades 50 per fresh session); without headroom a
+    # heavy sf0.1 join can OOM on residual cached/broadcast blocks.
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("driver-sim")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import duckdb
@@ -93,6 +101,11 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             status = f"ERROR {type(ex).__name__}: {ex}"
             failed.append(name)
+        finally:
+            # queries are independent; persisted intermediates (LSH
+            # neighborhoods, round-trip results, stream transports)
+            # must not accumulate across 300+ queries in one JVM
+            spark.catalog.clearCache()
         print(f"{name}: {status} [{time.perf_counter() - t0:.1f}s]", flush=True)
 
     spark.stop()

@@ -65,9 +65,15 @@ def _normalize(cols, rows):
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(spark, duck, name):
     spec = QUERIES[name]
-    sdf = spec.fn(spark, SF_CORRECT)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = spec.fn(spark, SF_CORRECT)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # persisted intermediates (LSH neighborhoods, round-trip
+        # results, stream transports) must not accumulate across 300+
+        # parametrized cases sharing one session
+        spark.catalog.clearCache()
 
     rel = duck.execute(spec.oracle)
     d_cols = [c[0] for c in rel.description]
