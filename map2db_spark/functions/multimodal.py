@@ -49,10 +49,12 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     """Real image decode, stdlib+numpy only: PNG payloads decode with
     functions/png.py (zlib + unfiltering); baseline-sequential JPEG
     payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
-    4:4:4, 8-bit — progressive/subsampled raise NotImplementedError
-    inside the codec, the honest remaining envelope).  WebP still
-    genuinely needs a VP8 codec and keeps its NotImplementedError
-    slot."""
+    4:4:4, 8-bit); lossless-WebP payloads decode with
+    functions/webp_vp8l.py for the simple-prefix-code subset
+    (transforms / normal codes / LZ77 / lossy VP8 raise
+    NotImplementedError inside the codec — the honest remaining
+    envelope, now down to the parts that genuinely need a full
+    Huffman-table or boolean-arithmetic codec)."""
     from map2db_spark.functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -61,11 +63,14 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         from map2db_spark.functions.jpeg_codec import decode_jpeg_baseline
 
         return decode_jpeg_baseline(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from map2db_spark.functions.webp_vp8l import decode_vp8l_simple
+
+        return decode_vp8l_simple(payload)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "WebP/other image decode requires a codec library (VP8); "
-            "this container stubs it (fake_decode_features provides "
-            "the deterministic stand-in)"
+            "unknown image format; this container has no codec library "
+            "(fake_decode_features provides the deterministic stand-in)"
         )
     raise NotImplementedError("wire PIL decode here")
 

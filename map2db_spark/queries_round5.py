@@ -7008,3 +7008,115 @@ def x_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("fp_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebP-lossless PIXEL decode (real VP8L bitstream, simple-code subset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_webp_pixels",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             (doc_id * 31) % 256 AS r0,
+             (doc_id * 57) % 256 AS g0,
+             (doc_id * 13) % 256 AS b0,
+             CASE WHEN doc_id % 5 = 0 THEN (doc_id * 31) % 256
+                  ELSE (doc_id * 91 + 17) % 256 END AS r1,
+             CASE WHEN doc_id % 5 = 0 THEN (doc_id * 57) % 256
+                  ELSE (doc_id * 73 + 5) % 256 END AS g1,
+             CASE WHEN doc_id % 5 = 0 THEN (doc_id * 13) % 256
+                  ELSE (doc_id * 29 + 11) % 256 END AS b1
+      FROM documents WHERE doc_id < 40
+    ),
+    e AS (
+      SELECT *,
+             w * h AS t,
+             ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS even_cells
+      FROM g
+    ),
+    n AS (
+      SELECT *,
+             CASE WHEN doc_id % 2 = 0 THEN even_cells
+                  ELSE t - even_cells END AS n0
+      FROM e
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(n0 * r0 + (t - n0) * r1 AS BIGINT) AS sum_r,
+           CAST(n0 * g0 + (t - n0) * g1 AS BIGINT) AS sum_g,
+           CAST(n0 * b0 + (t - n0) * b1 AS BIGINT) AS sum_b,
+           CAST(t * 255 AS BIGINT) AS sum_a
+    FROM n
+    """,
+    tags=("multimodal", "image", "pixels", "webp"),
+)
+def m_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless PIXEL decode: per row, a two-tone RGB
+    checkerboard (colors and geometry closed-form from doc_id; every
+    fifth doc degenerates to a solid fill, exercising the
+    zero-bit-per-pixel one-symbol path) is ENCODED as a genuine VP8L
+    bitstream — RIFF container, LSB-first 14-bit geometry, transform/
+    cache/meta flags, five simple prefix codes, one bit per two-tone
+    channel per pixel (functions/webp_vp8l.py) — then DECODED back
+    through the same spec layout inside one Arrow kernel, and the
+    emitted channel sums come from the DECODED RGBA array.  The
+    oracle recomputes the sums from the checker parity count, so a
+    hash match certifies the full encode+decode bit path.  Transforms,
+    normal prefix codes, LZ77 and lossy VP8 stay honest
+    NotImplementedError slots inside the codec.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.webp_vp8l import (
+            decode_vp8l_simple,
+            encode_vp8l_simple,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [], "sum_a": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                c0 = ((d * 31) % 256, (d * 57) % 256, (d * 13) % 256)
+                c1 = c0 if d % 5 == 0 else (
+                    (d * 91 + 17) % 256, (d * 73 + 5) % 256, (d * 29 + 11) % 256
+                )
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        img[y, x] = c0 if (x + y + d) % 2 == 0 else c1
+                dec = decode_vp8l_simple(encode_vp8l_simple(img))
+                out["media_id"].append(d)
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+                out["sum_a"].append(int(s[3]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, sum_r LONG,"
+        " sum_g LONG, sum_b LONG, sum_a LONG",
+    )

@@ -280,6 +280,81 @@ def test_union_overlay_matches_pointwise_coverage():
                 )
 
 
+def test_overlay_agrees_with_dissolve_on_disjoint_fragments():
+    """Consistency of the two G5 engines: for inputs INSIDE the
+    tile-fragment contract (disjoint interiors, shared boundary runs)
+    the general winding-number overlay must produce exactly the same
+    multipolygon as the edge-cancellation dissolve fast path."""
+    import itertools
+
+    from map2db_spark.geometry.overlay import union_overlay
+
+    u = 1e-6
+    q = lambda x0, y0: _sq(x0 * u, y0 * u, u)
+    cases = [
+        # 2x2 quadrants of a square
+        [[q(0, 0)], [q(1, 0)], [q(0, 1)], [q(1, 1)]],
+        # a strip with a gap (two output polygons)
+        [[q(0, 0)], [q(1, 0)], [q(3, 0)]],
+        # L-shape assembled from 3 cells
+        [[q(0, 0)], [q(0, 1)], [q(1, 0)]],
+        # ring of 8 cells around an empty center (hole emerges)
+        [
+            [q(0, 0)], [q(1, 0)], [q(2, 0)],
+            [q(0, 1)], [q(2, 1)],
+            [q(0, 2)], [q(1, 2)], [q(2, 2)],
+        ],
+    ]
+    for frags in cases:
+        fast = union_polygons(frags, on_overlap="raise")
+        general = union_overlay(frags)
+        assert fast == general, (frags, fast, general)
+        # and order independence of the general path on these inputs
+        for perm in itertools.islice(itertools.permutations(frags), 6):
+            assert union_overlay(list(perm)) == fast
+
+
+def test_union_overlay_fuzz_vs_cell_decomposition():
+    """Property fuzz: the overlay union's exact area over random
+    overlapping axis-aligned rectangles must equal the coordinate-
+    compression cell-decomposition area (an independent algorithm —
+    the in-process twin of the m2db_overlay_union SQL oracle), and the
+    output must be a valid multipolygon."""
+    import random
+
+    from map2db_spark.geometry.overlay import union_overlay
+    from map2db_spark.geometry.repair import polygons_valid
+
+    u = 1e-6
+    rng = random.Random(20260814)
+    for trial in range(60):
+        n = rng.randint(1, 8)
+        rects = []
+        for _ in range(n):
+            x0 = rng.randint(0, 30)
+            y0 = rng.randint(0, 30)
+            rects.append((x0, y0, x0 + rng.randint(1, 12), y0 + rng.randint(1, 12)))
+        frags = [
+            [[[(x0 * u, y0 * u), (x1 * u, y0 * u), (x1 * u, y1 * u),
+               (x0 * u, y1 * u), (x0 * u, y0 * u)]]]
+            for x0, y0, x1, y1 in rects
+        ]
+        out = union_overlay(frags)
+        assert polygons_valid(out), (trial, rects)
+        # independent oracle: coordinate compression
+        xs = sorted({v for r in rects for v in (r[0], r[2])})
+        ys = sorted({v for r in rects for v in (r[1], r[3])})
+        want = 0
+        for xa, xb in zip(xs, xs[1:]):
+            for ya, yb in zip(ys, ys[1:]):
+                if any(
+                    r[0] <= xa and xb <= r[2] and r[1] <= ya and yb <= r[3]
+                    for r in rects
+                ):
+                    want += (xb - xa) * (yb - ya)
+        assert _area2_int(out) == 2 * want, (trial, rects)
+
+
 def test_union_overlay_order_independent():
     """Overlay union is the same multipolygon for every fragment
     order (normalization makes it canonical)."""

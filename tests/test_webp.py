@@ -71,3 +71,82 @@ def test_vp8_sync_code_checked():
     buf[i] = 0x00
     with pytest.raises(WebpError, match="sync"):
         parse_webp_header(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# VP8L pixel codec (simple-prefix-code subset, functions/webp_vp8l.py)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+from map2db_spark.functions.webp_vp8l import (
+    decode_vp8l_simple,
+    encode_vp8l_simple,
+)
+
+
+def _checker(h, w, c0, c1, phase=0):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = c0 if (x + y + phase) % 2 == 0 else c1
+    return img
+
+
+def test_vp8l_two_tone_roundtrip_exact():
+    img = _checker(5, 7, (10, 200, 30), (250, 40, 90))
+    dec = decode_vp8l_simple(encode_vp8l_simple(img))
+    assert np.array_equal(dec[:, :, :3], img)
+    assert (dec[:, :, 3] == 255).all()
+
+
+def test_vp8l_solid_fill_zero_bits_per_pixel():
+    """One-symbol codes cost zero scan bits: a solid image's size is
+    header-only, independent of pixel count."""
+    small = encode_vp8l_simple(np.full((2, 2, 3), 9, dtype=np.uint8))
+    big = encode_vp8l_simple(np.full((64, 64, 3), 9, dtype=np.uint8))
+    assert len(small) == len(big)
+    dec = decode_vp8l_simple(big)
+    assert (dec[:, :, :3] == 9).all() and dec.shape == (64, 64, 4)
+
+
+def test_vp8l_mixed_channel_arity():
+    img = _checker(4, 6, (7, 50, 200), (7, 90, 100))  # red constant
+    dec = decode_vp8l_simple(encode_vp8l_simple(img))
+    assert np.array_equal(dec[:, :, :3], img)
+
+
+def test_vp8l_rgba_alpha_two_tone():
+    img = np.zeros((3, 4, 4), dtype=np.uint8)
+    img[:, :, :3] = 120
+    img[:, :, 3] = 255
+    img[1, 2, 3] = 128  # two-tone alpha
+    dec = decode_vp8l_simple(encode_vp8l_simple(img))
+    assert np.array_equal(dec, img)
+
+
+def test_vp8l_header_agrees_with_metadata_walker():
+    """The pixel encoder's bit layout matches the independent
+    metadata walker's reading of the same header fields."""
+    from map2db_spark.functions.webp import parse_webp_header
+
+    enc = encode_vp8l_simple(np.full((11, 13, 3), 4, dtype=np.uint8))
+    hdr = parse_webp_header(enc)
+    assert (hdr["width"], hdr["height"], hdr["layout"]) == (13, 11, "VP8L")
+
+
+def test_vp8l_rejects_out_of_envelope():
+    from map2db_spark.functions.webp import WebpError, encode_webp_shell
+
+    # >2 values per channel: encoder refuses
+    with pytest.raises(WebpError):
+        encode_vp8l_simple(np.arange(27, dtype=np.uint8).reshape(3, 3, 3))
+    # lossy VP8 chunk: decoder raises NotImplementedError, never
+    # mis-decodes
+    with pytest.raises(NotImplementedError):
+        decode_vp8l_simple(encode_webp_shell(8, 8, "VP8 "))
+    # shell VP8L (filler payload, transform bit garbage) must raise,
+    # not silently return pixels
+    with pytest.raises((NotImplementedError, WebpError)):
+        decode_vp8l_simple(encode_webp_shell(8, 8, "VP8L"))
