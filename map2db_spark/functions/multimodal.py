@@ -340,22 +340,33 @@ def extract_wav_energy(media: DataFrame, win: int = 16) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: the Arrow-batched shape of an image-resize pass
-    (payload in, payload + updated metadata out).  The pixel transform
-    is the stubbed step — with PIL present it decodes/resizes/encodes;
-    here a deterministic truncation stands in so batch flow, schema,
-    and metadata updates are fully real."""
+    """REAL image-resize pass (the former byte-truncation stand-in is
+    gone): each payload decodes through the stdlib codecs
+    (PNG / baseline JPEG / VP8L via decode_image_real), resamples with
+    an exact integer nearest-neighbor index map (src = t * s DIV
+    target — deterministic, no float rounding to drift cross-run),
+    and re-encodes as PNG, the canonical normalized output codec of
+    the pipeline.  Grayscale promotes to 3 channels and alpha drops,
+    so downstream kernels see one shape.  Non-decodable payloads
+    raise — a resize pass must never silently emit garbage bytes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.png import encode_png
+
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover - production slot
-                raise NotImplementedError("wire PIL resize here")
-            target = width * height // 64  # deterministic fake: scale bytes
             pdf = pdf.copy()
-            pdf["payload"] = [
-                p[: max(target, 1)] if p is not None else None
-                for p in pdf["payload"]
-            ]
+            payloads = []
+            for p in pdf["payload"]:
+                px = decode_image_real(bytes(p))
+                if px.ndim == 2:
+                    px = np.stack([px] * 3, axis=-1)
+                if px.shape[2] == 4:
+                    px = px[:, :, :3]
+                sh, sw = px.shape[:2]
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                payloads.append(encode_png(px[ys][:, xs]))
+            pdf["payload"] = payloads
             pdf["meta_width"] = width
             pdf["meta_height"] = height
             yield pdf

@@ -7120,3 +7120,65 @@ def m_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, width INT, height INT, sum_r LONG,"
         " sum_g LONG, sum_b LONG, sum_a LONG",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image resize (decode -> exact nearest-neighbor -> PNG re-encode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_resize_pixels",
+    oracle="""
+    WITH tgt AS (
+      SELECT d.doc_id, tx.i AS tx, ty.i AS ty, ch.i AS ch,
+             (tx.i * (4 + d.doc_id % 5)) // 6 AS sx,
+             (ty.i * (3 + d.doc_id % 4)) // 5 AS sy
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) tx
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) ty
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) ch
+    )
+    SELECT doc_id AS media_id,
+           CAST(6 AS INTEGER) AS width,
+           CAST(5 AS INTEGER) AS height,
+           CAST(sum(CASE WHEN ch = 0
+                THEN (doc_id * 7 + sx * 3 + sy * 5) % 256 ELSE 0 END)
+                AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN ch = 1
+                THEN (doc_id * 7 + sx * 3 + sy * 5 + 11) % 256 ELSE 0 END)
+                AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN ch = 2
+                THEN (doc_id * 7 + sx * 3 + sy * 5 + 22) % 256 ELSE 0 END)
+                AS BIGINT) AS sum_b
+    FROM tgt GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "resize", "pipeline"),
+)
+def m_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end to end (the byte-truncation stand-in is
+    gone): deterministic PNG payloads decode through the stdlib
+    codec, resample with the exact integer nearest-neighbor map
+    (src = t * s DIV target), re-encode as PNG, and the RESIZED
+    payloads are decoded AGAIN for their per-channel pixel sums — so
+    the hash match pins decode -> resample -> encode -> decode as one
+    chain.  The oracle recomputes the same sums closed-form from the
+    NN index arithmetic over the fixture pixel formula.
+
+    Scale shape: two map-only Arrow passes (resize, then feature
+    extraction); payloads never shuffle and never touch the driver —
+    the shape of every image-normalization stage in a multimodal
+    training pipeline."""
+    from map2db_spark.functions.multimodal import (
+        documents_as_png_media,
+        extract_png_features,
+        resize_images,
+    )
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 60
+    )
+    resized = resize_images(documents_as_png_media(docs), 6, 5)
+    return extract_png_features(resized)

@@ -495,18 +495,35 @@ def test_union_polygons_hole_preserved():
     hole = out[0][1]
     assert {p[0] for p in hole} == {0.5, 1.0, 1.5}
 
-def test_multimodal_resize_plumbing(spark):
-    from map2db_spark.functions.multimodal import documents_as_media, resize_images
+def test_multimodal_resize_real_pixels(spark):
+    """resize_images is REAL now: decode (stdlib codecs) -> exact
+    nearest-neighbor -> PNG re-encode.  The resized payloads decode
+    back to the NN-sampled source pixels, verified value-by-value."""
+    import numpy as np
+
+    from map2db_spark.functions.multimodal import (
+        documents_as_png_media,
+        resize_images,
+    )
+    from map2db_spark.functions.png import decode_png
     from map2db_spark.tables import load
     from tests.conftest import SF_SMOKE
 
-    media = documents_as_media(load(spark, SF_SMOKE, "documents"))
-    out = resize_images(media, 64, 64).limit(20).collect()
-    assert len(out) > 0
+    docs = load(spark, SF_SMOKE, "documents").where("doc_id < 10")
+    media = documents_as_png_media(docs)
+    out = resize_images(media, 6, 5).collect()
+    assert len(out) == 10
     for r in out:
-        assert r["kind"] == "image"
-        assert r["meta_width"] == 64 and r["meta_height"] == 64
-        assert len(r["payload"]) <= 64 * 64 // 64
+        assert r["meta_width"] == 6 and r["meta_height"] == 5
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape == (5, 6, 3)
+        did = r["media_id"]
+        w, h = 4 + did % 5, 3 + did % 4
+        for ty in range(5):
+            for tx in range(6):
+                sx, sy = (tx * w) // 6, (ty * h) // 5
+                want = [(did * 7 + sx * 3 + sy * 5 + c * 11) % 256 for c in range(3)]
+                assert list(px[ty, tx]) == want, (did, tx, ty)
 
 
 def test_union_polygons_corner_touch():
