@@ -7182,3 +7182,160 @@ def m_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_images(documents_as_png_media(docs), 6, 5)
     return extract_png_features(resized)
+
+
+# ---------------------------------------------------------------------------
+# Memorization-risk audit: duplicated n-gram coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_dup_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i, i + 4), ' ') AS g
+      FROM toks CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+    ),
+    freq AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY g)
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(sum(n) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_dup_occurrences,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS dup_occurrence_ppm
+    FROM freq
+    """,
+    tags=("text", "dedup", "memorization", "pipeline"),
+)
+def t_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit: what share of the corpus's 5-gram
+    OCCURRENCES belong to 5-grams that appear more than once — the
+    number privacy/memorization reviews ask for ("how much verbatim
+    repetition will the model see?"), and the metric that motivates
+    span-level dedup (d_span_dedup removes exactly these).  Reported
+    as exact counts plus an integer-ppm share.
+
+    Scale shape: one explode -> map-side-combinable n-gram count ->
+    one 5-number collapse; the n-gram table shuffles once on the gram
+    key and nothing corpus-sized is ever collected or joined.
+    """
+    docs = Tables(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 4, 0)),"
+                " (w, i) -> concat_ws(' ', slice(t, i + 1, 5)))"
+            )
+        ).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_occurrences"),
+        F.expr(
+            "CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1000000"
+            " DIV sum(n) AS BIGINT)"
+        ).alias("dup_occurrence_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: ordered view -> click -> purchase conversion per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_funnel_steps",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id,
+             (t_view IS NOT NULL) AS s1,
+             (t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_click > t_view) AS s2,
+             (t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_click > t_view AND t_buy IS NOT NULL
+              AND t_buy > t_click) AS s3
+      FROM firsts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bought_after,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) * 1000000
+                // greatest(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS view_to_click_ppm,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1000000
+                // greatest(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS click_to_buy_ppm
+    FROM steps
+    """,
+    tags=("analytics", "funnel", "behavioral"),
+)
+def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the canonical behavioral-analytics
+    query: per user, the FIRST view, the first click strictly AFTER
+    that view, and the first purchase strictly after that click; the
+    report gives step populations and integer-ppm conversion rates.
+    The strict time ordering is what separates a funnel from three
+    independent counts (a click before any view does not convert).
+
+    Scale shape: ONE map-side-combinable conditional-min aggregate per
+    user collapses the event stream; the step logic is row-local over
+    the collapsed table — no self-joins, no windows over raw events,
+    one shuffle on user_id total.
+    """
+    ev = Tables(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_click"))
+    steps = firsts.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    return steps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n_viewed"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_after"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bought_after"),
+        F.expr(
+            "CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) * 1000000"
+            " DIV greatest(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("view_to_click_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1000000"
+            " DIV greatest(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("click_to_buy_ppm"),
+    )

@@ -165,7 +165,7 @@ _ROUND4_NEW = frozenset({
 # rows): graded after the round-5 backlog, never evicting it.
 _ROUND6_NEW = frozenset({
     "t_bigram_perplexity", "x_bloom_filter", "s_stream_checkpoint_resume",
-    "m_resize_pixels",
+    "m_resize_pixels", "t_dup_ngram_coverage", "x_funnel_steps",
 })
 
 
