@@ -50,6 +50,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # surfaces in the timed pass below with a real traceback
+    # each invocation persists fresh intermediates (LSH neighborhoods
+    # etc.); drop the warm pass's generation so timed passes measure
+    # execution, not cache-memory pressure
+    spark.catalog.clearCache()
 
     # Two timed passes, min per query: checkpoint-block cleanup from
     # the previous pass lands asynchronously on the next one (observed
@@ -63,6 +67,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
