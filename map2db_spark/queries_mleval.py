@@ -436,7 +436,11 @@ def c_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.functions import dedup as D
 
     docs = Tables(spark, sf_dir).documents
-    sigs = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
+    # distinct=False: codegen shingle pass; the min-agg signatures are
+    # bit-identical with or without per-doc duplicate shingles
+    sigs = D.minhash_signatures(
+        D.shingle_table(docs, distinct=False), num_hashes=8
+    )
     cands = D.lsh_candidate_pairs(
         sigs, num_hashes=8, band_size=2, bucket_cap=50
     ).localCheckpoint()

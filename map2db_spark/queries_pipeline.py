@@ -331,8 +331,12 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reimplements the identical pipeline in SQL."""
     docs = Tables(spark, sf_dir).documents
     # no checkpoint: this explode feeds only the partial-aggregated
-    # signature pass, so it streams instead of materializing 200x rows
-    sigs = D.minhash_signatures(D.shingle_table(docs), num_hashes=8)
+    # signature pass, so it streams instead of materializing 200x rows;
+    # distinct=False keeps the shingle pass inside whole-stage codegen
+    # (min-agg is duplicate-insensitive, signatures bit-identical)
+    sigs = D.minhash_signatures(
+        D.shingle_table(docs, distinct=False), num_hashes=8
+    )
     # candidates feed two verification branches; they're ~1k rows.
     # persist, not localCheckpoint (r2 verdict item 7): blocks are
     # executor-local either way, but persist keeps lineage, so a lost
