@@ -224,3 +224,25 @@ def train_centroids(
         fresh = _update_arrow(assigned, dim)
         centroids = {cid: fresh.get(cid, vec) for cid, vec in centroids.items()}
     return [centroids[cid] for cid in sorted(centroids)]
+
+
+def kmeans_assignments(
+    vecs: DataFrame, k: int = 8, iters: int = 3, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Final-iteration assignment table ``(vid, iv, cid, dist)`` from
+    the same deterministic exact-integer Lloyd's loop as kmeans_int
+    (identical seeding, identical empty-cluster carry) — the input to
+    cluster-local algorithms like SemDeDup-style semantic dedup, where
+    the cluster id prunes the pair space before any similarity math."""
+    base = vecs.select(
+        F.col(id_col).alias("vid"), int_vec(F.col(vec_col)).alias("iv")
+    ).persist()
+    seed_rows = base.where(F.col("vid") < k).collect()
+    centroids = {int(r["vid"]): list(r["iv"]) for r in seed_rows}
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign_arrow(base, centroids)
+        fresh = _update_arrow(assigned, dim)
+        centroids = {cid: fresh.get(cid, vec) for cid, vec in centroids.items()}
+    return assigned

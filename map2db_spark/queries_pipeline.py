@@ -1113,17 +1113,26 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Layered-CTE reimplementation of kmeans_int: one (assign, update,
-    carry-forward) CTE triple per iteration, identical integer
-    arithmetic, ties broken by (dist, cid) exactly as the Spark side's
-    lexicographic struct min."""
+def _kmeans_cte_parts(
+    k: int = 8, iters: int = 3, dim: int = 64,
+    corpus_sql: str = "embeddings",
+) -> list[str]:
+    """Layered CTE parts of the kmeans_int reimplementation: one
+    (assign, update, carry-forward) triple per iteration, identical
+    integer arithmetic, ties broken by (dist, cid) exactly as the
+    Spark side's lexicographic struct min.  The final assignment CTE
+    is ``a{iters}`` and the final centroids ``c{iters}f``.
+    ``corpus_sql`` swaps the (vec_id, embedding) source (the SemDeDup
+    oracle clusters a duplicated corpus)."""
     iv = ("list_transform(embedding, "
           "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
     dist = (f"list_sum(list_transform(generate_series(1, {dim}), "
             "i -> (v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i])))")
+    corpus_ref = (
+        corpus_sql if corpus_sql.strip().isidentifier() else f"({corpus_sql})"
+    )
     parts = [
-        f"v AS (SELECT vec_id, {iv} AS iv FROM embeddings)",
+        f"v AS (SELECT vec_id, {iv} AS iv FROM {corpus_ref})",
         f"c0f AS (SELECT CAST(vec_id AS INT) AS cid, iv FROM v WHERE vec_id < {k})",
     ]
     prev = "c0f"
@@ -1148,14 +1157,18 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"WHERE cid NOT IN (SELECT cid FROM c{t}))"
         )
         prev = f"c{t}f"
-    joined = ",\n    ".join(parts)
+    return parts
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    joined = ",\n    ".join(_kmeans_cte_parts(k, iters, dim))
     return f"""
     WITH {joined}
     SELECT s.cid, s.n, s.ssd, cs.csum
     FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(d) AS BIGINT) AS ssd
           FROM a{iters} GROUP BY cid) s
-    JOIN (SELECT cid, CAST(list_sum(iv) AS BIGINT) AS csum FROM {prev}) cs
+    JOIN (SELECT cid, CAST(list_sum(iv) AS BIGINT) AS csum FROM c{iters}f) cs
       USING (cid)
     """
 

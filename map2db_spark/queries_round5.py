@@ -7339,3 +7339,119 @@ def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV greatest(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 1) AS BIGINT)"
         ).alias("click_to_buy_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-pruned semantic deduplication (Abbas et al., 2023)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_N = 500  # corpus bound (each vector appears twice -> 2N rows)
+_SEMDEDUP_TAU = 0.95
+
+
+def _semdedup_oracle() -> str:
+    from map2db_spark.queries_pipeline import _SHIFT, _kmeans_cte_parts
+
+    corpus = f"""
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SEMDEDUP_N}
+      UNION ALL
+      SELECT vec_id + {_SHIFT}, embedding FROM embeddings
+      WHERE vec_id < {_SEMDEDUP_N}
+    """
+    parts = _kmeans_cte_parts(k=8, iters=3, dim=64, corpus_sql=corpus)
+    cos = (
+        "round(list_dot_product(x.iv, y.iv) / "
+        "(sqrt(list_dot_product(x.iv, x.iv)) * "
+        "sqrt(list_dot_product(y.iv, y.iv))), 6)"
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    pairs AS (
+      SELECT x.vec_id AS u, y.vec_id AS v
+      FROM a3 x JOIN a3 y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE {cos} >= {_SEMDEDUP_TAU}
+    ),
+    drops AS (SELECT DISTINCT v FROM pairs)
+    SELECT a.cid,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(d.v) AS BIGINT) AS n_dropped,
+           CAST(count(d.v) * 1000000 // count(*) AS BIGINT) AS drop_ppm
+    FROM a3 a LEFT JOIN drops d ON d.v = a.vec_id
+    GROUP BY a.cid ORDER BY a.cid
+    """
+
+
+@query(
+    "c_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "embedding", "clustering", "curation", "pipeline"),
+)
+def c_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — cluster-pruned SEMANTIC deduplication (the public
+    Abbas et al. 2023 recipe): k-means clusters the embedding corpus,
+    and near-duplicate detection (cosine >= tau) runs ONLY within each
+    cluster — the cluster id prunes the N^2 pair space to
+    sum-of-cluster-sizes^2, which is the whole point of the method (k
+    grows with N so per-cluster populations stay bounded; a degenerate
+    cluster is the same hazard as a hot LSH bucket and takes the same
+    cap rail in production).  Of each near-dup pair the lower vec_id
+    survives; the corpus here doubles every vector (vec_id + shift) so
+    exact semantic duplicates exist by construction and the expected
+    drop rate is ~50% per cluster.
+
+    Exactness: clustering is the deterministic exact-integer Lloyd's
+    loop shared with v_kmeans_clusters (assignments bit-identical to
+    the layered-CTE oracle); cosine is one shared IEEE expression over
+    exact integer vectors, rounded before thresholding.
+
+    Scale shape: the Lloyd's loop is O(partitions*k*dim) traffic per
+    iteration; the pair join shuffles on cid only; the drop list is
+    O(duplicates) and the report is a k-row aggregate.
+    """
+    from map2db_spark.functions.clustering import kmeans_assignments
+    from map2db_spark.queries_pipeline import _SHIFT
+
+    emb = (
+        Tables(spark, sf_dir).embeddings.where(F.col("vec_id") < _SEMDEDUP_N)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
+    )
+    a = kmeans_assignments(corpus, k=8, iters=3, dim=64).persist()
+    x = a.select(F.col("vid").alias("u"), F.col("iv").alias("xiv"), "cid")
+    y = a.select(F.col("vid").alias("v"), F.col("iv").alias("yiv"), "cid")
+    dot = F.aggregate(
+        F.zip_with("xiv", "yiv", lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda s, t: s + t,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda s, t: s + t,
+        ).cast("double")
+    )
+    cos = F.round(dot.cast("double") / (norm("xiv") * norm("yiv")), 6)
+    pairs = (
+        x.join(y, "cid")
+        .where(F.col("u") < F.col("v"))
+        .where(cos >= _SEMDEDUP_TAU)
+        .select("v")
+    )
+    drops = pairs.distinct()
+    return (
+        a.join(F.broadcast(drops), a["vid"] == drops["v"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count("v").cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST(count(v) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+        .orderBy("cid")
+    )
