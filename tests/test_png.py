@@ -51,6 +51,15 @@ def test_decode_image_real_dispatches_png():
     assert (decode_image_real(encode_jpeg_baseline(jpg_px)) == jpg_px).all()
     with pytest.raises(JpegError):
         decode_image_real(b"\xff\xd8\xff\xe0\x00\x04xxfake jpeg")
-    # WebP keeps the honest stub (VP8 needs a codec library)
+    # lossy WebP keeps the honest stub (VP8 needs a boolean-arithmetic
+    # codec); lossless VP8L within the simple-code subset is REAL now
+    import struct
+
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        decode_image_real(lossy)
+    from map2db_spark.functions.webp_vp8l import encode_vp8l_simple
+
+    webp_px = np.full((3, 4, 3), 31, dtype="uint8")
+    decoded = decode_image_real(encode_vp8l_simple(webp_px))
+    assert (decoded[:, :, :3] == webp_px).all()
