@@ -130,9 +130,13 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise JpegError("truncated entropy-coded segment")
         b = self.buf[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.buf):
+                raise JpegError("truncated entropy-coded segment")
             nxt = self.buf[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # unstuff
@@ -295,9 +299,19 @@ def encode_jpeg_baseline(img: np.ndarray, qtable: np.ndarray | None = None) -> b
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     """Decode a baseline-sequential, 8-bit, non-subsampled JPEG to a
     uint8 array — (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF
-    YCbCr).  Raises JpegError on malformed streams and
+    YCbCr).  Raises JpegError on malformed/truncated streams (never a
+    raw IndexError/struct.error — fuzz-pinned in tests) and
     NotImplementedError for progressive / subsampled / restart-marker
     inputs (the honest envelope; see module docstring)."""
+    try:
+        return _decode_jpeg_impl(buf)
+    except (IndexError, KeyError, struct.error) as ex:
+        raise JpegError(
+            f"malformed JPEG stream ({type(ex).__name__})"
+        ) from ex
+
+
+def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != SOI:
         raise JpegError("bad magic: not a JPEG stream")
     pos = 2

@@ -194,3 +194,27 @@ def test_jpeg_codec_byte_stuffing_roundtrip():
             dec = decode_jpeg_baseline(enc)
             assert dec.shape == img.shape
     assert found, "no fixture produced a stuffed byte; widen the search"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=500),
+    frac=st.floats(min_value=0.01, max_value=0.999),
+)
+def test_jpeg_codec_truncation_always_raises_jpeg_error(seed, frac):
+    """Quarantine contract under corruption: any truncation of a valid
+    stream (except dropping only the trailing EOI after a complete
+    scan) raises JpegError or NotImplementedError — never a raw
+    IndexError/struct.error, and never silent garbage pixels."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    enc = encode_jpeg_baseline(img)
+    cut = max(2, int(len(enc) * frac))
+    if cut >= len(enc) - 2:
+        return  # EOI-only truncation: scan already complete, benign
+    try:
+        out = decode_jpeg_baseline(enc[:cut])
+    except (JpegError, NotImplementedError):
+        return
+    # reaching here without error is only legal if the full scan fit
+    assert out.shape == img.shape

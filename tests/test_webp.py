@@ -150,3 +150,22 @@ def test_vp8l_rejects_out_of_envelope():
     # not silently return pixels
     with pytest.raises((NotImplementedError, WebpError)):
         decode_vp8l_simple(encode_webp_shell(8, 8, "VP8L"))
+
+
+def test_vp8l_truncation_always_raises_webp_error():
+    """Quarantine contract under corruption: any truncation of a valid
+    VP8L stream (except trailing pad bytes after a complete bitstream)
+    raises WebpError — never a raw IndexError or silent garbage."""
+    from map2db_spark.functions.webp import WebpError
+
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    for y in range(6):
+        for x in range(8):
+            img[y, x] = (10, 20, 30) if (x + y) % 2 == 0 else (200, 210, 220)
+    enc = encode_vp8l_simple(img)
+    for cut in range(1, len(enc) - 1):
+        try:
+            out = decode_vp8l_simple(enc[:cut])
+        except (WebpError, NotImplementedError):
+            continue
+        assert out.shape == (6, 8, 4)  # only legal if the stream fit
