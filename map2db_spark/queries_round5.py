@@ -7455,3 +7455,55 @@ def c_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ),
+    coh AS (SELECT user_id, min(aw) AS cw FROM act GROUP BY user_id)
+    SELECT CAST(cw AS DATE) AS cohort_week,
+           CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+    FROM act JOIN coh ON coh.user_id = act.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "cohort", "behavioral"),
+)
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the other canonical behavioral
+    matrix next to the funnel (x_funnel_steps): users are grouped by
+    their FIRST active ISO week, and each later week's distinct-user
+    count per cohort gives the retention curve (week_offset 0 is the
+    cohort size itself, so rates derive by dividing rows — left as
+    counts so the result stays integer-exact).
+
+    Scale shape: ONE distinct over (user, week) collapses the event
+    stream (map-side partial distinct), the cohort table derives from
+    it by a user-keyed min, and the join is co-partitioned on
+    user_id — the week arithmetic is exact integer day math, so the
+    matrix is bit-stable across engines and partitionings.
+    """
+    ev = Tables(spark, sf_dir).events
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("aw").alias("cw"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            F.expr("CAST(datediff(aw, cw) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -166,7 +166,7 @@ _ROUND4_NEW = frozenset({
 _ROUND6_NEW = frozenset({
     "t_bigram_perplexity", "x_bloom_filter", "s_stream_checkpoint_resume",
     "m_resize_pixels", "t_dup_ngram_coverage", "x_funnel_steps",
-    "c_semdedup",
+    "c_semdedup", "x_cohort_retention",
 })
 
 
