@@ -164,9 +164,14 @@ _ROUND4_NEW = frozenset({
 # (NOT the verdict-mandated ones, which sit in tier 0 to get driver
 # rows): graded after the round-5 backlog, never evicting it.
 _ROUND6_NEW = frozenset({
-    "t_bigram_perplexity", "x_bloom_filter", "s_stream_checkpoint_resume",
+    "x_bloom_filter", "s_stream_checkpoint_resume",
     "m_resize_pixels", "t_dup_ngram_coverage", "x_funnel_steps",
     "c_semdedup", "x_cohort_retention",
+    # r3 additions registered in queries_round5 (imported last, so they
+    # naturally sit behind the r1 backlog this round; classifying them
+    # here keeps them from jumping the r2+ backlogs in later rounds)
+    "d_minhash_recall_skewed", "m_jpeg_pixels", "m_webp_pixels",
+    "t_bigram_perplexity",
 })
 
 
