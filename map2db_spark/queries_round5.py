@@ -7507,3 +7507,89 @@ def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: string collations + named parameter markers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_collated_grouping",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS s
+      FROM events
+    )
+    SELECT lower(min(s)) AS k, CAST(count(*) AS BIGINT) AS n, min(s) AS min_s
+    FROM s GROUP BY lower(s) ORDER BY k
+    """,
+    tags=("functions", "sql-surface", "collation"),
+)
+def f_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: grouping on ``collate(s,
+    'UTF8_LCASE')`` merges case variants at the COMPARISON level — no
+    lower() rewrite of the data — the new engine-native way to get
+    case-insensitive semantics (per-column collation is how SQL
+    engines express locale/case rules; the oracle proves the UTF8_LCASE
+    equivalence classes equal lower()-equality for this data).
+    Deterministic output: the representative is min(s) under binary
+    collation, not the engine's arbitrary group exemplar.
+
+    Scale shape: one map-side-combinable aggregate; the collated
+    comparison is a per-row key transform inside codegen."""
+    ev = Tables(spark, sf_dir).events
+    s = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    base = ev.select(s.alias("s"))
+    return (
+        base.groupBy(F.expr("collate(s, 'UTF8_LCASE')").alias("ck"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.col("s").cast("string")).alias("min_s"),
+        )
+        .select(F.lower("min_s").alias("k"), "n", "min_s")
+        .orderBy("k")
+    )
+
+
+@query(
+    "f_parameterized_sql",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (100 - l_discount * 100))
+                AS BIGINT)) AS BIGINT) AS rev_scaled
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02' AND l_quantity < 24
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("functions", "sql-surface", "parameters"),
+)
+def f_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named PARAMETER MARKERS (spark.sql(..., args={...})) — the
+    injection-safe way to template SQL: the values bind as typed
+    literals at parse time, never via string concatenation, so user
+    input cannot alter query structure and plans stay cacheable by
+    shape.  The oracle inlines the same constants; identical results
+    prove the binding is literal-equivalent (the Catalyst constant
+    folding sees exactly the inlined plan).
+
+    Scale shape: plain filtered aggregate with both predicates pushed
+    to the scan."""
+    li = Tables(spark, sf_dir).lineitem
+    li.createOrReplaceTempView("lineitem_param")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * (100 - l_discount * 100))
+                    AS BIGINT)) AS BIGINT) AS rev_scaled
+        FROM lineitem_param
+        WHERE l_shipdate <= :cutoff AND l_quantity < :maxqty
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        args={"cutoff": "1998-09-02", "maxqty": 24},
+    )
