@@ -7593,3 +7593,67 @@ def f_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1998-09-02", "maxqty": 24},
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (LATERAL table function)
+# ---------------------------------------------------------------------------
+
+_UDTF_W = 25  # chunk width (tokens)
+
+
+@query(
+    "u_python_udtf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+      SELECT doc_id, i.i AS chunk_idx,
+             array_to_string(
+               list_slice(t, i.i * {_UDTF_W} + 1, (i.i + 1) * {_UDTF_W}), ' '
+             ) AS chunk
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(len(t) / {_UDTF_W}.0) AS INT) - 1)) AS i
+      ) i
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(regexp_split_to_array(chunk, ' ')) AS INTEGER)
+             AS n_tokens,
+           md5(chunk) AS chunk_md5
+    FROM chunks
+    """,
+    tags=("udf-surface", "udtf", "chunking", "pipeline"),
+)
+def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface — ``@udtf`` + ``LATERAL chunker(...)`` in
+    SQL: a user-defined TABLE function fans each document into
+    fixed-width token chunks (the training-sequence chunking step)
+    with per-chunk index, token count and content hash, value-checked
+    against the SQL slicing oracle.  Like u_arrow_python_udf, this
+    covers the API surface, not the hot-path recommendation: UDTFs
+    run row-at-a-time Python, so corpus-scale chunking belongs in the
+    Arrow kernels (c_sequence_packing / mapInPandas) — but the
+    LATERAL-table-function shape is what makes ad-hoc explode logic
+    expressible directly in SQL by analysts."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class Chunker:
+        def eval(self, text: str, width: int):
+            toks = text.split()
+            for i in range(0, len(toks), width):
+                part = toks[i : i + width]
+                yield (i // width, " ".join(part), len(part))
+
+    spark.udtf.register("m2db_chunker", Chunker)
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.n_tokens, md5(c.chunk) AS chunk_md5
+        FROM docs_udtf, LATERAL m2db_chunker(trim(text), {_UDTF_W}) AS c
+        """
+    )
