@@ -7657,3 +7657,157 @@ def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf, LATERAL m2db_chunker(trim(text), {_UDTF_W}) AS c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon vocabulary divergence between sources (corpus drift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (
+      SELECT t,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM tok GROUP BY t
+    ),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+    terms AS (
+      SELECT
+        CASE WHEN c1 > 0 THEN CAST(round(1000000 * 0.5
+             * (CAST(c1 AS DOUBLE) / n1)
+             * ln((CAST(c1 AS DOUBLE) / n1)
+                  / (0.5 * (CAST(c1 AS DOUBLE) / n1
+                            + CAST(c2 AS DOUBLE) / n2)))) AS BIGINT)
+             ELSE 0 END AS pa,
+        CASE WHEN c2 > 0 THEN CAST(round(1000000 * 0.5
+             * (CAST(c2 AS DOUBLE) / n2)
+             * ln((CAST(c2 AS DOUBLE) / n2)
+                  / (0.5 * (CAST(c1 AS DOUBLE) / n1
+                            + CAST(c2 AS DOUBLE) / n2)))) AS BIGINT)
+             ELSE 0 END AS pb
+      FROM c CROSS JOIN n
+    )
+    SELECT 'src0' AS source_a, 'src1' AS source_b,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(pa) + sum(pb) AS BIGINT) AS jsd_micro
+    FROM terms
+    """,
+    tags=("text", "drift", "statistics", "pipeline"),
+)
+def t_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' VOCABULARY
+    distributions — the categorical drift metric next to x_psi_drift's
+    numeric one: JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) over term
+    frequencies, symmetric and bounded (ln 2), the number a corpus
+    review quotes for "how different is this source's language".
+
+    Exactness: every ln applies to an identical double quotient of
+    exact integer counts and each term rounds to integer micro-nats
+    BEFORE summation — order-independent, the t_bigram_perplexity
+    convention.
+
+    Scale shape: one token explode -> map-side-combinable conditional
+    counts per term -> broadcast totals -> one collapse; the term
+    table is vocabulary-sized.
+    """
+    docs = Tables(spark, sf_dir).documents.where(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    ct = c.crossJoin(F.broadcast(n))
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    m = 0.5 * (p + q)
+    pa = F.when(
+        F.col("c1") > 0,
+        F.round(F.lit(1000000) * 0.5 * p * F.log(p / m)).cast("long"),
+    ).otherwise(0)
+    pb = F.when(
+        F.col("c2") > 0,
+        F.round(F.lit(1000000) * 0.5 * q * F.log(q / m)).cast("long"),
+    ).otherwise(0)
+    return ct.select(pa.alias("pa"), pb.alias("pb")).agg(
+        F.lit("src0").alias("source_a"),
+        F.lit("src1").alias("source_b"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        (F.sum("pa") + F.sum("pb")).cast("long").alias("jsd_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: metadata predicate BEFORE the distance math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "v_ann_filtered",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM iv WHERE vec_id < 3),
+    cand AS (SELECT * FROM iv WHERE vec_id % 7 IN (2, 5)),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM cand c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("ann", "filtered-search", "pipeline"),
+)
+def v_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the workload shape vector databases
+    are actually asked for ("nearest docs WHERE lang = .. AND date >
+    .."): the metadata predicate applies BEFORE any distance math, so
+    selectivity directly cuts the scored set (post-filtering top-k
+    instead would silently return fewer than k under tight filters —
+    the classic filtered-ANN bug this query's shape avoids).  With an
+    index (IVF/LSH) the same predicate composes with the bucket probe;
+    the exact filtered scan here is both the baseline and the ground
+    truth for measuring that composition's recall.
+
+    Scale shape: filter -> broadcast query side -> per-partition top-k
+    heap (TakeOrderedAndProject per query) — the corpus is scanned
+    once, never shuffled.
+    """
+    from map2db_spark.functions import similarity as S
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 3)
+    cands = emb.where((F.col("vec_id") % 7).isin(2, 5))
+    return S.brute_force_topk(cands, queries, k=5)
