@@ -7811,3 +7811,177 @@ def v_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 3)
     cands = emb.where((F.col("vec_id") % 7).isin(2, 5))
     return S.brute_force_topk(cands, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (the lexical-search baseline)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("table", "window", "stream")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok
+           GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(len) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE t IN ({terms}) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(1000000
+               * ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * CAST(len AS DOUBLE) * n / total_len))
+             ) AS BIGINT) AS s_micro
+      FROM tf
+      JOIN df USING (t)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_micro, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 15
+    """
+
+
+@query(
+    "x_bm25_retrieval",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "ranking", "pipeline"),
+)
+def x_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 — THE lexical retrieval baseline (Okapi k1/b form, with
+    the +1 idf floor that keeps common terms non-negative): top-15
+    documents for a fixed 3-term query, scored with document-length
+    normalization against the corpus average.  Every per-(doc, term)
+    contribution is one shared IEEE expression over exact integer
+    (tf, df, len, N, total_len) rounded to integer micro BEFORE the
+    per-doc sum, so ranking is reduction-order independent and the
+    doc_id tiebreak makes top-k deterministic.
+
+    Scale shape: token explode -> doc-length aggregate (map-side) +
+    tf aggregate restricted to query terms (the IN pre-filter means
+    the tf shuffle carries only matching postings — the inverted-
+    index access pattern); df and corpus stats broadcast; final
+    top-15 is TakeOrderedAndProject, no global sort.
+    """
+    docs = Tables(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("total_len"),
+    )
+    tf = (
+        tok.where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfn = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (
+            1.0
+            - _BM25_B
+            + _BM25_B
+            * F.col("len").cast("double")
+            * F.col("n")
+            / F.col("total_len")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(F.lit(1000000) * idf * tfn).cast("long").alias("s_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s_micro").cast("long").alias("bm25_micro")
+    )
+    w = Window.orderBy(F.desc("bm25_micro"), F.col("doc_id"))
+    return (
+        agg.orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "bm25_micro",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (heuristic vs labeled ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from map2db_spark.queries_pipeline import _langid_expr_sql
+
+    return f"""
+    SELECT lang AS labeled,
+           {_langid_expr_sql()} AS detected,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query(
+    "t_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("text", "evaluation", "pipeline"),
+)
+def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the stopword-inventory heuristic
+    (t_language_id) evaluated against the corpus's labeled lang
+    column — per (labeled, detected) cell counts, the table a
+    curation review reads before trusting a classifier to gate data
+    (which languages leak into 'en'? which fall to 'unknown'?).
+    t_language_id histograms predictions alone; this is the paired
+    evaluation that turns it into a measured error profile.
+
+    Scale shape: one map-only projection + one map-side-combinable
+    two-column aggregate over a bounded (langs x langs) key space.
+    """
+    from map2db_spark.functions.text import detect_language
+
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            detect_language(F.col("text")).alias("detected"),
+        )
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("labeled", "detected")
+    )
