@@ -7985,3 +7985,139 @@ def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("labeled", "detected")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the memory-bounded scale variant)
+# ---------------------------------------------------------------------------
+
+_CB_M = 65536  # filter bits
+_CB_K = 4  # hash functions
+_CB_N = 8  # gram width (matches c_decontaminate)
+
+
+def _contamination_bloom_oracle() -> str:
+    from map2db_spark.queries_curation import _grams_sql
+
+    pos = ",\n             ".join(
+        f"CAST(concat('0x', substr(md5('cb{i}:' || gram), 1, 8)) AS BIGINT)"
+        f" % {_CB_M} AS p{i}"
+        for i in range(_CB_K)
+    )
+    bld = " UNION ALL ".join(
+        f"SELECT p{i} AS pos FROM build_pos" for i in range(_CB_K)
+    )
+    prb = " UNION ALL ".join(
+        f"SELECT doc_id, gram, p{i} AS pos FROM probe_pos"
+        for i in range(_CB_K)
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_grams_sql(_CB_N)}) AS gram FROM documents
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+    build_pos AS (SELECT {pos} FROM bench),
+    bits AS (SELECT DISTINCT pos FROM ({bld})),
+    tg AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 17 <> 0
+    ),
+    probe_pos AS (SELECT doc_id, gram, {pos} FROM tg),
+    hits AS (
+      SELECT pp.doc_id, pp.gram, CAST(count(b.pos) AS BIGINT) AS n_set
+      FROM ({prb}) pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.doc_id, pp.gram
+    ),
+    bloom_docs AS (
+      SELECT DISTINCT doc_id FROM hits WHERE n_set = {_CB_K}
+    ),
+    exact_docs AS (
+      SELECT DISTINCT t.doc_id FROM tg t JOIN bench USING (gram)
+    )
+    SELECT CAST((SELECT count(*) FROM exact_docs) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM bloom_docs) AS BIGINT) AS n_bloom,
+           CAST((SELECT count(*) FROM exact_docs e
+                 JOIN bloom_docs b ON b.doc_id = e.doc_id) AS BIGINT)
+             AS n_caught,
+           CAST((SELECT count(*) FROM bloom_docs) -
+                (SELECT count(*) FROM exact_docs e
+                 JOIN bloom_docs b ON b.doc_id = e.doc_id) AS BIGINT)
+             AS n_false_flagged
+    """
+
+
+@query(
+    "c_contamination_bloom",
+    oracle=_contamination_bloom_oracle(),
+    tags=("curation", "decontamination", "sketch", "pipeline"),
+)
+def c_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter DECONTAMINATION — the memory-bounded variant of
+    c_decontaminate: instead of broadcasting the benchmark's n-gram
+    SET (gigabytes once eval suites pile up), broadcast an m-bit
+    Bloom filter (here 64Kbit, k=4 md5 positions — constant size
+    regardless of benchmark growth) and flag any training doc whose
+    grams all-bits-hit.  The result certifies the operational
+    contract: n_caught = n_exact (ZERO false negatives — no
+    contaminated doc escapes), and n_false_flagged quantifies the
+    over-quarantine cost a production run trades for the bounded
+    broadcast (flagged docs can be re-checked exactly, so fp only
+    costs recheck work, never leakage).
+
+    Scale shape: filter build is bench-side only; the corpus probes
+    through a broadcast bounded bit table — no corpus shuffle, same
+    as the exact path but with O(m) instead of O(benchmark) state.
+    """
+    from map2db_spark.functions.dedup import word_shingles
+
+    docs = Tables(spark, sf_dir).documents
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), _CB_N)).alias("gram"),
+    )
+    bench = grams.where(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    tg = grams.where(F.col("doc_id") % 17 != 0).distinct()
+
+    def pos(i: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"cb{i}:"), F.col("gram")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CB_M
+
+    bits = None
+    for i in range(_CB_K):
+        b = bench.select(pos(i).alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+
+    probe = None
+    for i in range(_CB_K):
+        p = tg.select("doc_id", "gram", pos(i).alias("pos"))
+        probe = p if probe is None else probe.unionByName(p)
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    bloom_docs = (
+        hits.where(F.col("n_set") == _CB_K).select("doc_id").distinct()
+    )
+    exact_docs = (
+        tg.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    ne = exact_docs.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nb = bloom_docs.agg(F.count(F.lit(1)).cast("long").alias("n_bloom"))
+    nc = exact_docs.join(bloom_docs, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_caught")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact",
+            "n_bloom",
+            "n_caught",
+            (F.col("n_bloom") - F.col("n_caught"))
+            .cast("long")
+            .alias("n_false_flagged"),
+        )
+    )

@@ -173,7 +173,7 @@ _ROUND6_NEW = frozenset({
     "d_minhash_recall_skewed", "m_jpeg_pixels", "m_webp_pixels",
     "t_bigram_perplexity", "f_collated_grouping", "f_parameterized_sql",
     "u_python_udtf", "t_js_divergence", "v_ann_filtered",
-    "x_bm25_retrieval", "t_lang_confusion",
+    "x_bm25_retrieval", "t_lang_confusion", "c_contamination_bloom",
 })
 
 
