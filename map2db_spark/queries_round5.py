@@ -7258,90 +7258,6 @@ def t_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Event funnel: ordered view -> click -> purchase conversion per user
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "x_funnel_steps",
-    oracle="""
-    WITH firsts AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
-      FROM events GROUP BY user_id
-    ),
-    steps AS (
-      SELECT user_id,
-             (t_view IS NOT NULL) AS s1,
-             (t_view IS NOT NULL AND t_click IS NOT NULL
-              AND t_click > t_view) AS s2,
-             (t_view IS NOT NULL AND t_click IS NOT NULL
-              AND t_click > t_view AND t_buy IS NOT NULL
-              AND t_buy > t_click) AS s3
-      FROM firsts
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
-           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
-           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bought_after,
-           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) * 1000000
-                // greatest(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 1) AS BIGINT)
-             AS view_to_click_ppm,
-           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1000000
-                // greatest(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 1) AS BIGINT)
-             AS click_to_buy_ppm
-    FROM steps
-    """,
-    tags=("analytics", "funnel", "behavioral"),
-)
-def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis — the canonical behavioral-analytics
-    query: per user, the FIRST view, the first click strictly AFTER
-    that view, and the first purchase strictly after that click; the
-    report gives step populations and integer-ppm conversion rates.
-    The strict time ordering is what separates a funnel from three
-    independent counts (a click before any view does not convert).
-
-    Scale shape: ONE map-side-combinable conditional-min aggregate per
-    user collapses the event stream; the step logic is row-local over
-    the collapsed table — no self-joins, no windows over raw events,
-    one shuffle on user_id total.
-    """
-    ev = Tables(spark, sf_dir).events
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
-    )
-    s1 = F.col("t_view").isNotNull()
-    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
-    s3 = s2 & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_click"))
-    steps = firsts.select(
-        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
-    )
-    return steps.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n_viewed"),
-        F.sum(F.when(F.col("s2"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_clicked_after"),
-        F.sum(F.when(F.col("s3"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_bought_after"),
-        F.expr(
-            "CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) * 1000000"
-            " DIV greatest(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 1) AS BIGINT)"
-        ).alias("view_to_click_ppm"),
-        F.expr(
-            "CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1000000"
-            " DIV greatest(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 1) AS BIGINT)"
-        ).alias("click_to_buy_ppm"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # SemDeDup: cluster-pruned semantic deduplication (Abbas et al., 2023)
 # ---------------------------------------------------------------------------
 
@@ -7454,58 +7370,6 @@ def c_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_ppm"),
         )
         .orderBy("cid")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Weekly cohort retention matrix
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "x_cohort_retention",
-    oracle="""
-    WITH act AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
-    ),
-    coh AS (SELECT user_id, min(aw) AS cw FROM act GROUP BY user_id)
-    SELECT CAST(cw AS DATE) AS cohort_week,
-           CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
-           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
-    FROM act JOIN coh ON coh.user_id = act.user_id
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("analytics", "cohort", "behavioral"),
-)
-def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention — the other canonical behavioral
-    matrix next to the funnel (x_funnel_steps): users are grouped by
-    their FIRST active ISO week, and each later week's distinct-user
-    count per cohort gives the retention curve (week_offset 0 is the
-    cohort size itself, so rates derive by dividing rows — left as
-    counts so the result stays integer-exact).
-
-    Scale shape: ONE distinct over (user, week) collapses the event
-    stream (map-side partial distinct), the cohort table derives from
-    it by a user-keyed min, and the join is co-partitioned on
-    user_id — the week arithmetic is exact integer day math, so the
-    matrix is bit-stable across engines and partitionings.
-    """
-    ev = Tables(spark, sf_dir).events
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
-    ).distinct()
-    coh = act.groupBy("user_id").agg(F.min("aw").alias("cw"))
-    return (
-        act.join(coh, "user_id")
-        .groupBy(
-            F.col("cw").cast("date").alias("cohort_week"),
-            F.expr("CAST(datediff(aw, cw) DIV 7 AS BIGINT)").alias(
-                "week_offset"
-            ),
-        )
-        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
     )
 
 

@@ -165,8 +165,8 @@ _ROUND4_NEW = frozenset({
 # rows): graded after the round-5 backlog, never evicting it.
 _ROUND6_NEW = frozenset({
     "x_bloom_filter", "s_stream_checkpoint_resume",
-    "m_resize_pixels", "t_dup_ngram_coverage", "x_funnel_steps",
-    "c_semdedup", "x_cohort_retention",
+    "m_resize_pixels", "t_dup_ngram_coverage",
+    "c_semdedup",
     # r3 additions registered in queries_round5 (imported last, so they
     # naturally sit behind the r1 backlog this round; classifying them
     # here keeps them from jumping the r2+ backlogs in later rounds)
