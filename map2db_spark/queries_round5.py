@@ -6949,7 +6949,10 @@ def x_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     two Bloom properties exactly: ZERO false negatives (every member
     hits) and a measured false-positive rate to compare against the
     (1 - e^(-kn/m))^k ≈ theory value — how an engine sizes the
-    runtime bloom-join filters it pushes into scans.
+    runtime bloom-join filters it pushes into scans.  This is the
+    STRUCTURE certification of the repo's bloom family; the
+    applications are x_bloom_semi_join (join-side pruning) and
+    c_contamination_bloom (bounded-memory eval-set screening).
 
     Scale shape: the filter is the DISTINCT bit-position table
     (bounded by m = 8192 rows regardless of input size) and is
