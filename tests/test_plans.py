@@ -961,3 +961,36 @@ def test_heaps_checkpoint_probes_are_small_side(spark):
     collapsed aggregates — never a corpus-sized cartesian."""
     plan = plan_of(spark, "t_heaps_law")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_postings_prefilter_before_shuffle(spark):
+    """BM25's tf aggregate must filter to query terms BEFORE its
+    exchange — the shuffle carries only matching postings (the
+    inverted-index access pattern), never the full token stream."""
+    plan = plan_of(spark, "x_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan or "rangepartitioning" not in plan
+    # the term IN-filter must appear below an exchange
+    assert plan.count("Exchange") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_bit_table(spark):
+    """Bloom membership probing must broadcast the bounded distinct-
+    position table — the probe stream never shuffles for the semi."""
+    plan = plan_of(spark, "x_bloom_filter")
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin LeftSemi" not in plan, plan
+
+
+def test_contamination_bloom_probe_broadcasts(spark):
+    plan = plan_of(spark, "c_contamination_bloom")
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_pairs_join_on_cluster_id(spark):
+    """SemDeDup's verification join must be an equi-join on the
+    cluster id — never an all-pairs cartesian over the corpus."""
+    plan = plan_of(spark, "c_semdedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
