@@ -53,7 +53,15 @@ def main() -> None:
     # each invocation persists fresh intermediates (LSH neighborhoods
     # etc.); drop the warm pass's generation so timed passes measure
     # execution, not cache-memory pressure
-    spark.catalog.clearCache()
+    def settle() -> None:
+        """Block-manager unpersist is asynchronous; without a settle
+        barrier its cleanup lands inside the next timed query
+        (observed as ~2x spikes on the LSH query)."""
+        spark.catalog.clearCache()
+        spark.range(1_000_000).count()
+        time.sleep(0.3)
+
+    settle()
 
     # Two timed passes, min per query: checkpoint-block cleanup from
     # the previous pass lands asynchronously on the next one (observed
@@ -67,7 +75,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-        spark.catalog.clearCache()
+        settle()
 
     total = round(sum(timings.values()), 3)
     print(
