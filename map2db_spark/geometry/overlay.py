@@ -249,17 +249,26 @@ def chain_rings(directed_edges):
 def assemble_polygons(rings):
     """CCW rings are shells, CW rings holes; attach each hole to the
     first shell containing its probe vertex; -> float-coordinate
-    multipolygon (normalized)."""
-    from map2db_spark.geometry.repair import _point_in_ring
+    multipolygon (normalized).
+
+    A leftmost-turn face walk may legitimately pass through a PINCH
+    vertex twice (two boundary lobes meeting at a point — found by
+    the random-triangle fuzz), which is a valid face boundary but a
+    self-touching, OGC-invalid polygon ring; such rings decompose
+    into simple loops first (repair.py's vertex-stack sweep), each
+    loop keeping the walk's interior-on-the-left orientation, so the
+    area-sign classification below stays correct."""
+    from map2db_spark.geometry.repair import _point_in_ring, _repair_ring
 
     shells = []
     holes = []
-    for r in rings:
-        a2 = _ring_area2_int(r)
-        if a2 > 0:
-            shells.append(r)
-        elif a2 < 0:
-            holes.append(r)
+    for chained in rings:
+        for r in _repair_ring(chained):
+            a2 = _ring_area2_int(r)
+            if a2 > 0:
+                shells.append(r)
+            elif a2 < 0:
+                holes.append(r)
     result = [[[_to_float(p) for p in s]] for s in shells]
     for h in holes:
         probe = h[0]

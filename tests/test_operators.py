@@ -872,3 +872,49 @@ def test_cdc_chunks_partition_tokens_exactly(spark):
     ).collect()
     for r in out:
         assert r["covered"] == r["n"], r
+
+
+def test_union_overlay_fuzz_random_triangles():
+    """Overlay fuzz with NON-axis-aligned inputs: random triangles
+    whose crossings land off-grid.  Invariants under grid snapping:
+    output is a valid multipolygon; area is at least the largest
+    input (union superset, up to snap tolerance) and at most the sum
+    of inputs plus tolerance; order independence holds exactly."""
+    import random
+
+    from map2db_spark.geometry.overlay import union_overlay
+    from map2db_spark.geometry.repair import polygons_valid
+
+    u = 1e-6
+    rng = random.Random(777)
+    for trial in range(40):
+        n = rng.randint(2, 5)
+        frags = []
+        areas2 = []
+        for _ in range(n):
+            while True:
+                pts = [
+                    (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(3)
+                ]
+                (x0, y0), (x1, y1), (x2, y2) = pts
+                a2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+                if abs(a2) >= 8:  # non-degenerate
+                    break
+            if a2 < 0:
+                pts = pts[::-1]
+                a2 = -a2
+            areas2.append(a2)
+            ring = [(px * u, py * u) for px, py in pts] + [
+                (pts[0][0] * u, pts[0][1] * u)
+            ]
+            frags.append([[ring]])
+        out = union_overlay(frags)
+        assert polygons_valid(out), (trial, frags)
+        got2 = _area2_int(out)
+        # snap moves each crossing <= ~0.71 grid units; bound loosely
+        # by the total boundary length (edges <= 60 units each)
+        tol2 = 2 * 3 * n * 60  # 2*area units of slack per edge
+        assert got2 >= max(areas2) - tol2, (trial, got2, areas2)
+        assert got2 <= sum(areas2) + tol2, (trial, got2, areas2)
+        # exact order independence (canonical normalization)
+        assert union_overlay(list(reversed(frags))) == out, trial
