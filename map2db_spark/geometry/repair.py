@@ -270,12 +270,38 @@ def _decompose(walk):
 
 
 def _repair_ring(r):
-    """Closed int ring -> list of simple loops with nonzero area."""
+    """Closed int ring -> list of simple loops with nonzero area.
+
+    Iterated to a fixpoint: rounding a crossing to the grid can place
+    the new vertex ON another edge (or create a fresh crossing
+    between split pieces), so one node+decompose pass may emit loops
+    that are still non-simple — found by deep fuzzing on heavily
+    self-crossing rings (~1% of random 10-gons).  Each round re-nodes
+    only the still-non-simple loops; a loop that stops making
+    progress (or survives all rounds non-simple) is DROPPED like a
+    zero-area loop — never emitted invalid."""
     if _ring_is_simple(r):
         return [r] if _ring_area2_int(r) != 0 else []
-    return [
-        lp for lp in _decompose(_node_walk(r)) if _ring_area2_int(lp) != 0
-    ]
+    out = []
+    pending = [r]
+    for _ in range(8):
+        nxt = []
+        for lp in pending:
+            if _ring_is_simple(lp):
+                if _ring_area2_int(lp) != 0:
+                    out.append(lp)
+                continue
+            loops = [
+                l for l in _decompose(_node_walk(lp))
+                if _ring_area2_int(l) != 0
+            ]
+            if loops == [lp]:
+                continue  # no progress: drop rather than loop forever
+            nxt.extend(loops)
+        if not nxt:
+            return out
+        pending = nxt
+    return out
 
 
 def _inner_probe(loop, other) -> bool:

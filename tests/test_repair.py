@@ -99,3 +99,23 @@ def test_degenerate_polygon_dropped_but_rest_kept():
     sliver = [[(5.0, 5.0), (6.0, 5.0), (7.0, 5.0), (5.0, 5.0)]]
     out, reason = make_valid_polygons([SQ, sliver])
     assert reason is None and out == [SQ]
+
+
+def test_make_valid_fuzz_random_tangles():
+    """Deep-fuzz regression (r3): heavily self-crossing random rings
+    must repair to VALID polygons or reject with a reason — never
+    emit an invalid output.  Caught the one-pass noding gap: a
+    grid-snapped crossing can land ON another edge, so _repair_ring
+    now iterates node+decompose to a fixpoint."""
+    import random
+
+    from map2db_spark.geometry.repair import make_valid_polygons, polygons_valid
+
+    u = 1e-6
+    rng = random.Random(20260814)
+    for _ in range(120):
+        n = rng.randint(4, 12)
+        pts = [(rng.randint(0, 60) * u, rng.randint(0, 60) * u) for _ in range(n)]
+        out, reason = make_valid_polygons([[pts + [pts[0]]]])
+        if reason is None:
+            assert polygons_valid(out), pts
