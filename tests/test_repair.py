@@ -119,3 +119,78 @@ def test_make_valid_fuzz_random_tangles():
         out, reason = make_valid_polygons([[pts + [pts[0]]]])
         if reason is None:
             assert polygons_valid(out), pts
+
+
+def test_clip_fuzz_stays_in_box_and_valid():
+    """Random convex shapes clipped to a box: every output vertex lies
+    in the (snap-tolerant) box and outputs are valid polygons."""
+    import math
+    import random
+
+    from map2db_spark.geometry import clip as gclip
+    from map2db_spark.geometry.repair import polygons_valid
+
+    rng = random.Random(42)
+    u = 1e-6
+    box = (10 * u, 10 * u, 40 * u, 40 * u)
+    eps = 1.01e-6
+    for trial in range(120):
+        n = rng.choice([3, 4])
+        raw = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(n)]
+        if n == 4:
+            cx = sum(p[0] for p in raw) / 4
+            cy = sum(p[1] for p in raw) / 4
+            raw = sorted(raw, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+        a2 = sum(
+            raw[i][0] * raw[(i + 1) % n][1] - raw[(i + 1) % n][0] * raw[i][1]
+            for i in range(n)
+        )
+        if a2 == 0:
+            continue
+        if a2 < 0:
+            raw = raw[::-1]
+        ring = [(x * u, y * u) for x, y in raw] + [(raw[0][0] * u, raw[0][1] * u)]
+        out = gclip.clip_polygons([[ring]], box)
+        for rings in out:
+            for rg in rings:
+                for x, y in rg:
+                    assert box[0] - eps <= x <= box[2] + eps, (trial, x)
+                    assert box[1] - eps <= y <= box[3] + eps, (trial, y)
+        if out:
+            assert polygons_valid(out), (trial, raw)
+
+
+def test_linemerge_fuzz_conserves_length():
+    """A shattered, shuffled, randomly-reversed path re-merges with
+    total segment length exactly conserved (stitching moves no
+    geometry when endpoints already coincide)."""
+    import math
+    import random
+
+    from map2db_spark.geometry.linemerge import merge_feature
+
+    rng = random.Random(7)
+
+    def length(parts):
+        return sum(
+            math.hypot(b[0] - a[0], b[1] - a[1])
+            for p in parts
+            for a, b in zip(p, p[1:])
+        )
+
+    for _ in range(150):
+        n = rng.randint(3, 12)
+        pts = [(rng.randint(0, 100) / 1e6, rng.randint(0, 100) / 1e6) for _ in range(n)]
+        path = [pts[0]]
+        for p in pts[1:]:
+            if p != path[-1]:
+                path.append(p)
+        if len(path) < 3:
+            continue
+        segs = [[path[i], path[i + 1]] for i in range(len(path) - 1)]
+        rng.shuffle(segs)
+        for s in segs:
+            if rng.random() < 0.5:
+                s.reverse()
+        merged, _stats = merge_feature(segs)
+        assert abs(length(merged) - length(segs)) <= 1e-9
