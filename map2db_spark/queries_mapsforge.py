@@ -634,3 +634,56 @@ def m2db_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sightings")
     )
     return run_available_now_df(agg, "complete").select("ftype", "n_sightings")
+
+
+_NONDBL_FIXTURE = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "nondbl.map"
+)
+
+
+def _nondbl_fixture_path() -> str:
+    if not os.path.exists(_NONDBL_FIXTURE):
+        from map2db_spark.sources.sample_maps import nondbl_map
+
+        os.makedirs(os.path.dirname(_NONDBL_FIXTURE), exist_ok=True)
+        nondbl_map().write(_NONDBL_FIXTURE)
+    return _NONDBL_FIXTURE
+
+
+@query(
+    "m2db_multi_map_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('area',  CAST(6 AS BIGINT)),
+        ('line',  CAST(6 AS BIGINT)),
+        ('point', CAST(6 AS BIGINT))
+    ) AS t(ftype, n_sightings)
+    """,
+    tags=("mapsforge", "source", "datasource", "multi-file"),
+)
+def m2db_multi_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FILE connector scan — the shape a 100 TB map corpus
+    actually has (many regional extracts, not one file): ONE
+    ``spark.read.format("mapsforge").option("paths", "a.map,b.map")``
+    job scans a dbl and a nondbl fixture together; every file
+    contributes its own tile-chunk InputPartitions, so parallelism is
+    the SUM across files and a straggler file never serializes the
+    fleet.  The aggregate equals the two fixtures' literal truths
+    summed (dbl 4/5/5 + nondbl 2/1/1), proving per-file headers,
+    per-file tag dictionaries and both dbl modes coexist in one scan.
+    """
+    from map2db_spark.session import ship_package
+    from map2db_spark.sources import spark_datasource as sds
+
+    ship_package(spark)
+    sds.register(spark)
+    feats = (
+        spark.read.format("mapsforge")
+        .option("paths", f"{_fixture_path()},{_nondbl_fixture_path()}")
+        .load()
+    )
+    return (
+        feats.groupBy("ftype")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sightings"))
+        .orderBy("ftype")
+    )

@@ -49,25 +49,40 @@ from map2db_spark.operators.decode import FEATURE_SCHEMA
 
 
 class TileChunk(InputPartition):
-    """One tile-index slice of one subfile."""
+    """One tile-index slice of one subfile of one map file."""
 
-    def __init__(self, subfile_idx: int, start: int, count: int):
+    def __init__(self, subfile_idx: int, start: int, count: int,
+                 path_idx: int = 0):
         self.subfile_idx = subfile_idx
         self.start = start
         self.count = count
+        self.path_idx = path_idx
 
 
 class MapsforgeReader(DataSourceReader):
+    """Batch reader over ONE OR MORE `.map` files: `.load(path)` for a
+    single file, or `.option("paths", "a.map,b.map,...")` for a fleet
+    — at corpus scale the input is MANY map extracts, and one job
+    scans them all (each file contributes its own tile-chunk
+    partitions, so parallelism is sum-of-files, not per-file)."""
+
     def __init__(self, options):
-        path = options.get("path")
-        if not path:
-            raise ValueError("mapsforge source requires a path: .load('<file.map>')")
         from map2db_spark.sources.header import read_header
 
-        self.path = path
-        # driver-side planning state: header metadata only (KB-scale,
-        # picklable — it ships to executors inside the reader)
-        self.header = read_header(path)
+        multi = options.get("paths")
+        if multi:
+            self.paths = [p for p in multi.split(",") if p]
+        else:
+            path = options.get("path")
+            if not path:
+                raise ValueError(
+                    "mapsforge source requires .load('<file.map>') or "
+                    ".option('paths', 'a.map,b.map')"
+                )
+            self.paths = [path]
+        # driver-side planning state: header metadata only (KB-scale
+        # per file, picklable — ships to executors inside the reader)
+        self.headers = [read_header(p) for p in self.paths]
         self.chunk_entries = int(options.get("chunk_entries", 65536))
         self.level_filter: set[int] | None = None
         self.ftype_filter: set[str] | None = None
@@ -89,13 +104,21 @@ class MapsforgeReader(DataSourceReader):
 
     def partitions(self):
         out = []
-        for i, sf in enumerate(self.header.subfiles):
-            if self.level_filter is not None and sf.level not in self.level_filter:
-                continue  # subfile pruned: its bytes are never read
-            for start in range(0, sf.tile_count, self.chunk_entries):
-                out.append(
-                    TileChunk(i, start, min(self.chunk_entries, sf.tile_count - start))
-                )
+        for pi, header in enumerate(self.headers):
+            for i, sf in enumerate(header.subfiles):
+                if (
+                    self.level_filter is not None
+                    and sf.level not in self.level_filter
+                ):
+                    continue  # subfile pruned: its bytes are never read
+                for start in range(0, sf.tile_count, self.chunk_entries):
+                    out.append(
+                        TileChunk(
+                            i, start,
+                            min(self.chunk_entries, sf.tile_count - start),
+                            path_idx=pi,
+                        )
+                    )
         if not out:
             # Spark requires >= 1 partition; an empty one yields no rows
             out.append(TileChunk(-1, 0, 0))
@@ -107,14 +130,15 @@ class MapsforgeReader(DataSourceReader):
         from map2db_spark.operators.decode import tile_feature_rows
         from map2db_spark.sources.header import _manifest_chunk_rows
 
-        hdr = self.header
+        path = self.paths[partition.path_idx]
+        hdr = self.headers[partition.path_idx]
         sf = hdr.subfiles[partition.subfile_idx]
         manifest = _manifest_chunk_rows(
-            self.path, partition.subfile_idx, sf, hdr.debuginfo,
+            path, partition.subfile_idx, sf, hdr.debuginfo,
             partition.start, partition.count,
         )
         keep = self.ftype_filter
-        with open(self.path, "rb") as f:
+        with open(path, "rb") as f:
             for r in manifest.itertuples(index=False):
                 if r.offset == r.end_offset:
                     continue  # F3: empty tile, no byte read
