@@ -165,3 +165,25 @@ def test_mapsforge_datasource_unsupported_filters_handed_back():
     # the layer predicate comes back for Spark to re-apply; ftype is kept
     assert len(unsupported) == 1
     assert r.ftype_filter == {"line"}
+
+
+def test_mapsforge_datasource_multi_path_partitions():
+    """Multi-file scans plan one partition set per file: tile chunks
+    carry their path index, and counts sum across files."""
+    from map2db_spark.queries_mapsforge import (
+        _fixture_path,
+        _nondbl_fixture_path,
+    )
+    from map2db_spark.sources.spark_datasource import MapsforgeReader
+
+    single = MapsforgeReader({"path": _fixture_path()})
+    multi = MapsforgeReader(
+        {"paths": f"{_fixture_path()},{_nondbl_fixture_path()}"}
+    )
+    nd = MapsforgeReader({"path": _nondbl_fixture_path()})
+    p_single = single.partitions()
+    p_multi = multi.partitions()
+    p_nd = nd.partitions()
+    assert len(p_multi) == len(p_single) + len(p_nd)
+    assert {p.path_idx for p in p_multi} == {0, 1}
+    assert {p.path_idx for p in p_single} == {0}
