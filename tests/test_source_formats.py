@@ -141,14 +141,14 @@ def test_mapsforge_datasource_level_filter_prunes_partitions():
     from map2db_spark.sources.spark_datasource import MapsforgeReader
 
     r = MapsforgeReader({"path": _fixture_path()})
-    levels = [sf.level for sf in r.header.subfiles]
+    levels = [sf.level for sf in r.headers[0].subfiles]
     assert len(set(levels)) > 1, "fixture must have multiple zoom levels"
     all_parts = r.partitions()
     leftover = list(r.pushFilters([EqualTo(("level",), levels[0])]))
     assert leftover == []  # fully consumed
     pruned = r.partitions()
     assert 0 < len(pruned) < len(all_parts)
-    kept_levels = {r.header.subfiles[p.subfile_idx].level for p in pruned}
+    kept_levels = {r.headers[0].subfiles[p.subfile_idx].level for p in pruned}
     assert kept_levels == {levels[0]}
 
 
