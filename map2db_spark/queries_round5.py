@@ -6834,11 +6834,13 @@ def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer aggregate, immune to float summation order.
 
     Scale shape: the bigram explode streams into two map-side-
-    combinable count aggregates; both count tables are
-    vocabulary-sized (quadratic only in DISTINCT tokens, not corpus
-    size) so the score-back joins are broadcasts; one final
-    doc_id-keyed aggregate.  Training and scoring are the same two
-    passes at any corpus size.
+    combinable count aggregates; the score-back joins are UNHINTED so
+    AQE broadcasts them while the distinct-bigram table is small and
+    falls back to a sort-merge co-partitioned with the count
+    shuffle's own key once natural-language bigram cardinality
+    outgrows broadcast (a production run also prunes singleton
+    bigrams first).  One final doc_id-keyed aggregate; training and
+    scoring are the same two passes at any corpus size.
     """
     docs = Tables(spark, sf_dir).documents
     par = spark.sparkContext.defaultParallelism
@@ -6856,9 +6858,14 @@ def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = F.round(
         F.lit(1000000) * F.log(F.col("n1").cast("double") / F.col("n2"))
     ).cast("long")
+    # no broadcast HINT: on this corpus AQE auto-broadcasts the tiny
+    # count tables, but natural-language bigram TYPES can approach
+    # corpus cardinality, where a forced broadcast would OOM — the
+    # unhinted join lets AQE pick broadcast vs a sort-merge that
+    # co-partitions with the count shuffle's own bigram key
     scored = (
-        big.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
         .select("doc_id", nll.alias("nll_micro"))
     )
     return (
