@@ -7938,8 +7938,11 @@ def c_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs recheck work, never leakage).
 
     Scale shape: filter build is bench-side only; the corpus probes
-    through a broadcast bounded bit table — no corpus shuffle, same
-    as the exact path but with O(m) instead of O(benchmark) state.
+    through k CHAINED broadcast semi-joins against the bounded bit
+    table — entirely map-side, so the only corpus-keyed exchange is
+    the final distinct over flagged doc_ids (O(flagged), tiny); same
+    dataflow as the exact path but with O(m) instead of O(benchmark)
+    broadcast state.
     """
     from map2db_spark.functions.dedup import word_shingles
 
@@ -7961,18 +7964,19 @@ def c_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = b if bits is None else bits.unionByName(b)
     bits = bits.distinct()
 
-    probe = None
+    # all-k-bits-set via CHAINED broadcast semi-joins — each probe
+    # column checks against the bounded bit table map-side, so the
+    # gram stream is never unioned k-fold or shuffled for a count
+    g = tg.select(
+        "doc_id", "gram", *[pos(i).alias(f"p{i}") for i in range(_CB_K)]
+    )
     for i in range(_CB_K):
-        p = tg.select("doc_id", "gram", pos(i).alias("pos"))
-        probe = p if probe is None else probe.unionByName(p)
-    hits = (
-        probe.join(F.broadcast(bits), "pos", "left_semi")
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-    )
-    bloom_docs = (
-        hits.where(F.col("n_set") == _CB_K).select("doc_id").distinct()
-    )
+        g = g.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"p{i}"))),
+            f"p{i}",
+            "left_semi",
+        )
+    bloom_docs = g.select("doc_id").distinct()
     exact_docs = (
         tg.join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")

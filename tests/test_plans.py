@@ -994,3 +994,12 @@ def test_semdedup_pairs_join_on_cluster_id(spark):
     plan = plan_of(spark, "c_semdedup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_bloom_chained_semis_no_gram_shuffle(spark):
+    """The k-position probe must be chained broadcast semi-joins: the
+    gram stream never shuffles for a per-gram bit count (the only
+    corpus-keyed exchange is the tiny flagged-doc distinct)."""
+    plan = plan_of(spark, "c_contamination_bloom")
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 4, plan
+    assert "hashpartitioning(gram" not in plan, plan
