@@ -7952,7 +7952,10 @@ def c_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(word_shingles(F.col("text"), _CB_N)).alias("gram"),
     )
     bench = grams.where(F.col("doc_id") % 17 == 0).select("gram").distinct()
-    tg = grams.where(F.col("doc_id") % 17 != 0).distinct()
+    # no corpus-side distinct: duplicate (doc, gram) rows are harmless
+    # to flag-only semantics (the final doc_id distincts dedup), and
+    # dropping it removes the last corpus-keyed exchange
+    tg = grams.where(F.col("doc_id") % 17 != 0)
 
     def pos(i: int) -> F.Column:
         h = F.md5(F.concat(F.lit(f"cb{i}:"), F.col("gram")))
