@@ -8002,3 +8002,200 @@ def c_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality (integer-truncated Brandes, seeded + bounded)
+# ---------------------------------------------------------------------------
+
+_BC_SEEDS = 3
+_BC_DEPTH = 3
+_BC_MICRO = 1_000_000
+
+
+def _betweenness_oracle() -> str:
+    D = _BC_DEPTH
+    parts = [
+        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p\n      FROM lineitem WHERE l_partkey < 4000)",
+        """e AS (SELECT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)""",
+        "adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u)",
+        f"seeds AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_BC_SEEDS})",
+        "l0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+        "vis0 AS (SELECT seed, node FROM l0)",
+    ]
+    for d in range(1, D + 1):
+        parts.append(f"""l{d} AS (
+      SELECT p.seed, adj.v AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+      FROM l{d - 1} p JOIN adj ON adj.u = p.node
+      WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} x
+                        WHERE x.seed = p.seed AND x.node = adj.v)
+      GROUP BY 1, 2)""")
+        parts.append(
+            f"vis{d} AS (SELECT seed, node FROM vis{d - 1} "
+            f"UNION SELECT seed, node FROM l{d})"
+        )
+    parts.append(
+        f"d{D} AS (SELECT seed, node, CAST(0 AS BIGINT) AS dm FROM l{D})"
+    )
+    for d in range(D - 1, -1, -1):
+        parts.append(f"""c{d} AS (
+      SELECT cur.seed, cur.node,
+             cur.sigma * ({_BC_MICRO} + nx.dm) // w.sigma AS c
+      FROM l{d} cur
+      JOIN adj ON adj.u = cur.node
+      JOIN l{d + 1} w ON w.seed = cur.seed AND w.node = adj.v
+      JOIN d{d + 1} nx ON nx.seed = w.seed AND nx.node = w.node)""")
+        parts.append(f"""d{d} AS (
+      SELECT cur.seed, cur.node, CAST(coalesce(s.c, 0) AS BIGINT) AS dm
+      FROM l{d} cur LEFT JOIN (
+        SELECT seed, node, sum(c) AS c FROM c{d} GROUP BY 1, 2) s
+      ON s.seed = cur.seed AND s.node = cur.node)""")
+    union = " UNION ALL ".join(
+        f"SELECT seed, node, dm FROM d{d}" for d in range(D + 1)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    alld AS ({union})
+    SELECT node, CAST(sum(dm) AS BIGINT) AS bc_micro
+    FROM alld WHERE node <> seed
+    GROUP BY node
+    ORDER BY bc_micro DESC, node LIMIT 15
+    """
+
+
+@query(
+    "g_betweenness",
+    oracle=_betweenness_oracle(),
+    tags=("graph", "centrality", "analytics"),
+)
+def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEENNESS centrality — the last of the four classic
+    centralities (degree/assortativity, harmonic-closeness,
+    eigenvector-family PageRank/HITS are already registered) — via
+    Brandes' algorithm from the top-degree seed set within a bounded
+    radius: forward layered BFS accumulates shortest-path counts
+    (sigma), then dependencies back-propagate layer by layer
+    (delta(v) = sum over successors w of sigma_v/sigma_w *
+    (1 + delta(w))).  Seeded + depth-bounded is the standard
+    production estimator (exact Brandes is O(V*E)); the truncation
+    radius and seed count are the knobs.
+
+    Cross-engine exactness: the dependency ratio is carried as the
+    INTEGER recursion delta_micro(v) = sum(sigma_v * (1e6 +
+    delta_micro(w)) DIV sigma_w) — truncating integer division at
+    each step, so both engines run the identical integer program and
+    the aggregate is reduction-order independent (float Brandes would
+    diverge in the last ulp across partitionings).
+
+    Scale shape: per layer one frontier-keyed neighbor join + one
+    visited anti-join (the g_bfs_layers shape, with sigma as a
+    map-side-combinable sum); the backward pass is one co-keyed join
+    per layer; layers are checkpointed so plan depth stays flat.
+    Cost is O(seeds * depth) bounded joins, never all-pairs.
+    """
+    t = Tables(spark, sf_dir)
+    # sf-independent subgraph cap: betweenness is a seeded, bounded
+    # ESTIMATOR by design — the cap keeps the co-purchase subgraph
+    # (and the oracle's layered CTEs) a fixed size at every sf, the
+    # same bounded-sample shape as d_minhash_recall_eval
+    li = (
+        t.lineitem.where(F.col("l_partkey") < 4000)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    seeds = [
+        r["node"]
+        for r in deg.orderBy(F.desc("d"), "node").limit(_BC_SEEDS).collect()
+    ]
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed long")
+    l0 = seed_df.select(
+        "seed", F.col("seed").alias("node"), F.lit(1).cast("long").alias("sigma")
+    )
+    layers = [l0.localCheckpoint()]
+    visited = layers[0].select("seed", "node").localCheckpoint()
+    for _d in range(1, _BC_DEPTH + 1):
+        raw = (
+            layers[-1]
+            .join(edges, layers[-1]["node"] == edges["u"])
+            .select("seed", F.col("v").alias("node"), "sigma")
+        )
+        nxt = (
+            raw.join(visited, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint()
+        )
+        layers.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint()
+    delta = layers[_BC_DEPTH].select(
+        "seed", "node", F.lit(0).cast("long").alias("dm")
+    )
+    all_deltas = [delta]
+    for d in range(_BC_DEPTH - 1, -1, -1):
+        cur = layers[d]
+        succ = (
+            layers[d + 1]
+            .select("seed", F.col("node").alias("wnode"), F.col("sigma").alias("sigw"))
+            .join(
+                delta.select(
+                    "seed", F.col("node").alias("wnode"), F.col("dm").alias("dw")
+                ),
+                ["seed", "wnode"],
+            )
+        )
+        contrib = (
+            cur.join(edges, cur["node"] == edges["u"])
+            .select("seed", "node", "sigma", F.col("v").alias("wnode"))
+            .join(succ, ["seed", "wnode"])
+            .select(
+                "seed",
+                "node",
+                F.expr(
+                    f"CAST(sigma * ({_BC_MICRO} + dw) DIV sigw AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        delta = (
+            cur.select("seed", "node")
+            .join(
+                contrib.groupBy("seed", "node").agg(
+                    F.sum("c").cast("long").alias("dm")
+                ),
+                ["seed", "node"],
+                "left",
+            )
+            .select(
+                "seed", "node",
+                F.coalesce("dm", F.lit(0)).cast("long").alias("dm"),
+            )
+            .localCheckpoint()
+        )
+        all_deltas.append(delta)
+    alld = all_deltas[0]
+    for p in all_deltas[1:]:
+        alld = alld.unionByName(p)
+    return (
+        alld.where(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum("dm").cast("long").alias("bc_micro"))
+        .orderBy(F.desc("bc_micro"), "node")
+        .limit(15)
+    )

@@ -174,6 +174,7 @@ _ROUND6_NEW = frozenset({
     "t_bigram_perplexity", "f_collated_grouping", "f_parameterized_sql",
     "u_python_udtf", "t_js_divergence", "v_ann_filtered",
     "x_bm25_retrieval", "t_lang_confusion", "c_contamination_bloom",
+    "g_betweenness",
 })
 
 
