@@ -72,6 +72,26 @@ _LOADED = False
 # to the front.  Remove a name from this set if its semantics change
 # (it then needs re-grading).
 _DRIVER_VERIFIED = frozenset({
+    # --- green in CORRECTNESS_r03.json (round-3 driver window) ---
+    "d_dup_clusters", "d_curation_pipeline", "m2db_overlay_union",
+    "m2db_datasource_scan", "m2db_datasource_pushdown",
+    "m2db_stream_ingest", "m2db_multi_map_scan", "x_heavy_hitters_mg",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_counts", "q17_small_quantity_revenue",
+    "q20_part_promotion", "q21_waiting_suppliers", "sql_exists_correlated",
+    "sql_scalar_subquery", "sql_correlated_scalar", "sql_registered_udf",
+    "sql_recursive_cte", "sql_min_cost_supplier", "u_pandas_udf_haversine",
+    "q6_forecast_revenue", "q12_priority_case_agg", "q14_promo_effect",
+    "q19_disjunctive_pushdown", "q22_idle_customers", "f_string_surface",
+    "f_json_extraction", "h_array_higher_order",
+    "x_conditional_bitwise_agg", "x_median_percentile",
+    "r_string_agg_ordered", "r_lateral_explode", "r_sample_hash",
+    "r_union_by_name", "d_interval_arithmetic", "w_cume_dist_first_last",
+    "g_grouping_sets_explicit", "x_argmax_min_by", "d_date_spine_fill",
+    "w_forward_fill", "j_cross_join_grid", "r_values_inline",
+    "f_map_surface",
     # --- green in CORRECTNESS_r02.json (round-2 driver window) ---
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "d_simhash_hamming",
     "d_ngram_jaccard", "d_cosine_near_dup", "v_ann_brute_topk",
