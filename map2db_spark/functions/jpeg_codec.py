@@ -114,6 +114,9 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing (B.1.1.5)
                 self.buf.append(0x00)
+        # Keep only the undrained low bits: otherwise the int accumulator
+        # grows with the whole scan and every shift is O(scan length).
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -142,7 +145,9 @@ class _BitReader:
                 self.pos += 1  # unstuff
             else:
                 raise JpegError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | b
+        # Mask to the live window so the accumulator stays bounded (a
+        # whole-scan int makes each fill/shift O(scan length) -> O(n^2)).
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
 
     def bit(self) -> int:
@@ -339,6 +344,8 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 p += 1
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables not supported")
+                if len(payload) < p + 64:
+                    raise JpegError("truncated DQT segment")
                 qtables[tq] = np.frombuffer(
                     payload[p : p + 64], dtype=np.uint8
                 ).astype(np.int64)

@@ -348,7 +348,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     and re-encodes as PNG, the canonical normalized output codec of
     the pipeline.  Grayscale promotes to 3 channels and alpha drops,
     so downstream kernels see one shape.  Non-decodable payloads
-    raise — a resize pass must never silently emit garbage bytes."""
+    raise (typed JpegError/WebpError/PngError) — a resize pass must
+    never silently emit garbage bytes; NULL payloads propagate as NULL
+    rows rather than failing the whole Arrow batch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from map2db_spark.functions.png import encode_png
@@ -357,6 +359,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             pdf = pdf.copy()
             payloads = []
             for p in pdf["payload"]:
+                if p is None:
+                    # NULL payload propagates as NULL (pre-decode-codec
+                    # behavior) rather than failing the whole Arrow batch
+                    # with an untyped TypeError from bytes(None).
+                    payloads.append(None)
+                    continue
                 px = decode_image_real(bytes(p))
                 if px.ndim == 2:
                     px = np.stack([px] * 3, axis=-1)

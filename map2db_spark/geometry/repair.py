@@ -301,6 +301,13 @@ def _repair_ring(r):
         if not nxt:
             return out
         pending = nxt
+    # Round cap hit: loops produced in the final round were never
+    # simplicity-checked — harvest the ones that DID become simple
+    # (valid geometry, don't drop it one round early) and discard only
+    # the still-non-simple stragglers.
+    for lp in pending:
+        if _ring_is_simple(lp) and _ring_area2_int(lp) != 0:
+            out.append(lp)
     return out
 
 

@@ -33,43 +33,62 @@ def asof_join_backward(
 ) -> DataFrame:
     """For each left row: the right row with the greatest right_ts <=
     left_ts within the same `on` key.  right_value_cols are carried
-    onto the output with their names prefixed 'asof_'."""
+    onto the output with their names prefixed 'asof_'.
+
+    The right payload (ts + every value column) is packed into ONE
+    struct carried by a single last(ignorenulls): with independent
+    per-column carries, a NULL in one right value column would make
+    that output column fall back to an OLDER right row while asof_ts
+    came from the newer one — the struct makes the carried row atomic,
+    nullable value columns included (same fix asof_join_nearest
+    already applies)."""
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    payload_type = StructType(
+        [StructField("ts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c).alias(c) for c in right_value_cols],
+        ).alias("__r"),
     ).select(*l.columns)  # align column order
 
     unioned = l.unionByName(r)
-    # the trailing __r_* keys make the order total when multiple right
-    # rows share (key, ts): the carried row is then deterministic (the
-    # one sorting last) instead of partition-order dependent
+    # the trailing __r struct key (ts, then values, compared field by
+    # field) makes the order total when multiple right rows share
+    # (key, ts): the carried row is then deterministic (the one sorting
+    # last) instead of partition-order dependent
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side", *[f"__r_{c}" for c in right_value_cols])
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *lcols,
         "__side",
+        F.last("__r", ignorenulls=True).over(w).alias("__carry"),
+    ).where(F.col("__side") == 1).drop("__side")
+    carried = carried.select(
+        *lcols,
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            F.col(f"__carry.{c}").alias(f"asof_{c}")
             for c in right_value_cols
         ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-    ).where(F.col("__side") == 1).drop("__side")
+        F.col("__carry.ts").alias("asof_ts"),
+    )
     if inner:
         carried = carried.where(F.col("asof_ts").isNotNull())
     return carried

@@ -143,3 +143,70 @@ def with_percent_rank(
         else F.lit(0.0)
     )
     return out.withColumn(pr_col, pr).drop("__rank0")
+
+
+def with_prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sums ``sum(c) OVER (ORDER BY order_cols)`` for
+    each integer column in sum_cols, without the single-partition
+    window — the same two-pass shape as ``ranked``:
+
+    1. range-repartition by order_cols (global order across
+       partitions), sort within partitions;
+    2. per-partition column totals (light action), prefix-sum the
+       offsets on the driver;
+    3. per-partition local cumsum + broadcast offset = global running
+       sum, emitted as ``cum_<col>``.
+
+    Exact-integer contract: sum_cols must be integral (the running
+    sums are carried as int64); NULLs count as 0.  order_cols should
+    be a total order per distinct row for a deterministic result —
+    for the ECDF use-case the input is already one row per distinct
+    value, so the order key alone is unique.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    pid_col = "__pid"
+    # persist so the totals pass and the cumsum pass see identical
+    # partition boundaries (range partitioning samples)
+    with_pid = parted.withColumn(pid_col, F.spark_partition_id()).persist()
+    totals = with_pid.groupBy(pid_col).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+    ).collect()
+    per_pid = {r[pid_col]: [int(r[c] or 0) for c in sum_cols] for r in totals}
+    offsets: dict[int, tuple[int, ...]] = {}
+    acc = [0] * len(sum_cols)
+    for pid in sorted(per_pid):
+        offsets[pid] = tuple(acc)
+        acc = [a + t for a, t in zip(acc, per_pid[pid])]
+
+    out_schema = StructType(
+        list(with_pid.schema.fields)
+        + [StructField(f"cum_{c}", LongType()) for c in sum_cols]
+    )
+
+    def add_cums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = [0] * len(sum_cols)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(
+                    **{f"cum_{c}": pd.Series([], dtype="int64") for c in sum_cols}
+                )
+                continue
+            pid = int(pdf[pid_col].iloc[0])
+            new_cols = {}
+            for i, c in enumerate(sum_cols):
+                vals = pdf[c].fillna(0).astype("int64")
+                new_cols[f"cum_{c}"] = (
+                    vals.cumsum() + (offsets[pid][i] + local[i])
+                )
+                local[i] += int(vals.sum())
+            yield pdf.assign(**new_cols)
+
+    return with_pid.mapInPandas(add_cums, schema=out_schema).drop(pid_col)

@@ -87,11 +87,11 @@ def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     at shared points.
 
     Scale shape: one map-side-combinable groupBy collapses the corpus
-    to its distinct-value table; the cumulative window then runs over
-    distinct values only (bounded by the value domain, here <=49k
-    cent levels — NOT the row count).  For an unbounded domain, swap
-    the single-partition window for the two-pass range-partitioned
-    prefix sum (operators/ids.py) with identical semantics.
+    to its distinct-value table; the cumulative then runs over
+    distinct values only — AND via the two-pass range-partitioned
+    prefix sum (operators/ids.py with_prefix_sums), never a
+    single-partition window, so an unbounded value domain (exactly
+    what a drift test gets pointed at) costs no one-task stage.
     """
     ev = Tables(spark, sf_dir).events.where(
         F.col("event_type").isin("click", "view")
@@ -106,9 +106,10 @@ def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = d.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    from map2db_spark.operators.ids import with_prefix_sums
+
+    cum = with_prefix_sums(d, ["cents"], ["ca", "cb"]).select(
+        F.col("cum_ca").alias("cum_a"), F.col("cum_cb").alias("cum_b")
     )
     gap = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
     return (

@@ -17,7 +17,7 @@ from map2db_spark.registry import query
 
 
 def _run(spark: SparkSession, sf_dir: str, build, out_mode: str,
-         schema: str) -> DataFrame:
+         schema: str, upsert_keys: tuple[str, ...] | None = None) -> DataFrame:
     """schema documents the contract (and pins column order for the
     oracle compare); the data itself arrives via the distributed file
     transport, never as driver rows."""
@@ -26,7 +26,10 @@ def _run(spark: SparkSession, sf_dir: str, build, out_mode: str,
         run_available_now_df,
     )
 
-    out = run_available_now_df(build(read_events_stream(spark, sf_dir)), out_mode)
+    out = run_available_now_df(
+        build(read_events_stream(spark, sf_dir)), out_mode,
+        upsert_keys=upsert_keys,
+    )
     cols = [c.split()[0] for c in schema.split(",")]
     return out.select(*cols)
 
@@ -69,6 +72,7 @@ def s_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, sf_dir, running_user_state, "update",
         "user_id LONG, n_events LONG, last_seen TIMESTAMP",
+        upsert_keys=("user_id",),
     )
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -197,7 +197,9 @@ def purchases_joined_to_views(events: DataFrame) -> DataFrame:
 
 
 def run_available_now_df(
-    stream_df: DataFrame, out_mode: str = "complete"
+    stream_df: DataFrame,
+    out_mode: str = "complete",
+    upsert_keys: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion over the currently
     available input (one bounded run) through a FILE transport and
@@ -211,9 +213,18 @@ def run_available_now_df(
     append mode, so foreachBatch is also the standard way complete/
     update aggregations reach files: complete overwrites with each
     batch's full snapshot (the last batch IS the final answer for a
-    bounded availableNow run); update likewise snapshots — real
-    incremental upsert sinks are demonstrated by foreach_batch_upsert;
-    append appends, each row emitted exactly once.
+    bounded availableNow run); append appends, each row emitted
+    exactly once.
+
+    update mode emits only the groups TOUCHED in each micro-batch, so
+    snapshot-overwrite would silently drop earlier batches' rows when
+    the source yields more than one micro-batch (multi-file dirs,
+    maxFilesPerTrigger).  Here every update batch APPENDS tagged with
+    its batch id; read-back keeps the newest row per ``upsert_keys``
+    (the upsert a real sink would do — see foreach_batch_upsert).
+    When ``upsert_keys`` is not given the run is required to have
+    produced a single micro-batch and raises otherwise, rather than
+    returning a silently-incomplete result.
 
     The parquet output is read back, persisted and materialized so the
     temp directory can be removed before returning (repeated
@@ -222,10 +233,17 @@ def run_available_now_df(
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="m2db_stream_")
-    write_mode = "append" if out_mode == "append" else "overwrite"
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out_dir)
+    if out_mode == "update":
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+    else:
+        write_mode = "append" if out_mode == "append" else "overwrite"
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode(write_mode).parquet(out_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -236,17 +254,42 @@ def run_available_now_df(
     q.awaitTermination()
     spark = stream_df.sparkSession
     try:
-        out = spark.read.schema(stream_df.schema).parquet(out_dir).persist()
+        if out_mode == "update":
+            raw = spark.read.parquet(out_dir)
+            if upsert_keys:
+                w = Window.partitionBy(*upsert_keys).orderBy(
+                    F.col("__batch_id").desc()
+                )
+                raw = (
+                    raw.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                n_batches = raw.select("__batch_id").distinct().count()
+                if n_batches > 1:
+                    raise ValueError(
+                        f"update-mode run produced {n_batches} micro-batches; "
+                        "pass upsert_keys= so batches can be merged per key "
+                        "(snapshotting only the touched groups would lose rows)"
+                    )
+            out = raw.drop("__batch_id").persist()
+        else:
+            out = spark.read.schema(stream_df.schema).parquet(out_dir).persist()
         out.count()  # materialize so the backing files can be deleted
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return out
 
 
-def run_available_now(stream_df: DataFrame, out_mode: str = "complete"):
+def run_available_now(
+    stream_df: DataFrame,
+    out_mode: str = "complete",
+    upsert_keys: tuple[str, ...] | None = None,
+):
     """Collected-rows convenience over run_available_now_df (tests and
     bounded fixtures only — the DataFrame form is the scale path)."""
-    return run_available_now_df(stream_df, out_mode).collect()
+    return run_available_now_df(stream_df, out_mode, upsert_keys).collect()
 
 
 def dedup_events_stream(events: DataFrame) -> DataFrame:

@@ -721,6 +721,56 @@ def test_asof_join_edge_cases(spark):
     )
 
 
+def test_with_prefix_sums_matches_window(spark):
+    """Two-pass range-partitioned running sums == the single-partition
+    window they replace, NULLs counted as 0, across many partitions."""
+    import random
+
+    from map2db_spark.operators.ids import with_prefix_sums
+
+    random.seed(7)
+    rows = [
+        (i, random.randint(-5, 5), random.choice([None, 1, 2, 3]))
+        for i in random.sample(range(10_000), 500)
+    ]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(13)
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in with_prefix_sums(df, ["k"], ["a", "b"], num_partitions=11).collect()
+    }
+    ca = cb = 0
+    want = {}
+    for k, a, b in sorted(rows):
+        ca += a
+        cb += b or 0
+        want[k] = (ca, cb)
+    assert got == want
+
+
+def test_asof_backward_null_right_column_no_cross_row_mixing(spark):
+    """A NULL in one right value column must NOT make that output
+    column fall back to an older right row while asof_ts comes from
+    the newer one — the carried right row is atomic (struct carry,
+    r3 verdict item 3)."""
+    from map2db_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    # newest right row (t=90) has v=NULL but w='new'; older row (t=40)
+    # has both.  The match is the t=90 row, so asof_v must be NULL —
+    # not 'old_v' mixed in from t=40.
+    right = spark.createDataFrame(
+        [(1, 90, None, "new"), (1, 40, "old_v", "old_w")],
+        "k long, t long, v string, w string",
+    )
+    [row] = asof_join_backward(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_value_cols=["v", "w"],
+    ).collect()
+    assert row["asof_ts"] == 90
+    assert row["asof_v"] is None
+    assert row["asof_w"] == "new"
+
+
 def test_connected_components_self_loop_and_ids_sparse_partitions(spark):
     """Self-loop-only nodes are absent (own component by convention);
     sequential ids stay dense when partitions outnumber rows."""

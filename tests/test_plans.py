@@ -237,6 +237,10 @@ def test_exact_jaccard_sites_are_df_capped(spark, name):
         ("w_percent_rank_decile", 0),
         ("c_curriculum_order", 1),
         ("x_gains_deciles", 1),
+        # r3 verdict item 4: the KS ECDF cumulative rides the two-pass
+        # prefix sum (with_prefix_sums); the one remaining
+        # SinglePartition exchange is the 1-row (na, nb) grand total.
+        ("x_ks_two_sample", 1),
     ],
 )
 def test_no_global_window_over_base_table(

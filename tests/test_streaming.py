@@ -77,6 +77,57 @@ def test_running_user_state(spark, events_stream, events_batch):
     assert got == want
 
 
+def test_update_mode_multi_batch_upserts_not_overwrites(
+    spark, tmp_path, events_batch
+):
+    """run_available_now_df in update mode: with several micro-batches
+    only the groups touched per batch are emitted, so the transport
+    must UPSERT per key (not snapshot-overwrite, which silently loses
+    earlier batches' rows).  With upsert_keys the merged result equals
+    the batch aggregate; without them a multi-batch run raises instead
+    of returning a silently-incomplete result."""
+    from map2db_spark.streaming.events import (
+        run_available_now_df,
+        running_user_state,
+    )
+
+    src_dir = str(tmp_path / "upsert_parts")
+    events_batch.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value", "props",
+    ).repartition(4).write.parquet(src_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_id LONG, ts_us LONG, user_id LONG, event_type STRING,"
+                " value DOUBLE, props STRING"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_seen"])
+        for r in run_available_now_df(
+            running_user_state(stream()), "update", upsert_keys=("user_id",)
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["last_ts"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+        .collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="micro-batches"):
+        run_available_now_df(running_user_state(stream()), "update")
+
+
 def test_stateful_across_multiple_microbatches(spark, tmp_path, events_batch):
     """applyInPandasWithState must carry state ACROSS micro-batches:
     the events file is split into 4 parts streamed one file per
