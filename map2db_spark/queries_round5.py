@@ -2112,6 +2112,191 @@ def d_minhash_recall_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic-dedup recall on a hot embedding mode — the price tag on cell_cap
+# ---------------------------------------------------------------------------
+
+
+_HOTCELL_N = 240       # bounded eval sample (exact ground truth stays small)
+_HOTCELL_CAP = 40      # deliberately below the planted hot-cluster size (~77)
+# low threshold so ORGANIC moderate-similarity pairs count too: capped
+# recall then shows the organic pairs surviving while the hot mode is
+# skipped, instead of collapsing to 0-vs-100%
+_HOTCELL_TAU = 0.35
+
+
+def _hotcell_corpus_sql() -> str:
+    """Hot-embedding-mode corpus: every third vector from vec_id 9 on
+    is replaced by one near-constant template (coordinate 1 varies in
+    the 4th decimal so hot pairs are near- not exact-duplicates) — the
+    embedding-space analogue of d_minhash_recall_skewed's stamped text
+    template.  vec_id < 9 stays organic so the k-means seeds (vec_id
+    < k) are all organic and the hot mode must CAPTURE a cluster, as
+    a real boilerplate mode does, rather than owning seeds."""
+    return f"""
+      SELECT vec_id,
+             CASE WHEN vec_id % 3 = 0 AND vec_id >= 9 THEN
+               list_transform(range(1, 65), i ->
+                 CASE WHEN i = 1 THEN 0.5 + (vec_id % 7) * 0.001
+                      ELSE 0.5 END)
+             ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+               AS embedding
+      FROM embeddings WHERE vec_id < {_HOTCELL_N}
+    """
+
+
+def _semdedup_recall_hotcell_oracle() -> str:
+    from map2db_spark.queries_pipeline import _kmeans_cte_parts
+
+    parts = _kmeans_cte_parts(
+        k=8, iters=3, dim=64, corpus_sql=_hotcell_corpus_sql()
+    )
+    cos = (
+        "round(list_dot_product(a.iv, b.iv)"
+        " / (sqrt(list_dot_product(a.iv, a.iv))"
+        " * sqrt(list_dot_product(b.iv, b.iv))), 6)"
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM a3 a JOIN a3 b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {_HOTCELL_TAU}
+    ),
+    small AS (
+      SELECT cid FROM a3 GROUP BY cid HAVING count(*) <= {_HOTCELL_CAP}
+    ),
+    railed AS (
+      SELECT c.* FROM a3 c SEMI JOIN small s ON c.cid = s.cid
+    ),
+    hits_capped AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM railed a JOIN railed b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_HOTCELL_TAU}
+    ),
+    hits_uncapped AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM a3 a JOIN a3 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_HOTCELL_TAU}
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM hits_capped) AS BIGINT)
+             AS n_hit_capped,
+           CAST((SELECT count(*) FROM hits_uncapped) AS BIGINT)
+             AS n_hit_uncapped,
+           CAST((SELECT count(*) FROM hits_capped) * 1000000
+                // (SELECT count(*) FROM exact) AS BIGINT)
+             AS recall_capped_ppm,
+           CAST((SELECT count(*) FROM hits_uncapped) * 1000000
+                // (SELECT count(*) FROM exact) AS BIGINT)
+             AS recall_uncapped_ppm
+    """
+
+
+@query(
+    "d_semdedup_recall_hotcell",
+    oracle=_semdedup_recall_hotcell_oracle(),
+    tags=("dedup", "embedding", "evaluation", "skew", "pipeline"),
+)
+def d_semdedup_recall_hotcell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup recall on a HOT embedding mode — the price tag on
+    the cluster cap (r3 verdict item 1), mirroring what
+    d_minhash_recall_skewed measures for the LSH bucket_cap: every
+    third vector (outside the seed range) is replaced by one
+    near-constant template (a boilerplate embedding mode), so one
+    trained k-means cluster — the same quantizer c_semdedup rails —
+    swells past the cap.  The capped path (the production skew rail)
+    skips that cluster entirely; this query reports recall with AND
+    without the cap against exact all-pairs cosine ground truth.  A
+    production run reads this pair: if capped recall on its mode
+    profile is unacceptable, raise the cap, retrain the quantizer, or
+    route the hot mode through the LSH path — with evidence, not
+    folklore.
+
+    The exact ground-truth pair table is INTENTIONALLY UNCAPPED (a cap
+    would corrupt the measurement); the corpus is a bounded fixture
+    (vec_id < 240), the same sample-bounded shape the other recall
+    evals use at 100 TB.  recall_uncapped also exposes the cluster-
+    boundary miss rate of the method itself (pairs straddling
+    clusters).
+    """
+    from map2db_spark.functions.clustering import kmeans_assignments
+
+    hot = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.when(
+            i == 1,
+            F.lit(0.5) + (F.col("vec_id") % 7).cast("double") * F.lit(0.001),
+        ).otherwise(F.lit(0.5)),
+    )
+    corpus = Tables(spark, sf_dir).embeddings.where(
+        F.col("vec_id") < _HOTCELL_N
+    ).select(
+        "vec_id",
+        F.when((F.col("vec_id") % 3 == 0) & (F.col("vec_id") >= 9), hot)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    a = kmeans_assignments(corpus, k=8, iters=3, dim=64).persist()
+    small = (
+        a.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .where(F.col("csz") <= _HOTCELL_CAP)
+        .select("cid")
+    )
+    railed = a.join(small, ["cid"], "left_semi")
+
+    dot = F.aggregate(
+        F.zip_with("xiv", "yiv", lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda s, t: s + t,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda s, t: s + t,
+        ).cast("double")
+    )
+    cos = F.round(dot.cast("double") / (norm("xiv") * norm("yiv")), 6)
+
+    def pairs(side: DataFrame, within_cluster: bool) -> DataFrame:
+        x = side.select(F.col("vid").alias("u"), F.col("iv").alias("xiv"),
+                        "cid")
+        y = side.select(F.col("vid").alias("v"), F.col("iv").alias("yiv"),
+                        F.col("cid").alias("ycid"))
+        cond = [x["u"] < y["v"]]
+        if within_cluster:
+            cond.append(x["cid"] == y["ycid"])
+        joined = x.join(y, cond[0] if len(cond) == 1 else cond[0] & cond[1])
+        return joined.where(cos >= _HOTCELL_TAU).select("u", "v")
+
+    exact = pairs(a, within_cluster=False)
+    capped = pairs(railed, within_cluster=True)
+    uncapped = pairs(a, within_cluster=True)
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nhc = capped.agg(F.count(F.lit(1)).cast("long").alias("n_hit_capped"))
+    nhu = uncapped.agg(F.count(F.lit(1)).cast("long").alias("n_hit_uncapped"))
+    return (
+        ne.crossJoin(F.broadcast(nhc))
+        .crossJoin(F.broadcast(nhu))
+        .select(
+            "n_exact",
+            "n_hit_capped",
+            "n_hit_uncapped",
+            F.expr(
+                "CAST(n_hit_capped * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_capped_ppm"),
+            F.expr(
+                "CAST(n_hit_uncapped * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_uncapped_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-conformal prediction interval for the seasonal-naive forecast
 # ---------------------------------------------------------------------------
 
@@ -7274,6 +7459,12 @@ def t_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_N = 500  # corpus bound (each vector appears twice -> 2N rows)
 _SEMDEDUP_TAU = 0.95
+# cluster-size rail: clusters above this population are excluded from
+# the within-cluster pair verify (skip-and-count, like an oversized
+# LSH bucket).  2N/k ~ 125 here, so the rail only trips when k-means
+# collapses — mirrored verbatim in the oracle so both engines skip
+# the same clusters.
+_SEMDEDUP_CAP = 400
 
 
 def _semdedup_oracle() -> str:
@@ -7294,9 +7485,15 @@ def _semdedup_oracle() -> str:
     joined = ",\n    ".join(parts)
     return f"""
     WITH {joined},
+    small_cid AS (
+      SELECT cid FROM a3 GROUP BY cid HAVING count(*) <= {_SEMDEDUP_CAP}
+    ),
+    railed AS (
+      SELECT a.* FROM a3 a SEMI JOIN small_cid s ON a.cid = s.cid
+    ),
     pairs AS (
       SELECT x.vec_id AS u, y.vec_id AS v
-      FROM a3 x JOIN a3 y
+      FROM railed x JOIN railed y
         ON x.cid = y.cid AND x.vec_id < y.vec_id
       WHERE {cos} >= {_SEMDEDUP_TAU}
     ),
@@ -7321,12 +7518,15 @@ def c_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and near-duplicate detection (cosine >= tau) runs ONLY within each
     cluster — the cluster id prunes the N^2 pair space to
     sum-of-cluster-sizes^2, which is the whole point of the method (k
-    grows with N so per-cluster populations stay bounded; a degenerate
+    grows with N so per-cluster populations stay SIZED; a degenerate
     cluster is the same hazard as a hot LSH bucket and takes the same
-    cap rail in production).  Of each near-dup pair the lower vec_id
-    survives; the corpus here doubles every vector (vec_id + shift) so
-    exact semantic duplicates exist by construction and the expected
-    drop rate is ~50% per cluster.
+    cap rail: clusters above _SEMDEDUP_CAP are skipped by the pair
+    verify, skip-and-count, mirrored in the oracle — their members
+    are reported with zero drops and recoverable through the LSH
+    path).  Of each near-dup pair the lower vec_id survives; the
+    corpus here doubles every vector (vec_id + shift) so exact
+    semantic duplicates exist by construction and the expected drop
+    rate is ~50% per cluster.
 
     Exactness: clustering is the deterministic exact-integer Lloyd's
     loop shared with v_kmeans_clusters (assignments bit-identical to
@@ -7348,8 +7548,17 @@ def c_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding")
     )
     a = kmeans_assignments(corpus, k=8, iters=3, dim=64).persist()
-    x = a.select(F.col("vid").alias("u"), F.col("iv").alias("xiv"), "cid")
-    y = a.select(F.col("vid").alias("v"), F.col("iv").alias("yiv"), "cid")
+    # skew rail: only clusters within the population cap feed the
+    # quadratic pair verify (skip-and-count; see _SEMDEDUP_CAP)
+    small = (
+        a.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .where(F.col("csz") <= _SEMDEDUP_CAP)
+        .select("cid")
+    )
+    railed = a.join(small, ["cid"], "left_semi")
+    x = railed.select(F.col("vid").alias("u"), F.col("iv").alias("xiv"), "cid")
+    y = railed.select(F.col("vid").alias("v"), F.col("iv").alias("yiv"), "cid")
     dot = F.aggregate(
         F.zip_with("xiv", "yiv", lambda p, q: p * q),
         F.lit(0).cast("long"),

@@ -39,3 +39,26 @@ def test_baseline_correctness_row_matches_registry():
         f"BASELINE.md says {m.group(1)}/{m.group(2)}, registry has "
         f"{len(QUERIES)} queries"
     )
+
+
+def test_coverage_names_exist_in_registry():
+    """The reverse direction (r3 verdict item 8): every query NAME
+    cited in COVERAGE.md's matrix must exist in the registry, so the
+    coverage matrix can't reference renamed or deleted queries as it
+    grows.  A query-name citation is, by the matrix's convention, a
+    prefixed snake_case token (single-letter / m2db / sql / set
+    prefix) in the third column before the first parenthetical."""
+    pat = re.compile(r"\b(?:m2db|sql|set|[a-z]\d*)_[a-z0-9_]+\b")
+    cited = set()
+    for line in (REPO / "COVERAGE.md").read_text().splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) < 4:
+            continue
+        cited.update(pat.findall(cells[3].split("(")[0]))
+    unknown = sorted(cited - set(QUERIES))
+    assert not unknown, f"COVERAGE.md cites unknown queries: {unknown}"
+    # the extraction itself must keep finding a substantial citation
+    # set, or a format change could silently void the check
+    assert len(cited) > 200, len(cited)

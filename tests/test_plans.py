@@ -994,10 +994,25 @@ def test_contamination_bloom_probe_broadcasts(spark):
 
 def test_semdedup_pairs_join_on_cluster_id(spark):
     """SemDeDup's verification join must be an equi-join on the
-    cluster id — never an all-pairs cartesian over the corpus."""
+    cluster id — never an all-pairs cartesian over the corpus — and
+    its input must be CAP-BOUNDED (r3 verdict item 1): a LeftSemi
+    against the within-cap cluster set sits ahead of the pair join,
+    with the cap literal visible in the size filter."""
     plan = plan_of(spark, "c_semdedup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, f"no cluster-cap semi-join\n{plan}"
+    from map2db_spark.queries_round5 import _SEMDEDUP_CAP
+    assert f"<= {_SEMDEDUP_CAP}" in plan, f"cap filter missing\n{plan}"
+
+
+def test_semantic_near_dup_cell_cap_rail(spark):
+    """d_semantic_dedup (semantic_near_dup with cell_cap): the pair
+    join input rides a LeftSemi against the within-cap cell set."""
+    plan = plan_of(spark, "d_semantic_dedup")
+    assert "LeftSemi" in plan, f"no cell-cap semi-join\n{plan}"
+    from map2db_spark.queries_extra import _SEM_CELL_CAP
+    assert f"<= {_SEM_CELL_CAP}" in plan, f"cap filter missing\n{plan}"
 
 
 def test_contamination_bloom_chained_semis_no_gram_shuffle(spark):

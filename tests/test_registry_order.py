@@ -31,11 +31,15 @@ def test_r1_protocol_fixed_fails_were_regraded():
 
 
 def test_recapped_queries_back_in_graded_window():
-    # d_dup_clusters / d_curation_pipeline gained the df_cap skew rail
-    # in r3 (semantics changed after their r02 green row) and the new
-    # overlay query is brand new: all three must be re-graded
-    for name in ("d_dup_clusters", "d_curation_pipeline", "m2db_overlay_union"):
+    # r4: d_semantic_dedup gained the cell_cap rail (semantics changed
+    # before its first hard row) and the new hot-cell recall eval must
+    # both take a graded slot this round
+    for name in ("d_semantic_dedup", "d_semdedup_recall_hotcell"):
         assert NAMES.index(name) < 50, (name, NAMES.index(name))
+    # the r3 re-grades came back green (CORRECTNESS_r03) and are now
+    # demoted to the verified tier
+    for name in ("d_dup_clusters", "d_curation_pipeline", "m2db_overlay_union"):
+        assert name in _DRIVER_VERIFIED, name
 
 
 def test_graded_window_holds_no_already_verified_queries():
