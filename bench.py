@@ -69,13 +69,29 @@ def main() -> None:
     # single sample conflates cleanup with execution.  Min-of-two is
     # the steady-state number BASELINE.md claims.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _ in range(2):
         for name, fn in bench_queries().items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            samples.setdefault(name, []).append(dt)
             timings[name] = min(timings.get(name, dt), dt)
         settle()
+
+    # Variance pin (r3 verdict item 7): when a query's two samples
+    # disagree by >15%, take a third and keep the min — otherwise
+    # round-over-round comparisons ride that query's noise (the LSH
+    # query is 40% of the total with ±1 s run-to-run swings).
+    for name, ss in samples.items():
+        lo, hi = min(ss), max(ss)
+        if lo > 0 and (hi - lo) / lo > 0.15:
+            fn = bench_queries()[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings[name], dt)
+            settle()
 
     total = round(sum(timings.values()), 3)
     print(

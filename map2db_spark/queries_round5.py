@@ -8221,12 +8221,50 @@ def c_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BC_SEEDS = 3
 _BC_DEPTH = 3
 _BC_MICRO = 1_000_000
+# per-order item cap: the co-purchase pair builder is quadratic in the
+# items of one order, so the estimator contract is enforced by the
+# OPERATOR (skip-and-count degenerate orders, mirrored in the oracle),
+# not by the fixture-shaped l_partkey < 4000 sample bound.  TPC-H
+# orders carry <= 7 lineitems, so the rail trips only on degenerate
+# bulk/template orders — exactly the rows that are artifacts, not
+# co-purchase signal.
+_BC_ORDER_CAP = 25
+
+
+def _copurchase_edges(li0: DataFrame, order_cap: int) -> DataFrame:
+    """Undirected co-purchase edge table from a distinct (o, p) table,
+    with the per-order pair-count rail: the pair self-join is
+    quadratic per order, so orders with more than ``order_cap``
+    distinct items are skipped entirely (skip-and-count — a
+    degenerate bulk order is a template artifact, not co-purchase
+    signal).  Unit-tested directly in test_operators.py."""
+    ok = (
+        li0.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("n_items") <= order_cap)
+        .select("o")
+    )
+    li = li0.join(ok, ["o"], "left_semi")
+    e = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
 
 
 def _betweenness_oracle() -> str:
     D = _BC_DEPTH
     parts = [
-        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p\n      FROM lineitem WHERE l_partkey < 4000)",
+        "li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p\n      FROM lineitem WHERE l_partkey < 4000)",
+        f"ok AS (SELECT o FROM li0 GROUP BY o HAVING count(*) <= {_BC_ORDER_CAP})",
+        "li AS (SELECT li0.* FROM li0 SEMI JOIN ok ON li0.o = ok.o)",
         """e AS (SELECT a.p AS u, b.p AS v
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)""",
         "adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
@@ -8311,23 +8349,16 @@ def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ESTIMATOR by design — the cap keeps the co-purchase subgraph
     # (and the oracle's layered CTEs) a fixed size at every sf, the
     # same bounded-sample shape as d_minhash_recall_eval
-    li = (
+    li0 = (
         t.lineitem.where(F.col("l_partkey") < 4000)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
-        )
-        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
-        .distinct()
-    )
-    edges = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # per-order pair-count rail (skip-and-count, mirrored in the
+    # oracle): the pair builder is quadratic per order, so a degenerate
+    # bulk order is excluded by the operator itself (_copurchase_edges),
+    # not by the sample bound above
+    edges = _copurchase_edges(li0, _BC_ORDER_CAP).localCheckpoint()
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

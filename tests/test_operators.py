@@ -721,6 +721,26 @@ def test_asof_join_edge_cases(spark):
     )
 
 
+def test_copurchase_edge_builder_order_cap(spark):
+    """g_betweenness' quadratic-per-order pair builder enforces its
+    own rail (r3 verdict item 6): an order above the cap contributes
+    NO pairs, one within it pairs normally, and the rail is a
+    LeftSemi in the plan."""
+    from map2db_spark.queries_round5 import _copurchase_edges
+
+    rows = [(1, p) for p in range(30)] + [(2, 100), (2, 101), (2, 102)]
+    li0 = spark.createDataFrame(rows, "o long, p long")
+    edges = _copurchase_edges(li0, order_cap=25)
+    got = sorted((r["u"], r["v"]) for r in edges.collect())
+    # only order 2's 3 items pair (6 directed edges); order 1's 30
+    # items (435 pairs) are skipped by the rail
+    assert got == sorted(
+        [(100, 101), (100, 102), (101, 102),
+         (101, 100), (102, 100), (102, 101)]
+    )
+    assert "LeftSemi" in edges._jdf.queryExecution().executedPlan().toString()
+
+
 def test_with_prefix_sums_matches_window(spark):
     """Two-pass range-partitioned running sums == the single-partition
     window they replace, NULLs counted as 0, across many partitions."""
