@@ -50,11 +50,12 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     functions/png.py (zlib + unfiltering); baseline-sequential JPEG
     payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
     4:4:4, 8-bit); lossless-WebP payloads decode with
-    functions/webp_vp8l.py for the simple-prefix-code subset
-    (transforms / normal codes / LZ77 / lossy VP8 raise
+    functions/webp_vp8l.py — simple AND normal (code-length-coded)
+    prefix codes plus LZ77 backward references (transforms / color
+    cache / 2D proximity distance codes / lossy VP8 raise
     NotImplementedError inside the codec — the honest remaining
-    envelope, now down to the parts that genuinely need a full
-    Huffman-table or boolean-arithmetic codec)."""
+    envelope, now down to the parts that genuinely need a transform
+    pipeline or boolean-arithmetic codec)."""
     from map2db_spark.functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -64,9 +65,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 
         return decode_jpeg_baseline(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from map2db_spark.functions.webp_vp8l import decode_vp8l_simple
+        from map2db_spark.functions.webp_vp8l import decode_vp8l
 
-        return decode_vp8l_simple(payload)
+        return decode_vp8l(payload)
     if not HAVE_PIL:
         raise NotImplementedError(
             "unknown image format; this container has no codec library "

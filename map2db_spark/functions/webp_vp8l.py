@@ -1,31 +1,43 @@
-"""WebP-lossless (VP8L) pixel codec for the SIMPLE-PREFIX-CODE subset,
-stdlib + numpy only — the follow-up to functions/jpeg_codec.py that
-shrinks the multimodal pixel-decode stub further.
+"""WebP-lossless (VP8L) pixel codec — simple AND normal prefix codes
+plus LZ77 backward references, stdlib + numpy only: the follow-up to
+functions/jpeg_codec.py that shrinks the multimodal pixel-decode stub
+further (r3 verdict item 5 converted normal codes + LZ77 from stub to
+kernel).
 
 VP8L (the lossless WebP bitstream, public container/bitstream spec
 published by the WebP project) entropy-codes ARGB pixels with five
 prefix codes (green+length+cache, red, blue, alpha, distance) over an
-LSB-first bitstream.  A prefix code may be stored in the SIMPLE form:
-one or two symbols, written literally — one symbol costs zero bits
-per use, two symbols cost one bit per use.  Images whose channels
-each take at most two distinct values (solid fills, two-tone
-checkers, masks, chart backgrounds — a real slice of web imagery)
-therefore round-trip through GENUINE spec-layout bitstreams with no
-Huffman table machinery at all.
+LSB-first bitstream.  A prefix code is stored either in the SIMPLE
+form (one or two literal symbols) or the NORMAL form: code lengths
+for the whole alphabet, themselves entropy-coded by a prefix code
+over 19 code-length symbols (literal lengths 0-15 plus the 16/17/18
+repeat symbols), canonical-code assignment per RFC 1951.  Green
+symbols >= 256 start an LZ77 backward reference: symbol-256 prefix-
+codes the copy length, a distance symbol prefix-codes the distance
+code, and the copy runs pixel by pixel (overlap allowed).
+
+The encoder uses the simple form for channels with <= 2 used symbols
+and limited-length package-merge Huffman codes (normal form)
+otherwise; the greedy matcher emits backward references with DIRECT
+distance codes (distance + 120).  Every distance is representable
+directly — the first 120 codes are a 2D-proximity remapping of close
+distances, a compression optimization only.
 
 Honest envelope (everything else raises, never mis-decodes):
 
 - transforms (predictor/color/subtract-green/palette): NotImplemented
 - color cache, meta prefix images (multiple groups): NotImplemented
-- normal (code-length-coded) prefix codes: NotImplemented
-- LZ77 backward references (green symbol >= 256): NotImplemented
+- 2D proximity distance codes (dist_code <= 120): NotImplemented
+  (a compression optimization; unverifiable here without a reference
+  decoder — see below)
 - lossy VP8 chunks: NotImplemented (needs a boolean-arithmetic codec)
 
 Like the JPEG codec (and the G7 GEOS-parity note), bit-parity against
 an external reference decoder is container-blocked — no WebP library
 is installed — so verification is: spec-layout construction on the
-encode side, exact round-trip on the decode side, and closed-form
-oracle checks over the emitted pixel statistics (m_webp_pixels).
+encode side, exact round-trip on the decode side (including Huffman
+table round-trips and overlapping-copy LZ77), and closed-form oracle
+checks over the emitted pixel statistics (m_webp_pixels).
 
 Container framing (RIFF) matches functions/webp.py's walker, so
 shell-encoded metadata fixtures and these pixel fixtures are parsed
@@ -39,6 +51,18 @@ import struct
 import numpy as np
 
 from map2db_spark.functions.webp import WebpError
+
+# code-length symbols are stored in this fixed order (spec: the order
+# front-loads the symbols most likely to be used, so trailing zeros
+# can be omitted via the 4-bit count)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_GREEN_ALPHABET = 256 + 24  # literals + length prefixes (no color cache)
+_CHANNEL_ALPHABET = 256
+_DIST_ALPHABET = 40
+_MAX_LZ_LEN = 4096
+_MAX_CODE_LEN = 15
+_MAX_CL_CODE_LEN = 7  # cl-code lengths are written in 3 bits
 
 
 class _BitWriter:
@@ -85,12 +109,115 @@ class _BitReader:
         return v
 
 
+# ---------------------------------------------------------------------------
+# Canonical prefix codes (RFC 1951 assignment, as VP8L specifies)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length): same-length symbols get consecutive
+    codes in symbol order, shorter lengths first (RFC 1951 3.2.2)."""
+    bl_count: dict[int, int] = {}
+    for ln in lengths.values():
+        if ln > 0:
+            bl_count[ln] = bl_count.get(ln, 0) + 1
+    code = 0
+    next_code = {}
+    for ln in range(1, max(bl_count, default=0) + 1):
+        code = (code + bl_count.get(ln - 1, 0)) << 1
+        next_code[ln] = code
+    out = {}
+    for sym in sorted(lengths):
+        ln = lengths[sym]
+        if ln > 0:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixDecoder:
+    """Bit-serial canonical-prefix decoder: the stream's next bits are
+    the code MSB-first (each read bit descends the canonical tree).
+    A single-symbol code costs zero bits (spec special case)."""
+
+    def __init__(self, lengths: dict[int, int]):
+        used = {s: ln for s, ln in lengths.items() if ln > 0}
+        if not used:
+            raise WebpError("prefix code with no symbols")
+        self.symbols = set(used)
+        if len(used) == 1:
+            self.single = next(iter(used))
+            self.table = None
+            return
+        self.single = None
+        max_len = max(used.values())
+        if max_len > _MAX_CODE_LEN:
+            raise WebpError("prefix code length > 15")
+        # Kraft completeness: an over- or under-subscribed code means a
+        # corrupt stream (quarantine contract: typed error, not garbage)
+        kraft = sum(1 << (max_len - ln) for ln in used.values())
+        if kraft != 1 << max_len:
+            raise WebpError("invalid (incomplete/oversubscribed) prefix code")
+        self.table = {
+            (ln, code): sym for sym, (code, ln) in _canonical_codes(used).items()
+        }
+
+    def read(self, r: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, _MAX_CODE_LEN + 1):
+            code = (code << 1) | r.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise WebpError("invalid prefix code word")
+
+
+def _limited_huffman_lengths(
+    freqs: dict[int, int], max_len: int
+) -> dict[int, int]:
+    """Length-limited Huffman code lengths via package-merge (exact
+    optimum under the limit; deterministic tie-break by symbol)."""
+    syms = [s for s in sorted(freqs) if freqs[s] > 0]
+    if not syms:
+        raise WebpError("empty alphabet")
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    if len(syms) > (1 << max_len):
+        raise WebpError("alphabet larger than the length limit allows")
+    orig = [(freqs[s], (s,)) for s in syms]
+    pkg: list[tuple[int, tuple[int, ...]]] = []
+    for _ in range(max_len - 1):
+        merged = sorted(pkg + orig)
+        pkg = [
+            (
+                merged[i][0] + merged[i + 1][0],
+                merged[i][1] + merged[i + 1][1],
+            )
+            for i in range(0, len(merged) - 1, 2)
+        ]
+    final = sorted(pkg + orig)[: 2 * len(syms) - 2]
+    lengths = {s: 0 for s in syms}
+    for _, group in final:
+        for s in group:
+            lengths[s] += 1
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# Storing / loading one prefix code (simple and normal forms)
+# ---------------------------------------------------------------------------
+
+
 def _write_simple_code(w: _BitWriter, symbols: list[int]) -> None:
-    """Simple prefix-code form: 1-bit flag, count-1, width flag,
-    then the literal symbol(s).  Symbol order defines the codes
-    (first symbol <- bit 0)."""
+    """Simple prefix-code form: 1-bit flag, count-1, width flag, then
+    the literal symbol(s).  Symbol order defines the codes (first
+    symbol <- bit 0).  Symbols must fit 8 bits."""
     if not 1 <= len(symbols) <= 2:
         raise WebpError("simple code needs 1 or 2 symbols")
+    if any(s > 255 for s in symbols):
+        raise WebpError("simple code symbols must fit 8 bits")
     w.write(1, 1)  # simple form
     w.write(len(symbols) - 1, 1)
     first_8bit = 1 if symbols[0] > 1 else 0
@@ -100,18 +227,276 @@ def _write_simple_code(w: _BitWriter, symbols: list[int]) -> None:
         w.write(symbols[1], 8)
 
 
-def _read_simple_code(r: _BitReader) -> list[int]:
-    if r.read(1) != 1:
-        raise NotImplementedError(
-            "normal (code-length-coded) VP8L prefix codes not supported — "
-            "simple-code subset only"
+def _write_normal_code(w: _BitWriter, lengths: dict[int, int],
+                       alphabet_size: int) -> None:
+    """Normal form: the alphabet's code lengths, entropy-coded by a
+    cl-code over the 19 code-length symbols.  Lengths are emitted as
+    literals (no 16/17/18 runs — legal, marginally larger); when only
+    one cl symbol would be used, cl symbol 0 is added as a 1-bit dummy
+    so the cl tree stays Kraft-complete (a strict decoder rejects
+    incomplete codes)."""
+    w.write(0, 1)  # normal form
+    lens = [lengths.get(s, 0) for s in range(alphabet_size)]
+    cl_freqs: dict[int, int] = {}
+    for ln in lens:
+        cl_freqs[ln] = cl_freqs.get(ln, 0) + 1
+    if len(cl_freqs) == 1:
+        only = next(iter(cl_freqs))
+        dummy = 0 if only != 0 else 1
+        cl_lengths = {only: 1, dummy: 1}
+    else:
+        cl_lengths = _limited_huffman_lengths(cl_freqs, _MAX_CL_CODE_LEN)
+    # trailing zeros in _CL_ORDER can be omitted via the 4-bit count
+    num_cl = max(
+        (i + 1 for i, s in enumerate(_CL_ORDER) if cl_lengths.get(s, 0) > 0),
+        default=4,
+    )
+    num_cl = max(num_cl, 4)
+    w.write(num_cl - 4, 4)
+    for s in _CL_ORDER[:num_cl]:
+        w.write(cl_lengths.get(s, 0), 3)
+    w.write(0, 1)  # no max_symbol shortcut: all lengths written
+    cl_codes = _canonical_codes(cl_lengths)
+    for ln in lens:
+        code, nbits = cl_codes[ln]
+        # canonical codes are read MSB-first bit by bit
+        for b in range(nbits - 1, -1, -1):
+            w.write((code >> b) & 1, 1)
+
+
+def _read_code(r: _BitReader, alphabet_size: int) -> _PrefixDecoder:
+    if r.read(1) == 1:  # simple form
+        n = r.read(1) + 1
+        first_8bit = r.read(1)
+        syms = [r.read(8 if first_8bit else 1)]
+        if n == 2:
+            syms.append(r.read(8))
+        return _PrefixDecoder({s: 1 for s in syms} if n == 2 else {syms[0]: 1})
+    # normal form: cl-code, then the alphabet's code lengths
+    num_cl = 4 + r.read(4)
+    cl_lengths = {s: 0 for s in range(19)}
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = r.read(3)
+    cl_dec = _PrefixDecoder(cl_lengths)
+    if r.read(1):  # max_symbol shortcut
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = {s: 0 for s in range(alphabet_size)}
+    sym = 0
+    prev = 8
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_dec.read(r)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl != 0:
+                prev = cl
+        else:
+            if cl == 16:
+                rep, val = 3 + r.read(2), prev
+            elif cl == 17:
+                rep, val = 3 + r.read(3), 0
+            else:
+                rep, val = 11 + r.read(7), 0
+            if sym + rep > alphabet_size:
+                raise WebpError("code-length repeat overflows alphabet")
+            for _ in range(rep):
+                lengths[sym] = val
+                sym += 1
+    return _PrefixDecoder(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 length / distance prefix values
+# ---------------------------------------------------------------------------
+
+
+def _prefix_encode(n: int) -> tuple[int, int, int]:
+    """n >= 0 -> (prefix_idx, extra_bits, extra_val); decoded value is
+    n + 1 (shared by the length and distance-code alphabets)."""
+    if n < 4:
+        return n, 0, 0
+    eb = n.bit_length() - 2
+    low = (n >> eb) & 1
+    return 2 * eb + low + 2, eb, n - ((2 + low) << eb)
+
+
+def _prefix_decode_val(idx: int, r: _BitReader) -> int:
+    """prefix_idx (+ extra bits from the stream) -> value (>= 1)."""
+    if idx < 4:
+        return idx + 1
+    eb = (idx - 2) >> 1
+    off = (2 + (idx & 1)) << eb
+    return off + r.read(eb) + 1
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _greedy_lz77(pix: np.ndarray, width: int) -> list[tuple]:
+    """Greedy backward-reference matcher over the flat pixel stream:
+    candidates are recent occurrences of the current pixel value, the
+    previous pixel (run detection) and the pixel one row up (vertical
+    patterns).  Overlapping copies allowed, min length 3, max 4096.
+    Encoder-quality knob only — any token stream is decodable."""
+    n = len(pix)
+    tokens: list[tuple] = []
+    recent: dict[int, list[int]] = {}
+
+    def note(i: int) -> None:
+        lst = recent.setdefault(int(pix[i]), [])
+        lst.append(i)
+        if len(lst) > 8:
+            del lst[0]
+
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        cands = list(recent.get(int(pix[i]), ()))
+        if i >= width and pix[i - width] == pix[i]:
+            cands.append(i - width)
+        for j in cands:
+            dist = i - j
+            if dist < 1:
+                continue
+            limit = min(_MAX_LZ_LEN, n - i)
+            ln = 0
+            while ln < limit and pix[j + ln] == pix[i + ln]:
+                ln += 1
+            if ln > best_len:
+                best_len, best_dist = ln, dist
+        if best_len >= 3:
+            tokens.append(("ref", best_len, best_dist))
+            for k in range(i, i + best_len):
+                note(k)
+            i += best_len
+        else:
+            tokens.append(("lit", int(pix[i])))
+            note(i)
+            i += 1
+    return tokens
+
+
+def _store_code(w: _BitWriter, freqs: dict[int, int],
+                alphabet_size: int) -> dict[int, tuple[int, int]]:
+    """Pick simple vs normal form for one alphabet, write it, return
+    the symbol->(code,length) map for the scan (zero-bit single-symbol
+    codes map to (0, 0))."""
+    used = sorted(s for s in freqs if freqs[s] > 0)
+    if not used:
+        used = [0]  # defined-but-unused code (e.g. distance w/o refs)
+    if len(used) <= 2 and all(s <= 255 for s in used):
+        _write_simple_code(w, used)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    lengths = _limited_huffman_lengths(
+        {s: freqs.get(s, 0) for s in used}, _MAX_CODE_LEN
+    )
+    _write_normal_code(w, lengths, alphabet_size)
+    codes = _canonical_codes(lengths)
+    if len(used) == 1:
+        return {used[0]: (0, 0)}
+    return codes
+
+
+def _write_code_word(w: _BitWriter, code: int, nbits: int) -> None:
+    for b in range(nbits - 1, -1, -1):
+        w.write((code >> b) & 1, 1)
+
+
+def encode_vp8l(img: np.ndarray, use_lz77: bool = True) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
+    VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
+    codes for <= 2-valued channels, length-limited Huffman (normal
+    form) otherwise, greedy LZ77 backward references with direct
+    distance codes."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
+    h, wd = img.shape[:2]
+    if not (0 < wd <= (1 << 14) and 0 < h <= (1 << 14)):
+        raise WebpError(f"dims out of 14-bit range: {wd}x{h}")
+    if img.shape[2] == 3:
+        rgba = np.concatenate(
+            [img, np.full((h, wd, 1), 255, dtype=np.uint8)], axis=2
         )
-    n = r.read(1) + 1
-    first_8bit = r.read(1)
-    syms = [r.read(8 if first_8bit else 1)]
-    if n == 2:
-        syms.append(r.read(8))
-    return syms
+    else:
+        rgba = img
+    flat = rgba.reshape(-1, 4).astype(np.uint32)
+    pix = (
+        (flat[:, 3] << 24) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    )
+    if use_lz77:
+        tokens = _greedy_lz77(pix, wd)
+    else:
+        tokens = [("lit", int(v)) for v in pix]
+
+    gfreq: dict[int, int] = {}
+    rfreq: dict[int, int] = {}
+    bfreq: dict[int, int] = {}
+    afreq: dict[int, int] = {}
+    dfreq: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            gfreq[(v >> 8) & 0xFF] = gfreq.get((v >> 8) & 0xFF, 0) + 1
+            rfreq[(v >> 16) & 0xFF] = rfreq.get((v >> 16) & 0xFF, 0) + 1
+            bfreq[v & 0xFF] = bfreq.get(v & 0xFF, 0) + 1
+            afreq[(v >> 24) & 0xFF] = afreq.get((v >> 24) & 0xFF, 0) + 1
+        else:
+            _, ln, dist = t
+            li, _, _ = _prefix_encode(ln - 1)
+            gfreq[256 + li] = gfreq.get(256 + li, 0) + 1
+            di, _, _ = _prefix_encode(dist + 120 - 1)
+            dfreq[di] = dfreq.get(di, 0) + 1
+
+    w = _BitWriter()
+    w.write(wd - 1, 14)
+    w.write(h - 1, 14)
+    w.write(0, 1)  # alpha-used hint (informational)
+    w.write(0, 3)  # version
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no color cache
+    w.write(0, 1)  # no meta prefix image (single code group)
+    gcodes = _store_code(w, gfreq, _GREEN_ALPHABET)
+    rcodes = _store_code(w, rfreq, _CHANNEL_ALPHABET)
+    bcodes = _store_code(w, bfreq, _CHANNEL_ALPHABET)
+    acodes = _store_code(w, afreq, _CHANNEL_ALPHABET)
+    dcodes = _store_code(w, dfreq, _DIST_ALPHABET)
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            _write_code_word(w, *gcodes[(v >> 8) & 0xFF])
+            _write_code_word(w, *rcodes[(v >> 16) & 0xFF])
+            _write_code_word(w, *bcodes[v & 0xFF])
+            _write_code_word(w, *acodes[(v >> 24) & 0xFF])
+        else:
+            _, ln, dist = t
+            li, leb, lex = _prefix_encode(ln - 1)
+            _write_code_word(w, *gcodes[256 + li])
+            if leb:
+                w.write(lex, leb)
+            di, deb, dex = _prefix_encode(dist + 120 - 1)
+            _write_code_word(w, *dcodes[di])
+            if deb:
+                w.write(dex, deb)
+    body = bytes([0x2F]) + w.flush()
+
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def _channel_symbols(plane: np.ndarray) -> list[int]:
@@ -125,63 +510,36 @@ def _channel_symbols(plane: np.ndarray) -> list[int]:
 
 
 def encode_vp8l_simple(img: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image whose
-    channels each hold at most two distinct values as a real VP8L
-    WebP file (RIFF + VP8L chunk, spec bit layout)."""
+    """Simple-form-only encoder (kept as the strict <=2-values-per-
+    channel subset: raises WebpError beyond it, exactly as before the
+    general encoder existed).  No LZ77 — one/two-symbol codes already
+    cost 0/1 bits per pixel."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
     h, wd = img.shape[:2]
-    if not (0 < wd <= (1 << 14) and 0 < h <= (1 << 14)):
-        raise WebpError(f"dims out of 14-bit range: {wd}x{h}")
     if img.shape[2] == 3:
         rgba = np.concatenate(
             [img, np.full((h, wd, 1), 255, dtype=np.uint8)], axis=2
         )
     else:
         rgba = img
-    planes = {c: rgba[:, :, i] for i, c in enumerate("rgba")}
-    syms = {c: _channel_symbols(p) for c, p in planes.items()}
-
-    w = _BitWriter()
-    w.write(wd - 1, 14)
-    w.write(h - 1, 14)
-    w.write(0, 1)  # alpha-used hint (informational)
-    w.write(0, 3)  # version
-    w.write(0, 1)  # no transforms
-    w.write(0, 1)  # no color cache
-    w.write(0, 1)  # no meta prefix image (single code group)
-    # five prefix codes: green(+len+cache), red, blue, alpha, distance
-    _write_simple_code(w, syms["g"])
-    _write_simple_code(w, syms["r"])
-    _write_simple_code(w, syms["b"])
-    _write_simple_code(w, syms["a"])
-    _write_simple_code(w, [0])  # distance code: defined but never used
-    # pixels, row-major: green, red, blue, alpha per pixel — a
-    # 1-symbol code costs zero bits, a 2-symbol code one bit
-    idx = {
-        c: {v: i for i, v in enumerate(vals)} for c, vals in syms.items()
-    }
-    for y in range(h):
-        for x in range(wd):
-            for c in "grba":
-                vals = syms[c]
-                if len(vals) == 2:
-                    w.write(idx[c][int(planes[c][y, x])], 1)
-    body = bytes([0x2F]) + w.flush()
-
-    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
-    if len(body) % 2:
-        chunk += b"\x00"
-    riff = b"WEBP" + chunk
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+    for i in range(4):
+        _channel_symbols(rgba[:, :, i])  # enforce the subset contract
+    return encode_vp8l(img, use_lz77=False)
 
 
-def decode_vp8l_simple(buf: bytes) -> np.ndarray:
-    """Decode a VP8L WebP file within the simple-code subset to an
-    (h, w, 4) RGBA uint8 array.  Raises WebpError on malformed input
-    and NotImplementedError outside the subset (transforms, color
-    cache, meta prefix images, normal codes, LZ77, lossy VP8)."""
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_vp8l(buf: bytes) -> np.ndarray:
+    """Decode a VP8L WebP file (simple + normal prefix codes, LZ77
+    with direct distance codes) to an (h, w, 4) RGBA uint8 array.
+    Raises WebpError on malformed input and NotImplementedError
+    outside the envelope (transforms, color cache, meta prefix
+    images, 2D proximity distance codes, lossy VP8)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise WebpError("bad magic: not a WebP container")
     pos = 12
@@ -215,25 +573,44 @@ def decode_vp8l_simple(buf: bytes) -> np.ndarray:
         raise NotImplementedError("VP8L color cache not supported")
     if r.read(1) != 0:
         raise NotImplementedError("VP8L meta prefix images not supported")
-    green = _read_simple_code(r)
-    red = _read_simple_code(r)
-    blue = _read_simple_code(r)
-    alpha = _read_simple_code(r)
-    _read_simple_code(r)  # distance code (unused in literal streams)
-    if any(s >= 256 for s in green):
-        raise NotImplementedError(
-            "VP8L LZ77/color-cache symbols not supported — literal subset"
-        )
+    green = _read_code(r, _GREEN_ALPHABET)
+    red = _read_code(r, _CHANNEL_ALPHABET)
+    blue = _read_code(r, _CHANNEL_ALPHABET)
+    alpha = _read_code(r, _CHANNEL_ALPHABET)
+    dist = _read_code(r, _DIST_ALPHABET)
 
-    def read_sym(vals: list[int]) -> int:
-        return vals[r.read(1)] if len(vals) == 2 else vals[0]
+    n = h * wd
+    out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
+    i = 0
+    while i < n:
+        g = green.read(r)
+        if g < 256:
+            out[i, 1] = g
+            out[i, 0] = red.read(r)
+            out[i, 2] = blue.read(r)
+            out[i, 3] = alpha.read(r)
+            i += 1
+        elif g < 256 + 24:
+            length = _prefix_decode_val(g - 256, r)
+            dcode = _prefix_decode_val(dist.read(r), r)
+            if dcode <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D proximity distance codes not supported — "
+                    "direct distances only"
+                )
+            d = dcode - 120
+            if d > i or i + length > n:
+                raise WebpError("LZ77 reference out of range")
+            for k in range(length):  # overlap-correct pixelwise copy
+                out[i + k] = out[i + k - d]
+            i += length
+        else:
+            raise NotImplementedError(
+                "VP8L color cache symbols not supported"
+            )
+    return out.reshape(h, wd, 4)
 
-    out = np.empty((h, wd, 4), dtype=np.uint8)
-    for y in range(h):
-        for x in range(wd):
-            g = read_sym(green)
-            out[y, x, 1] = g
-            out[y, x, 0] = read_sym(red)
-            out[y, x, 2] = read_sym(blue)
-            out[y, x, 3] = read_sym(alpha)
-    return out
+
+# backwards-compatible name (the function now handles the full
+# simple+normal+LZ77 envelope; callers predate the general decoder)
+decode_vp8l_simple = decode_vp8l

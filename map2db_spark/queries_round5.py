@@ -7263,9 +7263,10 @@ def m_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the same spec layout inside one Arrow kernel, and the
     emitted channel sums come from the DECODED RGBA array.  The
     oracle recomputes the sums from the checker parity count, so a
-    hash match certifies the full encode+decode bit path.  Transforms,
-    normal prefix codes, LZ77 and lossy VP8 stay honest
-    NotImplementedError slots inside the codec.
+    hash match certifies the full encode+decode bit path.  Normal
+    prefix codes + LZ77 are covered by m_webp_lz77_pixels (r4);
+    transforms, color cache, 2D proximity distance codes and lossy
+    VP8 stay honest NotImplementedError slots inside the codec.
 
     Scale shape: map-only mapInPandas; payloads never shuffle and
     never touch the driver."""
@@ -8439,4 +8440,115 @@ def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dm").cast("long").alias("bc_micro"))
         .orderBy(F.desc("bc_micro"), "node")
         .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# VP8L normal-code + LZ77 pixel decode (r3 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_webp_lz77_pixels",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             6 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 * h * w * (w - 1) // 2 + 2 * w * (h // 2)
+                + w * h * doc_id AS BIGINT) AS sum_r,
+           CAST(h * (5 * w * (w - 1) // 2 + (40 + doc_id % 7) * w)
+                AS BIGINT) AS sum_g,
+           CAST(w * (2 * (h // 2) + (60 + doc_id % 11) * h)
+                AS BIGINT) AS sum_b,
+           CAST(255 * w * h AS BIGINT) AS sum_a,
+           CAST(1 AS BIGINT) AS lz_smaller
+    FROM g
+    """,
+    tags=("multimodal", "image", "pixels", "webp", "lz77"),
+)
+def m_webp_lz77_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8L NORMAL-code + LZ77 pixel decode — the round-4 extension of
+    m_webp_pixels beyond the simple-code subset: per row, a many-valued
+    gradient image (r = 3x + 2*(y%2) + doc_id, g = 5x + 40 + d%7,
+    b = 2*(y%2) + 60 + d%11 — dozens of distinct symbols per channel, so
+    every channel takes a length-limited package-merge Huffman code in
+    the spec's NORMAL form, code lengths entropy-coded by the 19-symbol
+    code-length code) whose alternating row pattern repeats with period
+    two, so the greedy matcher emits genuine LZ77 backward references
+    (direct distance codes).  The image is ENCODED into a real VP8L
+    bitstream, DECODED back through the same spec layout inside one
+    Arrow kernel, and the channel sums come from the DECODED array; the
+    oracle recomputes them in closed form, so a hash match certifies
+    the whole normal-code + LZ77 encode/decode bit path.  lz_smaller
+    additionally pins that the reference-bearing stream beats the
+    literal-only encoding of the same image — i.e. the backrefs are
+    real, not an idle code path.  Remaining honest stubs: transforms,
+    color cache, meta prefix images, 2D proximity distance codes,
+    lossy VP8 (functions/webp_vp8l.py docstring).
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 30
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.webp_vp8l import (
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [], "sum_a": [],
+                   "lz_smaller": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 4
+                ys = np.arange(h)[:, None]
+                xs = np.arange(w)[None, :]
+                img = np.stack(
+                    [
+                        (3 * xs + 2 * (ys % 2) + d).astype(np.uint8)
+                        + np.zeros((h, w), dtype=np.uint8),
+                        (5 * xs + 40 + d % 7).astype(np.uint8)
+                        + np.zeros((h, w), dtype=np.uint8),
+                        (2 * (ys % 2) + 60 + d % 11).astype(np.uint8)
+                        + np.zeros((h, w), dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                enc = encode_vp8l(img)
+                enc_nolz = encode_vp8l(img, use_lz77=False)
+                dec = decode_vp8l(enc)
+                out["media_id"].append(d)
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+                out["sum_a"].append(int(s[3]))
+                out["lz_smaller"].append(int(len(enc) < len(enc_nolz)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "media_id LONG, width INT, height INT, sum_r LONG, sum_g LONG,"
+            " sum_b LONG, sum_a LONG, lz_smaller LONG"
+        ),
     )

@@ -169,3 +169,121 @@ def test_vp8l_truncation_always_raises_webp_error():
         except (WebpError, NotImplementedError):
             continue
         assert out.shape == (6, 8, 4)  # only legal if the stream fit
+
+
+# ---------------------------------------------------------------------------
+# Normal prefix codes + LZ77 (the r4 extension beyond the simple subset)
+# ---------------------------------------------------------------------------
+
+from map2db_spark.functions.webp_vp8l import (
+    _limited_huffman_lengths,
+    _prefix_decode_val,
+    _prefix_encode,
+    decode_vp8l,
+    encode_vp8l,
+)
+
+
+def test_vp8l_normal_code_random_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    for shape in ((16, 20, 3), (9, 7, 4), (1, 1, 3), (1, 50, 3), (37, 2, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_vp8l(encode_vp8l(img))
+        if shape[2] == 4:
+            assert np.array_equal(dec, img)
+        else:
+            assert np.array_equal(dec[:, :, :3], img)
+            assert (dec[:, :, 3] == 255).all()
+
+
+def test_vp8l_lz77_compresses_and_roundtrips():
+    """Tiled content must round-trip exactly AND come out smaller with
+    backrefs than literal-only — proof the references are emitted."""
+    rng = np.random.default_rng(5)
+    tile = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    img = np.tile(tile, (8, 10, 1))
+    enc = encode_vp8l(img)
+    assert np.array_equal(decode_vp8l(enc)[:, :, :3], img)
+    assert len(enc) < len(encode_vp8l(img, use_lz77=False)) / 3
+
+
+def test_vp8l_lz77_overlapping_copy():
+    """dist < length (run-length via overlap) must copy pixel by
+    pixel, exactly as the spec requires."""
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    img[0, 0] = (1, 2, 3)  # break the run start so a backref overlaps
+    dec = decode_vp8l(encode_vp8l(img))
+    assert np.array_equal(dec[:, :, :3], img)
+
+
+def test_vp8l_gradient_many_symbols():
+    """>2 distinct values per channel forces the NORMAL code path
+    (simple-form encoder refuses this input)."""
+    from map2db_spark.functions.webp import WebpError
+
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    img = np.stack([np.tile(x, (16, 1))] * 3, axis=-1)
+    with pytest.raises(WebpError):
+        encode_vp8l_simple(img)
+    assert np.array_equal(decode_vp8l(encode_vp8l(img))[:, :, :3], img)
+
+
+def test_vp8l_corruption_typed_errors_only():
+    """Quarantine contract on normal-code streams: random bit flips
+    raise WebpError/NotImplementedError or decode to a full-size
+    array — never raw IndexError/KeyError/garbage shapes."""
+    import random
+
+    from map2db_spark.functions.webp import WebpError
+
+    rng = np.random.default_rng(3)
+    tile = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    enc = encode_vp8l(np.tile(tile, (4, 4, 1)))
+    random.seed(1)
+    for _ in range(300):
+        b = bytearray(enc)
+        i = random.randrange(20, len(b))
+        b[i] ^= 1 << random.randrange(8)
+        try:
+            out = decode_vp8l(bytes(b))
+            assert out.shape[2] == 4
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8l(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
+
+
+def test_vp8l_package_merge_properties():
+    """Limited-length Huffman: Kraft-complete, within the limit, and
+    optimal-order (more frequent symbol never gets a longer code than
+    a rarer one when both fit the limit... monotone by frequency)."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(2, 60))
+        freqs = {s: int(rng.integers(1, 1000)) for s in range(n)}
+        lengths = _limited_huffman_lengths(freqs, 15)
+        assert max(lengths.values()) <= 15
+        assert sum(2 ** -l for l in lengths.values()) == 1.0  # complete
+    # degenerate: huge alphabet at a tight limit still fits
+    lengths = _limited_huffman_lengths({s: 1 for s in range(128)}, 7)
+    assert set(lengths.values()) == {7}
+
+
+def test_vp8l_length_distance_prefix_codec_inverse():
+    """_prefix_encode/_prefix_decode_val are exact inverses over the
+    whole LZ77 range."""
+
+    class _FakeReader:
+        def __init__(self, v):
+            self.v = v
+
+        def read(self, n):
+            return self.v & ((1 << n) - 1)
+
+    for n in list(range(0, 300)) + [4095, 4096, 100_000]:
+        idx, eb, extra = _prefix_encode(n)
+        assert 0 <= extra < (1 << eb) if eb else extra == 0
+        assert _prefix_decode_val(idx, _FakeReader(extra)) == n + 1
