@@ -21,12 +21,16 @@ and limited-length package-merge Huffman codes (normal form)
 otherwise; the greedy matcher emits backward references with DIRECT
 distance codes (distance + 120).  Every distance is representable
 directly — the first 120 codes are a 2D-proximity remapping of close
-distances, a compression optimization only.
+distances, a compression optimization only.  The COLOR CACHE
+(cache_bits 1..11) is implemented on both sides: green symbols >=
+280 index a running cache of recently-emitted ARGB values (spec hash
+0x1e35a7bd, top cache_bits bits), refreshed by every emitted pixel —
+literal, copied or cache-referenced alike.
 
 Honest envelope (everything else raises, never mis-decodes):
 
 - transforms (predictor/color/subtract-green/palette): NotImplemented
-- color cache, meta prefix images (multiple groups): NotImplemented
+- meta prefix images (multiple code groups): NotImplemented
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
   decoder — see below)
@@ -340,21 +344,36 @@ def _prefix_decode_val(idx: int, r: _BitReader) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _greedy_lz77(pix: np.ndarray, width: int) -> list[tuple]:
+def _cache_index(argb: int, cache_bits: int) -> int:
+    """Color-cache slot for an ARGB value (spec hash: multiply by
+    0x1e35a7bd mod 2^32, take the top cache_bits bits)."""
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _greedy_lz77(
+    pix: np.ndarray, width: int, cache_bits: int = 0
+) -> list[tuple]:
     """Greedy backward-reference matcher over the flat pixel stream:
     candidates are recent occurrences of the current pixel value, the
     previous pixel (run detection) and the pixel one row up (vertical
     patterns).  Overlapping copies allowed, min length 3, max 4096.
-    Encoder-quality knob only — any token stream is decodable."""
+    With cache_bits > 0, unmatched pixels whose ARGB sits in the
+    running color cache emit a cache token instead of a literal (the
+    cache is updated with EVERY emitted pixel, exactly as the decoder
+    replays it).  Encoder-quality knob only — any token stream is
+    decodable."""
     n = len(pix)
     tokens: list[tuple] = []
     recent: dict[int, list[int]] = {}
+    cache = [0] * (1 << cache_bits) if cache_bits else None
 
     def note(i: int) -> None:
         lst = recent.setdefault(int(pix[i]), [])
         lst.append(i)
         if len(lst) > 8:
             del lst[0]
+        if cache is not None:
+            cache[_cache_index(int(pix[i]), cache_bits)] = int(pix[i])
 
     i = 0
     while i < n:
@@ -379,7 +398,11 @@ def _greedy_lz77(pix: np.ndarray, width: int) -> list[tuple]:
                 note(k)
             i += best_len
         else:
-            tokens.append(("lit", int(pix[i])))
+            v = int(pix[i])
+            if cache is not None and cache[_cache_index(v, cache_bits)] == v:
+                tokens.append(("cache", _cache_index(v, cache_bits)))
+            else:
+                tokens.append(("lit", v))
             note(i)
             i += 1
     return tokens
@@ -413,15 +436,20 @@ def _write_code_word(w: _BitWriter, code: int, nbits: int) -> None:
         w.write((code >> b) & 1, 1)
 
 
-def encode_vp8l(img: np.ndarray, use_lz77: bool = True) -> bytes:
+def encode_vp8l(
+    img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0
+) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
     codes for <= 2-valued channels, length-limited Huffman (normal
     form) otherwise, greedy LZ77 backward references with direct
-    distance codes."""
+    distance codes, and (cache_bits 1..11) color-cache references for
+    recurring ARGB values."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
+    if not 0 <= cache_bits <= 11:
+        raise WebpError("cache_bits must be 0 (off) .. 11")
     h, wd = img.shape[:2]
     if not (0 < wd <= (1 << 14) and 0 < h <= (1 << 14)):
         raise WebpError(f"dims out of 14-bit range: {wd}x{h}")
@@ -436,10 +464,19 @@ def encode_vp8l(img: np.ndarray, use_lz77: bool = True) -> bytes:
         (flat[:, 3] << 24) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
     )
     if use_lz77:
-        tokens = _greedy_lz77(pix, wd)
+        tokens = _greedy_lz77(pix, wd, cache_bits)
+    elif cache_bits:
+        tokens = []
+        cache = [0] * (1 << cache_bits)
+        for v in pix:
+            v = int(v)
+            ci = _cache_index(v, cache_bits)
+            tokens.append(("cache", ci) if cache[ci] == v else ("lit", v))
+            cache[ci] = v
     else:
         tokens = [("lit", int(v)) for v in pix]
 
+    green_alphabet = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
     gfreq: dict[int, int] = {}
     rfreq: dict[int, int] = {}
     bfreq: dict[int, int] = {}
@@ -452,6 +489,9 @@ def encode_vp8l(img: np.ndarray, use_lz77: bool = True) -> bytes:
             rfreq[(v >> 16) & 0xFF] = rfreq.get((v >> 16) & 0xFF, 0) + 1
             bfreq[v & 0xFF] = bfreq.get(v & 0xFF, 0) + 1
             afreq[(v >> 24) & 0xFF] = afreq.get((v >> 24) & 0xFF, 0) + 1
+        elif t[0] == "cache":
+            s = 256 + 24 + t[1]
+            gfreq[s] = gfreq.get(s, 0) + 1
         else:
             _, ln, dist = t
             li, _, _ = _prefix_encode(ln - 1)
@@ -465,9 +505,13 @@ def encode_vp8l(img: np.ndarray, use_lz77: bool = True) -> bytes:
     w.write(0, 1)  # alpha-used hint (informational)
     w.write(0, 3)  # version
     w.write(0, 1)  # no transforms
-    w.write(0, 1)  # no color cache
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)  # no color cache
     w.write(0, 1)  # no meta prefix image (single code group)
-    gcodes = _store_code(w, gfreq, _GREEN_ALPHABET)
+    gcodes = _store_code(w, gfreq, green_alphabet)
     rcodes = _store_code(w, rfreq, _CHANNEL_ALPHABET)
     bcodes = _store_code(w, bfreq, _CHANNEL_ALPHABET)
     acodes = _store_code(w, afreq, _CHANNEL_ALPHABET)
@@ -480,6 +524,8 @@ def encode_vp8l(img: np.ndarray, use_lz77: bool = True) -> bytes:
             _write_code_word(w, *rcodes[(v >> 16) & 0xFF])
             _write_code_word(w, *bcodes[v & 0xFF])
             _write_code_word(w, *acodes[(v >> 24) & 0xFF])
+        elif t[0] == "cache":
+            _write_code_word(w, *gcodes[256 + 24 + t[1]])
         else:
             _, ln, dist = t
             li, leb, lex = _prefix_encode(ln - 1)
@@ -569,11 +615,15 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
         raise WebpError("unknown VP8L version")
     if r.read(1) != 0:
         raise NotImplementedError("VP8L transforms not supported")
-    if r.read(1) != 0:
-        raise NotImplementedError("VP8L color cache not supported")
+    cache_bits = 0
+    if r.read(1):
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise WebpError(f"invalid color-cache bits {cache_bits}")
     if r.read(1) != 0:
         raise NotImplementedError("VP8L meta prefix images not supported")
-    green = _read_code(r, _GREEN_ALPHABET)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _read_code(r, _GREEN_ALPHABET + cache_size)
     red = _read_code(r, _CHANNEL_ALPHABET)
     blue = _read_code(r, _CHANNEL_ALPHABET)
     alpha = _read_code(r, _CHANNEL_ALPHABET)
@@ -581,7 +631,19 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
 
     n = h * wd
     out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
+    cache = [0] * cache_size
     i = 0
+
+    def note(px_index: int) -> None:
+        if cache_bits:
+            v = (
+                (int(out[px_index, 3]) << 24)
+                | (int(out[px_index, 0]) << 16)
+                | (int(out[px_index, 1]) << 8)
+                | int(out[px_index, 2])
+            )
+            cache[_cache_index(v, cache_bits)] = v
+
     while i < n:
         g = green.read(r)
         if g < 256:
@@ -589,6 +651,7 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             out[i, 0] = red.read(r)
             out[i, 2] = blue.read(r)
             out[i, 3] = alpha.read(r)
+            note(i)
             i += 1
         elif g < 256 + 24:
             length = _prefix_decode_val(g - 256, r)
@@ -603,11 +666,19 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
                 raise WebpError("LZ77 reference out of range")
             for k in range(length):  # overlap-correct pixelwise copy
                 out[i + k] = out[i + k - d]
+                note(i + k)  # copied pixels refresh the cache too
             i += length
         else:
-            raise NotImplementedError(
-                "VP8L color cache symbols not supported"
-            )
+            idx = g - 256 - 24
+            if idx >= cache_size:
+                raise WebpError("color-cache symbol beyond cache size")
+            v = cache[idx]
+            out[i, 0] = (v >> 16) & 0xFF
+            out[i, 1] = (v >> 8) & 0xFF
+            out[i, 2] = v & 0xFF
+            out[i, 3] = (v >> 24) & 0xFF
+            note(i)
+            i += 1
     return out.reshape(h, wd, 4)
 
 

@@ -287,3 +287,33 @@ def test_vp8l_length_distance_prefix_codec_inverse():
         idx, eb, extra = _prefix_encode(n)
         assert 0 <= extra < (1 << eb) if eb else extra == 0
         assert _prefix_decode_val(idx, _FakeReader(extra)) == n + 1
+
+
+def test_vp8l_color_cache_roundtrip_and_compresses():
+    """Color cache (green symbols >= 280): palette-heavy content
+    round-trips exactly with every legal cache size, compresses vs
+    literal-only, and the cache refreshes on literal, copied AND
+    cache-referenced pixels (the round-trip would break otherwise)."""
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 12, (24, 31))]
+    base = len(encode_vp8l(img, use_lz77=False))
+    for cb in (1, 4, 8, 11):
+        enc = encode_vp8l(img, cache_bits=cb)
+        assert np.array_equal(decode_vp8l(enc)[:, :, :3], img), cb
+    cached = encode_vp8l(img, use_lz77=False, cache_bits=6)
+    assert np.array_equal(decode_vp8l(cached)[:, :, :3], img)
+    assert len(cached) < base / 2
+    # random RGBA content with the cache on still round-trips
+    img2 = rng.integers(0, 256, (10, 13, 4), dtype=np.uint8)
+    assert np.array_equal(decode_vp8l(encode_vp8l(img2, cache_bits=5)), img2)
+
+
+def test_vp8l_cache_bits_validation():
+    from map2db_spark.functions.webp import WebpError
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(WebpError):
+        encode_vp8l(img, cache_bits=12)
+    with pytest.raises(WebpError):
+        encode_vp8l(img, cache_bits=-1)
