@@ -228,6 +228,35 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[int]]:
     ]
 
 
+def corpus_seed_centroids(
+    df: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Data-seeded coarse quantizer: the corpus' first n_cells vectors
+    (by id) as exact-int centroids — cells then follow the data
+    distribution instead of collapsing onto whichever uniform-random
+    centroid happens to have the smallest norm (measured: 99% of the
+    organic embedding corpus lands in ONE ivf_centroids cell; seeded
+    cells run ~N/12).  The collect is O(n_cells) rows — a seeding
+    read, not a corpus collect.  Same int conversion as the SQL
+    oracles (round(x * 1e6) half away from zero), so an oracle CTE
+    reading the same rows assigns identical cells."""
+    import numpy as np
+
+    rows = sorted(
+        df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
+    )
+    out = []
+    for r in rows:
+        arr = np.asarray(r[vec_col], dtype=np.float64) * SCALE
+        iv = np.where(
+            arr >= 0, np.floor(arr + 0.5), np.ceil(arr - 0.5)
+        ).astype(np.int64)
+        out.append([int(x) for x in iv])
+    return out
+
+
 def _cell_from_int_vec_np(iv_matrix, centroids):
     """argmin_c ||x - c||^2 == argmin_c (|c|^2 - 2 x.c): exact int64,
     first-min tiebreak (matches SQL list_indexof(list_min))."""

@@ -167,24 +167,18 @@ def v_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_CENTROIDS = S.ivf_centroids(dim=64, n_cells=16, seed=7)
+_SEM_N_CELLS = 16
 _SEM_SHIFT = 10_000
 _SEM_THRESHOLD = 0.35
 # skew rail: cells above this population are skipped (degenerate
-# embedding mode, not a semantic neighborhood).  Sized not to trip on
-# the organic corpus at graded scales (~N/8 on a 16-cell quantizer)
-# while bounding the within-cell quadratic verify; mirrored verbatim
-# in the oracle so a tripped rail still hash-matches.
+# embedding mode, not a semantic neighborhood).  With the data-seeded
+# quantizer cells run ~N/12, so the rail only trips when an actual
+# hot mode collapses the quantizer; mirrored verbatim in the oracle
+# so a tripped rail still hash-matches.
 _SEM_CELL_CAP = 6_000
 
 
 def _semantic_dedup_oracle() -> str:
-    dists = []
-    for c in _SEM_CENTROIDS:
-        arr = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
-        norm = sum(v * v for v in c)
-        dists.append(f"({norm} - 2 * list_dot_product(v, {arr}))")
-    dist_list = "[" + ", ".join(dists) + "]"
     return f"""
     WITH base AS (
       SELECT vec_id, {_INT_VEC_SQL} AS v FROM embeddings
@@ -192,10 +186,20 @@ def _semantic_dedup_oracle() -> str:
       SELECT vec_id + {_SEM_SHIFT} AS vec_id, {_INT_VEC_SQL} AS v
       FROM embeddings
     ),
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS ccell, {_INT_VEC_SQL} AS civ
+      FROM embeddings WHERE vec_id < {_SEM_N_CELLS}
+    ),
     celled AS (
-      SELECT vec_id, v,
-             CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell
-      FROM (SELECT vec_id, v, {dist_list} AS dl FROM base)
+      SELECT vec_id, v, ccell AS cell FROM (
+        SELECT b.vec_id, b.v, c.ccell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(c.civ, c.civ)
+                          - 2 * list_dot_product(b.v, c.civ), c.ccell
+               ) AS rn
+        FROM base b CROSS JOIN cents c
+      ) WHERE rn = 1
     ),
     small AS (
       SELECT cell FROM celled GROUP BY cell
@@ -223,26 +227,31 @@ def _semantic_dedup_oracle() -> str:
 )
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the doubled corpus: cluster
-    the embedding space into coarse cells (exact int64 nearest-centroid,
-    seeded centroids shared verbatim with the oracle), then exact
-    integer-cosine verification ONLY within cells.  The planted
-    duplicates are identical vectors, so they co-cluster
+    the embedding space into coarse cells (exact int64 nearest-centroid;
+    centroids are SEEDED FROM THE CORPUS — the first n_cells vectors,
+    read identically by the oracle's CTE — so cells follow the data
+    distribution instead of collapsing onto one uniform-random
+    centroid, the r3->r4 fix that cut the sf0.1 within-cell pair work
+    ~30x), then exact integer-cosine verification ONLY within cells.
+    The planted duplicates are identical vectors, so they co-cluster
     deterministically and always survive; the threshold is low enough
     (0.35) that natural same-cell moderate-similarity pairs appear too.
 
     Scale: complements d_cosine_near_dup (banded LSH) — clustering
     gives semantically-coherent buckets a curator can also inspect,
-    and the quadratic verify is bounded per cell: n_cells ~
-    N / target_cell_size sizes the cells, and cell_cap (mirrored in
+    and the quadratic verify is bounded per cell: data-seeded n_cells
+    ~ N / target_cell_size sizes the cells, and cell_cap (mirrored in
     the oracle) is the hard rail that skips a degenerate hot cell
     outright.  One cell-keyed shuffle; payloads cross once per side,
-    never per-pair."""
+    never per-pair.  The centroid collect is O(n_cells) rows — the
+    seeding read, not a corpus collect."""
     emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    centroids = S.corpus_seed_centroids(emb, _SEM_N_CELLS)
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + _SEM_SHIFT).alias("vec_id"), "embedding")
     )
     return S.semantic_near_dup(
-        corpus, _SEM_CENTROIDS, threshold=_SEM_THRESHOLD,
+        corpus, centroids, threshold=_SEM_THRESHOLD,
         cell_cap=_SEM_CELL_CAP,
     )
 

@@ -636,24 +636,33 @@ def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, _PLANES, k=5)
 
 
-_CENTROIDS = S.ivf_centroids(dim=64, n_cells=16, seed=7)
+_IVF_N_CELLS = 16
+# shared argmin CTEs: data-seeded centroids (the corpus' first 16
+# vectors — see similarity.corpus_seed_centroids for why the uniform-
+# random ivf_centroids collapse on this data), ranked per vector by
+# exact-int |c|^2 - 2 x.c with ties to the lower cell index, matching
+# the Spark side's stable argsort
+_IVF_CELL_CTES = f"""
+    iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS ccell, {_ANN_INT} AS civ
+      FROM embeddings WHERE vec_id < {_IVF_N_CELLS}
+    ),
+    cellranks AS (
+      SELECT i.vec_id, i.v, c.ccell,
+             row_number() OVER (
+               PARTITION BY i.vec_id
+               ORDER BY list_dot_product(c.civ, c.civ)
+                        - 2 * list_dot_product(i.v, c.civ), c.ccell
+             ) AS rn
+      FROM iv i CROSS JOIN cents c
+    )"""
 
 
 def _ivf_ann_oracle() -> str:
-    dists = []
-    for c in _CENTROIDS:
-        arr = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
-        norm = sum(v * v for v in c)
-        dists.append(f"({norm} - 2 * list_dot_product(v, {arr}))")
-    dist_list = "[" + ", ".join(dists) + "]"
     return f"""
-    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
-    celled AS (
-      SELECT vec_id, v,
-             CAST(list_indexof({dist_list}, list_min({dist_list})) - 1 AS INT)
-               AS cell
-      FROM iv
-    ),
+    WITH {_IVF_CELL_CTES},
+    celled AS (SELECT vec_id, v, ccell AS cell FROM cellranks WHERE rn = 1),
     q AS (SELECT vec_id AS query_id, v AS qv, cell FROM celled
           WHERE vec_id < 10),
     scored AS (
@@ -673,29 +682,12 @@ def _ivf_ann_oracle() -> str:
 
 
 def _ivf_nprobe_oracle(nprobe: int = 2) -> str:
-    dists = []
-    for c in _CENTROIDS:
-        arr = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
-        norm = sum(v * v for v in c)
-        dists.append(f"({norm} - 2 * list_dot_product(v, {arr}))")
-    dist_list = "[" + ", ".join(dists) + "]"
-    probes = ", ".join(
-        f"CAST(list_indexof(dl, ranked[{i + 1}]) - 1 AS INT)" for i in range(nprobe)
-    )
     return f"""
-    WITH iv AS (SELECT vec_id, {_ANN_INT} AS v FROM embeddings),
-    celled AS (SELECT vec_id, v, {dist_list} AS dl FROM iv),
-    corpus AS (
-      SELECT vec_id, v,
-             CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell
-      FROM celled
-    ),
+    WITH {_IVF_CELL_CTES},
+    corpus AS (SELECT vec_id, v, ccell AS cell FROM cellranks WHERE rn = 1),
     q AS (
-      SELECT vec_id AS query_id, qv, unnest(cells) AS cell FROM (
-        SELECT vec_id, v AS qv, [{probes}] AS cells
-        FROM (SELECT *, list_sort(dl) AS ranked FROM celled)
-        WHERE vec_id < 10
-      )
+      SELECT vec_id AS query_id, v AS qv, ccell AS cell
+      FROM cellranks WHERE rn <= {nprobe} AND vec_id < 10
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS cand_id,
@@ -723,24 +715,30 @@ def v_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     two nearest coarse cells while the corpus stays partitioned by its
     single cell, so candidates grow to ~2/n_cells of the corpus
     instead of 1/n_cells.  Exact int64 cell ranking is shared with the
-    oracle (stable tiebreak by cell index on both engines).  Trained
-    centroids (clustering.train_centroids, same exact-int Lloyd's as
-    v_kmeans_clusters) are the production path; seeded literals keep
-    this query oracle-checkable."""
+    oracle (stable tiebreak by cell index on both engines).  Centroids
+    are DATA-SEEDED (corpus_seed_centroids — the r4 fix: uniform-random
+    centroids collapsed 99% of this corpus into one cell, voiding the
+    pruning claim); trained centroids (clustering.train_centroids,
+    same exact-int Lloyd's as v_kmeans_clusters) are the production
+    path, and the oracle reads the same seed rows via a CTE."""
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, _CENTROIDS, k=5, nprobe=2)
+    cents = S.corpus_seed_centroids(emb, _IVF_N_CELLS)
+    return S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
 
 
 @query("v_ann_ivf_topk", oracle=_ivf_ann_oracle(), tags=("ann", "ivf", "pipeline"))
 def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer cells, nprobe=1): candidates
     from the query's nearest-centroid cell only.  Cell assignment is
-    exact int64 arithmetic with seeded literal centroids shared with
-    the oracle SQL."""
+    exact int64 arithmetic with DATA-SEEDED centroids (the corpus'
+    first 16 vectors, read identically by the oracle's CTE — cells
+    follow the data, ~N/12 each, so the candidate set really is
+    ~1/n_cells of the corpus)."""
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, _CENTROIDS, k=5)
+    cents = S.corpus_seed_centroids(emb, _IVF_N_CELLS)
+    return S.ivf_topk(emb, queries, cents, k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,10 @@ _DRIVER_VERIFIED = frozenset({
     # --- green in CORRECTNESS_r02.json (round-2 driver window) ---
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "d_simhash_hamming",
     "d_ngram_jaccard", "d_cosine_near_dup", "v_ann_brute_topk",
-    "v_ann_lsh_topk", "v_ann_ivf_nprobe", "v_ann_ivf_topk", "j_asof_join",
+    "v_ann_lsh_topk", "j_asof_join",
+    # v_ann_ivf_topk / v_ann_ivf_nprobe were green in r02 but moved to
+    # data-seeded centroids in r4 (the random quantizer collapsed 99%
+    # of the corpus into one cell; semantics changed) -> re-graded
     "m_multimodal_features", "m_png_decode", "m_frame_sample_plan",
     # d_dup_clusters / d_curation_pipeline were green in r02 but their
     # edge-building gained the df_cap skew rail in r3 (semantics
