@@ -2,7 +2,10 @@
 SparkSession (no engine confs) and value-compare against its DuckDB
 oracle, exactly like the external correctness gate.  Run from any cwd:
 
-    python3 /root/repo/tests/driver_sim.py [sf_dir]
+    python3 /root/repo/tests/driver_sim.py [sf_dir] [name,name,...]
+
+An optional comma-separated name list restricts the run (targeted
+scale re-checks after changing a few queries).
 """
 
 from __future__ import annotations
@@ -80,8 +83,16 @@ def main() -> int:
     assert len(entry_rows) > 0
 
     qs, oracles = e.queries(), e.oracle_sql()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
     failed = []
+    n_run = 0
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
+        n_run += 1
         t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, sf)
@@ -109,7 +120,7 @@ def main() -> int:
         print(f"{name}: {status} [{time.perf_counter() - t0:.1f}s]", flush=True)
 
     spark.stop()
-    print(f"\n{len(qs)} queries, {len(failed)} failed: {failed}")
+    print(f"\n{n_run} queries, {len(failed)} failed: {failed}")
     return 1 if failed else 0
 
 

@@ -454,6 +454,28 @@ def test_ivf_nprobe_all_cells_equals_brute(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
 
 
+def test_corpus_seed_centroids_balance(spark):
+    """The data-seeded quantizer must actually spread the organic
+    corpus across cells — the property the random ivf_centroids lacked
+    (99% of vectors in one cell) and the reason the IVF/semantic-dedup
+    family moved to it in r4.  Pins: every cell used, no cell holding
+    more than 25% of the corpus, assignments deterministic."""
+    import map2db_spark.functions.similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    cents = S.corpus_seed_centroids(emb, 16)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    prep = S.ivf_prepared(
+        emb, cents, "vec_id", "embedding", "vid", "vec", "norm"
+    )
+    counts = {r["cell"]: r["count"] for r in prep.groupBy("cell").count().collect()}
+    total = sum(counts.values())
+    assert len(counts) == 16, counts
+    assert max(counts.values()) <= total // 4, counts
+    assert S.corpus_seed_centroids(emb, 16) == cents  # deterministic
+
+
 def test_misra_gries_prunes_but_keeps_heavy_keys(spark):
     """In the pruning regime (m far below the key cardinality) the MG
     summaries must still surface every key above the N/m bar, and the
