@@ -412,6 +412,11 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
 
             zz = np.zeros(64, dtype=np.int64)
             size = read_symbol(dc_tab)
+            if size > 11:
+                # 8-bit baseline DC categories are 0..11 (T.81 table
+                # F.1); a larger symbol only arises from a corrupt DHT
+                # and would read an unbounded diff (int64 overflow)
+                raise JpegError(f"invalid DC size category {size}")
             diff = _extend(reader.bits(size), size) if size else 0
             pred[ci] += diff
             zz[0] = pred[ci]

@@ -218,3 +218,36 @@ def test_jpeg_codec_truncation_always_raises_jpeg_error(seed, frac):
         return
     # reaching here without error is only legal if the full scan fit
     assert out.shape == img.shape
+
+
+def test_fuzz_bitflips_and_truncation_typed_errors_only():
+    """r4 fuzz distillation (found a real hole): 1-3 random bit flips
+    or truncation of valid streams must raise JpegError /
+    NotImplementedError or decode — never an untyped error.  The
+    original campaign surfaced an int64 OverflowError from a corrupt
+    DHT yielding a DC size category > 11 (now rejected per T.81
+    table F.1)."""
+    import random
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pyr = random.Random(7)
+    encs = [
+        encode_jpeg_baseline(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for h, w in [(8, 8), (24, 16), (17, 9)]
+    ]
+    for _ in range(800):
+        e = bytearray(pyr.choice(encs))
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(2, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(2, len(e))])
+        try:
+            px = decode_jpeg_baseline(data)
+            assert px.ndim in (2, 3)
+        except (JpegError, NotImplementedError):
+            pass
