@@ -87,8 +87,16 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes -> HxWxC uint8 array (C in {1,2,3,4}).  Raises
-    ValueError on non-PNG or unsupported variants (16-bit, palette,
-    interlaced)."""
+    ValueError on non-PNG, malformed/truncated or unsupported variants
+    (16-bit, palette, interlaced) — never a raw zlib.error or
+    struct.error (fuzz-pinned in tests)."""
+    try:
+        return _decode_png_impl(buf)
+    except (zlib.error, struct.error) as ex:
+        raise ValueError(f"malformed PNG stream ({type(ex).__name__})") from ex
+
+
+def _decode_png_impl(buf: bytes) -> np.ndarray:
     if buf[:8] != _MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8

@@ -52,11 +52,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(
             f"RIFF length mismatch: header says {declared + 8}, got {len(payload)}"
         )
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 2:
-            raise ValueError("expected mono 16-bit PCM")
-        rate = w.getframerate()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("expected mono 16-bit PCM")
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as ex:
+        # the stdlib wave module raises a zoo of exception types on
+        # corrupt streams; the quarantine contract is one typed error
+        raise ValueError(f"malformed WAV stream ({type(ex).__name__})") from ex
     return np.frombuffer(frames, dtype="<i2"), rate
 
 

@@ -63,3 +63,33 @@ def test_decode_image_real_dispatches_png():
     webp_px = np.full((3, 4, 3), 31, dtype="uint8")
     decoded = decode_image_real(encode_vp8l_simple(webp_px))
     assert (decoded[:, :, :3] == webp_px).all()
+
+
+def test_png_fuzz_corruption_typed_errors_only():
+    """r4 fuzz distillation (found a real hole): bit flips and
+    truncation of a valid PNG must raise ValueError or decode — the
+    original campaign surfaced raw zlib.error (truncated IDAT) and
+    struct.error escapes, now wrapped."""
+    import random
+
+    import numpy as np
+
+    from map2db_spark.functions.png import decode_png, encode_png
+
+    pyr = random.Random(5)
+    rng = np.random.default_rng(5)
+    enc = encode_png(rng.integers(0, 256, (12, 9, 3), dtype=np.uint8))
+    for _ in range(800):
+        e = bytearray(enc)
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(0, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(1, len(e))])
+        try:
+            out = decode_png(data)
+            assert out.ndim == 3
+        except ValueError:
+            pass

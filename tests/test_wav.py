@@ -53,3 +53,32 @@ def test_synth_matches_closed_form():
 def test_wrong_dtype_rejected():
     with pytest.raises(ValueError, match="int16"):
         encode_wav(np.zeros(4, dtype=np.float32))
+
+
+def test_wav_fuzz_corruption_typed_errors_only():
+    """r4 fuzz distillation (found a real hole): bit flips and
+    truncation of a valid WAV must raise ValueError or decode — the
+    stdlib wave module's wave.Error/EOFError/struct.error/RuntimeError
+    zoo is now wrapped into the one typed error."""
+    import random
+
+    import numpy as np
+
+    from map2db_spark.functions.wav import decode_wav, encode_wav
+
+    pyr = random.Random(5)
+    rng = np.random.default_rng(5)
+    enc = encode_wav(rng.integers(-3000, 3000, 500).astype("int16"), 16000)
+    for _ in range(800):
+        e = bytearray(enc)
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(0, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(1, len(e))])
+        try:
+            decode_wav(data)
+        except ValueError:
+            pass
