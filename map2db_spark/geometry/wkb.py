@@ -86,7 +86,17 @@ class _Reader:
 def decode(buf: bytes):
     """Decode WKB -> (kind, parts) where kind is 'multipoint' /
     'multilinestring' / 'multipolygon' (single geometries are promoted
-    to their multi form)."""
+    to their multi form).  Malformed/truncated input raises ValueError
+    (never a raw struct.error/IndexError — fuzz-pinned; the engine
+    normally decodes only its own encoder's output, but round-tripped
+    SQLite geodatabases are an external surface)."""
+    try:
+        return _decode_impl(buf)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"malformed WKB ({type(ex).__name__})") from ex
+
+
+def _decode_impl(buf: bytes):
     r = _Reader(buf)
     gtype = r.header()
     if gtype == POINT:

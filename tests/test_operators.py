@@ -1010,3 +1010,34 @@ def test_union_overlay_fuzz_random_triangles():
         assert got2 <= sum(areas2) + tol2, (trial, got2, areas2)
         # exact order independence (canonical normalization)
         assert union_overlay(list(reversed(frags))) == out, trial
+
+
+def test_wkb_fuzz_corruption_typed_errors_only():
+    """r4 fuzz distillation (found a real hole): bit flips and
+    truncation of valid WKB must raise ValueError or decode — the
+    original campaign surfaced raw struct.error (4280/8000 samples)
+    and IndexError escapes, now wrapped.  Round-tripped SQLite
+    geodatabases make WKB an external surface."""
+    import random
+
+    from map2db_spark.geometry import wkb as W
+
+    pyr = random.Random(11)
+    samples = [
+        W.encode_multipoint([(1.5, 2.5), (3.0, -4.0)]),
+        W.encode_multilinestring([[(0, 0), (1, 1), (2, 0)], [(5, 5), (6, 7)]]),
+        W.encode_multipolygon([[[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]]]),
+    ]
+    for _ in range(1000):
+        e = bytearray(pyr.choice(samples))
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(0, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(1, len(e))])
+        try:
+            W.decode(data)
+        except ValueError:
+            pass
