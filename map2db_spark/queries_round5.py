@@ -8553,3 +8553,153 @@ def m_webp_lz77_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             " sum_b LONG, sum_a LONG, lz_smaller LONG"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (Munro-Paterson compaction) with exact audit
+# ---------------------------------------------------------------------------
+
+_QSK_B = 32   # compaction buckets (production: ~ executor count)
+_QSK_S = 32   # per-bucket stride (candidate weight)
+_QSK_BOUND = 2 * _QSK_B * _QSK_S  # certified rank-error bound
+_QSK_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+@query(
+    "x_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey AS okey, l_linenumber AS lnum,
+             l_orderkey % {_QSK_B} AS bucket
+      FROM lineitem
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    rnk AS (
+      SELECT cents, okey, lnum,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY cents, okey, lnum) AS rn
+      FROM v
+    ),
+    cand AS (
+      SELECT cents, okey, lnum FROM rnk WHERE rn % {_QSK_S} = {_QSK_S // 2}
+    ),
+    summ AS (
+      SELECT cents,
+             {_QSK_S} * row_number() OVER (ORDER BY cents, okey, lnum)
+               - {_QSK_S // 2} AS est_rank
+      FROM cand
+    ),
+    targets AS (
+      SELECT unnest([{", ".join(str(p) for p in _QSK_PCTS)}]) AS q_pct
+    ),
+    chosen AS (
+      SELECT t.q_pct,
+             (t.q_pct * nn.n) // 100 AS target_rank,
+             coalesce(
+               arg_min(s.cents, s.est_rank)
+                 FILTER (s.est_rank >= (t.q_pct * nn.n) // 100),
+               max(s.cents)
+             ) AS value_cents
+      FROM targets t CROSS JOIN nn CROSS JOIN summ s
+      GROUP BY t.q_pct, nn.n
+    ),
+    audited AS (
+      SELECT c.q_pct, c.value_cents, c.target_rank,
+             CAST(count(*) FILTER (v.cents <= c.value_cents) AS BIGINT)
+               AS true_rank
+      FROM chosen c CROSS JOIN v
+      GROUP BY c.q_pct, c.value_cents, c.target_rank
+    )
+    SELECT q_pct, value_cents, target_rank, true_rank,
+           CAST(abs(true_rank - target_rank) AS BIGINT) AS rank_err,
+           CAST(CASE WHEN abs(true_rank - target_rank) <= {_QSK_BOUND}
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM audited ORDER BY q_pct
+    """,
+    tags=("analytics", "sketch", "quantiles", "mergeable"),
+)
+def x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fifth classic sketch alongside
+    the registered Misra-Gries, count-min, HyperLogLog and Bloom
+    rows, upgrading approximate quantiles from x_approx_quantiles'
+    rows-only check to a hash-matched, error-CERTIFIED row: a
+    Munro-Paterson-style one-level compaction (each of B
+    content-derived buckets sorts locally and keeps every S-th value
+    as a weight-S candidate), then each target percentile picks the
+    first candidate whose estimated rank reaches the target, and an
+    EXACT audit counts the candidate's true rank and certifies
+    |true_rank - target_rank| <= 2*B*S.  Every step is deterministic
+    integer arithmetic on a content-derived bucketing (l_orderkey %
+    B), so both engines build the identical sketch and the bound is
+    verified — not assumed — on every run.
+
+    Scale shape: the per-bucket compaction is one partitionBy(B)
+    window (B scales with the cluster; deeper corpora stack
+    compaction levels, halving weights per level — the knob is
+    documented, the one-level contract is what's certified here); the
+    candidate summary is N/S rows ranked by the TWO-PASS
+    range-partitioned operator (operators/ids.py ranked — no
+    single-partition window); the audit is a broadcast of |targets|
+    chosen values against one corpus pass.  Candidates and the chosen
+    set are the only things that ever leave their partitions.
+    """
+    from map2db_spark.operators.ids import ranked
+
+    v = Tables(spark, sf_dir).lineitem.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        (F.col("l_orderkey") % _QSK_B).alias("bucket"),
+    )
+    n_total = v.count()  # exact corpus count (one light action)
+    w = Window.partitionBy("bucket").orderBy("cents", "okey", "lnum")
+    cand = (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % _QSK_S == _QSK_S // 2)
+        .select("cents", "okey", "lnum")
+    )
+    summ, _n_cand = ranked(cand, ["cents", "okey", "lnum"], rank_col="pos")
+    summ = summ.select(
+        "cents",
+        (F.lit(_QSK_S) * (F.col("pos") + 1) - F.lit(_QSK_S // 2)).alias(
+            "est_rank"
+        ),
+    )
+    targets = spark.createDataFrame(
+        [(p, p * n_total // 100) for p in _QSK_PCTS],
+        "q_pct long, target_rank long",
+    )
+    chosen = (
+        targets.crossJoin(summ)
+        .groupBy("q_pct", "target_rank")
+        .agg(
+            F.coalesce(
+                F.min_by(
+                    "cents",
+                    F.when(
+                        F.col("est_rank") >= F.col("target_rank"),
+                        F.col("est_rank"),
+                    ),
+                ),
+                F.max("cents"),
+            ).alias("value_cents")
+        )
+    )
+    audited = (
+        v.crossJoin(F.broadcast(chosen))
+        .groupBy("q_pct", "value_cents", "target_rank")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") <= F.col("value_cents"), 1).otherwise(0)
+            ).cast("long").alias("true_rank")
+        )
+    )
+    err = F.abs(F.col("true_rank") - F.col("target_rank"))
+    return audited.select(
+        "q_pct", "value_cents", "target_rank", "true_rank",
+        err.cast("long").alias("rank_err"),
+        F.when(err <= _QSK_BOUND, 1).otherwise(0).cast("long").alias(
+            "within_bound"
+        ),
+    ).orderBy("q_pct")
