@@ -25,13 +25,17 @@ distances, a compression optimization only.  The COLOR CACHE
 (cache_bits 1..11) is implemented on both sides: green symbols >=
 280 index a running cache of recently-emitted ARGB values (spec hash
 0x1e35a7bd, top cache_bits bits), refreshed by every emitted pixel —
-literal, copied or cache-referenced alike.
+literal, copied or cache-referenced alike.  META PREFIX IMAGES are
+implemented on both sides: the per-block code-group map is carried as
+a recursively-coded VP8L entropy image ((r << 8) | g = group id), and
+each group gets its own 5 prefix codes — the spec's locally-adaptive
+entropy coding (the encoder groups by block column; the decoder
+honors arbitrary maps).
 
 Honest envelope (everything else raises, never mis-decodes):
 
 - predictor / color / palette transforms: NotImplemented
   (SUBTRACT-GREEN is implemented on both sides — transform type 2)
-- meta prefix images (multiple code groups): NotImplemented
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
   decoder — see below)
@@ -394,16 +398,16 @@ def _greedy_lz77(
             if ln > best_len:
                 best_len, best_dist = ln, dist
         if best_len >= 3:
-            tokens.append(("ref", best_len, best_dist))
+            tokens.append(("ref", best_len, best_dist, i))
             for k in range(i, i + best_len):
                 note(k)
             i += best_len
         else:
             v = int(pix[i])
             if cache is not None and cache[_cache_index(v, cache_bits)] == v:
-                tokens.append(("cache", _cache_index(v, cache_bits)))
+                tokens.append(("cache", _cache_index(v, cache_bits), i))
             else:
-                tokens.append(("lit", v))
+                tokens.append(("lit", v, i))
             note(i)
             i += 1
     return tokens
@@ -437,23 +441,110 @@ def _write_code_word(w: _BitWriter, code: int, nbits: int) -> None:
         w.write((code >> b) & 1, 1)
 
 
+def _tokenize(pix: np.ndarray, wd: int, use_lz77: bool,
+              cache_bits: int) -> list[tuple]:
+    if use_lz77:
+        return _greedy_lz77(pix, wd, cache_bits)
+    if cache_bits:
+        tokens = []
+        cache = [0] * (1 << cache_bits)
+        for i, v in enumerate(pix):
+            v = int(v)
+            ci = _cache_index(v, cache_bits)
+            tokens.append(
+                ("cache", ci, i) if cache[ci] == v else ("lit", v, i)
+            )
+            cache[ci] = v
+        return tokens
+    return [("lit", int(v), i) for i, v in enumerate(pix)]
+
+
+def _write_codes_and_tokens(
+    w: _BitWriter, tokens: list[tuple], cache_bits: int,
+    n_groups: int, group_of,
+) -> None:
+    """Per-group symbol histograms -> n_groups x 5 stored codes ->
+    token emission, each token coded by its start-position's group
+    (exactly how the decoder resolves groups)."""
+    green_alphabet = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}} for _ in range(n_groups)
+    ]
+
+    def bump(fr, key, sym):
+        fr[key][sym] = fr[key].get(sym, 0) + 1
+
+    for t in tokens:
+        fr = freqs[group_of(t[-1])]
+        if t[0] == "lit":
+            v = t[1]
+            bump(fr, "g", (v >> 8) & 0xFF)
+            bump(fr, "r", (v >> 16) & 0xFF)
+            bump(fr, "b", v & 0xFF)
+            bump(fr, "a", (v >> 24) & 0xFF)
+        elif t[0] == "cache":
+            bump(fr, "g", 256 + 24 + t[1])
+        else:
+            _, ln, dist, _pos = t
+            li, _, _ = _prefix_encode(ln - 1)
+            bump(fr, "g", 256 + li)
+            di, _, _ = _prefix_encode(dist + 120 - 1)
+            bump(fr, "d", di)
+
+    codes = []
+    for fr in freqs:
+        codes.append((
+            _store_code(w, fr["g"], green_alphabet),
+            _store_code(w, fr["r"], _CHANNEL_ALPHABET),
+            _store_code(w, fr["b"], _CHANNEL_ALPHABET),
+            _store_code(w, fr["a"], _CHANNEL_ALPHABET),
+            _store_code(w, fr["d"], _DIST_ALPHABET),
+        ))
+
+    for t in tokens:
+        gcodes, rcodes, bcodes, acodes, dcodes = codes[group_of(t[-1])]
+        if t[0] == "lit":
+            v = t[1]
+            _write_code_word(w, *gcodes[(v >> 8) & 0xFF])
+            _write_code_word(w, *rcodes[(v >> 16) & 0xFF])
+            _write_code_word(w, *bcodes[v & 0xFF])
+            _write_code_word(w, *acodes[(v >> 24) & 0xFF])
+        elif t[0] == "cache":
+            _write_code_word(w, *gcodes[256 + 24 + t[1]])
+        else:
+            _, ln, dist, _pos = t
+            li, leb, lex = _prefix_encode(ln - 1)
+            _write_code_word(w, *gcodes[256 + li])
+            if leb:
+                w.write(lex, leb)
+            di, deb, dex = _prefix_encode(dist + 120 - 1)
+            _write_code_word(w, *dcodes[di])
+            if deb:
+                w.write(dex, deb)
+
+
 def encode_vp8l(
     img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0,
-    subtract_green: bool = False,
+    subtract_green: bool = False, meta_bits: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
     codes for <= 2-valued channels, length-limited Huffman (normal
     form) otherwise, greedy LZ77 backward references with direct
     distance codes, (cache_bits 1..11) color-cache references for
-    recurring ARGB values, and optionally the SUBTRACT-GREEN transform
-    (r/b carried as residuals vs g — gray-correlated content then
-    concentrates r/b on few symbols)."""
+    recurring ARGB values, optionally the SUBTRACT-GREEN transform
+    (r/b carried as residuals vs g), and (meta_bits 2..5) a META
+    PREFIX IMAGE: the image splits into 2^meta_bits-pixel blocks,
+    each block-column's code group gets its own 5 prefix codes, and
+    the per-block group map is itself carried as a recursively-coded
+    VP8L entropy image — the spec's locally-adaptive entropy coding."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
     if not 0 <= cache_bits <= 11:
         raise WebpError("cache_bits must be 0 (off) .. 11")
+    if meta_bits and not 2 <= meta_bits <= 5:
+        raise WebpError("meta_bits must be 0 (off) or 2..5")
     h, wd = img.shape[:2]
     if not (0 < wd <= (1 << 14) and 0 < h <= (1 << 14)):
         raise WebpError(f"dims out of 14-bit range: {wd}x{h}")
@@ -472,41 +563,7 @@ def encode_vp8l(
     pix = (
         (flat[:, 3] << 24) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
     )
-    if use_lz77:
-        tokens = _greedy_lz77(pix, wd, cache_bits)
-    elif cache_bits:
-        tokens = []
-        cache = [0] * (1 << cache_bits)
-        for v in pix:
-            v = int(v)
-            ci = _cache_index(v, cache_bits)
-            tokens.append(("cache", ci) if cache[ci] == v else ("lit", v))
-            cache[ci] = v
-    else:
-        tokens = [("lit", int(v)) for v in pix]
-
-    green_alphabet = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
-    gfreq: dict[int, int] = {}
-    rfreq: dict[int, int] = {}
-    bfreq: dict[int, int] = {}
-    afreq: dict[int, int] = {}
-    dfreq: dict[int, int] = {}
-    for t in tokens:
-        if t[0] == "lit":
-            v = t[1]
-            gfreq[(v >> 8) & 0xFF] = gfreq.get((v >> 8) & 0xFF, 0) + 1
-            rfreq[(v >> 16) & 0xFF] = rfreq.get((v >> 16) & 0xFF, 0) + 1
-            bfreq[v & 0xFF] = bfreq.get(v & 0xFF, 0) + 1
-            afreq[(v >> 24) & 0xFF] = afreq.get((v >> 24) & 0xFF, 0) + 1
-        elif t[0] == "cache":
-            s = 256 + 24 + t[1]
-            gfreq[s] = gfreq.get(s, 0) + 1
-        else:
-            _, ln, dist = t
-            li, _, _ = _prefix_encode(ln - 1)
-            gfreq[256 + li] = gfreq.get(256 + li, 0) + 1
-            di, _, _ = _prefix_encode(dist + 120 - 1)
-            dfreq[di] = dfreq.get(di, 0) + 1
+    tokens = _tokenize(pix, wd, use_lz77, cache_bits)
 
     w = _BitWriter()
     w.write(wd - 1, 14)
@@ -522,32 +579,35 @@ def encode_vp8l(
         w.write(cache_bits, 4)
     else:
         w.write(0, 1)  # no color cache
-    w.write(0, 1)  # no meta prefix image (single code group)
-    gcodes = _store_code(w, gfreq, green_alphabet)
-    rcodes = _store_code(w, rfreq, _CHANNEL_ALPHABET)
-    bcodes = _store_code(w, bfreq, _CHANNEL_ALPHABET)
-    acodes = _store_code(w, afreq, _CHANNEL_ALPHABET)
-    dcodes = _store_code(w, dfreq, _DIST_ALPHABET)
+    if meta_bits:
+        w.write(1, 1)  # meta prefix image follows
+        w.write(meta_bits - 2, 3)
+        sub_w = (wd + (1 << meta_bits) - 1) >> meta_bits
+        sub_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        # one code group per block COLUMN: a simple but real grouping
+        # (the decoder honors arbitrary maps; an adaptive encoder
+        # would cluster block histograms here)
+        emap = np.tile(np.arange(sub_w, dtype=np.uint32), (sub_h, 1))
+        n_groups = sub_w
+        # entropy image: group id -> (r = id >> 8, g = id & 0xff)
+        epix = (
+            ((emap >> 8) & 0xFF) << 16 | (emap & 0xFF) << 8 | (0xFF << 24)
+        ).reshape(-1).astype(np.uint32)
+        etokens = _tokenize(epix, sub_w, use_lz77=False, cache_bits=0)
+        w.write(0, 1)  # entropy stream: no color cache...
+        # ...and NO meta bit (entropy streams cannot recurse)
+        _write_codes_and_tokens(w, etokens, 0, 1, lambda _pos: 0)
 
-    for t in tokens:
-        if t[0] == "lit":
-            v = t[1]
-            _write_code_word(w, *gcodes[(v >> 8) & 0xFF])
-            _write_code_word(w, *rcodes[(v >> 16) & 0xFF])
-            _write_code_word(w, *bcodes[v & 0xFF])
-            _write_code_word(w, *acodes[(v >> 24) & 0xFF])
-        elif t[0] == "cache":
-            _write_code_word(w, *gcodes[256 + 24 + t[1]])
-        else:
-            _, ln, dist = t
-            li, leb, lex = _prefix_encode(ln - 1)
-            _write_code_word(w, *gcodes[256 + li])
-            if leb:
-                w.write(lex, leb)
-            di, deb, dex = _prefix_encode(dist + 120 - 1)
-            _write_code_word(w, *dcodes[di])
-            if deb:
-                w.write(dex, deb)
+        def group_of(pos: int) -> int:
+            return (pos % wd) >> meta_bits
+    else:
+        w.write(0, 1)  # no meta prefix image (single code group)
+        n_groups = 1
+
+        def group_of(pos: int) -> int:
+            return 0
+
+    _write_codes_and_tokens(w, tokens, cache_bits, n_groups, group_of)
     body = bytes([0x2F]) + w.flush()
 
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
@@ -592,12 +652,114 @@ def encode_vp8l_simple(img: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _read_image_stream(r: _BitReader, wd: int, h: int,
+                       allow_meta: bool) -> np.ndarray:
+    """One VP8L image stream (spec DecodeImageStream): [color-cache
+    bit (+4 bits)] [meta-prefix bit + recursively-coded entropy image
+    — main stream only; entropy streams carry NO meta bit] [one or
+    more groups of 5 prefix codes] [pixel data].  Returns an
+    (h*wd, 4) uint8 R,G,B,A array."""
+    cache_bits = 0
+    if r.read(1):
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise WebpError(f"invalid color-cache bits {cache_bits}")
+    meta_bits = 0
+    entropy = None
+    n_groups = 1
+    if allow_meta and r.read(1):
+        meta_bits = r.read(3) + 2
+        sub_w = (wd + (1 << meta_bits) - 1) >> meta_bits
+        sub_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        epix = _read_image_stream(r, sub_w, sub_h, allow_meta=False)
+        # a block's code-group id is (red << 8) | green of its
+        # entropy-image pixel
+        entropy = (
+            (epix[:, 0].astype(np.int32) << 8)
+            | epix[:, 1].astype(np.int32)
+        ).reshape(sub_h, sub_w)
+        n_groups = int(entropy.max()) + 1
+        if n_groups > 1 << 16:
+            raise WebpError(f"meta prefix group count {n_groups} out of range")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = [
+        (
+            _read_code(r, _GREEN_ALPHABET + cache_size),
+            _read_code(r, _CHANNEL_ALPHABET),
+            _read_code(r, _CHANNEL_ALPHABET),
+            _read_code(r, _CHANNEL_ALPHABET),
+            _read_code(r, _DIST_ALPHABET),
+        )
+        for _gi in range(n_groups)
+    ]
+
+    n = h * wd
+    out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
+    cache = [0] * cache_size
+    i = 0
+
+    def note(px_index: int) -> None:
+        if cache_bits:
+            v = (
+                (int(out[px_index, 3]) << 24)
+                | (int(out[px_index, 0]) << 16)
+                | (int(out[px_index, 1]) << 8)
+                | int(out[px_index, 2])
+            )
+            cache[_cache_index(v, cache_bits)] = v
+
+    def group_at(px_index: int):
+        if entropy is None:
+            return groups[0]
+        y, x = divmod(px_index, wd)
+        return groups[int(entropy[y >> meta_bits, x >> meta_bits])]
+
+    while i < n:
+        green, red, blue, alpha, dist = group_at(i)
+        g = green.read(r)
+        if g < 256:
+            out[i, 1] = g
+            out[i, 0] = red.read(r)
+            out[i, 2] = blue.read(r)
+            out[i, 3] = alpha.read(r)
+            note(i)
+            i += 1
+        elif g < 256 + 24:
+            length = _prefix_decode_val(g - 256, r)
+            dcode = _prefix_decode_val(dist.read(r), r)
+            if dcode <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D proximity distance codes not supported — "
+                    "direct distances only"
+                )
+            d = dcode - 120
+            if d > i or i + length > n:
+                raise WebpError("LZ77 reference out of range")
+            for k in range(length):  # overlap-correct pixelwise copy
+                out[i + k] = out[i + k - d]
+                note(i + k)  # copied pixels refresh the cache too
+            i += length
+        else:
+            idx = g - 256 - 24
+            if idx >= cache_size:
+                raise WebpError("color-cache symbol beyond cache size")
+            v = cache[idx]
+            out[i, 0] = (v >> 16) & 0xFF
+            out[i, 1] = (v >> 8) & 0xFF
+            out[i, 2] = v & 0xFF
+            out[i, 3] = (v >> 24) & 0xFF
+            note(i)
+            i += 1
+    return out
+
+
 def decode_vp8l(buf: bytes) -> np.ndarray:
     """Decode a VP8L WebP file (simple + normal prefix codes, LZ77
-    with direct distance codes) to an (h, w, 4) RGBA uint8 array.
-    Raises WebpError on malformed input and NotImplementedError
-    outside the envelope (transforms, color cache, meta prefix
-    images, 2D proximity distance codes, lossy VP8)."""
+    with direct distance codes, color cache, subtract-green, meta
+    prefix images) to an (h, w, 4) RGBA uint8 array.  Raises
+    WebpError on malformed input and NotImplementedError outside the
+    envelope (predictor/color/palette transforms, 2D proximity
+    distance codes, lossy VP8)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise WebpError("bad magic: not a WebP container")
     pos = 12
@@ -636,71 +798,7 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "VP8L predictor/color/palette transforms not supported"
             )
-    cache_bits = 0
-    if r.read(1):
-        cache_bits = r.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise WebpError(f"invalid color-cache bits {cache_bits}")
-    if r.read(1) != 0:
-        raise NotImplementedError("VP8L meta prefix images not supported")
-    cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_code(r, _GREEN_ALPHABET + cache_size)
-    red = _read_code(r, _CHANNEL_ALPHABET)
-    blue = _read_code(r, _CHANNEL_ALPHABET)
-    alpha = _read_code(r, _CHANNEL_ALPHABET)
-    dist = _read_code(r, _DIST_ALPHABET)
-
-    n = h * wd
-    out = np.empty((n, 4), dtype=np.uint8)  # R, G, B, A
-    cache = [0] * cache_size
-    i = 0
-
-    def note(px_index: int) -> None:
-        if cache_bits:
-            v = (
-                (int(out[px_index, 3]) << 24)
-                | (int(out[px_index, 0]) << 16)
-                | (int(out[px_index, 1]) << 8)
-                | int(out[px_index, 2])
-            )
-            cache[_cache_index(v, cache_bits)] = v
-
-    while i < n:
-        g = green.read(r)
-        if g < 256:
-            out[i, 1] = g
-            out[i, 0] = red.read(r)
-            out[i, 2] = blue.read(r)
-            out[i, 3] = alpha.read(r)
-            note(i)
-            i += 1
-        elif g < 256 + 24:
-            length = _prefix_decode_val(g - 256, r)
-            dcode = _prefix_decode_val(dist.read(r), r)
-            if dcode <= 120:
-                raise NotImplementedError(
-                    "VP8L 2D proximity distance codes not supported — "
-                    "direct distances only"
-                )
-            d = dcode - 120
-            if d > i or i + length > n:
-                raise WebpError("LZ77 reference out of range")
-            for k in range(length):  # overlap-correct pixelwise copy
-                out[i + k] = out[i + k - d]
-                note(i + k)  # copied pixels refresh the cache too
-            i += length
-        else:
-            idx = g - 256 - 24
-            if idx >= cache_size:
-                raise WebpError("color-cache symbol beyond cache size")
-            v = cache[idx]
-            out[i, 0] = (v >> 16) & 0xFF
-            out[i, 1] = (v >> 8) & 0xFF
-            out[i, 2] = v & 0xFF
-            out[i, 3] = (v >> 24) & 0xFF
-            note(i)
-            i += 1
-    out = out.reshape(h, wd, 4)
+    out = _read_image_stream(r, wd, h, allow_meta=True).reshape(h, wd, 4)
     if subtract_green:  # inverse transform: add green back to r and b
         g16 = out[:, :, 1].astype(np.int16)
         out[:, :, 0] = (out[:, :, 0].astype(np.int16) + g16) % 256

@@ -7265,8 +7265,9 @@ def m_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the sums from the checker parity count, so a
     hash match certifies the full encode+decode bit path.  Normal
     prefix codes + LZ77 are covered by m_webp_lz77_pixels (r4);
-    transforms, meta prefix images, 2D proximity distance codes and
-    lossy VP8 stay honest NotImplementedError slots inside the codec.
+    predictor/color/palette transforms, 2D proximity distance codes
+    and lossy VP8 stay honest NotImplementedError slots inside the
+    codec.
 
     Scale shape: map-only mapInPandas; payloads never shuffle and
     never touch the driver."""
@@ -8488,10 +8489,11 @@ def m_webp_lz77_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole normal-code + LZ77 encode/decode bit path.  lz_smaller
     additionally pins that the reference-bearing stream beats the
     literal-only encoding of the same image — i.e. the backrefs are
-    real, not an idle code path.  Remaining honest stubs: transforms,
-    meta prefix images, 2D proximity distance codes, lossy VP8
-    (functions/webp_vp8l.py docstring; the color cache became real
-    alongside — tested in test_webp.py).
+    real, not an idle code path.  Remaining honest stubs:
+    predictor/color/palette transforms, 2D proximity distance codes,
+    lossy VP8 (functions/webp_vp8l.py docstring; the color cache,
+    subtract-green and meta prefix images became real alongside —
+    tested in test_webp.py).
 
     Scale shape: map-only mapInPandas; payloads never shuffle and
     never touch the driver."""

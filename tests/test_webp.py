@@ -340,3 +340,49 @@ def test_vp8l_subtract_green_transform():
     img2 = rng.integers(0, 256, (9, 14, 4), dtype=np.uint8)
     enc = encode_vp8l(img2, cache_bits=4, subtract_green=True)
     assert np.array_equal(decode_vp8l(enc), img2)
+
+
+def test_vp8l_meta_prefix_images():
+    """Meta prefix images (multiple code groups): per-block-column
+    groups round-trip exactly across shapes and compose with LZ77 +
+    color cache + subtract-green; on content whose statistics differ
+    by region the grouped streams beat the single-group encoding."""
+    rng = np.random.default_rng(123)
+    for (h, w) in [(8, 16), (17, 33), (4, 4), (5, 70)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for mb in (2, 3, 5):
+            enc = encode_vp8l(img, cache_bits=4, subtract_green=True,
+                              meta_bits=mb)
+            assert np.array_equal(decode_vp8l(enc)[:, :, :3], img), (h, w, mb)
+    img = np.zeros((16, 64, 3), dtype=np.uint8)
+    img[:, :32] = rng.integers(0, 8, (16, 32, 3), dtype=np.uint8)
+    img[:, 32:] = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    meta = encode_vp8l(img, use_lz77=False, meta_bits=5)
+    assert np.array_equal(decode_vp8l(meta)[:, :, :3], img)
+    assert len(meta) < len(encode_vp8l(img, use_lz77=False))
+
+
+def test_vp8l_meta_prefix_corruption_typed_errors_only():
+    import random
+
+    from map2db_spark.functions.webp import WebpError
+
+    rng = np.random.default_rng(9)
+    enc = encode_vp8l(
+        rng.integers(0, 256, (9, 40, 3), dtype=np.uint8), meta_bits=3
+    )
+    pyr = random.Random(2)
+    for _ in range(400):
+        e = bytearray(enc)
+        i = pyr.randrange(20, len(e))
+        e[i] ^= 1 << pyr.randrange(8)
+        try:
+            out = decode_vp8l(bytes(e))
+            assert out.shape[2] == 4
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8l(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
