@@ -34,8 +34,11 @@ honors arbitrary maps).
 
 Honest envelope (everything else raises, never mis-decodes):
 
-- predictor / color / palette transforms: NotImplemented
-  (SUBTRACT-GREEN is implemented on both sides — transform type 2)
+- color / palette transforms: NotImplemented (SUBTRACT-GREEN, type
+  2, and the 14-mode PREDICTOR transform, type 0 with its recursive
+  block-mode image, are implemented on both sides; the predictor's
+  last-column top-right border rule is documented at the transform
+  section — self-generated streams never exercise it)
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
   decoder — see below)
@@ -345,6 +348,212 @@ def _prefix_decode_val(idx: int, r: _BitReader) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Predictor transform (type 0): 14 spatial predictors, block-mapped
+# ---------------------------------------------------------------------------
+#
+# Border rules (applied regardless of the block's mode, and documented
+# because external bit-parity is container-blocked): pixel (0,0)
+# predicts opaque black; the rest of row 0 predicts L; the rest of
+# column 0 predicts T; the top-right neighbor of the last column
+# substitutes T — and the ENCODER never selects a TR-using mode
+# (3/5/9/10) for a block touching the last column, so every
+# self-generated stream avoids the one spec-ambiguous corner.
+
+_TR_MODES = frozenset({3, 5, 9, 10})
+
+
+def _avg2(a, b):
+    return tuple((x + y) // 2 for x, y in zip(a, b))
+
+
+def _clamp_full(l, t, tl):
+    return tuple(
+        min(255, max(0, lc + tc - tlc)) for lc, tc, tlc in zip(l, t, tl)
+    )
+
+
+def _clamp_half(l, t, tl):
+    out = []
+    for lc, tc, tlc in zip(l, t, tl):
+        a = (lc + tc) // 2
+        d = a - tlc
+        # C-style truncation toward zero (matches the reference int
+        # division in the spec pseudo-code)
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(min(255, max(0, a + half)))
+    return tuple(out)
+
+
+def _select(l, t, tl):
+    p_l = sum(abs(tc - tlc) for tc, tlc in zip(t, tl))
+    p_t = sum(abs(lc - tlc) for lc, tlc in zip(l, tl))
+    return l if p_l < p_t else t
+
+
+def _predict_pixel(mode, l, t, tl, tr):
+    if mode == 0:
+        return (0, 0, 0, 255)  # opaque black (R,G,B,A layout)
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_full(l, t, tl)
+    if mode == 13:
+        return _clamp_half(l, t, tl)
+    raise WebpError(f"invalid predictor mode {mode}")
+
+
+def _inverse_predictor(res: np.ndarray, modes: np.ndarray,
+                       bits: int) -> np.ndarray:
+    """Scan-order reconstruction: out = (residual + predict(neighbors
+    of the already-reconstructed image)) mod 256, per channel."""
+    h, wd = res.shape[:2]
+    out = np.empty_like(res)
+    black = (0, 0, 0, 255)
+    for y in range(h):
+        for x in range(wd):
+            if y == 0 and x == 0:
+                pred = black
+            elif y == 0:
+                pred = tuple(int(v) for v in out[0, x - 1])
+            elif x == 0:
+                pred = tuple(int(v) for v in out[y - 1, 0])
+            else:
+                l = tuple(int(v) for v in out[y, x - 1])
+                t = tuple(int(v) for v in out[y - 1, x])
+                tl = tuple(int(v) for v in out[y - 1, x - 1])
+                tr = (
+                    tuple(int(v) for v in out[y - 1, x + 1])
+                    if x + 1 < wd
+                    else t  # last-column TR substitutes T (documented)
+                )
+                pred = _predict_pixel(
+                    int(modes[y >> bits, x >> bits]), l, t, tl, tr
+                )
+            for c in range(4):
+                out[y, x, c] = (int(res[y, x, c]) + pred[c]) % 256
+    return out
+
+
+def _neighbor_planes(img16: np.ndarray):
+    """Whole-image L/T/TL/TR neighbor planes (int16, borders zero —
+    border pixels get rule-overridden predictions anyway); TR's last
+    column substitutes T."""
+    h, wd = img16.shape[:2]
+    L = np.zeros_like(img16)
+    L[:, 1:] = img16[:, :-1]
+    T = np.zeros_like(img16)
+    T[1:, :] = img16[:-1, :]
+    TL = np.zeros_like(img16)
+    TL[1:, 1:] = img16[:-1, :-1]
+    TR = np.zeros_like(img16)
+    TR[1:, :-1] = img16[:-1, 1:]
+    TR[1:, wd - 1] = T[1:, wd - 1]
+    return L, T, TL, TR
+
+
+def _predict_plane(mode: int, img16, L, T, TL, TR) -> np.ndarray:
+    """Vectorized whole-image prediction for one mode (encoder side;
+    border overrides applied by the caller)."""
+    if mode == 0:
+        out = np.zeros_like(img16)
+        out[:, :, 3] = 255
+        return out
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return ((L + TR) // 2 + T) // 2
+    if mode == 6:
+        return (L + TL) // 2
+    if mode == 7:
+        return (L + T) // 2
+    if mode == 8:
+        return (TL + T) // 2
+    if mode == 9:
+        return (T + TR) // 2
+    if mode == 10:
+        return ((L + TL) // 2 + (T + TR) // 2) // 2
+    if mode == 11:
+        p_l = np.abs(T - TL).sum(axis=2, keepdims=True)
+        p_t = np.abs(L - TL).sum(axis=2, keepdims=True)
+        return np.where(p_l < p_t, L, T)
+    if mode == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:
+        a = (L + T) // 2
+        d = a - TL
+        half = np.sign(d) * (np.abs(d) // 2)  # trunc toward zero
+        return np.clip(a + half, 0, 255)
+    raise WebpError(f"invalid predictor mode {mode}")
+
+
+def _apply_predictor(rgba: np.ndarray, bits: int):
+    """Encoder: choose the cheapest mode per block (circular-residual
+    cost proxy), return (residual image, block mode map)."""
+    h, wd = rgba.shape[:2]
+    img16 = rgba.astype(np.int16)
+    L, T, TL, TR = _neighbor_planes(img16)
+    sub_w = (wd + (1 << bits) - 1) >> bits
+    sub_h = (h + (1 << bits) - 1) >> bits
+    preds = {}
+    costs = {}
+    for mode in range(14):
+        p = _predict_plane(mode, img16, L, T, TL, TR)
+        res = (img16 - p) % 256
+        preds[mode] = p
+        costs[mode] = np.minimum(res, 256 - res).sum(axis=2)
+    modes = np.zeros((sub_h, sub_w), dtype=np.int32)
+    pred = np.zeros_like(img16)
+    for by in range(sub_h):
+        for bx in range(sub_w):
+            ys = slice(by << bits, min((by + 1) << bits, h))
+            xs = slice(bx << bits, min((bx + 1) << bits, wd))
+            touches_last = ((bx + 1) << bits) >= wd
+            best, best_cost = 0, None
+            for mode in range(14):
+                if touches_last and mode in _TR_MODES:
+                    continue  # keep self-generated streams unambiguous
+                c = int(costs[mode][ys, xs].sum())
+                if best_cost is None or c < best_cost:
+                    best, best_cost = mode, c
+            modes[by, bx] = best
+            pred[ys, xs] = preds[best][ys, xs]
+    # border overrides (rule trumps block mode)
+    if wd > 1:
+        pred[0, 1:] = img16[0, :-1]  # row 0: L
+    if h > 1:
+        pred[1:, 0] = img16[:-1, 0]  # column 0: T
+    pred[0, 0] = (0, 0, 0, 255)
+    residual = ((img16 - pred) % 256).astype(np.uint8)
+    return residual, modes
+
+
+# ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
@@ -526,6 +735,7 @@ def _write_codes_and_tokens(
 def encode_vp8l(
     img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0,
     subtract_green: bool = False, meta_bits: int = 0,
+    predict_bits: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
@@ -537,7 +747,11 @@ def encode_vp8l(
     PREFIX IMAGE: the image splits into 2^meta_bits-pixel blocks,
     each block-column's code group gets its own 5 prefix codes, and
     the per-block group map is itself carried as a recursively-coded
-    VP8L entropy image — the spec's locally-adaptive entropy coding."""
+    VP8L entropy image — the spec's locally-adaptive entropy coding.
+    predict_bits (2..5) enables the PREDICTOR transform: 14 spatial
+    predictors chosen per 2^predict_bits block (mode map carried as a
+    recursive VP8L image), residuals entropy-coded — the transform
+    that makes photographic content compress."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
@@ -545,6 +759,8 @@ def encode_vp8l(
         raise WebpError("cache_bits must be 0 (off) .. 11")
     if meta_bits and not 2 <= meta_bits <= 5:
         raise WebpError("meta_bits must be 0 (off) or 2..5")
+    if predict_bits and not 2 <= predict_bits <= 5:
+        raise WebpError("predict_bits must be 0 (off) or 2..5")
     h, wd = img.shape[:2]
     if not (0 < wd <= (1 << 14) and 0 < h <= (1 << 14)):
         raise WebpError(f"dims out of 14-bit range: {wd}x{h}")
@@ -559,6 +775,9 @@ def encode_vp8l(
         g = rgba[:, :, 1]
         rgba[:, :, 0] = (rgba[:, :, 0].astype(np.int16) - g) % 256
         rgba[:, :, 2] = (rgba[:, :, 2].astype(np.int16) - g) % 256
+    pred_modes = None
+    if predict_bits:
+        rgba, pred_modes = _apply_predictor(rgba, predict_bits)
     flat = rgba.reshape(-1, 4).astype(np.uint32)
     pix = (
         (flat[:, 3] << 24) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
@@ -570,9 +789,28 @@ def encode_vp8l(
     w.write(h - 1, 14)
     w.write(0, 1)  # alpha-used hint (informational)
     w.write(0, 3)  # version
+    # transform list: the decoder inverse-applies in REVERSE read
+    # order, so subtract-green (applied first at encode) is written
+    # first and the predictor (applied to the SG output) second
     if subtract_green:
-        w.write(1, 1)  # one transform follows...
+        w.write(1, 1)  # a transform follows...
         w.write(2, 2)  # ...subtract-green (type 2, no payload)
+    if pred_modes is not None:
+        w.write(1, 1)  # a transform follows...
+        w.write(0, 2)  # ...predictor (type 0)
+        w.write(predict_bits - 2, 3)
+        # block-mode map as a recursive VP8L image: mode in the green
+        # channel ((r << 8) | g = mode), literal-only, no cache/meta
+        mpix = (
+            (np.uint32(0xFF) << 24)
+            | ((pred_modes.astype(np.uint32) & 0xFF) << 8)
+        ).reshape(-1)
+        w.write(0, 1)  # mode stream: no color cache
+        _write_codes_and_tokens(
+            w,
+            _tokenize(mpix, pred_modes.shape[1], use_lz77=False, cache_bits=0),
+            0, 1, lambda _pos: 0,
+        )
     w.write(0, 1)  # end of transforms
     if cache_bits:
         w.write(1, 1)
@@ -787,22 +1025,39 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise WebpError("unknown VP8L version")
-    subtract_green = False
+    transforms: list[tuple] = []
+    seen_types = set()
     while r.read(1):  # transform list
         ttype = r.read(2)
+        if ttype in seen_types:
+            raise WebpError(f"duplicate transform type {ttype}")
+        seen_types.add(ttype)
         if ttype == 2:  # subtract-green: no payload
-            if subtract_green:
-                raise WebpError("duplicate subtract-green transform")
-            subtract_green = True
+            transforms.append(("subtract-green",))
+        elif ttype == 0:  # predictor: block-mode map follows
+            bits = r.read(3) + 2
+            sub_w = (wd + (1 << bits) - 1) >> bits
+            sub_h = (h + (1 << bits) - 1) >> bits
+            mpix = _read_image_stream(r, sub_w, sub_h, allow_meta=False)
+            modes = (
+                (mpix[:, 0].astype(np.int32) << 8)
+                | mpix[:, 1].astype(np.int32)
+            ).reshape(sub_h, sub_w)
+            if int(modes.max()) > 13:
+                raise WebpError(f"invalid predictor mode {int(modes.max())}")
+            transforms.append(("predictor", bits, modes))
         else:
             raise NotImplementedError(
-                "VP8L predictor/color/palette transforms not supported"
+                "VP8L color/palette transforms not supported"
             )
     out = _read_image_stream(r, wd, h, allow_meta=True).reshape(h, wd, 4)
-    if subtract_green:  # inverse transform: add green back to r and b
-        g16 = out[:, :, 1].astype(np.int16)
-        out[:, :, 0] = (out[:, :, 0].astype(np.int16) + g16) % 256
-        out[:, :, 2] = (out[:, :, 2].astype(np.int16) + g16) % 256
+    for t in reversed(transforms):  # inverse-apply in reverse read order
+        if t[0] == "predictor":
+            out = _inverse_predictor(out, t[2], t[1])
+        else:  # subtract-green: add green back to r and b
+            g16 = out[:, :, 1].astype(np.int16)
+            out[:, :, 0] = (out[:, :, 0].astype(np.int16) + g16) % 256
+            out[:, :, 2] = (out[:, :, 2].astype(np.int16) + g16) % 256
     return out
 
 

@@ -386,3 +386,54 @@ def test_vp8l_meta_prefix_corruption_typed_errors_only():
             decode_vp8l(enc[:cut])
         except (WebpError, NotImplementedError):
             pass
+
+
+def test_vp8l_predictor_transform():
+    """Predictor transform (type 0): 14 spatial predictors chosen per
+    block, mode map carried as a recursive VP8L image.  Smooth
+    gradients must compress hard (>3x vs no transform) and everything
+    round-trips exactly, alone and stacked with subtract-green +
+    color cache + LZ77, including 1x1 and non-block-aligned shapes."""
+    rng = np.random.default_rng(55)
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx * 2 + yy * 5 + 40) % 256,
+         (xx + yy) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    pred = encode_vp8l(img, use_lz77=False, predict_bits=4)
+    assert np.array_equal(decode_vp8l(pred)[:, :, :3], img)
+    assert len(pred) * 3 < len(encode_vp8l(img, use_lz77=False))
+    for (h, w) in [(1, 1), (3, 17), (16, 16), (9, 33)]:
+        im = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        for pb in (2, 5):
+            enc = encode_vp8l(im, cache_bits=4, subtract_green=True,
+                              predict_bits=pb)
+            assert np.array_equal(decode_vp8l(enc), im), (h, w, pb)
+
+
+def test_vp8l_predictor_corruption_typed_errors_only():
+    import random
+
+    from map2db_spark.functions.webp import WebpError
+
+    rng = np.random.default_rng(8)
+    img = (np.cumsum(rng.integers(-6, 7, (12, 20, 3)), axis=1) % 256).astype(
+        np.uint8
+    )
+    enc = encode_vp8l(img, predict_bits=3, subtract_green=True)
+    pyr = random.Random(4)
+    for _ in range(400):
+        e = bytearray(enc)
+        i = pyr.randrange(20, len(e))
+        e[i] ^= 1 << pyr.randrange(8)
+        try:
+            out = decode_vp8l(bytes(e))
+            assert out.shape[2] == 4
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8l(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
