@@ -52,8 +52,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     4:4:4, 8-bit); lossless-WebP payloads decode with
     functions/webp_vp8l.py — simple AND normal (code-length-coded)
     prefix codes plus LZ77 backward references, the color cache and
-    the subtract-green + 14-mode predictor transforms and meta prefix
-    images (color/palette transforms / 2D proximity distance codes /
+    the subtract-green + 14-mode predictor + palette transforms and
+    meta prefix images (cross-channel color transform / 2D proximity
+    distance codes /
     lossy VP8 raise NotImplementedError inside the codec — the honest
     remaining
     envelope, now down to the parts that genuinely need a transform

@@ -34,11 +34,13 @@ honors arbitrary maps).
 
 Honest envelope (everything else raises, never mis-decodes):
 
-- color / palette transforms: NotImplemented (SUBTRACT-GREEN, type
-  2, and the 14-mode PREDICTOR transform, type 0 with its recursive
-  block-mode image, are implemented on both sides; the predictor's
+- color transform (type 1): NotImplemented (SUBTRACT-GREEN, the
+  14-mode PREDICTOR with its recursive block-mode image, and the
+  COLOR-INDEXING/palette transform with delta-coded palette + index
+  bundling are all implemented on both sides; the predictor's
   last-column top-right border rule is documented at the transform
-  section — self-generated streams never exercise it)
+  section — self-generated streams never exercise it; palette
+  combined with other transforms raises, packed-width interplay)
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
   decoder — see below)
@@ -554,6 +556,46 @@ def _apply_predictor(rgba: np.ndarray, bits: int):
 
 
 # ---------------------------------------------------------------------------
+# Color-indexing transform (type 3): palette + index bundling
+# ---------------------------------------------------------------------------
+
+
+def _palette_bundle(size: int) -> tuple[int, int]:
+    """(pixels_per_packed_pixel, bits_per_index) for a palette size:
+    <=2 colors pack 8 indices into one green byte, <=4 pack 4, <=16
+    pack 2, else 1 (spec pixel bundling)."""
+    if size <= 2:
+        return 8, 1
+    if size <= 4:
+        return 4, 2
+    if size <= 16:
+        return 2, 4
+    return 1, 8
+
+
+def _pack_indices(idx: np.ndarray, wd: int, ppp: int, bits: int) -> np.ndarray:
+    """(h, w) indices -> (h, ceil(w/ppp)) packed green bytes; the
+    FIRST sub-pixel occupies the LEAST significant bits."""
+    h = idx.shape[0]
+    packed_w = (wd + ppp - 1) // ppp
+    out = np.zeros((h, packed_w), dtype=np.uint32)
+    for k in range(ppp):
+        cols = idx[:, k::ppp]
+        out[:, : cols.shape[1]] |= cols.astype(np.uint32) << (k * bits)
+    return out
+
+
+def _unpack_indices(green: np.ndarray, wd: int, ppp: int,
+                    bits: int) -> np.ndarray:
+    h = green.shape[0]
+    out = np.zeros((h, wd), dtype=np.int32)
+    mask = (1 << bits) - 1
+    for x in range(wd):
+        out[:, x] = (green[:, x // ppp] >> ((x % ppp) * bits)) & mask
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
@@ -735,7 +777,7 @@ def _write_codes_and_tokens(
 def encode_vp8l(
     img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0,
     subtract_green: bool = False, meta_bits: int = 0,
-    predict_bits: int = 0,
+    predict_bits: int = 0, palette: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
@@ -751,7 +793,11 @@ def encode_vp8l(
     predict_bits (2..5) enables the PREDICTOR transform: 14 spatial
     predictors chosen per 2^predict_bits block (mode map carried as a
     recursive VP8L image), residuals entropy-coded — the transform
-    that makes photographic content compress."""
+    that makes photographic content compress.  palette=True enables
+    the COLOR-INDEXING transform (<= 256 distinct colors; the delta-
+    coded palette rides a recursive VP8L image and small palettes
+    bundle 2/4/8 indices per packed green byte) — standalone only in
+    this encoder, and mutually exclusive with the other transforms."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise WebpError(f"expected (h, w, 3|4) image, got {img.shape}")
@@ -775,6 +821,10 @@ def encode_vp8l(
         g = rgba[:, :, 1]
         rgba[:, :, 0] = (rgba[:, :, 0].astype(np.int16) - g) % 256
         rgba[:, :, 2] = (rgba[:, :, 2].astype(np.int16) - g) % 256
+    if palette and (subtract_green or predict_bits or meta_bits):
+        raise WebpError(
+            "this encoder writes the palette transform standalone only"
+        )
     pred_modes = None
     if predict_bits:
         rgba, pred_modes = _apply_predictor(rgba, predict_bits)
@@ -782,7 +832,23 @@ def encode_vp8l(
     pix = (
         (flat[:, 3] << 24) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
     )
-    tokens = _tokenize(pix, wd, use_lz77, cache_bits)
+    pal_colors = None
+    token_wd = wd
+    if palette:
+        pal_colors = np.unique(pix)
+        if len(pal_colors) > 256:
+            raise WebpError(
+                f"palette transform needs <= 256 colors, got {len(pal_colors)}"
+            )
+        lut = {int(c): i for i, c in enumerate(pal_colors)}
+        idx = np.array([lut[int(v)] for v in pix], dtype=np.int32).reshape(
+            h, wd
+        )
+        ppp, bits = _palette_bundle(len(pal_colors))
+        packed = _pack_indices(idx, wd, ppp, bits)
+        token_wd = packed.shape[1]
+        pix = ((np.uint32(0xFF) << 24) | (packed << 8)).reshape(-1)
+    tokens = _tokenize(pix, token_wd, use_lz77, cache_bits)
 
     w = _BitWriter()
     w.write(wd - 1, 14)
@@ -792,6 +858,26 @@ def encode_vp8l(
     # transform list: the decoder inverse-applies in REVERSE read
     # order, so subtract-green (applied first at encode) is written
     # first and the predictor (applied to the SG output) second
+    if pal_colors is not None:
+        w.write(1, 1)  # a transform follows...
+        w.write(3, 2)  # ...color indexing (type 3)
+        w.write(len(pal_colors) - 1, 8)
+        # delta-coded palette as a recursive width x 1 VP8L image
+        deltas = np.zeros(len(pal_colors), dtype=np.uint32)
+        prev = 0
+        for i, c in enumerate(pal_colors):
+            c = int(c)
+            d = 0
+            for shift in (0, 8, 16, 24):
+                d |= (((c >> shift) - (prev >> shift)) & 0xFF) << shift
+            deltas[i] = d
+            prev = c
+        w.write(0, 1)  # palette stream: no color cache
+        _write_codes_and_tokens(
+            w,
+            _tokenize(deltas, len(pal_colors), use_lz77=False, cache_bits=0),
+            0, 1, lambda _pos: 0,
+        )
     if subtract_green:
         w.write(1, 1)  # a transform follows...
         w.write(2, 2)  # ...subtract-green (type 2, no payload)
@@ -1046,14 +1132,41 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             if int(modes.max()) > 13:
                 raise WebpError(f"invalid predictor mode {int(modes.max())}")
             transforms.append(("predictor", bits, modes))
+        elif ttype == 3:  # color indexing: delta-coded palette follows
+            size = r.read(8) + 1
+            ppix = _read_image_stream(r, size, 1, allow_meta=False)
+            # un-delta: component-wise running sum mod 256
+            pal = np.cumsum(ppix.astype(np.int32), axis=0) % 256
+            transforms.append(("palette", size, pal.astype(np.uint8)))
         else:
             raise NotImplementedError(
-                "VP8L color/palette transforms not supported"
+                "VP8L color transform (type 1) not supported"
             )
-    out = _read_image_stream(r, wd, h, allow_meta=True).reshape(h, wd, 4)
+    pal_t = next((t for t in transforms if t[0] == "palette"), None)
+    if pal_t is not None and len(transforms) > 1:
+        raise NotImplementedError(
+            "palette combined with other transforms not supported "
+            "(packed-width interplay)"
+        )
+    eff_wd = wd
+    if pal_t is not None:
+        ppp, _bits = _palette_bundle(pal_t[1])
+        eff_wd = (wd + ppp - 1) // ppp
+    out = _read_image_stream(r, eff_wd, h, allow_meta=True).reshape(
+        h, eff_wd, 4
+    )
     for t in reversed(transforms):  # inverse-apply in reverse read order
         if t[0] == "predictor":
             out = _inverse_predictor(out, t[2], t[1])
+        elif t[0] == "palette":
+            size, pal = t[1], t[2]
+            ppp, bits = _palette_bundle(size)
+            idx = _unpack_indices(
+                out[:, :, 1].astype(np.uint32), wd, ppp, bits
+            )
+            if int(idx.max(initial=0)) >= size:
+                raise WebpError("palette index beyond color table")
+            out = pal[idx]  # (h, wd, 4) lookup
         else:  # subtract-green: add green back to r and b
             g16 = out[:, :, 1].astype(np.int16)
             out[:, :, 0] = (out[:, :, 0].astype(np.int16) + g16) % 256

@@ -437,3 +437,55 @@ def test_vp8l_predictor_corruption_typed_errors_only():
             decode_vp8l(enc[:cut])
         except (WebpError, NotImplementedError):
             pass
+
+
+def test_vp8l_palette_transform():
+    """Color-indexing transform (type 3): delta-coded palette rides a
+    recursive VP8L image, small palettes bundle 2/4/8 indices per
+    packed green byte.  Round-trips exactly at every palette size and
+    bundle-width edge, beats non-palette coding, and refuses > 256
+    colors with a typed error."""
+    from map2db_spark.functions.webp import WebpError
+
+    rng = np.random.default_rng(66)
+    for n_colors in (2, 4, 9, 16, 17, 256):
+        pal = rng.integers(0, 256, (n_colors, 4), dtype=np.uint8)
+        pal[:, 3] = 255
+        pal = np.unique(pal, axis=0)
+        img = pal[rng.integers(0, len(pal), (13, 29))]
+        enc = encode_vp8l(img, palette=True)
+        assert np.array_equal(decode_vp8l(enc), img), n_colors
+        assert len(enc) < len(encode_vp8l(img)), n_colors
+    for w in (1, 7, 8, 9, 17):  # bundle-width edges at 8 indices/byte
+        img = (rng.integers(0, 2, (5, w, 3)) * 255).astype(np.uint8)
+        assert np.array_equal(
+            decode_vp8l(encode_vp8l(img, palette=True))[:, :, :3], img
+        ), w
+    with pytest.raises(WebpError):
+        encode_vp8l(rng.integers(0, 256, (30, 30, 3), dtype=np.uint8),
+                    palette=True)
+
+
+def test_vp8l_palette_corruption_typed_errors_only():
+    import random
+
+    from map2db_spark.functions.webp import WebpError
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (10, 3), dtype=np.uint8)
+    enc = encode_vp8l(pal[rng.integers(0, 10, (11, 23))], palette=True)
+    pyr = random.Random(6)
+    for _ in range(400):
+        e = bytearray(enc)
+        i = pyr.randrange(20, len(e))
+        e[i] ^= 1 << pyr.randrange(8)
+        try:
+            out = decode_vp8l(bytes(e))
+            assert out.shape[2] == 4
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8l(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
