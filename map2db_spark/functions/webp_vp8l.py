@@ -556,6 +556,97 @@ def _apply_predictor(rgba: np.ndarray, bits: int):
 
 
 # ---------------------------------------------------------------------------
+# Color transform (type 1): cross-channel decorrelation, block-mapped
+# ---------------------------------------------------------------------------
+#
+# Each block carries three signed 3.5-fixed-point multipliers
+# (green_to_red, green_to_blue, red_to_blue).  Forward: red -=
+# delta(g2r, green); blue -= delta(g2b, green) + delta(r2b, ORIGINAL
+# red); inverse adds them back red-first so blue can use the
+# reconstructed red.  delta(t, c) = (int8(t) * int8(c)) >> 5 with an
+# arithmetic (floor) shift — both operands reinterpreted as SIGNED
+# bytes, exactly the spec's pseudo-code.  The block map rides a
+# recursive VP8L image with red = red_to_blue, green = green_to_blue,
+# blue = green_to_red.
+
+
+def _i8(v):
+    """Reinterpret a uint8 ndarray/int as signed int8 (int32 result)."""
+    v = np.asarray(v).astype(np.int32)
+    return np.where(v >= 128, v - 256, v)
+
+
+def _ct_delta(t, c):
+    return (_i8(t) * _i8(c)) >> 5  # numpy >> floors (arithmetic shift)
+
+
+def _apply_color_transform(rgba: np.ndarray, bits: int):
+    """Encoder: per block choose g2r minimizing the red residual, then
+    (g2b, r2b) jointly minimizing the blue residual, over a small
+    candidate multiplier set; returns (transformed image, cte map)."""
+    h, wd = rgba.shape[:2]
+    out = rgba.copy()
+    red = rgba[:, :, 0].astype(np.int32)
+    green = rgba[:, :, 1].astype(np.int32)
+    blue = rgba[:, :, 2].astype(np.int32)
+    cands = (0, 16, 32, 48, 240, 224, 208)  # 0, +-0.5, +-1.0, +-1.5
+    sub_w = (wd + (1 << bits) - 1) >> bits
+    sub_h = (h + (1 << bits) - 1) >> bits
+    ctes = np.zeros((sub_h, sub_w, 3), dtype=np.uint8)  # g2r, g2b, r2b
+
+    def cost(res):
+        return int(np.minimum(res, 256 - res).sum())
+
+    for by in range(sub_h):
+        for bx in range(sub_w):
+            ys = slice(by << bits, min((by + 1) << bits, h))
+            xs = slice(bx << bits, min((bx + 1) << bits, wd))
+            g, r, b = green[ys, xs], red[ys, xs], blue[ys, xs]
+            best_g2r = min(
+                cands, key=lambda t: cost((r - _ct_delta(t, g)) % 256)
+            )
+            new_r = (r - _ct_delta(best_g2r, g)) % 256
+            best = (0, 0)
+            best_cost = None
+            for g2b in cands:
+                d1 = _ct_delta(g2b, g)
+                for r2b in cands:
+                    c = cost((b - d1 - _ct_delta(r2b, r)) % 256)
+                    if best_cost is None or c < best_cost:
+                        best, best_cost = (g2b, r2b), c
+            g2b, r2b = best
+            ctes[by, bx] = (best_g2r, g2b, r2b)
+            out[ys, xs, 0] = new_r.astype(np.uint8)
+            out[ys, xs, 2] = (
+                (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) % 256
+            ).astype(np.uint8)
+    return out, ctes
+
+
+def _inverse_color_transform(img: np.ndarray, ctes: np.ndarray,
+                             bits: int) -> np.ndarray:
+    """Decoder: add the deltas back, red first (blue uses the
+    reconstructed red) — vectorized per block."""
+    h, wd = img.shape[:2]
+    out = img.copy()
+    for by in range(ctes.shape[0]):
+        for bx in range(ctes.shape[1]):
+            ys = slice(by << bits, min((by + 1) << bits, h))
+            xs = slice(bx << bits, min((bx + 1) << bits, wd))
+            g2r, g2b, r2b = (int(v) for v in ctes[by, bx])
+            g = out[ys, xs, 1]
+            r = (out[ys, xs, 0].astype(np.int32) + _ct_delta(g2r, g)) % 256
+            b = (
+                out[ys, xs, 2].astype(np.int32)
+                + _ct_delta(g2b, g)
+                + _ct_delta(r2b, r)
+            ) % 256
+            out[ys, xs, 0] = r.astype(np.uint8)
+            out[ys, xs, 2] = b.astype(np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Color-indexing transform (type 3): palette + index bundling
 # ---------------------------------------------------------------------------
 
@@ -778,6 +869,7 @@ def encode_vp8l(
     img: np.ndarray, use_lz77: bool = True, cache_bits: int = 0,
     subtract_green: bool = False, meta_bits: int = 0,
     predict_bits: int = 0, palette: bool = False,
+    color_bits: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
@@ -821,10 +913,15 @@ def encode_vp8l(
         g = rgba[:, :, 1]
         rgba[:, :, 0] = (rgba[:, :, 0].astype(np.int16) - g) % 256
         rgba[:, :, 2] = (rgba[:, :, 2].astype(np.int16) - g) % 256
-    if palette and (subtract_green or predict_bits or meta_bits):
+    if color_bits and not 2 <= color_bits <= 5:
+        raise WebpError("color_bits must be 0 (off) or 2..5")
+    if palette and (subtract_green or predict_bits or meta_bits or color_bits):
         raise WebpError(
             "this encoder writes the palette transform standalone only"
         )
+    ctes = None
+    if color_bits:
+        rgba, ctes = _apply_color_transform(rgba, color_bits)
     pred_modes = None
     if predict_bits:
         rgba, pred_modes = _apply_predictor(rgba, predict_bits)
@@ -881,6 +978,24 @@ def encode_vp8l(
     if subtract_green:
         w.write(1, 1)  # a transform follows...
         w.write(2, 2)  # ...subtract-green (type 2, no payload)
+    if ctes is not None:
+        w.write(1, 1)  # a transform follows...
+        w.write(1, 2)  # ...color transform (type 1)
+        w.write(color_bits - 2, 3)
+        # cte map as a recursive VP8L image: r = red_to_blue,
+        # g = green_to_blue, b = green_to_red
+        cpix = (
+            (np.uint32(0xFF) << 24)
+            | (ctes[:, :, 2].astype(np.uint32) << 16)
+            | (ctes[:, :, 1].astype(np.uint32) << 8)
+            | ctes[:, :, 0].astype(np.uint32)
+        ).reshape(-1)
+        w.write(0, 1)  # cte stream: no color cache
+        _write_codes_and_tokens(
+            w,
+            _tokenize(cpix, ctes.shape[1], use_lz77=False, cache_bits=0),
+            0, 1, lambda _pos: 0,
+        )
     if pred_modes is not None:
         w.write(1, 1)  # a transform follows...
         w.write(0, 2)  # ...predictor (type 0)
@@ -1138,10 +1253,18 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             # un-delta: component-wise running sum mod 256
             pal = np.cumsum(ppix.astype(np.int32), axis=0) % 256
             transforms.append(("palette", size, pal.astype(np.uint8)))
-        else:
-            raise NotImplementedError(
-                "VP8L color transform (type 1) not supported"
-            )
+        elif ttype == 1:  # color transform: cte map follows
+            bits = r.read(3) + 2
+            sub_w = (wd + (1 << bits) - 1) >> bits
+            sub_h = (h + (1 << bits) - 1) >> bits
+            cpix = _read_image_stream(r, sub_w, sub_h, allow_meta=False)
+            # r = red_to_blue, g = green_to_blue, b = green_to_red
+            ctes = np.stack(
+                [cpix[:, 2], cpix[:, 1], cpix[:, 0]], axis=-1
+            ).reshape(sub_h, sub_w, 3)
+            transforms.append(("color", bits, ctes))
+        else:  # pragma: no cover - 2-bit type is exhaustive above
+            raise WebpError(f"unknown transform type {ttype}")
     pal_t = next((t for t in transforms if t[0] == "palette"), None)
     if pal_t is not None and len(transforms) > 1:
         raise NotImplementedError(
@@ -1158,6 +1281,8 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
     for t in reversed(transforms):  # inverse-apply in reverse read order
         if t[0] == "predictor":
             out = _inverse_predictor(out, t[2], t[1])
+        elif t[0] == "color":
+            out = _inverse_color_transform(out, t[2], t[1])
         elif t[0] == "palette":
             size, pal = t[1], t[2]
             ppp, bits = _palette_bundle(size)
