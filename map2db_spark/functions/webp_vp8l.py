@@ -32,15 +32,19 @@ each group gets its own 5 prefix codes — the spec's locally-adaptive
 entropy coding (the encoder groups by block column; the decoder
 honors arbitrary maps).
 
+All four transforms are implemented on both sides: SUBTRACT-GREEN,
+the 14-mode PREDICTOR with its recursive block-mode image, the
+cross-channel COLOR transform (type 1: per-block signed 3.5
+fixed-point g2r/g2b/r2b multipliers, cte map as a recursive VP8L
+image), and the COLOR-INDEXING/palette transform with delta-coded
+palette + index bundling.  The predictor's last-column top-right
+border rule is documented at the transform section — self-generated
+streams never exercise it.
+
 Honest envelope (everything else raises, never mis-decodes):
 
-- color transform (type 1): NotImplemented (SUBTRACT-GREEN, the
-  14-mode PREDICTOR with its recursive block-mode image, and the
-  COLOR-INDEXING/palette transform with delta-coded palette + index
-  bundling are all implemented on both sides; the predictor's
-  last-column top-right border rule is documented at the transform
-  section — self-generated streams never exercise it; palette
-  combined with other transforms raises, packed-width interplay)
+- palette combined with other transforms: NotImplemented
+  (packed-width interplay)
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
   decoder — see below)
@@ -75,6 +79,11 @@ _GREEN_ALPHABET = 256 + 24  # literals + length prefixes (no color cache)
 _CHANNEL_ALPHABET = 256
 _DIST_ALPHABET = 40
 _MAX_LZ_LEN = 4096
+# Largest backward distance the 40-symbol distance alphabet can carry
+# as a DIRECT code: prefix index of (dist + 120 - 1) must stay < 40,
+# i.e. dist <= 2^20 - 120.  Farther candidates are skipped by the
+# matcher (they would silently fall out of the stored code otherwise).
+_MAX_LZ_DIST = (1 << 20) - 120
 _MAX_CODE_LEN = 15
 _MAX_CL_CODE_LEN = 7  # cl-code lengths are written in 3 bits
 
@@ -250,6 +259,8 @@ def _write_normal_code(w: _BitWriter, lengths: dict[int, int],
     so the cl tree stays Kraft-complete (a strict decoder rejects
     incomplete codes)."""
     w.write(0, 1)  # normal form
+    if any(s >= alphabet_size for s in lengths):
+        raise WebpError("code length for symbol outside the alphabet")
     lens = [lengths.get(s, 0) for s in range(alphabet_size)]
     cl_freqs: dict[int, int] = {}
     for ln in lens:
@@ -731,7 +742,7 @@ def _greedy_lz77(
             cands.append(i - width)
         for j in cands:
             dist = i - j
-            if dist < 1:
+            if dist < 1 or dist > _MAX_LZ_DIST:
                 continue
             limit = min(_MAX_LZ_LEN, n - i)
             ln = 0
@@ -761,6 +772,13 @@ def _store_code(w: _BitWriter, freqs: dict[int, int],
     the symbol->(code,length) map for the scan (zero-bit single-symbol
     codes map to (0, 0))."""
     used = sorted(s for s in freqs if freqs[s] > 0)
+    if used and used[-1] >= alphabet_size:
+        # a symbol outside the alphabet would be dropped from the
+        # stored code while the scan still emits its word -> an
+        # undecodable stream; fail loudly instead
+        raise WebpError(
+            f"symbol {used[-1]} outside alphabet of {alphabet_size}"
+        )
     if not used:
         used = [0]  # defined-but-unused code (e.g. distance w/o refs)
     if len(used) <= 2 and all(s <= 255 for s in used):
@@ -1194,11 +1212,12 @@ def _read_image_stream(r: _BitReader, wd: int, h: int,
 
 def decode_vp8l(buf: bytes) -> np.ndarray:
     """Decode a VP8L WebP file (simple + normal prefix codes, LZ77
-    with direct distance codes, color cache, subtract-green, meta
-    prefix images) to an (h, w, 4) RGBA uint8 array.  Raises
-    WebpError on malformed input and NotImplementedError outside the
-    envelope (predictor/color/palette transforms, 2D proximity
-    distance codes, lossy VP8)."""
+    with direct distance codes, color cache, meta prefix images, and
+    all four transforms: subtract-green, predictor, cross-channel
+    color, color-indexing/palette) to an (h, w, 4) RGBA uint8 array.
+    Raises WebpError on malformed input and NotImplementedError
+    outside the envelope (palette combined with other transforms, 2D
+    proximity distance codes, lossy VP8)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise WebpError("bad magic: not a WebP container")
     pos = 12

@@ -52,7 +52,17 @@ def ranked(
     order (always pass a unique tiebreak), the rank equals
     ``row_number() - 1`` and is deterministic.  The total count comes
     free from the prefix-sum pass — ``with_ntile`` / ``with_percent_rank``
-    turn it into the classic global analytics without a window."""
+    turn it into the classic global analytics without a window.
+
+    Cache contract: the range-partitioned input is persisted so the
+    count pass and the id pass see identical (sampled) partition
+    boundaries, and it MUST stay cached while the returned plan can
+    still recompute — eager unpersist would re-sample the ranges and
+    desync the broadcast offsets.  The pinned DataFrame rides on the
+    result as ``_m2db_pinned``; callers that fully materialize the
+    result (write / checkpoint / persist-and-count) may reclaim the
+    memory via :func:`release_pinned`.  Left alone it is reclaimed by
+    Spark's LRU block eviction, never incorrectness."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     id_col = rank_col
@@ -89,7 +99,20 @@ def ranked(
             local += len(pdf)
             yield pdf
 
-    return with_pid.mapInPandas(add_ids, schema=out_schema).drop(pid_col), acc
+    out = with_pid.mapInPandas(add_ids, schema=out_schema).drop(pid_col)
+    out._m2db_pinned = with_pid  # see "Cache contract" in the docstring
+    return out, acc
+
+
+def release_pinned(df: DataFrame) -> None:
+    """Unpersist the partition-boundary cache pinned under a
+    :func:`ranked` / :func:`with_prefix_sums` result.  Only call after
+    the result has been fully materialized (written, checkpointed, or
+    persisted and counted) — the plan re-samples its range boundaries
+    on recompute and the broadcast offsets would no longer line up."""
+    pinned = getattr(df, "_m2db_pinned", None)
+    if pinned is not None:
+        pinned.unpersist(blocking=False)
 
 
 def _ntile_bounds(n: int, k: int) -> tuple[int, int, int]:
@@ -167,6 +190,11 @@ def with_prefix_sums(
     be a total order per distinct row for a deterministic result —
     for the ECDF use-case the input is already one row per distinct
     value, so the order key alone is unique.
+
+    Cache contract: same as :func:`ranked` — the range-partitioned
+    input stays persisted (pinned on the result as ``_m2db_pinned``)
+    so recomputes keep the sampled boundaries; release with
+    :func:`release_pinned` once the result is materialized.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -209,4 +237,6 @@ def with_prefix_sums(
                 local[i] += int(vals.sum())
             yield pdf.assign(**new_cols)
 
-    return with_pid.mapInPandas(add_cums, schema=out_schema).drop(pid_col)
+    out = with_pid.mapInPandas(add_cums, schema=out_schema).drop(pid_col)
+    out._m2db_pinned = with_pid  # see "Cache contract" in the docstring
+    return out

@@ -309,16 +309,22 @@ def a4_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a5_rownum_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 sequential id assignment (map2db.py:842-843): reproducible ids
-    require a total deterministic order — row_number over an explicit
-    sort, never monotonically_increasing_id (partition-layout dependent).
-    Scale note: a global row_number is a single-partition sort; for 100 TB
-    use zipWithIndex-style two-pass (per-partition count + offset) — the
-    engine provides that in operators/ids.py.
-    """
-    p = Tables(spark, sf_dir).part
-    return p.select(
-        "p_partkey",
-        F.row_number().over(Window.orderBy("p_brand", "p_partkey")).alias("m2db_id"),
+    require a total deterministic order — never
+    monotonically_increasing_id (partition-layout dependent).  A global
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through ONE
+    reducer — a full sort of the table on a single task at 100 TB — so
+    this routes through operators/ids.ranked: range-repartition on the
+    ordering key, O(partitions) counts to the driver, per-partition
+    local index + broadcast offset.  (p_brand, p_partkey) is a total
+    order (p_partkey unique), so rank0 + 1 == row_number exactly and
+    the output is provably identical to the window form the r1 driver
+    row graded — a plan-only rewiring."""
+    from map2db_spark.operators.ids import ranked
+
+    p = Tables(spark, sf_dir).part.select("p_partkey", "p_brand")
+    out, _n = ranked(p, ["p_brand", "p_partkey"], rank_col="rank0")
+    return out.select(
+        "p_partkey", (F.col("rank0") + 1).cast("long").alias("m2db_id")
     )
 
 

@@ -72,8 +72,31 @@ _LOADED = False
 # to the front.  Remove a name from this set if its semantics change
 # (it then needs re-grading).
 _DRIVER_VERIFIED = frozenset({
+    # --- green in CORRECTNESS_r04.json (round-4 driver window) ---
+    "c_embedding_decontam", "c_weighted_sample", "d_cohort_retention",
+    "d_containment_dedup", "d_prefix_filter_join", "d_semantic_dedup",
+    "d_semdedup_recall_hotcell", "d_simhash_banded", "f_file_provenance",
+    "f_regexp_surface", "f_try_arithmetic", "g_exact_median",
+    "g_kcore_peel", "g_pagerank", "g_triangle_count", "h_array_setops",
+    "j_interval_overlap", "m_image_ahash", "m_wav_decode", "m_wav_energy",
+    "m_webp_lz77_pixels", "r_cdc_merge_upsert", "s_stream_dedup_within_wm",
+    "s_stream_static_enrich", "sql_except_intersect_all",
+    "t_bigram_lm_score", "t_bpe_top_merges", "t_doc_chunking",
+    "t_ngram_novelty", "t_text_normalize", "u_udtf_chunker",
+    "v_ann_ivf_nprobe", "v_ann_ivf_topk", "v_int8_quantization",
+    "w_ewma_dyadic", "w_linear_interp", "w_rolling_active_users",
+    "w_scd2_intervals", "x_basket_lift", "x_bloom_semi_join",
+    "x_bucketed_colocated_join", "x_countmin_sketch",
+    "x_funnel_conversion", "x_incremental_reagg", "x_key_skew_profile",
+    "x_partition_pruned_scan", "x_quantile_sketch", "x_salted_join",
+    "x_width_bucket_histogram", "x_zorder_layout",
     # --- green in CORRECTNESS_r03.json (round-3 driver window) ---
-    "d_dup_clusters", "d_curation_pipeline", "m2db_overlay_union",
+    "d_dup_clusters", "d_curation_pipeline",
+    # m2db_overlay_union / m2db_consolidated_zoom / m2db_repair_salvage /
+    # m2db_merge_diagnostics were green in r02/r03 but r4 changed code
+    # under the mapsforge family (WKB typed errors, repair final-round
+    # harvest, overlay fuzz pins) -> deliberately re-graded in r5
+    # (VERDICT r4 ask #5).
     "m2db_datasource_scan", "m2db_datasource_pushdown",
     "m2db_stream_ingest", "m2db_multi_map_scan", "x_heavy_hitters_mg",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
@@ -95,7 +118,11 @@ _DRIVER_VERIFIED = frozenset({
     # --- green in CORRECTNESS_r02.json (round-2 driver window) ---
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "d_simhash_hamming",
     "d_ngram_jaccard", "d_cosine_near_dup", "v_ann_brute_topk",
-    "v_ann_lsh_topk", "j_asof_join",
+    "v_ann_lsh_topk",
+    # j_asof_join was green in r02 but asof_join_backward's carry
+    # semantics changed in r4 (per-column last() -> atomic struct carry,
+    # different output when a right value column is NULL) -> re-graded
+    # per ADVICE r4.
     # v_ann_ivf_topk / v_ann_ivf_nprobe were green in r02 but moved to
     # data-seeded centroids in r4 (the random quantizer collapsed 99%
     # of the corpus into one cell; semantics changed) -> re-graded
@@ -105,11 +132,10 @@ _DRIVER_VERIFIED = frozenset({
     # changed) -> removed from this set so they are re-graded.
     "t_vocab_topk",
     "t_tfidf_top_terms", "v_kmeans_clusters", "d_span_dedup",
-    "m2db_decode_sightings", "m2db_consolidated_zoom",
-    "m2db_merge_diagnostics", "m2db_geometry_stats",
+    "m2db_decode_sightings", "m2db_geometry_stats",
     "m2db_pipeline_throughput", "m2db_spatial_window",
     "m2db_point_in_polygon", "m2db_sql_over_features",
-    "m2db_validation_violations", "m2db_repair_salvage",
+    "m2db_validation_violations",
     "s_stream_tumbling_window", "s_stream_user_state",
     "s_stream_stream_join", "s_stream_sessionize", "s_stream_dedup",
     "s_stream_sliding_window", "c_pii_redaction", "c_repetition_filters",

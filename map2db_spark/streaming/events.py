@@ -255,10 +255,31 @@ def run_available_now_df(
     spark = stream_df.sparkSession
     try:
         if out_mode == "update":
-            raw = spark.read.parquet(out_dir)
+            # explicit schema: a run whose source yields ZERO
+            # micro-batches must return an empty result like the
+            # complete/append path, not raise unable-to-infer-schema
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            upd_schema = StructType(
+                list(stream_df.schema.fields)
+                + [StructField("__batch_id", LongType())]
+            )
+            raw = spark.read.schema(upd_schema).parquet(out_dir)
             if upsert_keys:
+                # secondary tiebreak: if a key appears twice WITHIN one
+                # micro-batch, pick a deterministic row (all remaining
+                # columns) rather than an arbitrary one
+                from pyspark.sql.types import AtomicType
+
+                non_key = [
+                    f.name
+                    for f in stream_df.schema.fields
+                    if f.name not in upsert_keys
+                    and isinstance(f.dataType, AtomicType)
+                ]
                 w = Window.partitionBy(*upsert_keys).orderBy(
-                    F.col("__batch_id").desc()
+                    F.col("__batch_id").desc(),
+                    *[F.col(c).desc_nulls_last() for c in non_key],
                 )
                 raw = (
                     raw.withColumn("__rn", F.row_number().over(w))

@@ -184,3 +184,33 @@ def test_stateful_across_multiple_microbatches(spark, tmp_path, events_batch):
     }
     assert per_user == want
     assert len(emissions) > len(want)  # state really updated over batches
+
+
+def test_update_mode_zero_batches_returns_empty(spark, tmp_path):
+    """An update-mode run whose source yields ZERO micro-batches must
+    return an empty DataFrame with the stream's schema (like the
+    complete/append path), not raise unable-to-infer-schema on the
+    empty read-back directory (r4 ADVICE)."""
+    from map2db_spark.streaming.events import (
+        run_available_now_df,
+        running_user_state,
+    )
+
+    src_dir = str(tmp_path / "empty_src")
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)  # valid but fileless source
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts_us LONG, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING"
+        )
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    out = run_available_now_df(
+        running_user_state(stream), "update", upsert_keys=("user_id",)
+    )
+    assert out.count() == 0
+    assert "user_id" in out.columns

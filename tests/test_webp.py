@@ -489,3 +489,119 @@ def test_vp8l_palette_corruption_typed_errors_only():
             decode_vp8l(enc[:cut])
         except (WebpError, NotImplementedError):
             pass
+
+
+def test_vp8l_color_transform():
+    """Cross-channel color transform (type 1): per-block signed 3.5
+    fixed-point g2r/g2b/r2b multipliers, cte map carried as a recursive
+    VP8L image.  Channel-correlated images must round-trip exactly at
+    every color_bits 2..5 (including non-block-aligned shapes), the
+    encoder must actually pick non-zero multipliers for correlated
+    content, and stacking with subtract-green + predictor + cache +
+    LZ77 must round-trip too."""
+    from map2db_spark.functions.webp_vp8l import _apply_color_transform
+
+    rng = np.random.default_rng(77)
+    # strongly green-correlated channels: the per-block search must
+    # find non-zero multipliers (g2r=1.0 zeroes most of the red
+    # residual; all-zero ctes would leave the full g+x residual)
+    yy, xx = np.mgrid[0:13, 0:21]
+    g = ((5 * xx + yy) % 100).astype(np.uint8)
+    img = np.stack([(g + xx) % 256, g, (2 * g.astype(int) - yy) % 256],
+                   axis=-1).astype(np.uint8)
+    for bits in (2, 3, 4, 5):
+        enc = encode_vp8l(img, color_bits=bits)
+        assert np.array_equal(decode_vp8l(enc)[:, :, :3], img), bits
+    rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    _, ctes = _apply_color_transform(rgba, 2)
+    assert ctes.any(), "correlated content must engage the multipliers"
+    # random + odd shapes, alone and stacked with every other transform
+    for (h, w) in [(1, 1), (3, 17), (16, 16), (9, 33)]:
+        im = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        for cb in (2, 5):
+            enc = encode_vp8l(im, color_bits=cb)
+            assert np.array_equal(decode_vp8l(enc), im), (h, w, cb)
+            enc2 = encode_vp8l(im, color_bits=cb, subtract_green=True,
+                               predict_bits=3, cache_bits=4)
+            assert np.array_equal(decode_vp8l(enc2), im), (h, w, cb)
+    with pytest.raises(WebpError):
+        encode_vp8l(img, color_bits=1)
+    with pytest.raises(WebpError):
+        encode_vp8l(img, color_bits=6)
+
+
+def test_vp8l_color_transform_fixed_point_semantics():
+    """The spec delta is (int8(t) * int8(c)) >> 5 with an ARITHMETIC
+    (floor) shift — both operands reinterpreted as signed bytes.  Pin
+    the kernel against a scalar reference on the full sign grid."""
+    from map2db_spark.functions.webp_vp8l import _ct_delta
+
+    def ref(t, c):
+        ts = t - 256 if t >= 128 else t
+        cs = c - 256 if c >= 128 else c
+        return (ts * cs) >> 5  # python >> on ints floors
+
+    for t in (0, 1, 16, 32, 48, 127, 128, 208, 224, 240, 255):
+        for c in range(0, 256, 7):
+            assert int(_ct_delta(t, c)) == ref(t, c), (t, c)
+
+
+def test_vp8l_color_transform_corruption_typed_errors_only():
+    import random
+
+    from map2db_spark.functions.webp import WebpError
+
+    rng = np.random.default_rng(21)
+    g = (np.cumsum(rng.integers(-5, 6, (11, 19)), axis=1) % 128).astype(
+        np.uint8
+    )
+    img = np.stack([(g + 7) % 256, g, (2 * g.astype(int)) % 256], axis=-1
+                   ).astype(np.uint8)
+    enc = encode_vp8l(img, color_bits=3)
+    pyr = random.Random(9)
+    for _ in range(400):
+        e = bytearray(enc)
+        i = pyr.randrange(20, len(e))
+        e[i] ^= 1 << pyr.randrange(8)
+        try:
+            out = decode_vp8l(bytes(e))
+            assert out.shape[2] == 4
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8l(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
+
+
+def test_vp8l_lz77_distance_cap_and_symbol_guard():
+    """The 40-symbol distance alphabet carries direct distances up to
+    2^20 - 120 only: the matcher must skip farther candidates (a
+    farther match would silently fall out of the stored code while the
+    token pass still emits its word -> undecodable stream), and
+    _store_code must refuse out-of-alphabet symbols loudly."""
+    from map2db_spark.functions.webp_vp8l import (
+        _DIST_ALPHABET,
+        _MAX_LZ_DIST,
+        _BitWriter,
+        _greedy_lz77,
+        _prefix_encode,
+        _store_code,
+    )
+
+    assert _prefix_encode(_MAX_LZ_DIST + 120 - 1)[0] == _DIST_ALPHABET - 1
+    assert _prefix_encode(_MAX_LZ_DIST + 120)[0] == _DIST_ALPHABET
+
+    # a 3-pixel repeat exactly one past the cap must NOT become a ref
+    n = _MAX_LZ_DIST + 4
+    pix = np.arange(n, dtype=np.uint32) % 0xFFFFFF00 + 1
+    pix[-3:] = pix[0:3]
+    toks = _greedy_lz77(pix, width=n)
+    refs = [t for t in toks if t[0] == "ref"]
+    assert all(t[2] <= _MAX_LZ_DIST for t in refs)
+    far = [t for t in refs if t[3] >= n - 3]
+    assert not far, "match beyond the direct-distance cap must be skipped"
+
+    with pytest.raises(WebpError):
+        _store_code(_BitWriter(), {0: 3, _DIST_ALPHABET: 5}, _DIST_ALPHABET)
