@@ -62,3 +62,18 @@ def test_coverage_names_exist_in_registry():
     # the extraction itself must keep finding a substantial citation
     # set, or a format change could silently void the check
     assert len(cited) > 200, len(cited)
+
+
+def test_scale_md_sweep_count_matches_registry():
+    """SCALE.md's '10x green' count can never drift from the registry
+    (r4 verdict item 4: it sat at a stale 346 while the registry grew
+    to 349).  Whoever registers a query owns re-verifying it at sf0.1
+    (tests/driver_sim.py <sf0.1 dir> <names>) and this pin makes the
+    claim move with the registry."""
+    text = (REPO / "SCALE.md").read_text()
+    m = re.search(r"\*\*(\d+)/(\d+) green at 10x\*\*", text)
+    assert m, "SCALE.md must state the N/N green-at-10x row"
+    assert int(m.group(1)) == int(m.group(2)) == len(QUERIES), (
+        f"SCALE.md says {m.group(1)}/{m.group(2)}, registry has "
+        f"{len(QUERIES)} queries"
+    )
