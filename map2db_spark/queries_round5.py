@@ -8812,3 +8812,228 @@ def m_webp_color_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ct_exact LONG"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded-quantizer robustness on an id-sorted crawl (r4 verdict item 6)
+# ---------------------------------------------------------------------------
+
+_SEEDROB_N = 240
+_SEEDROB_CELLS = 8
+_SEEDROB_QMOD = 5  # queries = every 5th vector (48 of 240)
+
+
+def _seedrob_corpus_sql() -> str:
+    """Id-SORTED adversarial crawl: 4 contiguous-id domains (vec_id //
+    60), each shifted onto its own axis (0.25x + unit bump at
+    component = domain) — exact binary-scale arithmetic both engines.
+    Every corpus_seed_centroids seed (vec_id < 8) sits in domain 0."""
+    return f"""
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               0.25 * CAST(embedding[i] AS DOUBLE)
+               + CASE WHEN i = vec_id // 60 + 1 THEN 1.0 ELSE 0.0 END)
+               AS embedding
+      FROM embeddings WHERE vec_id < {_SEEDROB_N}
+    """
+
+
+def _ivf_seed_robustness_oracle() -> str:
+    from map2db_spark.queries_pipeline import _kmeans_cte_parts
+
+    parts = _kmeans_cte_parts(
+        k=_SEEDROB_CELLS, iters=3, dim=64, corpus_sql=_seedrob_corpus_sql()
+    )
+    dist = ("list_sum(list_transform(generate_series(1, 64), "
+            "i -> (v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i])))")
+    cos = (
+        "round(list_dot_product(a.iv, b.iv)"
+        " / (sqrt(list_dot_product(a.iv, a.iv))"
+        " * sqrt(list_dot_product(b.iv, b.iv))), 6)"
+    )
+    joined = ",\n    ".join(parts)
+    nq = _SEEDROB_N // _SEEDROB_QMOD
+    return f"""
+    WITH {joined},
+    a4 AS (
+      SELECT vec_id, iv, cid FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, v.iv, c.cid, {dist} AS d
+              FROM v CROSS JOIN c3f c) s
+      ) WHERE rn = 1
+    ),
+    nn AS (
+      SELECT u, nv FROM (
+        SELECT a.vec_id AS u, b.vec_id AS nv,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos} DESC, b.vec_id) AS rn
+        FROM v a JOIN v b ON b.vec_id != a.vec_id
+        WHERE a.vec_id % {_SEEDROB_QMOD} = 0
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT 'seeded' AS method, vec_id, cid FROM a1
+      UNION ALL
+      SELECT 'trained' AS method, vec_id, cid FROM a4
+    ),
+    bal AS (
+      SELECT method, CAST(count(DISTINCT cid) AS BIGINT) AS n_cells_used,
+             CAST(max(cnt) * 1000000 // {_SEEDROB_N} AS BIGINT)
+               AS max_cell_ppm
+      FROM (SELECT method, cid, count(*) AS cnt FROM m GROUP BY method, cid)
+      GROUP BY method
+    ),
+    hit AS (
+      SELECT mu.method, CAST(count(*) AS BIGINT) AS nn_in_cell
+      FROM nn JOIN m mu ON mu.vec_id = nn.u
+              JOIN m mv ON mv.vec_id = nn.nv AND mv.method = mu.method
+      WHERE mu.cid = mv.cid
+      GROUP BY mu.method
+    )
+    SELECT bal.method, bal.n_cells_used, bal.max_cell_ppm,
+           COALESCE(hit.nn_in_cell, 0) AS nn_in_cell,
+           CAST({nq} AS BIGINT) AS n_queries,
+           CAST(COALESCE(hit.nn_in_cell, 0) * 1000000 // {nq} AS BIGINT)
+             AS nn_recall_ppm
+    FROM bal LEFT JOIN hit ON hit.method = bal.method
+    ORDER BY bal.method
+    """
+
+
+@query(
+    "v_ivf_seed_robustness",
+    oracle=_ivf_seed_robustness_oracle(),
+    tags=("ann", "ivf", "evaluation", "skew", "quantizer"),
+)
+def v_ivf_seed_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-vs-trained coarse-quantizer robustness on an ID-SORTED
+    crawl (r4 verdict item 6) — the price tag on
+    similarity.corpus_seed_centroids' first-n_cells-by-id seeding,
+    mirroring what d_semdedup_recall_hotcell measures for the cluster
+    cap.  The fixture is the adversarial case the r4 verdict named:
+    ids correlate with content (4 contiguous-id domains, each on its
+    own embedding axis), so every seed vector comes from domain 0.
+    For both quantizers — 'seeded' (corpus_seed_centroids verbatim:
+    the first 8 vectors as cells) and 'trained'
+    (clustering.train_centroids: the same seeds refined by 3
+    exact-integer Lloyd iterations) — the query reports cell balance
+    (cells actually used, largest cell share in ppm) and
+    nearest-neighbor retention at nprobe=1 (the share of query vectors
+    whose true cosine-NN lands in the query's own cell — the recall an
+    IVF search would see).  A production run reads this pair on its
+    own corpus: if the seeded balance collapses (one domain owning the
+    seeds), train on a sample instead — with evidence, not folklore.
+
+    The oracle rides the SAME k-means CTE chain as the kmeans/SemDeDup
+    family: its iteration-1 assignment (a1) IS the seeded quantizer's
+    argmin (corpus_seed_centroids returns exactly the c0f seed rows,
+    ties (dist, cid) == ivf_prepared's first-min), and an extra argmin
+    over the final centroids (c3f) is train_centroids' assignment.
+
+    Scale shape: the quantizer diagnostics are O(n_cells) collects +
+    one assignment pass; the exact-NN ground truth is intentionally
+    all-pairs over a bounded fixture (240 vectors, 48 queries) — the
+    same sample-bounded shape every recall eval here uses at 100 TB.
+    """
+    from map2db_spark.functions.clustering import train_centroids
+    from map2db_spark.functions.similarity import (
+        corpus_seed_centroids,
+        ivf_prepared,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.where(
+        F.col("vec_id") < _SEEDROB_N
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> 0.25 * CAST(x AS DOUBLE)"
+            " + CASE WHEN i = CAST(vec_id DIV 60 AS INT)"
+            " THEN 1.0D ELSE 0.0D END)"
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+    seeded = corpus_seed_centroids(corpus, _SEEDROB_CELLS)
+    trained = train_centroids(
+        corpus, k=_SEEDROB_CELLS, iters=3, dim=64
+    )
+
+    def assigned(centroids, method: str) -> DataFrame:
+        return ivf_prepared(
+            corpus, centroids, "vec_id", "embedding", "vid", "iv", "nrm"
+        ).withColumn("method", F.lit(method))
+
+    m = assigned(seeded, "seeded").unionByName(
+        assigned(trained, "trained")
+    ).persist()
+
+    bal = (
+        m.groupBy("method", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("method")
+        .agg(
+            F.countDistinct("cell").cast("long").alias("n_cells_used"),
+            F.expr(
+                f"CAST(max(cnt) * 1000000 DIV {_SEEDROB_N} AS BIGINT)"
+            ).alias("max_cell_ppm"),
+        )
+    )
+
+    one = m.where(F.col("method") == "seeded").select("vid", "iv", "nrm")
+    q = one.where(F.col("vid") % _SEEDROB_QMOD == 0).select(
+        F.col("vid").alias("u"), F.col("iv").alias("uiv"),
+        F.col("nrm").alias("unrm"),
+    )
+    c = one.select(
+        F.col("vid").alias("nv"), F.col("iv").alias("viv"),
+        F.col("nrm").alias("vnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("uiv", "viv", lambda p, s: p * s),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cos = F.round(dot.cast("double") / (F.col("unrm") * F.col("vnrm")), 6)
+    w = Window.partitionBy("u").orderBy(F.desc("cos"), "nv")
+    nn = (
+        q.join(c, F.col("nv") != F.col("u"))
+        .select("u", "nv", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("u", "nv")
+    )
+    hits = (
+        nn.join(
+            m.select("method", F.col("vid").alias("u"),
+                     F.col("cell").alias("ucell")),
+            "u",
+        )
+        .join(
+            m.select(F.col("method").alias("m2"),
+                     F.col("vid").alias("nv"),
+                     F.col("cell").alias("vcell")),
+            "nv",
+        )
+        .where(
+            (F.col("method") == F.col("m2"))
+            & (F.col("ucell") == F.col("vcell"))
+        )
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("long").alias("nn_in_cell"))
+    )
+    nq = _SEEDROB_N // _SEEDROB_QMOD
+    return (
+        bal.join(hits, "method", "left")
+        .select(
+            "method",
+            "n_cells_used",
+            "max_cell_ppm",
+            F.coalesce("nn_in_cell", F.lit(0)).cast("long").alias(
+                "nn_in_cell"
+            ),
+            F.lit(nq).cast("long").alias("n_queries"),
+            (F.coalesce("nn_in_cell", F.lit(0)) * 1000000 / F.lit(nq))
+            .cast("long").alias("nn_recall_ppm"),
+        )
+        .orderBy("method")
+    )

@@ -167,19 +167,18 @@ _DRIVER_VERIFIED = frozenset({
 # seen + the 3 protocol-fixed r1 FAILs).  Promote to the front by
 # removing from this set once the r1 backlog is graded.
 _ROUND2_NEW = frozenset({
-    "g_triangle_count", "c_weighted_sample", "x_countmin_sketch",
-    "g_exact_median", "x_incremental_reagg", "x_key_skew_profile",
-    "d_prefix_filter_join", "x_basket_lift", "s_stream_static_enrich",
-    "w_rolling_active_users", "g_kcore_peel", "x_zscore_outliers",
+    # (13 of the original names earned r4 driver rows and moved to
+    # _DRIVER_VERIFIED)
+    "x_zscore_outliers",
     "t_event_trigrams", "x_table_diff", "d_dup_size_histogram",
     "v_random_projection", "x_dq_expectations", "x_group_linreg",
     "x_gini_concentration", "g_mode_per_group", "c_domain_cap",
-    "g_exact_quartiles", "sql_except_intersect_all", "w_twap_per_user",
+    "g_exact_quartiles", "w_twap_per_user",
     "c_kfold_assign", "g_bfs_layers", "w_cusum_changepoint",
     "c_quantile_normalize", "d_edit_blocked_join", "t_phrase_search",
     "u_cogroup_merge", "u_map_in_arrow", "w_longest_streak",
     "x_share_of_parent", "j_first_touch_attribution",
-    "s_stream_dedup_within_wm", "x_column_profile",
+    "x_column_profile",
 })
 
 

@@ -31,14 +31,22 @@ def test_r1_protocol_fixed_fails_were_regraded():
 
 
 def test_recapped_queries_back_in_graded_window():
-    # r4: d_semantic_dedup gained the cell_cap rail (semantics changed
-    # before its first hard row) and the new hot-cell recall eval must
-    # both take a graded slot this round
-    for name in ("d_semantic_dedup", "d_semdedup_recall_hotcell"):
+    # r5 deliberate re-grades: j_asof_join (struct-carry semantics
+    # changed in r4, ADVICE), the mapsforge family rows whose
+    # underlying code r4 changed (WKB typed errors, repair harvest,
+    # overlay fuzz pins — verdict item 5), and the round's new
+    # color-transform + quantizer-robustness queries must all take
+    # graded slots this round
+    for name in (
+        "j_asof_join", "m2db_consolidated_zoom", "m2db_merge_diagnostics",
+        "m2db_repair_salvage", "m2db_overlay_union",
+        "m_webp_color_transform", "v_ivf_seed_robustness",
+    ):
         assert NAMES.index(name) < 50, (name, NAMES.index(name))
-    # the r3 re-grades came back green (CORRECTNESS_r03) and are now
+    # the r4 re-grades came back green (CORRECTNESS_r04) and are now
     # demoted to the verified tier
-    for name in ("d_dup_clusters", "d_curation_pipeline", "m2db_overlay_union"):
+    for name in ("d_semantic_dedup", "d_semdedup_recall_hotcell",
+                 "v_ann_ivf_topk", "v_ann_ivf_nprobe"):
         assert name in _DRIVER_VERIFIED, name
 
 
