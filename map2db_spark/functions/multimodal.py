@@ -55,7 +55,9 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     the subtract-green + 14-mode predictor + palette transforms and
     meta prefix images (cross-channel color transform / 2D proximity
     distance codes /
-    lossy VP8 raise NotImplementedError inside the codec — the honest
+    lossy VP8 PIXELS raise NotImplementedError inside the codec (the
+    keyframe header decodes for real via functions/vp8.py's RFC 6386
+    boolean range coder) — the honest
     remaining
     envelope, now down to the parts that genuinely need a transform
     pipeline or boolean-arithmetic codec)."""

@@ -3,7 +3,8 @@ geometry extraction for all three container layouts — lossy (VP8 ),
 lossless (VP8L) and extended (VP8X) — without entropy-decoding
 pixels.  The multimodal sibling of functions/jpeg.py: the dimension /
 layout-filter pass runs over every image, full pixel decode keeps its
-honest NotImplementedError slot (needs a VP8 codec).
+honest NotImplementedError slot for pixels; keyframe-header fields
+decode for real through functions/vp8.py's RFC 6386 boolean coder.
 
 Layout per the public container spec (RFC-style layout published by
 the WebP project):

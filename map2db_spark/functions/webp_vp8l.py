@@ -48,7 +48,9 @@ Honest envelope (everything else raises, never mis-decodes):
 - 2D proximity distance codes (dist_code <= 120): NotImplemented
   (a compression optimization; unverifiable here without a reference
   decoder — see below)
-- lossy VP8 chunks: NotImplemented (needs a boolean-arithmetic codec)
+- lossy VP8 chunks: pixel reconstruction NotImplemented (the keyframe
+  header + quantizer block decode for real via functions/vp8.py's
+  RFC 6386 boolean coder)
 
 Like the JPEG codec (and the G7 GEOS-parity note), bit-parity against
 an external reference decoder is container-blocked — no WebP library
@@ -1231,8 +1233,9 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             break
         if fourcc == b"VP8 ":
             raise NotImplementedError(
-                "lossy VP8 pixel decode not supported (needs a "
-                "boolean-arithmetic codec)"
+                "lossy VP8 pixel decode not supported (header fields "
+                "decode via functions/vp8.py; reconstruction needs the "
+                "full DCT/predict/loop-filter chain)"
             )
         pos += 8 + size + (size % 2)
     if payload is None:

@@ -9037,3 +9037,111 @@ def v_ivf_seed_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# VP8 (lossy WebP) keyframe-header decode via the RFC 6386 bool coder
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_vp8_header_params",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + doc_id % 9 AS INTEGER) AS width,
+           CAST(16 + doc_id % 7 AS INTEGER) AS height,
+           CAST(doc_id * 37 % 128 AS INTEGER) AS y_ac_qi,
+           CAST(doc_id % 31 - 15 AS INTEGER) AS uv_ac_delta,
+           CAST(doc_id * 13 % 31 - 15 AS INTEGER) AS y2_dc_delta,
+           CAST(doc_id % 64 AS INTEGER) AS loop_filter_level,
+           CAST(doc_id % 8 AS INTEGER) AS sharpness_level,
+           CAST(doc_id % 2 AS INTEGER) AS filter_type,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                WHEN 2 THEN 4 ELSE 8 END AS INTEGER) AS dct_partitions,
+           CAST(1 AS BIGINT) AS walker_agrees
+    FROM documents WHERE doc_id < 32
+    """,
+    tags=("multimodal", "image", "webp", "vp8", "bool-coder"),
+)
+def m_vp8_header_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP (VP8) keyframe-HEADER decode certified end to end
+    through a real RFC 6386 boolean range coder (functions/vp8.py):
+    per row, doc_id-derived filter/quantizer parameters are encoded
+    into a spec-layout keyframe first partition (frame tag, 9D 01 2A
+    sync, 14-bit dims, then the bool-coded header through the
+    quantizer block — genuine arithmetic coding with renormalization,
+    not bit packing), DECODED back, and the decoded fields are
+    emitted; the oracle recomputes every parameter in closed form, so
+    a hash match certifies the encoder layout, the range coder and the
+    field walk together.  walker_agrees pins that functions/webp.py's
+    RIFF walker reads the same dims from the same bytes (one container
+    layout, two parsers).  Pixel reconstruction stays out of envelope
+    (honest NotImplementedError) — this is the metadata/typed-column
+    slot of the multimodal family, same shape as m_jpeg_dims.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 32
+    ).select("doc_id")
+
+    def kernel(batches):
+        from map2db_spark.functions.vp8 import (
+            decode_vp8_header,
+            encode_vp8_keyframe_header,
+        )
+        from map2db_spark.functions.webp import parse_webp_header
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "y_ac_qi": [], "uv_ac_delta": [], "y2_dc_delta": [],
+                   "loop_filter_level": [], "sharpness_level": [],
+                   "filter_type": [], "dct_partitions": [],
+                   "walker_agrees": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 9, 16 + d % 7
+                buf = encode_vp8_keyframe_header(
+                    w, h,
+                    y_ac_qi=d * 37 % 128,
+                    q_deltas={
+                        "uv_ac_delta": d % 31 - 15,
+                        "y2_dc_delta": d * 13 % 31 - 15,
+                    },
+                    loop_filter_level=d % 64,
+                    sharpness_level=d % 8,
+                    filter_type=d % 2,
+                    dct_partition_log2=d % 4,
+                )
+                hp = decode_vp8_header(buf)
+                wk = parse_webp_header(buf)
+                out["media_id"].append(d)
+                out["width"].append(hp["width"])
+                out["height"].append(hp["height"])
+                out["y_ac_qi"].append(hp["y_ac_qi"])
+                out["uv_ac_delta"].append(hp["uv_ac_delta"])
+                out["y2_dc_delta"].append(hp["y2_dc_delta"])
+                out["loop_filter_level"].append(hp["loop_filter_level"])
+                out["sharpness_level"].append(hp["sharpness_level"])
+                out["filter_type"].append(hp["filter_type"])
+                out["dct_partitions"].append(hp["dct_partitions"])
+                out["walker_agrees"].append(int(
+                    (wk["width"], wk["height"], wk["layout"])
+                    == (hp["width"], hp["height"], "VP8 ")
+                ))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "media_id LONG, width INT, height INT, y_ac_qi INT,"
+            " uv_ac_delta INT, y2_dc_delta INT, loop_filter_level INT,"
+            " sharpness_level INT, filter_type INT, dct_partitions INT,"
+            " walker_agrees LONG"
+        ),
+    )

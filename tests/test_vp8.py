@@ -1,0 +1,142 @@
+"""VP8 (lossy WebP) keyframe-header codec tests (functions/vp8.py):
+the RFC 6386 boolean range coder plus the spec keyframe layout."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from map2db_spark.functions.vp8 import (
+    _BoolDecoder,
+    _BoolEncoder,
+    decode_vp8_header,
+    encode_vp8_keyframe_header,
+)
+from map2db_spark.functions.webp import WebpError, parse_webp_header
+
+_DELTAS = ("y1_dc_delta", "y2_dc_delta", "y2_ac_delta",
+           "uv_dc_delta", "uv_ac_delta")
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(1, 255)),
+                min_size=1, max_size=300))
+def test_bool_coder_roundtrip_property(seq):
+    """The boolean coder must round-trip ANY bool sequence at ANY
+    per-bool probability — the property that makes it a real range
+    coder rather than a bit packer."""
+    e = _BoolEncoder()
+    for bit, p in seq:
+        e.encode(bit, p)
+    d = _BoolDecoder(e.flush())
+    assert [d.read(p) for _, p in seq] == [b for b, _ in seq]
+
+
+def test_bool_coder_skewed_probs_compress():
+    """1000 zero-bits at p(0)=250/256 must code far below 1 bit/symbol
+    (the entropy payoff that motivates the coder), while the same bits
+    at p=128 cost ~1 bit each."""
+    e = _BoolEncoder()
+    for _ in range(1000):
+        e.encode(0, 250)
+    skewed = len(e.flush())
+    e = _BoolEncoder()
+    for _ in range(1000):
+        e.encode(0, 128)
+    flat = len(e.flush())
+    assert skewed < 15  # ~0.034 bits/bool + flush tail
+    assert 120 <= flat <= 130
+
+
+def test_vp8_header_roundtrip_all_fields():
+    rng = random.Random(11)
+    for _ in range(60):
+        params = dict(
+            y_ac_qi=rng.randrange(128),
+            q_deltas={k: rng.randrange(-15, 16)
+                      for k in rng.sample(_DELTAS, rng.randrange(6))},
+            loop_filter_level=rng.randrange(64),
+            sharpness_level=rng.randrange(8),
+            filter_type=rng.randrange(2),
+            dct_partition_log2=rng.randrange(4),
+            color_space=rng.randrange(2),
+            clamping_type=rng.randrange(2),
+            refresh_entropy_probs=rng.randrange(2),
+            version=rng.randrange(4),
+        )
+        w, h = rng.randrange(1, 16384), rng.randrange(1, 16384)
+        out = decode_vp8_header(encode_vp8_keyframe_header(w, h, **params))
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["dct_partitions"] == 1 << params["dct_partition_log2"]
+        for k in ("y_ac_qi", "loop_filter_level", "sharpness_level",
+                  "filter_type", "color_space", "clamping_type",
+                  "refresh_entropy_probs", "version"):
+            assert out[k] == params[k], k
+        for k in _DELTAS:
+            assert out[k] == params["q_deltas"].get(k, 0), k
+
+
+def test_vp8_header_agrees_with_container_walker():
+    """functions/webp.py's RIFF walker and the codec parse ONE layout:
+    dims and layout from both paths must agree on the same bytes."""
+    buf = encode_vp8_keyframe_header(640, 480, y_ac_qi=30)
+    hdr = parse_webp_header(buf)
+    assert (hdr["width"], hdr["height"], hdr["layout"]) == (640, 480, "VP8 ")
+    out = decode_vp8_header(buf)
+    assert (out["width"], out["height"]) == (640, 480)
+
+
+def test_vp8_validation_rejects_out_of_range():
+    for bad in [dict(y_ac_qi=128), dict(loop_filter_level=64),
+                dict(sharpness_level=8), dict(dct_partition_log2=4),
+                dict(q_deltas={"y1_dc_delta": 16}),
+                dict(q_deltas={"nope": 1})]:
+        with pytest.raises(WebpError):
+            encode_vp8_keyframe_header(8, 8, **bad)
+    # 14-bit direct dims: 16384 would wrap to 0 (no minus-one coding)
+    for w, h in [(0, 8), (8, 0), (16384, 8), (8, 16384)]:
+        with pytest.raises(WebpError):
+            encode_vp8_keyframe_header(w, h)
+
+
+def test_vp8_out_of_envelope_raises_not_implemented():
+    buf = bytearray(encode_vp8_keyframe_header(16, 16))
+    body = buf.index(b"\x9d\x01\x2a") - 3
+    # interframe bit in the frame tag
+    inter = bytearray(buf)
+    inter[body] |= 1
+    with pytest.raises(NotImplementedError):
+        decode_vp8_header(bytes(inter))
+    # a VP8L chunk routed at the lossy decoder
+    from map2db_spark.functions.webp import encode_webp_shell
+
+    with pytest.raises(WebpError):
+        decode_vp8_header(encode_webp_shell(8, 8, "VP8L"))
+
+
+def test_vp8_corruption_typed_errors_only():
+    """Bitflip + truncation campaign: decode either succeeds or raises
+    the typed contract (WebpError / NotImplementedError) — never an
+    untyped exception (same harness as the VP8L campaigns)."""
+    rng = random.Random(3)
+    enc = encode_vp8_keyframe_header(
+        123, 77, y_ac_qi=55, q_deltas={"uv_ac_delta": -7},
+        loop_filter_level=22, sharpness_level=3,
+    )
+    for _ in range(500):
+        e = bytearray(enc)
+        i = rng.randrange(12, len(e))
+        e[i] ^= 1 << rng.randrange(8)
+        try:
+            out = decode_vp8_header(bytes(e))
+            assert 0 <= out["y_ac_qi"] <= 127
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8_header(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
