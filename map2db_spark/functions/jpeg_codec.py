@@ -3,15 +3,20 @@ numpy only (ITU-T T.81: §A.3.3 FDCT/IDCT, §B.2 marker syntax, §F.1.2
 Huffman entropy coding, §F.1.2.1.1 DC difference categories, Annex C
 canonical Huffman table construction).
 
-Scope (honest contract): baseline DCT, 8-bit precision, no chroma
-subsampling (all sampling factors 1x1), grayscale or 3-component
-JFIF YCbCr, no restart markers, no progressive scans.  Inputs outside
+Scope (honest contract): baseline DCT, 8-bit precision, grayscale or
+3-component JFIF YCbCr, integer-ratio chroma subsampling on decode
+(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 — the general MCU interleave
+with hi x vi blocks per component, T.81 A.2.3; single-component scans
+take the non-interleaved walk, A.2.2; upsampling is nearest/sample
+replication, which the spec leaves to the decoder) and 4:4:4 / 4:2:0
+/ 4:2:2 on encode (box-filter chroma prefilter).  No restart markers,
+no progressive scans, no non-integer sampling ratios.  Inputs outside
 this envelope raise NotImplementedError/JpegError — the multimodal
 pipeline routes them to the quarantine path instead of mis-decoding.
 This converts the former blanket "JPEG pixel decode needs a library"
 stub (functions/multimodal.py) into a working kernel for the baseline
-4:4:4 streams that dominate real corpora; progressive/subsampled
-remain honestly unsupported.
+streams (subsampled included) that dominate real corpora; progressive
+remains honestly unsupported.
 
 Verification strategy: lossless round-trip fixtures.  A block whose
 64 samples are CONSTANT has only a DC coefficient (the AC float
@@ -196,6 +201,15 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def _box_downsample(plane: np.ndarray, sh: int, sw: int) -> np.ndarray:
+    """sh x sw box-filter downsample (the conventional JPEG chroma
+    prefilter; edge rows/cols replicate when dims are odd)."""
+    h, w = plane.shape
+    ph, pw = -(-h // sh) * sh, -(-w // sw) * sw
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // sh, sh, pw // sw, sw).mean(axis=(1, 3))
+
+
 def _component_blocks(plane: np.ndarray):
     """Pad a component plane to 8x8 multiples by edge replication and
     yield (by, bx, block) in raster block order."""
@@ -207,72 +221,109 @@ def _component_blocks(plane: np.ndarray):
             yield padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
 
 
-def encode_jpeg_baseline(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg_baseline(
+    img: np.ndarray, qtable: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
     """Encode a uint8 image — (h, w) grayscale or (h, w, 3) RGB — as a
     real baseline-sequential JPEG: FDCT, quantization, zigzag, DC
     prediction, run/size AC coding, canonical Huffman, byte stuffing.
-    The output decodes in any standards-compliant JPEG decoder."""
+    subsampling picks the chroma layout for 3-component images:
+    '444' (1x1 everywhere), '420' (Y at 2x2, chroma box-filtered 2x2 —
+    the dominant layout in real corpora) or '422' (Y at 2x1, chroma
+    halved horizontally); MCUs interleave hi*vi Y blocks with one
+    block per chroma component (T.81 A.2.3).  The output decodes in
+    any standards-compliant JPEG decoder."""
     if qtable is None:
         qtable = FIXTURE_QTABLE
     q_raster = np.asarray(qtable, dtype=np.int64)[UNZIGZAG].reshape(8, 8)
     img = np.asarray(img)
+    if subsampling not in ("444", "420", "422"):
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
+        factors = [(1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:
         ycc = _rgb_to_ycbcr(img.astype(np.float64))
-        planes = [ycc[..., i] for i in range(3)]
+        y, cb, cr = (ycc[..., i] for i in range(3))
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+        else:
+            sh, sw = (2, 2) if subsampling == "420" else (1, 2)
+            planes = [y, _box_downsample(cb, sh, sw),
+                      _box_downsample(cr, sh, sw)]
+            factors = [(sw, sh), (1, 1), (1, 1)]
     else:
         raise JpegError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
     ncomp = len(planes)
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise JpegError(f"dims out of u16 range: {w}x{h}")
+    hmax = max(hi for hi, _vi in factors)
+    vmax = max(vi for _hi, vi in factors)
 
     dc_map = build_huffman(_DC_COUNTS, _DC_SYMBOLS)
     ac_map = build_huffman(_AC_COUNTS, _AC_SYMBOLS)
     writer = _BitWriter()
-    # interleaved MCU order with 1x1 sampling = per-block component
-    # round-robin (T.81 A.2.3); with one shared geometry every
-    # component has the same block grid
-    blocks_per_comp = [list(_component_blocks(p)) for p in planes]
-    n_blocks = len(blocks_per_comp[0])
     pred = [0] * ncomp
-    for bi in range(n_blocks):
-        for ci in range(ncomp):
-            block = blocks_per_comp[ci][bi]
-            coeff = _DCT @ (block - 128.0) @ _DCT.T
-            qz = np.round(coeff / q_raster).astype(np.int64)
-            zz = qz.reshape(-1)[ZIGZAG]
-            # DC: category + additional bits of the prediction diff
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size = _category(diff)
-            code, length = dc_map[size]
+
+    def write_block(block, ci):
+        coeff = _DCT @ (block - 128.0) @ _DCT.T
+        qz = np.round(coeff / q_raster).astype(np.int64)
+        zz = qz.reshape(-1)[ZIGZAG]
+        # DC: category + additional bits of the prediction diff
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size = _category(diff)
+        code, length = dc_map[size]
+        writer.write(code, length)
+        if size:
+            writer.write(_value_bits(diff, size), size)
+        # AC: run/size with ZRL and EOB
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_map[0xF0]
+                writer.write(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_map[(run << 4) | size]
             writer.write(code, length)
-            if size:
-                writer.write(_value_bits(diff, size), size)
-            # AC: run/size with ZRL and EOB
+            writer.write(_value_bits(v, size), size)
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_map[0xF0]
-                    writer.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = ac_map[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(_value_bits(v, size), size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_map[0x00]
-                writer.write(code, length)
+        if last_nz < 63:
+            code, length = ac_map[0x00]
+            writer.write(code, length)
+
+    # pad each component plane to whole MCUs of ITS grid so the
+    # interleaved walk below never runs off an edge
+    mcus_y = -(-h // (vmax * 8))
+    mcus_x = -(-w // (hmax * 8))
+    padded = []
+    for (hi, vi), p in zip(factors, planes):
+        ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+        padded.append(np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        ))
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
+        for ci in range(ncomp):
+            hi, vi = factors[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    by = (my * vi + v) * 8
+                    bx = (mx * hi + hh) * 8
+                    write_block(
+                        padded[ci][by:by + 8, bx:bx + 8], ci
+                    )
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -283,7 +334,8 @@ def encode_jpeg_baseline(img: np.ndarray, qtable: np.ndarray | None = None) -> b
     out.append(seg(DQT, bytes([0]) + bytes(int(v) for v in qtable)))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, qtable 0
+        hi, vi = factors[c]
+        sof += struct.pack(">BBB", c + 1, (hi << 4) | vi, 0)  # qtable 0
     out.append(seg(0xC0, sof))
 
     def dht_payload(tclass: int, tid: int, counts, symbols) -> bytes:
@@ -302,12 +354,14 @@ def encode_jpeg_baseline(img: np.ndarray, qtable: np.ndarray | None = None) -> b
 
 
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
-    """Decode a baseline-sequential, 8-bit, non-subsampled JPEG to a
-    uint8 array — (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF
-    YCbCr).  Raises JpegError on malformed/truncated streams (never a
-    raw IndexError/struct.error — fuzz-pinned in tests) and
-    NotImplementedError for progressive / subsampled / restart-marker
-    inputs (the honest envelope; see module docstring)."""
+    """Decode a baseline-sequential 8-bit JPEG — any integer-ratio
+    chroma subsampling (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1) — to a uint8
+    array: (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF YCbCr).
+    Raises JpegError on malformed/truncated streams (never a raw
+    IndexError/struct.error — fuzz-pinned in tests) and
+    NotImplementedError for progressive / restart-marker /
+    non-integer-ratio inputs (the honest envelope; see module
+    docstring)."""
     try:
         return _decode_jpeg_impl(buf)
     except (IndexError, KeyError, struct.error) as ex:
@@ -368,11 +422,10 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * c)
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise JpegError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif marker == SOS:
             if frame is None:
@@ -389,57 +442,111 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
         raise JpegError("no scan found")
     h, w, comps = frame
     ncomp = len(comps)
-    qt_by_cid = {cid: tq for cid, tq in comps}
+    qt_by_cid = {cid: tq for cid, tq, _hi, _vi in comps}
+    samp_by_cid = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
+    hmax = max(hi for _cid, _tq, hi, _vi in comps)
+    vmax = max(vi for _cid, _tq, _hi, vi in comps)
+    for cid, (hi, vi) in samp_by_cid.items():
+        # integer upsampling ratios only (covers 4:4:4/4:2:0/4:2:2/
+        # 4:4:0/4:1:1 — every layout real encoders emit)
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
     reader = _BitReader(buf, pos)
-    bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
-    pred = [0] * ncomp
-    for bi in range(bh * bw):
-        by, bx = divmod(bi, bw)
+    if len(scan_comps) == 1:
+        # non-interleaved scan (T.81 A.2.2): the data unit is ONE
+        # block over the component's own block grid, whatever the
+        # declared sampling factors
+        cid0 = scan_comps[0][0]
+        if cid0 not in samp_by_cid:
+            raise JpegError(f"scan component {cid0} not in frame")
+        hi0, vi0 = samp_by_cid[cid0]
+        ch = -(-(h * vi0) // vmax)
+        cw = -(-(w * hi0) // hmax)
+        mcus_y, mcus_x = -(-ch // 8), -(-cw // 8)
+        samp_in_scan = {cid0: (1, 1)}
+        plane_rows = {cid0: mcus_y * 8}
+        plane_cols = {cid0: mcus_x * 8}
+    else:
+        # MCU grid: vmax*8 x hmax*8 pixels per MCU (T.81 A.2.3); each
+        # MCU carries hi*vi blocks per component in raster order
+        mcus_y = -(-h // (vmax * 8))
+        mcus_x = -(-w // (hmax * 8))
+        samp_in_scan = samp_by_cid
+        plane_rows = {c: mcus_y * vi * 8 for c, (hi, vi) in samp_by_cid.items()}
+        plane_cols = {c: mcus_x * hi * 8 for c, (hi, vi) in samp_by_cid.items()}
+    plane_of = {
+        cid: np.zeros((plane_rows[cid], plane_cols[cid]))
+        for cid in samp_in_scan
+    }
+    pred = [0] * len(scan_comps)
+
+    def read_symbol(tab):
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | reader.bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+            if ln > 16:
+                raise JpegError("invalid Huffman code in scan")
+
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
         for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+            if cid not in samp_in_scan:
+                raise JpegError(f"scan component {cid} not in frame")
+            hi, vi = samp_in_scan[cid]
             dc_tab = huff[(0, dc_id)]
             ac_tab = huff[(1, ac_id)]
-
-            def read_symbol(tab):
-                code, ln = 0, 0
-                while True:
-                    code = (code << 1) | reader.bit()
-                    ln += 1
-                    if (ln, code) in tab:
-                        return tab[(ln, code)]
-                    if ln > 16:
-                        raise JpegError("invalid Huffman code in scan")
-
-            zz = np.zeros(64, dtype=np.int64)
-            size = read_symbol(dc_tab)
-            if size > 11:
-                # 8-bit baseline DC categories are 0..11 (T.81 table
-                # F.1); a larger symbol only arises from a corrupt DHT
-                # and would read an unbounded diff (int64 overflow)
-                raise JpegError(f"invalid DC size category {size}")
-            diff = _extend(reader.bits(size), size) if size else 0
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = rs >> 4, rs & 0xF
-                k += run
-                if k > 63:
-                    raise JpegError("AC run overflows block")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            q = qtables[qt_by_cid[cid]]
-            coeff = np.zeros(64)
-            coeff[ZIGZAG] = zz * q
-            block = _DCT.T @ coeff.reshape(8, 8) @ _DCT + 128.0
-            planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
-    cropped = [p[:h, :w] for p in planes]
+            for v in range(vi):
+                for hh in range(hi):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = read_symbol(dc_tab)
+                    if size > 11:
+                        # 8-bit baseline DC categories are 0..11 (T.81
+                        # table F.1); a larger symbol only arises from
+                        # a corrupt DHT and would read an unbounded
+                        # diff (int64 overflow)
+                        raise JpegError(f"invalid DC size category {size}")
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = read_symbol(ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = rs >> 4, rs & 0xF
+                        k += run
+                        if k > 63:
+                            raise JpegError("AC run overflows block")
+                        zz[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    q = qtables[qt_by_cid[cid]]
+                    coeff = np.zeros(64)
+                    coeff[ZIGZAG] = zz * q
+                    block = _DCT.T @ coeff.reshape(8, 8) @ _DCT + 128.0
+                    by = (my * vi + v) * 8
+                    bx = (mx * hi + hh) * 8
+                    plane_of[cid][by:by + 8, bx:bx + 8] = block
+    cropped = []
+    for cid, _dc, _ac in scan_comps:
+        hi, vi = samp_by_cid[cid]
+        ch = -(-(h * vi) // vmax)  # true component dims (T.81 A.1.1)
+        cw = -(-(w * hi) // hmax)
+        p = plane_of[cid][:ch, :cw]
+        if hi != hmax or vi != vmax:
+            # upsample by sample replication (the spec leaves the
+            # interpolation filter to the decoder; nearest is exact
+            # for the constant-chroma fixtures the oracle certifies)
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)[:h, :w]
+        cropped.append(p[:h, :w])
     if ncomp == 1:
         out = cropped[0]
     elif ncomp == 3:

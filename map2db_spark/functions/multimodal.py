@@ -49,7 +49,7 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     """Real image decode, stdlib+numpy only: PNG payloads decode with
     functions/png.py (zlib + unfiltering); baseline-sequential JPEG
     payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
-    4:4:4, 8-bit); lossless-WebP payloads decode with
+    8-bit, integer-ratio subsampling incl. 4:2:0); lossless-WebP payloads decode with
     functions/webp_vp8l.py — simple AND normal (code-length-coded)
     prefix codes plus LZ77 backward references, the color cache and
     the subtract-green + 14-mode predictor + palette transforms and

@@ -9145,3 +9145,114 @@ def m_vp8_header_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             " walker_agrees LONG"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG 4:2:0 chroma subsampling decode (baseline codec extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_jpeg_subsampled",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 9 + doc_id % 12 AS h, 9 + doc_id % 10 AS w
+      FROM documents WHERE doc_id < 28
+    ),
+    blocks AS (
+      SELECT g.doc_id, g.h, g.w, by.i AS by, bx.i AS bx
+      FROM g, generate_series(0, 2) AS by(i), generate_series(0, 2) AS bx(i)
+      WHERE by.i * 8 < g.h AND bx.i * 8 < g.w
+    ),
+    sums AS (
+      SELECT doc_id, ANY_VALUE(h) AS h, ANY_VALUE(w) AS w,
+             CAST(SUM((60 + (doc_id * 7 + by * 5 + bx * 3) % 160)
+                  * LEAST(8, h - 8 * by) * LEAST(8, w - 8 * bx))
+               AS BIGINT) AS plane_sum
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           plane_sum AS sum_r, plane_sum AS sum_g, plane_sum AS sum_b,
+           CAST(1 AS BIGINT) AS rt_exact,
+           CAST(1 AS BIGINT) AS ss_smaller
+    FROM sums
+    """,
+    tags=("multimodal", "image", "pixels", "jpeg", "subsampling"),
+)
+def m_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG with 4:2:0 CHROMA SUBSAMPLING certified end to
+    end — the extension that moves the codec envelope from "4:4:4
+    only" to "progressive only": per row a gray-valued image with
+    per-8x8-block constant luma (value 60 + (doc_id*7 + by*5 + bx*3)
+    % 160, dims 9..20 x 9..18 so MCU padding and cropping both
+    engage) is encoded at 4:2:0 — Y at 2x2 sampling (FOUR Y blocks
+    interleave per MCU, exercising the DC prediction chain through
+    the 2x2 walk), chroma box-filtered to a quarter of the blocks —
+    then decoded back through the general integer-ratio MCU walk.
+    Gray pixels keep Cb=Cr=128 exactly through the box prefilter and
+    block-constant luma carries only DC (quantizer 8 = exact integer
+    math), so the subsampled stream round-trips BIT-EXACTLY: the
+    oracle recomputes the per-block closed form and rt_exact pins
+    array equality; ss_smaller pins that the 4:2:0 stream genuinely
+    beats the 4:4:4 encoding of the same image (the chroma block
+    count drops 4x — subsampling is real, not a flag).  Colored
+    content (bounded-error) and 4:2:2 are covered in
+    tests/test_jpeg.py.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 28
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.jpeg_codec import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [],
+                   "rt_exact": [], "ss_smaller": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 9 + d % 12, 9 + d % 10
+                bh, bw = -(-h // 8), -(-w // 8)
+                by = np.arange(bh)[:, None]
+                bx = np.arange(bw)[None, :]
+                vals = 60 + (d * 7 + by * 5 + bx * 3) % 160
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[
+                    :h, :w
+                ].astype(np.uint8)
+                rgb = np.stack([img, img, img], axis=-1)
+                enc = encode_jpeg_baseline(rgb, subsampling="420")
+                enc444 = encode_jpeg_baseline(rgb)
+                dec = decode_jpeg_baseline(enc)
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                out["media_id"].append(d)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+                out["rt_exact"].append(int(np.array_equal(dec, rgb)))
+                out["ss_smaller"].append(int(len(enc) < len(enc444)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "media_id LONG, width INT, height INT, sum_r LONG,"
+            " sum_g LONG, sum_b LONG, rt_exact LONG, ss_smaller LONG"
+        ),
+    )

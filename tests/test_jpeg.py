@@ -251,3 +251,75 @@ def test_fuzz_bitflips_and_truncation_typed_errors_only():
             assert px.ndim in (2, 3)
         except (JpegError, NotImplementedError):
             pass
+
+
+def test_jpeg_codec_420_gray_blocks_bit_exact():
+    """4:2:0: gray-valued block-constant images keep Cb=Cr=128 exactly
+    through the box prefilter, so the subsampled stream round-trips
+    bit-exactly too — including non-MCU-multiple dims (padding + crop)
+    and the 2x2-Y-per-MCU interleave's DC prediction chain."""
+    for h, w, seed in [(16, 16, 1), (19, 21, 2), (9, 33, 3), (8, 8, 4)]:
+        rng = np.random.default_rng(seed)
+        bh, bw = -(-h // 8), -(-w // 8)
+        vals = rng.integers(40, 216, (bh, bw))
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:h, :w]
+        rgb = np.stack([img, img, img], axis=-1).astype(np.uint8)
+        for ss in ("420", "422"):
+            dec = decode_jpeg_baseline(encode_jpeg_baseline(rgb, subsampling=ss))
+            assert np.array_equal(dec, rgb), (h, w, ss)
+
+
+def test_jpeg_codec_420_smooth_error_bounded_and_smaller():
+    """Smooth colored content through 4:2:0/4:2:2: bounded error and a
+    genuinely smaller stream than 4:4:4 (the chroma block count drops
+    4x/2x — the point of subsampling)."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([40 + xx, 60 + yy, 80 + (xx + yy) // 2], axis=-1).astype(
+        np.uint8
+    )
+    e444 = encode_jpeg_baseline(img)
+    for ss in ("420", "422"):
+        enc = encode_jpeg_baseline(img, subsampling=ss)
+        dec = decode_jpeg_baseline(enc)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8, ss
+        assert len(enc) < len(e444), ss
+
+
+def test_jpeg_codec_420_sampling_factors_in_sof():
+    """The emitted SOF carries 2x2/1x1 (or 2x1/1x1) factors and the
+    metadata walker still reads dims from the same bytes."""
+    img = np.zeros((17, 13, 3), dtype=np.uint8)
+    enc = encode_jpeg_baseline(img, subsampling="420")
+    hdr = parse_jpeg_header(enc)
+    assert (hdr["width"], hdr["height"], hdr["ncomp"]) == (13, 17, 3)
+    sof = enc.index(b"\xff\xc0")
+    comps = enc[sof + 4 + 6:sof + 4 + 6 + 9]
+    assert comps[1] == 0x22 and comps[4] == 0x11 and comps[7] == 0x11
+
+
+def test_jpeg_codec_420_fuzz_typed_errors_only():
+    import random
+
+    rng = np.random.default_rng(17)
+    pyr = random.Random(17)
+    encs = [
+        encode_jpeg_baseline(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), subsampling=ss
+        )
+        for (h, w), ss in [((16, 16), "420"), ((17, 9), "420"),
+                           ((24, 16), "422")]
+    ]
+    for _ in range(600):
+        e = bytearray(pyr.choice(encs))
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(2, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(2, len(e))])
+        try:
+            px = decode_jpeg_baseline(data)
+            assert px.ndim in (2, 3)
+        except (JpegError, NotImplementedError):
+            pass
