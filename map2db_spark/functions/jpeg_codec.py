@@ -377,18 +377,27 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
-    scan_comps = None
+    progressive = False
+    coef: dict[int, np.ndarray] = {}
+    grids: dict[int, tuple[int, int]] = {}
+    saw_scan = False
     while pos < len(buf):
         while pos < len(buf) and buf[pos] == 0xFF:
             pos += 1
+        if pos >= len(buf):
+            break
         marker = buf[pos]
         pos += 1
         if marker == EOI:
-            raise JpegError("EOI before scan data")
+            if not saw_scan:
+                raise JpegError("EOI before scan data")
+            break
         if marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG not supported")
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "differential/arithmetic JPEG not supported"
+            )
         (length,) = struct.unpack_from(">H", buf, pos)
         payload = buf[pos + 2 : pos + length]
         if marker == DQT:
@@ -415,10 +424,13 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 # decode table: (length, code) -> symbol
                 huff[(tc, th)] = {(ln, cd): s for s, (cd, ln) in enc.items()}
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", payload)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            if not (h and w):
+                raise JpegError("zero frame dimension")
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * c)
@@ -427,60 +439,74 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                     raise JpegError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
+            hmax = max(hi for _c, _t, hi, _v in comps)
+            vmax = max(vi for _c, _t, _h, vi in comps)
+            mcus_y = -(-h // (vmax * 8))
+            mcus_x = -(-w // (hmax * 8))
+            for cid, _tq, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    # integer upsampling ratios only (covers 4:4:4/
+                    # 4:2:0/4:2:2/4:4:0/4:1:1 — every layout real
+                    # encoders emit)
+                    raise NotImplementedError(
+                        f"non-integer sampling ratio {hi}x{vi} vs "
+                        f"{hmax}x{vmax}"
+                    )
+                grids[cid] = (mcus_y * vi, mcus_x * hi)
+                coef[cid] = np.zeros(
+                    (mcus_y * vi, mcus_x * hi, 64), dtype=np.int64
+                )
         elif marker == SOS:
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = payload[0]
+            if len(payload) < 1 + 2 * ns + 3:
+                raise JpegError("truncated SOS segment")
             scan_comps = []
             for c in range(ns):
                 cid, tables = payload[1 + 2 * c], payload[2 + 2 * c]
                 scan_comps.append((cid, tables >> 4, tables & 0xF))
-            pos += length
-            break
-        pos += length
-    if frame is None or scan_comps is None:
-        raise JpegError("no scan found")
-    h, w, comps = frame
-    ncomp = len(comps)
-    qt_by_cid = {cid: tq for cid, tq, _hi, _vi in comps}
-    samp_by_cid = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
-    hmax = max(hi for _cid, _tq, hi, _vi in comps)
-    vmax = max(vi for _cid, _tq, _hi, vi in comps)
-    for cid, (hi, vi) in samp_by_cid.items():
-        # integer upsampling ratios only (covers 4:4:4/4:2:0/4:2:2/
-        # 4:4:0/4:1:1 — every layout real encoders emit)
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            a = payload[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            pos = _decode_scan(
+                buf, pos + length, frame, scan_comps, huff, coef,
+                progressive, ss, se, ah, al,
             )
+            saw_scan = True
+            continue
+        pos += length
+    if frame is None or not saw_scan:
+        raise JpegError("no scan found")
+    return _reconstruct(frame, coef, qtables)
+
+
+def _decode_scan(
+    buf, pos, frame, scan_comps, huff, coef, progressive, ss, se, ah, al
+):
+    """Entropy-decode one scan into the coefficient store and return
+    the byte position of the next marker.  Baseline scans carry whole
+    blocks; progressive scans carry a spectral band (T.81 G.1.2) — DC
+    scans may interleave, AC scans are single-component with EOBn
+    end-of-band runs.  Successive-approximation REFINEMENT passes
+    (Ah != 0) are out of envelope."""
+    h, w, comps = frame
+    samp_by_cid = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
+    hmax = max(hi for _c, _t, hi, _v in comps)
+    vmax = max(vi for _c, _t, _h, vi in comps)
+    if progressive:
+        if ah != 0:
+            raise NotImplementedError(
+                "progressive successive-approximation refinement "
+                "(Ah != 0) not supported"
+            )
+        if ss == 0 and se != 0:
+            raise JpegError("progressive DC scan must have Se = 0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise JpegError(f"invalid spectral band {ss}..{se}")
     reader = _BitReader(buf, pos)
-    if len(scan_comps) == 1:
-        # non-interleaved scan (T.81 A.2.2): the data unit is ONE
-        # block over the component's own block grid, whatever the
-        # declared sampling factors
-        cid0 = scan_comps[0][0]
-        if cid0 not in samp_by_cid:
-            raise JpegError(f"scan component {cid0} not in frame")
-        hi0, vi0 = samp_by_cid[cid0]
-        ch = -(-(h * vi0) // vmax)
-        cw = -(-(w * hi0) // hmax)
-        mcus_y, mcus_x = -(-ch // 8), -(-cw // 8)
-        samp_in_scan = {cid0: (1, 1)}
-        plane_rows = {cid0: mcus_y * 8}
-        plane_cols = {cid0: mcus_x * 8}
-    else:
-        # MCU grid: vmax*8 x hmax*8 pixels per MCU (T.81 A.2.3); each
-        # MCU carries hi*vi blocks per component in raster order
-        mcus_y = -(-h // (vmax * 8))
-        mcus_x = -(-w // (hmax * 8))
-        samp_in_scan = samp_by_cid
-        plane_rows = {c: mcus_y * vi * 8 for c, (hi, vi) in samp_by_cid.items()}
-        plane_cols = {c: mcus_x * hi * 8 for c, (hi, vi) in samp_by_cid.items()}
-    plane_of = {
-        cid: np.zeros((plane_rows[cid], plane_cols[cid]))
-        for cid in samp_in_scan
-    }
-    pred = [0] * len(scan_comps)
 
     def read_symbol(tab):
         code, ln = 0, 0
@@ -492,54 +518,132 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             if ln > 16:
                 raise JpegError("invalid Huffman code in scan")
 
-    for mi in range(mcus_y * mcus_x):
-        my, mx = divmod(mi, mcus_x)
-        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-            if cid not in samp_in_scan:
-                raise JpegError(f"scan component {cid} not in frame")
-            hi, vi = samp_in_scan[cid]
+    for cid, _dc, _ac in scan_comps:
+        if cid not in samp_by_cid:
+            raise JpegError(f"scan component {cid} not in frame")
+
+    if len(scan_comps) == 1:
+        # non-interleaved (T.81 A.2.2): one block per data unit over
+        # the component's own block grid
+        cid0 = scan_comps[0][0]
+        hi0, vi0 = samp_by_cid[cid0]
+        ch = -(-(h * vi0) // vmax)
+        cw = -(-(w * hi0) // hmax)
+        units_y, units_x = -(-ch // 8), -(-cw // 8)
+        walk = [(cid0, scan_comps[0][1], scan_comps[0][2], by, bx, 0)
+                for by in range(units_y) for bx in range(units_x)]
+        n_outer = 1
+    else:
+        mcus_y = -(-h // (vmax * 8))
+        mcus_x = -(-w // (hmax * 8))
+        walk = []
+        for mi in range(mcus_y * mcus_x):
+            my, mx = divmod(mi, mcus_x)
+            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                hi, vi = samp_by_cid[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        walk.append((cid, dc_id, ac_id,
+                                     my * vi + v, mx * hi + hh, ci))
+        n_outer = 1
+
+    pred = {ci: 0 for ci in range(len(scan_comps))}
+    eobrun = 0
+    for cid, dc_id, ac_id, by, bx, ci in walk:
+        zz = coef[cid][by, bx]
+        if not progressive:
             dc_tab = huff[(0, dc_id)]
             ac_tab = huff[(1, ac_id)]
-            for v in range(vi):
-                for hh in range(hi):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = read_symbol(dc_tab)
-                    if size > 11:
-                        # 8-bit baseline DC categories are 0..11 (T.81
-                        # table F.1); a larger symbol only arises from
-                        # a corrupt DHT and would read an unbounded
-                        # diff (int64 overflow)
-                        raise JpegError(f"invalid DC size category {size}")
-                    diff = _extend(reader.bits(size), size) if size else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = read_symbol(ac_tab)
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = rs >> 4, rs & 0xF
-                        k += run
-                        if k > 63:
-                            raise JpegError("AC run overflows block")
-                        zz[k] = _extend(reader.bits(size), size)
-                        k += 1
-                    q = qtables[qt_by_cid[cid]]
-                    coeff = np.zeros(64)
-                    coeff[ZIGZAG] = zz * q
-                    block = _DCT.T @ coeff.reshape(8, 8) @ _DCT + 128.0
-                    by = (my * vi + v) * 8
-                    bx = (mx * hi + hh) * 8
-                    plane_of[cid][by:by + 8, bx:bx + 8] = block
+            size = read_symbol(dc_tab)
+            if size > 11:
+                # 8-bit baseline DC categories are 0..11 (T.81 table
+                # F.1); a larger symbol only arises from a corrupt DHT
+                # and would read an unbounded diff (int64 overflow)
+                raise JpegError(f"invalid DC size category {size}")
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise JpegError("AC run overflows block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+        elif ss == 0:
+            # progressive DC first pass: baseline diff, point-shifted
+            size = read_symbol(huff[(0, dc_id)])
+            if size > 11:
+                raise JpegError(f"invalid DC size category {size}")
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[ci] += diff
+            zz[0] = pred[ci] << al
+        else:
+            # progressive AC first pass for the band ss..se (G.1.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            ac_tab = huff[(1, ac_id)]
+            k = ss
+            while k <= se:
+                rs = read_symbol(ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: 2^run - 1 + extra MORE blocks end here too
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise JpegError("AC run overflows spectral band")
+                zz[k] = _extend(reader.bits(size), size) << al
+                k += 1
+    del n_outer
+    # resync: discard padding bits, find the next marker
+    p = reader.pos
+    while p < len(buf):
+        if buf[p] == 0xFF and p + 1 < len(buf) and buf[p + 1] != 0x00:
+            return p
+        p += 1
+    raise JpegError("scan data ran past end of stream")
+
+
+def _reconstruct(frame, coef, qtables):
+    """Dequantize + IDCT the coefficient store once, after ALL scans
+    (baseline = 1 scan; progressive = several partial ones)."""
+    h, w, comps = frame
+    ncomp = len(comps)
+    hmax = max(hi for _c, _t, hi, _v in comps)
+    vmax = max(vi for _c, _t, _h, vi in comps)
     cropped = []
-    for cid, _dc, _ac in scan_comps:
-        hi, vi = samp_by_cid[cid]
+    for cid, tq, hi, vi in comps:
+        if tq not in qtables:
+            raise JpegError(f"missing quantization table {tq}")
+        q = qtables[tq]
+        blocks = coef[cid]
+        rows, cols = blocks.shape[:2]
+        plane = np.zeros((rows * 8, cols * 8))
+        for by in range(rows):
+            for bx in range(cols):
+                raster = np.zeros(64)
+                raster[ZIGZAG] = blocks[by, bx] * q
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    _DCT.T @ raster.reshape(8, 8) @ _DCT + 128.0
+                )
         ch = -(-(h * vi) // vmax)  # true component dims (T.81 A.1.1)
         cw = -(-(w * hi) // hmax)
-        p = plane_of[cid][:ch, :cw]
+        p = plane[:ch, :cw]
         if hi != hmax or vi != vmax:
             # upsample by sample replication (the spec leaves the
             # interpolation filter to the decoder; nearest is exact

@@ -153,15 +153,28 @@ def test_jpeg_codec_color_bounded():
 
 
 def test_jpeg_codec_rejects_out_of_envelope():
-    """Progressive / subsampled / restart inputs raise instead of
-    mis-decoding (the honest remaining envelope)."""
+    """Out-of-envelope inputs raise instead of mis-decoding.  Since
+    the spectral-selection progressive decoder landed, a bare SOF2
+    flip is no longer out of envelope — a SOF2 frame whose single
+    scan claims the baseline band (Ss=0, Se=63) is malformed
+    progressive (DC scans must carry Se=0) and gets the typed
+    JpegError; genuinely unsupported is successive-approximation
+    refinement (Ah != 0)."""
     img = _const_block_img(1, 1, 1)
     enc = bytearray(encode_jpeg_baseline(img))
-    # flip SOF0 (FFC0) to SOF2 (FFC2) -> progressive
+    # flip SOF0 (FFC0) to SOF2 (FFC2) -> malformed progressive
     i = bytes(enc).find(b"\xff\xc0")
     prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(JpegError):
         decode_jpeg_baseline(prog)
+    # successive-approximation refinement: Ah nibble of the SOS
+    # approximation byte (the byte right before the scan data)
+    penc = bytearray(encode_jpeg_progressive(img))
+    j = bytes(penc).find(b"\xff\xda")  # first SOS (the DC scan)
+    (slen,) = struct.unpack_from(">H", penc, j + 2)
+    penc[j + 2 + slen - 1] |= 0x10  # Ah = 1
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(bytes(penc))
     # corrupt magic
     with pytest.raises(JpegError):
         decode_jpeg_baseline(b"\x00\x00" + bytes(enc[2:]))
