@@ -9,14 +9,21 @@ Scope (honest contract): baseline DCT, 8-bit precision, grayscale or
 with hi x vi blocks per component, T.81 A.2.3; single-component scans
 take the non-interleaved walk, A.2.2; upsampling is nearest/sample
 replication, which the spec leaves to the decoder) and 4:4:4 / 4:2:0
-/ 4:2:2 on encode (box-filter chroma prefilter).  No restart markers,
-no progressive scans, no non-integer sampling ratios.  Inputs outside
-this envelope raise NotImplementedError/JpegError — the multimodal
-pipeline routes them to the quarantine path instead of mis-decoding.
-This converts the former blanket "JPEG pixel decode needs a library"
-stub (functions/multimodal.py) into a working kernel for the baseline
-streams (subsampled included) that dominate real corpora; progressive
-remains honestly unsupported.
+/ 4:2:2 on encode (box-filter chroma prefilter).  PROGRESSIVE
+spectral selection (SOF2, T.81 G.1.2) is supported on BOTH sides:
+decode handles interleaved DC first passes and single-component AC
+band scans with EOBn end-of-band runs and the Al point shift;
+encode_jpeg_progressive emits a DC scan plus per-component AC band
+scans (EOBn-coded) that the decoder — or any compliant decoder —
+reassembles.  Still out of envelope (honest NotImplementedError):
+successive-approximation REFINEMENT passes (Ah != 0), restart
+markers, non-integer sampling ratios, arithmetic coding.  Inputs
+outside the envelope raise NotImplementedError/JpegError — the
+multimodal pipeline routes them to the quarantine path instead of
+mis-decoding.  This converts the former blanket "JPEG pixel decode
+needs a library" stub (functions/multimodal.py) into a working
+kernel for the baseline and spectral-selection-progressive streams
+that dominate real corpora.
 
 Verification strategy: lossless round-trip fixtures.  A block whose
 64 samples are CONSTANT has only a DC coefficient (the AC float
@@ -353,15 +360,197 @@ def encode_jpeg_baseline(
     return b"".join(out)
 
 
+# progressive AC table: AC band scans need the EOBn symbols
+# (run << 4 | 0 for run 0..14, T.81 G.1.2.2) that baseline's table
+# omits (baseline only uses 0x00 = EOB1 and 0xF0 = ZRL).  All 176
+# valid progressive AC symbols at 9 bits: Kraft sum 176/512 < 1.
+_AC_PROG_SYMBOLS = [run << 4 for run in range(16)] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_PROG_COUNTS = [0] * 16
+_AC_PROG_COUNTS[8] = len(_AC_PROG_SYMBOLS)
+
+
+def _quantized_zigzag_blocks(plane: np.ndarray, q_raster: np.ndarray):
+    """FDCT + quantize + zigzag a component plane (edge-padded to 8x8
+    multiples); returns an int64 array of shape (rows, cols, 64)."""
+    h, w = plane.shape
+    rows, cols = -(-h // 8), -(-w // 8)
+    padded = np.pad(
+        plane, ((0, rows * 8 - h), (0, cols * 8 - w)), mode="edge"
+    )
+    zz = np.zeros((rows, cols, 64), dtype=np.int64)
+    for by in range(rows):
+        for bx in range(cols):
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coeff = _DCT @ (block - 128.0) @ _DCT.T
+            qz = np.round(coeff / q_raster).astype(np.int64)
+            zz[by, bx] = qz.reshape(-1)[ZIGZAG]
+    return zz
+
+
+def _write_ac_band_scan(writer, zz, ss, se, ac_map):
+    """Emit one progressive AC band scan (T.81 G.1.2.2): run/size
+    coding within the band, ZRL for 16-zero runs, and EOBn end-of-band
+    runs spanning all-zero blocks (the decoder applies an EOBn read in
+    block i to blocks i..i+n-1, so a pending EOB merges with following
+    empty blocks into one run)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, length = ac_map[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    rows, cols = zz.shape[:2]
+    width = se - ss + 1
+    for bi in range(rows * cols):
+        by, bx = divmod(bi, cols)
+        band = zz[by, bx, ss:se + 1]
+        nz = np.nonzero(band)[0]
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBn max (r=14 + 14 extra bits)
+                flush_eob()
+            continue
+        flush_eob()
+        last = int(nz[-1])
+        run = 0
+        for k in range(last + 1):
+            v = int(band[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_map[0xF0]
+                writer.write(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_map[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(_value_bits(v, size), size)
+            run = 0
+        if last < width - 1:
+            # trailing zeros: this block's EOB starts (or extends) a run
+            eobrun += 1
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, qtable: np.ndarray | None = None,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode a uint8 image — (h, w) grayscale or (h, w, 3) RGB, 4:4:4
+    — as a spectral-selection PROGRESSIVE JPEG (SOF2, T.81 G.1.2):
+    one interleaved DC scan (Ss=0, Se=0) followed by per-component AC
+    band scans (one SOS per component per band, EOBn-coded).  The
+    coefficient math is identical to the baseline encoder, so the same
+    constant-block fixtures round-trip BIT-EXACTLY (the m_jpeg_pixels
+    oracle trick extends to m_jpeg_progressive); only the scan
+    structure and entropy framing differ.  Ah/Al are always 0 —
+    successive-approximation output is out of envelope on both sides.
+
+    bands partitions the AC spectrum; each (ss, se) needs
+    1 <= ss <= se <= 63.  Coefficients outside every band are simply
+    never transmitted (legal, lossy), so full coverage is the default.
+    """
+    if qtable is None:
+        qtable = FIXTURE_QTABLE
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63):
+            raise JpegError(f"invalid AC band {ss}..{se}")
+    q_raster = np.asarray(qtable, dtype=np.int64)[UNZIGZAG].reshape(8, 8)
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise JpegError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise JpegError(f"dims out of u16 range: {w}x{h}")
+    ncomp = len(planes)
+    comps_zz = [_quantized_zigzag_blocks(p, q_raster) for p in planes]
+
+    dc_map = build_huffman(_DC_COUNTS, _DC_SYMBOLS)
+    ac_map = build_huffman(_AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = [struct.pack(">BB", 0xFF, SOI)]
+    out.append(seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)
+    ))
+    out.append(seg(DQT, bytes([0]) + bytes(int(v) for v in qtable)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, qtable 0
+    out.append(seg(0xC2, sof))  # SOF2: progressive DCT, Huffman
+
+    def dht_payload(tclass: int, tid: int, counts, symbols) -> bytes:
+        return bytes([tclass << 4 | tid]) + bytes(counts) + bytes(symbols)
+
+    out.append(seg(DHT, dht_payload(0, 0, _DC_COUNTS, _DC_SYMBOLS)))
+    out.append(seg(DHT, dht_payload(1, 0, _AC_PROG_COUNTS, _AC_PROG_SYMBOLS)))
+
+    # scan 1: DC, all components interleaved (grayscale: trivially the
+    # single component's own raster order — same walk the decoder takes)
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    rows, cols = comps_zz[0].shape[:2]
+    for mi in range(rows * cols):
+        my, mx = divmod(mi, cols)
+        for ci in range(ncomp):
+            dc = int(comps_zz[ci][my, mx, 0])
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size = _category(diff)
+            code, length = dc_map[size]
+            writer.write(code, length)
+            if size:
+                writer.write(_value_bits(diff, size), size)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += struct.pack(">BB", c + 1, 0x00)
+    sos += b"\x00\x00\x00"  # Ss=0 Se=0 Ah=0 Al=0
+    out.append(seg(SOS, sos))
+    out.append(writer.flush())
+
+    # AC scans: single-component per band (progressive AC scans MUST
+    # be non-interleaved, T.81 G.1.1)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            writer = _BitWriter()
+            _write_ac_band_scan(writer, comps_zz[ci], ss, se, ac_map)
+            sos = bytes([1]) + struct.pack(">BB", ci + 1, 0x00)
+            sos += bytes([ss, se, 0])
+            out.append(seg(SOS, sos))
+            out.append(writer.flush())
+
+    out.append(struct.pack(">BB", 0xFF, EOI))
+    return b"".join(out)
+
+
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     """Decode a baseline-sequential 8-bit JPEG — any integer-ratio
     chroma subsampling (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1) — to a uint8
     array: (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF YCbCr).
-    Raises JpegError on malformed/truncated streams (never a raw
-    IndexError/struct.error — fuzz-pinned in tests) and
-    NotImplementedError for progressive / restart-marker /
-    non-integer-ratio inputs (the honest envelope; see module
-    docstring)."""
+    Progressive spectral-selection streams (SOF2, first passes with
+    Al >= 0) decode too — coefficients accumulate across scans and
+    reconstruct once at EOI.  Raises JpegError on malformed/truncated
+    streams (never a raw IndexError/struct.error — fuzz-pinned in
+    tests) and NotImplementedError for successive-approximation
+    refinement (Ah != 0) / restart-marker / non-integer-ratio inputs
+    (the honest envelope; see module docstring)."""
     try:
         return _decode_jpeg_impl(buf)
     except (IndexError, KeyError, struct.error) as ex:
@@ -532,7 +721,6 @@ def _decode_scan(
         units_y, units_x = -(-ch // 8), -(-cw // 8)
         walk = [(cid0, scan_comps[0][1], scan_comps[0][2], by, bx, 0)
                 for by in range(units_y) for bx in range(units_x)]
-        n_outer = 1
     else:
         mcus_y = -(-h // (vmax * 8))
         mcus_x = -(-w // (hmax * 8))
@@ -545,7 +733,6 @@ def _decode_scan(
                     for hh in range(hi):
                         walk.append((cid, dc_id, ac_id,
                                      my * vi + v, mx * hi + hh, ci))
-        n_outer = 1
 
     pred = {ci: 0 for ci in range(len(scan_comps))}
     eobrun = 0
@@ -609,7 +796,6 @@ def _decode_scan(
                     raise JpegError("AC run overflows spectral band")
                 zz[k] = _extend(reader.bits(size), size) << al
                 k += 1
-    del n_outer
     # resync: discard padding bits, find the next marker
     p = reader.pos
     while p < len(buf):

@@ -1452,8 +1452,10 @@ def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base GROUP BY event_type
     )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DECIMAL(38, 0)) AS slope_num,
-           CAST(n * sxx - sx * sx AS DECIMAL(38, 0)) AS slope_den,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38, 0)) AS VARCHAR)
+             AS slope_num,
+           CAST(CAST(n * sxx - sx * sx AS DECIMAL(38, 0)) AS VARCHAR)
+             AS slope_den,
            CAST(CAST((n * sxy - sx * sy) * 1000000000 AS HUGEINT)
                 // CAST(n * sxx - sx * sx AS HUGEINT)
                 AS BIGINT) AS slope_nanos,
@@ -1466,10 +1468,14 @@ def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group ordinary-least-squares trend (value over time)
     computed as an EXACT RATIONAL: slope = (n*Sxy - Sx*Sy) /
-    (n*Sxx - Sx^2), numerator and denominator emitted as DECIMAL(38,0)
-    integers plus a fixed-point quotient (nanocents/second) — no float
-    covariance pipeline, so the fitted trend is bit-identical across
-    any shuffle order and the oracle hash-matches without tolerance.
+    (n*Sxx - Sx^2), numerator and denominator computed as DECIMAL(38,0)
+    and EMITTED AS VARCHAR (the x_decimal_ledger convention: DuckDB's
+    pandas path coerces wide decimals to float64, corrupting values
+    above 2^53 — slope_den is ~2.3e18 — so exact rationals cross the
+    engine boundary as canonical digit strings), plus a fixed-point
+    quotient (nanocents/second) — no float covariance pipeline, so the
+    fitted trend is bit-identical across any shuffle order and the
+    oracle hash-matches without tolerance.
     x is seconds since the corpus min timestamp: re-basing keeps
     n*Sxx ~ 1e21 at sf0.1 (vs ~1e29 on raw epoch seconds), well
     inside DECIMAL(38) even at petabyte row counts — the docstring
@@ -1497,8 +1503,10 @@ def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         "n",
-        F.expr("cast(n * sxy - sx * sy as decimal(38,0))").alias("slope_num"),
-        F.expr("cast(n * sxx - sx * sx as decimal(38,0))").alias("slope_den"),
+        F.expr("cast(cast(n * sxy - sx * sy as decimal(38,0)) as string)")
+        .alias("slope_num"),
+        F.expr("cast(cast(n * sxx - sx * sx as decimal(38,0)) as string)")
+        .alias("slope_den"),
         F.expr("cast((n * sxy - sx * sy) * 1000000000 div (n * sxx - sx * sx) as bigint)")
         .alias("slope_nanos"),
         F.expr("cast(sy * 1000000 div n as bigint)").alias("mean_cents_e6"),
@@ -1525,11 +1533,11 @@ def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT segment, CAST(max(n) AS BIGINT) AS n,
-           CAST(2 * sum(CAST(rk AS DECIMAL(38,0)) * cents)
+           CAST(CAST(2 * sum(CAST(rk AS DECIMAL(38,0)) * cents)
                 - (max(n) + 1) * sum(CAST(cents AS DECIMAL(38,0)))
-                AS DECIMAL(38,0)) AS gini_num,
-           CAST(CAST(max(n) AS DECIMAL(38,0)) * sum(CAST(cents AS DECIMAL(38,0)))
-                AS DECIMAL(38,0)) AS gini_den,
+                AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+           CAST(CAST(CAST(max(n) AS DECIMAL(38,0)) * sum(CAST(cents AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS VARCHAR) AS gini_den,
            CAST(CAST((2 * sum(CAST(rk AS DECIMAL(38,0)) * cents)
                       - (max(n) + 1) * sum(CAST(cents AS DECIMAL(38,0))))
                      * 1000000 AS HUGEINT)
@@ -1543,9 +1551,11 @@ def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini concentration of order value per market segment via
     the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
-    over ascending-sorted cents — rational numerator/denominator in
-    DECIMAL(38,0) plus an exact ppm quotient (HUGEINT-matched integral
-    division, see x_group_linreg).  Rank ties need no tiebreak column
+    over ascending-sorted cents — rational numerator/denominator
+    computed in DECIMAL(38,0) and emitted as VARCHAR (x_decimal_ledger
+    convention; see x_group_linreg for why wide decimals cannot cross
+    the DuckDB pandas boundary raw) plus an exact ppm quotient
+    (HUGEINT-matched integral division, see x_group_linreg).  Rank ties need no tiebreak column
     for cross-engine equality: a block of equal values x spanning
     consecutive ranks contributes x * (sum of those ranks) to
     sum(i*x_i) regardless of which tied row receives which rank.
@@ -1579,10 +1589,12 @@ def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "segment",
         "n",
-        F.expr("cast(2 * srx - (n + 1) * sx as decimal(38,0))").alias("gini_num"),
-        F.expr("cast(cast(n as decimal(38,0)) * sx as decimal(38,0))").alias(
-            "gini_den"
-        ),
+        F.expr(
+            "cast(cast(2 * srx - (n + 1) * sx as decimal(38,0)) as string)"
+        ).alias("gini_num"),
+        F.expr(
+            "cast(cast(cast(n as decimal(38,0)) * sx as decimal(38,0)) as string)"
+        ).alias("gini_den"),
         F.expr(
             "cast((2 * srx - (n + 1) * sx) * 1000000"
             " div (cast(n as decimal(38,0)) * sx) as bigint)"
@@ -2068,7 +2080,7 @@ def g_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
            CAST(rn AS BIGINT) AS change_idx,
-           CAST(adev AS DECIMAL(38,0)) AS peak_dev
+           CAST(CAST(adev AS DECIMAL(38,0)) AS VARCHAR) AS peak_dev
     FROM ranked WHERE pk = 1
     """,
     tags=("analytics", "changepoint", "timeseries"),
@@ -2077,7 +2089,8 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per series, EXACT: the classic
     cumulative-deviation statistic cusum_i = prefix_i - (i/n)*total
     peaks at the index where the series' mean shifts — scaled through
-    by n (adev = |n*prefix_i - i*total|, DECIMAL(38,0)) so the argmax
+    by n (adev = |n*prefix_i - i*total|, DECIMAL(38,0), peak emitted
+    as VARCHAR per the x_decimal_ledger convention) so the argmax
     is over exact integers and no float accumulation can move the
     detected index.  The argmax itself is a rank window with an
     earliest-index tiebreak — the deterministic-argmax idiom
@@ -2126,7 +2139,7 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("bigint").alias("n"),
             F.col("rn").cast("bigint").alias("change_idx"),
-            F.col("adev").cast("decimal(38,0)").alias("peak_dev"),
+            F.col("adev").cast("decimal(38,0)").cast("string").alias("peak_dev"),
         )
     )
 

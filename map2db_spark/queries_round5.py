@@ -6915,8 +6915,10 @@ def m_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match certifies the whole codec (bit writer/reader, stuffing,
     Huffman tables, DC prediction, EOB, dequantize, IDCT DC gain) on
     real compressed streams.  Lossy-path error bounds and color are
-    covered in tests/test_jpeg.py; progressive/subsampled inputs stay
-    an honest NotImplementedError inside the codec.
+    covered in tests/test_jpeg.py; subsampled streams decode too
+    (m_jpeg_subsampled) and spectral-selection progressive round-trips
+    under m_jpeg_progressive — only successive-approximation
+    refinement (Ah != 0) remains an honest NotImplementedError.
 
     Scale shape: map-only mapInPandas; payloads never shuffle and
     never touch the driver."""

@@ -1,0 +1,115 @@
+"""Round-6 query registrations.
+
+New operators land here so the registry tier logic (registry.py) puts
+them at the front of the driver's graded-50 window: a fresh operator
+gets its hard correctness row the same round it ships.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from map2db_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Progressive (spectral-selection) JPEG round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_jpeg_progressive",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id, by.i AS by, bx.i AS bx,
+             (d.doc_id * 41 + by.i * 13 + bx.i * 7) % 256 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) by
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) bx
+      WHERE by.i <= d.doc_id % 2 AND bx.i <= 1 + d.doc_id % 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(1 + 2 * (1 + doc_id % 2) AS INTEGER) AS n_scans,
+           CAST(sum(v) * 64 AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px
+    FROM g GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "pixels", "progressive"),
+)
+def m_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2 spectral-selection) JPEG round-trip through
+    the real codec: per row, a constant-per-8x8-block grayscale image
+    (closed-form values from doc_id) is encoded by
+    encode_jpeg_progressive — one interleaved DC scan plus EOBn-coded
+    AC band scans per component (jpeg_codec.py, T.81 G.1.2) — and
+    decoded back through the multi-scan coefficient-accumulation path.
+    Constant blocks carry only DC (the AC band scans are pure EOBn
+    runs), and the fixture DC quantizer of 8 makes the chain exact
+    integer arithmetic, so the decode is BIT-EXACT and the oracle
+    recomputes the pixel statistics closed-form.  n_scans counts the
+    SOS markers actually emitted (1 DC + 2 AC bands x 1 component for
+    single-row-of-blocks images, or the multi-band layout for taller
+    ones), pinning the scan STRUCTURE, not just the pixels.  This
+    closes round 5's untested-progressive-path finding: the encoder,
+    the EOBn bookkeeping, and the decoder now certify each other under
+    the driver's hash gate.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.jpeg_codec import (
+            decode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_scans": [],
+                   "sum_px": [], "min_px": [], "max_px": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw, bh = 2 + doc_id % 3, 1 + doc_id % 2
+                blocks = np.array(
+                    [[(doc_id * 41 + by * 13 + bx * 7) % 256
+                      for bx in range(bw)] for by in range(bh)]
+                )
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                # taller fixtures get the 4-band layout so the driver
+                # row covers >1 AC scan count
+                bands = (
+                    ((1, 5), (6, 63)) if bh == 1
+                    else ((1, 2), (3, 9), (10, 35), (36, 63))
+                )
+                enc = encode_jpeg_progressive(img, bands=bands)
+                n_scans = enc.count(b"\xff\xda")
+                decoded = decode_jpeg_baseline(enc)
+                out["media_id"].append(doc_id)
+                out["height"].append(decoded.shape[0])
+                out["width"].append(decoded.shape[1])
+                out["n_scans"].append(n_scans)
+                out["sum_px"].append(int(decoded.astype(np.int64).sum()))
+                out["min_px"].append(int(decoded.min()))
+                out["max_px"].append(int(decoded.max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, n_scans INT,"
+        " sum_px LONG, min_px LONG, max_px LONG",
+    )

@@ -72,6 +72,26 @@ _LOADED = False
 # to the front.  Remove a name from this set if its semantics change
 # (it then needs re-grading).
 _DRIVER_VERIFIED = frozenset({
+    # --- green in CORRECTNESS_r05.json (round-5 driver window; the 3
+    # red decimal-emission rows x_group_linreg / x_gini_concentration /
+    # w_cusum_changepoint are deliberately NOT here -> re-graded in r6
+    # after the VARCHAR re-emission) ---
+    "c_cross_split_leakage", "c_domain_cap", "c_kfold_assign",
+    "c_quantile_normalize", "d_dup_size_histogram", "d_edit_blocked_join",
+    "d_winnow_fingerprints", "g_bfs_layers", "g_exact_quartiles",
+    "g_label_prop", "g_mode_per_group", "j_asof_join",
+    "j_first_touch_attribution", "m2db_consolidated_zoom",
+    "m2db_merge_diagnostics", "m2db_overlay_union", "m2db_repair_salvage",
+    "m_jpeg_subsampled", "m_vp8_header_params", "m_webp_color_transform",
+    "s_stream_foreachbatch_upsert", "t_event_trigrams", "t_phrase_search",
+    "t_rake_keywords", "u_cogroup_merge", "u_grouped_agg_udf",
+    "u_map_in_arrow", "v_ivf_seed_robustness", "v_pca_covariance",
+    "v_pca_power", "v_pq_adc_topk", "v_random_projection",
+    "w_longest_streak", "w_mad_outliers", "w_twap_per_user", "x_auc_rank",
+    "x_column_profile", "x_compaction_bins", "x_decimal_ledger",
+    "x_dq_expectations", "x_hll_manual", "x_itemset_triples",
+    "x_mutual_information", "x_share_of_parent", "x_table_diff",
+    "x_winsorize", "x_zscore_outliers",
     # --- green in CORRECTNESS_r04.json (round-4 driver window) ---
     "c_embedding_decontam", "c_weighted_sample", "d_cohort_retention",
     "d_containment_dedup", "d_prefix_filter_join", "d_semantic_dedup",
@@ -167,39 +187,27 @@ _DRIVER_VERIFIED = frozenset({
 # seen + the 3 protocol-fixed r1 FAILs).  Promote to the front by
 # removing from this set once the r1 backlog is graded.
 _ROUND2_NEW = frozenset({
-    # (13 of the original names earned r4 driver rows and moved to
-    # _DRIVER_VERIFIED)
-    "x_zscore_outliers",
-    "t_event_trigrams", "x_table_diff", "d_dup_size_histogram",
-    "v_random_projection", "x_dq_expectations", "x_group_linreg",
-    "x_gini_concentration", "g_mode_per_group", "c_domain_cap",
-    "g_exact_quartiles", "w_twap_per_user",
-    "c_kfold_assign", "g_bfs_layers", "w_cusum_changepoint",
-    "c_quantile_normalize", "d_edit_blocked_join", "t_phrase_search",
-    "u_cogroup_merge", "u_map_in_arrow", "w_longest_streak",
-    "x_share_of_parent", "j_first_touch_attribution",
-    "x_column_profile",
+    # (13 of the original names earned r4 driver rows, 21 more earned
+    # r5 rows — all moved to _DRIVER_VERIFIED.  The three remaining
+    # names are r5's red decimal-emission rows, deliberately kept here
+    # so the r6 window re-grades them after the VARCHAR re-emission.)
+    "x_group_linreg", "x_gini_concentration", "w_cusum_changepoint",
 })
 
 
 # Queries first registered during round 3: graded after the round-2
 # additions (which are themselves behind the r1 backlog), so a new
 # query can never evict one still waiting for its first hard signal.
-_ROUND3_NEW = frozenset({
-    "w_mad_outliers", "x_hll_manual", "d_winnow_fingerprints",
-    "t_rake_keywords", "v_pq_adc_topk", "g_label_prop",
-    "x_itemset_triples", "x_decimal_ledger", "u_grouped_agg_udf",
-})
+_ROUND3_NEW = frozenset()  # every round-3 addition earned its r5 driver row
 
 
 # Queries first registered during round 4 (ML-eval / data-management
 # family and later additions): behind the round-3 backlog.
 _ROUND4_NEW = frozenset({
-    "x_auc_rank", "x_mutual_information", "x_winsorize",
-    "v_pca_covariance", "x_compaction_bins", "c_cross_split_leakage",
-    "v_pca_power", "x_calibration_bins", "w_seasonal_decompose",
+    # (8 names earned r5 driver rows and moved to _DRIVER_VERIFIED)
+    "x_calibration_bins", "w_seasonal_decompose",
     "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
-    "c_k_anonymity", "x_chi_squared", "s_stream_foreachbatch_upsert",
+    "c_k_anonymity", "x_chi_squared",
     "x_ab_test_proportions", "t_zipf_fit", "x_survival_km",
     "x_markov_transitions", "v_ann_recall_eval", "x_did_estimator",
     "v_ann_multiprobe_recall", "x_cuped_adjustment",
@@ -289,6 +297,7 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_round3  # noqa: F401
     import map2db_spark.queries_mleval  # noqa: F401
     import map2db_spark.queries_round5  # noqa: F401
+    import map2db_spark.queries_round6  # noqa: F401
 
     # Stable tier partition (relative order preserved per tier):
     #   0. registered but never in any tier set below (oldest backlog) —

@@ -236,9 +236,12 @@ def run_available_now_df(
 
     if out_mode == "update":
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(out_dir)
+            # cast: the read-back path declares LongType; without it the
+            # parquet file carries INT32 and only Spark 4.x type
+            # widening saves the read (ADVICE r5)
+            batch_df.withColumn(
+                "__batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(out_dir)
     else:
         write_mode = "append" if out_mode == "append" else "overwrite"
 

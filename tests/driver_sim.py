@@ -19,11 +19,23 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _canon_decimal(v: decimal.Decimal) -> str:
+    """Exact canonical digit string: no exponent, no trailing
+    fractional zeros.  Decimals must NOT round through float — DuckDB's
+    pandas path corrupts DECIMAL(38,0) above 2^53 (round 5's three red
+    rows), so the sim compares the exact value and is never more
+    lenient than the gate."""
+    s = format(v, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return "0" if s in ("", "-0") else s
+
+
 def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return _canon_decimal(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -85,6 +85,7 @@ from map2db_spark.functions.jpeg_codec import (
     build_huffman,
     decode_jpeg_baseline,
     encode_jpeg_baseline,
+    encode_jpeg_progressive,
 )
 
 
@@ -111,6 +112,130 @@ def test_jpeg_codec_constant_blocks_bit_exact_rgb():
     rgb = np.stack([img, img, img], axis=-1)
     dec = decode_jpeg_baseline(encode_jpeg_baseline(rgb))
     assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_progressive_constant_blocks_bit_exact():
+    """Spectral-selection progressive: same constant-block exactness
+    argument as baseline (DC quantizer 8, AC all zero -> the AC band
+    scans are pure EOBn runs), so the SOF2 stream round-trips
+    bit-exactly through the DC-interleaved + per-band AC decode."""
+    img = _const_block_img(7, 3, 4)
+    dec = decode_jpeg_baseline(encode_jpeg_progressive(img))
+    assert np.array_equal(dec, img)
+    rgb = np.stack([img, img, img], axis=-1)
+    assert np.array_equal(
+        decode_jpeg_baseline(encode_jpeg_progressive(rgb)), rgb
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_jpeg_progressive_decode_matches_baseline(seed):
+    """Arbitrary content: the progressive scan structure transmits the
+    SAME quantized coefficients as baseline, so decode(progressive) ==
+    decode(baseline) pixel-for-pixel — this pins the EOBn run
+    bookkeeping and the band walk against the known-good baseline
+    entropy path (including non-multiple-of-8 dims)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    d_prog = decode_jpeg_baseline(encode_jpeg_progressive(img))
+    d_base = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert np.array_equal(d_prog, d_base)
+
+
+def test_jpeg_progressive_color_and_narrow_bands():
+    """3-component 4:4:4 progressive and a maximally-split band layout
+    (63 single-coefficient AC scans) both reproduce the baseline
+    decode; the narrow bands force EOBn runs in nearly every scan."""
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_baseline(encode_jpeg_progressive(rgb)),
+        decode_jpeg_baseline(encode_jpeg_baseline(rgb)),
+    )
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    split = tuple((k, k) for k in range(1, 64))
+    assert np.array_equal(
+        decode_jpeg_baseline(encode_jpeg_progressive(img, bands=split)),
+        decode_jpeg_baseline(encode_jpeg_baseline(img)),
+    )
+
+
+def test_jpeg_progressive_eobrun_is_compact():
+    """A flat image's AC band scans must collapse into single EOBn
+    runs: for a 16x32-block flat frame (512 blocks, eobrun count 512 ->
+    r=9 symbol + 9 extra bits + padding), each AC scan's entropy
+    segment is <= 4 bytes.  A per-block EOB encoding would emit ~576
+    bytes — this pins that the encoder actually merges runs."""
+    img = np.full((128, 256), 77, dtype=np.uint8)
+    enc = encode_jpeg_progressive(img)
+    # walk SOS segments; entropy data runs to the next 0xFF-marker
+    scans = []
+    pos = enc.find(b"\xff\xda")
+    while pos != -1:
+        (slen,) = struct.unpack_from(">H", enc, pos + 2)
+        start = pos + 2 + slen
+        nxt = start
+        while nxt < len(enc):
+            if enc[nxt] == 0xFF and enc[nxt + 1] != 0x00:
+                break
+            nxt += 1
+        scans.append(enc[start:nxt])
+        pos = enc.find(b"\xff\xda", nxt)
+    assert len(scans) == 3  # DC + two AC bands
+    for ac_scan in scans[1:]:
+        assert len(ac_scan) <= 4, f"EOB run not merged: {len(ac_scan)}B"
+    assert np.array_equal(decode_jpeg_baseline(enc), img)
+
+
+def test_jpeg_progressive_al_point_shift_decodes():
+    """Al > 0 DC first pass: a hand-built stream carrying dc >> 1 with
+    Al=1 must reconstruct dc = (dc >> 1) << 1 — exact when dc is even.
+    Constant 192 gives dc = 192-128 = 64 (even), so the decoded image
+    is bit-exact.  This is the decoder's point-shift path, which the
+    Ah=0-only encoder cannot produce."""
+    from map2db_spark.functions.jpeg_codec import (
+        _AC_PROG_COUNTS,
+        _AC_PROG_SYMBOLS,
+        _BitWriter,
+        _DC_COUNTS,
+        _DC_SYMBOLS,
+        _category,
+        _value_bits,
+    )
+
+    img = np.full((8, 8), 192, dtype=np.uint8)
+    base = encode_jpeg_progressive(img, bands=((1, 63),))
+    # rebuild the DC scan with Al=1 and the halved diff
+    dc_map = build_huffman(_DC_COUNTS, _DC_SYMBOLS)
+    ac_map = build_huffman(_AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
+    w = _BitWriter()
+    diff = (192 - 128) >> 1  # 32
+    size = _category(diff)
+    code, ln = dc_map[size]
+    w.write(code, ln)
+    w.write(_value_bits(diff, size), size)
+    dc_scan = w.flush()
+    w2 = _BitWriter()
+    code, ln = ac_map[0x00]  # EOB1: the single block's AC band is empty
+    w2.write(code, ln)
+    ac_scan = w2.flush()
+    j = base.find(b"\xff\xda")
+    head = base[:j]
+    sos_dc = (b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00])
+              + bytes([0, 0, 0x01]))  # Ss=0 Se=0 Ah=0 Al=1
+    sos_ac = (b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00])
+              + bytes([1, 63, 0x00]))
+    stream = (head + sos_dc + dc_scan + sos_ac + ac_scan
+              + struct.pack(">BB", 0xFF, 0xD9))
+    assert np.array_equal(decode_jpeg_baseline(stream), img)
+
+
+def test_jpeg_progressive_rejects_bad_bands():
+    with pytest.raises(JpegError):
+        encode_jpeg_progressive(_const_block_img(1, 1, 1), bands=((0, 5),))
+    with pytest.raises(JpegError):
+        encode_jpeg_progressive(_const_block_img(1, 1, 1), bands=((5, 64),))
 
 
 def test_jpeg_codec_walker_reads_real_stream():
@@ -264,6 +389,72 @@ def test_fuzz_bitflips_and_truncation_typed_errors_only():
             assert px.ndim in (2, 3)
         except (JpegError, NotImplementedError):
             pass
+
+
+def test_fuzz_progressive_bitflips_truncation_typed_errors_only():
+    """r6 fuzz campaign over the NEW progressive scan walker
+    (jpeg_codec._decode_scan's EOBn/band path): random 1-3 bit flips
+    and truncations of valid SOF2 streams must raise JpegError /
+    NotImplementedError or decode — never an untyped exception.  The
+    full 3000-trial campaign plus a structured pass (every SOS header
+    byte forced to boundary values, scans dropped/duplicated/
+    reordered) ran clean at landing; this pins a 400-trial slice."""
+    import random
+
+    rng = np.random.default_rng(7)
+    pyr = random.Random(7)
+    encs = [
+        encode_jpeg_progressive(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        )
+        for h, w in [(8, 8), (17, 9)]
+    ] + [
+        encode_jpeg_progressive(
+            rng.integers(0, 256, (16, 16), dtype=np.uint8),
+            bands=tuple((k, k) for k in range(1, 64)),
+        )
+    ]
+    for _ in range(400):
+        e = bytearray(pyr.choice(encs))
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(2, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(2, len(e))])
+        try:
+            px = decode_jpeg_baseline(data)
+            assert px.ndim in (2, 3)
+        except (JpegError, NotImplementedError):
+            pass
+
+
+def test_fuzz_progressive_sos_header_bytes_typed_errors_only():
+    """Structured slice of the r6 campaign: every byte of every SOS
+    header forced to boundary values (0x00/0x3F/0x40/0x7F/0xFF) — the
+    bytes that steer the band walk (Ss/Se/Ah/Al, component ids, table
+    selectors) must never escape the typed-error contract."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    enc = encode_jpeg_progressive(img)
+    pos = []
+    p = enc.find(b"\xff\xda")
+    while p != -1:
+        pos.append(p)
+        p = enc.find(b"\xff\xda", p + 2)
+    assert len(pos) == 3
+    for p in pos:
+        (slen,) = struct.unpack_from(">H", enc, p + 2)
+        for off in range(2, 2 + slen):
+            for v in (0x00, 0x3F, 0x40, 0x7F, 0xFF):
+                e = bytearray(enc)
+                e[p + off] = v
+                try:
+                    out = decode_jpeg_baseline(bytes(e))
+                    assert out.ndim == 2
+                except (JpegError, NotImplementedError):
+                    pass
 
 
 def test_jpeg_codec_420_gray_blocks_bit_exact():

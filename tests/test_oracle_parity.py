@@ -25,13 +25,25 @@ ORACLE_CASES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 ROWS_ONLY_CASES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
 
+def _canon_decimal(v) -> str:
+    """Exact canonical digit string for Decimal cells — NO float
+    round-trip.  DuckDB's pandas path coerces DECIMAL(38,0) to float64
+    and corrupts values above 2^53 (round 5's three red driver rows);
+    the local mirror must therefore compare decimals exactly or it is
+    more lenient than the gate it mirrors."""
+    s = format(v, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return "0" if s in ("", "-0") else s
+
+
 def _norm_cell(v):
     if v is None:
         return None
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return _canon_decimal(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -62,11 +74,55 @@ def _normalize(cols, rows):
     return sorted_cols, out
 
 
+def _assert_no_wide_decimals(name, schema):
+    """The external gate's hash path round-trips DuckDB results through
+    pandas, where wide decimals silently become float64 (corruption
+    above 2^53) while Spark keeps exact Decimals — so the hash splits
+    even when values agree.  No registered query may emit a decimal
+    column wider than 18 digits; exact big rationals cross the engine
+    boundary as canonical VARCHAR (x_decimal_ledger convention)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    def walk(dt, path):
+        if isinstance(dt, DecimalType) and dt.precision > 18:
+            raise AssertionError(
+                f"{name}: column {path} is {dt.simpleString()} — wider "
+                "than 18 digits; emit as VARCHAR (x_decimal_ledger "
+                "convention) so the driver hash cannot split on "
+                "engine-side float coercion"
+            )
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, MapType):
+            walk(dt.keyType, path + "<key>")
+            walk(dt.valueType, path + "<value>")
+
+    walk(schema, "")
+
+
+def test_wide_decimal_guard_trips(spark):
+    """Self-test: the sweep MUST fail on a deliberately wide-decimal
+    fixture query (r5 verdict item 2's done-condition)."""
+    import pyspark.sql.functions as F
+
+    wide = spark.range(1).select(
+        F.lit(1).cast("decimal(38,0)").alias("too_wide")
+    )
+    with pytest.raises(AssertionError, match="wider than 18 digits"):
+        _assert_no_wide_decimals("fixture", wide.schema)
+    ok = spark.range(1).select(F.lit(1).cast("decimal(18,2)").alias("fine"))
+    _assert_no_wide_decimals("fixture", ok.schema)
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(spark, duck, name):
     spec = QUERIES[name]
     try:
         sdf = spec.fn(spark, SF_CORRECT)
+        _assert_no_wide_decimals(name, sdf.schema)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
     finally:
@@ -92,5 +148,6 @@ def test_oracle_parity(spark, duck, name):
 def test_rows_only_runs(spark, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_CORRECT)
+    _assert_no_wide_decimals(name, sdf.schema)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0

@@ -31,22 +31,22 @@ def test_r1_protocol_fixed_fails_were_regraded():
 
 
 def test_recapped_queries_back_in_graded_window():
-    # r5 deliberate re-grades: j_asof_join (struct-carry semantics
-    # changed in r4, ADVICE), the mapsforge family rows whose
-    # underlying code r4 changed (WKB typed errors, repair harvest,
-    # overlay fuzz pins — verdict item 5), and the round's new
-    # color-transform + quantizer-robustness queries must all take
-    # graded slots this round
+    # r6 deliberate re-grades: the three r5 hash-red rows (the only
+    # registry queries that emitted raw DECIMAL(38,0); re-emitted as
+    # VARCHAR per the x_decimal_ledger convention — verdict r5 item 1)
+    # plus the round's new progressive-JPEG row (verdict item 3) must
+    # all take graded slots this round
     for name in (
-        "j_asof_join", "m2db_consolidated_zoom", "m2db_merge_diagnostics",
-        "m2db_repair_salvage", "m2db_overlay_union",
-        "m_webp_color_transform", "v_ivf_seed_robustness",
+        "x_group_linreg", "x_gini_concentration", "w_cusum_changepoint",
+        "m_jpeg_progressive",
     ):
         assert NAMES.index(name) < 50, (name, NAMES.index(name))
-    # the r4 re-grades came back green (CORRECTNESS_r04) and are now
+    # the r5 re-grades came back green (CORRECTNESS_r05) and are now
     # demoted to the verified tier
-    for name in ("d_semantic_dedup", "d_semdedup_recall_hotcell",
-                 "v_ann_ivf_topk", "v_ann_ivf_nprobe"):
+    for name in ("j_asof_join", "m2db_consolidated_zoom",
+                 "m2db_merge_diagnostics", "m2db_repair_salvage",
+                 "m2db_overlay_union", "m_webp_color_transform",
+                 "v_ivf_seed_robustness"):
         assert name in _DRIVER_VERIFIED, name
 
 

