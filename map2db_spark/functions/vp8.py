@@ -22,26 +22,33 @@ Implemented end to end (encoder + decoder, spec bit layout):
   show_frame, 19-bit first-partition size), 9D 01 2A sync code,
   14-bit width/height with 2-bit upscale codes;
 - the bool-coded keyframe header through its quantizer block:
-  color_space, clamping_type, segmentation_enabled, filter_type,
-  loop_filter_level, sharpness_level, loop-filter-adjust flag, DCT
-  partition count, y_ac_qi and the five flagged+signed quantizer
-  deltas, refresh_entropy_probs.
+  color_space, clamping_type, the full segmentation block (RFC 6386
+  9.3: map/feature-data update flags, absolute-or-delta mode, four
+  7-bit quantizer and four 6-bit loop-filter segment deltas, the
+  3-probability segment-map tree — round 6), filter_type,
+  loop_filter_level, sharpness_level, the loop-filter adjustment
+  block (9.4: per-reference-frame and per-mode 6-bit deltas —
+  round 6), DCT partition count, y_ac_qi and the five flagged+signed
+  quantizer deltas, refresh_entropy_probs.
 
-Honest envelope (raises, never mis-decodes): segmentation data,
-loop-filter adjustment deltas, the 1056-entry token-probability update
-block and everything after it (macroblock prediction records, DCT
-coefficient decode, reconstruction + loop filter) stay
-NotImplementedError — decode_vp8_header stops at a declared field
-boundary and pixel decode remains out of envelope.
+Honest envelope (raises, never mis-decodes): the token-probability
+update block and everything after it (macroblock prediction records,
+DCT coefficient decode, reconstruction + loop filter) stay out of
+envelope — the update flags are entropy-coded under RFC 6386's
+1056-entry normative probability table, which this container provides
+no source for, so decode_vp8_header stops at the refresh_entropy_probs
+field boundary and pixel decode remains NotImplemented.
 
-Like the VP8L codec (functions/webp_vp8l.py), bit-parity against an
-external reference decoder is container-blocked (no WebP library in
-this container), so verification is spec-layout construction on the
-encode side, exact round-trip on the decode side (including
-probability-weighted bool sequences and encoder carry propagation),
-and closed-form oracle checks over decoded header fields
-(m_vp8_header_params).  Container framing matches functions/webp.py's
-RIFF walker, so both paths parse one header layout.
+Verification (upgraded in round 6): the container ships libwebp.so.7,
+so REAL lossy keyframes from the reference encoder now drive
+decode_vp8_header in tests/test_libwebp_parity.py — including real
+segmentation blocks, which libwebp enables at ordinary quality
+settings — with decoded dims checked against WebPGetInfo and the
+reference pixel buffer.  Encode-side verification remains spec-layout
+construction + exact round-trip (probability-weighted bool sequences,
+encoder carry propagation) and the closed-form m_vp8_header_params
+oracle.  Container framing matches functions/webp.py's RIFF walker,
+so both paths parse one header layout.
 
 Reference parity note: the reference pipeline (map2db.py) contains no
 raster codecs at all — this module extends the multimodal family the
@@ -184,6 +191,8 @@ def encode_vp8_keyframe_header(
     clamping_type: int = 0,
     refresh_entropy_probs: int = 1,
     version: int = 0,
+    segmentation: dict | None = None,
+    lf_adjust: dict | None = None,
 ) -> bytes:
     """Encode a spec-layout lossy-WebP keyframe HEADER (RIFF + 'VP8 '
     chunk): uncompressed chunk (frame tag, sync, dims) + the boolean-
@@ -210,14 +219,52 @@ def encode_vp8_keyframe_header(
         if not -15 <= q_deltas[k] <= 15:
             raise WebpError(f"{k} must be -15..15")
 
+    if segmentation is not None:
+        for key, lim, count in (("q_deltas", 127, 4), ("lf_deltas", 63, 4)):
+            vals = segmentation.get(key, [0] * count)
+            if len(vals) != count or any(abs(v) > lim for v in vals):
+                raise WebpError(f"segmentation {key}: 4 values in ±{lim}")
+        probs = segmentation.get("tree_probs", [255] * 3)
+        if len(probs) != 3 or any(not 0 <= p <= 255 for p in probs):
+            raise WebpError("segmentation tree_probs: 3 values in 0..255")
+    if lf_adjust is not None:
+        for key in ("ref_deltas", "mode_deltas"):
+            vals = lf_adjust.get(key, [0] * 4)
+            if len(vals) != 4 or any(abs(v) > 63 for v in vals):
+                raise WebpError(f"lf_adjust {key}: 4 values in ±63")
+
     e = _BoolEncoder()
     e.literal(color_space & 1, 1)
     e.literal(clamping_type & 1, 1)
-    e.literal(0, 1)  # segmentation_enabled: off (out of envelope)
+    e.literal(1 if segmentation is not None else 0, 1)
+    if segmentation is not None:
+        # RFC 6386 9.3 layout mirrored by decode_vp8_header
+        update_map = 1 if segmentation.get("update_map", True) else 0
+        e.literal(update_map, 1)
+        e.literal(1, 1)  # update_segment_feature_data
+        e.literal(segmentation.get("feature_mode", 0) & 1, 1)
+        for v in segmentation.get("q_deltas", [0] * 4):
+            e.flagged_signed(v, 7)
+        for v in segmentation.get("lf_deltas", [0] * 4):
+            e.flagged_signed(v, 6)
+        if update_map:
+            for p in segmentation.get("tree_probs", [255] * 3):
+                if p == 255:  # 255 = "keep default", coded as no-update
+                    e.literal(0, 1)
+                else:
+                    e.literal(1, 1)
+                    e.literal(p, 8)
     e.literal(filter_type & 1, 1)
     e.literal(loop_filter_level, 6)
     e.literal(sharpness_level, 3)
-    e.literal(0, 1)  # loop_filter_adj_enable: off (out of envelope)
+    e.literal(1 if lf_adjust is not None else 0, 1)
+    if lf_adjust is not None:
+        # RFC 6386 9.4 layout mirrored by decode_vp8_header
+        e.literal(1, 1)  # mode_ref_lf_delta_update
+        for v in lf_adjust.get("ref_deltas", [0] * 4):
+            e.flagged_signed(v, 6)
+        for v in lf_adjust.get("mode_deltas", [0] * 4):
+            e.flagged_signed(v, 6)
     e.literal(dct_partition_log2, 2)
     e.literal(y_ac_qi, 7)
     for k in _Q_DELTAS:
@@ -254,12 +301,15 @@ def encode_vp8_keyframe_header(
 
 def decode_vp8_header(buf: bytes) -> dict:
     """Decode a lossy-WebP keyframe header through its quantizer block
-    via the RFC 6386 boolean decoder: frame tag, dims, filter params,
-    DCT partition count, quantizer indices/deltas,
-    refresh_entropy_probs.  Raises WebpError on malformed input and
-    NotImplementedError for the parts beyond the envelope (interframes,
-    segmentation/filter-adjust data; pixel reconstruction is never
-    attempted)."""
+    via the RFC 6386 boolean decoder: frame tag, dims, the
+    segmentation block (9.3), filter params, the loop-filter
+    adjustment block (9.4), DCT partition count, quantizer
+    indices/deltas, refresh_entropy_probs.  Segmentation/adjustment
+    keys appear in the result only when their enable bits are set
+    (exactly mirroring which fields exist in the stream).  Raises
+    WebpError on malformed input and NotImplementedError for the
+    parts beyond the envelope (interframes; pixel reconstruction is
+    never attempted)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise WebpError("bad magic: not a WebP container")
     pos = 12
@@ -305,17 +355,33 @@ def decode_vp8_header(buf: bytes) -> dict:
         "color_space": d.read(128),
         "clamping_type": d.read(128),
     }
-    if d.read(128):  # segmentation_enabled
-        raise NotImplementedError(
-            "VP8 segmentation data decode not supported"
-        )
+    out["segmentation_enabled"] = d.read(128)
+    if out["segmentation_enabled"]:
+        # RFC 6386 9.3 update_segmentation(): two update flags, then
+        # (optionally) per-segment quantizer/loop-filter feature
+        # deltas in absolute-or-delta mode, then (optionally) the
+        # 3-probability segment-map tree (255 = keep default)
+        out["update_mb_segmentation_map"] = d.read(128)
+        update_data = d.read(128)
+        out["update_segment_feature_data"] = update_data
+        if update_data:
+            out["segment_feature_mode"] = d.read(128)
+            out["segment_q_deltas"] = [d.flagged_signed(7) for _ in range(4)]
+            out["segment_lf_deltas"] = [d.flagged_signed(6) for _ in range(4)]
+        if out["update_mb_segmentation_map"]:
+            out["segment_tree_probs"] = [
+                d.literal(8) if d.read(128) else 255 for _ in range(3)
+            ]
     out["filter_type"] = d.read(128)
     out["loop_filter_level"] = d.literal(6)
     out["sharpness_level"] = d.literal(3)
-    if d.read(128):  # loop_filter_adj_enable
-        raise NotImplementedError(
-            "VP8 loop-filter adjustment decode not supported"
-        )
+    out["loop_filter_adj_enable"] = d.read(128)
+    if out["loop_filter_adj_enable"]:
+        # RFC 6386 9.4 mb_lf_adjustments(): per-reference-frame and
+        # per-prediction-mode loop-filter level deltas
+        if d.read(128):  # mode_ref_lf_delta_update
+            out["ref_lf_deltas"] = [d.flagged_signed(6) for _ in range(4)]
+            out["mode_lf_deltas"] = [d.flagged_signed(6) for _ in range(4)]
     out["dct_partitions"] = 1 << d.literal(2)
     out["y_ac_qi"] = d.literal(7)
     for k in _Q_DELTAS:

@@ -18,10 +18,9 @@ code, and the copy runs pixel by pixel (overlap allowed).
 
 The encoder uses the simple form for channels with <= 2 used symbols
 and limited-length package-merge Huffman codes (normal form)
-otherwise; the greedy matcher emits backward references with DIRECT
-distance codes (distance + 120).  Every distance is representable
-directly — the first 120 codes are a 2D-proximity remapping of close
-distances, a compression optimization only.  The COLOR CACHE
+otherwise; the greedy matcher emits backward references as 2D
+proximity codes when the distance lands in the spec's 120-entry
+neighborhood table and as DIRECT codes (distance + 120) otherwise.  The COLOR CACHE
 (cache_bits 1..11) is implemented on both sides: green symbols >=
 280 index a running cache of recently-emitted ARGB values (spec hash
 0x1e35a7bd, top cache_bits bits), refreshed by every emitted pixel —
@@ -41,23 +40,34 @@ palette + index bundling.  The predictor's last-column top-right
 border rule is documented at the transform section — self-generated
 streams never exercise it.
 
+2D proximity distance codes (dist_code <= 120, the spec's near-copy
+remapping) are implemented on BOTH sides as of round 6: the decoder
+maps codes 1..120 through the spec's 120-entry (xoffset, yoffset)
+neighborhood table, and the encoder emits the 2D code whenever a
+backward reference lands in the neighborhood (vertical copies in
+particular collapse from dist+120 to tiny codes).
+
 Honest envelope (everything else raises, never mis-decodes):
 
 - palette combined with other transforms: NotImplemented
   (packed-width interplay)
-- 2D proximity distance codes (dist_code <= 120): NotImplemented
-  (a compression optimization; unverifiable here without a reference
-  decoder — see below)
 - lossy VP8 chunks: pixel reconstruction NotImplemented (the keyframe
   header + quantizer block decode for real via functions/vp8.py's
   RFC 6386 boolean coder)
 
-Like the JPEG codec (and the G7 GEOS-parity note), bit-parity against
-an external reference decoder is container-blocked — no WebP library
-is installed — so verification is: spec-layout construction on the
-encode side, exact round-trip on the decode side (including Huffman
-table round-trips and overlapping-copy LZ77), and closed-form oracle
-checks over the emitted pixel statistics (m_webp_pixels).
+Verification upgraded in round 6: earlier rounds adjudicated external
+bit-parity as container-blocked ("no WebP library"), but the
+container ships `libwebp.so.7` (1.2.4) as a runtime shared library,
+reachable via ctypes (functions/libwebp_oracle.py).
+tests/test_libwebp_parity.py now proves BOTH directions against the
+reference implementation: every config of this encoder produces
+streams the real decoder reproduces bit-exactly, and real
+libwebp-encoded streams (photo/palette/tiled/text corpora exercising
+predictor, cross-color, subtract-green, palette, color cache, meta
+entropy images, and the 2D distance codes) decode bit-identically to
+libwebp's own output.  Self-round-trip and the closed-form oracle
+checks over emitted pixel statistics (m_webp_pixels) remain as
+driver-facing correctness rows.
 
 Container framing (RIFF) matches functions/webp.py's walker, so
 shell-encoded metadata fixtures and these pixel fixtures are parsed
@@ -88,6 +98,43 @@ _MAX_LZ_LEN = 4096
 _MAX_LZ_DIST = (1 << 20) - 120
 _MAX_CODE_LEN = 15
 _MAX_CL_CODE_LEN = 7  # cl-code lengths are written in 3 bits
+
+# 2D proximity distance map (spec "Decoding of distances"): distance
+# codes 1..120 name one of the 120 nearest already-decoded pixels as
+# an (xoffset, yoffset) pair — scan-order distance yoffset*width +
+# xoffset, clamped to >= 1 — so short 2D copies cost a small code
+# regardless of image width.  Codes > 120 carry dist - 120 directly.
+# The offset list is the spec's, ordered by increasing 2D proximity;
+# entries were additionally verified empirically in this container by
+# decoding libwebp-encoded streams bit-exactly (tests/
+# test_libwebp_parity.py exercises the map against the real encoder).
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _plane_code_to_distance(wd: int, dcode: int) -> int:
+    """Map a decoded distance code to a scan-order pixel distance:
+    codes 1..120 are 2D neighborhood offsets via _DIST_MAP (clamped to
+    >= 1 per spec), codes > 120 carry the distance directly."""
+    if dcode > 120:
+        return dcode - 120
+    dx, dy = _DIST_MAP[dcode - 1]
+    return max(1, dy * wd + dx)
 
 
 class _BitWriter:
@@ -823,11 +870,25 @@ def _tokenize(pix: np.ndarray, wd: int, use_lz77: bool,
 
 def _write_codes_and_tokens(
     w: _BitWriter, tokens: list[tuple], cache_bits: int,
-    n_groups: int, group_of,
+    n_groups: int, group_of, width: int = 0,
 ) -> None:
     """Per-group symbol histograms -> n_groups x 5 stored codes ->
     token emission, each token coded by its start-position's group
-    (exactly how the decoder resolves groups)."""
+    (exactly how the decoder resolves groups).  With width > 0,
+    backward-reference distances that land in the 120-entry 2D
+    proximity neighborhood are emitted as their (smaller) 2D code
+    instead of dist + 120 — the spec's near-copy optimization; the
+    decoder accepts either form for the same distance."""
+    if width > 0:
+        rev: dict[int, int] = {}
+        for c in range(1, 121):
+            rev.setdefault(_plane_code_to_distance(width, c), c)
+    else:
+        rev = {}
+
+    def dist_code(d: int) -> int:
+        return rev.get(d, d + 120)
+
     green_alphabet = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
     freqs = [
         {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}} for _ in range(n_groups)
@@ -850,7 +911,7 @@ def _write_codes_and_tokens(
             _, ln, dist, _pos = t
             li, _, _ = _prefix_encode(ln - 1)
             bump(fr, "g", 256 + li)
-            di, _, _ = _prefix_encode(dist + 120 - 1)
+            di, _, _ = _prefix_encode(dist_code(dist) - 1)
             bump(fr, "d", di)
 
     codes = []
@@ -879,7 +940,7 @@ def _write_codes_and_tokens(
             _write_code_word(w, *gcodes[256 + li])
             if leb:
                 w.write(lex, leb)
-            di, deb, dex = _prefix_encode(dist + 120 - 1)
+            di, deb, dex = _prefix_encode(dist_code(dist) - 1)
             _write_code_word(w, *dcodes[di])
             if deb:
                 w.write(dex, deb)
@@ -894,8 +955,8 @@ def encode_vp8l(
     """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 image as a real
     VP8L WebP file (RIFF + VP8L chunk, spec bit layout): simple prefix
     codes for <= 2-valued channels, length-limited Huffman (normal
-    form) otherwise, greedy LZ77 backward references with direct
-    distance codes, (cache_bits 1..11) color-cache references for
+    form) otherwise, greedy LZ77 backward references with 2D-proximity
+    or direct distance codes, (cache_bits 1..11) color-cache references for
     recurring ARGB values, optionally the SUBTRACT-GREEN transform
     (r/b carried as residuals vs g), and (meta_bits 2..5) a META
     PREFIX IMAGE: the image splits into 2^meta_bits-pixel blocks,
@@ -1066,7 +1127,9 @@ def encode_vp8l(
         def group_of(pos: int) -> int:
             return 0
 
-    _write_codes_and_tokens(w, tokens, cache_bits, n_groups, group_of)
+    _write_codes_and_tokens(
+        w, tokens, cache_bits, n_groups, group_of, width=token_wd
+    )
     body = bytes([0x2F]) + w.flush()
 
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
@@ -1186,12 +1249,9 @@ def _read_image_stream(r: _BitReader, wd: int, h: int,
         elif g < 256 + 24:
             length = _prefix_decode_val(g - 256, r)
             dcode = _prefix_decode_val(dist.read(r), r)
-            if dcode <= 120:
-                raise NotImplementedError(
-                    "VP8L 2D proximity distance codes not supported — "
-                    "direct distances only"
-                )
-            d = dcode - 120
+            if dcode < 1:
+                raise WebpError("distance code 0 out of range")
+            d = _plane_code_to_distance(wd, dcode)
             if d > i or i + length > n:
                 raise WebpError("LZ77 reference out of range")
             for k in range(length):  # overlap-correct pixelwise copy
@@ -1214,12 +1274,14 @@ def _read_image_stream(r: _BitReader, wd: int, h: int,
 
 def decode_vp8l(buf: bytes) -> np.ndarray:
     """Decode a VP8L WebP file (simple + normal prefix codes, LZ77
-    with direct distance codes, color cache, meta prefix images, and
-    all four transforms: subtract-green, predictor, cross-channel
-    color, color-indexing/palette) to an (h, w, 4) RGBA uint8 array.
+    with direct AND 2D-proximity distance codes, color cache, meta
+    prefix images, and all four transforms: subtract-green, predictor,
+    cross-channel color, color-indexing/palette) to an (h, w, 4) RGBA
+    uint8 array — verified bit-identical to libwebp's own decode on
+    real libwebp-encoded streams (tests/test_libwebp_parity.py).
     Raises WebpError on malformed input and NotImplementedError
-    outside the envelope (palette combined with other transforms, 2D
-    proximity distance codes, lossy VP8)."""
+    outside the envelope (palette combined with other transforms,
+    lossy VP8)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise WebpError("bad magic: not a WebP container")
     pos = 12

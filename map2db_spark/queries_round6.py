@@ -302,3 +302,262 @@ def m_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, interval INT, n_rst INT, sum_px LONG,"
         " min_px LONG, max_px LONG",
     )
+
+
+# ---------------------------------------------------------------------------
+# External bit-parity vs the system libwebp (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_webp_libwebp_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(13 + (doc_id % 5) * 9 AS INTEGER) AS width,
+           CAST(7 + (doc_id % 4) * 6 AS INTEGER) AS height,
+           CAST(doc_id % 3 AS INTEGER) AS fixture_kind,
+           TRUE AS ours_to_ref_ok,
+           TRUE AS ref_to_ours_ok,
+           TRUE AS rows_use_2d_codes
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("multimodal", "image", "external-parity", "webp"),
+)
+def m_webp_libwebp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL bit-parity for the from-scratch VP8L codec against the
+    system libwebp (1.2.4, reached via ctypes —
+    functions/libwebp_oracle.py), in BOTH directions per row:
+    ours_to_ref_ok = a stream from OUR encoder (config cycling over
+    plain / color-cache / subtract-green+predictor / meta-prefix by
+    doc_id) decodes under the REAL libwebp decoder to the exact
+    source pixels; ref_to_ours_ok = the REAL libwebp encoder's stream
+    for the same image decodes under OUR decoder bit-identically to
+    libwebp's own decode.  Fixtures cycle noise / identical-rows /
+    few-color content so literal, LZ77 (incl. the r6 2D proximity
+    distance codes — rows_use_2d_codes counts them during a replay of
+    the identical-rows stream), palette, cache, and predictor paths
+    all cross the real library.  The oracle pins the closed-form
+    dims and the all-TRUE parity outcome.  Upgrades the codec family
+    from "container-blocked external parity" (r1-r5 adjudication — the
+    premise, no WebP library, turned out false for the runtime .so) to
+    reference-checked.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 30
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions import libwebp_oracle as LW
+        from map2db_spark.functions import webp_vp8l as V
+
+        if not LW.available():
+            raise RuntimeError(
+                "m_webp_libwebp_parity needs the system libwebp"
+            )
+        configs = [
+            {},
+            {"cache_bits": 4},
+            {"subtract_green": True, "predict_bits": 2},
+            {"meta_bits": 2},
+        ]
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "fixture_kind": [], "ours_to_ref_ok": [],
+                   "ref_to_ours_ok": [], "rows_use_2d_codes": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 13 + (doc_id % 5) * 9
+                h = 7 + (doc_id % 4) * 6
+                kind = doc_id % 3
+                rng = np.random.default_rng(doc_id)
+                if kind == 0:  # noise: literal-heavy
+                    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+                elif kind == 1:  # identical rows: vertical 2D copies
+                    img = np.repeat(
+                        rng.integers(0, 256, (1, w, 4), dtype=np.uint8),
+                        h, axis=0,
+                    )
+                else:  # few-color: palette / cache paths
+                    pal = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+                    img = pal[rng.integers(0, 4, (h, w))]
+                img = np.ascontiguousarray(img)
+
+                ours = V.encode_vp8l(img, **configs[doc_id % 4])
+                ours_to_ref = bool(
+                    np.array_equal(LW.decode_rgba(ours), img)
+                )
+
+                ref = LW.encode_lossless_rgba(img)
+                ref_dec = LW.decode_rgba(ref)
+                ref_to_ours = bool(
+                    np.array_equal(V.decode_vp8l(ref), ref_dec)
+                )
+
+                use_2d = True
+                if kind == 1:
+                    # replay OUR stream counting 2D distance codes
+                    seen = []
+                    real = V._plane_code_to_distance
+
+                    def counting(wd, dcode, _s=seen, _r=real):
+                        if dcode <= 120:
+                            _s.append(dcode)
+                        return _r(wd, dcode)
+
+                    V._plane_code_to_distance = counting
+                    try:
+                        V.decode_vp8l(ours)
+                    finally:
+                        V._plane_code_to_distance = real
+                    use_2d = bool(seen)
+
+                out["media_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fixture_kind"].append(kind)
+                out["ours_to_ref_ok"].append(ours_to_ref)
+                out["ref_to_ours_ok"].append(ref_to_ours)
+                out["rows_use_2d_codes"].append(use_2d)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, fixture_kind INT,"
+        " ours_to_ref_ok BOOLEAN, ref_to_ours_ok BOOLEAN,"
+        " rows_use_2d_codes BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# VP8 segmentation + loop-filter adjustment round-trip (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_vp8_segmentation",
+    oracle="""
+    WITH f AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    seg AS (
+      SELECT doc_id,
+             CAST(doc_id % 2 AS INTEGER) AS feature_mode,
+             CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS update_map,
+             ((doc_id * 7 + 0 * 13) % 255 - 127)
+               + ((doc_id * 7 + 1 * 13) % 255 - 127)
+               + ((doc_id * 7 + 2 * 13) % 255 - 127)
+               + ((doc_id * 7 + 3 * 13) % 255 - 127) AS q_delta_sum,
+             ((doc_id * 11 + 0 * 5) % 127 - 63)
+               + ((doc_id * 11 + 1 * 5) % 127 - 63)
+               + ((doc_id * 11 + 2 * 5) % 127 - 63)
+               + ((doc_id * 11 + 3 * 5) % 127 - 63) AS lf_delta_sum,
+             ((doc_id * 3 + 0 * 17) % 256)
+               + ((doc_id * 3 + 1 * 17) % 256)
+               + ((doc_id * 3 + 2 * 17) % 256) AS tree_prob_sum_raw,
+             ((doc_id * 13 + 0 * 9) % 127 - 63)
+               + ((doc_id * 13 + 1 * 9) % 127 - 63)
+               + ((doc_id * 13 + 2 * 9) % 127 - 63)
+               + ((doc_id * 13 + 3 * 9) % 127 - 63) AS ref_delta_sum,
+             ((doc_id * 17 + 0 * 11) % 127 - 63)
+               + ((doc_id * 17 + 1 * 11) % 127 - 63)
+               + ((doc_id * 17 + 2 * 11) % 127 - 63)
+               + ((doc_id * 17 + 3 * 11) % 127 - 63) AS mode_delta_sum
+      FROM f
+    )
+    SELECT doc_id AS media_id, feature_mode, update_map,
+           CAST(q_delta_sum AS BIGINT) AS q_delta_sum,
+           CAST(lf_delta_sum AS BIGINT) AS lf_delta_sum,
+           CAST(CASE WHEN update_map = 1 THEN tree_prob_sum_raw
+                     ELSE -1 END AS BIGINT) AS tree_prob_sum,
+           CAST(ref_delta_sum AS BIGINT) AS ref_delta_sum,
+           CAST(mode_delta_sum AS BIGINT) AS mode_delta_sum
+    FROM seg
+    """,
+    tags=("multimodal", "codec", "vp8"),
+)
+def m_vp8_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8 keyframe SEGMENTATION (RFC 6386 9.3) and LOOP-FILTER
+    ADJUSTMENT (9.4) blocks round-tripped through the boolean range
+    coder (functions/vp8.py, round 6): per row, closed-form segment
+    quantizer/filter deltas, the 3-probability segment-map tree, and
+    per-reference/per-mode filter deltas are encoded into a real
+    keyframe header and decoded back; the emitted sums come from the
+    DECODED fields, so any bit slip in the flagged-signed or literal
+    coding breaks the hash.  update_map toggles by doc_id so both the
+    tree-probs-present and absent layouts are graded (tree_prob_sum =
+    -1 when the map update is off — the field does not exist in the
+    stream).  These blocks complete the bool-coded keyframe header
+    envelope except the token-probability table (normative 1056-entry
+    constants unavailable in-container); real libwebp streams with
+    segmentation enabled parse under the same decoder in
+    tests/test_libwebp_parity.py.
+
+    Scale shape: map-only mapInPandas; headers never shuffle."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        from map2db_spark.functions.vp8 import (
+            decode_vp8_header,
+            encode_vp8_keyframe_header,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "feature_mode": [], "update_map": [],
+                   "q_delta_sum": [], "lf_delta_sum": [],
+                   "tree_prob_sum": [], "ref_delta_sum": [],
+                   "mode_delta_sum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                seg = dict(
+                    update_map=doc_id % 3 != 0,
+                    feature_mode=doc_id % 2,
+                    q_deltas=[(doc_id * 7 + i * 13) % 255 - 127
+                              for i in range(4)],
+                    lf_deltas=[(doc_id * 11 + i * 5) % 127 - 63
+                               for i in range(4)],
+                    tree_probs=[(doc_id * 3 + i * 17) % 256
+                                for i in range(3)],
+                )
+                adj = dict(
+                    ref_deltas=[(doc_id * 13 + i * 9) % 127 - 63
+                                for i in range(4)],
+                    mode_deltas=[(doc_id * 17 + i * 11) % 127 - 63
+                                 for i in range(4)],
+                )
+                hdr = decode_vp8_header(encode_vp8_keyframe_header(
+                    320, 240, segmentation=seg, lf_adjust=adj,
+                ))
+                out["media_id"].append(doc_id)
+                out["feature_mode"].append(hdr["segment_feature_mode"])
+                out["update_map"].append(hdr["update_mb_segmentation_map"])
+                out["q_delta_sum"].append(sum(hdr["segment_q_deltas"]))
+                out["lf_delta_sum"].append(sum(hdr["segment_lf_deltas"]))
+                out["tree_prob_sum"].append(
+                    sum(hdr["segment_tree_probs"])
+                    if "segment_tree_probs" in hdr else -1
+                )
+                out["ref_delta_sum"].append(sum(hdr["ref_lf_deltas"]))
+                out["mode_delta_sum"].append(sum(hdr["mode_lf_deltas"]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, feature_mode INT, update_map INT,"
+        " q_delta_sum LONG, lf_delta_sum LONG, tree_prob_sum LONG,"
+        " ref_delta_sum LONG, mode_delta_sum LONG",
+    )

@@ -169,3 +169,90 @@ def test_vp8_multiflip_campaign_typed_errors_only():
             assert 0 <= out["y_ac_qi"] <= 127
         except (WebpError, NotImplementedError):
             pass
+
+
+def test_vp8_segmentation_and_lf_adjust_roundtrip():
+    """r6: the RFC 6386 9.3 segmentation block and 9.4 loop-filter
+    adjustment block round-trip exactly through encode/decode across
+    randomized deltas, feature modes, and tree probabilities."""
+    rng = random.Random(29)
+    for _ in range(60):
+        seg = dict(
+            update_map=rng.randrange(2) == 1,
+            feature_mode=rng.randrange(2),
+            q_deltas=[rng.randrange(-127, 128) for _ in range(4)],
+            lf_deltas=[rng.randrange(-63, 64) for _ in range(4)],
+            tree_probs=[rng.choice([255, rng.randrange(256)])
+                        for _ in range(3)],
+        )
+        adj = dict(
+            ref_deltas=[rng.randrange(-63, 64) for _ in range(4)],
+            mode_deltas=[rng.randrange(-63, 64) for _ in range(4)],
+        )
+        out = decode_vp8_header(encode_vp8_keyframe_header(
+            320, 240, segmentation=seg, lf_adjust=adj,
+        ))
+        assert out["segmentation_enabled"] == 1
+        assert out["update_mb_segmentation_map"] == int(seg["update_map"])
+        assert out["update_segment_feature_data"] == 1
+        assert out["segment_feature_mode"] == seg["feature_mode"]
+        assert out["segment_q_deltas"] == seg["q_deltas"]
+        assert out["segment_lf_deltas"] == seg["lf_deltas"]
+        if seg["update_map"]:
+            assert out["segment_tree_probs"] == seg["tree_probs"]
+        else:
+            assert "segment_tree_probs" not in out
+        assert out["loop_filter_adj_enable"] == 1
+        assert out["ref_lf_deltas"] == adj["ref_deltas"]
+        assert out["mode_lf_deltas"] == adj["mode_deltas"]
+    # both blocks absent -> keys mirror the stream exactly
+    plain = decode_vp8_header(encode_vp8_keyframe_header(8, 8))
+    assert plain["segmentation_enabled"] == 0
+    assert plain["loop_filter_adj_enable"] == 0
+    assert "segment_q_deltas" not in plain
+    assert "ref_lf_deltas" not in plain
+
+
+def test_vp8_segmentation_validation_rejects_out_of_range():
+    for bad_seg in [dict(q_deltas=[128, 0, 0, 0]),
+                    dict(lf_deltas=[0, 0, 0, -64]),
+                    dict(q_deltas=[0, 0, 0]),
+                    dict(tree_probs=[256, 0, 0]),
+                    dict(tree_probs=[1, 2])]:
+        with pytest.raises(WebpError):
+            encode_vp8_keyframe_header(8, 8, segmentation=bad_seg)
+    for bad_adj in [dict(ref_deltas=[64, 0, 0, 0]),
+                    dict(mode_deltas=[0, 0, 0, 0, 0])]:
+        with pytest.raises(WebpError):
+            encode_vp8_keyframe_header(8, 8, lf_adjust=bad_adj)
+
+
+def test_vp8_segmented_header_corruption_typed_errors_only():
+    """Extend the multiflip campaign over the r6 segmentation +
+    lf-adjust surface: compound flips on a header carrying both
+    blocks stay inside the typed-error contract."""
+    rng = random.Random(31)
+    enc = encode_vp8_keyframe_header(
+        640, 480,
+        segmentation=dict(update_map=True, feature_mode=1,
+                          q_deltas=[10, -20, 30, -40],
+                          lf_deltas=[1, -2, 3, -4],
+                          tree_probs=[100, 255, 7]),
+        lf_adjust=dict(ref_deltas=[5, -6, 7, -8],
+                       mode_deltas=[-1, 2, -3, 4]),
+    )
+    for _ in range(600):
+        e = bytearray(enc)
+        for _k in range(rng.randint(1, 4)):
+            i = rng.randrange(0, len(e))
+            e[i] ^= 1 << rng.randrange(8)
+        try:
+            out = decode_vp8_header(bytes(e))
+            assert 0 <= out["y_ac_qi"] <= 127
+        except (WebpError, NotImplementedError):
+            pass
+    for cut in range(1, len(enc) - 1):
+        try:
+            decode_vp8_header(enc[:cut])
+        except (WebpError, NotImplementedError):
+            pass
