@@ -642,15 +642,16 @@ def extract_mp4_meta(media: DataFrame) -> DataFrame:
 
 def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
     """Mixed-format media table: payload format cycles PNG / JPEG /
-    WebP / WAV / MP4 by doc_id — the realistic ingest shape where the
-    column does NOT tell you the codec and the pipeline must sniff
-    magic bytes before routing."""
+    WebP / WAV / MP4 / TIFF by doc_id — the realistic ingest shape
+    where the column does NOT tell you the codec and the pipeline
+    must sniff magic bytes before routing."""
     import numpy as np  # noqa: F811
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from map2db_spark.functions.jpeg import encode_jpeg_shell
         from map2db_spark.functions.mp4 import encode_mp4_shell
         from map2db_spark.functions.png import encode_png
+        from map2db_spark.functions.tiff_codec import encode_tiff
         from map2db_spark.functions.wav import encode_wav
         from map2db_spark.functions.webp import encode_webp_shell
 
@@ -658,7 +659,7 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"].astype("int64"):
                 did = int(did)
-                k = did % 5
+                k = did % 6
                 if k == 0:
                     w, h = 4 + did % 3, 3 + did % 2
                     px = (
@@ -681,11 +682,22 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
                         dtype="<i2",
                     )
                     payloads.append(encode_wav(samples, sample_rate=8000))
-                else:
+                elif k == 4:
                     ts = 600 + did % 5 * 300
                     payloads.append(
                         encode_mp4_shell(ts, (did % 20 + 1) * ts + did % 7)
                     )
+                else:
+                    w, h = 5 + did % 4, 4 + did % 3
+                    px = (
+                        (did * 13 + np.arange(w * h)) % 256
+                    ).astype("uint8").reshape(h, w)
+                    payloads.append(encode_tiff(
+                        px,
+                        compression="lzw" if did % 2 else "packbits",
+                        rows_per_strip=2,
+                        predictor=bool(did % 2),
+                    ))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype("int64"),
@@ -705,18 +717,19 @@ DISPATCH_SCHEMA = "media_id LONG, fmt STRING, a LONG, b LONG"
 
 def sniff_and_extract(media: DataFrame) -> DataFrame:
     """Magic-byte dispatch in ONE Arrow pass: sniff each payload's
-    container (PNG/JPEG/WebP/WAV/MP4) from its leading bytes and route
-    to the matching stdlib parser, emitting a normalized (fmt, a, b)
-    feature pair — (width, height) for images, (sample_rate,
-    n_samples) for audio, (timescale, duration_ms) for video.
-    Unknown magic raises (quarantine upstream).  This is the realistic
-    front door of a multimodal corpus: one pass, per-row routing, no
-    per-format job."""
+    container (PNG/JPEG/WebP/WAV/MP4/TIFF) from its leading bytes and
+    route to the matching stdlib parser, emitting a normalized
+    (fmt, a, b) feature pair — (width, height) for images,
+    (sample_rate, n_samples) for audio, (timescale, duration_ms) for
+    video.  Unknown magic raises (quarantine upstream).  This is the
+    realistic front door of a multimodal corpus: one pass, per-row
+    routing, no per-format job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from map2db_spark.functions.jpeg import parse_jpeg_header
         from map2db_spark.functions.mp4 import parse_mp4_header
         from map2db_spark.functions.png import decode_png
+        from map2db_spark.functions.tiff_codec import decode_tiff
         from map2db_spark.functions.wav import decode_wav
         from map2db_spark.functions.webp import parse_webp_header
 
@@ -743,6 +756,9 @@ def sniff_and_extract(media: DataFrame) -> DataFrame:
                     rows.append(
                         (int(mid), "mp4", h["timescale"], h["duration_ms"])
                     )
+                elif buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                    px = decode_tiff(buf)
+                    rows.append((int(mid), "tiff", px.shape[1], px.shape[0]))
                 else:
                     raise ValueError(
                         f"unknown magic for media_id {mid}: {buf[:8]!r}"

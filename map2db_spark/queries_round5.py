@@ -4122,22 +4122,26 @@ def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_media_dispatch",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
-           CAST(CASE doc_id % 5
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+                ELSE 'tiff' END AS fmt,
+           CAST(CASE doc_id % 6
                 WHEN 0 THEN 4 + doc_id % 3
                 WHEN 1 THEN 16 + (doc_id % 7) * 3
                 WHEN 2 THEN 20 + (doc_id % 11) * 5
                 WHEN 3 THEN 8000
-                ELSE 600 + (doc_id % 5) * 300 END AS BIGINT) AS a,
-           CAST(CASE doc_id % 5
+                WHEN 4 THEN 600 + (doc_id % 5) * 300
+                ELSE 5 + doc_id % 4 END AS BIGINT) AS a,
+           CAST(CASE doc_id % 6
                 WHEN 0 THEN 3 + doc_id % 2
                 WHEN 1 THEN 9 + (doc_id % 5) * 4
                 WHEN 2 THEN 10 + (doc_id % 6) * 7
                 WHEN 3 THEN 8 + doc_id % 9
-                ELSE (((doc_id % 20) + 1) * (600 + (doc_id % 5) * 300)
-                      + doc_id % 7) * 1000
-                     // (600 + (doc_id % 5) * 300) END AS BIGINT) AS b
+                WHEN 4 THEN
+                  (((doc_id % 20) + 1) * (600 + (doc_id % 5) * 300)
+                   + doc_id % 7) * 1000
+                  // (600 + (doc_id % 5) * 300)
+                ELSE 4 + doc_id % 3 END AS BIGINT) AS b
     FROM documents WHERE doc_id < 50
     """,
     tags=("multimodal", "dispatch", "metadata"),
@@ -4147,8 +4151,9 @@ def m_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal corpus: the binary column does NOT declare its codec,
     so ONE Arrow pass sniffs each payload's leading bytes and routes
     to the matching stdlib parser (PNG pixel decode, JPEG marker
-    walk, WebP RIFF walk, WAV PCM parse, MP4 box walk), emitting a
-    normalized (fmt, a, b) feature pair.  Composes all five real
+    walk, WebP RIFF walk, WAV PCM parse, MP4 box walk, TIFF IFD walk
+    + strip decompression — the r6 family), emitting a normalized
+    (fmt, a, b) feature pair.  Composes all six real
     codecs in a single kernel; unknown magic raises (quarantine
     upstream), never silently mis-parses.  The oracle recomputes
     every routed feature closed-form from the doc_id construction —

@@ -561,3 +561,200 @@ def m_vp8_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " q_delta_sum LONG, lf_delta_sum LONG, tree_prob_sum LONG,"
         " ref_delta_sum LONG, mode_delta_sum LONG",
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF baseline codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_tiff_pixels",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, 6 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 40
+    ),
+    px AS (
+      SELECT f.doc_id, f.w, f.h,
+             (f.doc_id * 23 + y.i * 11 + x.i * 5) % 256 AS v
+      FROM f
+      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS i) x
+      WHERE y.i < f.h AND x.i < f.w
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST((h + 1) // 2 AS INTEGER) AS n_strips,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "pixels", "tiff"),
+)
+def m_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF baseline round-trip through the real codec
+    (functions/tiff_codec.py, round 6): per row, a closed-form
+    grayscale fixture is encoded as a classic little-endian TIFF —
+    compression cycling none / PackBits / TIFF-LZW (with the
+    horizontal predictor on odd LZW rows) by doc_id, two rows per
+    strip so the multi-strip path is always live — and decoded back.
+    TIFF is lossless, so the decode is BIT-EXACT and the oracle
+    recomputes the pixel statistics closed-form; n_strips pins the
+    strip layout (offset/byte-count tables), not just pixels.  The
+    same codec is externally verified against libtiff 4.5.0 in both
+    directions (m_tiff_libtiff_parity, tests/test_tiff.py), with the
+    LZW encoder byte-identical to libtiff's.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.tiff_codec import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        comps = ("none", "packbits", "lzw")
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_strips": [], "sum_px": [], "min_px": [], "max_px": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 6 + doc_id % 5, 3 + doc_id % 4
+                img = np.array(
+                    [[(doc_id * 23 + y * 11 + x * 5) % 256
+                      for x in range(w)] for y in range(h)],
+                    dtype=np.uint8,
+                )
+                comp = comps[doc_id % 3]
+                pred = comp == "lzw" and doc_id % 2 == 1
+                enc = encode_tiff(
+                    img, compression=comp, rows_per_strip=2,
+                    predictor=pred,
+                )
+                dec = decode_tiff(enc)
+                assert np.array_equal(dec, img)
+                out["media_id"].append(doc_id)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["n_strips"].append((h + 1) // 2)
+                out["sum_px"].append(int(dec.astype(np.int64).sum()))
+                out["min_px"].append(int(dec.min()))
+                out["max_px"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, n_strips INT,"
+        " sum_px LONG, min_px LONG, max_px LONG",
+    )
+
+
+@query(
+    "m_tiff_libtiff_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(9 + (doc_id % 4) * 7 AS INTEGER) AS width,
+           CAST(5 + (doc_id % 3) * 6 AS INTEGER) AS height,
+           CAST(doc_id % 3 AS INTEGER) AS fixture_kind,
+           TRUE AS ours_to_ref_ok,
+           TRUE AS ref_to_ours_ok
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("multimodal", "image", "external-parity", "tiff"),
+)
+def m_tiff_libtiff_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL bit-parity for the from-scratch TIFF codec against the
+    system libtiff 4.5.0 (ctypes, functions/libtiff_oracle.py), both
+    directions per row: ours_to_ref_ok = OUR stream (compression and
+    predictor cycling by doc_id, 2-row strips) reads back
+    scanline-exact under REAL libtiff; ref_to_ours_ok = the file
+    REAL libtiff writes for the same image decodes bit-exactly under
+    OUR decoder.  Fixtures cycle noise / vertical-runs / RGB content
+    so literal-heavy, run-heavy (PackBits), and dictionary-heavy
+    (LZW width bumps) regimes all cross the real library.  Companion
+    row to m_webp_libwebp_parity — the round-6 external-verification
+    upgrade applied to the new TIFF family.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 30
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions import libtiff_oracle as LT
+        from map2db_spark.functions.tiff_codec import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        if not LT.available():
+            raise RuntimeError(
+                "m_tiff_libtiff_parity needs the system libtiff"
+            )
+        comps = ("none", "packbits", "lzw")
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "fixture_kind": [], "ours_to_ref_ok": [],
+                   "ref_to_ours_ok": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 9 + (doc_id % 4) * 7
+                h = 5 + (doc_id % 3) * 6
+                kind = doc_id % 3
+                rng = np.random.default_rng(1000 + doc_id)
+                if kind == 0:  # noise
+                    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                elif kind == 1:  # vertical runs: PackBits-friendly
+                    img = np.repeat(
+                        rng.integers(0, 256, (h, 1), dtype=np.uint8),
+                        w, axis=1,
+                    )
+                else:  # RGB
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                comp = comps[doc_id % 3]
+                pred = comp == "lzw"
+                ours = encode_tiff(
+                    img, compression=comp, rows_per_strip=2,
+                    predictor=pred,
+                )
+                a = bool(np.array_equal(LT.decode(ours), img))
+                theirs = LT.encode(
+                    img, compression=comp, rows_per_strip=2,
+                    predictor=pred,
+                )
+                b = bool(np.array_equal(decode_tiff(theirs), img))
+                out["media_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fixture_kind"].append(kind)
+                out["ours_to_ref_ok"].append(a)
+                out["ref_to_ours_ok"].append(b)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, fixture_kind INT,"
+        " ours_to_ref_ok BOOLEAN, ref_to_ours_ok BOOLEAN",
+    )

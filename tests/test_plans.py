@@ -1073,3 +1073,14 @@ def test_contamination_bloom_chained_semis_no_gram_shuffle(spark):
     # the per-gram bit-count aggregate is gone (bench-side gram
     # distincts remain — those are benchmark-sized, not corpus-sized)
     assert "n_set" not in plan, plan
+
+
+def test_round6_codec_queries_map_only_no_shuffle(spark):
+    """The r6 codec rows (external-parity and round-trip kernels) are
+    all single map-only mapInPandas stages: payload bytes never cross
+    an Exchange, exactly as their docstrings claim."""
+    for name in ("m_webp_libwebp_parity", "m_vp8_segmentation",
+                 "m_tiff_pixels", "m_tiff_libtiff_parity"):
+        plan = plan_of(spark, name)
+        assert _exchange_count(plan) == 0, (name, plan)
+        assert "CartesianProduct" not in plan, name
