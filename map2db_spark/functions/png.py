@@ -44,10 +44,16 @@ def _paeth(a, b, c):
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def encode_png(pixels: np.ndarray, compress=None) -> bytes:
     """HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 -> PNG bytes.
     Filter type cycles per scanline (row % 5) so decoding exercises
-    none/sub/up/average/paeth."""
+    none/sub/up/average/paeth.
+
+    compress: optional zlib-stream compressor callable (raw bytes ->
+    RFC 1950 stream); defaults to stdlib zlib level 6.  The
+    from-scratch DEFLATE encoder (functions/deflate_codec.py
+    zlib_compress) slots in here, making the whole PNG chain
+    stdlib-free — pinned by m_png_fromscratch."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -77,26 +83,28 @@ def encode_png(pixels: np.ndarray) -> bytes:
         raw.append(ft)
         raw.extend(filt.astype(np.uint8).tobytes())
         prev = row
+    if compress is None:
+        compress = lambda b: zlib.compress(b, 6)  # noqa: E731
     return (
         _MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IDAT", compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
 
 
-def decode_png(buf: bytes) -> np.ndarray:
+def decode_png(buf: bytes, decompress=None) -> np.ndarray:
     """PNG bytes -> HxWxC uint8 array (C in {1,2,3,4}).  Raises
     ValueError on non-PNG, malformed/truncated or unsupported variants
     (16-bit, palette, interlaced) — never a raw zlib.error or
     struct.error (fuzz-pinned in tests)."""
     try:
-        return _decode_png_impl(buf)
+        return _decode_png_impl(buf, decompress)
     except (zlib.error, struct.error) as ex:
         raise ValueError(f"malformed PNG stream ({type(ex).__name__})") from ex
 
 
-def _decode_png_impl(buf: bytes) -> np.ndarray:
+def _decode_png_impl(buf: bytes, decompress=None) -> np.ndarray:
     if buf[:8] != _MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -125,7 +133,8 @@ def _decode_png_impl(buf: bytes) -> np.ndarray:
             f"interlace={interlace})"
         )
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    raw = (zlib.decompress if decompress is None else decompress)(
+        bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")

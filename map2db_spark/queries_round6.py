@@ -758,3 +758,181 @@ def m_tiff_libtiff_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, width INT, height INT, fixture_kind INT,"
         " ours_to_ref_ok BOOLEAN, ref_to_ours_ok BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# DEFLATE / zlib codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_deflate_zlib_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) * 8 AS BIGINT) AS raw_len,
+           CAST(octet_length(encode(text)) * 8
+                + 5 * ((octet_length(encode(text)) * 8 + 65534) // 65535)
+                AS BIGINT) AS stored_len,
+           TRUE AS ours_to_zlib_ok,
+           TRUE AS zlib_to_ours_ok,
+           TRUE AS dyn_crushes,
+           TRUE AS checksums_ok
+    FROM documents WHERE doc_id < 60
+    """,
+    tags=("multimodal", "compression", "external-parity", "deflate"),
+)
+def m_deflate_zlib_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL bit-parity for the from-scratch DEFLATE/zlib codec
+    (functions/deflate_codec.py: RFC 1951 stored/fixed/dynamic blocks,
+    LZ77 hash-chain matcher with lazy matching, package-merge
+    length-limited canonical codes, code-length-alphabet headers, own
+    Adler-32/CRC-32) against the REAL stdlib zlib (libz), both
+    directions per document: ours_to_zlib_ok = the stream OUR encoder
+    emits (block mode cycling stored/fixed/dynamic by doc_id)
+    decompresses byte-exactly under zlib; zlib_to_ours_ok = the stream
+    zlib.compress emits at level doc_id%10 (0=stored .. 9=max-lazy, so
+    every zlib-emitted block shape crosses our decoder) inflates
+    byte-exactly under OUR decoder.  The payload is the document text
+    amplified 8x, so dyn_crushes pins that our LZ77+Huffman actually
+    compresses (< half of raw) rather than merely round-tripping;
+    stored_len is the exact RFC 1951 stored-block size (raw + 5 per
+    65535-byte block), recomputed closed-form by the oracle.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 60
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        import zlib as Z
+
+        from map2db_spark.functions import deflate_codec as D
+
+        modes = ("stored", "fixed", "dynamic")
+        for pdf in batches:
+            out = {"media_id": [], "raw_len": [], "stored_len": [],
+                   "ours_to_zlib_ok": [], "zlib_to_ours_ok": [],
+                   "dyn_crushes": [], "checksums_ok": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                raw = text.encode("utf-8") * 8
+                enc = D.deflate(raw, modes[doc_id % 3])
+                a = Z.decompress(enc, -15) == raw
+                z = Z.compress(raw, doc_id % 10)
+                b = D.zlib_decompress(z, max_output=1 << 24) == raw
+                dyn = D.deflate(raw, "dynamic")
+                stored_len = len(raw) + 5 * ((len(raw) + 65534) // 65535)
+                assert len(D.deflate(raw, "stored")) == stored_len
+                c = len(dyn) * 2 < len(raw)
+                d = (D.crc32(raw) == Z.crc32(raw)
+                     and D.adler32(raw) == Z.adler32(raw))
+                out["media_id"].append(doc_id)
+                out["raw_len"].append(len(raw))
+                out["stored_len"].append(stored_len)
+                out["ours_to_zlib_ok"].append(bool(a))
+                out["zlib_to_ours_ok"].append(bool(b))
+                out["dyn_crushes"].append(bool(c))
+                out["checksums_ok"].append(bool(d))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, raw_len LONG, stored_len LONG,"
+        " ours_to_zlib_ok BOOLEAN, zlib_to_ours_ok BOOLEAN,"
+        " dyn_crushes BOOLEAN, checksums_ok BOOLEAN",
+    )
+
+
+@query(
+    "m_png_fromscratch",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, 7 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 40
+    ),
+    px AS (
+      SELECT f.doc_id, f.w, f.h,
+             (f.doc_id * 31 + y.i * 17 + x.i * 7 + c.i * 3) % 256 AS v
+      FROM f
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS i) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) c
+      WHERE y.i < f.h AND x.i < f.w
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           TRUE AS stdlib_free_ok
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "pixels", "deflate"),
+)
+def m_png_fromscratch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG codec with its DEFLATE layer swapped for OUR from-scratch
+    encoder/decoder (functions/deflate_codec.py via the compress=/
+    decompress= injection points in functions/png.py): per row an RGB
+    fixture is (1) encoded with OUR zlib_compress inside IDAT and
+    decoded by the stdlib-zlib path — proving our stream is valid
+    RFC 1950 inside a real container — and (2) encoded with stdlib
+    zlib and decoded through OUR zlib_decompress — proving our
+    decoder handles libz output inside the same container; pixel
+    stats come from the fully stdlib-free chain (our deflate both
+    sides).  PNG is lossless, so everything is bit-exact and the
+    oracle recomputes the pixel sums closed-form.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions import deflate_codec as D
+        from map2db_spark.functions.png import decode_png, encode_png
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_px": [], "stdlib_free_ok": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 7 + doc_id % 6, 4 + doc_id % 5
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(3):
+                            img[y, x, c] = (
+                                doc_id * 31 + y * 17 + x * 7 + c * 3
+                            ) % 256
+                ours_png = encode_png(img, compress=D.zlib_compress)
+                ok1 = np.array_equal(decode_png(ours_png), img)
+                std_png = encode_png(img)
+                ok2 = np.array_equal(
+                    decode_png(std_png, decompress=D.zlib_decompress), img)
+                dec = decode_png(ours_png, decompress=D.zlib_decompress)
+                ok3 = np.array_equal(dec, img)
+                out["media_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_px"].append(int(dec.astype(np.int64).sum()))
+                out["stdlib_free_ok"].append(bool(ok1 and ok2 and ok3))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, sum_px LONG,"
+        " stdlib_free_ok BOOLEAN",
+    )
