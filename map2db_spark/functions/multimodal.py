@@ -642,12 +642,13 @@ def extract_mp4_meta(media: DataFrame) -> DataFrame:
 
 def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
     """Mixed-format media table: payload format cycles PNG / JPEG /
-    WebP / WAV / MP4 / TIFF by doc_id — the realistic ingest shape
-    where the column does NOT tell you the codec and the pipeline
-    must sniff magic bytes before routing."""
+    WebP / WAV / MP4 / TIFF / GIF by doc_id — the realistic ingest
+    shape where the column does NOT tell you the codec and the
+    pipeline must sniff magic bytes before routing."""
     import numpy as np  # noqa: F811
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.gif_codec import encode_gif
         from map2db_spark.functions.jpeg import encode_jpeg_shell
         from map2db_spark.functions.mp4 import encode_mp4_shell
         from map2db_spark.functions.png import encode_png
@@ -659,7 +660,7 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"].astype("int64"):
                 did = int(did)
-                k = did % 6
+                k = did % 7
                 if k == 0:
                     w, h = 4 + did % 3, 3 + did % 2
                     px = (
@@ -687,7 +688,7 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_mp4_shell(ts, (did % 20 + 1) * ts + did % 7)
                     )
-                else:
+                elif k == 5:
                     w, h = 5 + did % 4, 4 + did % 3
                     px = (
                         (did * 13 + np.arange(w * h)) % 256
@@ -698,6 +699,14 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
                         rows_per_strip=2,
                         predictor=bool(did % 2),
                     ))
+                else:
+                    w, h = 6 + did % 5, 3 + did % 4
+                    idx = (
+                        (did * 11 + np.arange(w * h)) % 16
+                    ).astype("uint8").reshape(h, w)
+                    pal = np.arange(48, dtype="uint8").reshape(16, 3)
+                    payloads.append(encode_gif(
+                        idx, pal, interlace=bool(did % 2)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype("int64"),
@@ -717,7 +726,7 @@ DISPATCH_SCHEMA = "media_id LONG, fmt STRING, a LONG, b LONG"
 
 def sniff_and_extract(media: DataFrame) -> DataFrame:
     """Magic-byte dispatch in ONE Arrow pass: sniff each payload's
-    container (PNG/JPEG/WebP/WAV/MP4/TIFF) from its leading bytes and
+    container (PNG/JPEG/WebP/WAV/MP4/TIFF/GIF) from its leading bytes
     route to the matching stdlib parser, emitting a normalized
     (fmt, a, b) feature pair — (width, height) for images,
     (sample_rate, n_samples) for audio, (timescale, duration_ms) for
@@ -726,6 +735,7 @@ def sniff_and_extract(media: DataFrame) -> DataFrame:
     routing, no per-format job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.gif_codec import decode_gif
         from map2db_spark.functions.jpeg import parse_jpeg_header
         from map2db_spark.functions.mp4 import parse_mp4_header
         from map2db_spark.functions.png import decode_png
@@ -759,6 +769,10 @@ def sniff_and_extract(media: DataFrame) -> DataFrame:
                 elif buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
                     px = decode_tiff(buf)
                     rows.append((int(mid), "tiff", px.shape[1], px.shape[0]))
+                elif buf[:6] in (b"GIF87a", b"GIF89a"):
+                    frames, _, _ = decode_gif(buf)
+                    rows.append((int(mid), "gif", frames[0].shape[1],
+                                 frames[0].shape[0]))
                 else:
                     raise ValueError(
                         f"unknown magic for media_id {mid}: {buf[:8]!r}"

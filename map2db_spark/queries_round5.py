@@ -4122,17 +4122,18 @@ def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_media_dispatch",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                 WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
-                ELSE 'tiff' END AS fmt,
-           CAST(CASE doc_id % 6
+                WHEN 5 THEN 'tiff' ELSE 'gif' END AS fmt,
+           CAST(CASE doc_id % 7
                 WHEN 0 THEN 4 + doc_id % 3
                 WHEN 1 THEN 16 + (doc_id % 7) * 3
                 WHEN 2 THEN 20 + (doc_id % 11) * 5
                 WHEN 3 THEN 8000
                 WHEN 4 THEN 600 + (doc_id % 5) * 300
-                ELSE 5 + doc_id % 4 END AS BIGINT) AS a,
-           CAST(CASE doc_id % 6
+                WHEN 5 THEN 5 + doc_id % 4
+                ELSE 6 + doc_id % 5 END AS BIGINT) AS a,
+           CAST(CASE doc_id % 7
                 WHEN 0 THEN 3 + doc_id % 2
                 WHEN 1 THEN 9 + (doc_id % 5) * 4
                 WHEN 2 THEN 10 + (doc_id % 6) * 7
@@ -4141,7 +4142,8 @@ def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (((doc_id % 20) + 1) * (600 + (doc_id % 5) * 300)
                    + doc_id % 7) * 1000
                   // (600 + (doc_id % 5) * 300)
-                ELSE 4 + doc_id % 3 END AS BIGINT) AS b
+                WHEN 5 THEN 4 + doc_id % 3
+                ELSE 3 + doc_id % 4 END AS BIGINT) AS b
     FROM documents WHERE doc_id < 50
     """,
     tags=("multimodal", "dispatch", "metadata"),

@@ -936,3 +936,186 @@ def m_png_fromscratch(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, width INT, height INT, sum_px LONG,"
         " stdlib_free_ok BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_gif_pixels",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+             1 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 40
+    ),
+    px AS (
+      SELECT f.doc_id, f.w, f.h, f.n_frames,
+             (f.doc_id * 19 + fr.i * 29 + y.i * 13 + x.i * 7) % 16 AS v
+      FROM f
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) fr
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS i) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS i) x
+      WHERE fr.i < f.n_frames AND y.i < f.h AND x.i < f.w
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(sum(v) AS BIGINT) AS sum_idx,
+           CAST(max(v) AS BIGINT) AS max_idx
+    FROM px GROUP BY doc_id, w, h, n_frames
+    """,
+    tags=("multimodal", "image", "pixels", "gif"),
+)
+def m_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF round-trip through the real from-scratch codec
+    (functions/gif_codec.py): per row a closed-form 16-color index
+    fixture — frame count cycling 1/2/3 (multi-frame GIF89a with GCE
+    delays), interlace on odd doc_ids — is encoded (GIF-flavor LZW:
+    LSB-first variable-width codes, Clear/EOI, sub-block framing) and
+    decoded back.  GIF is lossless over indices, so the decode is
+    BIT-EXACT and the oracle recomputes index statistics closed-form;
+    n_frames pins the animation structure.  The same codec is
+    externally verified against giflib 5.2 in both directions
+    (m_gif_giflib_parity, tests/test_gif.py).
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.gif_codec import (
+            decode_gif,
+            encode_gif,
+        )
+
+        pal = np.array([[i * 16, 255 - i * 16, (i * 37) % 256]
+                        for i in range(16)], dtype=np.uint8)
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_frames": [], "sum_idx": [], "max_idx": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 5 + doc_id % 6, 4 + doc_id % 5
+                nf = 1 + doc_id % 3
+                frames = [np.array(
+                    [[(doc_id * 19 + fr * 29 + y * 13 + x * 7) % 16
+                      for x in range(w)] for y in range(h)],
+                    dtype=np.uint8) for fr in range(nf)]
+                g = encode_gif(
+                    frames, pal, interlace=bool(doc_id % 2),
+                    delays_cs=[4] * nf if nf > 1 else None)
+                dec, dpal, meta = decode_gif(g)
+                assert len(dec) == nf and np.array_equal(dpal[:16], pal)
+                assert all(np.array_equal(a, b)
+                           for a, b in zip(dec, frames))
+                stack = np.stack(dec).astype(np.int64)
+                out["media_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sum_idx"].append(int(stack.sum()))
+                out["max_idx"].append(int(stack.max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, n_frames INT,"
+        " sum_idx LONG, max_idx LONG",
+    )
+
+
+@query(
+    "m_gif_giflib_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(6 + (doc_id % 5) * 8 AS INTEGER) AS width,
+           CAST(4 + (doc_id % 4) * 9 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 256
+                WHEN doc_id % 3 = 1 THEN 16 ELSE 4 END AS INTEGER)
+             AS n_colors,
+           TRUE AS ours_to_ref_ok,
+           TRUE AS ref_to_ours_ok
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("multimodal", "image", "external-parity", "gif"),
+)
+def m_gif_giflib_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL pixel parity for the from-scratch GIF codec against the
+    system giflib 5.2 (ctypes over the documented gif_lib.h layouts,
+    functions/giflib_oracle.py — layout self-checked at load by
+    decoding a known fixture), both directions per row: ours_to_ref_ok
+    = OUR file (palette size cycling 4/16/256 so code widths 3..9 all
+    cross; interlace on odd doc_ids) reads back pixel-exact under REAL
+    giflib's DGifSlurp; ref_to_ours_ok = the file REAL giflib writes
+    (EGifPutScreenDesc/ImageDesc/PutLine) for the same image decodes
+    pixel-exact under OUR decoder.  Companion to m_webp_libwebp_parity
+    / m_tiff_libtiff_parity — the round-6 external-verification
+    standard applied to the GIF family.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 30
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions import giflib_oracle as GL
+        from map2db_spark.functions.gif_codec import (
+            decode_gif,
+            encode_gif,
+        )
+
+        if not GL.available():
+            raise RuntimeError("m_gif_giflib_parity needs system giflib")
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_colors": [], "ours_to_ref_ok": [],
+                   "ref_to_ours_ok": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 6 + (doc_id % 5) * 8
+                h = 4 + (doc_id % 4) * 9
+                nc = (4, 16, 256)[doc_id % 3]
+                rng = np.random.default_rng(2000 + doc_id)
+                pal = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+                img = rng.integers(0, nc, (h, w), dtype=np.uint8)
+                ours = encode_gif(img, pal, interlace=bool(doc_id % 2))
+                fr, p = GL.decode(ours)
+                a = (np.array_equal(fr[0], img)
+                     and np.array_equal(p[:nc], pal))
+                theirs = GL.encode(img, pal)
+                fr2, _, _ = decode_gif(theirs)
+                b = np.array_equal(fr2[0], img)
+                out["media_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_colors"].append(nc)
+                out["ours_to_ref_ok"].append(bool(a))
+                out["ref_to_ours_ok"].append(bool(b))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, n_colors INT,"
+        " ours_to_ref_ok BOOLEAN, ref_to_ours_ok BOOLEAN",
+    )
