@@ -1119,3 +1119,84 @@ def m_gif_giflib_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, width INT, height INT, n_colors INT,"
         " ours_to_ref_ok BOOLEAN, ref_to_ours_ok BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_lz4_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) * 6 AS BIGINT) AS raw_len,
+           TRUE AS ours_to_ref_ok,
+           TRUE AS ref_to_ours_ok,
+           TRUE AS compresses,
+           TRUE AS rle_overlap_ok
+    FROM documents WHERE doc_id < 60
+    """,
+    tags=("multimodal", "compression", "external-parity", "lz4"),
+)
+def m_lz4_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL bit-parity for the from-scratch LZ4 block codec
+    (functions/lz4_codec.py: token-packed sequences, 255-byte length
+    extensions, LE16 offsets, the spec's last-5-literals /
+    no-match-in-last-12 end rules, greedy hash-table matcher) against
+    the REAL system liblz4 1.9.4 via its flat ctypes API, both
+    directions per document: ours_to_ref_ok = OUR block decodes
+    byte-exactly under LZ4_decompress_safe; ref_to_ours_ok =
+    LZ4_compress_default's block decodes byte-exactly under OUR
+    decoder.  The payload is the document text amplified 6x (so
+    compresses pins a real <1/2 ratio), and rle_overlap_ok pins the
+    offset<match_len overlapping-copy path (LZ4's RLE trick) through
+    both decoders.  LZ4 is the analytics-stack workhorse (parquet
+    pages, shuffle, Kafka) — the codec family's byte-oriented member.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 60
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        from map2db_spark.functions import lz4_codec as L
+
+        if not L.available():
+            raise RuntimeError("m_lz4_parity needs system liblz4")
+        for pdf in batches:
+            out = {"media_id": [], "raw_len": [], "ours_to_ref_ok": [],
+                   "ref_to_ours_ok": [], "compresses": [],
+                   "rle_overlap_ok": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                raw = text.encode("utf-8") * 6
+                enc = L.lz4_compress(raw)
+                a = L.ref_decompress(enc, len(raw)) == raw
+                b = L.lz4_decompress(L.ref_compress(raw)) == raw
+                c = len(enc) * 2 < len(raw)
+                run = raw[:2] + raw[:1] * 700  # forces offset<match_len
+                e2 = L.lz4_compress(run)
+                d = (L.lz4_decompress(e2) == run
+                     and L.ref_decompress(e2, len(run)) == run
+                     and L.lz4_decompress(L.ref_compress(run)) == run)
+                out["media_id"].append(doc_id)
+                out["raw_len"].append(len(raw))
+                out["ours_to_ref_ok"].append(bool(a))
+                out["ref_to_ours_ok"].append(bool(b))
+                out["compresses"].append(bool(c))
+                out["rle_overlap_ok"].append(bool(d))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, raw_len LONG, ours_to_ref_ok BOOLEAN,"
+        " ref_to_ours_ok BOOLEAN, compresses BOOLEAN,"
+        " rle_overlap_ok BOOLEAN",
+    )
