@@ -1200,3 +1200,89 @@ def m_lz4_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ref_to_ours_ok BOOLEAN, compresses BOOLEAN,"
         " rle_overlap_ok BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# bzip2 codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_bzip2_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) * 8 AS BIGINT) AS raw_len,
+           TRUE AS ours_to_ref_ok,
+           TRUE AS ref_to_ours_ok,
+           TRUE AS crushes,
+           TRUE AS crc_rejects_corruption
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("multimodal", "compression", "external-parity", "bzip2"),
+)
+def m_bzip2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL bit-parity for the from-scratch bzip2 codec
+    (functions/bzip2_codec.py: RLE1 -> BWT over cyclic rotations
+    (numpy prefix-doubling sort) -> MTF -> RUNA/RUNB bijective-base-2
+    zero runs -> multi-table canonical Huffman with 50-symbol
+    selectors, MSB-first container, bzip2's non-reflected CRC-32 +
+    rotating combined CRC) against the REAL stdlib bz2 (libbz2), both
+    directions per document: ours_to_ref_ok = OUR stream decompresses
+    byte-exactly under bz2; ref_to_ours_ok = bz2.compress at level
+    1 + doc_id%9 decodes byte-exactly under OUR decoder (every level
+    crosses).  The payload is the text amplified 8x so crushes pins a
+    real <1/4 block-sorting ratio, and crc_rejects_corruption pins
+    that OUR decoder actually verifies the block CRC (a flipped bit
+    in the entropy area must raise).  The deepest member of the
+    compression family: four chained reversible transforms agreeing
+    bit-for-bit with an independent implementation.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 50
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        import bz2 as Z
+
+        from map2db_spark.functions import bzip2_codec as B
+
+        for pdf in batches:
+            out = {"media_id": [], "raw_len": [], "ours_to_ref_ok": [],
+                   "ref_to_ours_ok": [], "crushes": [],
+                   "crc_rejects_corruption": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                raw = text.encode("utf-8") * 8
+                enc = B.bzip2_compress(raw)
+                a = Z.decompress(enc) == raw
+                z = Z.compress(raw, 1 + doc_id % 9)
+                b = B.bzip2_decompress(z, max_output=1 << 24) == raw
+                c = len(enc) * 4 < len(raw)
+                bad = bytearray(enc)
+                bad[len(bad) // 2] ^= 0x10
+                try:
+                    B.bzip2_decompress(bytes(bad))
+                    d = False
+                except ValueError:
+                    d = True
+                out["media_id"].append(doc_id)
+                out["raw_len"].append(len(raw))
+                out["ours_to_ref_ok"].append(bool(a))
+                out["ref_to_ours_ok"].append(bool(b))
+                out["crushes"].append(bool(c))
+                out["crc_rejects_corruption"].append(bool(d))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, raw_len LONG, ours_to_ref_ok BOOLEAN,"
+        " ref_to_ours_ok BOOLEAN, crushes BOOLEAN,"
+        " crc_rejects_corruption BOOLEAN",
+    )
