@@ -1,0 +1,876 @@
+"""From-scratch Zstandard decoder (RFC 8878) plus a raw-block
+encoder and an own-XXH64 checksum: frame parsing (magic, frame
+header descriptor, window descriptor, frame content size, skippable
+frames), all three block types, the literals section in all four
+modes (raw, RLE, Huffman-compressed 1-stream and 4-stream with jump
+table, treeless repeat), Huffman tree descriptions both direct
+(4-bit weights) and FSE-compressed (two interleaved states over a
+backward bitstream, implicit last weight), the sequences section
+with all four symbol-compression modes (predefined distributions,
+RLE, FSE-described, repeat), full FSE table construction (the
+spec's step-spread with high-threshold "less than 1" placement),
+the backward bitstream with padding-bit discipline, repeat-offset
+history with the literals_length==0 shift rule, and sequence
+execution with overlap-safe match copies.  Content checksums are
+verified with an XXH64 implemented from scratch.
+
+The encoder side emits raw-block frames (a legal Zstandard profile:
+header + store) with optional checksum — every frame it writes
+round-trips through REAL libzstd.
+
+External verification (tests/test_zstd.py + m_zstd_parity): output
+of REAL libzstd 1.5.4 (`ZSTD_compress` via its flat ctypes API) at
+every level 1..22 — which exercises raw, RLE and compressed blocks,
+predefined and FSE-described sequence tables, 1- and 4-stream
+Huffman literals and treeless repeats — decodes byte-exactly under
+this decoder; our raw-block frames decode byte-exactly under
+`ZSTD_decompress`.
+
+No reference lineage: the reference (map2db.py) never touches zstd;
+built from RFC 8878.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50
+_LL_CODE_BASE = [
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536]
+_LL_CODE_BITS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_CODE_BASE = [
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539]
+_ML_CODE_BITS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+# RFC 8878 predefined FSE distributions
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1]
+_LL_DEFAULT_LOG = 6
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1, -1, -1, -1]
+_ML_DEFAULT_LOG = 6
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]
+_OF_DEFAULT_LOG = 5
+
+_MAX_WINDOW = 1 << 27  # rail: refuse frames demanding > 128 MiB history
+
+
+def _highbit(v: int) -> int:
+    return v.bit_length() - 1
+
+
+# ---------------------------------------------------------------------------
+# Backward bitstream (reads from the END of a buffer toward the start)
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    __slots__ = ("_data", "_bitpos")
+
+    def __init__(self, data: bytes) -> None:
+        if not data:
+            raise ValueError("zstd: empty bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ValueError("zstd: bitstream padding byte is zero")
+        # total bits available: everything below the marker bit
+        self._data = data
+        self._bitpos = (len(data) - 1) * 8 + _highbit(last)
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if nbits > self._bitpos:
+            # reading past the start zero-fills (spec allows states to
+            # consume padding zeros at stream end)
+            avail = self._bitpos
+            v = self.read(avail) << (nbits - avail) if avail > 0 else 0
+            self._bitpos = 0
+            return v
+        self._bitpos -= nbits
+        start = self._bitpos
+        # extract bits [start, start+nbits) where bit i is
+        # (byte[i>>3] >> (i&7)) & 1 — LSB-first bit numbering
+        out = 0
+        for i in range(start + nbits - 1, start - 1, -1):
+            out = (out << 1) | ((self._data[i >> 3] >> (i & 7)) & 1)
+        return out
+
+    def exhausted(self) -> bool:
+        return self._bitpos == 0
+
+
+# ---------------------------------------------------------------------------
+# Forward bit reader (FSE table descriptions are read forward, LSB-first)
+# ---------------------------------------------------------------------------
+
+
+class _FwdBits:
+    __slots__ = ("_data", "_pos", "_bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._pos = pos
+        self._bit = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        for i in range(nbits):
+            if self._pos >= len(self._data):
+                raise ValueError("zstd: truncated FSE description")
+            bit = (self._data[self._pos] >> self._bit) & 1
+            out |= bit << i
+            self._bit += 1
+            if self._bit == 8:
+                self._bit = 0
+                self._pos += 1
+        return out
+
+    def byte_align_pos(self) -> int:
+        return self._pos + (1 if self._bit else 0)
+
+
+# ---------------------------------------------------------------------------
+# FSE
+# ---------------------------------------------------------------------------
+
+
+class _FseTable:
+    __slots__ = ("log", "symbol", "nbits", "baseline")
+
+    def __init__(self, norm: list[int], log: int) -> None:
+        size = 1 << log
+        if sum(max(0, c) for c in norm) + sum(
+                1 for c in norm if c == -1) > size:
+            raise ValueError("zstd: FSE counts exceed table size")
+        cells = [-1] * size
+        high = size - 1
+        for s, c in enumerate(norm):
+            if c == -1:
+                cells[high] = s
+                high -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, c in enumerate(norm):
+            if c <= 0:
+                continue
+            for _ in range(c):
+                cells[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: FSE spread did not close")
+        nxt = [c if c > 0 else 1 for c in norm]
+        self.log = log
+        self.symbol = [0] * size
+        self.nbits = [0] * size
+        self.baseline = [0] * size
+        for i in range(size):
+            s = cells[i]
+            if s < 0:
+                raise ValueError("zstd: FSE table has unassigned cell")
+            x = nxt[s]
+            nxt[s] += 1
+            nb = log - _highbit(x)
+            self.symbol[i] = s
+            self.nbits[i] = nb
+            self.baseline[i] = (x << nb) - size
+
+
+def _read_fse_description(r: _FwdBits, max_log: int,
+                          max_symbols: int) -> tuple[list[int], int]:
+    log = 5 + r.read(4)
+    if log > max_log:
+        raise ValueError(f"zstd: FSE accuracy log {log} > {max_log}")
+    size = 1 << log
+    remaining = size + 1
+    norm: list[int] = []
+    while remaining > 1:
+        if len(norm) > max_symbols:
+            raise ValueError("zstd: too many FSE symbols")
+        nbits = _highbit(remaining) + 1
+        low_cut = (1 << nbits) - 1 - remaining  # short-encodable values
+        v = r.read(nbits - 1)
+        if v < low_cut:
+            value = v
+        else:
+            v += r.read(1) << (nbits - 1)
+            value = v if v < (1 << (nbits - 1)) else v - low_cut
+        count = value - 1
+        norm.append(count)
+        remaining -= abs(count)
+        if count == 0:
+            while True:
+                rep = r.read(2)
+                norm.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("zstd: FSE counts do not sum to table size")
+    return norm, log
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+# ---------------------------------------------------------------------------
+
+
+class _HufTable:
+    __slots__ = ("max_bits", "sym", "nbits")
+
+    def __init__(self, weights: list[int]) -> None:
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("zstd: Huffman weights all zero")
+        max_bits = _highbit(total) + 1
+        if max_bits > 11:
+            raise ValueError("zstd: Huffman depth beyond 11 bits")
+        # implicit last weight completes the power of two
+        left = (1 << max_bits) - total
+        if left <= 0 or left & (left - 1):
+            raise ValueError("zstd: invalid Huffman weight sum")
+        weights = weights + [_highbit(left) + 1]
+        size = 1 << max_bits
+        self.max_bits = max_bits
+        self.sym = [0] * size
+        self.nbits = [0] * size
+        pos = 0
+        for w in range(1, max_bits + 1):
+            for s, w2 in enumerate(weights):
+                if w2 == w:
+                    run = 1 << (w - 1)
+                    nb = max_bits + 1 - w
+                    for i in range(pos, pos + run):
+                        self.sym[i] = s
+                        self.nbits[i] = nb
+                    pos += run
+        if pos != size:
+            raise ValueError("zstd: Huffman table incomplete")
+
+    def decode_stream(self, data: bytes, n_out: int) -> bytearray:
+        bits = _BackBits(data)
+        out = bytearray()
+        mb = self.max_bits
+        while len(out) < n_out:
+            avail = bits._bitpos
+            if avail >= mb:
+                state = bits.read(mb)
+                bits._bitpos += mb - self.nbits[state]
+            else:
+                # tail: peek with zero-filled low bits; a valid stream
+                # never consumes more than remains
+                state = (bits.read(avail) << (mb - avail)) if avail else 0
+                used = self.nbits[state]
+                if used > avail:
+                    raise ValueError("zstd: Huffman stream underflow")
+                bits._bitpos = avail - used
+            out.append(self.sym[state])
+        if bits._bitpos != 0:
+            raise ValueError("zstd: Huffman stream not fully consumed")
+        return out
+
+
+def _read_huffman(data: bytes, pos: int) -> tuple[_HufTable, int]:
+    if pos >= len(data):
+        raise ValueError("zstd: truncated Huffman description")
+    hb = data[pos]
+    pos += 1
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(data):
+            raise ValueError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            byte = data[pos + (i >> 1)]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 0x0F))
+        pos += nbytes
+        return _HufTable(weights), pos
+    # FSE-compressed weights: hb = compressed size
+    if pos + hb > len(data):
+        raise ValueError("zstd: truncated FSE Huffman weights")
+    blob = data[pos:pos + hb]
+    pos += hb
+    fr = _FwdBits(blob)
+    norm, log = _read_fse_description(fr, 6, 255)
+    table = _FseTable(norm, log)
+    stream = blob[fr.byte_align_pos():]
+    weights = _fse_decode_interleaved(table, stream, 255)
+    return _HufTable(weights), pos
+
+
+def _fse_decode_interleaved(table: _FseTable, stream: bytes,
+                            max_out: int) -> list[int]:
+    """Two alternating FSE states over one backward bitstream (the
+    Huffman-weights layout): each state emits its symbol then updates;
+    when an update would read past the stream start, the OTHER state
+    emits its final symbol and decoding stops (libzstd's overflow
+    flush)."""
+    bits = _BackBits(stream)
+    s1 = bits.read(table.log)
+    s2 = bits.read(table.log)
+    out: list[int] = []
+    while True:
+        if len(out) >= max_out:
+            raise ValueError("zstd: runaway interleaved FSE stream")
+        out.append(table.symbol[s1])
+        nb = table.nbits[s1]
+        if nb > bits._bitpos:
+            out.append(table.symbol[s2])
+            break
+        s1 = table.baseline[s1] + bits.read(nb)
+        out.append(table.symbol[s2])
+        nb = table.nbits[s2]
+        if nb > bits._bitpos:
+            out.append(table.symbol[s1])
+            break
+        s2 = table.baseline[s2] + bits.read(nb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (from scratch, for content checksums)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(v: int, r: int) -> int:
+    return ((v << r) | (v >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8],
+                                      "little")
+                v = (v + lane * _P2) & _M64
+                v = (_rotl(v, 31) * _P1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = ((h ^ v) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        lane = (_rotl((lane * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h ^ lane, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _P5) & _M64), 11)) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Frame decoding
+# ---------------------------------------------------------------------------
+
+
+class _RepeatContext:
+    """Cross-block state inside one frame: Huffman table for treeless
+    literals and the three FSE tables for repeat sequence modes."""
+
+    def __init__(self) -> None:
+        self.huff: _HufTable | None = None
+        self.ll: _FseTable | None = None
+        self.of: _FseTable | None = None
+        self.ml: _FseTable | None = None
+        self.rep = [1, 4, 8]
+
+
+def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Zstandard frames (including skippable) -> raw bytes.  Raises
+    ValueError on malformed input; max_output is the zip-bomb rail."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    if n == 0:
+        raise ValueError("zstd: empty input")
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd: truncated magic")
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated skippable frame")
+            size = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4 + size
+            if pos > n:
+                raise ValueError("zstd: skippable frame overruns input")
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad magic {magic:#x}")
+        pos = _decode_frame(data, pos, out, max_output)
+    return bytes(out)
+
+
+def _decode_frame(data: bytes, pos: int, out: bytearray,
+                  max_output: int | None) -> int:
+    n = len(data)
+    if pos >= n:
+        raise ValueError("zstd: missing frame header")
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("zstd: reserved frame header bit set")
+    single_segment = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    dict_flag = fhd & 0x03
+    fcs_flag = fhd >> 6
+    window_size = None
+    if not single_segment:
+        if pos >= n:
+            raise ValueError("zstd: missing window descriptor")
+        wd = data[pos]
+        pos += 1
+        exponent, mantissa = wd >> 3, wd & 7
+        base = 1 << (10 + exponent)
+        window_size = base + (base // 8) * mantissa
+    dict_bytes = (0, 1, 2, 4)[dict_flag]
+    if dict_bytes:
+        if pos + dict_bytes > n:
+            raise ValueError("zstd: truncated dictionary id")
+        did = int.from_bytes(data[pos:pos + dict_bytes], "little")
+        pos += dict_bytes
+        if did != 0:
+            raise ValueError("zstd: external dictionaries unsupported "
+                             "(honest envelope: no dict training here)")
+    fcs_bytes = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    content_size = None
+    if fcs_bytes:
+        if pos + fcs_bytes > n:
+            raise ValueError("zstd: truncated frame content size")
+        content_size = int.from_bytes(data[pos:pos + fcs_bytes], "little")
+        if fcs_bytes == 2:
+            content_size += 256
+        pos += fcs_bytes
+    if single_segment:
+        window_size = content_size if content_size is not None else 0
+    if window_size is not None and window_size > _MAX_WINDOW:
+        raise ValueError(
+            f"zstd: window size {window_size} exceeds rail {_MAX_WINDOW}")
+    ctx = _RepeatContext()
+    frame_start = len(out)
+    while True:
+        if pos + 3 > n:
+            raise ValueError("zstd: truncated block header")
+        bh = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:  # raw
+            if pos + bsize > n:
+                raise ValueError("zstd: truncated raw block")
+            _grow(out, bsize, max_output)
+            out += data[pos:pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos >= n:
+                raise ValueError("zstd: truncated RLE block")
+            _grow(out, bsize, max_output)
+            out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            if pos + bsize > n:
+                raise ValueError("zstd: truncated compressed block")
+            _decode_compressed_block(
+                data[pos:pos + bsize], out, ctx, max_output)
+            pos += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if content_size is not None and len(out) - frame_start != content_size:
+        raise ValueError(
+            f"zstd: frame content size mismatch "
+            f"({len(out) - frame_start} != {content_size})")
+    if checksum:
+        if pos + 4 > n:
+            raise ValueError("zstd: truncated content checksum")
+        expect = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        if got != expect:
+            raise ValueError(
+                f"zstd: content checksum mismatch {got:#x} != {expect:#x}")
+    return pos
+
+
+def _grow(out: bytearray, extra: int, max_output: int | None) -> None:
+    if max_output is not None and len(out) + extra > max_output:
+        raise ValueError(f"zstd: output exceeds max_output={max_output}")
+
+
+def _decode_compressed_block(block: bytes, out: bytearray,
+                             ctx: _RepeatContext,
+                             max_output: int | None) -> None:
+    # ---- literals section ----
+    if not block:
+        raise ValueError("zstd: empty compressed block")
+    b0 = block[0]
+    lit_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    pos = 0
+    if lit_type in (0, 1):  # raw / RLE
+        if size_format in (0, 2):
+            regen = b0 >> 3
+            pos = 1
+        elif size_format == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4)
+            pos = 2
+        else:
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            pos = 3
+        if lit_type == 0:
+            if pos + regen > len(block):
+                raise ValueError("zstd: truncated raw literals")
+            literals = block[pos:pos + regen]
+            pos += regen
+        else:
+            if pos >= len(block):
+                raise ValueError("zstd: truncated RLE literal byte")
+            literals = bytes([block[pos]]) * regen
+            pos += 1
+    else:  # compressed / treeless
+        if size_format == 0:
+            streams, rbits, hbytes = 1, 10, 3
+        elif size_format == 1:
+            streams, rbits, hbytes = 4, 10, 3
+        elif size_format == 2:
+            streams, rbits, hbytes = 4, 14, 4
+        else:
+            streams, rbits, hbytes = 4, 18, 5
+        if len(block) < hbytes:
+            raise ValueError("zstd: truncated literals header")
+        hv = int.from_bytes(block[:hbytes], "little")
+        regen = (hv >> 4) & ((1 << rbits) - 1)
+        comp = (hv >> (4 + rbits)) & ((1 << rbits) - 1)
+        pos = hbytes
+        end = pos + comp
+        if end > len(block):
+            raise ValueError("zstd: truncated compressed literals")
+        if lit_type == 2:
+            huff, pos = _read_huffman(block, pos)
+            ctx.huff = huff
+        else:
+            if ctx.huff is None:
+                raise ValueError("zstd: treeless literals with no "
+                                 "previous Huffman table")
+            huff = ctx.huff
+        if streams == 1:
+            literals = bytes(huff.decode_stream(block[pos:end], regen))
+        else:
+            if pos + 6 > end:
+                raise ValueError("zstd: truncated literals jump table")
+            s1 = int.from_bytes(block[pos:pos + 2], "little")
+            s2 = int.from_bytes(block[pos + 2:pos + 4], "little")
+            s3 = int.from_bytes(block[pos + 4:pos + 6], "little")
+            pos += 6
+            sizes = [s1, s2, s3, end - pos - s1 - s2 - s3]
+            if sizes[3] < 0:
+                raise ValueError("zstd: literals jump table overrun")
+            per = (regen + 3) // 4
+            outs = []
+            for k in range(4):
+                want = per if k < 3 else regen - 3 * per
+                if want < 0:
+                    raise ValueError("zstd: negative stream size")
+                outs.append(
+                    huff.decode_stream(block[pos:pos + sizes[k]], want))
+                pos += sizes[k]
+            literals = bytes(outs[0] + outs[1] + outs[2] + outs[3])
+        pos = end
+    # ---- sequences section ----
+    if pos >= len(block):
+        raise ValueError("zstd: missing sequences section")
+    sb0 = block[pos]
+    pos += 1
+    if sb0 == 0:
+        _grow(out, len(literals), max_output)
+        out += literals
+        return
+    if sb0 < 128:
+        nseq = sb0
+    elif sb0 < 255:
+        if pos >= len(block):
+            raise ValueError("zstd: truncated sequence count")
+        nseq = ((sb0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        if pos + 2 > len(block):
+            raise ValueError("zstd: truncated sequence count")
+        nseq = int.from_bytes(block[pos:pos + 2], "little") + 0x7F00
+        pos += 2
+    if pos >= len(block):
+        raise ValueError("zstd: missing symbol compression modes")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved symbol-mode bits set")
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+
+    def read_table(mode: int, default: list[int], default_log: int,
+                   max_log: int, max_sym: int, prev: _FseTable | None,
+                   pos: int) -> tuple[_FseTable, int]:
+        if mode == 0:
+            return _FseTable(default, default_log), pos
+        if mode == 1:
+            if pos >= len(block):
+                raise ValueError("zstd: truncated RLE symbol")
+            sym = block[pos]
+            if sym > max_sym:
+                raise ValueError(f"zstd: RLE symbol {sym} out of range")
+            t = _FseTable.__new__(_FseTable)
+            t.log = 0
+            t.symbol = [sym]
+            t.nbits = [0]
+            t.baseline = [0]
+            return t, pos + 1
+        if mode == 2:
+            fr = _FwdBits(block, pos)
+            norm, log = _read_fse_description(fr, max_log, max_sym + 1)
+            if len(norm) > max_sym + 1:
+                raise ValueError("zstd: FSE symbol beyond alphabet")
+            return _FseTable(norm, log), fr.byte_align_pos()
+        if prev is None:
+            raise ValueError("zstd: repeat mode with no previous table")
+        return prev, pos
+
+    ll_table, pos = read_table(ll_mode, _LL_DEFAULT, _LL_DEFAULT_LOG, 9,
+                               35, ctx.ll, pos)
+    of_table, pos = read_table(of_mode, _OF_DEFAULT, _OF_DEFAULT_LOG, 8,
+                               31, ctx.of, pos)
+    ml_table, pos = read_table(ml_mode, _ML_DEFAULT, _ML_DEFAULT_LOG, 9,
+                               52, ctx.ml, pos)
+    ctx.ll, ctx.of, ctx.ml = ll_table, of_table, ml_table
+    bits = _BackBits(block[pos:])
+    ll_state = bits.read(ll_table.log)
+    of_state = bits.read(of_table.log)
+    ml_state = bits.read(ml_table.log)
+    lit_pos = 0
+    rep = ctx.rep
+    for i in range(nseq):
+        of_code = of_table.symbol[of_state]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_value = (1 << of_code) + bits.read(of_code)
+        ml_code = ml_table.symbol[ml_state]
+        if ml_code > 52:
+            raise ValueError("zstd: match-length code out of range")
+        match_len = _ML_CODE_BASE[ml_code] + bits.read(_ML_CODE_BITS[ml_code])
+        ll_code = ll_table.symbol[ll_state]
+        if ll_code > 35:
+            raise ValueError("zstd: literal-length code out of range")
+        lit_len = _LL_CODE_BASE[ll_code] + bits.read(_LL_CODE_BITS[ll_code])
+        # repeat-offset resolution
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_value - 1
+            if lit_len == 0:
+                idx += 1
+            if idx == 0:
+                offset = rep[0]
+            elif idx < 3:
+                offset = rep[idx]
+                rep.pop(idx)
+                rep.insert(0, offset)
+            else:  # lit_len == 0 and of_value == 3
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                rep.pop(2)
+                rep.insert(0, offset)
+        if lit_pos + lit_len > len(literals):
+            raise ValueError("zstd: literals overrun in sequence")
+        _grow(out, lit_len + match_len, max_output)
+        out += literals[lit_pos:lit_pos + lit_len]
+        lit_pos += lit_len
+        if offset > len(out):
+            raise ValueError("zstd: match offset beyond history")
+        if offset >= match_len:
+            start = len(out) - offset
+            out += out[start:start + match_len]
+        else:
+            for _ in range(match_len):
+                out.append(out[-offset])
+        if i + 1 < nseq:
+            ll_state = ll_table.baseline[ll_state] + bits.read(
+                ll_table.nbits[ll_state])
+            ml_state = ml_table.baseline[ml_state] + bits.read(
+                ml_table.nbits[ml_state])
+            of_state = of_table.baseline[of_state] + bits.read(
+                of_table.nbits[of_state])
+    rest = len(literals) - lit_pos
+    _grow(out, rest, max_output)
+    out += literals[lit_pos:]
+
+
+# ---------------------------------------------------------------------------
+# Raw-block encoder (legal zstd frames; store profile)
+# ---------------------------------------------------------------------------
+
+
+def zstd_compress_stored(data: bytes, checksum: bool = True) -> bytes:
+    """Raw bytes -> a legal single-segment Zstandard frame of raw
+    blocks with the exact frame content size and an optional XXH64
+    content checksum — readable by any conforming decoder."""
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    size = len(data)
+    if size < 256:
+        fcs_flag, fcs_bytes = 0, 1
+    elif size < 65536 + 256:
+        fcs_flag, fcs_bytes = 1, 2
+    elif size < (1 << 32):
+        fcs_flag, fcs_bytes = 2, 4
+    else:
+        fcs_flag, fcs_bytes = 3, 8
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out.append(fhd)
+    fcs = size - 256 if fcs_flag == 1 else size
+    out += fcs.to_bytes(fcs_bytes, "little")
+    max_block = (1 << 21) - 1  # 3-byte header limit (2^21 - 1)
+    offsets = list(range(0, size, max_block)) if size else [0]
+    for k, off in enumerate(offsets):
+        chunk = data[off:off + max_block]
+        last = 1 if k == len(offsets) - 1 else 0
+        bh = last | (0 << 1) | (len(chunk) << 3)
+        out += bh.to_bytes(3, "little")
+        out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# libzstd external oracle (flat API)
+# ---------------------------------------------------------------------------
+
+
+class ZstdUnavailable(RuntimeError):
+    """Raised by oracle calls when no system libzstd could be loaded."""
+
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    names = ["libzstd.so.1", "libzstd.so"]
+    found = ctypes.util.find_library("zstd")
+    if found:
+        names.insert(0, found)
+    for name in names:
+        try:
+            lib = ctypes.CDLL(name)
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t, ctypes.c_int]
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            _LIB = lib
+            return _LIB
+        except (OSError, AttributeError):
+            continue
+    return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ref_compress(data: bytes, level: int = 3) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise ZstdUnavailable("no system libzstd")
+    cap = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(cap)
+    n = lib.ZSTD_compress(dst, cap, data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("libzstd: compress failed")
+    return dst.raw[:n]
+
+
+def ref_decompress(data: bytes, raw_size: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise ZstdUnavailable("no system libzstd")
+    dst = ctypes.create_string_buffer(max(1, raw_size))
+    n = lib.ZSTD_decompress(dst, raw_size, data, len(data))
+    if lib.ZSTD_isError(n):
+        raise ValueError("libzstd: decompress failed")
+    return dst.raw[:n]
