@@ -1377,3 +1377,91 @@ def m_zstd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ours_to_ref_ok BOOLEAN, crushes BOOLEAN,"
         " checksum_enforced BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# LZMA codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_lzma_parity",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) * 8 AS BIGINT) AS raw_len,
+           CAST((doc_id % 4) * 3 AS INTEGER) AS preset,
+           TRUE AS ref_to_ours_ok,
+           TRUE AS ours_to_ref_ok,
+           TRUE AS crushes
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("multimodal", "compression", "external-parity", "lzma"),
+)
+def m_lzma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL bit-parity for the from-scratch LZMA1 codec
+    (functions/lzma_codec.py: binary range decoder with 11-bit
+    adaptive probabilities, the 12-state machine, lc/lp/pb
+    context-modeled literals incl. the matched-literal path, match +
+    rep length coders, position-slot trees with SpecPos reverse
+    trees and Align bits, 4-deep rep-distance history, end-marker)
+    against the REAL stdlib lzma (liblzma), both directions per
+    document: ref_to_ours_ok = lzma.compress (FORMAT_ALONE, preset
+    cycling 0/3/6/9, plus a custom lc=0/lp=2/pb=0 filter spec every
+    5th row) decodes byte-exactly under OUR decoder; ours_to_ref_ok =
+    OUR range-coded literal-only stream (the honest encoder envelope)
+    decompresses byte-exactly under liblzma AND under our own
+    decoder.  crushes pins a real <1/4 ratio on the 8x-amplified
+    text.  Completes the stdlib trio: zlib, bz2, lzma all have
+    from-scratch counterparts verified against the real library.
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 50
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        import lzma as Z
+
+        from map2db_spark.functions import lzma_codec as L
+
+        for pdf in batches:
+            out = {"media_id": [], "raw_len": [], "preset": [],
+                   "ref_to_ours_ok": [], "ours_to_ref_ok": [],
+                   "crushes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                raw = text.encode("utf-8") * 8
+                preset = (doc_id % 4) * 3
+                if doc_id % 5 == 0:
+                    filt = [{"id": Z.FILTER_LZMA1, "lc": 0, "lp": 2,
+                             "pb": 0, "preset": max(preset, 1)}]
+                    z = Z.compress(raw, format=Z.FORMAT_ALONE,
+                                   filters=filt)
+                else:
+                    z = Z.compress(raw, format=Z.FORMAT_ALONE,
+                                   preset=preset)
+                a = L.lzma_decompress(z, max_output=1 << 24) == raw
+                ours = L.lzma_compress_literal(raw)
+                b = (Z.decompress(ours, format=Z.FORMAT_ALONE) == raw
+                     and L.lzma_decompress(ours) == raw)
+                c = len(z) * 4 < len(raw)
+                out["media_id"].append(doc_id)
+                out["raw_len"].append(len(raw))
+                out["preset"].append(preset)
+                out["ref_to_ours_ok"].append(bool(a))
+                out["ours_to_ref_ok"].append(bool(b))
+                out["crushes"].append(bool(c))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, raw_len LONG, preset INT,"
+        " ref_to_ours_ok BOOLEAN, ours_to_ref_ok BOOLEAN,"
+        " crushes BOOLEAN",
+    )
