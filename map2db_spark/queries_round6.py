@@ -1318,10 +1318,12 @@ def m_zstd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     output at level 1 + doc_id%22 decodes byte-exactly under OUR
     decoder (every level crosses the window, sweeping predefined vs
     FSE-described tables and 1- vs 4-stream literals);
-    ours_to_ref_ok = OUR raw-block frame (a legal store-profile
-    encoder with exact frame content size + XXH64 checksum)
-    round-trips byte-exactly under ZSTD_decompress.  crushes pins a
-    real <1/3 ratio on the 8x-amplified text; checksum_enforced pins
+    ours_to_ref_ok = OUR frames — both the entropy-coded path
+    (greedy-matcher sequences FSE-ENCODED through mirror state
+    tables with the predefined distributions + raw literals) and the
+    store profile — round-trip byte-exactly under ZSTD_decompress.
+    crushes pins a real <1/3 ratio on the 8x-amplified text for BOTH
+    libzstd's stream and ours; checksum_enforced pins
     that OUR decoder verifies the XXH64 (a flipped payload byte must
     raise).  zstd is THE parquet/shuffle codec of the modern analytics
     stack — the family's entropy-coded flagship.
@@ -1352,10 +1354,13 @@ def m_zstd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lvl = 1 + doc_id % 22
                 enc = Z.ref_compress(raw, lvl)
                 a = Z.zstd_decompress(enc, max_output=1 << 24) == raw
-                ours = Z.zstd_compress_stored(raw, checksum=True)
+                ours = Z.zstd_compress(raw, checksum=True)
+                stored = Z.zstd_compress_stored(raw, checksum=True)
                 b = (Z.ref_decompress(ours, len(raw)) == raw
-                     and Z.zstd_decompress(ours) == raw)
-                c = len(enc) * 3 < len(raw)
+                     and Z.zstd_decompress(ours) == raw
+                     and Z.ref_decompress(stored, len(raw)) == raw)
+                c = (len(enc) * 3 < len(raw)
+                     and len(ours) * 3 < len(raw))
                 bad = bytearray(ours)
                 bad[-10] ^= 1  # payload byte inside the last block
                 try:

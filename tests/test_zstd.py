@@ -155,3 +155,45 @@ def test_malformed_typed():
         Z.zstd_decompress(
             (0xFD2FB528).to_bytes(4, "little") + b"\x01\x00\x07"
             + b"\x00" * 8)
+
+
+# --- compressing encoder (sequences + predefined FSE) ----------------------
+
+
+@needs_zstd
+def test_compressing_encoder_to_libzstd():
+    """Our entropy-coded frames (FSE-encoded sequences + raw literals)
+    decode byte-exactly under REAL libzstd AND our own decoder, at
+    real compression ratios."""
+    for f in FIXTURES:
+        enc = Z.zstd_compress(f)
+        assert Z.ref_decompress(enc, len(f)) == f
+        assert Z.zstd_decompress(enc) == f
+    text = b"the quick brown fox jumps over the lazy dog " * 100
+    assert len(Z.zstd_compress(text)) < len(text) // 10
+
+
+@needs_zstd
+def test_compressing_encoder_real_file_multi_block():
+    data = open("map2db_spark/queries_round5.py", "rb").read()
+    enc = Z.zstd_compress(data)  # >128 KiB: multiple compressed blocks
+    assert len(enc) < len(data) // 2
+    assert Z.ref_decompress(enc, len(data)) == data
+    assert Z.zstd_decompress(enc) == data
+
+
+@needs_zstd
+def test_compressing_encoder_rle_block():
+    f = b"\x42" * 100000
+    enc = Z.zstd_compress(f)
+    assert len(enc) < 50
+    assert Z.ref_decompress(enc, len(f)) == f
+
+
+@needs_zstd
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=5000))
+def test_hypothesis_compressing_encoder(data):
+    enc = Z.zstd_compress(data)
+    assert Z.ref_decompress(enc, len(data)) == data
+    assert Z.zstd_decompress(enc) == data
