@@ -31,13 +31,15 @@ Implemented end to end (encoder + decoder, spec bit layout):
   round 6), DCT partition count, y_ac_qi and the five flagged+signed
   quantizer deltas, refresh_entropy_probs.
 
-Honest envelope (raises, never mis-decodes): the token-probability
-update block and everything after it (macroblock prediction records,
-DCT coefficient decode, reconstruction + loop filter) stay out of
-envelope — the update flags are entropy-coded under RFC 6386's
-1056-entry normative probability table, which this container provides
-no source for, so decode_vp8_header stops at the refresh_entropy_probs
-field boundary and pixel decode remains NotImplemented.
+Scope split (round 6): this module owns the container walk, the
+boolean coder and the header through refresh_entropy_probs; FULL
+pixel reconstruction (token-probability updates, mode records,
+coefficient decode, dequant, inverse WHT/DCT, intra prediction and
+both loop filters) lives in functions/vp8_decode.py, driven off the
+normative tables extracted into functions/vp8_tables.py — the
+"pixel decode remains NotImplemented" slot is closed.
+decode_vp8_header still stops at the refresh_entropy_probs boundary
+by design: it is the cheap metadata path (m_vp8_header_params).
 
 Verification (upgraded in round 6): the container ships libwebp.so.7,
 so REAL lossy keyframes from the reference encoder now drive
@@ -198,8 +200,9 @@ def encode_vp8_keyframe_header(
     chunk): uncompressed chunk (frame tag, sync, dims) + the boolean-
     coded first-partition header through the quantizer block.  The
     emitted first partition contains only the header fields this
-    module decodes — a header fixture, not a displayable frame (pixel
-    data is out of envelope on both sides)."""
+    module decodes — a header fixture, not a displayable frame (the
+    encode side has no pixel path; full pixel DECODE lives in
+    functions/vp8_decode.py)."""
     # unlike VP8L's minus-one coding, VP8 stores dims directly in the
     # 14-bit fields, so 16384 is NOT representable (it would wrap to 0)
     if not (0 < width < (1 << 14) and 0 < height < (1 << 14)):

@@ -1470,3 +1470,105 @@ def m_lzma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ref_to_ours_ok BOOLEAN, ours_to_ref_ok BOOLEAN,"
         " crushes BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# VP8 (lossy WebP) full keyframe PIXEL decode (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_vp8_pixels",
+    oracle="""
+    SELECT i AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(y_sum AS BIGINT) AS y_sum,
+           CAST(u_sum AS BIGINT) AS u_sum,
+           CAST(v_sum AS BIGINT) AS v_sum,
+           y_md5, uv_md5
+    FROM (VALUES
+      (0, 16, 16, 4096, 8192, 8192, '16f4a03161b4ce6fe7a896bded480693', '50ad48c18b129602d305a128b245d344'),
+      (1, 23, 21, 22717, 15914, 16657, '30945380f9c25785c5ec137d8da625d2', '874f919b69cf08190dc52f0840bdf8c3'),
+      (2, 30, 26, 94264, 17745, 25918, '1d22c2a3b1fc2020f72cc630dc11069a', '9724c1e92243f88bb75df33c01cb1870'),
+      (3, 37, 31, 144323, 39016, 39005, '2662b8086b7090faa72ab40a3a4c61e0', '66bb8a47c83441e1acb1e543562905b0'),
+      (4, 44, 36, 226512, 50688, 50688, '6f56ea2cf456e06ac1f5b5c1724fa905', '587806ff87458ce08ff3f16a6cf8dc62'),
+      (5, 18, 16, 11810, 8908, 8657, '14dcd502e124826bcc7b3704a814189d', 'f492594b33dd54934a034bae150e1a1e'),
+      (6, 25, 21, 67560, 18293, 17310, '9122dae45f0425d723dee397d9f1417a', '76a7ce27ce1f2e8a30e3eff55f704192'),
+      (7, 32, 26, 104545, 26638, 26625, '6cf8513d3571573b845f1111f09e521a', 'a365ff7b8a4264dec27fe7791e4f7f8e'),
+      (8, 39, 31, 60450, 40960, 40960, '229122007cc651f309bea68a0c909007', '9cab946989430ae4b800884dabc13ad7'),
+      (9, 46, 36, 128412, 48307, 64785, '5af0d9f94a67b193a73b6780b1cbba82', '91d95f2530c5dc9c891c782e9d71765e'),
+      (10, 20, 16, 39360, 8748, 9378, 'd30a3641d0b68a3db234f2a529bfc01d', 'ccd2ae1ec64dcfcaea6932ee4e5b2724'),
+      (11, 27, 21, 71219, 19756, 19779, '60a40992e6e470cec36d0ba77454ecf8', '28390f87fa4f015835baa75dc7d2eaa4'),
+      (12, 34, 26, 157352, 28288, 28288, '02ec5ce6654056d450621ebc6434cab5', 'a55378a2c31189bf97c6ccb5f26b2cd0'),
+      (13, 41, 31, 97357, 39115, 49225, '47017733818721a5d824dc627a0dd11b', '5991977829904bbb570bd989ee4a23f9'),
+      (14, 48, 36, 114240, 79880, 65212, '72caa8c094b235bb0fb372b0a2433560', 'aab02ea9a2000cec2fee421f6aaf7291'),
+      (15, 22, 16, 44401, 11326, 11280, 'c7cd40bff9e364b9dc0f2aabccd189f6', 'a2d66d6394c2d41d2948d1739e8151aa')
+    ) AS t(i, w, h, y_sum, u_sum, v_sum, y_md5, uv_md5)
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "pixels", "webp", "vp8",
+          "external-parity"),
+)
+def m_vp8_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL lossy-WebP (VP8) keyframe PIXEL decode — the from-scratch
+    RFC 6386 intra reconstruction in functions/vp8_decode.py (token
+    probabilities + mode records + coefficient tokens + dequant +
+    inverse WHT/DCT + all 14 intra predictors + normal AND simple
+    loop filters) run over 16 committed libwebp-encoded keyframes
+    (functions/vp8_fixtures.py: flat/gradient/checker/noise content,
+    qualities 20-90, and advanced-API streams exercising
+    mb_no_coeff_skip, the simple filter, disabled segmentation and
+    sharpness-shaped interior limits).  The oracle literals are the
+    REFERENCE decoder's own plane sums and MD5s (WebPDecodeYUV,
+    recorded by tools/make_vp8_fixtures.py) — external ground truth,
+    so a hash match certifies bit-exact parity with libwebp on every
+    committed stream, even where this query runs with no libwebp
+    present.  This closes the VP8 family's last envelope slot (the
+    header codec is m_vp8_header_params).
+
+    Scale shape: map-only mapInPandas; payloads never shuffle and
+    never touch the driver."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 16
+    ).select("doc_id")
+
+    def kernel(batches):
+        import base64
+        import hashlib
+
+        import numpy as np
+
+        from map2db_spark.functions.vp8_decode import decode_vp8
+        from map2db_spark.functions.vp8_fixtures import FIXTURES
+
+        fx = {f["i"]: f for f in FIXTURES}
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "y_sum": [], "u_sum": [], "v_sum": [],
+                   "y_md5": [], "uv_md5": []}
+            for d in pdf["doc_id"]:
+                f = fx[int(d)]
+                y, u, v = decode_vp8(base64.b64decode(f["b64"]))
+                out["media_id"].append(int(d))
+                out["width"].append(int(y.shape[1]))
+                out["height"].append(int(y.shape[0]))
+                out["y_sum"].append(int(y.astype(np.int64).sum()))
+                out["u_sum"].append(int(u.astype(np.int64).sum()))
+                out["v_sum"].append(int(v.astype(np.int64).sum()))
+                out["y_md5"].append(hashlib.md5(y.tobytes()).hexdigest())
+                out["uv_md5"].append(
+                    hashlib.md5(u.tobytes() + v.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, width INT, height INT, y_sum LONG,"
+        " u_sum LONG, v_sum LONG, y_md5 STRING, uv_md5 STRING",
+    ).orderBy("media_id")
