@@ -49,18 +49,20 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     """Real image decode, stdlib+numpy only: PNG payloads decode with
     functions/png.py (zlib + unfiltering); baseline-sequential JPEG
     payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
-    8-bit, integer-ratio subsampling incl. 4:2:0); lossless-WebP payloads decode with
-    functions/webp_vp8l.py — simple AND normal (code-length-coded)
-    prefix codes plus LZ77 backward references, the color cache and
-    the subtract-green + 14-mode predictor + palette transforms and
-    meta prefix images (cross-channel color transform / 2D proximity
-    distance codes /
-    lossy VP8 PIXELS raise NotImplementedError inside the codec (the
-    keyframe header decodes for real via functions/vp8.py's RFC 6386
-    boolean range coder) — the honest
-    remaining
-    envelope, now down to the parts that genuinely need a transform
-    pipeline or boolean-arithmetic codec)."""
+    8-bit, integer-ratio subsampling incl. 4:2:0); lossless-WebP
+    payloads decode with functions/webp_vp8l.py (simple AND normal
+    prefix codes, LZ77 with 2D distance codes, color cache, all four
+    transforms, meta prefix images); lossy-WebP keyframes decode with
+    functions/vp8_decode.py (full RFC 6386 intra reconstruction,
+    YUV planes bit-identical to libwebp), the ALPH alpha-plane chunk
+    decodes bit-exactly via webp_vp8l.decode_alph (raw or headerless-
+    VP8L compressed, all four row filters), and YUV converts to RGBA
+    here via nearest-neighbor chroma upsampling + integer BT.601 —
+    planes and alpha are reference-exact, the RGB conversion is an
+    engine-defined deterministic choice (libwebp's own RGB output
+    additionally runs its 'fancy' bilinear chroma upsampler, so RGB
+    equality against libwebp is claimed only where chroma is locally
+    flat; plane/alpha equality always — tests/test_vp8_pixels.py)."""
     from map2db_spark.functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -70,6 +72,21 @@ def decode_image_real(payload: bytes) -> np.ndarray:
 
         return decode_jpeg_baseline(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        chunks = _webp_chunks(payload)
+        kinds = {c[0] for c in chunks}
+        if b"VP8 " in kinds and b"VP8L" not in kinds:
+            from map2db_spark.functions.vp8_decode import decode_vp8
+
+            y, u, v = decode_vp8(payload)
+            rgba = _yuv420_to_rgba(y, u, v)
+            alph = next((c[1] for c in chunks if c[0] == b"ALPH"), None)
+            if alph is not None:
+                from map2db_spark.functions.webp_vp8l import decode_alph
+
+                rgba[:, :, 3] = decode_alph(
+                    alph, y.shape[1], y.shape[0]
+                )
+            return rgba
         from map2db_spark.functions.webp_vp8l import decode_vp8l
 
         return decode_vp8l(payload)
@@ -79,6 +96,38 @@ def decode_image_real(payload: bytes) -> np.ndarray:
             "(fake_decode_features provides the deterministic stand-in)"
         )
     raise NotImplementedError("wire PIL decode here")
+
+
+def _webp_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """(fourcc, body) pairs of a WebP RIFF container (bounded walk)."""
+    import struct
+
+    out: list[tuple[bytes, bytes]] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        out.append((payload[pos:pos + 4], payload[pos + 8:pos + 8 + size]))
+        pos += 8 + size + (size % 2)
+    return out
+
+
+def _yuv420_to_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """YCbCr 4:2:0 -> RGBA uint8 with nearest-neighbor chroma
+    upsampling and the standard integer BT.601 studio-range matrix
+    ((298C + 409E + 128) >> 8 family).  Deterministic and exact given
+    the planes; see decode_image_real's docstring for why this is
+    engine-defined rather than libwebp-matched."""
+    h, w = y.shape
+    up = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+    vp = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    c = y.astype(np.int32) - 16
+    d = up.astype(np.int32) - 128
+    e = vp.astype(np.int32) - 128
+    r = np.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
+    g = np.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
+    b = np.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
+    a = np.full((h, w), 255, np.int32)
+    return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
 
 
 def fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:

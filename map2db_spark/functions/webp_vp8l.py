@@ -1310,6 +1310,15 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise WebpError("unknown VP8L version")
+    return _decode_argb_body(r, wd, h)
+
+
+def _decode_argb_body(r: _BitReader, wd: int, h: int) -> np.ndarray:
+    """The VP8L stream BODY at known dims: transform list + main image
+    stream + inverse transform application.  Split out of decode_vp8l
+    because ALPH alpha chunks (WebP container spec) carry exactly this
+    body with no signature/dims header — dims come from the lossy
+    frame (decode_alph)."""
     transforms: list[tuple] = []
     seen_types = set()
     while r.read(1):  # transform list
@@ -1381,6 +1390,60 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             out[:, :, 0] = (out[:, :, 0].astype(np.int16) + g16) % 256
             out[:, :, 2] = (out[:, :, 2].astype(np.int16) + g16) % 256
     return out
+
+
+def decode_alph(data: bytes, wd: int, h: int) -> np.ndarray:
+    """Decode a WebP ALPH chunk body (the alpha plane that rides
+    beside a lossy VP8 frame) to an (h, wd) uint8 array.  Container
+    spec layout: 1 header byte — reserved(2) | preprocessing(2) |
+    filtering(2) | compression(2), MSB first — then either raw
+    wd*h bytes (compression 0) or a headerless VP8L stream body
+    whose GREEN channel carries the values (compression 1,
+    _decode_argb_body at the frame's dims).  Filtering 1/2/3 then
+    un-predicts per row exactly as the reference does: horizontal
+    seeds each row's running-left with the PREVIOUS row's first
+    pixel, and vertical/gradient fall back to horizontal on row 0.
+    Preprocessing (level reduction) is encoder-side only.  Alpha
+    parity vs WebPDecodeRGBA is pinned in tests/test_vp8_pixels.py."""
+    if not data:
+        raise WebpError("empty ALPH chunk")
+    head = data[0]
+    if head >> 6:
+        raise WebpError("reserved ALPH header bits set")
+    compression = head & 3
+    filtering = (head >> 2) & 3
+    if compression == 0:
+        if len(data) - 1 < wd * h:
+            raise WebpError("raw ALPH chunk shorter than plane")
+        plane = np.frombuffer(
+            data, np.uint8, count=wd * h, offset=1
+        ).reshape(h, wd).astype(np.int32)
+    elif compression == 1:
+        body = _decode_argb_body(_BitReader(data[1:]), wd, h)
+        plane = body.reshape(h, wd, 4)[:, :, 1].astype(np.int32)
+    else:
+        raise WebpError(f"unknown ALPH compression {compression}")
+    if filtering == 0:
+        return plane.astype(np.uint8)
+    out = np.empty((h, wd), np.int32)
+    for row in range(h):
+        if filtering == 1 or row == 0:  # horizontal (and row-0 fallback)
+            pred = 0 if row == 0 else int(out[row - 1, 0])
+            for x in range(wd):
+                pred = (pred + int(plane[row, x])) & 0xFF
+                out[row, x] = pred
+        elif filtering == 2:  # vertical
+            out[row] = (out[row - 1] + plane[row]) & 0xFF
+        else:  # gradient
+            left = tl = int(out[row - 1, 0])
+            for x in range(wd):
+                top = int(out[row - 1, x])
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (g + int(plane[row, x])) & 0xFF
+                out[row, x] = left
+                tl = top
+    return out.astype(np.uint8)
 
 
 # backwards-compatible name (the function now handles the full

@@ -51,12 +51,22 @@ def test_decode_image_real_dispatches_png():
     assert (decode_image_real(encode_jpeg_baseline(jpg_px)) == jpg_px).all()
     with pytest.raises(JpegError):
         decode_image_real(b"\xff\xd8\xff\xe0\x00\x04xxfake jpeg")
-    # lossy WebP keeps the honest stub (VP8 needs a boolean-arithmetic
-    # codec); lossless VP8L within the simple-code subset is REAL now
+    # lossy WebP is REAL as of r6 (functions/vp8_decode.py): a
+    # committed libwebp-encoded fixture decodes through the full
+    # boolean-arithmetic reconstruction; a truncated VP8 chunk raises
+    # the typed WebpError, not a silent stub
+    import base64
     import struct
 
+    from map2db_spark.functions.vp8_fixtures import FIXTURES
+    from map2db_spark.functions.webp import WebpError
+
+    fx = FIXTURES[0]
+    rgba = decode_image_real(base64.b64decode(fx["b64"]))
+    assert rgba.shape == (fx["h"], fx["w"], 4)
+    assert (rgba[:, :, 3] == 255).all()
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(WebpError):
         decode_image_real(lossy)
     from map2db_spark.functions.webp_vp8l import encode_vp8l_simple
 

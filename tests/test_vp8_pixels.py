@@ -180,3 +180,43 @@ def test_fuzz_bitflips_truncation_typed_errors_only():
                 decode_vp8(enc[:cut])
             except (WebpError, NotImplementedError):
                 pass
+
+
+@pytest.mark.skipif(not LW.available(), reason="no system libwebp")
+def test_alpha_plane_bit_exact_and_image_decode_wiring():
+    """Lossy WebP with an ALPH chunk (the shape every RGBA input
+    produces): decode_image_real reconstructs the ALPHA plane
+    bit-identically to WebPDecodeRGBA across raw/compressed/filtered
+    ALPH variants, and RGB matches exactly wherever chroma is flat
+    (the only divergence channel is libwebp's fancy chroma upsampler,
+    which is documented as engine-defined in decode_image_real)."""
+    from map2db_spark.functions.multimodal import decode_image_real
+
+    rng = np.random.default_rng(9)
+    grad = np.full((32, 48, 4), 100, np.uint8)
+    grad[:, :, 3] = (
+        (np.add.outer(np.arange(32), np.arange(48)) * 3) % 256
+    ).astype(np.uint8)
+    two_tone = np.full((24, 24, 4), 50, np.uint8)
+    two_tone[:, :, 3] = np.where(
+        (np.add.outer(np.arange(24), np.arange(24)) // 4) % 2 == 0,
+        255, 64,
+    ).astype(np.uint8)
+    cases = [
+        np.full((16, 16, 4), 77, np.uint8),        # opaque constant
+        grad,                                      # smooth alpha ramp
+        two_tone,                                  # few-value alpha
+        rng.integers(0, 256, (20, 28, 4), np.uint8),  # dense alpha
+    ]
+    flat_rgb_exact = 0
+    for img in cases:
+        for q in (30.0, 75.0, 95.0):
+            data = LW.encode_rgba(np.ascontiguousarray(img), quality=q)
+            ours = decode_image_real(data)
+            ref = LW.decode_rgba(data)
+            assert ours.shape == ref.shape
+            assert np.array_equal(ours[:, :, 3], ref[:, :, 3])
+            if np.array_equal(ours[:, :, :3], ref[:, :, :3]):
+                flat_rgb_exact += 1
+    # the three flat-chroma cases x three qualities must be RGB-exact
+    assert flat_rgb_exact >= 9, flat_rgb_exact
