@@ -1087,3 +1087,17 @@ def test_round6_codec_queries_map_only_no_shuffle(spark):
         plan = plan_of(spark, name)
         assert _exchange_count(plan) == 0, (name, plan)
         assert "CartesianProduct" not in plan, name
+
+
+def test_vp8_and_png_parity_queries_stay_arrow_map_only(spark):
+    """The r6 codec-parity queries decode fixture/derived payloads
+    inside one Arrow kernel: the plan is a single MapInPandas over
+    the documents scan with no join and no payload shuffle (the only
+    Exchange allowed is m_vp8_pixels' 16-row result sort)."""
+    for name in ("m_vp8_pixels", "m_png_libpng_parity"):
+        plan = plan_of(spark, name)
+        # formatted explain prints each node in the tree AND in the
+        # detail section: one kernel == exactly 2 occurrences
+        assert plan.count("MapInPandas") == 2, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
