@@ -220,3 +220,34 @@ def test_alpha_plane_bit_exact_and_image_decode_wiring():
                 flat_rgb_exact += 1
     # the three flat-chroma cases x three qualities must be RGB-exact
     assert flat_rgb_exact >= 9, flat_rgb_exact
+
+
+@pytest.mark.skipif(not LW.available(), reason="no system libwebp")
+def test_fuzz_alpha_stream_typed_errors_only():
+    """Corruption campaign over the ALPH path (decode_image_real on a
+    real RGBA lossy stream: container walk + alpha unfilter +
+    headerless VP8L body + YUV convert): bit flips and truncations
+    decode to an (h, w, 4) array or raise the typed contract
+    (WebpError / NotImplementedError / ValueError), never an untyped
+    exception."""
+    from map2db_spark.functions.multimodal import decode_image_real
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (20, 28, 4), np.uint8)
+    enc = LW.encode_rgba(np.ascontiguousarray(img), quality=60.0)
+    random.seed(5)
+    for _ in range(400):
+        b = bytearray(enc)
+        for _k in range(random.randint(1, 3)):
+            i = random.randrange(12, len(b))
+            b[i] ^= 1 << random.randrange(8)
+        try:
+            out = decode_image_real(bytes(b))
+            assert out.ndim == 3 and out.shape[2] == 4
+        except (WebpError, NotImplementedError, ValueError):
+            pass
+    for cut in range(1, len(enc) - 1, 3):
+        try:
+            decode_image_real(enc[:cut])
+        except (WebpError, NotImplementedError, ValueError):
+            pass
