@@ -66,8 +66,6 @@ from map2db_spark.functions import vp8_tables as T
 from map2db_spark.functions.vp8 import _BoolDecoder, decode_vp8_header
 from map2db_spark.functions.webp import WebpError
 
-_SYNC = b"\x9d\x01\x2a"
-
 # ---------------------------------------------------------------------------
 # Spec constants small enough to state inline (RFC 6386 11.2, 13.2, 13.3)
 # ---------------------------------------------------------------------------
