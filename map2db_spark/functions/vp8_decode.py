@@ -514,12 +514,24 @@ def _filter_h_edge(plane, y0, x0, n, mb_edge, lim, ilim, hev,
 # ---------------------------------------------------------------------------
 
 
-def decode_vp8(buf: bytes, with_stats: bool = False):
+def decode_vp8(buf: bytes, with_stats: bool = False,
+               max_pixels: int = 1 << 24):
     """Decode a lossy-WebP keyframe to its native YCbCr 4:2:0 planes:
     returns (y, u, v) uint8 arrays cropped to the declared dims (plus
     a stats dict when with_stats).  Raises WebpError on malformed
-    input and NotImplementedError outside the documented envelope."""
+    input and NotImplementedError outside the documented envelope.
+
+    max_pixels is the decompression-bomb rail shared by the codec
+    family (deflate/zstd's max_output convention): a 30-byte stream
+    can declare 16383x16383 and would otherwise force a ~10^6-
+    macroblock walk before any content-level check can fire."""
     hdr = decode_vp8_header(buf)  # validates container + keyframe bit
+    if hdr["width"] * hdr["height"] > max_pixels:
+        raise WebpError(
+            f"declared frame {hdr['width']}x{hdr['height']} exceeds "
+            f"max_pixels={max_pixels} (decompression-bomb rail; raise "
+            "the limit explicitly for trusted input)"
+        )
     if hdr["version"] > 3:
         raise WebpError(
             "VP8 version %d is reserved (RFC 6386 9.1)" % hdr["version"]

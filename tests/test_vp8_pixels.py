@@ -251,3 +251,22 @@ def test_fuzz_alpha_stream_typed_errors_only():
             decode_image_real(enc[:cut])
         except (WebpError, NotImplementedError, ValueError):
             pass
+
+
+def test_decompression_bomb_rail():
+    """A tiny stream declaring huge dims must raise the typed rail
+    before the macroblock walk starts (the family's max_output
+    convention); the limit is caller-raisable for trusted input."""
+    import struct
+
+    part = b"\x00" * 8
+    tag = (1 << 4) | (len(part) << 5)
+    body = (struct.pack("<I", tag)[:3] + b"\x9d\x01\x2a"
+            + struct.pack("<HH", 16383, 16383) + part)
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+           + b"VP8 " + struct.pack("<I", len(body)) + body)
+    with pytest.raises(WebpError, match="max_pixels"):
+        decode_vp8(buf)
+    # fixtures stay comfortably under the default rail
+    y, u, v = decode_vp8(base64.b64decode(FIXTURES[0]["b64"]))
+    assert y.size <= 1 << 24
