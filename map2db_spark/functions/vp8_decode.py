@@ -42,10 +42,12 @@ SIMPLE filter (15.4, Y-only two-tap), each exercised by real
 reference streams (the advanced WebPEncode API emits the simple
 filter under config filter_type=0).  Envelope (raises, never
 mis-decodes): interframes and reserved bitstream versions (> 3).
-Multi-partition residual framing is implemented per 9.5 but no
-reference stream exercises it — libwebp 1.2.4's encoder always
-writes one partition (its config knob is a no-op), so that path's
-verification is framing-level only.
+Multi-partition residual framing (9.5): libwebp 1.2.4's encoder
+never emits more than one partition (its config knob is a no-op),
+so encode_vp8_rowpattern below SYNTHESIZES complete spec-layout
+2/4/8-partition keyframes with per-row content, and the reference
+DECODER (which does accept them) adjudicates: both decoders produce
+bit-identical planes on every synthesized frame.
 
 Verification: tests/test_vp8_pixels.py drives REAL libwebp-encoded
 keyframes at multiple qualities and image classes through this
@@ -936,3 +938,133 @@ def _skip_header_fields(d: _BoolDecoder, hdr: dict) -> None:
     for _ in range(5):
         d.flagged_signed(4)
     d.read(128)  # refresh_entropy_probs
+
+
+# ---------------------------------------------------------------------------
+# Spec-layout frame synthesizer (verification fixture path)
+# ---------------------------------------------------------------------------
+
+
+def encode_vp8_rowpattern(
+    width: int,
+    height: int,
+    *,
+    dct_partition_log2: int = 0,
+    y_ac_qi: int = 60,
+    row_values: list[int] | None = None,
+) -> bytes:
+    """Synthesize a COMPLETE spec-layout VP8 keyframe (not just the
+    header): token-probability update block (all "keep default"),
+    skip disabled, every macroblock DC_PRED/DC, and per-MB-row Y2 DC
+    coefficient tokens from row_values (each 0..4, token DCT_0..4 +
+    sign) — so every MB row decodes to a different flat luma and a
+    wrong residual-partition mapping produces wrong pixels.
+
+    This exists because libwebp 1.2.4's ENCODER never emits more than
+    one DCT partition (its config knob is a no-op), leaving the
+    multi-partition framing of 9.5 with no reference stream — but its
+    DECODER accepts them, so frames synthesized here are decoded by
+    BOTH decoders and compared bit-for-bit
+    (tests/test_vp8_pixels.py::test_multipartition_*).  Loop filter
+    level is 0 and segmentation off: the synthesis targets the
+    framing + token + reconstruction path, not the filter.
+    """
+    from map2db_spark.functions.vp8 import _BoolEncoder
+
+    if not 0 <= dct_partition_log2 <= 3:
+        raise WebpError("dct_partition_log2 must be 0..3")
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    nparts = 1 << dct_partition_log2
+    vals = [(row_values[r % len(row_values)] if row_values else (r % 5))
+            for r in range(mb_h)]
+    if any(not 0 <= v <= 4 for v in vals):
+        raise WebpError("row_values entries must be 0..4")
+
+    # ---- partition 1: header + prob updates + mode records ----
+    e = _BoolEncoder()
+    e.literal(0, 1)  # color_space
+    e.literal(0, 1)  # clamping_type
+    e.literal(0, 1)  # segmentation_enabled
+    e.literal(0, 1)  # filter_type
+    e.literal(0, 6)  # loop_filter_level 0 -> no filtering
+    e.literal(0, 3)  # sharpness
+    e.literal(0, 1)  # lf adjust
+    e.literal(dct_partition_log2, 2)
+    e.literal(y_ac_qi, 7)
+    for _ in range(5):
+        e.encode(0, 128)  # quantizer deltas absent
+    e.literal(1, 1)  # refresh_entropy_probs
+    for i in range(1056):  # 13.4: keep every default token prob
+        e.encode(0, T.COEFF_UPDATE_PROBS[i])
+    e.encode(0, 128)  # mb_no_coeff_skip = 0
+    for _ in range(mb_w * mb_h):
+        # kf ymode tree: "1,0,0" = DC_PRED (11.2)
+        e.encode(1, 145)
+        e.encode(0, 156)
+        e.encode(0, 163)
+        e.encode(0, 142)  # uv mode tree: "0" = DC_PRED
+    part1 = e.flush()
+
+    # ---- residual partitions (row r -> partition r % nparts) ----
+    def probs(t, band, ctx):
+        base = t * 264 + band * 33 + ctx * 11
+        return T.COEFF_PROBS[base:base + 11]
+
+    encs = [_BoolEncoder() for _ in range(nparts)]
+    a_y2 = [0] * mb_w
+    l_y2 = 0
+    for my in range(mb_h):
+        enc = encs[my % nparts]
+        l_y2 = 0
+        v = vals[my]
+        for mx in range(mb_w):
+            # Y2 block (type 1): one DC token of value v, then EOB
+            ctx = a_y2[mx] + l_y2
+            p = probs(1, _BANDS[0], ctx)
+            if v == 0:
+                enc.encode(0, p[0])
+                nz = 0
+            else:
+                enc.encode(1, p[0])
+                enc.encode(1, p[1])
+                if v == 1:
+                    enc.encode(0, p[2])
+                else:
+                    enc.encode(1, p[2])
+                    enc.encode(0, p[3])
+                    if v == 2:
+                        enc.encode(0, p[4])
+                    else:
+                        enc.encode(1, p[4])
+                        enc.encode(v - 3, p[5])
+                enc.encode(0, 128)  # sign: positive
+                nctx = 1 if v == 1 else 2
+                enc.encode(0, probs(1, _BANDS[1], nctx)[0])  # EOB
+                nz = 1
+            a_y2[mx] = l_y2 = nz
+            for _ in range(16):  # Y blocks (type 0, first=1): empty
+                enc.encode(0, probs(0, _BANDS[1], 0)[0])
+            for _ in range(8):  # U then V (type 2): empty
+                enc.encode(0, probs(2, _BANDS[0], 0)[0])
+    parts = [enc.flush() for enc in encs]
+
+    import struct
+
+    if len(part1) >= (1 << 19):
+        raise WebpError("first partition too large")
+    tag = (1 << 4) | (len(part1) << 5)  # keyframe, version 0, shown
+    body = (
+        struct.pack("<I", tag)[:3]
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        + part1
+    )
+    for p in parts[:-1]:
+        body += struct.pack("<I", len(p))[:3]
+    for p in parts:
+        body += p
+    padded = body + (b"\x00" if len(body) % 2 else b"")
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(padded)) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(body)) + padded
+    )

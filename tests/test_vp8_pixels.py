@@ -270,3 +270,54 @@ def test_decompression_bomb_rail():
     # fixtures stay comfortably under the default rail
     y, u, v = decode_vp8(base64.b64decode(FIXTURES[0]["b64"]))
     assert y.size <= 1 << 24
+
+
+def test_multipartition_frames_decode_and_vary_by_row():
+    """Synthesized 1/2/4/8-partition keyframes decode with distinct
+    flat luma per MB row — so a wrong row->partition mapping cannot
+    decode correctly — and framing errors raise typed (libwebp-free
+    half of the multi-partition check)."""
+    from map2db_spark.functions.vp8 import decode_vp8_header
+    from map2db_spark.functions.vp8_decode import encode_vp8_rowpattern
+
+    for log2 in range(4):
+        buf = encode_vp8_rowpattern(
+            64, 80, dct_partition_log2=log2, row_values=[0, 1, 2, 3, 4]
+        )
+        assert decode_vp8_header(buf)["dct_partitions"] == 1 << log2
+        y, u, v = decode_vp8(buf)
+        rows = [int(y[r * 16, 0]) for r in range(5)]
+        assert len(set(rows)) == 5, rows
+        # the first MB of each row is flat (constant prediction +
+        # constant residual); later columns accumulate the DC chain
+        assert all((y[r * 16:r * 16 + 16, :16] == rows[r]).all()
+                   for r in range(5))
+        assert (u == 128).all() and (v == 128).all()
+    # truncating the partition-size table raises the typed framing error
+    buf = encode_vp8_rowpattern(64, 80, dct_partition_log2=3)
+    hdr_end = 20 + (int.from_bytes(buf[20:23], "little") >> 5)
+    with pytest.raises(WebpError):
+        decode_vp8(buf[:hdr_end + 12])
+
+
+@pytest.mark.skipif(not LW.available(), reason="no system libwebp")
+def test_multipartition_frames_bit_exact_under_reference():
+    """The reference DECODER accepts multi-partition frames even
+    though its encoder never emits them: every synthesized frame
+    decodes bit-identically under libwebp and this decoder, closing
+    the one VP8 path real streams could not reach."""
+    from map2db_spark.functions.vp8_decode import encode_vp8_rowpattern
+
+    for log2 in range(4):
+        for dims, vals in (((64, 80), [0, 1, 2, 3, 4]),
+                           ((48, 128), [4, 2, 0, 3]),
+                           ((17, 130), [1, 3])):
+            buf = encode_vp8_rowpattern(
+                dims[0], dims[1], dct_partition_log2=log2,
+                row_values=vals, y_ac_qi=40 + 10 * log2,
+            )
+            ry, ru, rv = LW.decode_yuv(buf)
+            y, u, v = decode_vp8(buf)
+            assert np.array_equal(y, ry), (log2, dims)
+            assert np.array_equal(u, ru), (log2, dims)
+            assert np.array_equal(v, rv), (log2, dims)
