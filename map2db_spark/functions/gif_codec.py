@@ -238,26 +238,40 @@ def encode_gif(frames, palette: np.ndarray, *, interlace: bool = False,
     return bytes(out)
 
 
-def decode_gif(buf: bytes):
+def decode_gif(buf: bytes, max_pixels: int = 1 << 24):
     """GIF bytes -> (frames, palette, meta).  frames is a list of HxW
     uint8 index arrays (de-interlaced, composited onto the logical
     screen at their left/top offsets), palette the global color table
     Nx3, meta a dict (version, n_frames, interlaced, delays_cs,
     transparent_index).  Raises ValueError on malformed/truncated
-    input — never IndexError/struct.error (fuzz-pinned)."""
+    input — never IndexError/struct.error (fuzz-pinned).
+
+    max_pixels is the decompression-bomb rail shared by the codec
+    family (decode_vp8's convention), charged against the TOTAL
+    composited output (logical-screen pixels x frames): a 65535x65535
+    screen descriptor, or an unbounded run of tiny frames each
+    composited onto the full screen, would otherwise force the
+    expansion before any content-level check fires.  Raise the limit
+    explicitly for trusted input."""
     try:
-        return _decode_impl(buf)
+        return _decode_impl(buf, max_pixels)
     except (struct.error, IndexError) as ex:
         raise ValueError(f"malformed GIF ({type(ex).__name__})") from ex
 
 
-def _decode_impl(buf: bytes):
+def _decode_impl(buf: bytes, max_pixels: int = 1 << 24):
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"gif: bad magic {buf[:6]!r}")
     version = buf[3:6].decode()
     if len(buf) < 13:
         raise ValueError("gif: truncated screen descriptor")
     w, h, flags, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    if w * h > max_pixels:
+        raise ValueError(
+            f"gif: logical screen {w}x{h} exceeds max_pixels="
+            f"{max_pixels} (decompression-bomb rail)"
+        )
+    total_px = 0
     pos = 13
     gpal = None
     if flags & 0x80:
@@ -303,6 +317,14 @@ def _decode_impl(buf: bytes):
                 raise ValueError("gif: truncated image descriptor")
             left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", buf, pos)
             pos += 9
+            # charge each frame at full composited (logical-screen)
+            # size: every frame materializes an HxW array below
+            total_px += max(iw * ih, w * h)
+            if total_px > max_pixels:
+                raise ValueError(
+                    f"gif: cumulative frame output {total_px} exceeds "
+                    f"max_pixels={max_pixels} (decompression-bomb rail)"
+                )
             lpal = None
             if iflags & 0x80:
                 n = 2 << (iflags & 7)

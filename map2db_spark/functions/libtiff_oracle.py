@@ -78,6 +78,9 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_uint32, ctypes.c_uint16,
             ]
+            # tmsize_t (signed ssize_t) in libtiff >= 4.0
+            lib.TIFFScanlineSize.restype = ctypes.c_ssize_t
+            lib.TIFFScanlineSize.argtypes = [ctypes.c_void_p]
             # silence libtiff's stderr warning handler (deterministic
             # test output); NULL handler = suppress
             lib.TIFFSetWarningHandler.restype = ctypes.c_void_p
@@ -192,9 +195,27 @@ def decode(data: bytes) -> np.ndarray:
                 raise ValueError("libtiff: no ImageLength")
             lib.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(277),
                              ctypes.byref(spp))
+            # the uint8 output contract below assumes 8-bit samples;
+            # a 16/32-bit file would otherwise make libtiff write past
+            # a width*spp buffer (heap corruption, not an exception)
+            bits = ctypes.c_uint16(8)
+            lib.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(258),
+                             ctypes.byref(bits))
+            if bits.value != 8:
+                raise ValueError(
+                    f"libtiff oracle: BitsPerSample {bits.value} outside "
+                    "the 8-bit decode contract"
+                )
             hh, ww, s = h.value, w.value, spp.value
+            # size the row buffer by libtiff's own accounting, not by
+            # an assumed layout — belt for the check above
+            row_bytes = int(lib.TIFFScanlineSize(ctypes.c_void_p(tif)))
+            if row_bytes < ww * s:
+                raise ValueError(
+                    f"libtiff: scanline size {row_bytes} < {ww * s}"
+                )
             out = np.empty((hh, ww * s), dtype=np.uint8)
-            buf = ctypes.create_string_buffer(ww * s)
+            buf = ctypes.create_string_buffer(row_bytes)
             for y in range(hh):
                 if lib.TIFFReadScanline(tif, buf, y, 0) != 1:
                     raise ValueError(f"libtiff: read scanline {y} failed")

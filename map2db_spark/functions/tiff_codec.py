@@ -303,10 +303,17 @@ def _read_ifd_value(buf: bytes, fmt: str, entry: bytes, count: int,
     return list(struct.unpack(f"{fmt}{count}{ch}", raw))
 
 
-def decode_tiff(buf: bytes) -> np.ndarray:
+def decode_tiff(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """Decode a baseline TIFF (see module envelope) to an (h, w) or
     (h, w, spp) uint8 array.  Raises TiffError on malformed input and
-    NotImplementedError outside the envelope."""
+    NotImplementedError outside the envelope.
+
+    max_pixels is the decompression-bomb rail shared by the codec
+    family (decode_vp8's convention): dims are capped per axis below,
+    but a tiny file declaring e.g. one LZW strip of 2^20 x 2^20 x 4
+    would otherwise drive a multi-TiB expansion attempt before any
+    content-level check fires.  The cap is on total output samples
+    (w*h*spp); raise it explicitly for trusted input."""
     if len(buf) < 8:
         raise TiffError("too short for a TIFF header")
     if buf[:2] == b"II":
@@ -357,6 +364,12 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     spp = one(_TAG_SPP, 1)
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"SamplesPerPixel {spp} not supported")
+    if w * h * spp > max_pixels:
+        raise TiffError(
+            f"declared raster {w}x{h}x{spp} exceeds max_pixels="
+            f"{max_pixels} (decompression-bomb rail; raise the limit "
+            "explicitly for trusted input)"
+        )
     bits = tags.get(_TAG_BITS, [8] * spp)
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"BitsPerSample {bits} not supported")

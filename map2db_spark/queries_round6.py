@@ -413,8 +413,11 @@ def m_webp_libwebp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             _s.append(dcode)
                         return _r(wd, dcode)
 
-                    V._plane_code_to_distance = counting
+                    # assignment inside the try: a raise between the
+                    # swap and the replay must still restore the real
+                    # function (ADVICE r6)
                     try:
+                        V._plane_code_to_distance = counting
                         V.decode_vp8l(ours)
                     finally:
                         V._plane_code_to_distance = real

@@ -174,3 +174,22 @@ def test_animation_both_ways_giflib():
     assert all(np.array_equal(a, b) for a, b in zip(fra, frames))
     frb, _, _ = decode_gif(G.encode(frames, PAL16))
     assert all(np.array_equal(a, b) for a, b in zip(frb, frames))
+
+
+def test_decompression_bomb_rails():
+    """Screen-descriptor and cumulative-frame rails (ADVICE r6): a
+    65535x65535 screen, and an unbounded run of frames over a small
+    screen, are both rejected before composited arrays materialize."""
+    # 13-byte header declaring a 65535x65535 logical screen, no GCT
+    hdr = b"GIF89a" + (65535).to_bytes(2, "little") * 2 + b"\x00\x00\x00"
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(hdr + b"\x3b")
+
+    # many small frames on a small screen: each composites to the full
+    # logical screen, so the rail charges w*h per frame
+    img = np.zeros((64, 64), dtype=np.uint8)
+    one = encode_gif([img] * 3, PAL16)
+    frames, _, _ = decode_gif(one)  # 3 frames x 4096 px: fine
+    assert len(frames) == 3
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(one, max_pixels=2 * 64 * 64)

@@ -269,3 +269,29 @@ def test_libtiff_reads_our_multistrip_rgba_predictor():
     data = encode_tiff(img, compression="lzw", rows_per_strip=3,
                        predictor=True)
     assert np.array_equal(LT.decode(data), img)
+
+
+def test_decompression_bomb_rail():
+    """A tiny crafted file declaring a 2^20 x 2^20 x 4 raster must be
+    rejected by the total-output rail (decode_vp8's max_pixels
+    convention) before any strip expansion is attempted — per-axis
+    caps alone still admit multi-TiB outputs (ADVICE r6)."""
+    big = 1 << 20
+    data = encode_tiff(np.zeros((2, 2), dtype=np.uint8))
+    # rewrite width/height/spp in the little-endian IFD in place
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    buf = bytearray(data)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        (tag,) = struct.unpack_from("<H", buf, off)
+        if tag in (256, 257):  # ImageWidth / ImageLength
+            struct.pack_into("<HHI I", buf, off, tag, 4, 1, big)
+        if tag == 277:  # SamplesPerPixel
+            struct.pack_into("<HHI I", buf, off, tag, 3, 1, 4)
+    with pytest.raises(TiffError, match="max_pixels"):
+        decode_tiff(bytes(buf))
+    # trusted-input override still reaches the structural checks
+    # (strip accounting fails loudly instead of a silent bomb)
+    with pytest.raises(TiffError, match="strips"):
+        decode_tiff(bytes(buf), max_pixels=big * big * 4)
