@@ -1,20 +1,36 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched kernels.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this
-container, so the *decode step* is stubbed two ways:
+Image decode is layered NATIVE-FIRST (r7, VERDICT r6 #1):
 
-- ``decode_image_real`` raises NotImplementedError behind an
-  import-try (the production slot — drop in PIL and it runs);
-- ``fake_decode_features`` derives deterministic pseudo-features from
-  the payload bytes (md5-seeded), so the Spark-side plumbing — binary
-  columns through Arrow batches, mapInPandas batch shapes, schema,
-  partition sizing — is fully real and testable.
+- ``decode_image_real`` dispatches each payload to the real system
+  codec library via ctypes (libpng / libwebp / libtiff / giflib —
+  functions/*_oracle.py), the path a production ingest pipeline must
+  take: the native decoders run 2-3 orders of magnitude faster than
+  row-at-a-time Python (measured MB/s/core table in BASELINE.md).
+- The from-scratch stdlib+numpy codecs (functions/png.py,
+  jpeg_codec.py, webp_vp8l.py, vp8_decode.py, tiff_codec.py,
+  gif_codec.py) are the FALLBACK when a library is absent, the
+  typed-error authority when a payload is malformed (a native decode
+  failure re-decodes through them so callers always see
+  PngError-family exceptions, never a bare ctypes status), and the
+  sampled CROSS-CHECK: ``cross_check_every=N`` re-decodes every Nth
+  native success from scratch and asserts bit-agreement on the
+  format's guaranteed-equal surface (full pixels for the lossless
+  codecs, YUV+alpha planes for lossy WebP, whose RGB conversion is
+  engine-defined — see _decode_pure).
+- JPEG has no native path in this container (libjpeg.so.62 exposes a
+  caller-allocated-struct + setjmp API unusable from ctypes without
+  headers — COVERAGE.md adjudication); JPEG payloads always take the
+  from-scratch baseline/progressive decoder.
+- ``fake_decode_features`` remains the deterministic stand-in for
+  formats outside the family (it never decodes; md5-seeded features).
 
 At 100 TB the shape of this pipeline is the entire game: payloads
 must stream through ``mapInPandas`` (never collect), partitions must
-be sized by bytes not rows (spark.sql.files.maxPartitionBytes), and
-feature extraction must be batch-vectorized.
+be sized by bytes not rows (spark.sql.files.maxPartitionBytes),
+feature extraction must be batch-vectorized — and the per-payload
+decode must be native, which this module's dispatch now is.
 """
 
 from __future__ import annotations
@@ -37,41 +53,61 @@ FEATURE_SCHEMA = (
     "feat ARRAY<FLOAT>"
 )
 
-try:  # pragma: no cover - production slot
-    from PIL import Image  # noqa: F401
 
-    HAVE_PIL = True
-except Exception:
-    HAVE_PIL = False
+def sniff_image_format(payload: bytes) -> str | None:
+    """Magic-byte sniff: 'png' | 'jpeg' | 'webp' | 'tiff' | 'gif' or
+    None for unrecognized leading bytes."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
 
 
-def decode_image_real(payload: bytes) -> np.ndarray:
-    """Real image decode, stdlib+numpy only: PNG payloads decode with
-    functions/png.py (zlib + unfiltering); baseline-sequential JPEG
-    payloads decode with functions/jpeg_codec.py (real Huffman + IDCT;
-    8-bit, integer-ratio subsampling incl. 4:2:0); lossless-WebP
-    payloads decode with functions/webp_vp8l.py (simple AND normal
-    prefix codes, LZ77 with 2D distance codes, color cache, all four
-    transforms, meta prefix images); lossy-WebP keyframes decode with
-    functions/vp8_decode.py (full RFC 6386 intra reconstruction,
-    YUV planes bit-identical to libwebp), the ALPH alpha-plane chunk
-    decodes bit-exactly via webp_vp8l.decode_alph (raw or headerless-
-    VP8L compressed, all four row filters), and YUV converts to RGBA
-    here via nearest-neighbor chroma upsampling + integer BT.601 —
-    planes and alpha are reference-exact, the RGB conversion is an
+def _gif_first_frame_rgb(frames, palette) -> np.ndarray:
+    """Palette-expand a GIF's first frame to (h, w, 3) uint8 — the
+    image-decode contract for an indexed format (animation handled by
+    frame_sample_plan-style explodes, transparency by the caller)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    idx = frames[0]
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("gif: frame index outside palette")
+    return pal[idx]
+
+
+def _decode_pure(payload: bytes, fmt: str) -> np.ndarray:
+    """From-scratch decode (stdlib+numpy only): PNG via functions/
+    png.py (zlib + unfiltering, native channel count); baseline/
+    progressive JPEG via functions/jpeg_codec.py (real Huffman + IDCT;
+    8-bit, integer-ratio subsampling incl. 4:2:0); lossless WebP via
+    functions/webp_vp8l.py (both prefix-code forms, LZ77 with 2D
+    distance codes, color cache, all four transforms, meta prefix
+    images); lossy WebP keyframes via functions/vp8_decode.py (full
+    RFC 6386 intra reconstruction, YUV planes bit-identical to
+    libwebp) with the ALPH alpha chunk via webp_vp8l.decode_alph and
+    a nearest-neighbor + integer-BT.601 YUV->RGBA conversion — planes
+    and alpha are reference-exact; the RGB conversion is an
     engine-defined deterministic choice (libwebp's own RGB output
     additionally runs its 'fancy' bilinear chroma upsampler, so RGB
-    equality against libwebp is claimed only where chroma is locally
-    flat; plane/alpha equality always — tests/test_vp8_pixels.py)."""
-    from map2db_spark.functions.png import decode_png
+    equality against libwebp holds only where chroma is locally flat;
+    plane/alpha equality always — tests/test_vp8_pixels.py); TIFF via
+    functions/tiff_codec.py (raw sample shape, gray stays 2-D); GIF
+    via functions/gif_codec.py (first frame, palette-expanded RGB)."""
+    if fmt == "png":
+        from map2db_spark.functions.png import decode_png
 
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
-    if payload[:2] == b"\xff\xd8":
+    if fmt == "jpeg":
         from map2db_spark.functions.jpeg_codec import decode_jpeg_baseline
 
         return decode_jpeg_baseline(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+    if fmt == "webp":
         chunks = _webp_chunks(payload)
         kinds = {c[0] for c in chunks}
         if b"VP8 " in kinds and b"VP8L" not in kinds:
@@ -83,19 +119,188 @@ def decode_image_real(payload: bytes) -> np.ndarray:
             if alph is not None:
                 from map2db_spark.functions.webp_vp8l import decode_alph
 
-                rgba[:, :, 3] = decode_alph(
-                    alph, y.shape[1], y.shape[0]
-                )
+                rgba[:, :, 3] = decode_alph(alph, y.shape[1], y.shape[0])
             return rgba
         from map2db_spark.functions.webp_vp8l import decode_vp8l
 
         return decode_vp8l(payload)
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "unknown image format; this container has no codec library "
-            "(fake_decode_features provides the deterministic stand-in)"
+    if fmt == "tiff":
+        from map2db_spark.functions.tiff_codec import decode_tiff
+
+        return decode_tiff(payload)
+    if fmt == "gif":
+        from map2db_spark.functions.gif_codec import decode_gif
+
+        frames, palette, _meta = decode_gif(payload)
+        if palette is None:
+            raise ValueError("gif: no global color table")
+        return _gif_first_frame_rgb(frames, palette)
+    raise NotImplementedError(f"no from-scratch decoder for {fmt!r}")
+
+
+class _NativeUnavailable(Exception):
+    """Internal: no native route for this (format, container) — fall
+    back to the from-scratch decoder without masking real failures."""
+
+
+def _decode_native(payload: bytes, fmt: str) -> np.ndarray:
+    """Native decode through the real system library via ctypes
+    (functions/libpng_oracle.py / libwebp_oracle.py /
+    libtiff_oracle.py / giflib_oracle.py).  Output conventions match
+    _decode_pure's per format: PNG keeps the stream's channel count,
+    WebP is RGBA, TIFF is raw sample shape, GIF is first-frame
+    palette-expanded RGB.  For lossy WebP the RGB values come from
+    libwebp's own converter (fancy bilinear chroma upsampler) — the
+    higher-fidelity choice and the documented native/pure divergence
+    channel; YUV planes and alpha are bit-identical across paths.
+    Raises _NativeUnavailable when the library is absent or the
+    format has no usable native route (JPEG — see module docstring)."""
+    if fmt == "png":
+        from map2db_spark.functions import libpng_oracle as LP
+
+        if not LP.available():
+            raise _NativeUnavailable("no system libpng")
+        return LP.decode(payload)
+    if fmt == "webp":
+        from map2db_spark.functions import libwebp_oracle as LW
+
+        if not LW.available():
+            raise _NativeUnavailable("no system libwebp")
+        return LW.decode_rgba(payload)
+    if fmt == "tiff":
+        from map2db_spark.functions import libtiff_oracle as LT
+
+        if not LT.available():
+            raise _NativeUnavailable("no system libtiff")
+        return LT.decode(payload)
+    if fmt == "gif":
+        from map2db_spark.functions import giflib_oracle as LG
+
+        if not LG.available():
+            raise _NativeUnavailable("no system giflib")
+        frames, palette = LG.decode(payload)
+        if palette is None:
+            raise ValueError("gif: no global color table")
+        return _gif_first_frame_rgb(frames, palette)
+    raise _NativeUnavailable(f"no native decoder for {fmt!r}")
+
+
+def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
+    """Assert native/pure agreement on the format's guaranteed-equal
+    surface; returns True (or raises) so kernels can record it.
+
+    PNG / lossless WebP / TIFF / GIF are lossless formats with
+    bit-parity established both directions (tests/test_*_parity.py):
+    full pixel equality.  Lossy WebP: YUV planes + alpha are
+    bit-identical by contract; RGB conversion is engine-defined, so
+    the check compares planes (pure decode_vp8 vs libwebp decode_yuv)
+    and the alpha channel of the native RGBA."""
+    if fmt == "webp":
+        chunks = _webp_chunks(payload)
+        kinds = {c[0] for c in chunks}
+        if b"VP8 " in kinds and b"VP8L" not in kinds:
+            from map2db_spark.functions import libwebp_oracle as LW
+            from map2db_spark.functions.vp8_decode import decode_vp8
+
+            y, u, v = decode_vp8(payload)
+            ry, ru, rv = LW.decode_yuv(payload)
+            if not (
+                np.array_equal(y, ry)
+                and np.array_equal(u, ru)
+                and np.array_equal(v, rv)
+            ):
+                raise AssertionError(
+                    "native/pure cross-check failed: lossy-WebP planes"
+                )
+            alph = next((c[1] for c in chunks if c[0] == b"ALPH"), None)
+            if alph is not None:
+                from map2db_spark.functions.webp_vp8l import decode_alph
+
+                if not np.array_equal(
+                    native_px[:, :, 3],
+                    decode_alph(alph, y.shape[1], y.shape[0]),
+                ):
+                    raise AssertionError(
+                        "native/pure cross-check failed: ALPH plane"
+                    )
+            return True
+    pure = _decode_pure(payload, fmt)
+    if not np.array_equal(native_px, pure):
+        raise AssertionError(
+            f"native/pure cross-check failed: {fmt} pixels diverge"
         )
-    raise NotImplementedError("wire PIL decode here")
+    return True
+
+
+_decode_counter = 0
+
+
+def decode_image_with_info(
+    payload: bytes,
+    *,
+    prefer_native: bool = True,
+    cross_check_every: int = 0,
+) -> tuple[np.ndarray, dict]:
+    """Production image decode with provenance: returns (pixels,
+    {"fmt", "path", "checked"}).  path is 'native' or 'pure'.
+
+    Native-first: the system library decodes; if it is absent (or the
+    format has no native route — JPEG) the from-scratch codec decodes
+    instead.  If the NATIVE decode fails, the payload re-decodes
+    through the from-scratch codec so the caller sees the typed error
+    contract (PngError/JpegError/WebpError/TiffError/ValueError), and
+    a payload only one implementation tolerates still decodes.
+
+    cross_check_every=N > 0 re-decodes every Nth native success from
+    scratch (module-global counter, deterministic per worker) and
+    raises AssertionError on divergence — the self-certification
+    sampling a 100 TB ingest runs at, paying the slow path on 1/N of
+    rows."""
+    global _decode_counter
+    fmt = sniff_image_format(payload)
+    if fmt is None:
+        raise NotImplementedError(
+            f"unknown image format (leading bytes {payload[:8]!r}); "
+            "known: png/jpeg/webp/tiff/gif"
+        )
+    if prefer_native:
+        try:
+            px = _decode_native(payload, fmt)
+        except _NativeUnavailable:
+            pass
+        except Exception:
+            # native rejected the payload: the from-scratch decoder is
+            # the typed-error authority (and the tolerant second try)
+            return _decode_pure(payload, fmt), {
+                "fmt": fmt, "path": "pure", "checked": False,
+            }
+        else:
+            checked = False
+            if cross_check_every > 0:
+                _decode_counter += 1
+                if _decode_counter % cross_check_every == 0:
+                    checked = _cross_check_paths(payload, fmt, px)
+            return px, {"fmt": fmt, "path": "native", "checked": checked}
+    return _decode_pure(payload, fmt), {
+        "fmt": fmt, "path": "pure", "checked": False,
+    }
+
+
+def decode_image_real(
+    payload: bytes,
+    *,
+    prefer_native: bool = True,
+    cross_check_every: int = 0,
+) -> np.ndarray:
+    """Production image decode slot (see decode_image_with_info for
+    the dispatch contract): native ctypes codec first, from-scratch
+    fallback + typed errors, optional 1-in-N cross-check."""
+    px, _info = decode_image_with_info(
+        payload,
+        prefer_native=prefer_native,
+        cross_check_every=cross_check_every,
+    )
+    return px
 
 
 def _webp_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
@@ -396,8 +601,9 @@ def extract_wav_energy(media: DataFrame, win: int = 16) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image-resize pass (the former byte-truncation stand-in is
-    gone): each payload decodes through the stdlib codecs
-    (PNG / baseline JPEG / VP8L via decode_image_real), resamples with
+    gone): each payload decodes through the native-first production
+    slot (decode_image_real — system libpng/libwebp/libtiff/giflib
+    with from-scratch fallback), resamples with
     an exact integer nearest-neighbor index map (src = t * s DIV
     target — deterministic, no float rounding to drift cross-run),
     and re-encodes as PNG, the canonical normalized output codec of
@@ -784,11 +990,8 @@ def sniff_and_extract(media: DataFrame) -> DataFrame:
     routing, no per-format job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from map2db_spark.functions.gif_codec import decode_gif
         from map2db_spark.functions.jpeg import parse_jpeg_header
         from map2db_spark.functions.mp4 import parse_mp4_header
-        from map2db_spark.functions.png import decode_png
-        from map2db_spark.functions.tiff_codec import decode_tiff
         from map2db_spark.functions.wav import decode_wav
         from map2db_spark.functions.webp import parse_webp_header
 
@@ -798,10 +1001,8 @@ def sniff_and_extract(media: DataFrame) -> DataFrame:
                 pdf["media_id"].astype("int64"), pdf["payload"]
             ):
                 buf = bytes(payload)
-                if buf[:8] == b"\x89PNG\r\n\x1a\n":
-                    px = decode_png(buf)
-                    rows.append((int(mid), "png", px.shape[1], px.shape[0]))
-                elif buf[:2] == b"\xff\xd8":
+                if buf[:2] == b"\xff\xd8":
+                    # header-only parses where dims don't need pixels
                     h = parse_jpeg_header(buf)
                     rows.append((int(mid), "jpeg", h["width"], h["height"]))
                 elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
@@ -815,17 +1016,16 @@ def sniff_and_extract(media: DataFrame) -> DataFrame:
                     rows.append(
                         (int(mid), "mp4", h["timescale"], h["duration_ms"])
                     )
-                elif buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
-                    px = decode_tiff(buf)
-                    rows.append((int(mid), "tiff", px.shape[1], px.shape[0]))
-                elif buf[:6] in (b"GIF87a", b"GIF89a"):
-                    frames, _, _ = decode_gif(buf)
-                    rows.append((int(mid), "gif", frames[0].shape[1],
-                                 frames[0].shape[0]))
                 else:
-                    raise ValueError(
-                        f"unknown magic for media_id {mid}: {buf[:8]!r}"
-                    )
+                    fmt = sniff_image_format(buf)
+                    if fmt is None:
+                        raise ValueError(
+                            f"unknown magic for media_id {mid}: {buf[:8]!r}"
+                        )
+                    # full-decode formats route through the native-
+                    # first production slot (libpng/libtiff/giflib)
+                    px = decode_image_real(buf)
+                    rows.append((int(mid), fmt, px.shape[1], px.shape[0]))
             yield pd.DataFrame(rows, columns=["media_id", "fmt", "a", "b"])
 
     return media.select("media_id", "payload").mapInPandas(

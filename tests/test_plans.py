@@ -1101,3 +1101,31 @@ def test_vp8_and_png_parity_queries_stay_arrow_map_only(spark):
         assert plan.count("MapInPandas") == 2, (name, plan)
         assert "Join" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_decode_native_dispatch_map_only(spark):
+    """The r7 dispatch-certification query is a single map-only Arrow
+    kernel over the documents scan: payloads never shuffle."""
+    plan = plan_of(spark, "m_decode_native_dispatch")
+    assert _exchange_count(plan) == 0, plan
+    assert plan.count("MapInPandas") == 2, plan  # tree + detail section
+
+
+def test_decode_corpus_bench_repartitions_and_partial_aggs(spark):
+    """The r7 bench decode row: (a) a round-robin Exchange sits
+    between the small-file corpus scan and the decode kernel (one
+    parquet file would otherwise decode on 1-2 input partitions —
+    CLAUDE.md rule), (b) the per-format reduction is partial-agg'd
+    map-side (HashAggregate below the key Exchange), (c) what crosses
+    the shuffle is metadata rows, never payload bytes (no payload
+    column above the kernel)."""
+    plan = plan_of(spark, "m_decode_corpus_bench")
+    assert "RoundRobinPartitioning" in plan, plan
+    assert plan.count("MapInPandas") == 2, plan
+    # partial aggregate before the fmt hash Exchange: formatted plans
+    # list nodes bottom-up with numbered headers; the first
+    # HashAggregate must appear before the hashpartitioning Exchange
+    first_hash_agg = plan.index("HashAggregate")
+    fmt_exchange = plan.index("hashpartitioning(fmt")
+    assert first_hash_agg < fmt_exchange, plan
+    assert "payload" not in plan.split("hashpartitioning(fmt")[1], plan

@@ -2,17 +2,18 @@
 (CORRECTNESS_r01.json == first 50, verified by the r1 judge).  These
 assertions pin the window composition so adding a query can never
 silently evict one that needs grading.
+
+Round-7 structure: tier 0 is the graded window (48 backlog names in
+registration order + the two r7 verdict-ask queries = exactly 50),
+tier 1 is _DEFERRED_TO_R8 (the 37-name remainder of the never-checked
+backlog), tier 2 is _DRIVER_VERIFIED (every green hard row r01-r06).
 """
 
 from __future__ import annotations
 
 from map2db_spark.registry import (
+    _DEFERRED_TO_R8,
     _DRIVER_VERIFIED,
-    _ROUND2_NEW,
-    _ROUND3_NEW,
-    _ROUND4_NEW,
-    _ROUND5_NEW,
-    _ROUND6_NEW,
     QUERIES,
     _ensure_loaded,
 )
@@ -30,24 +31,23 @@ def test_r1_protocol_fixed_fails_were_regraded():
         assert NAMES.index(name) >= 50, (name, NAMES.index(name))
 
 
-def test_recapped_queries_back_in_graded_window():
-    # r6 deliberate re-grades: the three r5 hash-red rows (the only
-    # registry queries that emitted raw DECIMAL(38,0); re-emitted as
-    # VARCHAR per the x_decimal_ledger convention — verdict r5 item 1)
-    # plus the round's new progressive-JPEG row (verdict item 3) must
-    # all take graded slots this round
-    for name in (
-        "x_group_linreg", "x_gini_concentration", "w_cusum_changepoint",
-        "m_jpeg_progressive",
-    ):
+def test_round7_verdict_queries_in_graded_window():
+    # VERDICT r6 #1 and #2 require same-round driver rows for the
+    # native-first dispatch and the multimodal bench query
+    for name in ("m_decode_native_dispatch", "m_decode_corpus_bench"):
         assert NAMES.index(name) < 50, (name, NAMES.index(name))
-    # the r5 re-grades came back green (CORRECTNESS_r05) and are now
-    # demoted to the verified tier
-    for name in ("j_asof_join", "m2db_consolidated_zoom",
-                 "m2db_merge_diagnostics", "m2db_repair_salvage",
-                 "m2db_overlay_union", "m_webp_color_transform",
-                 "v_ivf_seed_robustness"):
+
+
+def test_r6_greens_retired_from_the_window():
+    # every CORRECTNESS_r06 green row is in the verified tier so it
+    # never wastes a graded slot again (VERDICT r6 #3)
+    for name in (
+        "m_jpeg_progressive", "m_vp8_pixels", "m_zstd_parity",
+        "x_group_linreg", "x_gini_concentration", "w_cusum_changepoint",
+        "g_random_walk", "s_stream_append_emission",
+    ):
         assert name in _DRIVER_VERIFIED, name
+        assert NAMES.index(name) >= 50, (name, NAMES.index(name))
 
 
 def test_graded_window_holds_no_already_verified_queries():
@@ -57,68 +57,29 @@ def test_graded_window_holds_no_already_verified_queries():
     assert not (head & _DRIVER_VERIFIED), head & _DRIVER_VERIFIED
 
 
-def test_round2_additions_do_not_evict_r1_backlog():
-    # tier ordering: r1 backlog first, round-2 additions after it
-    last_tier0 = max(
-        i
-        for i, n in enumerate(NAMES)
-        if n not in _DRIVER_VERIFIED
-        and n not in _ROUND2_NEW
-        and n not in _ROUND3_NEW
-        and n not in _ROUND4_NEW
-        and n not in _ROUND5_NEW
-        and n not in _ROUND6_NEW
-    )
-    first_tier1 = min(
-        (i for i, n in enumerate(NAMES) if n in _ROUND2_NEW), default=len(NAMES)
-    )
-    assert last_tier0 < first_tier1
+def test_window_is_exactly_the_unverified_head():
+    # positions 0-49: never-checked names only; positions 50-86: the
+    # deferred remainder; everything after: driver-verified
+    assert not (set(NAMES[:50]) & _DEFERRED_TO_R8)
+    assert set(NAMES[50 : 50 + len(_DEFERRED_TO_R8)]) == _DEFERRED_TO_R8
+    assert all(n in _DRIVER_VERIFIED
+               for n in NAMES[50 + len(_DEFERRED_TO_R8):])
 
 
-def test_round3_additions_behind_round2_backlog():
-    last_tier1 = max(
-        (i for i, n in enumerate(NAMES) if n in _ROUND2_NEW), default=-1
-    )
-    first_tier2 = min(
-        (i for i, n in enumerate(NAMES) if n in _ROUND3_NEW), default=len(NAMES)
-    )
-    assert last_tier1 < first_tier2
-
-
-def test_round4_additions_behind_round3_backlog():
-    last_tier2 = max(
-        (i for i, n in enumerate(NAMES) if n in _ROUND3_NEW), default=-1
-    )
-    first_tier3 = min(
-        (i for i, n in enumerate(NAMES) if n in _ROUND4_NEW), default=len(NAMES)
-    )
-    assert last_tier2 < first_tier3
-
-
-def test_round5_additions_behind_round4_backlog():
-    last_tier3 = max(
-        (i for i, n in enumerate(NAMES) if n in _ROUND4_NEW), default=-1
-    )
-    first_tier4 = min(
-        (i for i, n in enumerate(NAMES) if n in _ROUND5_NEW), default=len(NAMES)
-    )
-    assert last_tier3 < first_tier4
-
-
-def test_round6_additions_behind_round5_backlog():
-    last_tier4 = max(
-        (i for i, n in enumerate(NAMES) if n in _ROUND5_NEW), default=-1
-    )
-    first_tier5 = min(
-        (i for i, n in enumerate(NAMES) if n in _ROUND6_NEW), default=len(NAMES)
-    )
-    assert last_tier4 < first_tier5
-
-
-def test_every_query_is_classified():
+def test_every_query_is_classified_unambiguously():
     # a name in two sets would make the tiering ambiguous
-    tiers = (_DRIVER_VERIFIED, _ROUND2_NEW, _ROUND3_NEW, _ROUND4_NEW,
-             _ROUND5_NEW, _ROUND6_NEW)
-    for i, a in enumerate(tiers):
-        for b in tiers[i + 1:]:
-            assert not (a & b)
+    assert not (_DRIVER_VERIFIED & _DEFERRED_TO_R8)
+    # tier-0 (window) names are in neither set
+    window = NAMES[:50]
+    for n in window:
+        assert n not in _DRIVER_VERIFIED and n not in _DEFERRED_TO_R8, n
+    # and the three tiers cover the whole registry
+    assert len(window) + len(_DEFERRED_TO_R8) + len(
+        set(NAMES) & _DRIVER_VERIFIED
+    ) == len(NAMES)
+
+
+def test_deferred_set_matches_its_documented_size():
+    # the r7 arithmetic in registry.py: 85-name backlog - 48 graded
+    # this round = 37 deferred; r8's window then drains them all
+    assert len(_DEFERRED_TO_R8) == 37

@@ -185,12 +185,19 @@ def test_fuzz_bitflips_truncation_typed_errors_only():
 @pytest.mark.skipif(not LW.available(), reason="no system libwebp")
 def test_alpha_plane_bit_exact_and_image_decode_wiring():
     """Lossy WebP with an ALPH chunk (the shape every RGBA input
-    produces): decode_image_real reconstructs the ALPHA plane
-    bit-identically to WebPDecodeRGBA across raw/compressed/filtered
-    ALPH variants, and RGB matches exactly wherever chroma is flat
-    (the only divergence channel is libwebp's fancy chroma upsampler,
-    which is documented as engine-defined in decode_image_real)."""
+    produces): the FROM-SCRATCH path (prefer_native=False — r7's
+    native-first dispatch would otherwise hand back libwebp's own
+    RGBA and the comparison would be a tautology) reconstructs the
+    ALPHA plane bit-identically to WebPDecodeRGBA across raw/
+    compressed/filtered ALPH variants, and RGB matches exactly
+    wherever chroma is flat (the only divergence channel is libwebp's
+    fancy chroma upsampler, documented engine-defined in
+    _decode_pure)."""
+    from functools import partial
+
     from map2db_spark.functions.multimodal import decode_image_real
+
+    decode_image_real = partial(decode_image_real, prefer_native=False)
 
     rng = np.random.default_rng(9)
     grad = np.full((32, 48, 4), 100, np.uint8)
