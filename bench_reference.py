@@ -67,7 +67,7 @@ def main() -> None:
             src = f"{tmp}/size{idx}.map"
             large_map(fpt, bbox=bbox).write(src)
             maps[idx] = (src, fpt)
-        map2db(spark, maps[0][0], f"{tmp}/warm.db")  # session warm-up
+        map2db(spark, maps[0][0], f"{tmp}/warm.db", sink="sqlite")  # session warm-up
         for idx, (fpt, bbox) in enumerate(SIZES):
             src, _ = maps[idx]
             ref_best = min(
@@ -75,7 +75,7 @@ def main() -> None:
                 for i in range(repeats)
             )
             eng_best = min(
-                _timed(lambda i=i: map2db(spark, src, f"{tmp}/eng{idx}_{i}.db"))
+                _timed(lambda i=i: map2db(spark, src, f"{tmp}/eng{idx}_{i}.db", sink="sqlite"))
                 for i in range(repeats)
             )
             import sqlite3

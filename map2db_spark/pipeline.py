@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from map2db_spark.operators.consolidate import assign_ids, consolidate
 from map2db_spark.operators.decode import decode_features
 from map2db_spark.operators.linemerge import merge_lines
-from map2db_spark.sinks.sqlite_sink import vtag_key_order, write_sqlite
+from map2db_spark.sinks.sqlite_sink import (
+    readme_license,
+    vtag_key_order,
+    write_sqlite,
+)
 from map2db_spark.sinks.toml_sink import write_config
 from map2db_spark.sources.header import MapHeader, build_manifest, nonempty, read_header
 
@@ -77,9 +81,35 @@ def consolidated_features(
     return cons.where(F.col("ftype") != "line").unionByName(merged)
 
 
-def map2db(spark: SparkSession, src_pathname: str, db_pathname: str) -> dict:
-    """Full reference-parity run: writes the SQLite geodatabase and,
-    for dbl maps, the forgemap TOML config.  Returns a summary dict."""
+def map2db(
+    spark: SparkSession,
+    src_pathname: str,
+    out_pathname: str,
+    sink: str = "parquet",
+) -> dict:
+    """Full reference-parity run with an explicit sink choice (SURVEY
+    §7 hard part 6; VERDICT r6 #6):
+
+    - ``sink="parquet"`` (the CLUSTER DEFAULT): partitioned parquet
+      datasets under ``out_pathname`` (points/lines/areas partitioned
+      by level, sinks/parquet_sink.py) plus a manifest.json with the
+      same README/limits/subfiles provenance the SQLite sink records.
+      This is the 100 TB path — executors write in parallel, nothing
+      funnels through the driver; BASELINE.md measured it 144x the
+      reference at the 10^5-tile scale vs 29-36x for the single-file
+      SQLite drain.
+    - ``sink="sqlite"`` (the EXPORT FORMAT, reference parity): the FDO
+      RFC 16 single-file geodatabase (map2db.py:1311-1532), streamed
+      from an executor-written temp parquet through one driver
+      connection.
+
+    Both sinks consume the identical ``final`` DataFrame — agreement
+    is pinned table-by-table in tests/test_pipeline_e2e.py
+    (test_sink_parity_parquet_vs_sqlite).  For dbl maps both write the
+    forgemap TOML config next to the output.  Returns a summary dict
+    with counts/license/vtag_cols (+ paths for parquet)."""
+    if sink not in ("parquet", "sqlite"):
+        raise ValueError(f"sink must be 'parquet' or 'sqlite', got {sink!r}")
     header = read_header(src_pathname)
     feats = load_features(spark, src_pathname, header).where(
         F.col("ftype") != "reject"  # unreparable geometry: discarded, per reference
@@ -103,7 +133,35 @@ def map2db(spark: SparkSession, src_pathname: str, db_pathname: str) -> dict:
                 "ftype", "fid", "level", "minz", "maxz", "layer", "tags", "vtags",
                 "geom", F.lit(None).cast("string").alias("violation"),
             )
-        result = write_sqlite(db_pathname, src_pathname, header, final, feats)
+        if sink == "sqlite":
+            result = write_sqlite(
+                out_pathname, src_pathname, header, final, feats
+            )
+        else:
+            from map2db_spark.sinks.parquet_sink import (
+                write_manifest,
+                write_parquet,
+            )
+
+            vtag_cols = vtag_key_order(feats)
+            # avoid re-running the merge branch once per table: the
+            # three per-ftype filtered writes below share this plan
+            final = final.localCheckpoint()
+            paths = write_parquet(final, out_pathname)
+            manifest = write_manifest(
+                out_pathname, src_pathname, header, vtag_cols
+            )
+            counts = {
+                table: spark.read.parquet(path).count()  # footer-only
+                for table, path in paths.items()
+            }
+            result = {
+                "counts": counts,
+                "license": readme_license(header, src_pathname)[1],
+                "vtag_cols": vtag_cols,
+                "paths": paths,
+                "manifest": manifest,
+            }
         if header.is_dbl:
             # global vtag list for the TOML (first-sighting order over
             # all three tables)
@@ -113,10 +171,11 @@ def map2db(spark: SparkSession, src_pathname: str, db_pathname: str) -> dict:
                 for k in per_table.get(ftype, []):
                     if k not in seen:
                         seen.append(k)
-            config_path = db_pathname + ".config.toml"
-            write_config(config_path, db_pathname, header.dbl_license, header, seen)
+            config_path = out_pathname.rstrip("/") + ".config.toml"
+            write_config(config_path, out_pathname, header.dbl_license, header, seen)
             result["config"] = config_path
         result["dbl"] = header.is_dbl
+        result["sink"] = sink
         return result
     finally:
         feats.unpersist()

@@ -256,29 +256,36 @@ def write_features(
     return counts
 
 
+def readme_license(header, src_pathname: str) -> tuple[str, str]:
+    """(desc, text) of the database's primary README row: the decoded
+    dbl license for dbl maps, the raw-content explanation otherwise
+    (map2db.py:1398-1430).  Shared with the parquet sink's manifest so
+    both sinks record identical provenance."""
+    if header.is_dbl:
+        return (
+            "Text that was encoded in the map file specifically so that"
+            " it could be included here.",
+            header.dbl_license,
+        )
+    return (
+        "Text generated by map2db_spark",
+        f"The map file from which this database was created,"
+        f" '{src_pathname}', does not appear to have been created"
+        f" with the dbl option.  This database therefore contains"
+        f" the raw content of every tile: feature fragments are"
+        f" not merged across tiles, simplified duplicates from"
+        f" lower zoom levels are retained, and way features are"
+        f" classified as areas by the closed-ring heuristic, which"
+        f" can misclassify.  No database license statement was"
+        f" encoded in the map file; the user is responsible for"
+        f" determining what legal restrictions apply.",
+    )
+
+
 def write_metadata(dbc: sqlite3.Connection, header, src_pathname: str) -> str:
     """README / limits / subfiles rows (map2db.py:1398-1467).  Returns
     the license (or explanatory) text that was recorded."""
-    if header.is_dbl:
-        desc = (
-            "Text that was encoded in the map file specifically so that"
-            " it could be included here."
-        )
-        text = header.dbl_license
-    else:
-        desc = "Text generated by map2db_spark"
-        text = (
-            f"The map file from which this database was created,"
-            f" '{src_pathname}', does not appear to have been created"
-            f" with the dbl option.  This database therefore contains"
-            f" the raw content of every tile: feature fragments are"
-            f" not merged across tiles, simplified duplicates from"
-            f" lower zoom levels are retained, and way features are"
-            f" classified as areas by the closed-ring heuristic, which"
-            f" can misclassify.  No database license statement was"
-            f" encoded in the map file; the user is responsible for"
-            f" determining what legal restrictions apply."
-        )
+    desc, text = readme_license(header, src_pathname)
     dbc.execute("INSERT INTO README (desc, text) VALUES (?, ?);", (desc, text))
     dbc.execute(
         "INSERT INTO README (desc, text) VALUES (?, ?);",

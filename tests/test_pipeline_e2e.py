@@ -23,7 +23,7 @@ def dbl_path(tmp_path_factory):
 @pytest.fixture(scope="module")
 def db(spark, dbl_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("out") / "dbl.db")
-    result = map2db(spark, dbl_path, out)
+    result = map2db(spark, dbl_path, out, sink="sqlite")
     con = sqlite3.connect(out)
     yield con, result
     con.close()
@@ -157,7 +157,7 @@ def test_sqlite_sink_large(spark, tmp_path):
     from map2db_spark.queries_mapsforge import _large_fixture_path
 
     out = str(tmp_path / "large.db")
-    result = map2db(spark, _large_fixture_path(), out)
+    result = map2db(spark, _large_fixture_path(), out, sink="sqlite")
     assert result["counts"] == {"points": 5120, "lines": 1280, "areas": 1280}
     con = sqlite3.connect(out)
     try:
@@ -219,7 +219,7 @@ def test_nondbl_pipeline(spark, tmp_path):
     src = str(tmp_path / "nondbl.map")
     nondbl_map().write(src)
     out = str(tmp_path / "nondbl.db")
-    result = map2db(spark, src, out)
+    result = map2db(spark, src, out, sink="sqlite")
     assert result["dbl"] is False
     assert result["counts"] == {"points": 1, "lines": 1, "areas": 2}
     con = sqlite3.connect(out)
@@ -246,7 +246,7 @@ def test_colour_vtag_column_in_sqlite(spark, tmp_path):
     src = str(tmp_path / "colour.map")
     w.write(src)
     out = str(tmp_path / "colour.db")
-    map2db(spark, src, out)
+    map2db(spark, src, out, sink="sqlite")
     con = sqlite3.connect(out)
     try:
         cols = [r[1] for r in con.execute("PRAGMA table_info(points)").fetchall()]
@@ -302,3 +302,80 @@ def test_export_typed_vtag_coercion_roundtrip(spark, tmp_path):
     assert got[0] == (1, 120, 1.234567, None, "x", '["kind=a"]')
     assert got[1] == (2, -5, None, -0.5, None, "[]")
     assert isinstance(got[0][1], int) and isinstance(got[0][2], float)
+
+
+def test_sink_parity_parquet_vs_sqlite(spark, dbl_path, db, tmp_path_factory):
+    """VERDICT r6 #6: the cluster-default parquet sink and the SQLite
+    export consume the same final DataFrame — pin that they AGREE
+    table-by-table on the dbl fixture: identical content multisets
+    (level/minz/maxz/layer/tags/vtags/geometry), identical counts,
+    and the parquet manifest carries the README/limits/subfiles
+    provenance the SQLite metadata tables record."""
+    con, sq_result = db
+    out = str(tmp_path_factory.mktemp("out") / "dbl_parquet")
+    pq_result = map2db(spark, dbl_path, out)  # parquet is the default
+    assert pq_result["sink"] == "parquet"
+    assert pq_result["counts"] == {"points": 3, "lines": 4, "areas": 2}
+    assert pq_result["counts"] == sq_result["counts"]
+    assert pq_result["vtag_cols"] == sq_result["vtag_cols"]
+    assert pq_result["license"] == sq_result["license"]
+
+    import hashlib
+
+    def canon_vtag(v):
+        if v is None:
+            return None
+        s = str(v)
+        # sqlite stores m2db_elevation as int, the map column keeps
+        # the decoded string; '7' == 7
+        return s[:-2] if s.endswith(".0") else s
+
+    for ftype, table in [("point", "points"), ("line", "lines"),
+                         ("area", "areas")]:
+        vkeys = sq_result["vtag_cols"][ftype]
+        pdf = (
+            spark.read.parquet(pq_result["paths"][table])
+            .collect()
+        )
+        pq_rows = sorted(
+            (
+                r["level"], r["minz"], r["maxz"], r["layer"],
+                json.dumps(list(r["tags"] or []), ensure_ascii=False),
+                tuple(repr(canon_vtag((r["vtags"] or {}).get(k))) for k in vkeys),
+                hashlib.md5(bytes(r["geom"])).hexdigest(),
+            )
+            for r in pdf
+        )
+        quoted = ", ".join('"' + k.replace('"', '""') + '"' for k in vkeys)
+        cols = (
+            "m2db_level, m2db_minz, m2db_maxz, m2db_layer_num, m2db_tags,"
+            " m2db_geometry" + (", " + quoted if vkeys else "")
+        )
+        sq_rows = sorted(
+            (
+                lvl, minz, maxz, layer, tags,
+                tuple(repr(canon_vtag(v)) for v in extra),
+                hashlib.md5(geom).hexdigest(),
+            )
+            for lvl, minz, maxz, layer, tags, geom, *extra in con.execute(
+                f"SELECT {cols} FROM {table}"
+            ).fetchall()
+        )
+        assert pq_rows == sq_rows, table
+
+    # manifest provenance mirrors the sqlite metadata tables
+    with open(pq_result["manifest"], encoding="utf-8") as f:
+        manifest = json.load(f)
+    sq_readme = dict(con.execute("SELECT desc, text FROM README").fetchall())
+    assert manifest["readme"][0]["text"] in sq_readme.values()
+    assert manifest["limits"] == dict(
+        con.execute("SELECT key, value FROM limits").fetchall()
+    )
+    assert [
+        (s["subfile_num"], s["level"], s["minzoom"], s["maxzoom"])
+        for s in manifest["subfiles"]
+    ] == con.execute(
+        "SELECT subfile_num, level, minzoom, maxzoom FROM subfiles ORDER BY 1"
+    ).fetchall()
+    # dbl map: both sinks emit the forgemap TOML (same vtag order)
+    assert pq_result["config"].endswith(".config.toml")

@@ -103,7 +103,7 @@ def outputs(spark, tmp_path_factory):
         with contextlib.redirect_stdout(io.StringIO()):
             ref.map2db(src, ref_db)
         eng_db = str(tmp / f"eng_{name}.db")
-        engine_map2db(spark, src, eng_db)
+        engine_map2db(spark, src, eng_db, sink="sqlite")
         result[name] = (_dump(ref_db), _dump(eng_db))
     return result
 
