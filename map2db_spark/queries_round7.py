@@ -361,3 +361,80 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming multimodal ingest (continuous decode through the native slot)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s_stream_media_decode",
+    oracle=_BENCH_ORACLE,
+    tags=("streaming", "multimodal", "native"),
+)
+def s_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous multimodal ingest: the decode corpus streams through
+    a file-source readStream (binary payload column), each micro-batch
+    decodes through the NATIVE-FIRST production slot inside the Arrow
+    kernel (same decode_image_with_info dispatch as the batch bench
+    row, 1-in-64 cross-check), and complete-mode per-format aggregates
+    land via the executor-side foreachBatch file transport — the shape
+    a 100 TB ingest runs continuously: arriving media files decode in
+    stream micro-batches, only metadata aggregates persist per batch.
+    Bounded availableNow run == the batch twin, so the closed-form
+    oracle is shared with m_decode_corpus_bench.
+
+    Scale shape: stateless streaming mapInPandas (payloads never
+    shuffle, never hit the driver) + a 4-group complete aggregate;
+    checkpoint state is offsets + 4 groups, independent of corpus
+    size."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+    from map2db_spark.streaming.events import run_available_now_df
+
+    ship_package(spark)
+    path = _ensure_decode_corpus(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("media_id LONG, payload BINARY")
+        .format("parquet")
+        .load(path)
+    )
+
+    def kernel(batches):
+        from map2db_spark.functions import multimodal as M
+
+        for pdf in batches:
+            out = {"media_id": [], "fmt": [], "width": [], "height": [],
+                   "sum_px": [], "is_native": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px, info = M.decode_image_with_info(
+                    bytes(payload), cross_check_every=64
+                )
+                out["media_id"].append(int(mid))
+                out["fmt"].append(info["fmt"])
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["sum_px"].append(int(px.astype("int64").sum()))
+                out["is_native"].append(
+                    1 if info["path"] == "native" else 0
+                )
+            yield pd.DataFrame(out)
+
+    decoded = stream.mapInPandas(
+        kernel,
+        schema="media_id LONG, fmt STRING, width INT, height INT,"
+        " sum_px LONG, is_native LONG",
+    )
+    agg = decoded.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("sum_px").alias("sum_px"),
+        F.sum("is_native").alias("n_native"),
+    )
+    out = run_available_now_df(agg, "complete")
+    return out.select(
+        "fmt", "n_images", "sum_width", "sum_height", "sum_px", "n_native"
+    ).orderBy("fmt")

@@ -58,23 +58,26 @@ def test_graded_window_holds_no_already_verified_queries():
 
 
 def test_window_is_exactly_the_unverified_head():
-    # positions 0-49: never-checked names only; positions 50-86: the
-    # deferred remainder; everything after: driver-verified
+    # positions 0-49: never-checked names only (the graded window);
+    # position 50: the late-r7 streaming-decode addition (first in the
+    # r8 window, ahead of the deferred set it was registered after);
+    # then the deferred remainder; everything after: driver-verified
     assert not (set(NAMES[:50]) & _DEFERRED_TO_R8)
-    assert set(NAMES[50 : 50 + len(_DEFERRED_TO_R8)]) == _DEFERRED_TO_R8
+    assert NAMES[50] == "s_stream_media_decode"
+    assert set(NAMES[51 : 51 + len(_DEFERRED_TO_R8)]) == _DEFERRED_TO_R8
     assert all(n in _DRIVER_VERIFIED
-               for n in NAMES[50 + len(_DEFERRED_TO_R8):])
+               for n in NAMES[51 + len(_DEFERRED_TO_R8):])
 
 
 def test_every_query_is_classified_unambiguously():
     # a name in two sets would make the tiering ambiguous
     assert not (_DRIVER_VERIFIED & _DEFERRED_TO_R8)
-    # tier-0 (window) names are in neither set
-    window = NAMES[:50]
-    for n in window:
+    # tier-0 (window + late additions) names are in neither set
+    tier0 = NAMES[:51]
+    for n in tier0:
         assert n not in _DRIVER_VERIFIED and n not in _DEFERRED_TO_R8, n
     # and the three tiers cover the whole registry
-    assert len(window) + len(_DEFERRED_TO_R8) + len(
+    assert len(tier0) + len(_DEFERRED_TO_R8) + len(
         set(NAMES) & _DRIVER_VERIFIED
     ) == len(NAMES)
 
