@@ -379,3 +379,24 @@ def test_sink_parity_parquet_vs_sqlite(spark, dbl_path, db, tmp_path_factory):
     ).fetchall()
     # dbl map: both sinks emit the forgemap TOML (same vtag order)
     assert pq_result["config"].endswith(".config.toml")
+
+
+def test_parquet_sink_level_partition_pruning(spark, dbl_path, tmp_path_factory):
+    """The parquet sink's layout claim (partition by level so zoom
+    queries prune whole partitions) must be visible in the plan:
+    a level-filtered read shows the filter as a PartitionFilter and
+    scans only the matching level directory."""
+    import contextlib
+    import io
+
+    out = str(tmp_path_factory.mktemp("out") / "dbl_prune")
+    result = map2db(spark, dbl_path, out)  # parquet default
+    df = spark.read.parquet(result["paths"]["points"]).where("level = 8")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(level" in plan, plan
+    assert "(level#" in plan.split("PartitionFilters")[1].splitlines()[0], plan
+    # and the pruned read returns only level-8 rows
+    assert {r["level"] for r in df.collect()} == {8}
