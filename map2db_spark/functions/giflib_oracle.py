@@ -196,11 +196,16 @@ def version_selfchecked() -> bool:
     return available()
 
 
-def decode(gif_bytes: bytes):
+def decode(gif_bytes: bytes, max_pixels: int = 1 << 24):
     """GIF bytes -> (frames, palette) via REAL giflib: list of HxW
     uint8 index arrays (frames composited at their offsets; interlaced
     rasters arrive already de-interlaced because DGifSlurp walks
-    InterlacedOffset/Jumps internally) and the global palette Nx3."""
+    InterlacedOffset/Jumps internally) and the global palette Nx3.
+
+    max_pixels caps the TOTAL composited output (frames x logical
+    screen) after the slurp, mirroring gif_codec.decode_gif's
+    cumulative rail — the screen descriptor alone can't bound an
+    unbounded frame run."""
     lib = _load()
     if lib is None:
         raise GiflibUnavailable("no system giflib")
@@ -218,6 +223,12 @@ def decode(gif_bytes: bytes):
                     f"giflib: slurp failed (error {f.contents.Error})")
             g = f.contents
             sw, sh = g.SWidth, g.SHeight
+            if g.ImageCount * max(sw * sh, 1) > max_pixels:
+                raise ValueError(
+                    f"giflib: {g.ImageCount} frames x {sw}x{sh} screen "
+                    f"exceeds max_pixels={max_pixels} "
+                    "(decompression-bomb rail)"
+                )
             pal = None
             if g.SColorMap:
                 cm = g.SColorMap.contents

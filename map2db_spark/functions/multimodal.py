@@ -70,6 +70,66 @@ def sniff_image_format(payload: bytes) -> str | None:
     return None
 
 
+def probe_image_dims(payload: bytes, fmt: str) -> tuple[int, int]:
+    """(width, height) from HEADER BYTES ONLY — no pixel allocation,
+    no entropy decode.  PNG reads the IHDR, JPEG/WebP reuse the marker
+    / RIFF walkers, TIFF does a minimal inline-value IFD walk, GIF
+    reads the logical-screen descriptor.  Raises ValueError (or the
+    format's typed error) on malformed headers.
+
+    This is the dispatch-layer decompression-bomb rail's eye: the
+    NATIVE decoders (libpng/libwebp/libtiff/giflib) have no uniform
+    output cap, so decode_image_with_info checks these dims against
+    max_pixels BEFORE any decoder — pure or native — allocates."""
+    import struct
+
+    if fmt == "png":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("png: truncated/missing IHDR")
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h
+    if fmt == "jpeg":
+        from map2db_spark.functions.jpeg import parse_jpeg_header
+
+        hdr = parse_jpeg_header(payload)
+        return hdr["width"], hdr["height"]
+    if fmt == "webp":
+        from map2db_spark.functions.webp import parse_webp_header
+
+        hdr = parse_webp_header(payload)
+        return hdr["width"], hdr["height"]
+    if fmt == "tiff":
+        order = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(order + "I", payload, 4)
+        if ifd_off + 2 > len(payload):
+            raise ValueError("tiff: first IFD offset out of file")
+        (n,) = struct.unpack_from(order + "H", payload, ifd_off)
+        dims = {}
+        for k in range(n):
+            off = ifd_off + 2 + 12 * k
+            if off + 12 > len(payload):
+                raise ValueError("tiff: IFD entry overruns file")
+            tag, ftype = struct.unpack_from(order + "HH", payload, off)
+            if tag in (256, 257):
+                # dims are count-1 SHORT/LONG: value inline at +8
+                if ftype == 3:
+                    (v,) = struct.unpack_from(order + "H", payload, off + 8)
+                elif ftype == 4:
+                    (v,) = struct.unpack_from(order + "I", payload, off + 8)
+                else:
+                    raise ValueError(f"tiff: dim tag {tag} has type {ftype}")
+                dims[tag] = v
+        if 256 not in dims or 257 not in dims:
+            raise ValueError("tiff: missing ImageWidth/ImageLength")
+        return dims[256], dims[257]
+    if fmt == "gif":
+        if len(payload) < 10:
+            raise ValueError("gif: truncated screen descriptor")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return w, h
+    raise NotImplementedError(f"no dims probe for {fmt!r}")
+
+
 def _gif_first_frame_rgb(frames, palette) -> np.ndarray:
     """Palette-expand a GIF's first frame to (h, w, 3) uint8 — the
     image-decode contract for an indexed format (animation handled by
@@ -240,6 +300,7 @@ def decode_image_with_info(
     *,
     prefer_native: bool = True,
     cross_check_every: int = 0,
+    max_pixels: int = 1 << 24,
 ) -> tuple[np.ndarray, dict]:
     """Production image decode with provenance: returns (pixels,
     {"fmt", "path", "checked"}).  path is 'native' or 'pure'.
@@ -255,13 +316,32 @@ def decode_image_with_info(
     scratch (module-global counter, deterministic per worker) and
     raises AssertionError on divergence — the self-certification
     sampling a 100 TB ingest runs at, paying the slow path on 1/N of
-    rows."""
+    rows.
+
+    max_pixels is the decompression-bomb rail at the DISPATCH layer
+    (decode_vp8's convention): declared dims are read from header
+    bytes alone (probe_image_dims) and checked before either path
+    allocates — the native libraries have no uniform output cap, so
+    without this a tiny payload declaring 65500x65500 would drive a
+    multi-GB native allocation.  Raise the limit explicitly for
+    trusted input.  The per-codec rails (decode_tiff/decode_gif/
+    decode_vp8 max_pixels, GIF's cumulative-frame charge) still apply
+    downstream on the pure path; giflib_oracle.decode carries its own
+    frames x screen cap for the multi-frame case the header can't
+    see."""
     global _decode_counter
     fmt = sniff_image_format(payload)
     if fmt is None:
         raise NotImplementedError(
             f"unknown image format (leading bytes {payload[:8]!r}); "
             "known: png/jpeg/webp/tiff/gif"
+        )
+    w, h = probe_image_dims(payload, fmt)
+    if w * h > max_pixels:
+        raise ValueError(
+            f"{fmt}: declared frame {w}x{h} exceeds max_pixels="
+            f"{max_pixels} (decompression-bomb rail at the dispatch "
+            "layer; raise the limit explicitly for trusted input)"
         )
     if prefer_native:
         try:
@@ -291,14 +371,17 @@ def decode_image_real(
     *,
     prefer_native: bool = True,
     cross_check_every: int = 0,
+    max_pixels: int = 1 << 24,
 ) -> np.ndarray:
     """Production image decode slot (see decode_image_with_info for
     the dispatch contract): native ctypes codec first, from-scratch
-    fallback + typed errors, optional 1-in-N cross-check."""
+    fallback + typed errors, optional 1-in-N cross-check, header-only
+    decompression-bomb rail before either path allocates."""
     px, _info = decode_image_with_info(
         payload,
         prefer_native=prefer_native,
         cross_check_every=cross_check_every,
+        max_pixels=max_pixels,
     )
     return px
 

@@ -111,3 +111,43 @@ def test_native_failure_falls_back_to_typed_errors():
         M.decode_image_real(bytes(payload))
     with pytest.raises(NotImplementedError, match="unknown image format"):
         M.decode_image_real(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
+
+def test_dispatch_layer_bomb_rail_blocks_before_any_decode():
+    """The native libraries have no uniform output cap, so the
+    dispatch reads declared dims from HEADER BYTES ONLY and rejects
+    bombs before either path allocates: a tiny payload declaring a
+    huge frame raises the typed rail error for every format."""
+    import struct
+
+    big = 60000
+    # PNG: signature + IHDR declaring 60000x60000
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", big, big, 8, 2, 0, 0, 0) + b"\0" * 8)
+    # GIF: screen descriptor 60000x60000
+    gif = b"GIF89a" + struct.pack("<HH", big, big) + b"\x00\x00\x00\x3b"
+    # TIFF: little-endian IFD with LONG dims
+    tif = (b"II\x2a\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+           + struct.pack("<HHII", 256, 4, 1, big)
+           + struct.pack("<HHII", 257, 4, 1, big)
+           + struct.pack("<I", 0))
+    for fmt, payload in [("png", png), ("gif", gif), ("tiff", tif)]:
+        with pytest.raises(ValueError, match="max_pixels"):
+            M.decode_image_with_info(payload)
+        # trusted-input override reaches the real decoder (which then
+        # fails on the truncated body, loudly and typed)
+        with pytest.raises((ValueError, NotImplementedError)):
+            M.decode_image_with_info(payload, max_pixels=big * big + 1)
+
+
+@needs_native
+def test_giflib_cumulative_frame_rail():
+    """An unbounded frame run over a small screen is capped by the
+    native wrapper's frames x screen charge (the screen descriptor
+    alone can't see it), mirroring decode_gif's cumulative rail."""
+    img = np.zeros((64, 64), dtype=np.uint8)
+    payload = encode_gif([img] * 3, GIF_PAL)
+    frames, _ = LG.decode(payload)  # 3 x 4096 px: fine
+    assert len(frames) == 3
+    with pytest.raises(ValueError, match="max_pixels"):
+        LG.decode(payload, max_pixels=2 * 64 * 64)
