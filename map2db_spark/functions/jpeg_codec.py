@@ -716,7 +716,7 @@ def encode_jpeg_progressive(
     return b"".join(out)
 
 
-def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
+def decode_jpeg_baseline(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """Decode a baseline-sequential 8-bit JPEG — any integer-ratio
     chroma subsampling (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1) — to a uint8
     array: (h, w) for 1 component, (h, w, 3) RGB for 3 (JFIF YCbCr).
@@ -727,16 +727,20 @@ def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     streams (never a raw IndexError/struct.error — fuzz-pinned in
     tests) and NotImplementedError for arithmetic-coded /
     differential / 12-bit / non-integer-ratio inputs (the honest
-    envelope; see module docstring)."""
+    envelope; see module docstring).
+
+    max_pixels is the codec family's decompression-bomb rail: SOF
+    dims are checked before any per-MCU allocation (a 200-byte shell
+    can declare 65500x65500x3)."""
     try:
-        return _decode_jpeg_impl(buf)
+        return _decode_jpeg_impl(buf, max_pixels)
     except (IndexError, KeyError, struct.error) as ex:
         raise JpegError(
             f"malformed JPEG stream ({type(ex).__name__})"
         ) from ex
 
 
-def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
+def _decode_jpeg_impl(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != SOI:
         raise JpegError("bad magic: not a JPEG stream")
     pos = 2
@@ -808,6 +812,12 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise JpegError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
+            if h * w * ncomp > max_pixels:
+                raise JpegError(
+                    f"declared frame {w}x{h}x{ncomp} exceeds max_pixels="
+                    f"{max_pixels} (decompression-bomb rail; raise the "
+                    "limit explicitly for trusted input)"
+                )
             frame = (h, w, comps)
             hmax = max(hi for _c, _t, hi, _v in comps)
             vmax = max(vi for _c, _t, _h, vi in comps)

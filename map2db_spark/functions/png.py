@@ -93,18 +93,28 @@ def encode_png(pixels: np.ndarray, compress=None) -> bytes:
     )
 
 
-def decode_png(buf: bytes, decompress=None) -> np.ndarray:
+def decode_png(buf: bytes, decompress=None,
+               max_pixels: int = 1 << 24) -> np.ndarray:
     """PNG bytes -> HxWxC uint8 array (C in {1,2,3,4}).  Raises
     ValueError on non-PNG, malformed/truncated or unsupported variants
     (16-bit, palette, interlaced) — never a raw zlib.error or
-    struct.error (fuzz-pinned in tests)."""
+    struct.error (fuzz-pinned in tests).
+
+    max_pixels is the codec family's decompression-bomb rail: the
+    IHDR-declared w*h*channels is checked before inflation, and the
+    stdlib inflate itself is capped at the declared raster size (a
+    zlib bomb larger than its IHDR claims is a typed length error,
+    never a surprise allocation).  A custom ``decompress`` callable
+    (e.g. deflate_codec.zlib_decompress) carries its own max_output
+    rail."""
     try:
-        return _decode_png_impl(buf, decompress)
+        return _decode_png_impl(buf, decompress, max_pixels)
     except (zlib.error, struct.error) as ex:
         raise ValueError(f"malformed PNG stream ({type(ex).__name__})") from ex
 
 
-def _decode_png_impl(buf: bytes, decompress=None) -> np.ndarray:
+def _decode_png_impl(buf: bytes, decompress=None,
+                     max_pixels: int = 1 << 24) -> np.ndarray:
     if buf[:8] != _MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -133,8 +143,20 @@ def _decode_png_impl(buf: bytes, decompress=None) -> np.ndarray:
             f"interlace={interlace})"
         )
     ch = _CHANNELS[color_type]
-    raw = (zlib.decompress if decompress is None else decompress)(
-        bytes(idat))
+    if w * h * ch > max_pixels:
+        raise ValueError(
+            f"declared raster {w}x{h}x{ch} exceeds max_pixels="
+            f"{max_pixels} (decompression-bomb rail; raise the limit "
+            "explicitly for trusted input)"
+        )
+    expected = h * (w * ch + 1)
+    if decompress is None:
+        # cap inflation at the declared raster size + 1: a stream that
+        # inflates past its IHDR claim hits the length check below
+        # after ONE extra byte, never a surprise allocation
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    else:
+        raw = decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")

@@ -1272,7 +1272,7 @@ def _read_image_stream(r: _BitReader, wd: int, h: int,
     return out
 
 
-def decode_vp8l(buf: bytes) -> np.ndarray:
+def decode_vp8l(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """Decode a VP8L WebP file (simple + normal prefix codes, LZ77
     with direct AND 2D-proximity distance codes, color cache, meta
     prefix images, and all four transforms: subtract-green, predictor,
@@ -1307,6 +1307,12 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
     r = _BitReader(payload[1:])
     wd = r.read(14) + 1
     h = r.read(14) + 1
+    if wd * h > max_pixels:
+        raise WebpError(
+            f"declared frame {wd}x{h} exceeds max_pixels={max_pixels} "
+            "(decompression-bomb rail; raise the limit explicitly for "
+            "trusted input)"
+        )
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise WebpError("unknown VP8L version")

@@ -151,3 +151,57 @@ def test_giflib_cumulative_frame_rail():
     assert len(frames) == 3
     with pytest.raises(ValueError, match="max_pixels"):
         LG.decode(payload, max_pixels=2 * 64 * 64)
+
+
+def test_per_codec_rails_complete_the_family():
+    """r7 completes the per-codec rail convention: PNG (IHDR dims +
+    capped inflate), JPEG (SOF dims), VP8L (14-bit dims) each reject
+    declared bombs with their typed error — direct codec callers are
+    protected even when they bypass the dispatch layer."""
+    import struct
+
+    from map2db_spark.functions.jpeg import JpegError
+    from map2db_spark.functions.jpeg_codec import decode_jpeg_baseline
+    from map2db_spark.functions.png import decode_png
+    from map2db_spark.functions.webp import WebpError
+    from map2db_spark.functions.webp_vp8l import decode_vp8l
+
+    # PNG declaring 60000x60000 RGB
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    import zlib as _z
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", _z.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(png)
+
+    # JPEG shell declaring 60000x60000x3 (SOI + SOF0)
+    jpg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 8 + 9)
+           + struct.pack(">BHHB", 8, 60000, 60000, 3)
+           + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    with pytest.raises(JpegError, match="max_pixels"):
+        decode_jpeg_baseline(jpg)
+
+    # VP8L declaring 16384x16384 (14-bit max dims)
+    bits = 0x2F.to_bytes(1, "little")
+    # width-1 = 16383 (14 bits all 1), height-1 = 16383
+    body = bits + bytes([0xFF, 0xFF, 0xFF, 0x0F])
+    vp8l = (b"RIFF" + struct.pack("<I", 12 + 8 + len(body)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(WebpError, match="max_pixels"):
+        decode_vp8l(vp8l)
+
+    # a zlib bomb inside a small-dims PNG inflates at most
+    # declared-size+1 bytes and dies on the length check
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = _z.compress(b"\x00" * 10_000_000)
+    png2 = (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr2
+            + struct.pack(">I", _z.crc32(b"IHDR" + ihdr2))
+            + struct.pack(">I", len(bomb)) + b"IDAT" + bomb
+            + struct.pack(">I", _z.crc32(b"IDAT" + bomb))
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", _z.crc32(b"IEND")))
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(png2)
