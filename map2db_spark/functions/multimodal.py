@@ -316,7 +316,11 @@ def decode_image_with_info(
     scratch (module-global counter, deterministic per worker) and
     raises AssertionError on divergence — the self-certification
     sampling a 100 TB ingest runs at, paying the slow path on 1/N of
-    rows.
+    rows.  Size N to the corpus: the pure decoders run at 0.2-10
+    MB/s/core (BASELINE.md), so a checked row costs ~(decoded bytes /
+    that rate) — for photo-sized lossy WebP that is tens of seconds,
+    meaning N belongs in the thousands there, while thumbnail
+    pipelines can afford N=64.
 
     max_pixels is the decompression-bomb rail at the DISPATCH layer
     (decode_vp8's convention): declared dims are read from header
