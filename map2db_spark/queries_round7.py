@@ -438,3 +438,114 @@ def s_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "fmt", "n_images", "sum_width", "sum_height", "sum_px", "n_native"
     ).orderBy("fmt")
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata + orientation normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_exif_orientation",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+           'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS taken_at,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(16 + doc_id % 7 * 3 AS INTEGER) AS pixel_x,
+           CAST(9 + doc_id % 5 * 4 AS INTEGER) AS pixel_y,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                THEN 9 + doc_id % 5 * 4
+                ELSE 16 + doc_id % 7 * 3 END AS INTEGER) AS oriented_w,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                THEN 16 + doc_id % 7 * 3
+                ELSE 9 + doc_id % 5 * 4 END AS INTEGER) AS oriented_h,
+           TRUE AS sum_preserved,
+           TRUE AS roundtrip_ok
+    FROM documents WHERE doc_id < 48
+    """,
+    tags=("multimodal", "image", "metadata", "exif"),
+)
+def m_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction + orientation normalization
+    (functions/exif.py): per row, a camera-layout JPEG (APP1 EXIF
+    right after SOI, byte order alternating II/MM) carries closed-form
+    Orientation / Make / DateTime / Exif-IFD pixel dims; parse_exif
+    reads them from HEADER BYTES ONLY, and apply_orientation
+    normalizes a synthetic raster through all 8 EXIF states —
+    oriented dims swap for states 5-8, the pixel multiset is
+    preserved (sum_preserved), and invert_orientation composes back
+    to the original (roundtrip_ok).  This is the pre-decode gate of a
+    real image pipeline: capture-time dedup, camera filtering, and
+    orientation-aware geometry all run before any entropy decode.
+
+    Scale shape: map-only mapInPandas over header-sized payloads;
+    nothing shuffles."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 48
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.exif import (
+            apply_orientation,
+            encode_jpeg_with_exif,
+            invert_orientation,
+            parse_exif,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "orientation", "make", "taken_at",
+                "byte_order", "pixel_x", "pixel_y", "oriented_w",
+                "oriented_h", "sum_preserved", "roundtrip_ok",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                o = 1 + did % 8
+                w = 16 + did % 7 * 3
+                h = 9 + did % 5 * 4
+                taken = f"2024:01:{1 + did % 28:02d} 12:00:00"
+                jpg = encode_jpeg_with_exif(
+                    w, h,
+                    orientation=o, make=f"CAM{did % 5}",
+                    datetime=taken, pixel_x=w, pixel_y=h,
+                    byte_order="<" if did % 2 == 0 else ">",
+                )
+                meta = parse_exif(jpg)
+                px = ((did * 17 + np.arange(w * h * 3)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                oriented = apply_orientation(px, meta["orientation"])
+                rt = invert_orientation(oriented, meta["orientation"])
+                out["media_id"].append(did)
+                out["orientation"].append(meta["orientation"])
+                out["make"].append(meta["make"])
+                out["taken_at"].append(meta["datetime"])
+                out["byte_order"].append(meta["byte_order"])
+                out["pixel_x"].append(meta["pixel_x"])
+                out["pixel_y"].append(meta["pixel_y"])
+                out["oriented_w"].append(oriented.shape[1])
+                out["oriented_h"].append(oriented.shape[0])
+                out["sum_preserved"].append(
+                    int(oriented.astype("int64").sum())
+                    == int(px.astype("int64").sum())
+                )
+                out["roundtrip_ok"].append(bool(np.array_equal(rt, px)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, orientation INT, make STRING,"
+        " taken_at STRING, byte_order STRING, pixel_x INT, pixel_y INT,"
+        " oriented_w INT, oriented_h INT, sum_preserved BOOLEAN,"
+        " roundtrip_ok BOOLEAN",
+    )

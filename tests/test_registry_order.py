@@ -63,17 +63,17 @@ def test_window_is_exactly_the_unverified_head():
     # r8 window, ahead of the deferred set it was registered after);
     # then the deferred remainder; everything after: driver-verified
     assert not (set(NAMES[:50]) & _DEFERRED_TO_R8)
-    assert NAMES[50] == "s_stream_media_decode"
-    assert set(NAMES[51 : 51 + len(_DEFERRED_TO_R8)]) == _DEFERRED_TO_R8
+    assert NAMES[50:52] == ["s_stream_media_decode", "m_exif_orientation"]
+    assert set(NAMES[52 : 52 + len(_DEFERRED_TO_R8)]) == _DEFERRED_TO_R8
     assert all(n in _DRIVER_VERIFIED
-               for n in NAMES[51 + len(_DEFERRED_TO_R8):])
+               for n in NAMES[52 + len(_DEFERRED_TO_R8):])
 
 
 def test_every_query_is_classified_unambiguously():
     # a name in two sets would make the tiering ambiguous
     assert not (_DRIVER_VERIFIED & _DEFERRED_TO_R8)
     # tier-0 (window + late additions) names are in neither set
-    tier0 = NAMES[:51]
+    tier0 = NAMES[:52]
     for n in tier0:
         assert n not in _DRIVER_VERIFIED and n not in _DEFERRED_TO_R8, n
     # and the three tiers cover the whole registry
