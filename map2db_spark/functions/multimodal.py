@@ -686,7 +686,10 @@ def extract_wav_energy(media: DataFrame, win: int = 16) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int,
+    normalize_orientation: bool = False,
+) -> DataFrame:
     """REAL image-resize pass (the former byte-truncation stand-in is
     gone): each payload decodes through the native-first production
     slot (decode_image_real — system libpng/libwebp/libtiff/giflib
@@ -698,9 +701,20 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     so downstream kernels see one shape.  Non-decodable payloads
     raise (typed JpegError/WebpError/PngError) — a resize pass must
     never silently emit garbage bytes; NULL payloads propagate as NULL
-    rows rather than failing the whole Arrow batch."""
+    rows rather than failing the whole Arrow batch.
+
+    normalize_orientation=True additionally applies the EXIF
+    orientation transform (functions/exif.py apply_orientation)
+    between decode and resample for JPEG payloads carrying an APP1
+    EXIF segment — the camera-upright geometry a training corpus
+    wants; payloads without EXIF pass through unrotated."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from map2db_spark.functions.exif import (
+            ExifError,
+            apply_orientation,
+            parse_exif,
+        )
         from map2db_spark.functions.png import encode_png
 
         for pdf in batches:
@@ -713,7 +727,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     # with an untyped TypeError from bytes(None).
                     payloads.append(None)
                     continue
-                px = decode_image_real(bytes(p))
+                buf = bytes(p)
+                px = decode_image_real(buf)
+                if normalize_orientation and buf[:2] == b"\xff\xd8":
+                    try:
+                        px = apply_orientation(
+                            px, parse_exif(buf)["orientation"]
+                        )
+                    except ExifError:
+                        pass  # no/garbled EXIF: spec default (upright)
                 if px.ndim == 2:
                     px = np.stack([px] * 3, axis=-1)
                 if px.shape[2] == 4:

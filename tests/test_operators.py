@@ -1041,3 +1041,51 @@ def test_wkb_fuzz_corruption_typed_errors_only():
             W.decode(data)
         except ValueError:
             pass
+
+
+def test_resize_normalize_orientation(spark):
+    """resize_images(normalize_orientation=True): a JPEG payload with
+    EXIF orientation 6 (rotated 90 CW in storage) is uprighted before
+    the resample — the resized output equals resizing the uprighted
+    pixels; without the flag (and for EXIF-less payloads) storage
+    orientation is kept."""
+    import struct
+
+    import numpy as np
+
+    from map2db_spark.functions.exif import (
+        apply_orientation,
+        encode_exif_app1,
+    )
+    from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
+    from map2db_spark.functions.multimodal import resize_images
+    from map2db_spark.functions.png import decode_png
+
+    # block-constant source so the lossy JPEG round-trip is bit-exact
+    src = np.repeat(np.repeat(
+        np.arange(8, dtype=np.uint8).reshape(2, 4) * 16, 8, 0), 8, 1)
+    jpg = encode_jpeg_baseline(src)  # 16x32, stored rotated
+    app1 = encode_exif_app1(orientation=6)
+    seg = struct.pack(">BBH", 0xFF, 0xE1, len(app1) + 2) + app1
+    rows = [
+        (0, "image", bytearray(jpg[:2] + seg + jpg[2:]), 0, 0, 0),
+        (1, "image", bytearray(jpg), 0, 0, 0),  # no EXIF: kept as-is
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, payload BINARY, meta_width INT,"
+        " meta_height INT, meta_duration_ms INT",
+    )
+    out = {r["media_id"]: r for r in
+           resize_images(media, 8, 16, normalize_orientation=True).collect()}
+    up = apply_orientation(np.stack([src] * 3, -1), 6)  # 32x16 upright
+    ys = (np.arange(16) * up.shape[0]) // 16
+    xs = (np.arange(8) * up.shape[1]) // 8
+    assert np.array_equal(decode_png(bytes(out[0]["payload"])), up[ys][:, xs])
+    # EXIF-less payload: storage orientation, same resample math
+    flat = np.stack([src] * 3, -1)
+    ys2 = (np.arange(16) * flat.shape[0]) // 16
+    xs2 = (np.arange(8) * flat.shape[1]) // 8
+    assert np.array_equal(
+        decode_png(bytes(out[1]["payload"])), flat[ys2][:, xs2]
+    )
