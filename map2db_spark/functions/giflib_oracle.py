@@ -196,19 +196,77 @@ def version_selfchecked() -> bool:
     return available()
 
 
+def _prewalk_frames(data: bytes) -> tuple[int, int, int]:
+    """Header-level walk of the GIF block structure — NO LZW decode,
+    no allocation beyond the input bytes: returns (frame_count,
+    screen_w, screen_h).  Sub-blocks are skipped by their length
+    bytes, so a many-tiny-frames bomb is counted in O(stream bytes)
+    BEFORE DGifSlurp allocates every frame in C memory (ADVICE r7:
+    the post-slurp check bounded only the numpy compositing).
+    Malformed block bytes raise ValueError; giflib itself remains the
+    authority on whether the stream decodes."""
+    if len(data) < 13 or data[:4] != b"GIF8":
+        raise ValueError("giflib: not a GIF stream")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    n = len(data)
+    while pos < n:
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                raise ValueError("giflib: truncated image descriptor")
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            frames += 1
+        else:
+            raise ValueError(
+                f"giflib: unknown block 0x{block:02x} in pre-walk"
+            )
+    return frames, sw, sh
+
+
 def decode(gif_bytes: bytes, max_pixels: int = 1 << 24):
     """GIF bytes -> (frames, palette) via REAL giflib: list of HxW
     uint8 index arrays (frames composited at their offsets; interlaced
     rasters arrive already de-interlaced because DGifSlurp walks
     InterlacedOffset/Jumps internally) and the global palette Nx3.
 
-    max_pixels caps the TOTAL composited output (frames x logical
-    screen) after the slurp, mirroring gif_codec.decode_gif's
-    cumulative rail — the screen descriptor alone can't bound an
-    unbounded frame run."""
+    max_pixels caps the TOTAL output (frames x logical screen),
+    mirroring gif_codec.decode_gif's cumulative rail — the screen
+    descriptor alone can't bound an unbounded frame run.  The charge
+    is applied TWICE: header-level (_prewalk_frames counts image
+    descriptors before DGifSlurp, so the bomb never reaches giflib's
+    per-frame C allocation — ADVICE r7) and again post-slurp against
+    giflib's own ImageCount (defense in depth: the authority's count
+    is what the compositing loop actually allocates from)."""
     lib = _load()
     if lib is None:
         raise GiflibUnavailable("no system giflib")
+    frames_declared, pre_w, pre_h = _prewalk_frames(gif_bytes)
+    if frames_declared * max(pre_w * pre_h, 1) > max_pixels:
+        raise ValueError(
+            f"giflib: {frames_declared} declared frames x {pre_w}x"
+            f"{pre_h} screen exceeds max_pixels={max_pixels} "
+            "(decompression-bomb rail, header-level pre-walk)"
+        )
     fd, path = tempfile.mkstemp(suffix=".gif")
     try:
         os.write(fd, gif_bytes)

@@ -330,9 +330,10 @@ def decode_image_with_info(
     multi-GB native allocation.  Raise the limit explicitly for
     trusted input.  The per-codec rails (decode_tiff/decode_gif/
     decode_vp8 max_pixels, GIF's cumulative-frame charge) still apply
-    downstream on the pure path; giflib_oracle.decode carries its own
-    frames x screen cap for the multi-frame case the header can't
-    see."""
+    downstream on the pure path; giflib_oracle.decode pre-walks the
+    image descriptors header-level (no LZW decode) and charges
+    frames x screen BEFORE DGifSlurp allocates, covering the
+    multi-frame case the single-frame probe can't see (ADVICE r7)."""
     global _decode_counter
     fmt = sniff_image_format(payload)
     if fmt is None:
@@ -352,11 +353,20 @@ def decode_image_with_info(
             px = _decode_native(payload, fmt)
         except _NativeUnavailable:
             pass
-        except Exception:
+        except (ValueError, OSError) as ex:
             # native rejected the payload: the from-scratch decoder is
-            # the typed-error authority (and the tolerant second try)
+            # the typed-error authority (and the tolerant second try).
+            # The swallowed native error travels in the info dict so
+            # ingest kernels can aggregate fallback REASONS — a
+            # systemic native fault (misloaded lib, ABI drift) must
+            # not degrade a whole ingest to the 100-1000x slower pure
+            # path with path='pure' as the only signal (ADVICE r7).
+            # The catch is narrowed to the codec failure envelope
+            # (oracles raise ValueError; ctypes loader faults raise
+            # OSError) — anything else is a bug and propagates.
             return _decode_pure(payload, fmt), {
                 "fmt": fmt, "path": "pure", "checked": False,
+                "native_error": repr(ex),
             }
         else:
             checked = False

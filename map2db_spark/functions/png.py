@@ -153,8 +153,22 @@ def _decode_png_impl(buf: bytes, decompress=None,
     if decompress is None:
         # cap inflation at the declared raster size + 1: a stream that
         # inflates past its IHDR claim hits the length check below
-        # after ONE extra byte, never a surprise allocation
-        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        # after ONE extra byte, never a surprise allocation.  The eof
+        # check restores the stream-completion guarantee the capped
+        # decompress dropped (ADVICE r7): a stream truncated right
+        # after the last raster byte (missing Z_STREAM_END / adler
+        # trailer) must still fail, as plain zlib.decompress did.
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+        if len(raw) == expected and not d.eof:
+            # a bomb that inflates PAST the claim still dies on the
+            # length-mismatch check below (one extra byte, no surprise
+            # allocation); this branch catches the exact-length
+            # truncation the cap would otherwise wave through
+            raise ValueError(
+                "PNG IDAT: incomplete or truncated zlib stream "
+                "(no Z_STREAM_END after the declared raster)"
+            )
     else:
         raw = decompress(bytes(idat))
     stride = w * ch

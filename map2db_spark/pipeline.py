@@ -139,6 +139,7 @@ def map2db(
             )
         else:
             from map2db_spark.sinks.parquet_sink import (
+                TABLE_FOR_FTYPE,
                 write_manifest,
                 write_parquet,
             )
@@ -151,9 +152,20 @@ def map2db(
             manifest = write_manifest(
                 out_pathname, src_pathname, header, vtag_cols
             )
+            # counts from the checkpointed `final`, not a re-read of the
+            # written datasets: an ftype with zero rows writes a dataset
+            # with no part files, and a schema-less read would raise
+            # AnalysisException where the sqlite sink reports 0
+            # (ADVICE r7)
+            by_ftype = {
+                row["ftype"]: row["n"]
+                for row in final.groupBy("ftype")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
             counts = {
-                table: spark.read.parquet(path).count()  # footer-only
-                for table, path in paths.items()
+                table: int(by_ftype.get(ftype, 0))
+                for ftype, table in TABLE_FOR_FTYPE.items()
             }
             result = {
                 "counts": counts,

@@ -193,3 +193,24 @@ def test_decompression_bomb_rails():
     assert len(frames) == 3
     with pytest.raises(ValueError, match="max_pixels"):
         decode_gif(one, max_pixels=2 * 64 * 64)
+
+
+def test_giflib_prewalk_bomb_rail():
+    """The native-path bomb rail must bound giflib's own per-frame C
+    allocation, not just the numpy compositing (ADVICE r7): the
+    header-level pre-walk counts image descriptors BEFORE DGifSlurp,
+    so a many-tiny-frames stream is rejected without giflib decoding
+    a single frame."""
+    if not G.available():
+        pytest.skip("no system giflib")
+    img = np.zeros((64, 64), dtype=np.uint8)
+    stream = encode_gif([img] * 3, PAL16)
+    # pre-walk agrees with the real frame count and screen dims
+    assert G._prewalk_frames(stream) == (3, 64, 64)
+    frames, _ = G.decode(stream)
+    assert len(frames) == 3
+    with pytest.raises(ValueError, match="pre-walk|declared frames"):
+        G.decode(stream, max_pixels=2 * 64 * 64)
+    # malformed block byte is a typed error, not a crash
+    with pytest.raises(ValueError, match="unknown block"):
+        G._prewalk_frames(stream[:13] + b"\x7f" + stream[13:])

@@ -205,3 +205,29 @@ def test_per_codec_rails_complete_the_family():
             + struct.pack(">I", _z.crc32(b"IEND")))
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(png2)
+
+
+@needs_native
+def test_native_fallback_records_error_reason(monkeypatch):
+    """ADVICE r7: when the native decode fails and the pure path
+    rescues the payload, the swallowed native error must travel in
+    the info dict (info['native_error']) so ingest kernels can
+    aggregate fallback reasons — and a NON-codec exception (a bug)
+    must propagate, not silently degrade the whole ingest to pure."""
+    payload = encode_png(PNG_PX)
+
+    def native_rejects(buf, fmt):
+        raise ValueError("synthetic native rejection")
+
+    monkeypatch.setattr(M, "_decode_native", native_rejects)
+    px, info = M.decode_image_with_info(payload)
+    assert info["path"] == "pure"
+    assert "synthetic native rejection" in info["native_error"]
+    assert np.array_equal(px, PNG_PX)
+
+    def native_buggy(buf, fmt):
+        raise TypeError("systemic fault, must propagate")
+
+    monkeypatch.setattr(M, "_decode_native", native_buggy)
+    with pytest.raises(TypeError, match="systemic fault"):
+        M.decode_image_with_info(payload)

@@ -400,3 +400,21 @@ def test_parquet_sink_level_partition_pruning(spark, dbl_path, tmp_path_factory)
     assert "(level#" in plan.split("PartitionFilters")[1].splitlines()[0], plan
     # and the pruned read returns only level-8 rows
     assert {r["level"] for r in df.collect()} == {8}
+
+
+def test_parquet_sink_zero_row_ftype(spark, tmp_path):
+    """A map where an ftype has zero rows must not crash the parquet
+    sink's count step: a zero-row ftype writes a dataset with no part
+    files, and a schema-less spark.read.parquet of it raises
+    AnalysisException — counts now come from the checkpointed `final`
+    DataFrame, reporting 0 like the sqlite sink does (ADVICE r7)."""
+    from map2db_spark.sources.fixture import MapWriter, Poi
+    from map2db_spark.sources.sample_maps import BBOX
+
+    w = MapWriter(BBOX, [(8, 0, 11)], dbl_license="L")
+    w.add_poi(0, 128, 127, Poi(lat=0.7, lon=0.7, zoom=8, pnum=9))
+    src = str(tmp_path / "points_only.map")
+    w.write(src)
+    out = str(tmp_path / "points_only_pq")
+    result = map2db(spark, src, out, sink="parquet")
+    assert result["counts"] == {"points": 1, "lines": 0, "areas": 0}

@@ -103,3 +103,43 @@ def test_png_fuzz_corruption_typed_errors_only():
             assert out.ndim == 3
         except ValueError:
             pass
+
+
+def test_png_truncated_zlib_trailer_rejected():
+    """ADVICE r7: a zlib stream cut right after the last raster byte
+    (Z_STREAM_END / adler trailer missing) must still be rejected —
+    the capped decompressobj call alone would decode it silently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map2db_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    enc = encode_png(px)
+    # rebuild the stream with the IDAT body truncated to the byte
+    # count that still inflates to the full raster (strip the 4-byte
+    # adler trailer and the stream-end marker bytes)
+    pos, out, raster = 8, bytearray(enc[:8]), None
+    while pos < len(enc):
+        (length,) = struct.unpack_from(">I", enc, pos)
+        tag = enc[pos + 4:pos + 8]
+        body = enc[pos + 8:pos + 8 + length]
+        if tag == b"IDAT":
+            full = zlib.decompress(body)
+            cut = body[:-4]  # strip exactly the adler32 trailer
+            # the cut stream still yields every raster byte
+            d = zlib.decompressobj()
+            assert d.decompress(cut) == full and not d.eof
+            body = cut
+            out += struct.pack(">I", len(body)) + tag + body
+            out += struct.pack(">I", zlib.crc32(tag + body))
+        else:
+            out += enc[pos:pos + 12 + length]
+        pos += 12 + length
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated|incomplete"):
+        decode_png(bytes(out))
