@@ -7,6 +7,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized through the noop sink (real execution,
 no driver collect bottleneck).  A warm-up action first: JVM + codegen
 warm-up would otherwise be billed to the first query.
+
+Run order is PINNED (VERDICT r7 #4): the legacy-10 rows execute first
+in their r1-r6 historical order, and rows added later (the decode
+corpus row, any future additions) run AFTER them — r7's bisection
+showed a new first-place row measurably shifts later queries'
+page-cache/JIT state, which would silently break the legacy-10
+subtotal's sequence-comparability with six rounds of history.
 """
 
 from __future__ import annotations
@@ -23,12 +30,30 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+# The r1-r6 headline set in its historical run order; later bench rows
+# append after these so the legacy subtotal stays sequence-comparable.
+_LEGACY_ORDER = [
+    "t_token_stats", "d_minhash_lsh", "v_ann_lsh_topk", "j_asof_join",
+    "m2db_pipeline_throughput", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "a1_consolidate_argmax", "w_topn_per_group",
+]
+
+
+def _ordered_bench_queries():
+    from map2db_spark.registry import bench_queries
+
+    qs = bench_queries()
+    ordered = {n: qs[n] for n in _LEGACY_ORDER if n in qs}
+    ordered.update({n: f for n, f in qs.items() if n not in ordered})
+    return ordered
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from map2db_spark.registry import bench_queries
     from map2db_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -45,7 +70,7 @@ def main() -> None:
     # state execution — the regime a long-lived cluster job runs in.
     # (An sf0.001 warm pass was not enough: JIT tiers and page cache are
     # data-size dependent, and r1's measured total ran ~1.5x the claim.)
-    for name, fn in bench_queries().items():
+    for name, fn in _ordered_bench_queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -71,7 +96,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for _ in range(2):
-        for name, fn in bench_queries().items():
+        for name, fn in _ordered_bench_queries().items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
@@ -86,7 +111,7 @@ def main() -> None:
     for name, ss in samples.items():
         lo, hi = min(ss), max(ss)
         if lo > 0 and (hi - lo) / lo > 0.15:
-            fn = bench_queries()[name]
+            fn = _ordered_bench_queries()[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)

@@ -741,6 +741,60 @@ def decode_jpeg_baseline(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
 
 
 def _decode_jpeg_impl(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
+    frame, coef, qtables = _decode_to_coefficients(buf, max_pixels)
+    return _reconstruct(frame, coef, qtables)
+
+
+def decode_jpeg_coefficients(buf: bytes, max_pixels: int = 1 << 24):
+    """Decode ONLY the entropy+marker layer: quantized DCT
+    coefficients, no dequantize/IDCT/upsample/color step.
+
+    This is the engine-INDEPENDENT surface of JPEG decode — T.81
+    mandates the Huffman/marker layer bit-exactly while leaving IDCT
+    rounding, chroma upsampling, and color conversion to the decoder —
+    so external parity against the real libjpeg compares HERE
+    (functions/libjpeg_oracle.py; the same guaranteed-equal-surface
+    split as lossy WebP's YUV-plane cross-check in multimodal.py).
+
+    Returns (width, height, comps): comps is a list in frame order of
+    dicts with cid / hi / vi / qtable (64 int64, NATURAL order) /
+    blocks — an (hb, wb, 64) int64 array of quantized coefficients in
+    NATURAL (raster-frequency) order, cropped to the component's true
+    block dims (T.81 A.1.1: ceil of the scaled sample dims / 8), MCU
+    padding removed — exactly the region libjpeg's
+    jpeg_read_coefficients reports via width_in_blocks /
+    height_in_blocks.  Works for any component count (the pixel path
+    rejects ncomp not in {1, 3}; the coefficient surface has no such
+    limit).  Raises JpegError / NotImplementedError on the same
+    envelope as decode_jpeg_baseline."""
+    try:
+        frame, coef, qtables = _decode_to_coefficients(buf, max_pixels)
+    except (IndexError, KeyError, struct.error) as ex:
+        raise JpegError(
+            f"malformed JPEG stream ({type(ex).__name__})"
+        ) from ex
+    h, w, comps = frame
+    hmax = max(hi for _c, _t, hi, _v in comps)
+    vmax = max(vi for _c, _t, _h, vi in comps)
+    out = []
+    for cid, tq, hi, vi in comps:
+        if tq not in qtables:
+            raise JpegError(f"missing quantization table {tq}")
+        zz = coef[cid]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        hb = -(-(-(-(h * vi) // vmax)) // 8)
+        wb = -(-(-(-(w * hi) // hmax)) // 8)
+        qt_nat = np.zeros(64, dtype=np.int64)
+        qt_nat[ZIGZAG] = qtables[tq]
+        out.append({
+            "cid": cid, "hi": hi, "vi": vi,
+            "qtable": qt_nat, "blocks": nat[:hb, :wb],
+        })
+    return w, h, out
+
+
+def _decode_to_coefficients(buf: bytes, max_pixels: int = 1 << 24):
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != SOI:
         raise JpegError("bad magic: not a JPEG stream")
     pos = 2
@@ -863,7 +917,7 @@ def _decode_jpeg_impl(buf: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
         pos += length
     if frame is None or not saw_scan:
         raise JpegError("no scan found")
-    return _reconstruct(frame, coef, qtables)
+    return frame, coef, qtables
 
 
 def _refine_ac_block(zz, reader, read_symbol, ac_tab, ss, se, al, eobrun):

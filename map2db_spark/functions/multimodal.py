@@ -19,10 +19,15 @@ Image decode is layered NATIVE-FIRST (r7, VERDICT r6 #1):
   format's guaranteed-equal surface (full pixels for the lossless
   codecs, YUV+alpha planes for lossy WebP, whose RGB conversion is
   engine-defined — see _decode_pure).
-- JPEG has no native path in this container (libjpeg.so.62 exposes a
-  caller-allocated-struct + setjmp API unusable from ctypes without
-  headers — COVERAGE.md adjudication); JPEG payloads always take the
-  from-scratch baseline/progressive decoder.
+- JPEG routes native through a session-compiled C shim
+  (functions/libjpeg_oracle.py, r8 — VERDICT r7 falsified the "no
+  headers" adjudication premise by direct probe: jpeglib.h + gcc are
+  present).  Its cross-check surface is QUANTIZED DCT COEFFICIENTS
+  (decode_jpeg_coefficients vs jpeg_read_coefficients — the
+  entropy+marker layer T.81 mandates bit-exactly); pixel output is
+  the engine-defined divergence channel (IDCT rounding, fancy vs
+  replication chroma upsampling, color conversion), same split as
+  lossy WebP's YUV-plane check below.
 - ``fake_decode_features`` remains the deterministic stand-in for
   formats outside the family (it never decodes; md5-seeded features).
 
@@ -213,8 +218,16 @@ def _decode_native(payload: bytes, fmt: str) -> np.ndarray:
     libwebp's own converter (fancy bilinear chroma upsampler) — the
     higher-fidelity choice and the documented native/pure divergence
     channel; YUV planes and alpha are bit-identical across paths.
-    Raises _NativeUnavailable when the library is absent or the
-    format has no usable native route (JPEG — see module docstring)."""
+    JPEG decodes through the real libjpeg (compiled shim): grayscale
+    (h, w) / color (h, w, 3), with pixels engine-defined the same way
+    (coefficients are the cross-check surface).  Raises
+    _NativeUnavailable when the library is absent."""
+    if fmt == "jpeg":
+        from map2db_spark.functions import libjpeg_oracle as LJ
+
+        if not LJ.available():
+            raise _NativeUnavailable("no libjpeg shim")
+        return LJ.decode(payload)
     if fmt == "png":
         from map2db_spark.functions import libpng_oracle as LP
 
@@ -254,7 +267,30 @@ def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
     full pixel equality.  Lossy WebP: YUV planes + alpha are
     bit-identical by contract; RGB conversion is engine-defined, so
     the check compares planes (pure decode_vp8 vs libwebp decode_yuv)
-    and the alpha channel of the native RGBA."""
+    and the alpha channel of the native RGBA.  JPEG: the quantized
+    DCT coefficient store is bit-identical by contract (T.81 entropy
+    layer); IDCT/upsampling/color are engine-defined, so the check
+    compares coefficients (decode_jpeg_coefficients vs the shim's
+    jpeg_read_coefficients — tests/test_libjpeg_parity.py)."""
+    if fmt == "jpeg":
+        from map2db_spark.functions import libjpeg_oracle as LJ
+        from map2db_spark.functions.jpeg_codec import (
+            decode_jpeg_coefficients,
+        )
+
+        _w, _h, ours = decode_jpeg_coefficients(payload)
+        ref = LJ.read_coefficients(payload)
+        if len(ours) != len(ref) or not all(
+            o["hi"] == r["hi"]
+            and o["vi"] == r["vi"]
+            and np.array_equal(o["qtable"], r["qtable"])
+            and np.array_equal(o["blocks"], r["blocks"])
+            for o, r in zip(ours, ref)
+        ):
+            raise AssertionError(
+                "native/pure cross-check failed: JPEG coefficients"
+            )
+        return True
     if fmt == "webp":
         chunks = _webp_chunks(payload)
         kinds = {c[0] for c in chunks}
@@ -305,9 +341,8 @@ def decode_image_with_info(
     """Production image decode with provenance: returns (pixels,
     {"fmt", "path", "checked"}).  path is 'native' or 'pure'.
 
-    Native-first: the system library decodes; if it is absent (or the
-    format has no native route — JPEG) the from-scratch codec decodes
-    instead.  If the NATIVE decode fails, the payload re-decodes
+    Native-first: the system library decodes; if it is absent the
+    from-scratch codec decodes instead.  If the NATIVE decode fails, the payload re-decodes
     through the from-scratch codec so the caller sees the typed error
     contract (PngError/JpegError/WebpError/TiffError/ValueError), and
     a payload only one implementation tolerates still decodes.

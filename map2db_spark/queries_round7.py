@@ -46,33 +46,37 @@ def _modsum_sql(a: str, n: str, m: int) -> str:
     "m_decode_native_dispatch",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
                 WHEN 2 THEN 'tiff' WHEN 3 THEN 'gif'
-                ELSE 'webp' END AS fmt,
-           CAST(CASE WHEN doc_id % 5 = 4 THEN 16 + (doc_id % 3) * 16
+                WHEN 4 THEN 'webp' ELSE 'jpeg' END AS fmt,
+           CAST(CASE WHEN doc_id % 6 = 4 THEN 16 + (doc_id % 3) * 16
                 ELSE 12 + doc_id % 9 END AS INTEGER) AS width,
-           CAST(CASE WHEN doc_id % 5 = 4 THEN 16 + (doc_id % 2) * 16
+           CAST(CASE WHEN doc_id % 6 = 4 THEN 16 + (doc_id % 2) * 16
                 ELSE 8 + doc_id % 7 END AS INTEGER) AS height,
            TRUE AS native_path,
            TRUE AS cross_checked,
            TRUE AS pix_ok
-    FROM documents WHERE doc_id < 40
+    FROM documents WHERE doc_id < 48
     """,
     tags=("multimodal", "image", "dispatch", "native"),
 )
 def m_decode_native_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certifies the r7 native-first production decode slot
+    """Certifies the native-first production decode slot
     (functions/multimodal.py decode_image_with_info): for payloads
-    cycling PNG / lossless-WebP / TIFF / GIF / lossy-WebP by doc_id,
-    the NATIVE ctypes path (libpng / libwebp / libtiff / giflib)
+    cycling PNG / lossless-WebP / TIFF / GIF / lossy-WebP / JPEG by
+    doc_id, the NATIVE path (libpng / libwebp / libtiff / giflib via
+    ctypes; libjpeg via the session-compiled shim — r8, VERDICT r7 #1)
     produced the pixels (native_path), every decode cross-checked
     against the from-scratch codec on the format's guaranteed-equal
     surface — full pixels for the lossless four, YUV+alpha planes for
-    lossy WebP — without divergence (cross_checked; the check raises
-    on disagreement, so a TRUE row is a passed comparison), and the
-    decoded pixels equal the closed-form fixture (pix_ok; for the
-    lossy kind, shape + full opacity — content equality is the
-    plane-level cross-check's job).  The oracle pins the closed-form
+    lossy WebP, quantized DCT coefficients for JPEG — without
+    divergence (cross_checked; the check raises on disagreement, so a
+    TRUE row is a passed comparison), and the decoded pixels equal
+    the closed-form fixture (pix_ok; for the lossy-WebP kind, shape +
+    full opacity — content equality is the plane-level cross-check's
+    job; the JPEG fixture is 8x8-constant tiles, whose DC-only blocks
+    quantize losslessly under the q_dc=8 fixture table, so even the
+    lossy format pins exact pixels).  The oracle pins the closed-form
     dims and the all-TRUE outcome.
 
     Scale shape: map-only mapInPandas; payloads never shuffle and
@@ -83,20 +87,22 @@ def m_decode_native_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.col("doc_id") < 40
+        F.col("doc_id") < 48
     ).select("doc_id")
 
     def kernel(batches):
         import numpy as np
 
+        from map2db_spark.functions import libjpeg_oracle as LJ
         from map2db_spark.functions import libwebp_oracle as LW
         from map2db_spark.functions import multimodal as M
         from map2db_spark.functions.gif_codec import encode_gif
+        from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
         from map2db_spark.functions.png import encode_png
         from map2db_spark.functions.tiff_codec import encode_tiff
         from map2db_spark.functions.webp_vp8l import encode_vp8l
 
-        if not LW.available():
+        if not (LW.available() and LJ.available()):
             raise RuntimeError(
                 "m_decode_native_dispatch needs the system codec libs"
             )
@@ -106,7 +112,7 @@ def m_decode_native_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "native_path": [], "cross_checked": [], "pix_ok": []}
             for did in pdf["doc_id"]:
                 did = int(did)
-                kind = did % 5
+                kind = did % 6
                 if kind == 4:
                     w = 16 + (did % 3) * 16
                     h = 16 + (did % 2) * 16
@@ -134,7 +140,7 @@ def m_decode_native_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).astype(np.uint8).reshape(h, w)
                     expected = pal[idx]
                     payload = encode_gif(idx, pal)
-                else:
+                elif kind == 4:
                     src = np.full((h, w, 4), 90, np.uint8)
                     src[:, :, 0] = (
                         (did * 3 + np.arange(w * h)) % 256
@@ -144,6 +150,18 @@ def m_decode_native_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = LW.encode_rgba(
                         np.ascontiguousarray(src), quality=75.0
                     )
+                else:
+                    # JPEG: 8x8-constant gray tiles — DC-only blocks
+                    # quantize losslessly (q_dc=8 divides 8*(v-128)),
+                    # so BOTH decode paths return the source exactly
+                    # despite the format being lossy
+                    bh, bw = -(-h // 8), -(-w // 8)
+                    vgrid = ((did * 17 + np.arange(bh * bw)) % 256
+                             ).reshape(bh, bw)
+                    expected = np.repeat(
+                        np.repeat(vgrid, 8, axis=0), 8, axis=1
+                    )[:h, :w].astype(np.uint8)
+                    payload = encode_jpeg_baseline(expected)
                 px, info = M.decode_image_with_info(
                     payload, cross_check_every=1
                 )
@@ -174,7 +192,7 @@ def m_decode_native_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal decode on the timed gate (VERDICT r6 #2)
 # ---------------------------------------------------------------------------
 
-_CORPUS_ROOT = "/tmp/map2db_spark_decode_corpus"
+_CORPUS_ROOT = "/tmp/map2db_spark_decode_corpus_v2"  # v2: + jpeg (r8)
 
 
 def _corpus_path(sf_dir: str) -> str:
@@ -185,13 +203,19 @@ def _corpus_path(sf_dir: str) -> str:
 def _ensure_decode_corpus(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf, cached under /tmp) a mixed-format image
     corpus from the documents table: payload format cycles PNG RGB /
-    lossless-WebP RGBA / TIFF gray-LZW / GIF indexed by doc_id, pixel
-    values closed-form in (doc_id, flat index) so a SQL oracle can
-    verify the decode aggregates without decoding.  JPEG is excluded
-    by design: it has no native route in this container (COVERAGE.md
-    libjpeg adjudication) and would time the pure-Python fallback,
-    not the production path — its cost is measured separately in
-    BASELINE.md's MB/s/core table.  Synthesis runs on executors
+    lossless-WebP RGBA / TIFF gray-LZW / GIF indexed / JPEG gray by
+    doc_id, pixel values closed-form in (doc_id, flat index) so a SQL
+    oracle can verify the decode aggregates without decoding.  JPEG
+    joined the corpus in r8 with the shim-backed native route
+    (VERDICT r7 #1/#3): its images are 8x8-constant tiles — DC-only
+    blocks quantize losslessly under the fixture table's q_dc=8, so
+    the decoded sum stays SQL-derivable even for the lossy format
+    (tile value = (doc_id*17 + block_index) % 256, dims padded to
+    block multiples).  Block-constant content under-exercises the AC
+    run-length loop, so the throughput-representative JPEG number
+    lives in BASELINE.md's MB/s/core table (measured on noise
+    streams); this row certifies the native dispatch + end-to-end
+    aggregate on the timed gate.  Synthesis runs on executors
     (mapInPandas over a repartitioned doc_id column) and is charged
     to the cache build, not the timed decode."""
     path = _corpus_path(sf_dir)
@@ -205,11 +229,14 @@ def _ensure_decode_corpus(spark: SparkSession, sf_dir: str) -> str:
         import pandas as pd
 
         from map2db_spark.functions import giflib_oracle as LG
+        from map2db_spark.functions import libjpeg_oracle as LJ
         from map2db_spark.functions import libtiff_oracle as LT
         from map2db_spark.functions import libwebp_oracle as LW
+        from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
         from map2db_spark.functions.png import encode_png
 
-        if not (LW.available() and LT.available() and LG.available()):
+        if not (LW.available() and LT.available() and LG.available()
+                and LJ.available()):
             raise RuntimeError(
                 "m_decode_corpus_bench needs the system codec libs"
             )
@@ -218,9 +245,13 @@ def _ensure_decode_corpus(spark: SparkSession, sf_dir: str) -> str:
             ids, payloads = [], []
             for did in pdf["doc_id"].astype("int64"):
                 did = int(did)
-                w = 96 + did % 64
-                h = 64 + did % 48
-                k = did % 4
+                k = did % 5
+                if k == 4:  # jpeg: block-multiple dims (see docstring)
+                    w = 96 + (did % 8) * 8
+                    h = 64 + (did % 6) * 8
+                else:
+                    w = 96 + did % 64
+                    h = 64 + did % 48
                 if k == 0:
                     px = ((did * 7 + np.arange(w * h * 3)) % 256).astype(
                         np.uint8
@@ -242,11 +273,19 @@ def _ensure_decode_corpus(spark: SparkSession, sf_dir: str) -> str:
                         np.uint8
                     ).reshape(h, w)
                     payloads.append(LT.encode(px, compression="lzw"))
-                else:
+                elif k == 3:
                     idx = ((did * 11 + np.arange(w * h)) % 16).astype(
                         np.uint8
                     ).reshape(h, w)
                     payloads.append(LG.encode([idx], pal))
+                else:
+                    bh, bw = h // 8, w // 8
+                    vgrid = ((did * 17 + np.arange(bh * bw)) % 256
+                             ).reshape(bh, bw)
+                    px = np.repeat(
+                        np.repeat(vgrid, 8, axis=0), 8, axis=1
+                    ).astype(np.uint8)
+                    payloads.append(encode_jpeg_baseline(px))
                 ids.append(did)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -262,22 +301,26 @@ def _ensure_decode_corpus(spark: SparkSession, sf_dir: str) -> str:
 _BENCH_ORACLE = f"""
     WITH d AS (
       SELECT doc_id,
-             96 + doc_id % 64 AS w,
-             64 + doc_id % 48 AS h,
-             doc_id % 4 AS k
+             CASE WHEN doc_id % 5 = 4 THEN 96 + (doc_id % 8) * 8
+                  ELSE 96 + doc_id % 64 END AS w,
+             CASE WHEN doc_id % 5 = 4 THEN 64 + (doc_id % 6) * 8
+                  ELSE 64 + doc_id % 48 END AS h,
+             doc_id % 5 AS k
       FROM documents
     ),
     px AS (
       SELECT doc_id, w, h,
              CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
-                  WHEN 2 THEN 'tiff' ELSE 'gif' END AS fmt,
+                  WHEN 2 THEN 'tiff' WHEN 3 THEN 'gif'
+                  ELSE 'jpeg' END AS fmt,
              CASE k
                WHEN 0 THEN {_modsum_sql('doc_id * 7', 'w * h * 3', 256)}
                WHEN 1 THEN {_modsum_sql('doc_id * 5', 'w * h * 3', 256)}
                          + 255 * w * h
                WHEN 2 THEN {_modsum_sql('doc_id * 13', 'w * h', 256)}
-               ELSE 9 * {_modsum_sql('doc_id * 11', 'w * h', 16)}
+               WHEN 3 THEN 9 * {_modsum_sql('doc_id * 11', 'w * h', 16)}
                     + 3 * w * h
+               ELSE 64 * {_modsum_sql('doc_id * 17', '(w // 8) * (h // 8)', 256)}
              END AS s
       FROM d
     )
@@ -299,21 +342,23 @@ _BENCH_ORACLE = f"""
 )
 def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal-decode row of the timed gate (VERDICT r6 #2): a
-    mixed PNG / lossless-WebP / TIFF / GIF corpus (one image per
-    documents row, ~100x90 px, cached parquet under /tmp so the timed
-    passes measure DECODE, not synthesis) streams through the
+    mixed PNG / lossless-WebP / TIFF / GIF / JPEG corpus (one image
+    per documents row, ~100x90 px, cached parquet under /tmp so the
+    timed passes measure DECODE, not synthesis) streams through the
     native-first production slot (decode_image_with_info: libpng /
-    libwebp / libtiff / giflib via ctypes, 1-in-64 sampled
-    cross-check against the from-scratch codecs) and reduces to exact
-    per-format pixel aggregates.  n_native pins that every payload
-    took the native path; sum_px pins the decoded bytes against the
-    closed-form oracle — the timed number is end-to-end certified,
-    not a blind throughput claim.
+    libwebp / libtiff / giflib via ctypes + libjpeg via the compiled
+    shim — the 5-format mix a real corpus has, VERDICT r7 #3; 1-in-64
+    sampled cross-check against the from-scratch codecs) and reduces
+    to exact per-format pixel aggregates.  n_native pins that every
+    payload took the native path; sum_px pins the decoded bytes
+    against the closed-form oracle (JPEG via lossless-DC constant
+    tiles — see _ensure_decode_corpus) — the timed number is
+    end-to-end certified, not a blind throughput claim.
 
     Scale shape: payload scan -> repartition (small-file parquet
     would otherwise decode on 1-2 input partitions — CLAUDE.md rule)
     -> map-only Arrow decode kernel emitting (fmt, dims, sum) rows —
-    pixels and payloads never shuffle, never collect -> 4-group
+    pixels and payloads never shuffle, never collect -> 5-group
     partial-aggregated groupBy.  At 100 TB this is the ingest plan:
     bytes-sized input splits, native per-payload decode, metadata-only
     shuffle."""

@@ -72,6 +72,27 @@ _LOADED = False
 # a name from this set if its semantics change (it then needs
 # re-grading).
 _DRIVER_VERIFIED = frozenset({
+    # --- green in CORRECTNESS_r07.json (round-7 driver window: 48 of
+    # the 50 greens; m_decode_native_dispatch / m_decode_corpus_bench
+    # are deliberately NOT here — r8 added JPEG to both (kind cycle and
+    # corpus changed -> semantics changed -> re-grade, per this set's
+    # own rule above) ---
+    "s_stream_checkpoint_resume", "c_dsir_importance", "f_csv_roundtrip",
+    "f_jsonl_roundtrip", "m_jpeg_dims", "t_bpe_encode_apply",
+    "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
+    "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
+    "x_psi_drift", "x_smape_seasonal_naive", "v_mmr_rerank",
+    "d_minhash_recall_eval", "d_minhash_recall_skewed", "x_conformal_interval",
+    "m_webp_dims", "x_runs_test", "g_clustering_coefficient",
+    "v_binary_quantization", "g_degree_assortativity", "d_incremental_dedup",
+    "f_schema_evolution", "f_dynamic_partition_overwrite", "x_mann_kendall",
+    "w_max_drawdown", "x_xicor", "m_mp4_duration",
+    "t_collocations_pmi", "v_centroid_drift", "sql_lateral_subquery",
+    "f_compression_codecs", "x_ipw_ate", "x_power_analysis",
+    "w_ohlc_bars", "f_text_source", "m_media_dispatch",
+    "x_weighted_median", "t_readability", "x_durbin_watson",
+    "c_token_budget", "c_curriculum_order", "f_from_json_typed",
+    "u_arrow_python_udf", "x_seasonality_strength", "x_gini_split",
     # --- green in CORRECTNESS_r06.json (round-6 driver window: the 17
     # codec/external-parity queries, the 3 decimal re-grades, and 30
     # drained from the r4/r5 registration backlog — 50/50 green) ---
@@ -172,10 +193,14 @@ _DRIVER_VERIFIED = frozenset({
     # changed) -> removed from this set so they are re-graded.
     "t_vocab_topk",
     "t_tfidf_top_terms", "v_kmeans_clusters", "d_span_dedup",
-    "m2db_decode_sightings", "m2db_geometry_stats",
-    "m2db_pipeline_throughput", "m2db_spatial_window",
-    "m2db_point_in_polygon", "m2db_sql_over_features",
-    "m2db_validation_violations",
+    # m2db_pipeline_throughput / m2db_decode_sightings /
+    # m2db_geometry_stats / m2db_sql_over_features /
+    # m2db_validation_violations were green in r02 but the pipeline
+    # module under them changed in r7 (sink="parquet"|"sqlite" split)
+    # and r8 (parquet-sink counts from the checkpointed final) ->
+    # re-graded in the r8 window (VERDICT r7 #5: behavior-preserving
+    # by test, but a hard row is the standard this repo holds).
+    "m2db_spatial_window", "m2db_point_in_polygon",
     "s_stream_tumbling_window", "s_stream_user_state",
     "s_stream_stream_join", "s_stream_sessionize", "s_stream_dedup",
     "s_stream_sliding_window", "c_pii_redaction", "c_repetition_filters",
@@ -202,33 +227,20 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
-# The COMPLETE remaining never-hard-checked set after the r7 window
-# (37 names).  Arithmetic: round 7 opened with an 85-name backlog
-# (370 registered, 285 cumulatively driver-green through r6); the r7
-# graded-50 window takes the first 48 of that backlog in registration
-# order plus the two round-7 verdict-ask queries
-# (m_decode_native_dispatch, m_decode_corpus_bench — VERDICT r6 #1/#2
-# require same-round driver rows), leaving these 37 for the r8 window
-# (which then has 13 slots spare).  Every name here is green in the
-# local sf0.01 AND sf0.1 value-hash sweeps (tests/test_oracle_parity,
-# tests/driver_sim) — deferred, not doubtful; none is rows-only or
-# env-conditional, so no adjudications are needed.
-_DEFERRED_TO_R8 = frozenset({
-    "t_heaps_law", "c_cluster_aware_split", "w_target_encoding",
-    "g_harmonic_centrality", "x_linear_attribution",
-    "d_cross_source_matrix", "x_qq_deciles", "v_ann_ndcg",
-    "d_minhash_estimate_error", "x_gains_deciles",
-    "c_soft_dedup_weights", "t_boundary_overlap",
-    "t_compressibility_filter", "g_robustness_hub_removal",
-    "x_theil_sen", "t_conditional_entropy", "c_shard_snake_balance",
-    "t_term_burstiness", "x_skyline_pareto", "d_threshold_sweep",
-    "v_rocchio_expansion", "m_jpeg_pixels", "t_bigram_perplexity",
-    "x_bloom_filter", "m_webp_pixels", "m_resize_pixels",
-    "t_dup_ngram_coverage", "c_semdedup", "f_collated_grouping",
-    "f_parameterized_sql", "u_python_udtf", "t_js_divergence",
-    "v_ann_filtered", "x_bm25_retrieval", "t_lang_confusion",
-    "c_contamination_bloom", "g_betweenness",
-})
+# The r8 window drains the ENTIRE never-hard-checked backlog: the 37
+# names deferred from r7 plus the two late-r7 registrations that
+# shipped after the window filled (s_stream_media_decode,
+# m_exif_orientation — ADVICE r7: late additions are automatic tier-0
+# front-runners for the next round), so no deferred tier remains.
+# Window arithmetic (pinned in tests/test_registry_order.py): 39
+# backlog + 2 semantics-changed re-grades (m_decode_native_dispatch /
+# m_decode_corpus_bench gained JPEG in r8) + 5 pipeline-module
+# re-grades (VERDICT r7 #5) + 1 new r8 query (m_jpeg_libjpeg_parity)
+# = 47 tier-0 names; the remaining 3 of the graded 50 refill with
+# already-verified names in registration order (harmless re-grades).
+# Names registered later in round 8 enter tier 0 ahead of that refill
+# as long as the tier-0 count stays <= 50.
+_DEFERRED_TO_R8: frozenset[str] = frozenset()
 
 
 def _ensure_loaded() -> None:
@@ -260,14 +272,15 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_round5  # noqa: F401
     import map2db_spark.queries_round6  # noqa: F401
     import map2db_spark.queries_round7  # noqa: F401
+    import map2db_spark.queries_round8  # noqa: F401
 
     # Stable tier partition (relative order preserved per tier):
-    #   0. the round-7 graded-50 window: the first 48 of the r7-start
-    #      backlog in registration order + the two round-7 additions
-    #      (exactly 50 — pinned by tests/test_registry_order.py);
-    #   1. the remaining 37 never-hard-checked names, deferred to the
-    #      r8 window (see _DEFERRED_TO_R8);
-    #   2. already driver-verified (green hard row in r01-r06).
+    #   0. the round-8 graded window: every name without a binding
+    #      green hard row — the drained backlog, the semantics-changed
+    #      re-grades, and this round's new queries (47 names, see the
+    #      comment above _DEFERRED_TO_R8);
+    #   1. deferred backlog (EMPTY in r8 — fully drained);
+    #   2. already driver-verified (green hard row in r01-r07).
     def tier(name: str) -> int:
         if name in _DRIVER_VERIFIED:
             return 2

@@ -56,13 +56,31 @@ def test_native_path_used_and_equal_for_lossless_formats():
         assert np.array_equal(pure, px), fmt
 
 
-def test_jpeg_always_takes_the_from_scratch_path():
+def test_jpeg_takes_the_native_path_with_coefficient_cross_check():
+    """r8: JPEG routes native through the libjpeg shim; the sampled
+    cross-check compares quantized DCT coefficients (the T.81
+    guaranteed-equal surface), not pixels."""
+    from map2db_spark.functions import libjpeg_oracle as LJ
     from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
 
     jpg = encode_jpeg_baseline(np.full((8, 8), 55, dtype=np.uint8))
-    px, info = M.decode_image_with_info(jpg)
-    assert info["fmt"] == "jpeg" and info["path"] == "pure"
+    if not LJ.available():
+        px, info = M.decode_image_with_info(jpg)
+        assert info["fmt"] == "jpeg" and info["path"] == "pure"
+        assert (px == 55).all()
+        return
+    px, info = M.decode_image_with_info(jpg, cross_check_every=1)
+    assert info == {"fmt": "jpeg", "path": "native", "checked": True}
     assert (px == 55).all()
+    # a color stream cross-checks at the coefficient level even though
+    # pixel outputs legitimately diverge (upsampler/color conversion)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    stream = LJ.encode(img, quality=80, progressive=True)
+    px2, info2 = M.decode_image_with_info(stream, cross_check_every=1)
+    assert info2 == {"fmt": "jpeg", "path": "native", "checked": True}
+    assert px2.shape == img.shape
+    assert np.array_equal(px2, LJ.decode(stream))
 
 
 @needs_native

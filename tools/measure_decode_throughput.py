@@ -1,14 +1,14 @@
 #!/usr/bin/env python3
 """Measure single-core image-decode throughput for BOTH dispatch paths
 (BASELINE.md table; VERDICT r6 #1): the native ctypes route
-(libpng / libwebp / libtiff / giflib) vs the from-scratch stdlib+numpy
-codecs, on the same payloads.
+(libpng / libwebp / libtiff / giflib / the compiled libjpeg shim) vs
+the from-scratch stdlib+numpy codecs, on the same payloads.
 
 MB/s is DECODED output bytes per second (pixels produced, the number
 that scales an ingest cluster), single-threaded, min-of-three timed
-repetitions after a warm-up pass.  JPEG has only the from-scratch path
-(libjpeg's struct API is ctypes-unreachable — COVERAGE.md), so its
-native column reads n/a.
+repetitions after a warm-up pass.  As of r8 every format has a native
+route (JPEG via the session-compiled libjpeg shim,
+functions/libjpeg_oracle.py).
 
 Usage: python3 tools/measure_decode_throughput.py [side_px]
 """
@@ -98,10 +98,6 @@ def main() -> None:
     print(f"{'format':<14} {'native MB/s':>12} {'pure MB/s':>12} {'ratio':>8}")
     for fmt, payloads in cases.items():
         total = out_bytes[fmt] * n_payloads / 1e6
-        if fmt == "jpeg":
-            tp = _bench(lambda p: M._decode_pure(p, "jpeg"), payloads)
-            print(f"{fmt:<14} {'n/a':>12} {total / tp:>12.2f} {'—':>8}")
-            continue
         sniff = M.sniff_image_format(payloads[0])
         tn = _bench(lambda p, f=sniff: M._decode_native(p, f), payloads)
         tp = _bench(lambda p, f=sniff: M._decode_pure(p, f), payloads)
