@@ -166,3 +166,95 @@ def m_jpeg_libjpeg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " fixture_kind INT, ours_to_ref_ok BOOLEAN,"
         " ref_to_ours_ok BOOLEAN, gray_within_1 BOOLEAN",
     )
+
+
+@query(
+    "m_jpeg_quality_estimate",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(25 + (doc_id * 7) % 74 AS INTEGER) AS q_true,
+           CAST(25 + (doc_id * 7) % 74 AS INTEGER) AS q_est,
+           TRUE AS est_exact
+    FROM documents WHERE doc_id < 40
+    """,
+    tags=("multimodal", "image", "jpeg", "curation"),
+)
+def m_jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG encode-quality estimation from quantization tables — the
+    standard corpus-quality signal a training-data pipeline uses to
+    filter recompressed/low-quality images without decoding a single
+    pixel.  Streams are encoded by the REAL libjpeg at q cycling over
+    the full 25..98 practical range; the estimator reads the
+    luminance quantization table off the stream (the entropy+marker
+    surface, jpeg_codec.decode_jpeg_coefficients) and inverts the
+    public IJG scaling formula against the T.81 Annex K Table K.1
+    base table: S_est = round(100*sum(T)/sum(K1)), then
+    q = round(5000/S) below the S=100 knee else round((200-S)/2).
+    The inversion is EXACT for every q in 25..98 (clamping only
+    distorts below q~24, where base*scale exceeds the 8-bit table
+    cap), so the oracle pins q_est == q_true closed-form rather than
+    a tolerance band.
+
+    Scale shape: map-only mapInPandas over the documents scan;
+    at 100 TB this runs as a header-only pass — quantization tables
+    sit in the first ~200 bytes, so a range-request ingest never
+    reads image payloads at all."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions import libjpeg_oracle as LJ
+        from map2db_spark.functions.jpeg_codec import (
+            decode_jpeg_coefficients,
+        )
+
+        if not LJ.available():
+            raise RuntimeError(
+                "m_jpeg_quality_estimate needs the libjpeg shim"
+            )
+        # T.81 Annex K Table K.1 luminance base table (natural order)
+        k1 = np.array([
+            16, 11, 10, 16, 24, 40, 51, 61,
+            12, 12, 14, 19, 26, 58, 60, 55,
+            14, 13, 16, 24, 40, 57, 69, 56,
+            14, 17, 22, 29, 51, 87, 80, 62,
+            18, 22, 37, 56, 68, 109, 103, 77,
+            24, 35, 55, 64, 81, 104, 113, 92,
+            49, 64, 78, 87, 103, 121, 120, 101,
+            72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+        k1_sum = int(k1.sum())
+        for pdf in batches:
+            out = {"media_id": [], "q_true": [], "q_est": [],
+                   "est_exact": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                q = 25 + (doc_id * 7) % 74
+                rng = np.random.default_rng(doc_id)
+                img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                stream = LJ.encode(img, quality=q)
+                _w, _h, comps = decode_jpeg_coefficients(stream)
+                qt_sum = int(comps[0]["qtable"].sum())
+                s_est = int(round(100.0 * qt_sum / k1_sum))
+                if s_est >= 100:
+                    q_est = max(1, int(round(5000.0 / s_est)))
+                else:
+                    q_est = int(round((200 - s_est) / 2.0))
+                out["media_id"].append(doc_id)
+                out["q_true"].append(q)
+                out["q_est"].append(q_est)
+                out["est_exact"].append(q_est == q)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id LONG, q_true INT, q_est INT,"
+        " est_exact BOOLEAN",
+    )

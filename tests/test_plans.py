@@ -1129,3 +1129,24 @@ def test_decode_corpus_bench_repartitions_and_partial_aggs(spark):
     fmt_exchange = plan.index("hashpartitioning(fmt")
     assert first_hash_agg < fmt_exchange, plan
     assert "payload" not in plan.split("hashpartitioning(fmt")[1], plan
+
+
+def test_jpeg_libjpeg_parity_map_only(spark):
+    """The r8 external-JPEG-parity query is, like its webp/png
+    siblings, a single map-only Arrow kernel over the filtered
+    documents scan: fixtures synthesize, encode, and coefficient-
+    compare inside the kernel; nothing shuffles and no payload ever
+    leaves an executor."""
+    plan = plan_of(spark, "m_jpeg_libjpeg_parity")
+    assert _exchange_count(plan) == 0, plan
+    assert plan.count("MapInPandas") == 2, plan  # tree + detail section
+
+
+def test_jpeg_quality_estimate_map_only(spark):
+    """The r8 quality-estimation query: one map-only Arrow kernel —
+    at 100 TB this is a header-only ingest pass (quant tables sit in
+    the first ~200 bytes), so the plan must show no Exchange and no
+    payload movement."""
+    plan = plan_of(spark, "m_jpeg_quality_estimate")
+    assert _exchange_count(plan) == 0, plan
+    assert plan.count("MapInPandas") == 2, plan
