@@ -258,3 +258,161 @@ def m_jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id LONG, q_true INT, q_est INT,"
         " est_exact BOOLEAN",
     )
+
+
+@query(
+    "m_resize_exif_jpeg",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + (doc_id % 4) * 8 AS w,
+             24 + (doc_id % 3) * 8 AS h,
+             1 + doc_id % 8 AS o
+      FROM documents WHERE doc_id < 30
+    ),
+    dims AS (
+      SELECT *,
+             CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+             CASE WHEN o >= 5 THEN w ELSE h END AS oh
+      FROM d
+    ),
+    grid AS (
+      SELECT doc_id, w, h, o,
+             (ty.g * oh) // 5 AS sy,
+             (tx.g * ow) // 6 AS sx
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS g) ty,
+           LATERAL (SELECT unnest(generate_series(0, 5)) AS g) tx
+    ),
+    mapped AS (
+      SELECT doc_id, w,
+             CASE o WHEN 1 THEN sy WHEN 2 THEN sy
+                    WHEN 3 THEN h - 1 - sy WHEN 4 THEN h - 1 - sy
+                    WHEN 5 THEN sx WHEN 6 THEN h - 1 - sx
+                    WHEN 7 THEN h - 1 - sx ELSE sx END AS y0,
+             CASE o WHEN 1 THEN sx WHEN 2 THEN w - 1 - sx
+                    WHEN 3 THEN w - 1 - sx WHEN 4 THEN sx
+                    WHEN 5 THEN sy WHEN 6 THEN sy
+                    WHEN 7 THEN w - 1 - sy ELSE w - 1 - sy END AS x0
+      FROM grid
+    )
+    SELECT m.doc_id AS media_id,
+           CAST(d.o AS INTEGER) AS orientation,
+           CAST(6 AS INTEGER) AS out_w,
+           CAST(5 AS INTEGER) AS out_h,
+           CAST(3 * SUM((m.doc_id * 17 + (m.y0 // 8) * (m.w // 8)
+                         + (m.x0 // 8)) % 256) AS BIGINT) AS sum_px
+    FROM mapped m JOIN d ON m.doc_id = d.doc_id
+    GROUP BY m.doc_id, d.o
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "jpeg", "exif", "pipeline"),
+)
+def m_resize_exif_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END certification of the orientation-normalizing resize
+    chain over NATIVE-decoded JPEG (the r8 production route): real
+    EXIF'd JPEG payloads (our baseline encoder's stream with an APP1
+    segment spliced after SOI, orientation cycling all 8 states and
+    both TIFF byte orders) flow through the REAL resize_images
+    operator with normalize_orientation=True — native libjpeg decode,
+    EXIF orientation transform, exact integer nearest-neighbor
+    resample to 6x5, PNG re-encode — and the resized payloads decode
+    AGAIN for their pixel sums, so the hash match pins the whole
+    decode -> orient -> resample -> encode -> decode chain.
+
+    The pixel content is 8x8-constant DC tiles, which quantize
+    losslessly (q_dc=8), so even through the LOSSY format and the
+    native IDCT the decoded bytes are exact and the oracle recomputes
+    the sum closed-form: a DuckDB generate_series grid applies the
+    same NN index arithmetic and the inverse of each EXIF 2.32
+    orientation mapping (functions/exif.py apply_orientation).
+
+    Scale shape: two map-only Arrow passes (resize, then feature
+    extraction); payloads never shuffle and never touch the driver —
+    the exact shape of an image-normalization stage in a multimodal
+    training pipeline."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 30
+    ).select("doc_id")
+
+    def synth(batches):
+        import struct
+
+        import numpy as np
+
+        from map2db_spark.functions.exif import encode_exif_app1
+        from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
+
+        for pdf in batches:
+            ids, payloads, orients = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 24 + (did % 3) * 8
+                o = 1 + did % 8
+                bw, bh = w // 8, h // 8
+                vgrid = ((did * 17 + np.arange(bh * bw)) % 256
+                         ).reshape(bh, bw)
+                gray = np.repeat(
+                    np.repeat(vgrid, 8, 0), 8, 1
+                ).astype(np.uint8)
+                px = np.stack([gray] * 3, axis=-1)
+                stream = encode_jpeg_baseline(px)
+                app1 = encode_exif_app1(
+                    orientation=o,
+                    byte_order="<" if did % 2 == 0 else ">",
+                )
+                seg = struct.pack(">BBH", 0xFF, 0xE1, len(app1) + 2) + app1
+                ids.append(did)
+                payloads.append(stream[:2] + seg + stream[2:])
+                orients.append(o)
+            yield pd.DataFrame({
+                "media_id": ids, "payload": payloads,
+                "orientation": orients,
+            })
+
+    media = docs.mapInPandas(
+        synth, schema="media_id LONG, payload BINARY, orientation INT"
+    )
+
+    from map2db_spark.functions.multimodal import resize_images
+
+    resized = resize_images(
+        media.select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "payload",
+            F.lit(None).cast("int").alias("meta_width"),
+            F.lit(None).cast("int").alias("meta_height"),
+            F.lit(None).cast("int").alias("meta_duration_ms"),
+        ),
+        6, 5, normalize_orientation=True,
+    )
+
+    def feats(batches):
+        from map2db_spark.functions.png import decode_png
+
+        for pdf in batches:
+            out = {"media_id": [], "out_w": [], "out_h": [], "sum_px": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["out_w"].append(px.shape[1])
+                out["out_h"].append(px.shape[0])
+                out["sum_px"].append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    sums = resized.mapInPandas(
+        feats, schema="media_id LONG, out_w INT, out_h INT, sum_px LONG"
+    )
+    return (
+        media.select("media_id", "orientation")
+        .join(sums, "media_id")
+        .select("media_id", "orientation", "out_w", "out_h", "sum_px")
+        .orderBy("media_id")
+    )

@@ -249,3 +249,24 @@ def test_native_fallback_records_error_reason(monkeypatch):
     monkeypatch.setattr(M, "_decode_native", native_buggy)
     with pytest.raises(TypeError, match="systemic fault"):
         M.decode_image_with_info(payload)
+
+
+@needs_native
+def test_jpeg_cross_check_out_of_envelope_is_unchecked_not_fatal(monkeypatch):
+    """A JPEG the native library decodes but the pure codec cannot
+    even coefficient-parse (arithmetic-coded / 12-bit / non-integer
+    sampling ratios raise NotImplementedError) must come back as
+    checked=False, not crash the sampled row — the stream has no
+    comparable surface."""
+    import map2db_spark.functions.jpeg_codec as J
+    from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
+
+    jpg = encode_jpeg_baseline(np.full((8, 8), 55, dtype=np.uint8))
+
+    def out_of_envelope(buf, max_pixels=1 << 24):
+        raise NotImplementedError("arithmetic JPEG not supported")
+
+    monkeypatch.setattr(J, "decode_jpeg_coefficients", out_of_envelope)
+    px, info = M.decode_image_with_info(jpg, cross_check_every=1)
+    assert info == {"fmt": "jpeg", "path": "native", "checked": False}
+    assert (px == 55).all()

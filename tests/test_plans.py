@@ -1150,3 +1150,17 @@ def test_jpeg_quality_estimate_map_only(spark):
     plan = plan_of(spark, "m_jpeg_quality_estimate")
     assert _exchange_count(plan) == 0, plan
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_resize_exif_jpeg_broadcast_metadata_no_payload_shuffle(spark):
+    """The r8 resize-chain e2e: payloads flow through map-only Arrow
+    stages (synth -> resize -> feature sums); the only join is the
+    30-row metadata join, which must BROADCAST (no hashpartitioning
+    row shuffle anywhere — the sole row Exchange is the final
+    orderBy's range partitioning, carrying metadata columns only)."""
+    plan = plan_of(spark, "m_resize_exif_jpeg")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning(media_id" in plan, plan
+    # nothing above the feats kernel carries payload bytes
+    assert "payload" not in plan.split("rangepartitioning")[1], plan
