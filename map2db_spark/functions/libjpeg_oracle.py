@@ -367,17 +367,31 @@ def decode(data: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     return out[:, :, 0] if ch.value == 1 else out
 
 
-def read_coefficients(data: bytes):
+def read_coefficients(data: bytes, max_pixels: int = 1 << 24):
     """The engine-independent parity surface: per-component quantized
     DCT coefficients exactly as libjpeg's jpeg_read_coefficients
     reports them.  Returns a list in frame order of dicts {hi, vi,
     qtable (64 int64 natural order), blocks ((hb, wb, 64) int64
     natural order, true block dims)} — the same shape
     jpeg_codec.decode_jpeg_coefficients returns, so parity checks are
-    a per-component array_equal."""
+    a per-component array_equal.
+
+    max_pixels charges the declared output size HEADER-ONLY (info())
+    before jpeg_read_coefficients runs at all — the coefficient pass
+    decodes the whole stream into libjpeg's virtual arrays, so a
+    65500x65500 SOF shell must be rejected before the C side
+    allocates, not after; the exact per-component count is re-checked
+    against the cap before the Python-side int16 buffer too."""
     lib = _load()
     if lib is None:
         raise LibjpegUnavailable("no libjpeg shim")
+    w0, h0, ch0 = info(data)
+    if w0 * h0 * ch0 > max_pixels:
+        raise ValueError(
+            f"libjpeg: declared output {w0}x{h0}x{ch0} exceeds "
+            f"max_pixels={max_pixels} (decompression-bomb rail, "
+            "header-only)"
+        )
     err = ctypes.create_string_buffer(256)
     ncomp = ctypes.c_int()
     need = ctypes.c_longlong()
@@ -389,6 +403,13 @@ def read_coefficients(data: bytes):
     if lib.shim_coefs(data, len(data), ncomp, wb, hb, hs, vs, qt,
                       None, need, err):
         raise ValueError(f"libjpeg: {err.value.decode(errors='replace')}")
+    if need.value > 2 * max_pixels:
+        # defense in depth behind the header rail; 2x headroom for
+        # MCU padding so a legitimately cap-sized image never trips it
+        raise ValueError(
+            f"libjpeg: {need.value} quantized coefficients exceed "
+            f"2*max_pixels={2 * max_pixels} (decompression-bomb rail)"
+        )
     out = np.empty(need.value, np.int16)
     if lib.shim_coefs(data, len(data), ncomp, wb, hb, hs, vs, qt,
                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),

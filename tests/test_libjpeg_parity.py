@@ -150,3 +150,51 @@ def test_native_decode_conventions_and_rails():
 
     with pytest.raises(ValueError, match="libjpeg"):
         LJ.decode(b"\xff\xd8\xff\xee junk")
+
+
+def test_coefficient_read_bomb_rail_header_only():
+    """A tiny SOF shell declaring 60000x60000 must be rejected by
+    read_coefficients BEFORE jpeg_read_coefficients decodes into
+    libjpeg's virtual arrays (header-only rail, the family
+    convention)."""
+    import struct
+
+    s = bytearray(encode_jpeg_baseline(np.zeros((8, 8), np.uint8)))
+    i = s.find(b"\xff\xc0")
+    struct.pack_into(">HH", s, i + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="max_pixels"):
+        LJ.read_coefficients(bytes(s))
+
+
+def test_shim_fuzz_typed_errors_never_crash():
+    """Bit flips and truncations of valid streams through every shim
+    entry point must either succeed or raise ValueError — never
+    segfault the worker or leak a raw ctypes status (libjpeg errors
+    longjmp through the shim's setjmp trampoline into a typed
+    message).  400 trials per producer across baseline/progressive/
+    restart streams."""
+    import random
+
+    rng = np.random.default_rng(11)
+    pyr = random.Random(11)
+    img = rng.integers(0, 256, (17, 13, 3), dtype=np.uint8)
+    streams = [
+        encode_jpeg_baseline(img, subsampling="420", restart_interval=2),
+        encode_jpeg_progressive(img),
+        LJ.encode(img, quality=60, progressive=True),
+    ]
+    for enc in streams:
+        for _ in range(400):
+            e = bytearray(enc)
+            if pyr.random() < 0.5:
+                for _k in range(pyr.randint(1, 4)):
+                    i = pyr.randrange(0, len(e))
+                    e[i] ^= 1 << pyr.randrange(8)
+                data = bytes(e)
+            else:
+                data = bytes(e[: pyr.randrange(1, len(e))])
+            for fn in (LJ.info, LJ.decode, LJ.read_coefficients):
+                try:
+                    fn(data)
+                except ValueError:
+                    pass
