@@ -347,7 +347,10 @@ def decode_image_with_info(
     max_pixels: int = 1 << 24,
 ) -> tuple[np.ndarray, dict]:
     """Production image decode with provenance: returns (pixels,
-    {"fmt", "path", "checked"}).  path is 'native' or 'pure'.
+    {"fmt", "path", "checked"}).  path is 'native' or 'pure'; when a
+    native failure fell back to the pure decoder the info dict also
+    carries "native_error" (repr of the swallowed exception) so
+    ingest kernels can aggregate fallback reasons (ADVICE r7).
 
     Native-first: the system library decodes; if it is absent the
     from-scratch codec decodes instead.  If the NATIVE decode fails, the payload re-decodes
