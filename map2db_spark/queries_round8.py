@@ -416,3 +416,99 @@ def m_resize_exif_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "orientation", "out_w", "out_h", "sum_px")
         .orderBy("media_id")
     )
+
+
+@query(
+    "d_phash_clusters",
+    oracle="""
+    SELECT CAST(doc_id // 3 AS BIGINT) AS group_id,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(1 AS BIGINT) AS n_hashes,
+           CAST(16 AS BIGINT) AS n_groups_total,
+           CAST(16 AS BIGINT) AS n_distinct_total
+    FROM documents WHERE doc_id < 48
+    GROUP BY doc_id // 3
+    ORDER BY group_id
+    """,
+    tags=("dedup", "multimodal", "image", "phash"),
+)
+def d_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (pHash, the DCT variant) image near-dup
+    clustering — the industry-standard robust image dedup for a
+    training corpus: decode through the native-first production slot,
+    NN-resample to 32x32 with the exact integer index map, 2-D
+    orthonormal DCT-II, threshold the top-left 8x8 AC coefficients at
+    their median into a 64-bit hash, then cluster by hash.
+
+    The fixture makes the outcome closed-form instead of a tolerance
+    claim: groups of 3 consecutive doc_ids share one seeded base image
+    at three brightness offsets (no clipping), and a uniform
+    brightness shift moves ONLY the DC coefficient — every AC
+    coefficient and hence the pHash is EXACTLY invariant — so each
+    group collapses to exactly one hash while the 16 seeded bases
+    stay pairwise distinct.  The oracle pins per-group member/hash
+    counts and the global distinct totals.
+
+    Scale shape: map-only Arrow decode+hash kernel (payloads never
+    shuffle), then an 8-byte-key aggregation — at 100 TB the shuffle
+    carries (group, hash) metadata only; the global distinct count is
+    a second tiny agg broadcast back over the 16-row result."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 48
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.multimodal import decode_image_real
+        from map2db_spark.functions.png import encode_png
+
+        N = 32
+        dct = np.cos(
+            np.pi / N * (np.arange(N)[:, None] + 0.5) * np.arange(N)[None, :]
+        ).T
+        for pdf in batches:
+            out = {"group_id": [], "phash": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                rng = np.random.default_rng(1000 + group)
+                base = rng.integers(40, 200, (48, 64), dtype=np.uint8)
+                img = (base + 12 * variant).astype(np.uint8)
+                payload = encode_png(np.stack([img] * 3, axis=-1))
+                px = decode_image_real(payload)
+                gray = px[:, :, 0].astype(np.float64)
+                sh, sw = gray.shape
+                ys = (np.arange(N) * sh) // N
+                xs = (np.arange(N) * sw) // N
+                g = gray[ys][:, xs]
+                freq = dct @ g @ dct.T
+                block = freq[:8, :8].ravel()[1:]
+                med = np.median(block)
+                bits = "".join("1" if c > med else "0" for c in block)
+                out["group_id"].append(group)
+                out["phash"].append(int(bits, 2))
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(
+        kernel, schema="group_id LONG, phash LONG"
+    )
+    per_group = hashes.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("phash").alias("n_hashes"),
+    )
+    totals = hashes.agg(
+        F.countDistinct("group_id").alias("n_groups_total"),
+        F.countDistinct("phash").alias("n_distinct_total"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(totals))
+        .select("group_id", "n_members", "n_hashes",
+                "n_groups_total", "n_distinct_total")
+        .orderBy("group_id")
+    )

@@ -235,12 +235,9 @@ _DRIVER_VERIFIED = frozenset({
 # Window arithmetic (pinned in tests/test_registry_order.py): 39
 # backlog + 2 semantics-changed re-grades (m_decode_native_dispatch /
 # m_decode_corpus_bench gained JPEG in r8) + 5 pipeline-module
-# re-grades (VERDICT r7 #5) + 3 new r8 queries (m_jpeg_libjpeg_parity,
-# m_jpeg_quality_estimate, m_resize_exif_jpeg) = 49 tier-0 names; the
-# remaining 1 of the graded 50 refills with the first already-verified
-# name in registration order (a harmless re-grade).  Names registered
-# later in round 8 enter tier 0 ahead of that refill as long as the
-# tier-0 count stays <= 50.
+# re-grades (VERDICT r7 #5) + 4 new r8 queries (m_jpeg_libjpeg_parity,
+# m_jpeg_quality_estimate, m_resize_exif_jpeg, d_phash_clusters)
+# = 50 tier-0 names: the graded window is exactly full, no refills.
 _DEFERRED_TO_R8: frozenset[str] = frozenset()
 
 

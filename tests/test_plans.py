@@ -1164,3 +1164,15 @@ def test_resize_exif_jpeg_broadcast_metadata_no_payload_shuffle(spark):
     assert "rangepartitioning(media_id" in plan, plan
     # nothing above the feats kernel carries payload bytes
     assert "payload" not in plan.split("rangepartitioning")[1], plan
+
+
+def test_phash_clusters_metadata_only_shuffles(spark):
+    """The r8 pHash dedup: payloads are synthesized, decoded, and
+    hashed INSIDE the Arrow kernel — no payload column exists
+    anywhere in the plan; what shuffles is (group_id, phash) metadata
+    and the 1-row totals side is broadcast, never a row-shuffled
+    join."""
+    plan = plan_of(spark, "d_phash_clusters")
+    assert "payload" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
