@@ -196,13 +196,18 @@ def version_selfchecked() -> bool:
     return available()
 
 
-def _prewalk_frames(data: bytes) -> tuple[int, int, int]:
+def _prewalk_frames(data: bytes) -> tuple[int, int, int, int]:
     """Header-level walk of the GIF block structure — NO LZW decode,
     no allocation beyond the input bytes: returns (frame_count,
-    screen_w, screen_h).  Sub-blocks are skipped by their length
-    bytes, so a many-tiny-frames bomb is counted in O(stream bytes)
-    BEFORE DGifSlurp allocates every frame in C memory (ADVICE r7:
-    the post-slurp check bounded only the numpy compositing).
+    screen_w, screen_h, pixel_charge).  Sub-blocks are skipped by
+    their length bytes, so a many-tiny-frames bomb is counted in
+    O(stream bytes) BEFORE DGifSlurp allocates every frame in C memory
+    (ADVICE r7: the post-slurp check bounded only the numpy
+    compositing).  pixel_charge accumulates per-frame
+    max(local_w*local_h, screen_w*screen_h) — DGifSlurp mallocs each
+    frame at its LOCAL descriptor size, so a 1x1 screen with 65535^2
+    local frames must charge the local size (ADVICE r8), while the
+    compositing loop allocates at screen size, hence the max.
     Malformed block bytes raise ValueError; giflib itself remains the
     authority on whether the stream decodes."""
     if len(data) < 13 or data[:4] != b"GIF8":
@@ -214,6 +219,8 @@ def _prewalk_frames(data: bytes) -> tuple[int, int, int]:
     if flags & 0x80:  # global color table
         pos += 3 * (2 << (flags & 0x07))
     frames = 0
+    charge = 0
+    screen_px = max(sw * sh, 1)
     n = len(data)
     while pos < n:
         block = data[pos]
@@ -227,6 +234,9 @@ def _prewalk_frames(data: bytes) -> tuple[int, int, int]:
         elif block == 0x2C:  # image descriptor
             if pos + 10 > n:
                 raise ValueError("giflib: truncated image descriptor")
+            lw = int.from_bytes(data[pos + 5:pos + 7], "little")
+            lh = int.from_bytes(data[pos + 7:pos + 9], "little")
+            charge += max(lw * lh, screen_px)
             lflags = data[pos + 9]
             pos += 10
             if lflags & 0x80:  # local color table
@@ -240,7 +250,7 @@ def _prewalk_frames(data: bytes) -> tuple[int, int, int]:
             raise ValueError(
                 f"giflib: unknown block 0x{block:02x} in pre-walk"
             )
-    return frames, sw, sh
+    return frames, sw, sh, charge
 
 
 def decode(gif_bytes: bytes, max_pixels: int = 1 << 24):
@@ -260,11 +270,12 @@ def decode(gif_bytes: bytes, max_pixels: int = 1 << 24):
     lib = _load()
     if lib is None:
         raise GiflibUnavailable("no system giflib")
-    frames_declared, pre_w, pre_h = _prewalk_frames(gif_bytes)
-    if frames_declared * max(pre_w * pre_h, 1) > max_pixels:
+    frames_declared, pre_w, pre_h, pre_charge = _prewalk_frames(gif_bytes)
+    if pre_charge > max_pixels:
         raise ValueError(
-            f"giflib: {frames_declared} declared frames x {pre_w}x"
-            f"{pre_h} screen exceeds max_pixels={max_pixels} "
+            f"giflib: {frames_declared} declared frames charging "
+            f"{pre_charge} px (per-frame max of local descriptor and "
+            f"{pre_w}x{pre_h} screen) exceeds max_pixels={max_pixels} "
             "(decompression-bomb rail, header-level pre-walk)"
         )
     fd, path = tempfile.mkstemp(suffix=".gif")
@@ -281,10 +292,19 @@ def decode(gif_bytes: bytes, max_pixels: int = 1 << 24):
                     f"giflib: slurp failed (error {f.contents.Error})")
             g = f.contents
             sw, sh = g.SWidth, g.SHeight
-            if g.ImageCount * max(sw * sh, 1) > max_pixels:
+            # Post-slurp defense in depth against the authority's own
+            # counts: charge each frame at max(its ImageDesc size, the
+            # screen) — the compositing loop below allocates at screen
+            # size, the raw raster at ImageDesc size (ADVICE r8).
+            slurp_charge = 0
+            for i in range(g.ImageCount):
+                d = g.SavedImages[i].ImageDesc
+                slurp_charge += max(d.Width * d.Height, max(sw * sh, 1))
+            if slurp_charge > max_pixels:
                 raise ValueError(
-                    f"giflib: {g.ImageCount} frames x {sw}x{sh} screen "
-                    f"exceeds max_pixels={max_pixels} "
+                    f"giflib: {g.ImageCount} frames charging "
+                    f"{slurp_charge} px (per-frame max of ImageDesc and "
+                    f"{sw}x{sh} screen) exceeds max_pixels={max_pixels} "
                     "(decompression-bomb rail)"
                 )
             pal = None

@@ -136,9 +136,18 @@ int shim_decode(const unsigned char *data, size_t len,
 
 /* Quantized-coefficient read: the engine-independent decode surface.
    Layout query (out==NULL) fills ncomp/wb/hb/hsamp/vsamp/qt and *need
-   (int16 count); data pass fills out component-major, blocks
-   row-major, 64 natural-order coefficients per block (libjpeg stores
-   JBLOCKs in natural order; quantval likewise). */
+   (int16 count) from the HEADER ALONE — initial_setup computes
+   width_in_blocks/height_in_blocks at the first SOS, which
+   jpeg_read_header(TRUE) consumes, and DQT tables live in
+   quant_tbl_ptrs by then — so the layout query costs no entropy
+   decode (ADVICE r8: the old query ran jpeg_read_coefficients,
+   entropy-decoding every stream twice).  Data pass (out!=NULL) runs
+   jpeg_read_coefficients ONCE, treats the incoming *need as the
+   buffer capacity (error, not overflow, if the stream needs more),
+   re-latches qt from the authoritative per-component tables, and
+   fills out component-major, blocks row-major, 64 natural-order
+   coefficients per block (libjpeg stores JBLOCKs in natural order;
+   quantval likewise). */
 int shim_coefs(const unsigned char *data, size_t len,
                int *ncomp, int *wb, int *hb, int *hsamp, int *vsamp,
                unsigned short *qt, short *out, long long *need,
@@ -159,7 +168,6 @@ int shim_coefs(const unsigned char *data, size_t len,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, data, (unsigned long)len);
   jpeg_read_header(&cinfo, TRUE);
-  coefs = jpeg_read_coefficients(&cinfo);
   if (cinfo.num_components > 4) {
     strncpy(errmsg, "more than 4 components", 255);
     jpeg_destroy_decompress(&cinfo);
@@ -168,19 +176,41 @@ int shim_coefs(const unsigned char *data, size_t len,
   *ncomp = cinfo.num_components;
   for (ci = 0; ci < cinfo.num_components; ci++) {
     jpeg_component_info *comp = cinfo.comp_info + ci;
+    JQUANT_TBL *q;
     wb[ci] = (int)comp->width_in_blocks;
     hb[ci] = (int)comp->height_in_blocks;
     hsamp[ci] = comp->h_samp_factor;
     vsamp[ci] = comp->v_samp_factor;
-    if (comp->quant_table)
-      memcpy(qt + ci * DCTSIZE2, comp->quant_table->quantval,
+    /* header-time table slot; identical to the value latch_quant_
+       tables copies at the first scan (both are first-SOS state) */
+    q = (comp->quant_tbl_no >= 0 && comp->quant_tbl_no < NUM_QUANT_TBLS)
+        ? cinfo.quant_tbl_ptrs[comp->quant_tbl_no] : NULL;
+    if (q)
+      memcpy(qt + ci * DCTSIZE2, q->quantval,
              DCTSIZE2 * sizeof(unsigned short));
     else
       memset(qt + ci * DCTSIZE2, 0, DCTSIZE2 * sizeof(unsigned short));
     total += (long long)wb[ci] * hb[ci] * DCTSIZE2;
   }
+  if (out == NULL) {
+    *need = total;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  if (total > *need) {
+    strncpy(errmsg, "coefficient buffer too small", 255);
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
   *need = total;
-  if (out != NULL) {
+  coefs = jpeg_read_coefficients(&cinfo);
+  for (ci = 0; ci < cinfo.num_components; ci++) {
+    jpeg_component_info *comp = cinfo.comp_info + ci;
+    if (comp->quant_table)  /* authoritative latched table */
+      memcpy(qt + ci * DCTSIZE2, comp->quant_table->quantval,
+             DCTSIZE2 * sizeof(unsigned short));
+  }
+  {
     short *p = out;
     for (ci = 0; ci < cinfo.num_components; ci++) {
       jpeg_component_info *comp = cinfo.comp_info + ci;
@@ -381,7 +411,14 @@ def read_coefficients(data: bytes, max_pixels: int = 1 << 24):
     decodes the whole stream into libjpeg's virtual arrays, so a
     65500x65500 SOF shell must be rejected before the C side
     allocates, not after; the exact per-component count is re-checked
-    against the cap before the Python-side int16 buffer too."""
+    against the cap before the Python-side int16 buffer too.
+
+    The layout query (first shim_coefs call, out==NULL) is HEADER-ONLY
+    as of r9 (ADVICE r8): libjpeg sets width_in_blocks at the first
+    SOS, which jpeg_read_header consumes, so the stream is entropy-
+    decoded exactly once (the data pass) instead of twice; the data
+    pass treats the passed-in need as buffer capacity (typed error,
+    never overflow, on any layout disagreement)."""
     lib = _load()
     if lib is None:
         raise LibjpegUnavailable("no libjpeg shim")

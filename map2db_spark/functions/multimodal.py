@@ -146,7 +146,9 @@ def _gif_first_frame_rgb(frames, palette) -> np.ndarray:
     return pal[idx]
 
 
-def _decode_pure(payload: bytes, fmt: str) -> np.ndarray:
+def _decode_pure(
+    payload: bytes, fmt: str, max_pixels: int = 1 << 24
+) -> np.ndarray:
     """From-scratch decode (stdlib+numpy only): PNG via functions/
     png.py (zlib + unfiltering, native channel count); baseline/
     progressive JPEG via functions/jpeg_codec.py (real Huffman + IDCT;
@@ -163,7 +165,12 @@ def _decode_pure(payload: bytes, fmt: str) -> np.ndarray:
     equality against libwebp holds only where chroma is locally flat;
     plane/alpha equality always — tests/test_vp8_pixels.py); TIFF via
     functions/tiff_codec.py (raw sample shape, gray stays 2-D); GIF
-    via functions/gif_codec.py (first frame, palette-expanded RGB)."""
+    via functions/gif_codec.py (first frame, palette-expanded RGB).
+
+    max_pixels threads the caller's bomb-rail budget into every
+    downstream decoder that carries its own rail — without this, a
+    trusted large payload admitted at the dispatch layer with a raised
+    limit would still trip the per-codec default (ADVICE r8)."""
     if fmt == "png":
         from map2db_spark.functions.png import decode_png
 
@@ -171,14 +178,14 @@ def _decode_pure(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "jpeg":
         from map2db_spark.functions.jpeg_codec import decode_jpeg_baseline
 
-        return decode_jpeg_baseline(payload)
+        return decode_jpeg_baseline(payload, max_pixels=max_pixels)
     if fmt == "webp":
         chunks = _webp_chunks(payload)
         kinds = {c[0] for c in chunks}
         if b"VP8 " in kinds and b"VP8L" not in kinds:
             from map2db_spark.functions.vp8_decode import decode_vp8
 
-            y, u, v = decode_vp8(payload)
+            y, u, v = decode_vp8(payload, max_pixels=max_pixels)
             rgba = _yuv420_to_rgba(y, u, v)
             alph = next((c[1] for c in chunks if c[0] == b"ALPH"), None)
             if alph is not None:
@@ -188,15 +195,15 @@ def _decode_pure(payload: bytes, fmt: str) -> np.ndarray:
             return rgba
         from map2db_spark.functions.webp_vp8l import decode_vp8l
 
-        return decode_vp8l(payload)
+        return decode_vp8l(payload, max_pixels=max_pixels)
     if fmt == "tiff":
         from map2db_spark.functions.tiff_codec import decode_tiff
 
-        return decode_tiff(payload)
+        return decode_tiff(payload, max_pixels=max_pixels)
     if fmt == "gif":
         from map2db_spark.functions.gif_codec import decode_gif
 
-        frames, palette, _meta = decode_gif(payload)
+        frames, palette, _meta = decode_gif(payload, max_pixels=max_pixels)
         if palette is None:
             raise ValueError("gif: no global color table")
         return _gif_first_frame_rgb(frames, palette)
@@ -208,7 +215,9 @@ class _NativeUnavailable(Exception):
     back to the from-scratch decoder without masking real failures."""
 
 
-def _decode_native(payload: bytes, fmt: str) -> np.ndarray:
+def _decode_native(
+    payload: bytes, fmt: str, max_pixels: int = 1 << 24
+) -> np.ndarray:
     """Native decode through the real system library via ctypes
     (functions/libpng_oracle.py / libwebp_oracle.py /
     libtiff_oracle.py / giflib_oracle.py).  Output conventions match
@@ -227,7 +236,7 @@ def _decode_native(payload: bytes, fmt: str) -> np.ndarray:
 
         if not LJ.available():
             raise _NativeUnavailable("no libjpeg shim")
-        return LJ.decode(payload)
+        return LJ.decode(payload, max_pixels=max_pixels)
     if fmt == "png":
         from map2db_spark.functions import libpng_oracle as LP
 
@@ -251,14 +260,19 @@ def _decode_native(payload: bytes, fmt: str) -> np.ndarray:
 
         if not LG.available():
             raise _NativeUnavailable("no system giflib")
-        frames, palette = LG.decode(payload)
+        frames, palette = LG.decode(payload, max_pixels=max_pixels)
         if palette is None:
             raise ValueError("gif: no global color table")
         return _gif_first_frame_rgb(frames, palette)
     raise _NativeUnavailable(f"no native decoder for {fmt!r}")
 
 
-def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
+def _cross_check_paths(
+    payload: bytes,
+    fmt: str,
+    native_px: np.ndarray,
+    max_pixels: int = 1 << 24,
+) -> bool:
     """Assert native/pure agreement on the format's guaranteed-equal
     surface; returns True (or raises) so kernels can record it.
 
@@ -279,7 +293,9 @@ def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
         )
 
         try:
-            _w, _h, ours = decode_jpeg_coefficients(payload)
+            _w, _h, ours = decode_jpeg_coefficients(
+                payload, max_pixels=max_pixels
+            )
         except NotImplementedError:
             # the native library decodes streams outside the pure
             # envelope (arithmetic-coded, 12-bit, non-integer-ratio
@@ -287,7 +303,7 @@ def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
             # is honestly UNCHECKED rather than a sampled crash on a
             # valid payload
             return False
-        ref = LJ.read_coefficients(payload)
+        ref = LJ.read_coefficients(payload, max_pixels=max_pixels)
         if len(ours) != len(ref) or not all(
             o["hi"] == r["hi"]
             and o["vi"] == r["vi"]
@@ -306,7 +322,7 @@ def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
             from map2db_spark.functions import libwebp_oracle as LW
             from map2db_spark.functions.vp8_decode import decode_vp8
 
-            y, u, v = decode_vp8(payload)
+            y, u, v = decode_vp8(payload, max_pixels=max_pixels)
             ry, ru, rv = LW.decode_yuv(payload)
             if not (
                 np.array_equal(y, ry)
@@ -328,7 +344,7 @@ def _cross_check_paths(payload: bytes, fmt: str, native_px: np.ndarray) -> bool:
                         "native/pure cross-check failed: ALPH plane"
                     )
             return True
-    pure = _decode_pure(payload, fmt)
+    pure = _decode_pure(payload, fmt, max_pixels=max_pixels)
     if not np.array_equal(native_px, pure):
         raise AssertionError(
             f"native/pure cross-check failed: {fmt} pixels diverge"
@@ -396,7 +412,7 @@ def decode_image_with_info(
         )
     if prefer_native:
         try:
-            px = _decode_native(payload, fmt)
+            px = _decode_native(payload, fmt, max_pixels=max_pixels)
         except _NativeUnavailable:
             pass
         except (ValueError, OSError) as ex:
@@ -410,7 +426,7 @@ def decode_image_with_info(
             # The catch is narrowed to the codec failure envelope
             # (oracles raise ValueError; ctypes loader faults raise
             # OSError) — anything else is a bug and propagates.
-            return _decode_pure(payload, fmt), {
+            return _decode_pure(payload, fmt, max_pixels=max_pixels), {
                 "fmt": fmt, "path": "pure", "checked": False,
                 "native_error": repr(ex),
             }
@@ -419,9 +435,15 @@ def decode_image_with_info(
             if cross_check_every > 0:
                 _decode_counter += 1
                 if _decode_counter % cross_check_every == 0:
-                    checked = _cross_check_paths(payload, fmt, px)
+                    # the caller's max_pixels travels into the
+                    # cross-check readers too: a trusted large payload
+                    # admitted above must not crash the sampled check
+                    # on the readers' DEFAULT rail (ADVICE r8)
+                    checked = _cross_check_paths(
+                        payload, fmt, px, max_pixels=max_pixels
+                    )
             return px, {"fmt": fmt, "path": "native", "checked": checked}
-    return _decode_pure(payload, fmt), {
+    return _decode_pure(payload, fmt, max_pixels=max_pixels), {
         "fmt": fmt, "path": "pure", "checked": False,
     }
 

@@ -205,8 +205,9 @@ def test_giflib_prewalk_bomb_rail():
         pytest.skip("no system giflib")
     img = np.zeros((64, 64), dtype=np.uint8)
     stream = encode_gif([img] * 3, PAL16)
-    # pre-walk agrees with the real frame count and screen dims
-    assert G._prewalk_frames(stream) == (3, 64, 64)
+    # pre-walk agrees with the real frame count and screen dims, and
+    # charges 3 frames x 64x64 (locals == screen here)
+    assert G._prewalk_frames(stream) == (3, 64, 64, 3 * 64 * 64)
     frames, _ = G.decode(stream)
     assert len(frames) == 3
     with pytest.raises(ValueError, match="pre-walk|declared frames"):
@@ -214,3 +215,30 @@ def test_giflib_prewalk_bomb_rail():
     # malformed block byte is a typed error, not a crash
     with pytest.raises(ValueError, match="unknown block"):
         G._prewalk_frames(stream[:13] + b"\x7f" + stream[13:])
+
+
+def test_giflib_local_descriptor_bomb_rail():
+    """ADVICE r8 (medium): a GIF declaring a tiny 1x1 logical screen
+    whose image descriptor declares a 65535x65535 LOCAL frame must be
+    charged at the local size — DGifSlurp mallocs Width*Height per
+    frame from the LOCAL descriptor, so a screen-only charge lets
+    ~4.3 GB allocate in C before any rail fires.  The pre-walk must
+    reject this header-only (no giflib call needed to verify the
+    charge)."""
+    # header: 1x1 screen, no GCT; one image descriptor declaring a
+    # 65535x65535 local frame; no local color table; LZW min code size
+    # then an empty data stream and trailer.  The stream is not a
+    # decodable GIF (no pixel data) — the rail must fire BEFORE any
+    # decode attempt, which is exactly the point.
+    hdr = b"GIF89a" + (1).to_bytes(2, "little") * 2 + b"\x00\x00\x00"
+    desc = (
+        b"\x2c" + (0).to_bytes(2, "little") * 2
+        + (65535).to_bytes(2, "little") * 2 + b"\x00"
+    )
+    stream = hdr + desc + b"\x02\x00\x3b"
+    frames, sw, sh, charge = G._prewalk_frames(stream)
+    assert (frames, sw, sh) == (1, 1, 1)
+    assert charge == 65535 * 65535
+    if G.available():
+        with pytest.raises(ValueError, match="pre-walk"):
+            G.decode(stream, max_pixels=1 << 24)

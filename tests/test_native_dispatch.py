@@ -99,8 +99,8 @@ def test_cross_check_every_n_and_divergence_detection(monkeypatch):
     # an injected pure-side divergence is DETECTED, not averaged away
     real_pure = M._decode_pure
 
-    def bad_pure(buf, fmt):
-        out = real_pure(buf, fmt).copy()
+    def bad_pure(buf, fmt, max_pixels=1 << 24):
+        out = real_pure(buf, fmt, max_pixels=max_pixels).copy()
         out.flat[0] ^= 1
         return out
 
@@ -234,7 +234,7 @@ def test_native_fallback_records_error_reason(monkeypatch):
     must propagate, not silently degrade the whole ingest to pure."""
     payload = encode_png(PNG_PX)
 
-    def native_rejects(buf, fmt):
+    def native_rejects(buf, fmt, max_pixels=1 << 24):
         raise ValueError("synthetic native rejection")
 
     monkeypatch.setattr(M, "_decode_native", native_rejects)
@@ -243,7 +243,7 @@ def test_native_fallback_records_error_reason(monkeypatch):
     assert "synthetic native rejection" in info["native_error"]
     assert np.array_equal(px, PNG_PX)
 
-    def native_buggy(buf, fmt):
+    def native_buggy(buf, fmt, max_pixels=1 << 24):
         raise TypeError("systemic fault, must propagate")
 
     monkeypatch.setattr(M, "_decode_native", native_buggy)
@@ -270,3 +270,40 @@ def test_jpeg_cross_check_out_of_envelope_is_unchecked_not_fatal(monkeypatch):
     px, info = M.decode_image_with_info(jpg, cross_check_every=1)
     assert info == {"fmt": "jpeg", "path": "native", "checked": False}
     assert (px == 55).all()
+
+
+def test_cross_check_inherits_caller_max_pixels(monkeypatch):
+    """ADVICE r8 (low): decode_image_with_info(max_pixels=<raised>,
+    cross_check_every=N) on a trusted large JPEG must thread the
+    caller's rail into BOTH coefficient readers — with the readers'
+    default 1<<24 rail a legitimately admitted payload would raise
+    the bomb-rail error on every sampled row instead of returning
+    checked.  Spied rather than exercised with a real >16M-pixel
+    stream (which would dominate the suite's runtime)."""
+    import map2db_spark.functions.jpeg_codec as J
+    import map2db_spark.functions.libjpeg_oracle as LJ
+    from map2db_spark.functions.jpeg_codec import encode_jpeg_baseline
+
+    if not LJ.available():
+        pytest.skip("no libjpeg shim")
+    jpg = encode_jpeg_baseline(np.full((8, 8), 55, dtype=np.uint8))
+    seen: dict[str, int] = {}
+    real_pure_coefs = J.decode_jpeg_coefficients
+    real_native_coefs = LJ.read_coefficients
+
+    def spy_pure(buf, max_pixels=1 << 24):
+        seen["pure"] = max_pixels
+        return real_pure_coefs(buf, max_pixels=max_pixels)
+
+    def spy_native(buf, max_pixels=1 << 24):
+        seen["native"] = max_pixels
+        return real_native_coefs(buf, max_pixels=max_pixels)
+
+    monkeypatch.setattr(J, "decode_jpeg_coefficients", spy_pure)
+    monkeypatch.setattr(LJ, "read_coefficients", spy_native)
+    raised = 1 << 30
+    _, info = M.decode_image_with_info(
+        jpg, cross_check_every=1, max_pixels=raised
+    )
+    assert info["checked"] is True
+    assert seen == {"pure": raised, "native": raised}
