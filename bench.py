@@ -64,35 +64,61 @@ def main() -> None:
 
     entry_mod._nanos_as_long(spark)
 
+    def row_cleanup(
+        sleep: float = 0.1, barrier: int = 100_000, gc: bool = False
+    ) -> None:
+        """Free the just-finished row's executor-side state so it can't
+        tax the NEXT row's timed window (VERDICT r8 #1: d_minhash_lsh
+        ran 5.9 s in-bench vs 1.0 s standalone on a drifted host — the
+        bench sequence amplified host pressure ~5x through accumulated
+        blocks and shuffle files).  Three leak channels, each with its
+        own drain:
+          1. SQL-cached plans (df.persist) -> catalog.clearCache();
+          2. RDD-level persistent blocks — localCheckpoint lives HERE,
+             invisible to the SQL cache manager (pipeline.py and the
+             graph queries localCheckpoint per invocation) -> blocking
+             unpersist of every entry in getPersistentRDDs;
+          3. shuffle files, reaped by the ContextCleaner only when the
+             driver GCs — which a 128 GiB heap left alone may not do
+             for the whole bench -> an explicit System.gc(), but only
+             at PASS boundaries (gc=True): a full GC before every row
+             measurably taxed the next row's window (~5-8% on the A/B
+             pairs in BASELINE.md), while shuffle-file growth within
+             one 11-row pass is bounded.
+        The barrier job + sleep then let the asynchronous block/file
+        deletions land now, not inside the next timed query (observed
+        as ~2x spikes on the LSH query when cleanup raced a pass)."""
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
+        if gc:
+            spark.sparkContext._jvm.System.gc()
+        spark.range(barrier).count()
+        time.sleep(sleep)
+
     # Warm-up: one full untimed pass at the TARGET SF.  This charges
     # whole-stage-codegen JIT, parquet footer reads, and OS page-cache
     # population to the warm pass, so the timed pass measures steady-
     # state execution — the regime a long-lived cluster job runs in.
     # (An sf0.001 warm pass was not enough: JIT tiers and page cache are
     # data-size dependent, and r1's measured total ran ~1.5x the claim.)
+    # Per-row cleanup runs in the warm pass too so its rows execute in
+    # the same state regime the timed rows will.
     for name, fn in _ordered_bench_queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # surfaces in the timed pass below with a real traceback
-    # each invocation persists fresh intermediates (LSH neighborhoods
-    # etc.); drop the warm pass's generation so timed passes measure
-    # execution, not cache-memory pressure
-    def settle() -> None:
-        """Block-manager unpersist is asynchronous; without a settle
-        barrier its cleanup lands inside the next timed query
-        (observed as ~2x spikes on the LSH query)."""
-        spark.catalog.clearCache()
-        spark.range(1_000_000).count()
-        time.sleep(0.3)
+        row_cleanup()
 
-    settle()
+    row_cleanup(sleep=0.3, barrier=1_000_000, gc=True)
 
-    # Two timed passes, min per query: checkpoint-block cleanup from
-    # the previous pass lands asynchronously on the next one (observed
-    # as a one-off ~2x spike on the checkpoint-using LSH query), so a
-    # single sample conflates cleanup with execution.  Min-of-two is
-    # the steady-state number BASELINE.md claims.
+    # Two timed passes, min per query, cleanup after EVERY row (not
+    # just every pass): leftover state from row k must not bill row
+    # k+1.  Min-of-N is the steady-state number BASELINE.md claims;
+    # every raw sample is recorded in the output ("samples") so
+    # run-to-run spread is visible to the driver, not just the min
+    # (VERDICT r8 #1).
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for _ in range(2):
@@ -102,21 +128,23 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(dt)
             timings[name] = min(timings.get(name, dt), dt)
-        settle()
+            row_cleanup()
+        row_cleanup(sleep=0.3, barrier=1_000_000, gc=True)
 
     # Variance pin (r3 verdict item 7): when a query's two samples
     # disagree by >15%, take a third and keep the min — otherwise
     # round-over-round comparisons ride that query's noise (the LSH
     # query is 40% of the total with ±1 s run-to-run swings).
-    for name, ss in samples.items():
+    for name, ss in list(samples.items()):
         lo, hi = min(ss), max(ss)
         if lo > 0 and (hi - lo) / lo > 0.15:
             fn = _ordered_bench_queries()[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
             timings[name] = min(timings[name], dt)
-            settle()
+            row_cleanup(sleep=0.3, barrier=1_000_000, gc=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )
