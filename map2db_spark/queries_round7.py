@@ -333,10 +333,20 @@ _BENCH_ORACLE = f"""
     FROM px GROUP BY fmt ORDER BY fmt
 """
 
+# the bench row additionally surfaces the fallback-reason counters
+# (VERDICT r8 #7): on a healthy corpus both pin to zero closed-form;
+# the streaming twin keeps the original 6-column surface
+_BENCH_ORACLE_OBS = _BENCH_ORACLE.replace(
+    "CAST(COUNT(*) AS BIGINT) AS n_native",
+    "CAST(COUNT(*) AS BIGINT) AS n_native,\n"
+    "           CAST(0 AS BIGINT) AS n_fallback,\n"
+    "           CAST(0 AS BIGINT) AS n_native_error",
+)
+
 
 @query(
     "m_decode_corpus_bench",
-    oracle=_BENCH_ORACLE,
+    oracle=_BENCH_ORACLE_OBS,
     bench=True,
     tags=("multimodal", "image", "bench", "native"),
 )
@@ -353,7 +363,13 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload took the native path; sum_px pins the decoded bytes
     against the closed-form oracle (JPEG via lossless-DC constant
     tiles — see _ensure_decode_corpus) — the timed number is
-    end-to-end certified, not a blind throughput claim.
+    end-to-end certified, not a blind throughput claim.  n_fallback
+    and n_native_error (VERDICT r8 #7) surface the dispatch layer's
+    fallback-reason channel ON the graded gate: a systemic native
+    fault (misloaded library, ABI drift) that silently degraded the
+    ingest to the 100-1000x slower pure path would flip these from
+    their pinned zeros, failing the oracle instead of hiding in a
+    slower wall-clock.
 
     Scale shape: payload scan -> repartition (small-file parquet
     would otherwise decode on 1-2 input partitions — CLAUDE.md rule)
@@ -375,7 +391,7 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = {"media_id": [], "fmt": [], "width": [], "height": [],
-                   "sum_px": [], "is_native": []}
+                   "sum_px": [], "is_native": [], "native_err": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 px, info = M.decode_image_with_info(
                     bytes(payload), cross_check_every=64
@@ -388,12 +404,15 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["is_native"].append(
                     1 if info["path"] == "native" else 0
                 )
+                out["native_err"].append(
+                    1 if "native_error" in info else 0
+                )
             yield pd.DataFrame(out)
 
     decoded = media.repartition(64).mapInPandas(
         kernel,
         schema="media_id LONG, fmt STRING, width INT, height INT,"
-        " sum_px LONG, is_native LONG",
+        " sum_px LONG, is_native LONG, native_err LONG",
     )
     return (
         decoded.groupBy("fmt")
@@ -403,6 +422,9 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("height").cast("long").alias("sum_height"),
             F.sum("sum_px").alias("sum_px"),
             F.sum("is_native").alias("n_native"),
+            (F.count("*") - F.sum("is_native")).cast("long")
+            .alias("n_fallback"),
+            F.sum("native_err").alias("n_native_error"),
         )
         .orderBy("fmt")
     )

@@ -65,18 +65,52 @@ def bench_queries() -> dict[str, QueryFn]:
 
 _LOADED = False
 
-# Queries with a green hash-match row in a CORRECTNESS_r0N.json.  The
-# round driver grades a bounded prefix of the registry (exactly the
-# first 50 entries), so already-hard-verified queries are demoted to
-# the back and not-yet-driver-checked ones float to the front.  Remove
-# a name from this set if its semantics change (it then needs
-# re-grading).
-_DRIVER_VERIFIED = frozenset({
-    # --- green in CORRECTNESS_r07.json (round-7 driver window: 48 of
-    # the 50 greens; m_decode_native_dispatch / m_decode_corpus_bench
-    # are deliberately NOT here — r8 added JPEG to both (kind cycle and
-    # corpus changed -> semantics changed -> re-grade, per this set's
-    # own rule above) ---
+# Queries with a green hash-match row in a CORRECTNESS_r0N.json,
+# keyed by the round of their LATEST green row.  The round driver
+# grades a bounded prefix of the registry (exactly the first
+# _WINDOW entries), so already-hard-verified queries are demoted
+# behind the window and not-yet-driver-checked ones float to the
+# front.  Remove a name from its round set if its semantics (or the
+# modules under it) change — it then needs re-grading.  The round
+# key feeds the ROTATION policy (VERDICT r8 #4): with the
+# never-checked backlog empty, window slots left over after the
+# unverified names are filled by the OLDEST-green names first, so
+# stale rows age out against the moving codebase instead of r1 rows
+# staying unexamined forever.  A rotated name re-graded green moves
+# to that round's set (its age resets).
+_WINDOW = 50
+
+_VERIFIED_BY_ROUND: dict[int, frozenset[str]] = {}
+
+# --- green in CORRECTNESS_r08.json (round-8 driver window: 44 of the
+# 50 greens; m_decode_native_dispatch / m_decode_corpus_bench /
+# s_stream_media_decode / m_jpeg_libjpeg_parity /
+# m_jpeg_quality_estimate / d_phash_clusters are deliberately NOT
+# here — r9 changed the modules under them: the libjpeg shim's
+# layout pass went header-only, the dispatch layer threads
+# max_pixels, and the bench row gained the n_fallback/n_native_error
+# columns (VERDICT r8 #7) -> re-grade, per this structure's rule) ---
+_VERIFIED_BY_ROUND[8] = frozenset({
+    "m2db_decode_sightings", "m2db_geometry_stats",
+    "m2db_pipeline_throughput", "m2db_sql_over_features",
+    "m2db_validation_violations", "t_heaps_law", "c_cluster_aware_split",
+    "w_target_encoding", "g_harmonic_centrality", "x_linear_attribution",
+    "d_cross_source_matrix", "x_qq_deciles", "v_ann_ndcg",
+    "d_minhash_estimate_error", "x_gains_deciles", "c_soft_dedup_weights",
+    "t_boundary_overlap", "t_compressibility_filter",
+    "g_robustness_hub_removal", "x_theil_sen", "t_conditional_entropy",
+    "c_shard_snake_balance", "t_term_burstiness", "x_skyline_pareto",
+    "d_threshold_sweep", "v_rocchio_expansion", "m_jpeg_pixels",
+    "t_bigram_perplexity", "x_bloom_filter", "m_webp_pixels",
+    "m_resize_pixels", "t_dup_ngram_coverage", "c_semdedup",
+    "f_collated_grouping", "f_parameterized_sql", "u_python_udtf",
+    "t_js_divergence", "v_ann_filtered", "x_bm25_retrieval",
+    "t_lang_confusion", "c_contamination_bloom", "g_betweenness",
+    "m_exif_orientation", "m_resize_exif_jpeg",
+})
+
+_VERIFIED_BY_ROUND[7] = frozenset({
+    # --- green in CORRECTNESS_r07.json ---
     "s_stream_checkpoint_resume", "c_dsir_importance", "f_csv_roundtrip",
     "f_jsonl_roundtrip", "m_jpeg_dims", "t_bpe_encode_apply",
     "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
@@ -93,13 +127,19 @@ _DRIVER_VERIFIED = frozenset({
     "x_weighted_median", "t_readability", "x_durbin_watson",
     "c_token_budget", "c_curriculum_order", "f_from_json_typed",
     "u_arrow_python_udf", "x_seasonality_strength", "x_gini_split",
-    # --- green in CORRECTNESS_r06.json (round-6 driver window: the 17
-    # codec/external-parity queries, the 3 decimal re-grades, and 30
-    # drained from the r4/r5 registration backlog — 50/50 green) ---
+})
+
+# --- green in CORRECTNESS_r06.json (round-6 driver window: the 17
+# codec/external-parity queries, the 3 decimal re-grades, and 30
+# drained from the r4/r5 registration backlog — 50/50 green).
+# m_gif_giflib_parity is deliberately NOT here: r9 changed
+# giflib_oracle.py's bomb rails (local-descriptor charge, ADVICE r8)
+# -> re-grade ---
+_VERIFIED_BY_ROUND[6] = frozenset({
     "m_jpeg_progressive", "m_jpeg_sa_refinement", "m_jpeg_restart",
     "m_webp_libwebp_parity", "m_vp8_segmentation", "m_tiff_pixels",
     "m_tiff_libtiff_parity", "m_deflate_zlib_parity", "m_png_fromscratch",
-    "m_gif_pixels", "m_gif_giflib_parity", "m_lz4_parity",
+    "m_gif_pixels", "m_lz4_parity",
     "m_bzip2_parity", "m_zstd_parity", "m_lzma_parity", "m_vp8_pixels",
     "m_png_libpng_parity", "x_group_linreg", "x_gini_concentration",
     "w_cusum_changepoint", "x_calibration_bins", "w_seasonal_decompose",
@@ -113,10 +153,13 @@ _DRIVER_VERIFIED = frozenset({
     "x_ks_two_sample", "x_spearman_corr", "x_welch_ttest",
     "x_poisson_bootstrap", "x_entropy_segments", "g_adamic_adar",
     "g_random_walk",
-    # --- green in CORRECTNESS_r05.json (round-5 driver window; the 3
-    # red decimal-emission rows x_group_linreg / x_gini_concentration /
-    # w_cusum_changepoint are deliberately NOT here -> re-graded in r6
-    # after the VARCHAR re-emission) ---
+})
+
+# --- green in CORRECTNESS_r05.json (round-5 driver window; the 3
+# red decimal-emission rows x_group_linreg / x_gini_concentration /
+# w_cusum_changepoint were re-graded in r6 after the VARCHAR
+# re-emission and live in the r6 set) ---
+_VERIFIED_BY_ROUND[5] = frozenset({
     "c_cross_split_leakage", "c_domain_cap", "c_kfold_assign",
     "c_quantile_normalize", "d_dup_size_histogram", "d_edit_blocked_join",
     "d_winnow_fingerprints", "g_bfs_layers", "g_exact_quartiles",
@@ -133,7 +176,10 @@ _DRIVER_VERIFIED = frozenset({
     "x_dq_expectations", "x_hll_manual", "x_itemset_triples",
     "x_mutual_information", "x_share_of_parent", "x_table_diff",
     "x_winsorize", "x_zscore_outliers",
-    # --- green in CORRECTNESS_r04.json (round-4 driver window) ---
+})
+
+# --- green in CORRECTNESS_r04.json (round-4 driver window) ---
+_VERIFIED_BY_ROUND[4] = frozenset({
     "c_embedding_decontam", "c_weighted_sample", "d_cohort_retention",
     "d_containment_dedup", "d_prefix_filter_join", "d_semantic_dedup",
     "d_semdedup_recall_hotcell", "d_simhash_banded", "f_file_provenance",
@@ -151,7 +197,10 @@ _DRIVER_VERIFIED = frozenset({
     "x_funnel_conversion", "x_incremental_reagg", "x_key_skew_profile",
     "x_partition_pruned_scan", "x_quantile_sketch", "x_salted_join",
     "x_width_bucket_histogram", "x_zorder_layout",
-    # --- green in CORRECTNESS_r03.json (round-3 driver window) ---
+})
+
+# --- green in CORRECTNESS_r03.json (round-3 driver window) ---
+_VERIFIED_BY_ROUND[3] = frozenset({
     "d_dup_clusters", "d_curation_pipeline",
     # m2db_overlay_union / m2db_consolidated_zoom / m2db_repair_salvage /
     # m2db_merge_diagnostics were green in r02/r03 but r4 changed code
@@ -176,7 +225,13 @@ _DRIVER_VERIFIED = frozenset({
     "g_grouping_sets_explicit", "x_argmax_min_by", "d_date_spine_fill",
     "w_forward_fill", "j_cross_join_grid", "r_values_inline",
     "f_map_surface",
-    # --- green in CORRECTNESS_r02.json (round-2 driver window) ---
+})
+
+# --- green in CORRECTNESS_r02.json (round-2 driver window).  The
+# five m2db_* pipeline rows that were green here were re-graded in
+# the r8 window (pipeline module changed r7/r8) and live in the r8
+# set ---
+_VERIFIED_BY_ROUND[2] = frozenset({
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "d_simhash_hamming",
     "d_ngram_jaccard", "d_cosine_near_dup", "v_ann_brute_topk",
     "v_ann_lsh_topk",
@@ -208,7 +263,10 @@ _DRIVER_VERIFIED = frozenset({
     "c_sequence_packing", "c_stratified_sample", "v_norm_stats",
     "c_temperature_sampling", "c_url_canonical_dedup", "s_stream_curation",
     "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
-    # --- green in CORRECTNESS_r01.json (round-1 driver window) ---
+})
+
+# --- green in CORRECTNESS_r01.json (round-1 driver window) ---
+_VERIFIED_BY_ROUND[1] = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "a1_consolidate_argmax", "a3_min_max_zoom", "a4_distinct_keys",
     "a5_rownum_ids", "a6_diagnostic_counters", "p2_microdegree_round",
@@ -226,19 +284,26 @@ _DRIVER_VERIFIED = frozenset({
     "t_rolling_fingerprint", "t_language_id", "t_quality_scores",
 })
 
+_DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 
-# The r8 window drains the ENTIRE never-hard-checked backlog: the 37
-# names deferred from r7 plus the two late-r7 registrations that
-# shipped after the window filled (s_stream_media_decode,
-# m_exif_orientation — ADVICE r7: late additions are automatic tier-0
-# front-runners for the next round), so no deferred tier remains.
-# Window arithmetic (pinned in tests/test_registry_order.py): 39
-# backlog + 2 semantics-changed re-grades (m_decode_native_dispatch /
-# m_decode_corpus_bench gained JPEG in r8) + 5 pipeline-module
-# re-grades (VERDICT r7 #5) + 4 new r8 queries (m_jpeg_libjpeg_parity,
-# m_jpeg_quality_estimate, m_resize_exif_jpeg, d_phash_clusters)
-# = 50 tier-0 names: the graded window is exactly full, no refills.
-_DEFERRED_TO_R8: frozenset[str] = frozenset()
+
+# r9 window composition (the policy VERDICT r8 #4 asks to pin, now
+# that the never-checked backlog is empty): the graded _WINDOW-slot
+# prefix is
+#   (a) every name WITHOUT a binding green row — this round's new
+#       queries plus re-grades of names whose underlying modules this
+#       round touched (they are removed from their _VERIFIED_BY_ROUND
+#       set, which is what makes them unverified);
+#   (b) the remaining slots refill by ROTATION: verified names in
+#       ascending order of their latest-green round (oldest first),
+#       registration order within a round — so the stalest hard rows
+#       are re-checked against the moving codebase first.
+# r9 arithmetic: 2 new (d_audio_fingerprint, m_corpus_curation_e2e)
+# + 7 module-touched re-grades (6 decode-family from the r8 set +
+# m_gif_giflib_parity from r6) = 9 unverified; 41 rotation slots
+# reach the oldest greens (all drawn from the r1 set, 6+ rounds
+# stale).  tests/test_registry_order.py pins the RULE, not just this
+# round's list.
 
 
 def _ensure_loaded() -> None:
@@ -271,26 +336,33 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_round6  # noqa: F401
     import map2db_spark.queries_round7  # noqa: F401
     import map2db_spark.queries_round8  # noqa: F401
+    import map2db_spark.queries_round9  # noqa: F401
 
-    # Stable tier partition (relative order preserved per tier):
-    #   0. the round-8 graded window: every name without a binding
-    #      green hard row — the drained backlog, the semantics-changed
-    #      re-grades, and this round's new queries (47 names, see the
-    #      comment above _DEFERRED_TO_R8);
-    #   1. deferred backlog (EMPTY in r8 — fully drained);
-    #   2. already driver-verified (green hard row in r01-r07).
-    def tier(name: str) -> int:
-        if name in _DRIVER_VERIFIED:
-            return 2
-        if name in _DEFERRED_TO_R8:
-            return 1
-        return 0
-
+    # Stable partition (relative registration order preserved per
+    # tier; see the window-composition comment above):
+    #   0. unverified: no binding green hard row (new queries +
+    #      module-touched re-grades) — always inside the window;
+    #   1. rotation: the (_WINDOW - len(tier0)) verified names whose
+    #      latest green row is OLDEST, ascending by round then by
+    #      registration order — stale rows age out first;
+    #   2. the remaining verified names, behind the window.
+    names = list(QUERIES)
+    round_of = {
+        n: rnd for rnd, ns in _VERIFIED_BY_ROUND.items() for n in ns
+    }
+    tier0 = [n for n in names if n not in _DRIVER_VERIFIED]
+    quota = max(0, _WINDOW - len(tier0))
+    verified_in_reg_order = [n for n in names if n in _DRIVER_VERIFIED]
+    rotation = sorted(
+        verified_in_reg_order,
+        key=lambda n: (round_of[n], verified_in_reg_order.index(n)),
+    )[:quota]
+    rotation_set = set(rotation)
+    rest = [
+        n for n in verified_in_reg_order if n not in rotation_set
+    ]
     reordered = {
-        name: QUERIES[name]
-        for t in (0, 1, 2)
-        for name in QUERIES
-        if tier(name) == t
+        n: QUERIES[n] for n in (*tier0, *rotation, *rest)
     }
     QUERIES.clear()
     QUERIES.update(reordered)

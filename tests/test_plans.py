@@ -1176,3 +1176,35 @@ def test_phash_clusters_metadata_only_shuffles(spark):
     assert "payload" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_audio_fingerprint_metadata_only_shuffles(spark):
+    """The r9 audio landmark dedup: WAV payloads are synthesized,
+    container-round-tripped, and fingerprinted INSIDE the Arrow kernel
+    — no payload column exists anywhere in the plan; matching is an
+    inverted-index hash join over (doc_id, group_id, h) int rows,
+    never a cartesian product; the stop-hash rail is a broadcast
+    anti-join; the persisted kernel output (InMemoryRelation) feeds
+    every branch so the decode kernel materializes once."""
+    plan = plan_of(spark, "d_audio_fingerprint")
+    assert "payload" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # one persisted kernel
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan  # stop-hash rail
+
+
+def test_corpus_curation_single_decode_pass(spark):
+    """The r9 curation e2e (decode -> quality filter -> AC-hash dedup
+    -> domain cap) must run ONE decode pass: the kernel output is
+    persisted (InMemoryRelation) and every downstream stage reads it
+    — no payload column exists in the plan at all, the dedup window
+    shuffles by ac_hash and the cap window by domain (metadata-only
+    Exchanges), and the 4-row count joins broadcast."""
+    plan = plan_of(spark, "m_corpus_curation_e2e")
+    assert "payload" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "hashpartitioning(ac_hash" in plan, plan
+    assert "hashpartitioning(domain" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,23 +1,26 @@
 """The round driver hard-grades only the FIRST ~50 registry entries
 (CORRECTNESS_r01.json == first 50, verified by the r1 judge).  These
-assertions pin the window composition so adding a query can never
-silently evict one that needs grading.
+assertions pin the window COMPOSITION RULE (VERDICT r8 #4) so adding a
+query can never silently evict one that needs grading:
 
-Round-8 structure: the never-hard-checked backlog is FULLY DRAINED —
-tier 0 holds every name without a binding green row (the 37 names
-deferred from r7, the two late-r7 registrations, the two
-semantics-changed decode re-grades, the five pipeline-module
-re-grades, and the new r8 queries); _DEFERRED_TO_R8 is empty; tier 2
-is _DRIVER_VERIFIED (every green hard row r01-r07 still binding).
-The graded 50 = all of tier 0 + verified refills in registration
-order.
+1. tier 0 — every name without a binding green hard row (new queries
+   + module-touched re-grades) sits at the very front, inside the
+   window, in registration order;
+2. rotation — the remaining window slots hold verified names in
+   ascending order of their latest-green round (oldest rows re-check
+   first against the moving codebase), registration order within a
+   round;
+3. everything else (verified, newer greens) sits behind the window.
 """
 
 from __future__ import annotations
 
+import itertools
+
 from map2db_spark.registry import (
-    _DEFERRED_TO_R8,
     _DRIVER_VERIFIED,
+    _VERIFIED_BY_ROUND,
+    _WINDOW,
     QUERIES,
     _ensure_loaded,
 )
@@ -25,75 +28,84 @@ from map2db_spark.registry import (
 _ensure_loaded()
 NAMES = list(QUERIES)
 TIER0 = [n for n in NAMES if n not in _DRIVER_VERIFIED]
+ROUND_OF = {n: r for r, ns in _VERIFIED_BY_ROUND.items() for n in ns}
 
 
-def test_r1_protocol_fixed_fails_were_regraded():
-    # the 3 r1 driver FAILs (array cells / no_oracle) were fixed in r2,
-    # re-graded green in CORRECTNESS_r02.json, and are now demoted to
-    # the driver-verified tier so they never waste a graded slot again
-    for name in ("r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles"):
-        assert name in _DRIVER_VERIFIED, name
-        assert NAMES.index(name) >= 50, (name, NAMES.index(name))
+def test_round_sets_partition_the_verified_names():
+    # a name in two round sets would make its rotation age ambiguous
+    for a, b in itertools.combinations(sorted(_VERIFIED_BY_ROUND), 2):
+        assert not (_VERIFIED_BY_ROUND[a] & _VERIFIED_BY_ROUND[b]), (a, b)
+    # and every verified name is attributable to a round
+    assert _DRIVER_VERIFIED == frozenset(ROUND_OF)
+    # every round-set name is a real registered query (a typo here
+    # would silently promote the misspelled real query to tier 0)
+    missing = _DRIVER_VERIFIED - set(NAMES)
+    assert not missing, missing
 
 
-def test_backlog_fully_drained_into_the_window():
-    # VERDICT r7 #2: the 37 deferred names + the two late-r7
-    # registrations all get their first hard row in r8; nothing
-    # unverified remains outside the graded 50
-    assert _DEFERRED_TO_R8 == frozenset()
-    assert len(TIER0) <= 50, (len(TIER0), TIER0[50:])
-    for name in TIER0:
-        assert NAMES.index(name) < 50, (name, NAMES.index(name))
-    for name in ("s_stream_media_decode", "m_exif_orientation",
-                 "t_heaps_law", "g_betweenness"):
-        assert name in TIER0, name
+def test_unverified_names_lead_the_window():
+    # rule 1: all unverified names first, in registration order,
+    # strictly inside the window
+    assert len(TIER0) <= _WINDOW, (len(TIER0), TIER0[_WINDOW:])
+    assert NAMES[: len(TIER0)] == TIER0
 
 
-def test_semantics_changed_queries_are_regraded():
-    # r8 added JPEG to the dispatch cycle and the decode corpus, and
-    # changed pipeline.py (sink split r7 + parquet counts r8): those
-    # queries must NOT sit in the verified tier (registry rule: a
-    # green row binds only while the semantics under it are unchanged)
+def test_rotation_fills_the_window_oldest_green_first():
+    # rule 2: the window's remaining slots hold verified names whose
+    # latest-green round is minimal; no name behind the window may be
+    # OLDER than any rotation name (ordering within the same round is
+    # registration order, which the partition preserves)
+    window_rot = NAMES[len(TIER0):_WINDOW]
+    behind = NAMES[_WINDOW:]
+    assert all(n in _DRIVER_VERIFIED for n in window_rot)
+    if window_rot and behind:
+        oldest_behind = min(ROUND_OF[n] for n in behind)
+        newest_rotated = max(ROUND_OF[n] for n in window_rot)
+        assert newest_rotated <= oldest_behind, (
+            newest_rotated,
+            oldest_behind,
+        )
+
+
+def test_r9_regrades_are_in_the_window():
+    # r9 touched the libjpeg shim (header-only layout pass), the
+    # dispatch layer (max_pixels threading), giflib's bomb rails, and
+    # the corpus-bench schema: the queries over those modules must NOT
+    # sit in the verified tier
     for name in (
-        "m_decode_native_dispatch", "m_decode_corpus_bench",
-        "m2db_pipeline_throughput", "m2db_decode_sightings",
-        "m2db_geometry_stats", "m2db_sql_over_features",
-        "m2db_validation_violations",
+        "m_gif_giflib_parity", "m_decode_native_dispatch",
+        "m_decode_corpus_bench", "s_stream_media_decode",
+        "m_jpeg_libjpeg_parity", "m_jpeg_quality_estimate",
+        "d_phash_clusters",
     ):
         assert name not in _DRIVER_VERIFIED, name
-        assert NAMES.index(name) < 50, (name, NAMES.index(name))
+        assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
 
 
-def test_new_r8_queries_in_graded_window():
+def test_new_r9_queries_in_graded_window():
     # a fresh operator gets its hard row the same round it ships
-    assert NAMES.index("m_jpeg_libjpeg_parity") < 50
+    for name in ("d_audio_fingerprint", "m_corpus_curation_e2e"):
+        assert name in TIER0, name
+        assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
 
 
-def test_r7_greens_retired_from_the_window():
-    # every CORRECTNESS_r07 green row (except the two deliberate
-    # re-grades above) is in the verified tier so it never wastes a
-    # graded slot again
+def test_r8_greens_retired_from_the_window():
+    # every CORRECTNESS_r08 green row except the deliberate re-grades
+    # is in the verified tier; r8-round names are the NEWEST greens so
+    # none of them may occupy a rotation slot while r1 rows exist
     for name in (
-        "s_stream_checkpoint_resume", "c_dsir_importance",
-        "m_jpeg_dims", "x_gini_split", "u_arrow_python_udf",
-        "x_ipw_ate", "m_media_dispatch", "f_text_source",
+        "t_heaps_law", "g_betweenness", "m_resize_exif_jpeg",
+        "m_exif_orientation", "x_bloom_filter", "c_semdedup",
     ):
-        assert name in _DRIVER_VERIFIED, name
-        assert NAMES.index(name) >= 50, (name, NAMES.index(name))
+        assert name in _VERIFIED_BY_ROUND[8], name
+        assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
 
 
-def test_window_is_tier0_then_verified_refill_only():
-    # positions 0..len(TIER0)-1 are exactly the unverified names in
-    # registration order; every later position is driver-verified
-    # (the refill re-grades are harmless, but an unverified name after
-    # the window would silently never get a hard row)
-    k = len(TIER0)
-    assert NAMES[:k] == TIER0
-    assert all(n in _DRIVER_VERIFIED for n in NAMES[k:])
-
-
-def test_every_query_is_classified_unambiguously():
-    # a name in two sets would make the tiering ambiguous
-    assert not (_DRIVER_VERIFIED & _DEFERRED_TO_R8)
-    # and the tiers cover the whole registry
-    assert len(TIER0) + len(set(NAMES) & _DRIVER_VERIFIED) == len(NAMES)
+def test_r1_protocol_fixed_fails_stay_retired():
+    # the 3 r1 driver FAILs (array cells / no_oracle) were fixed in r2
+    # and re-graded green in CORRECTNESS_r02.json; they rotate with
+    # the r2 cohort, not the r1 one
+    for name in (
+        "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
+    ):
+        assert ROUND_OF[name] == 2, name
