@@ -69,9 +69,11 @@ def _phash_df(spark, n):
                 freq = dct @ g @ dct.T
                 block = freq[:8, :8].ravel()[1:]
                 med = np.median(block)
-                bits = "".join("1" if c > med else "0" for c in block)
+                packed = np.packbits(block > med).tobytes()
                 out["group_id"].append(group)
-                out["phash"].append(int(bits, 2))
+                out["phash"].append(
+                    int.from_bytes(packed, "big") >> 1
+                )
             yield pd.DataFrame(out)
 
     return (
