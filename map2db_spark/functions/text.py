@@ -2,6 +2,10 @@
 counting, language-ID heuristic, quality scoring, document
 fingerprinting.  All pure column expressions (whole-stage codegen,
 no Python in the hot path) — a 100 TB corpus pass is one projection.
+
+Exception: viterbi_tokenize at the bottom is a plain-Python KERNEL
+helper (the Viterbi pass of a unigram-LM tokenizer has no columnar
+form); it runs inside Arrow kernels with the vocabulary broadcast.
 """
 
 from __future__ import annotations
@@ -117,3 +121,44 @@ def rolling_fingerprint(col) -> Column:
         )
         % ROLLING_MOD,
     )
+
+
+def viterbi_tokenize(
+    word: str, vocab: dict[str, int], unk_cost: int = 500
+) -> tuple[int, int]:
+    """Min-cost segmentation of ``word`` over integer-cost subword
+    pieces — the Viterbi decoding pass of a SentencePiece-style
+    unigram LM tokenizer, with INTEGER piece costs (scaled negative
+    log-probs) so the result is exact and engine-independent.
+
+    Returns ``(n_tokens, total_cost)``.  A character not covered by
+    any piece segments as a 1-char UNK at ``unk_cost``.  Ties break
+    toward fewer tokens, then toward the longer last piece —
+    deterministic.  O(len(word) * max_piece_len) time, O(len) space;
+    inside an Arrow kernel with the vocabulary broadcast this is the
+    map-side tokenization pass a 100 TB corpus runs (no counterpart
+    in the reference, map2db.py — training-data extension surface).
+    """
+    n = len(word)
+    if n == 0:
+        return 0, 0
+    maxlen = max((len(p) for p in vocab), default=1)
+    INF = (1 << 62, 1 << 62)
+    # best[i] = (cost, tokens) for word[:i]
+    best: list[tuple[int, int]] = [INF] * (n + 1)
+    best[0] = (0, 0)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - maxlen), i):
+            if best[j] is INF or best[j] == INF:
+                continue
+            piece = word[j:i]
+            cost = vocab.get(piece)
+            if cost is None:
+                if i - j != 1:
+                    continue
+                cost = unk_cost
+            cand = (best[j][0] + cost, best[j][1] + 1)
+            if cand < best[i]:
+                best[i] = cand
+    cost, toks = best[n]
+    return toks, cost

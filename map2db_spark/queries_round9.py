@@ -385,3 +385,216 @@ def m_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@query(
+    "t_unigram_viterbi",
+    oracle="""
+    SELECT doc_id,
+           CAST((1 + doc_id % 4) + (doc_id % 3) + (doc_id % 2)
+                + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tokens,
+           CAST(150 * (1 + doc_id % 4) + 140 * (doc_id % 3)
+                + 100 * (doc_id % 2)
+                + 500 * (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS total_cost
+    FROM documents WHERE doc_id < 60
+    """,
+    tags=("text", "tokenizer", "pipeline"),
+)
+def t_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (the SentencePiece decoding half): each
+    word segments into the MIN-COST sequence of subword pieces via the
+    Viterbi DP (functions/text.py viterbi_tokenize), with INTEGER
+    piece costs (scaled negative log-probs) so results are exact
+    across engines — the tokenizer family's optimal-segmentation
+    counterpart to the greedy BPE apply (t_bpe_encode_apply).
+
+    The fixture makes optimality closed-form instead of trusting the
+    DP: vocab = singles a/b/c/x at 100, 'ab' at 140, 'abc' at 150,
+    and the word for doc d is 'abc'*(1+d%4) + 'ab'*(d%3) + 'x'*(d%2)
+    + 'q' when d%5=0 ('q' is out-of-vocab -> 1-char UNK at 500).  No
+    vocab piece can span a group boundary (no piece starts with c|a,
+    b|a, b|x or b|q), so the optimum decomposes per group: each 'abc'
+    costs exactly min(150, 140+100, 300) = 150, each 'ab' exactly
+    140, each x 100 — the oracle states the cost/token arithmetic in
+    closed form.  The DP itself is additionally pinned against
+    brute-force enumeration over random words/vocabs in
+    tests/test_text_functions.py.
+
+    Scale shape: the vocabulary rides a sparkContext.broadcast (the
+    t_* family's vocabulary-sized-broadcast convention: ~100k pieces
+    is megabytes, never a shuffle side); tokenization is a map-only
+    Arrow kernel — zero Exchange in the plan, the corpus never
+    shuffles."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    vocab = {"a": 100, "b": 100, "c": 100, "x": 100,
+             "ab": 140, "abc": 150}
+    bc_vocab = spark.sparkContext.broadcast(vocab)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 60
+    ).select("doc_id")
+
+    def kernel(batches):
+        from map2db_spark.functions.text import viterbi_tokenize
+
+        vocab = bc_vocab.value
+        for pdf in batches:
+            out = {"doc_id": [], "n_tokens": [], "total_cost": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                word = (
+                    "abc" * (1 + did % 4)
+                    + "ab" * (did % 3)
+                    + "x" * (did % 2)
+                    + ("q" if did % 5 == 0 else "")
+                )
+                toks, cost = viterbi_tokenize(word, vocab)
+                out["doc_id"].append(did)
+                out["n_tokens"].append(toks)
+                out["total_cost"].append(cost)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, schema="doc_id LONG, n_tokens LONG, total_cost LONG"
+    )
+
+
+@query(
+    "s_stream_audio_fingerprint",
+    oracle="""
+    SELECT CAST(doc_id // 3 AS BIGINT) AS group_id,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(1 AS BIGINT) AS n_sets
+    FROM documents WHERE doc_id < 48
+    GROUP BY doc_id // 3
+    ORDER BY group_id
+    """,
+    tags=("streaming", "multimodal", "audio", "dedup"),
+)
+def s_stream_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous audio-fingerprint ingest — the streaming twin of
+    d_audio_fingerprint, the way a 100 TB audio corpus fingerprints
+    on arrival: documents stream through a file-source readStream,
+    each micro-batch decodes WAV PCM and computes the spectral-
+    landmark SET DIGEST inside the Arrow kernel (one md5 per doc — at
+    ingest time the digest is what's worth persisting; pair matching
+    runs batch-side over the landmark index), and a complete-mode
+    (group, digest) aggregate lands via the executor-side
+    foreachBatch file transport.  The d_audio_fingerprint invariance
+    fixture (hop-aligned shifts + power-of-two scaling) makes the
+    outcome closed-form: every group's 3 variants produce the SAME
+    digest, so n_sets pins to 1 per group.
+
+    Scale shape: stateless streaming mapInPandas (payloads never
+    shuffle, never hit the driver; one 16-byte digest row per doc) +
+    one stateful aggregate whose state is O(groups), independent of
+    corpus size."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+    from map2db_spark.streaming.events import run_available_now_df
+
+    ship_package(spark)
+    # the file streaming source requires a DIRECTORY; glob-filter the
+    # sf dir down to the documents table
+    stream = (
+        spark.readStream.schema("doc_id LONG")
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        from map2db_spark.functions.wav import decode_wav, encode_wav
+
+        W, HOP = 256, 128
+
+        def landmarks(sig: np.ndarray) -> set[int]:
+            x = sig.astype(np.float64)
+            if len(x) < W:
+                return set()
+            frames = np.lib.stride_tricks.sliding_window_view(x, W)[::HOP]
+            mag = np.abs(np.fft.rfft(frames, axis=1))
+            peaks_by_frame: dict[int, list[int]] = {}
+            for t in range(mag.shape[0]):
+                m = mag[t]
+                if not m.any():
+                    continue
+                interior = m[1:-1]
+                loc = np.flatnonzero(
+                    (interior > m[:-2]) & (interior > m[2:])
+                ) + 1
+                if loc.size == 0:
+                    continue
+                order = np.argsort(-m[loc], kind="stable")
+                peaks_by_frame[t] = sorted(
+                    int(loc[i]) for i in order[:5]
+                )
+            hashes: set[int] = set()
+            for t, fs in peaks_by_frame.items():
+                for f1 in fs:
+                    n = 0
+                    for dt in range(1, 5):
+                        if n >= 3:
+                            break
+                        for f2 in peaks_by_frame.get(t + dt, []):
+                            hashes.add((f1 << 16) | (f2 << 8) | dt)
+                            n += 1
+                            if n >= 3:
+                                break
+            return hashes
+
+        for pdf in batches:
+            out = {"group_id": [], "digest": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                rng = np.random.default_rng(3000 + group)
+                content = rng.integers(-1000, 1001, 16 * HOP).astype(
+                    np.int64
+                )
+                base = np.concatenate([np.zeros(HOP, np.int64), content])
+                shift = (0, 2, 1)[variant]
+                scale = (1, 1, 4)[variant]
+                sig = np.concatenate(
+                    [np.zeros(shift * HOP, np.int64), base * scale]
+                ).astype(np.int16)
+                decoded, _rate = decode_wav(encode_wav(sig))
+                hs = sorted(landmarks(decoded))
+                out["group_id"].append(group)
+                out["digest"].append(
+                    hashlib.md5(
+                        ",".join(map(str, hs)).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    fp = stream.mapInPandas(
+        kernel, schema="group_id LONG, digest STRING"
+    )
+    # single stateful agg on the stream (streaming forbids distinct
+    # aggregates and chained stateful aggs); the distinct-digest
+    # reshape runs batch-side on the bounded run's snapshot
+    agg = fp.groupBy("group_id", "digest").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    snap = run_available_now_df(agg, "complete")
+    return (
+        snap.groupBy("group_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_members"),
+            F.countDistinct("digest").cast("long").alias("n_sets"),
+        )
+        .orderBy("group_id")
+    )

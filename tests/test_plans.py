@@ -1208,3 +1208,12 @@ def test_corpus_curation_single_decode_pass(spark):
     assert "hashpartitioning(domain" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_unigram_viterbi_map_only(spark):
+    """The r9 unigram-LM tokenization pass: vocabulary broadcast +
+    map-only Arrow kernel — zero Exchange, the corpus never shuffles
+    (the plan shape of a 100 TB tokenization pass)."""
+    plan = plan_of(spark, "t_unigram_viterbi")
+    assert _exchange_count(plan) == 0, plan
+    assert plan.count("MapInPandas") == 2, plan  # tree + detail section
