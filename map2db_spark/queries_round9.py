@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from map2db_spark.registry import query
+from map2db_spark.tables import Tables
 
 
 @query(
@@ -597,4 +598,187 @@ def s_stream_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("digest").cast("long").alias("n_sets"),
         )
         .orderBy("group_id")
+    )
+
+
+def _bbit_minhash_oracle() -> str:
+    from map2db_spark.queries_pipeline import _minhash_cte_body
+
+    odd = "('1','3','5','7','9','b','d','f')"
+    n16 = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    n4 = " + ".join(
+        f"(CASE WHEN substr(a.mh{i}, 4, 1) = substr(b.mh{i}, 4, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    n1 = " + ".join(
+        f"(CASE WHEN (substr(a.mh{i}, 4, 1) IN {odd})"
+        f" = (substr(b.mh{i}, 4, 1) IN {odd}) THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+    {_minhash_cte_body()},
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             CAST({n16} AS BIGINT) AS n16,
+             CAST({n4} AS BIGINT) AS n4,
+             CAST({n1} AS BIGINT) AS n1
+      FROM cand c JOIN sig a ON a.sid = c.id_a JOIN sig b ON b.sid = c.id_b
+    ),
+    exact AS (
+      SELECT e.id_a, e.id_b,
+             CAST(round(1000000.0 * i.shared
+                        / (na.n + nb.n - i.shared)) AS BIGINT) AS j_micro
+      FROM agree e
+      JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      JOIN sizes na ON na.sid = e.id_a
+      JOIN sizes nb ON nb.sid = e.id_b
+    ),
+    est AS (
+      SELECT g.id_a, g.id_b, x.j_micro,
+             g.n16 * 125000 AS full_micro,
+             GREATEST(0, (1000000 * (2 * g.n4 - 1)) // 15) AS b4_micro,
+             GREATEST(0, (2 * g.n1 - 8) * 125000) AS b1_micro
+      FROM agree g JOIN exact x ON x.id_a = g.id_a AND x.id_b = g.id_b
+    ),
+    errs AS (
+      SELECT 'b1' AS estimator, abs(b1_micro - j_micro) AS e FROM est
+      UNION ALL
+      SELECT 'b4', abs(b4_micro - j_micro) FROM est
+      UNION ALL
+      SELECT 'full16', abs(full_micro - j_micro) FROM est
+    )
+    SELECT estimator,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(e) // count(*) AS BIGINT) AS mean_abs_err_micro,
+           CAST(max(e) AS BIGINT) AS max_abs_err_micro
+    FROM errs GROUP BY estimator ORDER BY estimator
+    """
+
+
+@query(
+    "d_bbit_minhash",
+    oracle=_bbit_minhash_oracle(),
+    tags=("dedup", "lsh", "sketch", "evaluation"),
+)
+def d_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & Koenig 2010): store only the lowest b bits
+    of each minhash and correct the estimator for random b-bit
+    collisions — the standard way to cut minhash sketch storage 16x
+    (b=1 vs 16-bit hashes) at a quantified accuracy price.  Over the
+    production LSH candidate pairs, three estimators of Jaccard are
+    calibrated against the exact value, all in EXACT integer micro
+    units:
+
+    - full16: matching 16-bit minhashes / 8 (the d_minhash family's
+      estimator) -> n16 * 125000;
+    - b4 (low hex digit, 4 bits): E[agree] = 1/16 + (15/16) J, so
+      J_hat = (2*n4 - 1)/15 -> clamped integer division (negative
+      raw estimates clamp to 0 BEFORE any engine-specific negative-
+      division rounding can diverge);
+    - b1 (parity of the low hex digit, 1 bit): E[agree] = 1/2 +
+      (1/2) J, so J_hat = 2*A - 1 -> (2*n1 - 8) * 125000, clamped.
+
+    The expected ordering (b1 noisiest, full16 tightest) is measured,
+    not assumed — mean/max abs error per estimator.  Storage story at
+    100 TB: an 8-hash 1-bit sketch is ONE byte per document; the
+    sketch table for a trillion docs fits where the 16-bit variant
+    would not, and this query prices exactly what that byte costs in
+    estimator error.
+
+    Scale shape: rides the production dedup dataflow (signatures
+    collapsed map-side, candidates from capped LSH buckets, exact
+    side candidate-filtered) — the calibration adds two id-keyed
+    joins of the O(candidates) pair table, nothing corpus-sized."""
+    from map2db_spark.functions import dedup as D
+
+    docs = Tables(spark, sf_dir).documents
+    sh = D.shingle_table(docs).localCheckpoint()
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    cand = D.lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, bucket_cap=50
+    )
+    exact = D.jaccard_pairs(sh, threshold=0.0, candidates=cand).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sa = sigs.select(
+        F.col("sid").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("sid").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    odd = list("13579bdf")
+
+    def last(col: str):
+        return F.substring(F.col(col), 4, 1)
+
+    n16 = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    n4 = sum(
+        F.when(last(f"a{i}") == last(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    n1 = sum(
+        F.when(
+            last(f"a{i}").isin(*odd) == last(f"b{i}").isin(*odd), 1
+        ).otherwise(0)
+        for i in range(8)
+    )
+    agree = (
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            n16.cast("long").alias("n16"),
+            n4.cast("long").alias("n4"),
+            n1.cast("long").alias("n1"),
+        )
+    )
+    est = agree.join(exact, ["id_a", "id_b"]).select(
+        (F.col("n16") * 125000).alias("full_micro"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr("CAST((1000000 * (2 * n4 - 1)) DIV 15 AS BIGINT)"),
+        ).alias("b4_micro"),
+        F.greatest(
+            F.lit(0).cast("long"), (F.col("n1") * 2 - 8) * 125000
+        ).alias("b1_micro"),
+        F.round(1000000 * F.col("jaccard")).cast("long").alias("j_micro"),
+    )
+    errs = (
+        est.select(
+            F.lit("b1").alias("estimator"),
+            F.abs(F.col("b1_micro") - F.col("j_micro")).alias("e"),
+        )
+        .unionByName(
+            est.select(
+                F.lit("b4").alias("estimator"),
+                F.abs(F.col("b4_micro") - F.col("j_micro")).alias("e"),
+            )
+        )
+        .unionByName(
+            est.select(
+                F.lit("full16").alias("estimator"),
+                F.abs(F.col("full_micro") - F.col("j_micro")).alias("e"),
+            )
+        )
+    )
+    return (
+        errs.groupBy("estimator")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(sum(e) DIV count(*) AS BIGINT)").alias(
+                "mean_abs_err_micro"
+            ),
+            F.max("e").cast("long").alias("max_abs_err_micro"),
+        )
+        .orderBy("estimator")
     )
