@@ -782,3 +782,147 @@ def d_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("estimator")
     )
+
+
+_KMV_K = 64
+_HEX_M = 1 << 48  # 12-hex-digit hash space
+
+
+def _theta_sketch_oracle() -> str:
+    return f"""
+    WITH a AS (
+      SELECT 'tok' || CAST(i AS VARCHAR) AS e FROM range(0, 1000) t(i)
+    ),
+    b AS (
+      SELECT 'tok' || CAST(i AS VARCHAR) AS e FROM range(500, 1500) t(i)
+    ),
+    ha AS (
+      SELECT CAST(('0x' || substr(md5(e), 1, 12)) AS BIGINT) AS hv FROM a
+    ),
+    hb AS (
+      SELECT CAST(('0x' || substr(md5(e), 1, 12)) AS BIGINT) AS hv FROM b
+    ),
+    ska AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    skb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    ta AS (SELECT max(hv) AS theta_a FROM ska),
+    tb AS (SELECT max(hv) AS theta_b FROM skb),
+    merged AS (
+      SELECT DISTINCT hv FROM (
+        SELECT hv FROM ska UNION ALL SELECT hv FROM skb
+      )
+    ),
+    vk AS (
+      SELECT max(hv) AS v
+      FROM (SELECT hv FROM merged ORDER BY hv LIMIT {_KMV_K})
+    ),
+    th AS (SELECT least(theta_a, theta_b) AS theta FROM ta, tb),
+    inter AS (
+      SELECT count(*) AS c
+      FROM ska JOIN skb USING (hv), th
+      WHERE hv <= theta
+    ),
+    ex AS (
+      SELECT
+        (SELECT count(DISTINCT e)
+         FROM (SELECT e FROM a UNION ALL SELECT e FROM b)) AS exact_union,
+        (SELECT count(*) FROM a JOIN b USING (e)) AS exact_inter
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(({_KMV_K - 1} * {_HEX_M}) // vk.v AS BIGINT) AS est_union,
+           CAST(inter.c * {_HEX_M} // th.theta AS BIGINT)
+             AS est_intersection,
+           CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_inter AS BIGINT) AS exact_intersection
+    FROM vk, th, inter, ex
+    """
+
+
+@query(
+    "x_theta_sketch_intersection",
+    oracle=_theta_sketch_oracle(),
+    tags=("sketch", "evaluation", "curation"),
+)
+def x_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch set-cardinality estimation INCLUDING
+    intersection (the operation HLL cannot do): each side keeps only
+    its k smallest 48-bit element hashes (k-minimum-values sketch);
+    the union cardinality comes from the k-th smallest of the merged
+    sketch ((k-1) * M / v_k), and the intersection from the theta
+    rule — retained hashes present in BOTH sketches below
+    theta = min(theta_a, theta_b), scaled by M / theta.  This is how
+    a training pipeline prices cross-corpus overlap (contamination,
+    shared provenance) from kilobyte sketches instead of a
+    corpus-sized join: two 64-entry sketches answer "how many
+    documents do these two 10^12-element corpora share" to ~1/sqrt(k)
+    relative error.
+
+    Fixture: A = tok0..tok999, B = tok500..tok1499 (exact union
+    1500, intersection 500).  The estimates are DETERMINISTIC
+    functions of md5, so the DuckDB oracle reproduces them
+    bit-for-bit (portable md5 + lexicographic 12-hex-prefix order;
+    integer floor division on positive operands is engine-agreed) —
+    a real recomputation oracle, not a pinned literal.
+
+    Scale shape: per-side sketch is a TakeOrdered(k) — map-side
+    partial top-k per partition, k rows to one reducer, NEVER a
+    global sort of the corpus; everything downstream operates on
+    <= 2k rows.  Sketches are mergeable (the merged-KMV union step
+    IS the merge), so shards sketch independently and combine."""
+    k, M = _KMV_K, _HEX_M
+
+    def elems(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("tok"), F.col("id").cast("string")).alias("e")
+        )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.conv(F.substring(F.md5("e"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+
+    a, b = elems(0, 1000), elems(500, 1500)
+    ska = hashed(a).orderBy("hv").limit(k)
+    skb = hashed(b).orderBy("hv").limit(k)
+    theta_a = ska.agg(F.max("hv").alias("theta_a"))
+    theta_b = skb.agg(F.max("hv").alias("theta_b"))
+    merged_k = (
+        ska.unionByName(skb).distinct().orderBy("hv").limit(k)
+        .agg(F.max("hv").alias("v"))
+    )
+    th = (
+        theta_a.crossJoin(F.broadcast(theta_b))
+        .select(F.least("theta_a", "theta_b").alias("theta"))
+    )
+    inter_c = (
+        ska.join(skb, "hv")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("hv") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        a.unionByName(b)
+        .agg(F.countDistinct("e").alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                a.join(b, "e").agg(F.count(F.lit(1)).alias("exact_inter"))
+            )
+        )
+    )
+    return (
+        merged_k.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(inter_c))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.expr(f"CAST(({k - 1} * {M}) DIV v AS BIGINT)").alias(
+                "est_union"
+            ),
+            F.expr(f"CAST(c * {M} DIV theta AS BIGINT)").alias(
+                "est_intersection"
+            ),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_intersection"),
+        )
+    )
