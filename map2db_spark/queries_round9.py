@@ -926,3 +926,114 @@ def x_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter").cast("long").alias("exact_intersection"),
         )
     )
+
+
+def _kcenter_oracle() -> str:
+    iv = ("list_transform(embedding, "
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    dist = (
+        "CAST(list_dot_product({p}.v, {p}.v)"
+        " - 2 * list_dot_product({p}.v, {c}.cv)"
+        " + list_dot_product({c}.cv, {c}.cv) AS BIGINT)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {iv} AS v FROM embeddings WHERE vec_id < 200
+    ),
+    c0 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+    d1 AS (
+      SELECT e.vec_id, {dist.format(p="e", c="c0")} AS mind FROM e, c0
+    ),
+    p1 AS (SELECT vec_id, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+    c1 AS (SELECT e.v AS cv FROM e JOIN p1 USING (vec_id)),
+    d2 AS (
+      SELECT d1.vec_id,
+             LEAST(d1.mind, {dist.format(p="e", c="c1")}) AS mind
+      FROM d1 JOIN e USING (vec_id), c1
+    ),
+    p2 AS (SELECT vec_id, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+    c2 AS (SELECT e.v AS cv FROM e JOIN p2 USING (vec_id)),
+    d3 AS (
+      SELECT d2.vec_id,
+             LEAST(d2.mind, {dist.format(p="e", c="c2")}) AS mind
+      FROM d2 JOIN e USING (vec_id), c2
+    ),
+    p3 AS (SELECT vec_id, mind FROM d3 ORDER BY mind DESC, vec_id LIMIT 1)
+    SELECT CAST(0 AS BIGINT) AS sel, CAST(0 AS BIGINT) AS center_id,
+           CAST(0 AS BIGINT) AS radius_sq
+    UNION ALL SELECT 1, vec_id, mind FROM p1
+    UNION ALL SELECT 2, vec_id, mind FROM p2
+    UNION ALL SELECT 3, vec_id, mind FROM p3
+    ORDER BY sel
+    """
+
+
+@query(
+    "c_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("curation", "similarity", "coreset"),
+)
+def c_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (farthest-point traversal) —
+    the classic diversity-based data-pruning strategy for training
+    sets: start from a seed, repeatedly pick the point FARTHEST from
+    every already-chosen center (max of min-distance), yielding a
+    2-approximation of the optimal k-center cover.  The emitted
+    radius_sq at each pick is the coverage radius the selection just
+    improved — the quantity a data-pruning run monitors to decide
+    when the coreset is dense enough.
+
+    Distances are exact BIGINT squared euclidean over the integer-
+    scaled embeddings (the similarity family's int_vec convention,
+    expanded as dot(a,a) - 2 dot(a,b) + dot(b,b) so both engines sum
+    the same integers); the argmax tie-breaks on vec_id, so the
+    selection sequence is fully deterministic and the DuckDB oracle
+    replays the identical greedy unrolled over the k rounds.
+
+    Scale shape: per round ONE map-side pass over the corpus
+    computing least(running_mind, dist-to-newest-center) — the newest
+    center travels as a 64-element literal (a broadcast in spirit and
+    O(dim) in size), the argmax is a TakeOrdered(1) (partition-local
+    top-1, 1 row to the driver per round — the legitimate O(k)
+    driver traffic of an inherently sequential greedy).  k rounds
+    total; nothing corpus-sized ever shuffles or collects.  The
+    running min-distance column composes via least(), so round r
+    re-reads the corpus once, not r times."""
+    from map2db_spark.functions.similarity import int_dot, int_vec
+
+    emb = (
+        Tables(spark, sf_dir).embeddings.where(F.col("vec_id") < 200)
+        .select("vec_id", int_vec(F.col("embedding")).alias("v"))
+        .localCheckpoint()  # base of k sequential passes: flat lineage
+    )
+
+    def dist_to(center: list[int]):
+        carr = F.array([F.lit(int(c)).cast("long") for c in center])
+        cc = sum(int(c) * int(c) for c in center)
+        return (
+            int_dot(F.col("v"), F.col("v"))
+            - 2 * int_dot(F.col("v"), carr)
+            + F.lit(cc).cast("long")
+        )
+
+    seed = emb.where(F.col("vec_id") == 0).select("v").first()[0]
+    df = emb.withColumn("mind", dist_to(seed))
+    rows = [(0, 0, 0)]
+    for sel in (1, 2, 3):
+        pick = (
+            df.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append((sel, int(pick.vec_id), int(pick.mind)))
+        cv = (
+            emb.where(F.col("vec_id") == int(pick.vec_id))
+            .select("v")
+            .first()[0]
+        )
+        df = df.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(cv))
+        )
+    return spark.createDataFrame(
+        rows, "sel LONG, center_id LONG, radius_sq LONG"
+    ).orderBy("sel")
