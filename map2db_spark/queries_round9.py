@@ -1037,3 +1037,102 @@ def c_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sel LONG, center_id LONG, radius_sq LONG"
     ).orderBy("sel")
+
+
+_CLS_B = 4096  # feature-hash buckets
+
+
+def _hashed_classifier_oracle() -> str:
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return f"""
+    WITH w AS (
+      SELECT i AS bucket,
+             CAST(('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 201 - 100 AS weight
+      FROM range(0, {_CLS_B}) t(i)
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {_CLS_B}
+               AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest({toks}) AS t
+        FROM documents WHERE doc_id < 200
+      )
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.lang,
+             CAST(sum(w.weight) AS BIGINT) AS score
+      FROM tok JOIN w USING (bucket)
+      GROUP BY tok.doc_id, tok.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "t_quality_classifier_hashed",
+    oracle=_hashed_classifier_oracle(),
+    tags=("text", "curation", "classifier"),
+)
+def t_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fastText/CCNet
+    filtering shape every large LLM corpus runs (GPT-3's quality
+    filter is exactly this: hash tokens into B buckets, sum learned
+    bucket weights, keep documents scoring above threshold).  The
+    weight table here is a deterministic stand-in (md5-derived
+    integers in [-100, 100]; a real model drops in by replacing the
+    4096-row weights relation), which keeps the full inference path —
+    tokenize, feature-hash, weight join, per-doc sum, threshold —
+    exactly reproducible in SQL for the oracle.
+
+    Scale shape: the MODEL is the broadcast side (B=4096 rows; a real
+    300k-bucket fastText model is ~MBs — always broadcast, never a
+    shuffle side); tokens explode map-side and the per-doc score
+    collapses to ~1 row/doc in the partial aggregate BEFORE the
+    doc-keyed Exchange (tokens are co-located per doc); the per-lang
+    rollup is a tiny second aggregate.  One corpus pass, integer
+    arithmetic end to end."""
+    docs = Tables(spark, sf_dir).documents.where(
+        F.col("doc_id") < 200
+    ).select("doc_id", "lang", "text")
+    weights = spark.range(_CLS_B).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") % 201 - 100
+        ).alias("weight"),
+    )
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).select(
+        "doc_id", "lang",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+            % _CLS_B
+        ).alias("bucket"),
+    )
+    scored = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").cast("long").alias("score"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )

@@ -1217,3 +1217,16 @@ def test_unigram_viterbi_map_only(spark):
     plan = plan_of(spark, "t_unigram_viterbi")
     assert _exchange_count(plan) == 0, plan
     assert plan.count("MapInPandas") == 2, plan  # tree + detail section
+
+
+def test_hashed_classifier_broadcasts_model(spark):
+    """The r9 hashed linear quality classifier: the weight table is
+    the BROADCAST side (a model relation must never be a shuffle
+    side), and the per-doc score partial-aggregates map-side before
+    the doc-keyed Exchange (tokens are co-located per doc)."""
+    plan = plan_of(spark, "t_quality_classifier_hashed")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    first_hash_agg = plan.index("HashAggregate")
+    doc_exchange = plan.index("hashpartitioning(doc_id")
+    assert first_hash_agg < doc_exchange, plan
