@@ -1136,3 +1136,113 @@ def t_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _rrf_oracle() -> str:
+    # the lexical leg is the x_bm25_retrieval oracle verbatim, nested
+    # as a CTE; the dense leg mirrors brute_force_topk's rounded-sim
+    # convention (v_ann_filtered oracle)
+    lex = _bm25_retrieval_oracle_body()
+    return f"""
+    WITH lex AS ({lex}),
+    iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+    dense AS (
+      SELECT cand_id, rank FROM (
+        SELECT c.vec_id AS cand_id,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id) AS rank
+        FROM iv c, q WHERE c.vec_id != 0
+      ) WHERE rank <= 15
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.cand_id) AS doc_id,
+             COALESCE(1000000000 // (60 + l.rank), 0)
+             + COALESCE(1000000000 // (60 + d.rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.cand_id
+    )
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_nano,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """
+
+
+def _bm25_retrieval_oracle_body() -> str:
+    from map2db_spark.registry import QUERIES as _Q
+
+    # reuse the registered oracle verbatim — fusion must rank exactly
+    # what the lexical query ranks
+    return _Q["x_bm25_retrieval"].oracle
+
+
+@query(
+    "v_rrf_hybrid_retrieval",
+    oracle=_rrf_oracle(),
+    tags=("retrieval", "ranking", "ann", "pipeline"),
+)
+def v_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, the standard
+    way production search combines lexical and dense rankers without
+    score calibration): fuse the BM25 top-15 (x_bm25_retrieval's
+    exact dataflow, called directly so fusion ranks EXACTLY what the
+    lexical query ranks) with the cosine top-15 for query vector 0
+    (brute_force_topk), scoring each doc
+    sum over legs of 10^9 DIV (60 + rank) — the k=60 RRF constant,
+    nano-scaled INTEGER division so both engines agree bit-for-bit
+    (rank-based fusion needs no float score normalization, which is
+    exactly why production systems use it).  Docs in only one leg
+    contribute only that leg (FULL OUTER join + coalesce 0).
+
+    Scale shape: each leg is its own production dataflow (inverted-
+    index-shaped BM25 aggregates; broadcast-query brute-force cosine);
+    fusion joins two k-row tables — O(k) work regardless of corpus
+    size — and re-ranks with a TakeOrdered(10)."""
+    from map2db_spark.functions.similarity import brute_force_topk
+    from map2db_spark.queries_round5 import x_bm25_retrieval
+
+    lex = x_bm25_retrieval(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lrank")
+    )
+    emb = Tables(spark, sf_dir).embeddings
+    dense = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=15
+    ).select(F.col("cand_id").alias("vid"), F.col("rank").alias("drank"))
+    fused = (
+        lex.join(dense, lex["doc_id"] == dense["vid"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vid")).alias("doc_id"),
+            (
+                F.coalesce(
+                    F.expr("CAST(1000000000 DIV (60 + lrank) AS BIGINT)"),
+                    F.lit(0).cast("long"),
+                )
+                + F.coalesce(
+                    F.expr("CAST(1000000000 DIV (60 + drank) AS BIGINT)"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("rrf_nano"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_nano"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "rrf_nano",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_nano"), "doc_id"))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
