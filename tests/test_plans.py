@@ -279,6 +279,8 @@ def test_unpartitioned_window_sites_are_audited():
       day cumulative, vocab-topk Zipf head, 10-row QQ decile table
     - queries_round5.py: 1 — BM25 rerank over a limit-20 survivor set
     - functions/sketches.py: 1 — Misra-Gries candidate set, O(k)
+    - queries_round9.py: 1 — RRF final rank over the limit-10 fused
+      head (the fusion itself joins two k-row leg tables)
     """
     import pathlib
 
@@ -288,6 +290,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_extra.py": 2,
         "queries_mleval.py": 5,
         "queries_round5.py": 1,
+        "queries_round9.py": 1,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent
