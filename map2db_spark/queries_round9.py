@@ -1246,3 +1246,117 @@ def v_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+_GRID_N = 500
+_GRID_D = 25  # neighbor distance threshold (and the grid cell size)
+
+
+def _spatial_grid_oracle() -> str:
+    n, d = _GRID_N, _GRID_D
+    return f"""
+    WITH p AS (
+      SELECT i AS id, (i * 37) % 1000 AS x, (i * 73) % 1000 AS y
+      FROM range(0, {n}) t(i)
+    ),
+    homed AS (SELECT id, x, y, x // {d} AS cx, y // {d} AS cy FROM p),
+    probes AS (
+      SELECT h.id, h.x, h.y, h.cx + dx.o AS pcx, h.cy + dy.o AS pcy
+      FROM homed h,
+           (SELECT unnest([-1, 0, 1]) AS o) dx,
+           (SELECT unnest([-1, 0, 1]) AS o) dy
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) AS dist_sq
+      FROM probes a JOIN homed b
+        ON a.pcx = b.cx AND a.pcy = b.cy AND a.id < b.id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN dist_sq <= {d * d} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dist_sq <= {d * d} THEN dist_sq ELSE 0 END)
+                AS BIGINT) AS sum_dist_sq
+    FROM cand
+    """
+
+
+@query(
+    "j_spatial_neighbor_join",
+    oracle=_spatial_grid_oracle(),
+    tags=("join", "spatial", "grid"),
+)
+def j_spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor join — all point pairs within
+    distance d, the standard distributed spatial-join pattern (and
+    the scale-safe form of the reference domain's proximity queries,
+    map2db.py's tile-box locality generalized to arbitrary radius):
+    bucket points into d-sized grid cells, probe each point against
+    its 3x3 cell neighborhood, and apply the exact distance predicate
+    only to cell-collided candidates.  Geometry guarantees
+    completeness (two points within d can differ by at most one cell
+    per axis) and the id_a < id_b ordering plus unique home cells
+    make each pair appear EXACTLY once — no distinct needed.
+
+    Integer coordinates end to end (the microdegree convention), so
+    candidate and exact counts are engine-exact; the oracle replays
+    the identical grid construction.  Reported: candidate pairs
+    (what the grid admits), exact pairs (what the predicate keeps) —
+    the selectivity ratio is the number that tunes cell size.
+
+    Scale shape: the 9x probe replication happens BEFORE the
+    cell-keyed shuffle, so the join is hash-partitioned on cell —
+    each task sees one cell's collisions, never all-pairs; skewed
+    cells (a city hot spot) split further by AQE skew-join handling,
+    and the d-sized cell bounds per-bucket membership by density x
+    d^2, the knob the selectivity ratio tunes."""
+    n, d = _GRID_N, _GRID_D
+    p = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 1000).alias("x"),
+        ((F.col("id") * 73) % 1000).alias("y"),
+    )
+    homed = p.select(
+        "id", "x", "y",
+        F.expr(f"x DIV {d}").alias("cx"),
+        F.expr(f"y DIV {d}").alias("cy"),
+    )
+    offs = spark.createDataFrame(
+        [(o,) for o in (-1, 0, 1)], "o LONG"
+    )
+    probes = (
+        homed.crossJoin(F.broadcast(offs.select(F.col("o").alias("ox"))))
+        .crossJoin(F.broadcast(offs.select(F.col("o").alias("oy"))))
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("ox")).alias("pcx"),
+            (F.col("cy") + F.col("oy")).alias("pcy"),
+        )
+    )
+    a = probes.alias("a")
+    b = homed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pcx") == F.col("b.cx"))
+            & (F.col("a.pcy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            (
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+                + (F.col("a.y") - F.col("b.y"))
+                * (F.col("a.y") - F.col("b.y"))
+            ).alias("dist_sq")
+        )
+    )
+    return cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("dist_sq") <= d * d, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(F.col("dist_sq") <= d * d, F.col("dist_sq")).otherwise(0))
+        .cast("long")
+        .alias("sum_dist_sq"),
+    )
