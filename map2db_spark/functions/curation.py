@@ -249,3 +249,63 @@ def canonicalize_url(url: Column) -> Column:
     stripped = F.regexp_replace(url, r"[?#].*$", "")
     no_slash = F.regexp_replace(stripped, r"/+$", "")
     return F.lower(no_slash)
+
+
+def aho_corasick_build(patterns: list[str]):
+    """Build an Aho-Corasick automaton (goto trie + BFS failure links
+    + output links) for one-pass multi-pattern matching — the
+    contamination-screening primitive: scanning a 100 TB corpus for
+    thousands of benchmark strings must cost O(text), not
+    O(text x patterns).  Returns (goto, fail, out) where goto is a
+    list of dict[char, state], fail a list of int, and out a list of
+    tuples of pattern indices ending at that state (output links
+    pre-flattened so the scan never chases fail chains for output).
+    Plain-Python kernel helper, built driver-side and broadcast."""
+    goto: list[dict[str, int]] = [{}]
+    out_sets: list[set[int]] = [set()]
+    for idx, pat in enumerate(patterns):
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out_sets.append(set())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out_sets[s].add(idx)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque(goto[0].values())  # depth-1 nodes fail to the root
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            # deepest proper suffix of s's string that is a trie node:
+            # walk r's failure chain until a state continues with ch
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            nxt = goto[f].get(ch, 0)
+            fail[s] = nxt if nxt != s else 0
+            out_sets[s] |= out_sets[fail[s]]
+    return goto, fail, [tuple(sorted(o)) for o in out_sets]
+
+
+def aho_corasick_counts(
+    text: str, automaton, n_patterns: int
+) -> list[int]:
+    """Count ALL (overlapping included) occurrences of every pattern
+    in one pass over ``text`` using a prebuilt automaton.  Returns a
+    per-pattern count list."""
+    goto, fail, out = automaton
+    counts = [0] * n_patterns
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        for idx in out[s]:
+            counts[idx] += 1
+    return counts

@@ -1360,3 +1360,98 @@ def j_spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_dist_sq"),
     )
+
+
+_AC_PATTERNS = ("ta", "table", "tab", "a t", "art", "row", "w s")
+
+
+def _multipattern_oracle() -> str:
+    # per-row position grid via the scalar range() list (a correlated
+    # generate_series table function is unsupported), so the scan
+    # covers every position of every text at ANY sf
+    legs = "\n    UNION ALL ".join(
+        f"""SELECT doc_id, '{p}' AS pattern, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents WHERE doc_id < 150
+    )
+    WHERE substr(text, i, {len(p)}) = '{p}'
+    GROUP BY doc_id"""
+        for p in _AC_PATTERNS
+    )
+    return f"""
+    WITH hits AS (
+    {legs}
+    )
+    SELECT pattern,
+           CAST(count(*) AS BIGINT) AS n_docs_hit,
+           CAST(sum(n) AS BIGINT) AS total_occurrences
+    FROM hits GROUP BY pattern ORDER BY pattern
+    """
+
+
+@query(
+    "c_multipattern_contamination",
+    oracle=_multipattern_oracle(),
+    tags=("curation", "text", "contamination"),
+)
+def c_multipattern_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern SUBSTRING contamination screening via Aho-
+    Corasick (functions/curation.py): scan every document ONCE for
+    every benchmark string simultaneously — the automaton costs
+    O(text + matches) per doc regardless of pattern count, which is
+    what makes screening a 100 TB corpus against thousands of
+    eval-set strings feasible (the per-pattern scan the oracle runs
+    is O(text x patterns): correct, and exactly the cost the
+    automaton exists to avoid).  Counts are ALL occurrences including
+    overlapping, and the pattern list deliberately nests ("ta" inside
+    "tab" inside "table"; "a t" overlapping "art") so output-link
+    chains — the part naive trie matching gets wrong — are exercised
+    on the graded row; the automaton is additionally pinned against a
+    brute-force position scan over random nested-pattern corpora in
+    tests/test_multipattern.py.
+
+    Complements c_contamination_bloom (token-hash set membership):
+    bloom answers "is this exact n-gram present", the automaton
+    answers "does any benchmark STRING occur anywhere, at any
+    alignment" — the stronger guarantee decontamination audits need.
+
+    Scale shape: the automaton builds driver-side from the pattern
+    list (O(sum of pattern lengths) states) and rides the closure as
+    a broadcast in spirit; the kernel is map-only Arrow, emitting
+    only (pattern, count) rows for patterns that hit; the per-pattern
+    rollup is a tiny aggregate."""
+    import pandas as pd
+
+    from map2db_spark.functions.curation import aho_corasick_build
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = Tables(spark, sf_dir).documents.where(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    automaton = aho_corasick_build(list(_AC_PATTERNS))
+    n_pat = len(_AC_PATTERNS)
+
+    def kernel(batches):
+        from map2db_spark.functions.curation import aho_corasick_counts
+
+        for pdf in batches:
+            out = {"pattern": [], "n": []}
+            for text in pdf["text"]:
+                counts = aho_corasick_counts(str(text), automaton, n_pat)
+                for idx, n in enumerate(counts):
+                    if n:
+                        out["pattern"].append(_AC_PATTERNS[idx])
+                        out["n"].append(n)
+            yield pd.DataFrame(out)
+
+    hits = docs.mapInPandas(kernel, schema="pattern STRING, n LONG")
+    return (
+        hits.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_hit"),
+            F.sum("n").cast("long").alias("total_occurrences"),
+        )
+        .orderBy("pattern")
+    )
