@@ -1233,3 +1233,33 @@ def test_hashed_classifier_broadcasts_model(spark):
     first_hash_agg = plan.index("HashAggregate")
     doc_exchange = plan.index("hashpartitioning(doc_id")
     assert first_hash_agg < doc_exchange, plan
+
+
+def test_theta_sketch_topk_no_global_sort(spark):
+    """The r9 KMV/theta sketch: each side's k-minimum-values sketch
+    must be a TakeOrderedAndProject (map-side partial top-k, k rows
+    to one reducer) — a global Sort+Exchange of the element table
+    would defeat the sketch's entire point at scale."""
+    plan = plan_of(spark, "x_theta_sketch_intersection")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_spatial_neighbor_join_is_cell_keyed(spark):
+    """The r9 grid spatial join: the pair join must be an EQUI-join on
+    the grid cell keys (hash-based — broadcast here, partitioned at
+    scale), never a cartesian product with a distance filter; the
+    only nested-loop joins are the two 3-row offset replications."""
+    plan = plan_of(spark, "j_spatial_neighbor_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "pcx" in plan, plan  # cell keys reached the join
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_multipattern_scan_is_map_only(spark):
+    """The r9 Aho-Corasick screening: document text enters the Arrow
+    kernel and never appears above it — what shuffles is (pattern,
+    count) metadata only."""
+    plan = plan_of(spark, "c_multipattern_contamination")
+    assert "MapInPandas" in plan, plan
+    assert "text" not in plan.split("MapInPandas")[0], plan
