@@ -1256,7 +1256,8 @@ def _spatial_grid_oracle() -> str:
     n, d = _GRID_N, _GRID_D
     return f"""
     WITH p AS (
-      SELECT i AS id, (i * 37) % 1000 AS x, (i * 73) % 1000 AS y
+      SELECT i AS id, (i * i * 137 + i * 17) % 1000 AS x,
+             (i * i * 251 + i * 29) % 1000 AS y
       FROM range(0, {n}) t(i)
     ),
     homed AS (SELECT id, x, y, x // {d} AS cx, y // {d} AS cy FROM p),
@@ -1301,9 +1302,13 @@ def j_spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer coordinates end to end (the microdegree convention), so
     candidate and exact counts are engine-exact; the oracle replays
-    the identical grid construction.  Reported: candidate pairs
-    (what the grid admits), exact pairs (what the predicate keeps) —
-    the selectivity ratio is the number that tunes cell size.
+    the identical grid construction.  The point generator is the
+    quadratic scatter (i^2*137+17i, i^2*251+29i) mod 1000 — a linear
+    lattice spreads too evenly and yields ZERO pairs at d=25, a
+    vacuous fixture; the scatter gives 215 true pairs among ~500
+    points.  Reported: candidate pairs (what the grid admits), exact
+    pairs (what the predicate keeps) — the selectivity ratio is the
+    number that tunes cell size.
 
     Scale shape: the 9x probe replication happens BEFORE the
     cell-keyed shuffle, so the join is hash-partitioned on cell —
@@ -1314,8 +1319,10 @@ def j_spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, d = _GRID_N, _GRID_D
     p = spark.range(n).select(
         F.col("id"),
-        ((F.col("id") * 37) % 1000).alias("x"),
-        ((F.col("id") * 73) % 1000).alias("y"),
+        ((F.col("id") * F.col("id") * 137 + F.col("id") * 17) % 1000)
+        .alias("x"),
+        ((F.col("id") * F.col("id") * 251 + F.col("id") * 29) % 1000)
+        .alias("y"),
     )
     homed = p.select(
         "id", "x", "y",
@@ -1454,4 +1461,242 @@ def c_multipattern_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("total_occurrences"),
         )
         .orderBy("pattern")
+    )
+
+
+def _dbscan_oracle() -> str:
+    return """
+    WITH RECURSIVE p AS (
+      SELECT i AS id, (i * i * 137 + i * 17) % 1000 AS x,
+             (i * i * 251 + i * 29) % 1000 AS y
+      FROM range(0, 500) t(i)
+    ),
+    pairs AS (
+      SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= 625
+    ),
+    deg AS (
+      SELECT id, count(*) AS nn
+      FROM (SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs)
+      GROUP BY id
+    ),
+    core AS (SELECT id FROM deg WHERE nn >= 2),
+    ce AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+    ),
+    sym AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT c.id, LEAST(c.id, COALESCE(min(r.b), c.id)) AS cluster_id
+      FROM core c LEFT JOIN reach r ON r.a = c.id
+      GROUP BY c.id
+    ),
+    border AS (
+      SELECT x.id, min(comp.cluster_id) AS cluster_id FROM (
+        SELECT ib AS id, ia AS core_id FROM pairs
+        WHERE ia IN (SELECT id FROM core)
+          AND ib NOT IN (SELECT id FROM core)
+        UNION ALL
+        SELECT ia AS id, ib AS core_id FROM pairs
+        WHERE ib IN (SELECT id FROM core)
+          AND ia NOT IN (SELECT id FROM core)
+      ) x JOIN comp ON comp.id = x.core_id
+      GROUP BY x.id
+    ),
+    per AS (
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_core,
+             CAST(0 AS BIGINT) AS n_border
+      FROM comp GROUP BY cluster_id
+      UNION ALL
+      SELECT cluster_id, 0, CAST(count(*) AS BIGINT)
+      FROM border GROUP BY cluster_id
+    ),
+    clusters AS (
+      SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(sum(n_core) AS BIGINT) AS n_core,
+             CAST(sum(n_border) AS BIGINT) AS n_border
+      FROM per GROUP BY cluster_id
+    )
+    SELECT cluster_id, n_core, n_border,
+           CAST((SELECT count(*) FROM clusters) AS BIGINT) AS n_clusters,
+           CAST(500 - (SELECT count(*) FROM core)
+                - (SELECT count(*) FROM border) AS BIGINT) AS n_noise
+    FROM clusters ORDER BY cluster_id
+    """
+
+
+@query(
+    "g_dbscan_grid",
+    oracle=_dbscan_oracle(),
+    tags=("clustering", "spatial", "grid", "graph"),
+)
+def g_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN, composed from the engine's own scale-safe
+    primitives: eps-neighbor pairs via the GRID-BUCKETED spatial join
+    (j_spatial_neighbor_join's 3x3 cell probe — never all-pairs),
+    core points by neighbor count (>= minPts-1 others within eps),
+    cluster formation as CONNECTED COMPONENTS over core-core edges
+    (operators/components.py large-star/small-star, O(log n) rounds),
+    border points attached to the MIN cluster id among their core
+    neighbors (the deterministic resolution of DBSCAN's only
+    order-dependent choice), the rest noise.  This is the standard
+    MR-DBSCAN decomposition: every stage is a bounded shuffle on
+    (cell | id | edge) keys, so the algorithm that is textbook-serial
+    becomes a pipeline of the grid join + CC dataflows already proven
+    here.
+
+    eps=25, minPts=3 over the 500-point quadratic scatter: 114 core
+    points in 51 clusters (many single-core), 63 border, 323 noise —
+    structure rich enough to exercise singleton-core components
+    (absent from connected_components' output by contract ->
+    coalesce(comp, id)) and multi-cluster border contention.  The
+    oracle replays the identical pipeline with a recursive-CTE
+    transitive closure standing in for large/small-star.
+
+    Scale shape: grid join as in j_spatial_neighbor_join; degree
+    count is one map-side-combined agg; CC shuffles edge keys
+    O(log n) times; border attach is one broadcast-sized join of the
+    border-candidate pairs against the (core -> cluster) map."""
+    from map2db_spark.operators.components import connected_components
+
+    d = 25
+    p = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * F.col("id") * 137 + F.col("id") * 17) % 1000)
+        .alias("x"),
+        ((F.col("id") * F.col("id") * 251 + F.col("id") * 29) % 1000)
+        .alias("y"),
+    )
+    homed = p.select(
+        "id", "x", "y",
+        F.expr(f"x DIV {d}").alias("cx"),
+        F.expr(f"y DIV {d}").alias("cy"),
+    )
+    offs = spark.createDataFrame([(o,) for o in (-1, 0, 1)], "o LONG")
+    probes = (
+        homed.crossJoin(F.broadcast(offs.select(F.col("o").alias("ox"))))
+        .crossJoin(F.broadcast(offs.select(F.col("o").alias("oy"))))
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("ox")).alias("pcx"),
+            (F.col("cy") + F.col("oy")).alias("pcy"),
+        )
+    )
+    a = probes.alias("a")
+    b = homed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pcx") == F.col("b.cx"))
+            & (F.col("a.pcy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            + (F.col("a.y") - F.col("b.y"))
+            * (F.col("a.y") - F.col("b.y"))
+            <= d * d
+        )
+        .select(
+            F.col("a.id").alias("ia"), F.col("b.id").alias("ib")
+        )
+        .persist()  # feeds degree, core-edge, and border branches
+    )
+    deg = (
+        pairs.select(F.col("ia").alias("id"))
+        .unionByName(pairs.select(F.col("ib").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nn"))
+    )
+    core = deg.where(F.col("nn") >= 2).select("id").persist()
+    ce = (
+        pairs.join(
+            F.broadcast(core.select(F.col("id").alias("ia"))), "ia"
+        )
+        .join(F.broadcast(core.select(F.col("id").alias("ib"))), "ib")
+        .select("ia", "ib")
+    )
+    cc = connected_components(ce, src="ia", dst="ib")
+    comp = (
+        core.join(cc.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("comp"), F.col("id")).alias("cluster_id"),
+        )
+        .persist()
+    )
+    border_cand = (
+        pairs.join(
+            F.broadcast(core.select(F.col("id").alias("ia"))), "ia"
+        )
+        .join(
+            F.broadcast(core.select(F.col("id").alias("ib"))),
+            "ib",
+            "left_anti",
+        )
+        .select(F.col("ib").alias("id"), F.col("ia").alias("core_id"))
+        .unionByName(
+            pairs.join(
+                F.broadcast(core.select(F.col("id").alias("ib"))), "ib"
+            )
+            .join(
+                F.broadcast(core.select(F.col("id").alias("ia"))),
+                "ia",
+                "left_anti",
+            )
+            .select(F.col("ia").alias("id"), F.col("ib").alias("core_id"))
+        )
+    )
+    border = (
+        border_cand.join(
+            F.broadcast(comp.withColumnRenamed("id", "core_id")),
+            "core_id",
+        )
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    per_cluster = (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+        .join(
+            border.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_border")
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            "n_core",
+            F.coalesce(F.col("n_border"), F.lit(0))
+            .cast("long")
+            .alias("n_border"),
+        )
+    )
+    totals = per_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).crossJoin(
+        F.broadcast(
+            core.agg(F.count(F.lit(1)).alias("nc")).crossJoin(
+                F.broadcast(
+                    border.agg(F.count(F.lit(1)).alias("nb"))
+                )
+            ).select(
+                (F.lit(500) - F.col("nc") - F.col("nb"))
+                .cast("long")
+                .alias("n_noise")
+            )
+        )
+    )
+    return (
+        per_cluster.crossJoin(F.broadcast(totals))
+        .select("cluster_id", "n_core", "n_border", "n_clusters", "n_noise")
+        .orderBy("cluster_id")
     )
