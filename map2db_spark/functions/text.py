@@ -162,3 +162,69 @@ def viterbi_tokenize(
                 best[i] = cand
     cost, toks = best[n]
     return toks, cost
+
+
+def _suffix_automaton(s: str):
+    """Blumer/Crochemore online suffix-automaton construction:
+    O(len(s)) states/transitions over any alphabet.  Returns
+    (next, link, length) parallel lists."""
+    nxt: list[dict[str, int]] = [{}]
+    link: list[int] = [-1]
+    length: list[int] = [0]
+    last = 0
+    for ch in s:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(-1)
+        nxt.append({})
+        p = last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = nxt[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                nxt.append(dict(nxt[q]))
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    return nxt, link, length
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact length of the longest common substring of ``a`` and
+    ``b`` in O(len(a) + len(b)): build the suffix automaton of ``a``,
+    stream ``b`` through it keeping the current match length (on a
+    miss, follow suffix links — the matched suffix shrinks to the
+    state's length).  The dedup-diagnostics primitive: for candidate
+    near-dup pairs this measures the longest VERBATIM shared span
+    (the exact-substring signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") where shingle
+    overlap only bounds it.  Kernel helper: runs per candidate pair
+    inside Arrow kernels, never corpus x corpus."""
+    if not a or not b:
+        return 0
+    nxt, link, length = _suffix_automaton(a)
+    v = cur = best = 0
+    for ch in b:
+        while v and ch not in nxt[v]:
+            v = link[v]
+            cur = length[v]
+        if ch in nxt[v]:
+            v = nxt[v][ch]
+            cur += 1
+        else:
+            v, cur = 0, 0
+        if cur > best:
+            best = cur
+    return best

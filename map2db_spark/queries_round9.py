@@ -1700,3 +1700,78 @@ def g_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "n_core", "n_border", "n_clusters", "n_noise")
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "d_longest_common_span",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS pair_id,
+           CAST(20 + (doc_id * 7) % 60 AS BIGINT) AS lcs_len
+    FROM documents WHERE doc_id < 20
+    ORDER BY pair_id
+    """,
+    tags=("dedup", "text", "diagnostics"),
+)
+def d_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest VERBATIM shared span between candidate near-dup pairs,
+    exact and in linear time: suffix automaton of one side, the other
+    side streamed through it (functions/text.py
+    longest_common_substring_len) — the exact-substring dedup signal
+    of Lee et al. 2022, where shingle/minhash overlap only BOUNDS the
+    shared span.  In the production dedup flow this runs per
+    CANDIDATE pair (after LSH banding), turning "these docs look 80%
+    similar" into "they share a 3,000-token verbatim block" — the
+    evidence a removal decision wants.
+
+    Closed-form fixture: pair p plants a seeded random span of length
+    20 + 7p mod 60 into two otherwise-independent random strings,
+    BOUNDED BY DIFFERENT SENTINELS on each side ('#' vs '$') so the
+    match can never extend past the plant; accidental common
+    substrings of two ~240-char strings over a 4-letter alphabet are
+    ~8 chars (2*log4(240)), far below every planted length, so the
+    LCS is exactly the plant.  The automaton itself is pinned against
+    the O(n^2) DP over random strings in tests/test_lcs.py.
+
+    Scale shape: map-only Arrow kernel over the pair list — at 100 TB
+    the pair list is the LSH candidate table (id-keyed join fetches
+    the two texts), each kernel call O(|a| + |b|), nothing
+    corpus-sized shuffles."""
+    import pandas as pd
+
+    from map2db_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 20
+    ).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.text import (
+            longest_common_substring_len,
+        )
+
+        alpha = np.array(list("abcd"))
+        for pdf in batches:
+            out = {"pair_id": [], "lcs_len": []}
+            for did in pdf["doc_id"]:
+                p = int(did)
+                length = 20 + (p * 7) % 60
+                rng = np.random.default_rng(5000 + p)
+
+                def r(n):
+                    return "".join(rng.choice(alpha, n))
+
+                span = r(length)
+                a = r(120) + "#" + span + "#" + r(120)
+                b = r(140) + "$" + span + "$" + r(100)
+                out["pair_id"].append(p)
+                out["lcs_len"].append(
+                    longest_common_substring_len(a, b)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, schema="pair_id LONG, lcs_len LONG"
+    ).orderBy("pair_id")
