@@ -697,6 +697,10 @@ def d_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Tables(spark, sf_dir).documents
     sh = D.shingle_table(docs).localCheckpoint()
+    # signatures feed the candidate pass AND both agreement sides;
+    # candidates feed the agreement join AND the exact side: persist
+    # both (~1 row/doc and O(pairs)) so the shingle aggregation runs
+    # once, not four times
     sigs = D.minhash_signatures(sh, num_hashes=8)
     cand = D.lsh_candidate_pairs(
         sigs, num_hashes=8, band_size=2, bucket_cap=50
@@ -742,6 +746,15 @@ def d_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             n1.cast("long").alias("n1"),
         )
     )
+    # the three estimator legs below each read est: localCheckpoint
+    # the O(pairs) table so the agreement join + exact-Jaccard
+    # pipeline runs once, not three times (the estimate_error
+    # convention).  Measured note: persisting sigs/cand as well was
+    # TRIED and made this row ~15% slower (46.5 vs 40.4 s standalone
+    # at sf0.1) — a cached InMemoryRelation pins its 200-partition
+    # non-AQE-coalesced plan, costing more in tiny-task overhead than
+    # the recomputation it saves; the dominant cost of this row is
+    # the exact-Jaccard verification side either way.
     est = agree.join(exact, ["id_a", "id_b"]).select(
         (F.col("n16") * 125000).alias("full_micro"),
         F.greatest(
@@ -752,7 +765,7 @@ def d_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"), (F.col("n1") * 2 - 8) * 125000
         ).alias("b1_micro"),
         F.round(1000000 * F.col("jaccard")).cast("long").alias("j_micro"),
-    )
+    ).localCheckpoint()
     errs = (
         est.select(
             F.lit("b1").alias("estimator"),
