@@ -1788,3 +1788,78 @@ def d_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, schema="pair_id LONG, lcs_len LONG"
     ).orderBy("pair_id")
+
+
+@query(
+    "s_stream_quality_classifier",
+    oracle=_hashed_classifier_oracle(),
+    tags=("streaming", "text", "curation", "classifier"),
+)
+def s_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier filtering ON ARRIVAL — the streaming twin of
+    t_quality_classifier_hashed, the shape a continuous ingest runs
+    (classify documents as they land, persist only scores/decisions):
+    documents stream through a file-source readStream, tokens explode
+    and feature-hash inside the stream, the 4096-row weights relation
+    joins BROADCAST against the stream (a static-stream broadcast
+    join, no stream state), and ONE stateful aggregate accumulates
+    per-(doc, lang) scores in complete mode via the executor-side
+    foreachBatch transport.  Streaming forbids chained stateful
+    aggregates, so the per-lang rollup (count/kept/sum) runs
+    batch-side on the bounded run's final snapshot — the same
+    reshape-after-snapshot convention as s_stream_audio_fingerprint.
+    The oracle is shared verbatim with the batch twin: a bounded
+    availableNow run must produce the identical per-lang table.
+
+    Scale shape: stateless explode/hash/broadcast-join on the stream
+    (no shuffle of arriving text beyond the score aggregate), state
+    O(docs in flight) per micro-batch with complete-mode snapshots;
+    the model side is static and broadcast once."""
+    from map2db_spark.streaming.events import run_available_now_df
+
+    weights = spark.range(_CLS_B).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 201 - 100
+        ).alias("weight"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .where(F.col("doc_id") < 200)
+    )
+    tok = stream.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).select(
+        "doc_id", "lang",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+            % _CLS_B
+        ).alias("bucket"),
+    )
+    scored = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").cast("long").alias("score"))
+    )
+    snap = run_available_now_df(scored, "complete")
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )
