@@ -1863,3 +1863,233 @@ def s_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SHARD_KEYS = 2000
+_SHARD_VNODES = 4
+
+
+def _rebalance_oracle() -> str:
+    n, v = _SHARD_KEYS, _SHARD_VNODES
+
+    def ring_cte(tag: str, s: int) -> str:
+        return f"""
+    ring{tag} AS (
+      SELECT s.i AS shard, md5('node' || CAST(s.i AS VARCHAR) || 'v'
+             || CAST(vn.i AS VARCHAR)) AS pos
+      FROM range(0, {s}) s(i), range(0, {v}) vn(i)
+    ),
+    rmin{tag} AS (SELECT min(pos) AS wrap FROM ring{tag}),
+    ringasg{tag} AS (
+      SELECT k.key,
+             COALESCE(
+               (SELECT r.shard FROM ring{tag} r
+                WHERE r.pos >= k.kpos ORDER BY r.pos LIMIT 1),
+               (SELECT r.shard FROM ring{tag} r, rmin{tag}
+                WHERE r.pos = wrap LIMIT 1)
+             ) AS shard
+      FROM keys k
+    )"""
+
+    def hrw_cte(tag: str, s: int) -> str:
+        return f"""
+    hrw{tag} AS (
+      SELECT key, shard FROM (
+        SELECT k.key, s.i AS shard,
+               row_number() OVER (
+                 PARTITION BY k.key
+                 ORDER BY md5(CAST(k.key AS VARCHAR) || '#'
+                              || CAST(s.i AS VARCHAR)) DESC
+               ) AS rn
+        FROM keys k, range(0, {s}) s(i)
+      ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH keys AS (
+      SELECT i AS key, md5(CAST(i AS VARCHAR)) AS kpos
+      FROM range(0, {n}) t(i)
+    ),
+    {hrw_cte('8', 8).strip().lstrip()},
+    {hrw_cte('9', 9).strip().lstrip()},
+    {ring_cte('8', 8).strip().lstrip()},
+    {ring_cte('9', 9).strip().lstrip()},
+    moved AS (
+      SELECT 'mod' AS strategy,
+             CAST(sum(CASE WHEN key % 8 != key % 9 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM keys
+      UNION ALL
+      SELECT 'rendezvous',
+             CAST(sum(CASE WHEN a.shard != b.shard THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM hrw8 a JOIN hrw9 b USING (key)
+      UNION ALL
+      SELECT 'ring',
+             CAST(sum(CASE WHEN a.shard != b.shard THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM ringasg8 a JOIN ringasg9 b USING (key)
+    ),
+    load9 AS (
+      SELECT 'mod' AS strategy,
+             CAST(max(c) AS BIGINT) AS max_load_9
+      FROM (SELECT count(*) AS c FROM keys GROUP BY key % 9)
+      UNION ALL
+      SELECT 'rendezvous', CAST(max(c) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM hrw9 GROUP BY shard)
+      UNION ALL
+      SELECT 'ring', CAST(max(c) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM ringasg9 GROUP BY shard)
+    )
+    SELECT m.strategy, CAST({n} AS BIGINT) AS n_keys, m.n_moved,
+           l.max_load_9
+    FROM moved m JOIN load9 l USING (strategy)
+    ORDER BY strategy
+    """
+
+
+@query(
+    "c_shard_rebalance_strategies",
+    oracle=_rebalance_oracle(),
+    tags=("curation", "sharding", "data-management"),
+)
+def c_shard_rebalance_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalancing cost of three key->shard assignment
+    strategies when a 9th shard joins an 8-shard layout — the
+    data-management decision every growing corpus store makes once:
+
+    - mod-N: key % S.  Adding a shard reassigns ~(S/(S+1)) of ALL
+      keys (measured here: ~8/9 of 2000) — the naive scheme's hidden
+      migration bill;
+    - rendezvous (HRW) hashing: shard = argmax_s md5(key#s).  Only
+      keys whose NEW shard wins the rendezvous move — ~1/(S+1);
+    - consistent hashing with 4 virtual nodes per shard: ring
+      successor of md5(key); only keys in ring segments claimed by
+      the new shard's vnodes move — ~1/(S+1) in expectation, with
+      vnode count controlling the balance/movement variance.
+
+    Movement counts AND the max shard load after the change are exact
+    integers over md5 (portable) string order, so the DuckDB oracle
+    recomputes every assignment bit-for-bit — the measured ~9x
+    movement gap between mod-N and the other two is the row's
+    payload.
+
+    Scale shape: both hash strategies are map-only projections per
+    key (HRW's argmax over S shards is a per-row expression, the
+    ring's successor lookup a broadcast join against the 32-row
+    position table + a per-key min) — assignment never shuffles the
+    keyed data; the movement/load rollups are tiny aggregates."""
+    n, v = _SHARD_KEYS, _SHARD_VNODES
+    keys = spark.range(n).select(
+        F.col("id").alias("key"),
+        F.md5(F.col("id").cast("string")).alias("kpos"),
+    )
+
+    def hrw(s: int) -> DataFrame:
+        shards = spark.range(s).select(F.col("id").alias("shard"))
+        w = Window.partitionBy("key").orderBy(
+            F.desc(
+                F.md5(
+                    F.concat(
+                        F.col("key").cast("string"),
+                        F.lit("#"),
+                        F.col("shard").cast("string"),
+                    )
+                )
+            )
+        )
+        return (
+            keys.crossJoin(F.broadcast(shards))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "shard")
+        )
+
+    def ring(s: int) -> DataFrame:
+        pos = (
+            spark.range(s)
+            .select(F.col("id").alias("shard"))
+            .crossJoin(
+                F.broadcast(
+                    spark.range(v).select(F.col("id").alias("vn"))
+                )
+            )
+            .select(
+                "shard",
+                F.md5(
+                    F.concat(
+                        F.lit("node"),
+                        F.col("shard").cast("string"),
+                        F.lit("v"),
+                        F.col("vn").cast("string"),
+                    )
+                ).alias("pos"),
+            )
+        )
+        wrap = pos.orderBy("pos").limit(1).select(
+            F.col("shard").alias("wshard")
+        )
+        succ = (
+            keys.crossJoin(F.broadcast(pos))
+            .where(F.col("pos") >= F.col("kpos"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy("pos")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("key", "shard")
+        )
+        return (
+            keys.join(succ, "key", "left")
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "key",
+                F.coalesce(F.col("shard"), F.col("wshard")).alias("shard"),
+            )
+        )
+
+    def moved(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.withColumnRenamed("shard", "s8")
+            .join(b.withColumnRenamed("shard", "s9"), "key")
+            .agg(
+                F.sum(
+                    F.when(F.col("s8") != F.col("s9"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_moved")
+            )
+        )
+
+    def max_load(asg: DataFrame) -> DataFrame:
+        return (
+            asg.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").cast("long").alias("max_load_9"))
+        )
+
+    mod8 = keys.select("key", (F.col("key") % 8).alias("shard"))
+    mod9 = keys.select("key", (F.col("key") % 9).alias("shard"))
+    hrw8, hrw9 = hrw(8), hrw(9)
+    ring8, ring9 = ring(8), ring(9)
+
+    def leg(name: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            moved(a, b)
+            .crossJoin(F.broadcast(max_load(b)))
+            .select(
+                F.lit(name).alias("strategy"),
+                F.lit(_SHARD_KEYS).cast("long").alias("n_keys"),
+                "n_moved",
+                "max_load_9",
+            )
+        )
+
+    return (
+        leg("mod", mod8, mod9)
+        .unionByName(leg("rendezvous", hrw8, hrw9))
+        .unionByName(leg("ring", ring8, ring9))
+        .orderBy("strategy")
+    )
