@@ -2093,3 +2093,136 @@ def c_shard_rebalance_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("ring", ring8, ring9))
         .orderBy("strategy")
     )
+
+
+# Wald SPRT constants for H0: p=0.5 vs H1: p=0.6 at alpha=beta=0.05,
+# micro-scaled integers (computed once: round(1e6*ln(.6/.5)) etc.) and
+# INLINED identically in the Spark plan and the oracle so the
+# cumulative log-likelihood ratio is exact integer arithmetic
+_SPRT_C1 = 182322    # llr increment per success
+_SPRT_C0 = -223144   # llr increment per failure
+_SPRT_A = 2944439    # accept-H1 threshold:  ln((1-beta)/alpha)
+_SPRT_B = -2944439   # accept-H0 threshold:  ln(beta/(1-alpha))
+
+
+def _sprt_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id % 2 AS arm, event_id,
+             CASE WHEN value >= 30.0 THEN 1 ELSE 0 END AS s
+      FROM events WHERE event_id < 4000
+    ),
+    walk AS (
+      SELECT arm, s,
+             row_number() OVER (PARTITION BY arm ORDER BY event_id)
+               AS rk,
+             sum(CASE WHEN s = 1 THEN {_SPRT_C1}
+                      ELSE {_SPRT_C0} END)
+               OVER (PARTITION BY arm ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS llr
+      FROM e
+    ),
+    crossing AS (
+      SELECT arm,
+             min(CASE WHEN llr >= {_SPRT_A} THEN rk END) AS r_h1,
+             min(CASE WHEN llr <= {_SPRT_B} THEN rk END) AS r_h0,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(s) AS BIGINT) AS n_success,
+             CAST(max(CASE WHEN rk = (SELECT max(rk) FROM walk w2
+                                      WHERE w2.arm = walk.arm)
+                      THEN llr END) AS BIGINT) AS llr_final
+      FROM walk GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n_events, n_success,
+           CASE
+             WHEN r_h1 IS NOT NULL
+                  AND (r_h0 IS NULL OR r_h1 < r_h0) THEN 'accept_h1'
+             WHEN r_h0 IS NOT NULL THEN 'accept_h0'
+             ELSE 'inconclusive'
+           END AS decision,
+           CAST(COALESCE(LEAST(COALESCE(r_h1, r_h0),
+                               COALESCE(r_h0, r_h1)), 0)
+                AS BIGINT) AS decision_at,
+           llr_final
+    FROM crossing ORDER BY arm
+    """
+
+
+@query(
+    "x_sprt_sequential_test",
+    oracle=_sprt_oracle(),
+    tags=("stats", "ab-test", "sequential"),
+)
+def x_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test — the sequential A/B
+    procedure that stops AS SOON AS the evidence suffices, the
+    always-valid complement to the fixed-horizon z-test
+    (x_ab_test_proportions): per experiment arm the cumulative
+    log-likelihood ratio of H1: p=0.6 against H0: p=0.5 walks over
+    events in arrival order, accepting whichever hypothesis's
+    boundary (ln((1-b)/a), symmetric at alpha=beta=0.05) it crosses
+    first; decision_at is the sample size the sequential test needed
+    — the quantity SPRT exists to minimize (Wald's optimality).
+
+    Per-event increments are two micro-scaled integer CONSTANTS
+    (success/failure), inlined identically in both engines, so the
+    walk is an exact integer window cumsum and every crossing index
+    is engine-exact; the fixture's observed rates (0.559 / 0.539 at
+    the value>=30 success cut) sit BETWEEN the hypotheses, so the
+    walk genuinely wanders before deciding rather than crashing
+    through a boundary on trivial evidence.
+
+    Scale shape: one keyed window per arm (the per-arm cumsum is the
+    only shuffle, carrying (arm, event_id, bit) rows); the crossing
+    search is the same window pass's aggregate — at 100 TB this is
+    a single sort-within-arm, the minimum any sequential statistic
+    needs, and arms parallelize independently."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 4000
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "event_id",
+        F.when(F.col("value") >= 30.0, 1).otherwise(0).alias("s"),
+    )
+    w = Window.partitionBy("arm").orderBy("event_id")
+    walk = events.select(
+        "arm", "s",
+        F.row_number().over(w).alias("rk"),
+        F.sum(
+            F.when(F.col("s") == 1, _SPRT_C1).otherwise(_SPRT_C0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("llr"),
+    )
+    crossing = walk.groupBy("arm").agg(
+        F.min(F.when(F.col("llr") >= _SPRT_A, F.col("rk"))).alias("r_h1"),
+        F.min(F.when(F.col("llr") <= _SPRT_B, F.col("rk"))).alias("r_h0"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("s").cast("long").alias("n_success"),
+        F.max(F.struct(F.col("rk"), F.col("llr")))["llr"]
+        .cast("long")
+        .alias("llr_final"),
+    )
+    decision = (
+        F.when(
+            F.col("r_h1").isNotNull()
+            & (F.col("r_h0").isNull() | (F.col("r_h1") < F.col("r_h0"))),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("r_h0").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("inconclusive"))
+    )
+    return crossing.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n_events",
+        "n_success",
+        decision.alias("decision"),
+        F.coalesce(
+            F.least(
+                F.coalesce(F.col("r_h1"), F.col("r_h0")),
+                F.coalesce(F.col("r_h0"), F.col("r_h1")),
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("decision_at"),
+        "llr_final",
+    ).orderBy("arm")

@@ -298,17 +298,18 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r9 arithmetic: 15 new (d_audio_fingerprint, m_corpus_curation_e2e,
+# r9 arithmetic: 16 new (d_audio_fingerprint, m_corpus_curation_e2e,
 # t_unigram_viterbi, s_stream_audio_fingerprint, d_bbit_minhash,
 # x_theta_sketch_intersection, c_kcenter_coreset,
 # t_quality_classifier_hashed, v_rrf_hybrid_retrieval,
 # j_spatial_neighbor_join, c_multipattern_contamination,
 # g_dbscan_grid, d_longest_common_span, s_stream_quality_classifier,
-# c_shard_rebalance_strategies) + 7 module-touched re-grades (6
-# decode-family from the r8 set + m_gif_giflib_parity from r6) = 22
-# unverified; 28 rotation slots reach the oldest greens (all drawn
-# from the r1 set, 6+ rounds stale).  tests/test_registry_order.py
-# pins the RULE, not just this round's list.
+# c_shard_rebalance_strategies, x_sprt_sequential_test) + 7
+# module-touched re-grades (6 decode-family from the r8 set +
+# m_gif_giflib_parity from r6) = 23 unverified; 27 rotation slots
+# reach the oldest greens (all drawn from the r1 set, 6+ rounds
+# stale).  tests/test_registry_order.py pins the RULE, not just this
+# round's list.
 
 
 def _ensure_loaded() -> None:
