@@ -260,7 +260,17 @@ def aho_corasick_build(patterns: list[str]):
     list of dict[char, state], fail a list of int, and out a list of
     tuples of pattern indices ending at that state (output links
     pre-flattened so the scan never chases fail chains for output).
-    Plain-Python kernel helper, built driver-side and broadcast."""
+    Plain-Python kernel helper, built driver-side and broadcast.
+
+    Patterns must be non-empty and unique: an empty pattern's index
+    would land in out_sets[0] but only merge into states whose fail
+    link is the root — inconsistent counts rather than a clean error
+    (ADVICE r9) — and duplicate patterns would silently double-count.
+    """
+    if not all(patterns):
+        raise ValueError("aho_corasick_build: empty pattern")
+    if len(set(patterns)) != len(patterns):
+        raise ValueError("aho_corasick_build: duplicate patterns")
     goto: list[dict[str, int]] = [{}]
     out_sets: list[set[int]] = [set()]
     for idx, pat in enumerate(patterns):

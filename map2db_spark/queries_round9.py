@@ -16,6 +16,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+# _bm25_retrieval_oracle_body / _hashed-classifier helpers read
+# QUERIES['x_bm25_retrieval'] at module-IMPORT time (the @query
+# decorator for v_rrf_hybrid_retrieval evaluates its oracle during
+# decoration), so the module that registers it must be imported first
+# — explicitly, not via registry._ensure_loaded's import order
+# (ADVICE r9: direct `import queries_round9` raised KeyError)
+import map2db_spark.queries_round5  # noqa: F401
 from map2db_spark.registry import query
 from map2db_spark.tables import Tables
 
@@ -1437,10 +1444,13 @@ def c_multipattern_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment" — the stronger guarantee decontamination audits need.
 
     Scale shape: the automaton builds driver-side from the pattern
-    list (O(sum of pattern lengths) states) and rides the closure as
-    a broadcast in spirit; the kernel is map-only Arrow, emitting
-    only (pattern, count) rows for patterns that hit; the per-pattern
-    rollup is a tiny aggregate."""
+    list (O(sum of pattern lengths) states) and ships via an explicit
+    sparkContext.broadcast handle (VERDICT r9 #5: closure capture
+    re-serializes the automaton per task batch; the broadcast
+    transfers it once per executor via TorrentBroadcast — measured
+    sizes at ~10^3 patterns in SCALE.md); the kernel is map-only
+    Arrow, emitting only (pattern, count) rows for patterns that hit;
+    the per-pattern rollup is a tiny aggregate."""
     import pandas as pd
 
     from map2db_spark.functions.curation import aho_corasick_build
@@ -1450,12 +1460,15 @@ def c_multipattern_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents.where(
         F.col("doc_id") < 150
     ).select("doc_id", "text")
-    automaton = aho_corasick_build(list(_AC_PATTERNS))
+    bc_automaton = spark.sparkContext.broadcast(
+        aho_corasick_build(list(_AC_PATTERNS))
+    )
     n_pat = len(_AC_PATTERNS)
 
     def kernel(batches):
         from map2db_spark.functions.curation import aho_corasick_counts
 
+        automaton = bc_automaton.value
         for pdf in batches:
             out = {"pattern": [], "n": []}
             for text in pdf["text"]:
@@ -1575,8 +1588,16 @@ def g_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: grid join as in j_spatial_neighbor_join; degree
     count is one map-side-combined agg; CC shuffles edge keys
-    O(log n) times; border attach is one broadcast-sized join of the
-    border-candidate pairs against the (core -> cluster) map."""
+    O(log n) times; border attach is one keyed join of the
+    border-candidate pairs against the (core -> cluster) map.  The
+    core-id set and the core->cluster map scale O(n) with the data,
+    so those joins carry NO forced broadcast hint (VERDICT r9 #3: a
+    forced broadcast of an O(n) relation is the executor-memory
+    scale-killer the hint exists to prevent on the other side) — AQE
+    still picks a broadcast at runtime when a side is genuinely
+    small, and plain shuffled semi/hash joins are the 100 TB-safe
+    fallback.  Hints remain only on provably bounded frames (the
+    3-row offset tables, the 1-row totals)."""
     from map2db_spark.operators.components import connected_components
 
     d = 25
@@ -1630,10 +1651,8 @@ def g_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = deg.where(F.col("nn") >= 2).select("id").persist()
     ce = (
-        pairs.join(
-            F.broadcast(core.select(F.col("id").alias("ia"))), "ia"
-        )
-        .join(F.broadcast(core.select(F.col("id").alias("ib"))), "ib")
+        pairs.join(core.select(F.col("id").alias("ia")), "ia")
+        .join(core.select(F.col("id").alias("ib")), "ib")
         .select("ia", "ib")
     )
     cc = connected_components(ce, src="ia", dst="ib")
@@ -1646,32 +1665,17 @@ def g_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     border_cand = (
-        pairs.join(
-            F.broadcast(core.select(F.col("id").alias("ia"))), "ia"
-        )
-        .join(
-            F.broadcast(core.select(F.col("id").alias("ib"))),
-            "ib",
-            "left_anti",
-        )
+        pairs.join(core.select(F.col("id").alias("ia")), "ia")
+        .join(core.select(F.col("id").alias("ib")), "ib", "left_anti")
         .select(F.col("ib").alias("id"), F.col("ia").alias("core_id"))
         .unionByName(
-            pairs.join(
-                F.broadcast(core.select(F.col("id").alias("ib"))), "ib"
-            )
-            .join(
-                F.broadcast(core.select(F.col("id").alias("ia"))),
-                "ia",
-                "left_anti",
-            )
+            pairs.join(core.select(F.col("id").alias("ib")), "ib")
+            .join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
             .select(F.col("ia").alias("id"), F.col("ib").alias("core_id"))
         )
     )
     border = (
-        border_cand.join(
-            F.broadcast(comp.withColumnRenamed("id", "core_id")),
-            "core_id",
-        )
+        border_cand.join(comp.withColumnRenamed("id", "core_id"), "core_id")
         .groupBy("id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )

@@ -82,6 +82,39 @@ _WINDOW = 50
 
 _VERIFIED_BY_ROUND: dict[int, frozenset[str]] = {}
 
+# --- green in CORRECTNESS_r09.json (round-9 driver window: 47 of the
+# 50 greens — 16 new r9 operators, 7 decode-family re-grades, and 24
+# of the 27 rotated r1 rows whose age resets here.  Three r9 greens
+# are deliberately NOT in this set because round 10 touches the code
+# under them -> re-grade, per this structure's rule:
+# g_dbscan_grid (the forced O(n) core-side broadcasts came out,
+# VERDICT r9 #3), c_multipattern_contamination (automaton now ships
+# via sc.broadcast instead of closure pickle, VERDICT r9 #5, plus the
+# aho_corasick_build input asserts from ADVICE), and
+# v_rrf_hybrid_retrieval (its oracle now resolves through the
+# import-order-independent top-of-module import, ADVICE r9) ---
+_VERIFIED_BY_ROUND[9] = frozenset({
+    "m_gif_giflib_parity", "m_decode_native_dispatch",
+    "m_decode_corpus_bench", "s_stream_media_decode",
+    "m_jpeg_libjpeg_parity", "m_jpeg_quality_estimate",
+    "d_phash_clusters", "d_audio_fingerprint", "m_corpus_curation_e2e",
+    "t_unigram_viterbi", "s_stream_audio_fingerprint", "d_bbit_minhash",
+    "x_theta_sketch_intersection", "c_kcenter_coreset",
+    "t_quality_classifier_hashed", "j_spatial_neighbor_join",
+    "d_longest_common_span", "s_stream_quality_classifier",
+    "c_shard_rebalance_strategies", "x_sprt_sequential_test",
+    "t_token_stats", "t_bpe_token_count", "t_rolling_fingerprint",
+    "t_language_id", "t_quality_scores", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "a1_consolidate_argmax", "a3_min_max_zoom", "a4_distinct_keys",
+    "a5_rownum_ids", "a6_diagnostic_counters", "p2_microdegree_round",
+    "p4_typed_tag_decode", "p5_nibble_unpack", "p10_json_tags",
+    "f3_selective_filter", "j_semi_join", "j_anti_join",
+    "j_outer_join_coalesce", "j_range_join", "w_topn_per_group",
+    "w_running_total", "w_lag_delta", "w_range_frame_rolling",
+    "w_ntile_buckets",
+})
+
 # --- green in CORRECTNESS_r08.json (round-8 driver window: 44 of the
 # 50 greens; m_decode_native_dispatch / m_decode_corpus_bench /
 # s_stream_media_decode / m_jpeg_libjpeg_parity /
@@ -265,29 +298,24 @@ _VERIFIED_BY_ROUND[2] = frozenset({
     "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
 })
 
-# --- green in CORRECTNESS_r01.json (round-1 driver window) ---
+# --- green in CORRECTNESS_r01.json (round-1 driver window).  The 27
+# rows rotated through the r9 window re-greened there and live in the
+# r9 set; these 20 are the remaining r1-vintage greens, first in line
+# for the r10 rotation slots ---
 _VERIFIED_BY_ROUND[1] = frozenset({
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "a1_consolidate_argmax", "a3_min_max_zoom", "a4_distinct_keys",
-    "a5_rownum_ids", "a6_diagnostic_counters", "p2_microdegree_round",
-    "p4_typed_tag_decode", "p5_nibble_unpack", "p10_json_tags",
-    "f3_selective_filter", "j_semi_join", "j_anti_join",
-    "j_outer_join_coalesce", "j_range_join", "w_topn_per_group",
-    "w_running_total", "w_lag_delta", "w_range_frame_rolling",
-    "w_ntile_buckets", "w_percent_rank_decile", "s_global_topk",
+    "w_percent_rank_decile", "s_global_topk",
     "g_rollup_revenue", "g_grouping_id", "x_corr_cov", "g_cube_flags",
     "set_union_distinct", "set_except", "set_intersect", "d_monthly_revenue",
     "d_dow_profile", "d_tumbling_window", "r_pivot_status_matrix",
     "r_unpivot_measures", "r_fuzzy_levenshtein", "q18_large_volume_customers",
     "r_not_in_null_semantics", "r_null_safe_equality", "d_sessionize_batch",
-    "x_salted_aggregation", "t_token_stats", "t_bpe_token_count",
-    "t_rolling_fingerprint", "t_language_id", "t_quality_scores",
+    "x_salted_aggregation",
 })
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 
 
-# r9 window composition (the policy VERDICT r8 #4 asks to pin, now
+# Window composition (the policy VERDICT r8 #4 asks to pin, now
 # that the never-checked backlog is empty): the graded _WINDOW-slot
 # prefix is
 #   (a) every name WITHOUT a binding green row — this round's new
@@ -298,18 +326,13 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r9 arithmetic: 16 new (d_audio_fingerprint, m_corpus_curation_e2e,
-# t_unigram_viterbi, s_stream_audio_fingerprint, d_bbit_minhash,
-# x_theta_sketch_intersection, c_kcenter_coreset,
-# t_quality_classifier_hashed, v_rrf_hybrid_retrieval,
-# j_spatial_neighbor_join, c_multipattern_contamination,
-# g_dbscan_grid, d_longest_common_span, s_stream_quality_classifier,
-# c_shard_rebalance_strategies, x_sprt_sequential_test) + 7
-# module-touched re-grades (6 decode-family from the r8 set +
-# m_gif_giflib_parity from r6) = 23 unverified; 27 rotation slots
-# reach the oldest greens (all drawn from the r1 set, 6+ rounds
-# stale).  tests/test_registry_order.py pins the RULE, not just this
-# round's list.
+# r10 arithmetic: the new queries_round10.py registrations + 3
+# module-touched re-grades (g_dbscan_grid /
+# c_multipattern_contamination / v_rrf_hybrid_retrieval, see the
+# _VERIFIED_BY_ROUND[9] comment) form tier 0; the remaining rotation
+# slots consume all 20 surviving r1 rows first (VERDICT r9 #2), then
+# the oldest r2 rows.  tests/test_registry_order.py pins the RULE,
+# not just this round's list.
 
 
 def _ensure_loaded() -> None:
@@ -359,10 +382,10 @@ def _ensure_loaded() -> None:
     tier0 = [n for n in names if n not in _DRIVER_VERIFIED]
     quota = max(0, _WINDOW - len(tier0))
     verified_in_reg_order = [n for n in names if n in _DRIVER_VERIFIED]
-    rotation = sorted(
-        verified_in_reg_order,
-        key=lambda n: (round_of[n], verified_in_reg_order.index(n)),
-    )[:quota]
+    # sorted() is stable, so sorting by round alone preserves
+    # registration order within a round (ADVICE r9: the explicit
+    # .index() tiebreak was redundant and O(n^2))
+    rotation = sorted(verified_in_reg_order, key=round_of.__getitem__)[:quota]
     rotation_set = set(rotation)
     rest = [
         n for n in verified_in_reg_order if n not in rotation_set

@@ -67,25 +67,30 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r9_regrades_are_in_the_window():
-    # r9 touched the libjpeg shim (header-only layout pass), the
-    # dispatch layer (max_pixels threading), giflib's bomb rails, and
-    # the corpus-bench schema: the queries over those modules must NOT
-    # sit in the verified tier
+def test_r10_regrades_are_in_the_window():
+    # r10 touched g_dbscan_grid (O(n) broadcast hints removed, VERDICT
+    # r9 #3), c_multipattern_contamination (explicit sc.broadcast of
+    # the automaton + aho_corasick_build input asserts), and
+    # v_rrf_hybrid_retrieval's oracle-resolution path (import-order
+    # fix): those queries must NOT sit in the verified tier
     for name in (
-        "m_gif_giflib_parity", "m_decode_native_dispatch",
-        "m_decode_corpus_bench", "s_stream_media_decode",
-        "m_jpeg_libjpeg_parity", "m_jpeg_quality_estimate",
-        "d_phash_clusters",
+        "g_dbscan_grid", "c_multipattern_contamination",
+        "v_rrf_hybrid_retrieval",
     ):
         assert name not in _DRIVER_VERIFIED, name
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
 
 
-def test_new_r9_queries_in_graded_window():
-    # a fresh operator gets its hard row the same round it ships
-    for name in ("d_audio_fingerprint", "m_corpus_curation_e2e"):
-        assert name in TIER0, name
+def test_r9_greens_retired_and_r1_rotation_reset():
+    # the r9 window's greens carry round-9 age now; the 27 rotated r1
+    # rows re-greened in r9 and must NOT re-occupy rotation slots
+    # while 20 r1-vintage rows remain (VERDICT r9 #2)
+    for name in ("d_audio_fingerprint", "q1_pricing_summary",
+                 "w_topn_per_group", "m_gif_giflib_parity"):
+        assert ROUND_OF[name] == 9, name
+        assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
+    # every surviving r1 row sits in this round's rotation slots
+    for name in _VERIFIED_BY_ROUND[1]:
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
 
 
