@@ -1263,3 +1263,42 @@ def test_multipattern_scan_is_map_only(spark):
     plan = plan_of(spark, "c_multipattern_contamination")
     assert "MapInPandas" in plan, plan
     assert "text" not in plan.split("MapInPandas")[0], plan
+
+
+def _exchange_blocks(plan: str) -> list[str]:
+    """The formatted-explain detail blocks of every Exchange node."""
+    return [
+        b
+        for b in plan.split("\n\n")
+        if b.strip().startswith("(") and ") Exchange" in b.splitlines()[0]
+    ]
+
+
+def test_suffix_dedup_shuffles_fixed_width_rows_only(spark):
+    """The r10 corpus-wide exact-substring dedup (VERDICT r9 #1 bar):
+    every Exchange carries fixed-width (anchor-hash, doc_id, offset)
+    rows — the text itself never shuffles and no stage forms text^2
+    pairs.  Asserted on the full-lineage plan (checkpoint=False; the
+    registered query truncates lineage at the positions checkpoint)."""
+    import contextlib
+    import io
+
+    from map2db_spark.operators.exact_substring import duplicate_spans
+    from map2db_spark.tables import Tables
+
+    df = duplicate_spans(
+        Tables(spark, SF_CORRECT).documents, 25, checkpoint=False
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    blocks = _exchange_blocks(plan)
+    # anchor-count agg, semi-join probe, per-doc merge window
+    assert len(blocks) >= 2, plan
+    assert all("text#" not in b for b in blocks), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # pass-1 anchor counting is map-side combinable (partial agg
+    # before its Exchange)
+    assert "partial_count" in plan, plan
