@@ -83,3 +83,70 @@ def heavy_hitters_topk(
         .where(F.col("rank") <= k)
         .select(F.col(key_col).alias("key"), "n", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen Bloom membership sketch (cross-corpus novelty filtering)
+# ---------------------------------------------------------------------------
+#
+# The ingest-time "have we trained on this already" primitive
+# (VERDICT r9 #4): a prior corpus freezes into an m-bit Bloom filter
+# of its n-gram set; new shards score against the FROZEN artifact
+# without touching the prior corpus again.  Bloom filters are
+# mergeable (bitwise OR) and the serialized form is the m/8-byte
+# bitmap — build per partition/shard, OR the bitmaps, ship the bytes.
+# Hash convention matches the engine's JVM side and the SQL oracles:
+# position i of value v = int(md5(f"{seed}{i}:" + v)[:8], 16) % m.
+
+
+def bloom_bit_positions(value: str, m: int, k: int, seed: str = "nv") -> list[int]:
+    """The k bit positions of one value — the Python twin of the
+    F.conv(F.substring(F.md5(...), 1, 8), 16, 10) % m convention used
+    JVM-side (identical md5, so a sketch frozen by either side is
+    probed correctly by the other)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{seed}{i}:{value}".encode()).hexdigest()[:8], 16
+        )
+        % m
+        for i in range(k)
+    ]
+
+
+def bloom_serialize(bits: set[int] | frozenset[int], m: int) -> bytes:
+    """Freeze a set of set-bit positions into the m-bit bitmap (the
+    artifact a prior corpus ships to future ingest jobs)."""
+    buf = bytearray((m + 7) // 8)
+    for b in bits:
+        if not 0 <= b < m:
+            raise ValueError(f"bit {b} out of range for m={m}")
+        buf[b >> 3] |= 1 << (b & 7)
+    return bytes(buf)
+
+
+def bloom_deserialize(raw: bytes) -> frozenset[int]:
+    """Set-bit positions of a frozen bitmap."""
+    return frozenset(
+        (byte_i << 3) | bit
+        for byte_i, byte in enumerate(raw)
+        for bit in range(8)
+        if byte & (1 << bit)
+    )
+
+
+def bloom_merge(*bitmaps: bytes) -> bytes:
+    """OR-merge frozen bitmaps (all same m).  Mergeability is what
+    lets each shard freeze independently and the union corpus' sketch
+    be assembled without re-reading any shard."""
+    if not bitmaps:
+        raise ValueError("nothing to merge")
+    sizes = {len(b) for b in bitmaps}
+    if len(sizes) != 1:
+        raise ValueError(f"bitmap sizes differ: {sorted(sizes)}")
+    out = bytearray(bitmaps[0])
+    for other in bitmaps[1:]:
+        for i, byte in enumerate(other):
+            out[i] |= byte
+    return bytes(out)

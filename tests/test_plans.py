@@ -1302,3 +1302,14 @@ def test_suffix_dedup_shuffles_fixed_width_rows_only(spark):
     # pass-1 anchor counting is map-side combinable (partial agg
     # before its Exchange)
     assert "partial_count" in plan, plan
+
+
+def test_novelty_filter_probe_broadcasts_bounded_bits(spark):
+    """The r10 frozen-sketch novelty filter: membership is chained
+    broadcast semi-joins against the bit table (bounded by the
+    CONSTANT m, the one provably-broadcastable frame) — the new
+    shard's gram stream never shuffles for membership; the only
+    corpus-keyed exchanges are the per-doc rollups."""
+    plan = plan_of(spark, "c_novelty_filter_frozen")
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
