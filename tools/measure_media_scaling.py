@@ -17,7 +17,15 @@ Three rows, each timed at 1x and 10x input:
   tool only times the same work at scale);
 - quality: the m_jpeg_quality_estimate kernel shape (libjpeg encode +
   header-only quant-table inversion) over spark.range(n), same mirror
-  caveat.
+  caveat;
+- audio_fp (r10, VERDICT r9 #7): the d_audio_fingerprint kernel shape
+  (int16 synth -> WAV container round-trip -> 256-pt STFT landmarks ->
+  (doc, group, hash) rows) over spark.range(n), followed by the
+  metadata-side digest/membership aggregates;
+- curation_e2e (r10, VERDICT r9 #7): the m_corpus_curation_e2e kernel
+  shape (libjpeg encode at q(group) -> coefficient decode -> quality
+  estimate + AC hash in ONE pass) over spark.range(n), followed by the
+  filter -> dedup -> domain-cap reshape.
 
 Each row: warm pass, then min-of-two timed passes through the noop
 sink, bench.py's per-row state drain between all passes.  Prints one
@@ -133,6 +141,161 @@ def _quality_df(spark, n):
     )
 
 
+def _audio_df(spark, n):
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        from map2db_spark.functions.wav import decode_wav, encode_wav
+
+        W, HOP = 256, 128
+
+        def landmarks(sig):
+            x = sig.astype(np.float64)
+            if len(x) < W:
+                return set()
+            frames = np.lib.stride_tricks.sliding_window_view(x, W)[::HOP]
+            mag = np.abs(np.fft.rfft(frames, axis=1))
+            peaks_by_frame = {}
+            for t in range(mag.shape[0]):
+                m = mag[t]
+                if not m.any():
+                    continue
+                interior = m[1:-1]
+                loc = np.flatnonzero(
+                    (interior > m[:-2]) & (interior > m[2:])
+                ) + 1
+                if loc.size == 0:
+                    continue
+                order = np.argsort(-m[loc], kind="stable")
+                peaks_by_frame[t] = sorted(int(loc[i]) for i in order[:5])
+            hashes = set()
+            for t, fs in peaks_by_frame.items():
+                for f1 in fs:
+                    cnt = 0
+                    for dt in range(1, 5):
+                        if cnt >= 3:
+                            break
+                        for f2 in peaks_by_frame.get(t + dt, []):
+                            hashes.add((f1 << 16) | (f2 << 8) | dt)
+                            cnt += 1
+                            if cnt >= 3:
+                                break
+            return hashes
+
+        for pdf in batches:
+            out = {"doc_id": [], "group_id": [], "h": []}
+            for did in pdf["id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                rng = np.random.default_rng(3000 + group)
+                content = rng.integers(-1000, 1001, 16 * HOP).astype(
+                    np.int64
+                )
+                base = np.concatenate([np.zeros(HOP, np.int64), content])
+                shift = (0, 2, 1)[variant]
+                scale = (1, 1, 4)[variant]
+                sig = np.concatenate(
+                    [np.zeros(shift * HOP, np.int64), base * scale]
+                ).astype(np.int16)
+                decoded, _rate = decode_wav(encode_wav(sig))
+                for h in landmarks(decoded):
+                    out["doc_id"].append(did)
+                    out["group_id"].append(group)
+                    out["h"].append(h)
+            yield pd.DataFrame(out)
+
+    fp = spark.range(n).repartition(64).mapInPandas(
+        kernel, schema="doc_id LONG, group_id LONG, h LONG"
+    )
+    return (
+        fp.groupBy("doc_id", "group_id")
+        .agg(F.md5(F.to_json(F.sort_array(F.collect_list("h")))).alias("d"))
+        .groupBy("group_id")
+        .agg(F.countDistinct("d").alias("n_sets"))
+    )
+
+
+def _curation_df(spark, n):
+    import pandas as pd
+    from pyspark.sql import Window
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        from map2db_spark.functions import libjpeg_oracle as LJ
+        from map2db_spark.functions.jpeg_codec import (
+            decode_jpeg_coefficients,
+        )
+
+        k1 = np.array([
+            16, 11, 10, 16, 24, 40, 51, 61,
+            12, 12, 14, 19, 26, 58, 60, 55,
+            14, 13, 16, 24, 40, 57, 69, 56,
+            14, 17, 22, 29, 51, 87, 80, 62,
+            18, 22, 37, 56, 68, 109, 103, 77,
+            24, 35, 55, 64, 81, 104, 113, 92,
+            49, 64, 78, 87, 103, 121, 120, 101,
+            72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+        k1_sum = int(k1.sum())
+        for pdf in batches:
+            out = {"doc_id": [], "domain": [], "q_est": [], "ac_hash": []}
+            for did in pdf["id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                q = 25 + (group * 9) % 74
+                rng = np.random.default_rng(2000 + group)
+                base = rng.integers(40, 200, (24, 24)).astype(np.uint8)
+                img = (base + 8 * variant).astype(np.uint8)
+                stream = LJ.encode(img, quality=q)
+                _w, _h, comps = decode_jpeg_coefficients(stream)
+                qt_sum = int(comps[0]["qtable"].sum())
+                s_est = int(round(100.0 * qt_sum / k1_sum))
+                q_est = (
+                    max(1, int(round(5000.0 / s_est)))
+                    if s_est >= 100
+                    else int(round((200 - s_est) / 2.0))
+                )
+                m = hashlib.md5()
+                for c in comps:
+                    m.update(
+                        np.ascontiguousarray(c["blocks"][:, :, 1:]).tobytes()
+                    )
+                out["doc_id"].append(did)
+                out["domain"].append(group % 4)
+                out["q_est"].append(q_est)
+                out["ac_hash"].append(m.hexdigest())
+            yield pd.DataFrame(out)
+
+    meta = spark.range(n).repartition(64).mapInPandas(
+        kernel, schema="doc_id LONG, domain LONG, q_est INT, ac_hash STRING"
+    )
+    reps = (
+        meta.where(F.col("q_est") >= 50)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ac_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        reps.withColumn(
+            "rnd",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rnd") <= 2)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def main() -> None:
     import os
 
@@ -195,6 +358,10 @@ def main() -> None:
                   lambda: _phash_df(spark, 48000), 4800),
         "quality": (lambda: _quality_df(spark, 4800),
                     lambda: _quality_df(spark, 48000), 4800),
+        "audio_fp": (lambda: _audio_df(spark, 480),
+                     lambda: _audio_df(spark, 4800), 480),
+        "curation_e2e": (lambda: _curation_df(spark, 4800),
+                         lambda: _curation_df(spark, 48000), 4800),
     }
 
     def timed(mk) -> float:
