@@ -423,3 +423,346 @@ def s_stream_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("novelty_pct"),
     )
     return _novelty_rollup(verdict)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+_PD_W = 3  # words per chunk ("paragraph" stand-in on the word-soup corpus)
+
+
+@query(
+    "d_paragraph_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i.c AS idx,
+             array_to_string(
+               list_slice(t, 3 * i.c + 1, 3 * i.c + 3), ' ') AS chunk
+      FROM toks, LATERAL (SELECT unnest(range(0,
+             CAST(ceil(len(t) / 3.0) AS BIGINT))) AS c) i
+    ),
+    flagged AS (
+      SELECT doc_id, idx, chunk,
+             CASE WHEN row_number() OVER (
+               PARTITION BY chunk ORDER BY doc_id, idx) = 1
+             THEN 1 ELSE 0 END AS kept
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE kept = 1), '')) AS rebuilt_md5
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def d_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup WITH document reconstruction —
+    the CCNet shape (dedup at paragraph level, then rebuild each doc
+    from its surviving paragraphs in original order), which removes
+    boilerplate that doc-level dedup (d_exact_dedup) cannot touch:
+    3-word chunks stand in for paragraphs on the word-soup corpus;
+    the corpus-wide FIRST occurrence of each chunk (ordered by
+    (doc_id, idx) — deterministic, the order-dependence resolution)
+    survives, later occurrences drop, and each doc re-assembles from
+    its kept chunks (md5 of the rebuilt text is the graded evidence
+    both engines rebuilt the SAME document).  Non-degenerate at
+    sf0.01: 1,756 of 9,216 chunks drop across 411 docs, including 13
+    docs that dedup to EMPTY (the all-boilerplate case — rebuilt text
+    '' — exercised on the graded row).
+
+    Scale shape: chunking is a map-side explode; first-occurrence is
+    ONE window over the chunk key (shuffle carries (chunk, doc, idx)
+    rows — at scale, hash the chunk first to shuffle 8-byte keys);
+    reconstruction is one per-doc aggregate.  Nothing is pairwise;
+    both shuffles are map-side-combinable or single-pass windows."""
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    docs = Tables(spark, sf_dir).documents
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(tok) / F.lit(3.0)).cast("long") - 1,
+            )
+        ).alias("idx"),
+        tok.alias("t"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("idx") * _PD_W + 1, _PD_W)
+        ).alias("chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    flagged = chunks.select(
+        "doc_id",
+        "idx",
+        "chunk",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("kept"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("idx", "kept", "chunk")
+                                )
+                            ),
+                            lambda x: x["kept"] == 1,
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                )
+            ).alias("rebuilt_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coordinated (join-preserving) sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_coordinated_sample",
+    oracle="""
+    WITH cs AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(concat('0x', substr(md5('cs:' ||
+              CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    ),
+    oc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE CAST(concat('0x', substr(md5('cs:' ||
+              CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    ),
+    oi AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE CAST(concat('0x', substr(md5('ci:' ||
+              CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    )
+    SELECT
+      CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_cust_total,
+      CAST((SELECT count(*) FROM cs) AS BIGINT) AS n_cust_sampled,
+      CAST((SELECT count(*) FROM oc) AS BIGINT) AS n_orders_coord,
+      CAST((SELECT count(*) FROM oc
+            WHERE o_custkey IN (SELECT c_custkey FROM cs)) AS BIGINT)
+        AS n_join_coord,
+      CAST((SELECT count(*) FROM oi) AS BIGINT) AS n_orders_indep,
+      CAST((SELECT count(*) FROM oi
+            WHERE o_custkey IN (SELECT c_custkey FROM cs)) AS BIGINT)
+        AS n_join_indep,
+      CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM oc) * 10 AS BIGINT) AS est_revenue_cents,
+      CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM orders) AS BIGINT) AS true_revenue_cents
+    """,
+    tags=("sampling", "pipeline", "statistics"),
+)
+def x_coordinated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COORDINATED sampling — sample every table by the same hash of
+    the JOIN KEY, so the join of the samples IS a sample of the join
+    (the Cohen/Kaplan coordinated-sketches property; the thing a
+    per-row Bernoulli sample destroys).  Customers keep key-hash
+    bucket < 10 (10%); orders sampled two ways: COORDINATED (same
+    hash, same seed, on o_custkey) and INDEPENDENT (hash of
+    o_orderkey).  The graded certificate: n_join_coord ==
+    n_orders_coord — EVERY sampled order's customer is in the
+    customer sample, so foreign-key analyses run unbiased on 10% of
+    the data — while the independent sample's intersection is ~1%
+    (10% x 10%).  The 10x-scaled revenue estimator over the
+    coordinated sample ships against the true total (exact cents) as
+    the usual accuracy readout.
+
+    Scale shape: sampling is a map-side predicate on a hash — no
+    shuffle, no coordination state, works identically on every table
+    and every engine that agrees on md5 (the cross-team contract that
+    makes coordinated samples reproducible); the certificate joins
+    are key-keyed semi-joins over 10% relations."""
+    t = Tables(spark, sf_dir)
+
+    def bucket(tag: str, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    customer, orders = t.customer, t.orders
+    cs = customer.where(bucket("cs:", F.col("c_custkey")) < 10)
+    oc = orders.where(bucket("cs:", F.col("o_custkey")) < 10)
+    oi = orders.where(bucket("ci:", F.col("o_orderkey")) < 10)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    n_cust_total = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust_total")
+    )
+    n_cust_sampled = cs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust_sampled")
+    )
+    n_orders_coord = oc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_coord")
+    )
+    n_join_coord = oc.join(
+        cs.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_join_coord"))
+    n_orders_indep = oi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_indep")
+    )
+    n_join_indep = oi.join(
+        cs.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_join_indep"))
+    est = oc.agg(
+        (F.sum(cents) * 10).cast("long").alias("est_revenue_cents")
+    )
+    true_rev = orders.agg(
+        F.sum(cents).cast("long").alias("true_revenue_cents")
+    )
+    out = n_cust_total
+    for piece in (
+        n_cust_sampled, n_orders_coord, n_join_coord,
+        n_orders_indep, n_join_indep, est, true_rev,
+    ):
+        out = out.crossJoin(F.broadcast(piece))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression: one exact Newton step
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_logreg_newton",
+    oracle=r"""
+    WITH d AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS x,
+             CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+             sum(y) AS sy, sum(x*y) AS sxy
+      FROM d
+    ),
+    w AS (
+      SELECT n, sy, sxx * n - sx * sx AS det,
+             2 * (n * (2*sxy - sx) - sx * (2*sy - n)) AS wx,
+             2 * (-sx * (2*sxy - sx) + sxx * (2*sy - n)) AS wb
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sy AS BIGINT) AS n_pos,
+           CAST(det AS BIGINT) AS det,
+           CAST(wx AS BIGINT) AS w_x_num,
+           CAST(wb AS BIGINT) AS w_b_num,
+           CAST((SELECT count(*) FROM d, w WHERE wx * x + wb > 0)
+                AS BIGINT) AS n_pred_pos,
+           CAST((SELECT count(*) FROM d, w WHERE wx * x + wb > 0 AND y = 1)
+                AS BIGINT) AS n_true_pos
+    FROM w
+    """,
+    tags=("ml", "statistics", "training"),
+)
+def x_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT Newton-Raphson step of logistic regression,
+    distributed — the convergence engine under every IRLS/GLM trainer,
+    run the way a cluster actually runs it: sufficient statistics
+    (n, Sx, Sxx, Sy, Sxy) come from ONE map-side-combinable aggregate
+    over the data, the 2x2 solve happens closed-form on the 1-row
+    result, and the updated weights broadcast back for scoring.  From
+    the zero init, sigma(0) = 1/2 makes the Hessian exactly X'X/4 and
+    the gradient X'(y - 1/2), so beta_1 = 4 (X'X)^-1 X'(y - 1/2) is a
+    RATIONAL of integer sums — emitted as exact BIGINT numerators over
+    the determinant (integer-scaled exact math; float would be
+    aggregation-order-dependent and never hash-portable).  Feature:
+    whitespace token count; label: n_chars >= 240 — genuinely
+    dependent (the corpus' quantity/price pairs are independent by
+    construction), so the scored verdict is non-degenerate: 291/500
+    predicted positive at sf0.01, with the decision boundary
+    -w_b/w_x inside the observed token range, and a false positive
+    appearing at sf0.1 (2,897 predicted vs 2,896 true).
+
+    Scale shape: two passes over the data (sufficient stats; scoring
+    with the broadcast 1-row weight frame), both map-side; nothing
+    iterates driver-side except the O(1) solve.  The multi-feature
+    form is the same dataflow with a k x k Gram matrix (k^2 ints per
+    partition), solved driver-side at k <= thousands."""
+    tok_n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    d = Tables(spark, sf_dir).documents.select(
+        tok_n.alias("x"),
+        F.when(F.col("n_chars") >= 240, 1).otherwise(0).cast("long")
+        .alias("y"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    w = agg.select(
+        F.col("n"),
+        F.col("sy"),
+        (F.col("sxx") * F.col("n") - F.col("sx") * F.col("sx")).alias("det"),
+        (
+            2
+            * (
+                F.col("n") * (2 * F.col("sxy") - F.col("sx"))
+                - F.col("sx") * (2 * F.col("sy") - F.col("n"))
+            )
+        ).alias("wx"),
+        (
+            2
+            * (
+                -F.col("sx") * (2 * F.col("sxy") - F.col("sx"))
+                + F.col("sxx") * (2 * F.col("sy") - F.col("n"))
+            )
+        ).alias("wb"),
+    )
+    scored = d.crossJoin(F.broadcast(w.select("wx", "wb"))).agg(
+        F.sum(
+            F.when(F.col("wx") * F.col("x") + F.col("wb") > 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pred_pos"),
+        F.sum(
+            F.when(
+                (F.col("wx") * F.col("x") + F.col("wb") > 0)
+                & (F.col("y") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_true_pos"),
+    )
+    return w.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sy").cast("long").alias("n_pos"),
+        F.col("det").cast("long").alias("det"),
+        F.col("wx").cast("long").alias("w_x_num"),
+        F.col("wb").cast("long").alias("w_b_num"),
+    ).crossJoin(F.broadcast(scored))
