@@ -766,3 +766,734 @@ def x_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wx").cast("long").alias("w_x_num"),
         F.col("wb").cast("long").alias("w_b_num"),
     ).crossJoin(F.broadcast(scored))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM scoring (train/held-out split)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_kneser_ney_bigram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ),
+    train AS (SELECT w1, w2 FROM big WHERE doc_id < 400),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+           FROM train GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1,
+                  CAST(count(DISTINCT w2) AS BIGINT) AS f1
+           FROM train GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS ncw2
+             FROM train GROUP BY w2),
+    nbt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c2),
+    test AS (SELECT doc_id, w1, w2 FROM big WHERE doc_id >= 400),
+    joined AS (
+      SELECT t.doc_id, c1.n1, c1.f1, COALESCE(c2.n2, 0) AS n2,
+             COALESCE(cont.ncw2, 0) AS ncw2, nbt.nt
+      FROM test t
+      LEFT JOIN c1 ON c1.w1 = t.w1
+      LEFT JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+      LEFT JOIN cont ON cont.w2 = t.w2
+      CROSS JOIN nbt
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN n1 IS NULL OR (n2 = 0 AND ncw2 = 0)
+                  THEN 1 ELSE 0 END AS oov,
+             CASE WHEN n1 IS NULL OR (n2 = 0 AND ncw2 = 0) THEN 0
+                  ELSE CAST(round(-1000000 * ln(
+                    (greatest(CAST(n2 AS DOUBLE) - 0.75, 0)
+                     + 0.75 * f1 * (CAST(ncw2 AS DOUBLE) / nt)) / n1))
+                    AS BIGINT)
+             END AS nll_micro
+      FROM joined
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(nll_micro) AS BIGINT) AS nll_sum_micro,
+           CAST(sum(nll_micro) // greatest(count(*) - sum(oov), 1)
+                AS BIGINT) AS nll_avg_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "language-model", "quality", "pipeline"),
+)
+def t_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scoring with a real train/test
+    split — the KenLM-style perplexity filter of CCNet/RedPajama, one
+    rung above t_bigram_perplexity's raw MLE: absolute discounting
+    (D = 3/4) frees mass from observed bigrams, and the backoff
+    distribution is the CONTINUATION count (in how many contexts does
+    w2 appear), not the unigram count — the fix that stops
+    "san FRANCISCO"-style tokens from leaking probability into novel
+    contexts.  The LM trains on docs < 400 and scores the HELD-OUT
+    docs >= 400 (the real filtering deployment; MLE would assign the
+    held-out set zero-prob bigrams, which is exactly why production
+    uses KN).  Unseen test bigrams with a seen context fall through
+    to the continuation term; bigrams with an unseen context word or
+    a never-continued w2 count as n_oov instead of faking a score
+    (zero here by closed-vocab construction — the word-soup corpus
+    shares one vocabulary).
+
+    Cross-engine exactness: the t_bigram_perplexity convention — ONE
+    ln per test bigram over an identical double expression of exact
+    integer counts, rounded to integer micro-nats BEFORE summation,
+    so the per-doc aggregate is order-independent.
+
+    Scale shape: three map-side-combinable count tables over the
+    train split (bigram, context+follower-distinct, continuation);
+    score-back joins UNHINTED so AQE broadcasts small count tables
+    and falls back to sort-merge on the bigram key at natural-corpus
+    cardinality; one doc-keyed final aggregate."""
+    docs = Tables(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    train = big.where(F.col("doc_id") < 400).select("w1", "w2")
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    c1 = train.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.countDistinct("w2").cast("long").alias("f1"),
+    )
+    cont = train.groupBy("w2").agg(
+        F.countDistinct("w1").cast("long").alias("ncw2")
+    )
+    nbt = c2.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    test = big.where(F.col("doc_id") >= 400)
+    joined = (
+        test.join(c1, "w1", "left")
+        .join(c2, ["w1", "w2"], "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "doc_id",
+            "n1",
+            "f1",
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+            F.coalesce(F.col("ncw2"), F.lit(0)).alias("ncw2"),
+            "nt",
+        )
+    )
+    is_oov = F.col("n1").isNull() | (
+        (F.col("n2") == 0) & (F.col("ncw2") == 0)
+    )
+    nll = F.round(
+        F.lit(-1000000)
+        * F.log(
+            (
+                F.greatest(F.col("n2").cast("double") - 0.75, F.lit(0.0))
+                + 0.75
+                * F.col("f1")
+                * (F.col("ncw2").cast("double") / F.col("nt"))
+            )
+            / F.col("n1")
+        )
+    ).cast("long")
+    scored = joined.select(
+        "doc_id",
+        F.when(is_oov, 1).otherwise(0).alias("oov"),
+        F.when(is_oov, 0).otherwise(nll).alias("nll_micro"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.sum("nll_micro").cast("long").alias("nll_sum_micro"),
+            F.expr(
+                "CAST(sum(nll_micro)"
+                " DIV greatest(count(*) - sum(oov), 1) AS BIGINT)"
+            ).alias("nll_avg_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual codebooks (the production FAISS index shape)
+# ---------------------------------------------------------------------------
+
+_IPQ_M = 8      # subspaces
+_IPQ_SUB = 8    # dims per subspace
+_IPQ_K = 16     # centroids per subspace codebook
+_IPQ_SEEDS = (5, 80, 155, 230, 305, 380, 455)  # data-seeded coarse cells
+_IPQ_QIDS = (0, 101, 202, 303)
+_IPQ_NPROBE = 2
+_IPQ_TOPK = 5
+
+
+def _ipq_codebook() -> list[tuple[int, int, int, int]]:
+    """Seeded-literal residual codebook (s, c, j, v) — residuals live
+    in a tighter range than raw vectors, so the literals span ±2e5
+    (the v_pq_adc_topk hyperplanes() pattern, new seed)."""
+    import random
+
+    rng = random.Random(23)
+    return [
+        (s, c, j, rng.randint(-200000, 200000))
+        for s in range(_IPQ_M)
+        for c in range(_IPQ_K)
+        for j in range(_IPQ_SUB)
+    ]
+
+
+_IPQ_ROWS = _ipq_codebook()
+_IPQ_VALUES_SQL = ", ".join(f"({s},{c},{j},{v})" for s, c, j, v in _IPQ_ROWS)
+_IPQ_SEEDS_SQL = ", ".join(str(s) for s in _IPQ_SEEDS)
+_IPQ_QIDS_SQL = ", ".join(str(q) for q in _IPQ_QIDS)
+
+
+@query(
+    "v_ivf_pq_residual",
+    oracle=f"""
+    WITH cb(s, c, j, v) AS (VALUES {_IPQ_VALUES_SQL}),
+    iv AS (
+      SELECT vec_id, CAST(p - 1 AS INT) AS p,
+             CAST(round(CAST(embedding[CAST(p AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, {_IPQ_M * _IPQ_SUB})) AS u(p)
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, p, x AS cv FROM iv
+      WHERE vec_id IN ({_IPQ_SEEDS_SQL})
+    ),
+    cdist AS (
+      SELECT iv.vec_id, seeds.cid,
+             sum((iv.x - seeds.cv) * (iv.x - seeds.cv)) AS d
+      FROM iv JOIN seeds USING (p)
+      GROUP BY iv.vec_id, seeds.cid
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY d, cid) AS crank
+      FROM cdist
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM ranked_cells
+               WHERE crank = 1),
+    resid AS (
+      SELECT iv.vec_id, a.cell,
+             CAST(iv.p // {_IPQ_SUB} AS INT) AS s,
+             CAST(iv.p % {_IPQ_SUB} AS INT) AS j,
+             iv.x - seeds.cv AS r
+      FROM iv JOIN assign a ON a.vec_id = iv.vec_id
+              JOIN seeds ON seeds.cid = a.cell AND seeds.p = iv.p
+    ),
+    rdists AS (
+      SELECT vec_id, cell, resid.s, cb.c,
+             sum((resid.r - cb.v) * (resid.r - cb.v)) AS dist
+      FROM resid JOIN cb ON cb.s = resid.s AND cb.j = resid.j
+      GROUP BY vec_id, cell, resid.s, cb.c
+    ),
+    codes AS (
+      SELECT vec_id, cell, s, c AS code FROM (
+        SELECT vec_id, cell, s, c,
+               row_number() OVER (
+                 PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM rdists
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+      WHERE vec_id IN ({_IPQ_QIDS_SQL}) AND crank <= {_IPQ_NPROBE}
+    ),
+    qresid AS (
+      SELECT pr.query_id, pr.cell,
+             CAST(iv.p // {_IPQ_SUB} AS INT) AS s,
+             CAST(iv.p % {_IPQ_SUB} AS INT) AS j,
+             iv.x - seeds.cv AS r
+      FROM probe pr
+      JOIN iv ON iv.vec_id = pr.query_id
+      JOIN seeds ON seeds.cid = pr.cell AND seeds.p = iv.p
+    ),
+    qd AS (
+      SELECT query_id, cell, qresid.s, cb.c,
+             sum((qresid.r - cb.v) * (qresid.r - cb.v)) AS dist
+      FROM qresid JOIN cb ON cb.s = qresid.s AND cb.j = qresid.j
+      GROUP BY query_id, cell, qresid.s, cb.c
+    ),
+    scored AS (
+      SELECT qd.query_id, codes.vec_id AS cand_id, codes.cell,
+             CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+      FROM codes
+      JOIN qd ON qd.cell = codes.cell AND qd.s = codes.s
+             AND qd.c = codes.code
+      WHERE codes.vec_id NOT IN ({_IPQ_QIDS_SQL})
+      GROUP BY qd.query_id, codes.vec_id, codes.cell
+    )
+    SELECT query_id, cand_id,
+           CAST(cell AS BIGINT) AS cell, adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, cand_id, cell, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IPQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "quantization", "ivf"),
+)
+def v_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the index shape production ANN
+    (FAISS IndexIVFPQ) actually ships, composing the engine's two
+    existing halves the way the paper does (Jegou et al. 2011 §IV):
+    a coarse quantizer (data-seeded centroids, the v_ann_ivf_topk
+    convention) routes each vector to a cell; PQ encodes the RESIDUAL
+    x - centroid(cell) — residuals cluster near zero, so the same
+    codebook budget quantizes them far better than raw vectors (the
+    reason IVF-PQ beats flat PQ at equal bytes); queries probe their
+    nprobe=2 nearest cells and score candidates by asymmetric
+    distance computed against the PER-CELL query residual.  All
+    arithmetic integer-exact (micro-scaled dims, squared-L2 BIGINTs,
+    ties -> lowest id/code), so the whole three-stage index is
+    hash-verifiable against SQL.
+
+    Scale shape: coarse assign is a map-stage against the broadcast
+    seed table; residual encode is a map-stage against the broadcast
+    codebook (seeded literal here, k-means-trained in production —
+    operator shape identical); the stored index is (cell, 8 codes)
+    per vector.  Query work touches ONLY probed cells' code rows
+    (cell-keyed join — the inverted-list pruning), the per-cell
+    distance tables are queries x cells x 8 x 16 rows broadcast, and
+    nothing ever joins raw vectors to raw vectors."""
+    emb = Tables(spark, sf_dir).embeddings
+    cb = spark.createDataFrame(_IPQ_ROWS, "s INT, c INT, j INT, v LONG")
+    iv = (
+        emb.repartition(32, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("p", "e"))
+        .where(F.col("p") < _IPQ_M * _IPQ_SUB)
+        .select(
+            "vec_id",
+            F.col("p").cast("int").alias("p"),
+            F.round(F.col("e").cast("double") * 1000000)
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    iv = iv.localCheckpoint()  # feeds seeds/assign/resid/query branches
+    seeds = iv.where(F.col("vec_id").isin(*_IPQ_SEEDS)).select(
+        F.col("vec_id").alias("cid"), "p", F.col("x").alias("cv")
+    )
+    cdist = (
+        iv.join(F.broadcast(seeds), "p")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cv")) * (F.col("x") - F.col("cv"))
+            ).alias("d")
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy("d", "cid")
+    ranked_cells = cdist.select(
+        "vec_id", "cid", F.row_number().over(wc).alias("crank")
+    ).localCheckpoint()  # feeds assignment AND query probing
+    assign = ranked_cells.where(F.col("crank") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    resid = (
+        iv.join(assign, "vec_id")
+        .join(
+            F.broadcast(
+                seeds.select(F.col("cid").alias("cell"), "p", "cv")
+            ),
+            ["cell", "p"],
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(f"CAST(p DIV {_IPQ_SUB} AS INT)").alias("s"),
+            (F.col("p") % _IPQ_SUB).cast("int").alias("j"),
+            (F.col("x") - F.col("cv")).alias("r"),
+        )
+    )
+    rdists = (
+        resid.join(F.broadcast(cb), ["s", "j"])
+        .groupBy("vec_id", "cell", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("r") - F.col("v")) * (F.col("r") - F.col("v"))
+            ).alias("dist")
+        )
+    )
+    codes = (
+        rdists.groupBy("vec_id", "cell", "s")
+        .agg(F.min(F.struct("dist", "c")).alias("m"))
+        .select("vec_id", "cell", "s", F.col("m.c").alias("code"))
+    )
+    qids = list(_IPQ_QIDS)
+    probe = ranked_cells.where(
+        F.col("vec_id").isin(qids) & (F.col("crank") <= _IPQ_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    qresid = (
+        probe.join(
+            iv.select(F.col("vec_id").alias("query_id"), "p", "x"),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                seeds.select(F.col("cid").alias("cell"), "p", "cv")
+            ),
+            ["cell", "p"],
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.expr(f"CAST(p DIV {_IPQ_SUB} AS INT)").alias("s"),
+            (F.col("p") % _IPQ_SUB).cast("int").alias("j"),
+            (F.col("x") - F.col("cv")).alias("r"),
+        )
+    )
+    qd = (
+        qresid.join(F.broadcast(cb), ["s", "j"])
+        .groupBy("query_id", "cell", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("r") - F.col("v")) * (F.col("r") - F.col("v"))
+            ).alias("dist")
+        )
+    )
+    scored = (
+        codes.where(~F.col("vec_id").isin(qids))
+        .join(
+            F.broadcast(
+                qd.select(
+                    "query_id",
+                    F.col("cell").alias("cell"),
+                    F.col("s").alias("s"),
+                    F.col("c").alias("code"),
+                    "dist",
+                )
+            ),
+            ["cell", "s", "code"],
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"), "cell")
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= _IPQ_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cell").cast("long").alias("cell"),
+            "adc_dist",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-factor ALS in exact fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_als_onefactor",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS c, l_partkey AS p,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_partkey
+    ),
+    u AS (
+      SELECT c, (sum(r) * 1000) // count(*) AS u
+      FROM r GROUP BY c
+    ),
+    v AS (
+      SELECT p,
+             CAST(count(*) AS BIGINT) AS n_raters,
+             CAST((sum(r.r * u.u) * 1000) // sum(u.u * u.u) AS BIGINT)
+               AS v_milli
+      FROM r JOIN u USING (c)
+      GROUP BY p
+    )
+    SELECT CAST(p AS BIGINT) AS partkey, n_raters, v_milli
+    FROM v WHERE p % 20 = 0 ORDER BY partkey
+    """,
+    tags=("ml", "recommendation", "training"),
+)
+def x_als_onefactor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALTERNATION of rank-1 ALS over the implicit
+    (customer x part) purchase matrix — the matrix-factorization
+    training step (Koren/Hu-Koren-Volinsky family) as a pure dataflow:
+    from v = 1, the user solve is u_c = sum_p(r_cp v_p) / sum_p(v_p^2)
+    (row means), then the item solve v_p = sum_c(r_cp u_c) /
+    sum_c(u_c^2) over each part's raters.  Both solves are one
+    map-side-combinable aggregate each — exactly how distributed ALS
+    iterates (no gradient, no driver loop per element).
+
+    Determinism trick (the reason this is testable at all): weights
+    live in FIXED-POINT milli-units with floor division —
+    u = (S_c * 1000) DIV n_c, v = (sum(r u) * 1000) DIV sum(u^2) —
+    so every intermediate is an exact BIGINT, immune to the float
+    aggregation-order trap (a double sum over a shuffled relation is
+    not reproducible, let alone hash-portable; both engines floor
+    identically on nonnegative operands).  Production ALS runs float
+    with per-iteration regularization; the DATAFLOW is what this row
+    certifies.
+
+    Scale shape: ratings = one (cust, part) aggregate off the
+    fact-dim join; user solve shuffles on c, item solve on p — the
+    classic two-sided alternation, each a single keyed exchange;
+    nothing materializes beyond the two factor tables."""
+    t = Tables(spark, sf_dir)
+    r = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("r"))
+    )
+    u = r.groupBy("c").agg(
+        F.expr("CAST((sum(r) * 1000) DIV count(*) AS BIGINT)").alias("u")
+    )
+    v = (
+        r.join(u, "c")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raters"),
+            F.expr(
+                "CAST((sum(r * u) * 1000) DIV sum(u * u) AS BIGINT)"
+            ).alias("v_milli"),
+        )
+    )
+    return (
+        v.where(F.col("p") % 20 == 0)
+        .select(
+            F.col("p").cast("long").alias("partkey"), "n_raters", "v_milli"
+        )
+        .orderBy("partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the per-split summary a corpus release ships
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_dataset_card",
+    oracle=r"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) FILTER (WHERE n_chars >= 300)
+                AS BIGINT) AS n_long_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           CAST((SELECT count(DISTINCT w) FROM (
+                   SELECT unnest(regexp_split_to_array(trim(d2.text),
+                                 '\s+')) AS w
+                   FROM documents d2
+                   WHERE d2.lang = d.lang AND d2.source = d.source))
+                AS BIGINT) AS vocab_size
+    FROM documents d
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("curation", "text", "pipeline", "reporting"),
+)
+def c_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD generation — the per-(lang, source) summary table
+    a corpus release publishes (the "Data Card" of Pile/RedPajama
+    releases): doc and token counts, long-doc counts, char volume,
+    exact median length, and the exact per-split vocabulary size.
+    Every number is the exact value, not an estimate — the sketch
+    variants (x_approx_distinct, x_quantile_sketch) exist for when a
+    single pass must stay sub-linear in memory; a release card is
+    computed once and wants the true numbers.
+
+    Cross-engine note: the median is the only non-integer — Spark's
+    percentile(0.5) and DuckDB's median both interpolate (a + b) / 2
+    on the two middle BIGINTs, an exact dyadic, so the double is
+    bit-identical.
+
+    Scale shape: one map-side tokenize feeding a (lang, source)
+    aggregate (bounded key space); the vocab count is a two-level
+    aggregate (distinct word per split, then count) — the exact
+    count-distinct shuffle is the deliberate cost of a card, and the
+    key space is words, not docs."""
+    docs = Tables(spark, sf_dir).documents
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tok)).cast("long").alias("n_tokens"),
+        F.countDistinct(
+            F.when(F.col("n_chars") >= 300, F.col("doc_id"))
+        )
+        .cast("long")
+        .alias("n_long_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+    )
+    vocab = (
+        docs.select("lang", "source", F.explode(tok).alias("w"))
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("w").cast("long").alias("vocab_size"))
+    )
+    return (
+        base.join(vocab, ["lang", "source"])
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact-substring contamination gate (frozen anchor set)
+# ---------------------------------------------------------------------------
+
+_SC_L = 25  # window length (shared with d_suffix_dedup_corpus)
+_SC_PRIOR = 300
+_SC_FLAG = 50  # flag a doc iff >= this % of its windows are verbatim-seen
+
+
+@query(
+    "s_stream_contamination_exact",
+    oracle=f"""
+    WITH pos AS (
+      SELECT d.doc_id, d.lang,
+             md5(substr(d.text, CAST(t.o AS INT) + 1, {_SC_L})) AS h
+      FROM documents d,
+           LATERAL (SELECT unnest(range(0,
+                    greatest(length(d.text) - {_SC_L} + 1, 0))) AS o) t
+    ),
+    anchors AS (
+      SELECT DISTINCT h FROM pos WHERE doc_id < {_SC_PRIOR}
+    ),
+    per AS (
+      SELECT doc_id, lang, count(*) AS n_w,
+             sum(CASE WHEN h IN (SELECT h FROM anchors)
+                 THEN 1 ELSE 0 END) AS n_seen
+      FROM pos WHERE doc_id >= {_SC_PRIOR}
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (n_seen * 100) // n_w >= {_SC_FLAG}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_seen) AS BIGINT) AS sum_seen_windows,
+           CAST(sum(n_w) AS BIGINT) AS sum_windows
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+    tags=("streaming", "dedup", "curation", "exact-substring"),
+)
+def s_stream_contamination_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-substring contamination screening ON ARRIVAL — the
+    streaming deployment of d_suffix_dedup_corpus' anchor machinery
+    against a FROZEN prior corpus: every 25-char window of the prior
+    corpus is an anchor hash (the frozen artifact); each arriving doc
+    explodes its own window hashes statelessly in the micro-batch and
+    is flagged iff >= 50% of its windows are VERBATIM present in the
+    prior corpus.  Where s_stream_novelty_filter answers
+    probabilistically at the gram level (Bloom, novelty direction),
+    this is the exact verbatim-overlap verdict (contamination
+    direction) — the pair covers both sides of the ingest decision.
+    The fixture is naturally bimodal at sf0.01: 173 of 200 arriving
+    docs have ZERO seen windows, 12 are >= 96% verbatim-covered (the
+    corpus' planted near-dups) — the 50% flag separates with a 4x
+    margin on either side.
+
+    Scale shape: window hashing is map-side in the stream (text never
+    shuffles); membership is a stream-static equi-join on the hash —
+    UNHINTED, because the anchor set is O(prior corpus): AQE/the
+    planner picks broadcast while it fits and a shuffled hash join
+    beyond (production would front it with the Bloom sketch to keep
+    the exact join's input small); ONE stateful aggregate holds
+    (doc, lang) count pairs; the rollup reshapes the final snapshot
+    batch-side."""
+    from map2db_spark.streaming.events import run_available_now_df
+
+    batch_docs = Tables(spark, sf_dir).documents
+    anchor_h = F.md5(
+        F.col("text").substr(F.col("off") + 1, F.lit(_SC_L))
+    ).alias("h")
+    anchors = (
+        batch_docs.where(
+            (F.col("doc_id") < _SC_PRIOR)
+            & (F.length("text") >= _SC_L)
+        )
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - _SC_L)
+            ).alias("off"),
+            "text",
+        )
+        .select(anchor_h)
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING,"
+            " n_chars LONG"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .where(
+            (F.col("doc_id") >= _SC_PRIOR) & (F.length("text") >= _SC_L)
+        )
+    )
+    windows = stream.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - _SC_L)
+        ).alias("off"),
+        "text",
+    ).select("doc_id", "lang", anchor_h)
+    counts = (
+        windows.join(
+            anchors.withColumn("seen", F.lit(1)), "h", "left"
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_w"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("n_seen"),
+        )
+    )
+    snap = run_available_now_df(counts, "complete")
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.expr(f"(n_seen * 100) DIV n_w >= {_SC_FLAG}"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("n_seen").cast("long").alias("sum_seen_windows"),
+            F.sum("n_w").cast("long").alias("sum_windows"),
+        )
+        .orderBy("lang")
+    )
