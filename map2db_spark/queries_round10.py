@@ -1497,3 +1497,320 @@ def s_stream_contamination_exact(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted regression stumps (two exact boosting rounds)
+# ---------------------------------------------------------------------------
+
+
+def _gbdt_oracle() -> str:
+    # floor(double) division on BOTH sides: residual sums go negative
+    # in round 2, where Spark DIV truncates toward zero but DuckDB //
+    # floors — they differ exactly on negatives.  The double quotient
+    # is safe to floor: fractions are quantized at 1/n >> one ulp.
+    def fdiv(a: str, b: str) -> str:
+        return f"CAST(floor(CAST({a} AS DOUBLE) / ({b})) AS BIGINT)"
+
+    def stump(src: str, tag: str) -> str:
+        return f"""
+    grp{tag} AS (
+      SELECT x, count(*) AS cnt, sum(y) AS s FROM {src} GROUP BY x
+    ),
+    tot{tag} AS (SELECT sum(cnt) AS n, sum(s) AS stot FROM grp{tag}),
+    sides{tag} AS (
+      SELECT x AS t,
+             sum(cnt) OVER (ORDER BY x) AS nl,
+             sum(s) OVER (ORDER BY x) AS sl
+      FROM grp{tag}
+    ),
+    best{tag} AS (
+      SELECT t, nl, n - nl AS nr,
+             {fdiv("sl", "nl")} AS ml,
+             {fdiv("stot - sl", "n - nl")} AS mr
+      FROM sides{tag}, tot{tag}
+      WHERE nl < n
+      ORDER BY CAST(sl AS DOUBLE) * sl / nl
+               + CAST(stot - sl AS DOUBLE) * (stot - sl) / (n - nl)
+               DESC, t
+      LIMIT 1
+    )"""
+
+    return f"""
+    WITH d1 AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS x,
+             n_chars * 1000 AS y
+      FROM documents
+    ),
+    {stump("d1", "1")},
+    d2 AS (
+      SELECT x, y - (CASE WHEN x <= t THEN ml ELSE mr END) AS y
+      FROM d1, best1
+    ),
+    {stump("d2", "2")},
+    d3 AS (
+      SELECT x, y - (CASE WHEN x <= t THEN ml ELSE mr END) AS y
+      FROM d2, best2
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, CAST(t AS BIGINT) AS split_t,
+             CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+             CAST(ml AS BIGINT) AS fit_left_milli,
+             CAST(mr AS BIGINT) AS fit_right_milli,
+             CAST((SELECT sum(y * y) FROM d2) AS BIGINT) AS sse_after
+      FROM best1
+      UNION ALL
+      SELECT 2, t, nl, nr, ml, mr, (SELECT sum(y * y) FROM d3)
+      FROM best2
+    ) ORDER BY round
+    """
+
+
+@query(
+    "x_gbdt_stumps",
+    oracle=_gbdt_oracle(),
+    tags=("ml", "training", "statistics"),
+)
+def x_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO ROUNDS of gradient boosting with regression stumps
+    (squared loss — each round fits the previous round's residuals,
+    Friedman 2001), expressed as pure dataflow the way distributed
+    GBDT trainers actually search splits: per-round, ONE aggregate
+    groups the data by feature value, ONE ordered window pass turns
+    the groups into prefix sums, and every split candidate's gain
+    S_L^2/n_L + S_R^2/n_R reads off the prefix row — O(n + distinct
+    values), never a per-threshold rescan.  The best split is a 1-row
+    frame that broadcasts back to form residuals; no collect, no
+    driver loop beyond composing the two rounds' plans.
+
+    Exactness: y is milli-scaled BIGINT, sums/SSE exact integers;
+    leaf fits are floor-divided (explicit floor(double) on BOTH
+    engines — residual sums go NEGATIVE in round 2, where Spark DIV
+    truncates but DuckDB // floors; the double quotient floors safely
+    because fractions are multiples of 1/n >> ulp).  Gains compare as
+    identical doubles of exact integer sums (ties -> lowest
+    threshold).  Fixture: token count -> doc length; round 1 splits
+    at t = 54 (means 176 vs 416 chars), round 2 refines inside the
+    residual structure, SSE strictly decreasing across rounds.
+
+    Scale shape: each round = one map-side-combinable (x, count, sum)
+    aggregate + a window over DISTINCT FEATURE VALUES (bounded key
+    space, the histogram trick of LightGBM), + a broadcast of the
+    1-row split.  K rounds = K such passes; feature parallelism adds
+    a groupBy key, not a new shuffle shape."""
+
+    def fdiv(a, b):
+        return F.floor(a.cast("double") / b).cast("long")
+
+    def stump(d: DataFrame) -> DataFrame:
+        grp = d.groupBy("x").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("s")
+        )
+        wcum = Window.orderBy("x").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        sides = grp.select(
+            F.col("x").alias("t"),
+            F.sum("cnt").over(wcum).alias("nl"),
+            F.sum("s").over(wcum).alias("sl"),
+        )
+        tot = grp.agg(
+            F.sum("cnt").alias("n"), F.sum("s").alias("stot")
+        )
+        gain = (
+            F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+            + (F.col("stot") - F.col("sl")).cast("double")
+            * (F.col("stot") - F.col("sl"))
+            / (F.col("n") - F.col("nl"))
+        )
+        return (
+            sides.crossJoin(F.broadcast(tot))
+            .where(F.col("nl") < F.col("n"))
+            .select(
+                "t",
+                "nl",
+                (F.col("n") - F.col("nl")).alias("nr"),
+                fdiv(F.col("sl"), F.col("nl")).alias("ml"),
+                fdiv(
+                    F.col("stot") - F.col("sl"), F.col("n") - F.col("nl")
+                ).alias("mr"),
+                gain.alias("g"),
+            )
+            .orderBy(F.desc("g"), "t")
+            .limit(1)
+            .drop("g")
+        )
+
+    docs = Tables(spark, sf_dir).documents
+    d1 = docs.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("x"),
+        (F.col("n_chars") * 1000).alias("y"),
+    )
+    b1 = stump(d1)
+    d2 = d1.crossJoin(F.broadcast(b1)).select(
+        "x",
+        (
+            F.col("y")
+            - F.when(F.col("x") <= F.col("t"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("y"),
+    )
+    sse1 = d2.agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sse_after")
+    )
+    b2 = stump(d2)
+    d3 = d2.crossJoin(F.broadcast(b2)).select(
+        "x",
+        (
+            F.col("y")
+            - F.when(F.col("x") <= F.col("t"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("y"),
+    )
+    sse2 = d3.agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sse_after")
+    )
+
+    def row(rnd: int, b: DataFrame, sse: DataFrame) -> DataFrame:
+        return b.crossJoin(F.broadcast(sse)).select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("t").cast("long").alias("split_t"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("ml").cast("long").alias("fit_left_milli"),
+            F.col("mr").cast("long").alias("fit_right_milli"),
+            "sse_after",
+        )
+
+    return row(1, b1, sse1).unionByName(row(2, b2, sse2)).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dimension retrieval quality (Matryoshka-style eval)
+# ---------------------------------------------------------------------------
+
+_TD_QIDS = (0, 101, 202, 303)
+_TD_K = 10
+_TD_SHORT = 16  # truncated prefix dims
+_TD_QIDS_SQL = ", ".join(str(q) for q in _TD_QIDS)
+
+
+@query(
+    "v_truncated_dim_recall",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id, CAST(p AS INT) AS p,
+             CAST(round(CAST(embedding[CAST(p AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS u(p)
+    ),
+    q AS (SELECT vec_id AS query_id, p, x AS qx FROM iv
+          WHERE vec_id IN ({_TD_QIDS_SQL})),
+    dots AS (
+      SELECT q.query_id, iv.vec_id AS cand_id,
+             sum(q.qx * iv.x) AS d_full,
+             sum(CASE WHEN q.p <= {_TD_SHORT} THEN q.qx * iv.x
+                 ELSE 0 END) AS d_short
+      FROM q JOIN iv ON iv.p = q.p
+      WHERE iv.vec_id NOT IN ({_TD_QIDS_SQL})
+      GROUP BY q.query_id, iv.vec_id
+    ),
+    rk AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY d_full DESC, cand_id) AS r_full,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY d_short DESC, cand_id) AS r_short
+      FROM dots
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN r_full <= {_TD_K} AND r_short <= {_TD_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_k,
+           CAST(min(CASE WHEN r_full = 1 THEN r_short END) AS BIGINT)
+             AS nn_rank_truncated
+    FROM rk GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("similarity", "ann", "evaluation", "quantization"),
+)
+def v_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATED-DIMENSION retrieval eval — the measurement behind
+    Matryoshka-style embeddings (Kusupati et al. 2022) and every
+    "can we search on the first d' dims and rerank later" decision:
+    for each query, the exact inner-product top-10 under the FULL 64
+    dims vs under only the FIRST 16, reporting overlap@10 (how much
+    of the true top-k the truncated index keeps) and the truncated
+    rank of the true nearest neighbor (how deep a reranker must look
+    to recover it).  Exact integer dot products (micro-scaled dims),
+    both rankings computed from the SAME per-pair row so the
+    comparison is self-consistent.
+
+    Scale shape: one dim-keyed join of the 4-query frame against the
+    corpus (query side broadcast), one (query, cand) aggregate
+    computing BOTH scores in one pass (the short score is a
+    conditional sum, not a second scan), two windows over the same
+    k x corpus frame.  At index scale the same two-score pattern
+    rides the ANN candidate list instead of the brute-force frame."""
+    emb = Tables(spark, sf_dir).embeddings
+    qids = list(_TD_QIDS)
+    iv = (
+        emb.repartition(32, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("p0", "e"))
+        .select(
+            "vec_id",
+            (F.col("p0") + 1).cast("int").alias("p"),
+            F.round(F.col("e").cast("double") * 1000000)
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    q = iv.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "p", F.col("x").alias("qx")
+    )
+    dots = (
+        iv.where(~F.col("vec_id").isin(qids))
+        .join(F.broadcast(q), "p")
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum(F.col("qx") * F.col("x")).alias("d_full"),
+            F.sum(
+                F.when(
+                    F.col("p") <= _TD_SHORT, F.col("qx") * F.col("x")
+                ).otherwise(0)
+            ).alias("d_short"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("d_full"), "cand_id"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("d_short"), "cand_id"
+    )
+    rk = dots.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(ws).alias("r_short"),
+    )
+    return (
+        rk.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_full") <= _TD_K)
+                    & (F.col("r_short") <= _TD_K),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("overlap_at_k"),
+            F.min(
+                F.when(F.col("r_full") == 1, F.col("r_short"))
+            )
+            .cast("long")
+            .alias("nn_rank_truncated"),
+        )
+        .orderBy("query_id")
+    )
