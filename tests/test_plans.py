@@ -281,6 +281,10 @@ def test_unpartitioned_window_sites_are_audited():
     - functions/sketches.py: 1 — Misra-Gries candidate set, O(k)
     - queries_round9.py: 1 — RRF final rank over the limit-10 fused
       head (the fusion itself joins two k-row leg tables)
+    - queries_round10.py: 1 — x_gbdt_stumps' prefix-sum window runs
+      over DISTINCT FEATURE VALUES (the LightGBM histogram trick),
+      never the base table: its input is the (x, count, sum)
+      aggregate, bounded by feature cardinality
     """
     import pathlib
 
@@ -291,6 +295,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_mleval.py": 5,
         "queries_round5.py": 1,
         "queries_round9.py": 1,
+        "queries_round10.py": 1,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent
@@ -1312,4 +1317,71 @@ def test_novelty_filter_probe_broadcasts_bounded_bits(spark):
     corpus-keyed exchanges are the per-doc rollups."""
     plan = plan_of(spark, "c_novelty_filter_frozen")
     assert plan.count("BroadcastHashJoin LeftSemi") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_pq_residual_broadcasts_bounded_frames_only(spark):
+    """The r10 IVF-PQ: seeds/codebook/distance tables are the bounded
+    broadcast frames; candidate scoring is a (cell, s, code)-keyed
+    hash join — never a cartesian over vectors."""
+    plan = plan_of(spark, "v_ivf_pq_residual")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gbdt_histogram_split_search(spark):
+    """The r10 boosted stumps: the split search aggregates (x, count,
+    sum) with map-side partials (the histogram trick) and the 1-row
+    best-split frames ride broadcasts; nothing forms a cartesian."""
+    plan = plan_of(spark, "x_gbdt_stumps")
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_paragraph_dedup_single_chunk_window(spark):
+    """The r10 paragraph dedup: first-occurrence is ONE window over
+    the chunk key; reconstruction is one per-doc aggregate — no
+    pairwise join anywhere."""
+    plan = plan_of(spark, "d_paragraph_dedup")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan  # dedup+rebuild needs NO join at all
+
+
+def test_logreg_newton_broadcasts_weights(spark):
+    """The r10 Newton step: sufficient statistics aggregate with
+    map-side partials; the 1-row weight frame broadcasts back for
+    scoring (never a shuffle side)."""
+    plan = plan_of(spark, "x_logreg_newton")
+    assert "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kneser_ney_no_forced_broadcast_no_cartesian(spark):
+    """The r10 KN scorer: count-table joins stay UNHINTED (AQE picks;
+    natural-language bigram cardinality can outgrow broadcast) and
+    nothing is pairwise."""
+    plan = plan_of(spark, "t_kneser_ney_bigram")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_truncated_recall_one_pass_two_scores(spark):
+    """The r10 Matryoshka eval: the 4-query frame broadcasts into one
+    dim-keyed join and BOTH scores come out of the same aggregate —
+    no second corpus scan for the truncated ranking."""
+    plan = plan_of(spark, "v_truncated_dim_recall")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("posexplode") <= 2, plan  # tree+detail of ONE explode
+
+
+def test_coordinated_sample_semi_joins(spark):
+    """The r10 coordinated sample: sampling is a map-side hash
+    predicate (a Filter, never a join); the containment certificates
+    are key-keyed semi-joins."""
+    plan = plan_of(spark, "x_coordinated_sample")
+    assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
