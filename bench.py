@@ -45,7 +45,16 @@ def _ordered_bench_queries():
 
     qs = bench_queries()
     ordered = {n: qs[n] for n in _LEGACY_ORDER if n in qs}
-    ordered.update({n: f for n, f in qs.items() if n not in ordered})
+    # non-legacy rows append in registry order, EXCEPT the decode row,
+    # which stays LAST regardless of its registry tier (VERDICT r7 #4:
+    # it measurably shifts later queries' page-cache/JIT state; its
+    # position must not drift as the registry window rotates)
+    tail = "m_decode_corpus_bench"
+    ordered.update(
+        {n: f for n, f in qs.items() if n not in ordered and n != tail}
+    )
+    if tail in qs:
+        ordered[tail] = qs[tail]
     return ordered
 
 

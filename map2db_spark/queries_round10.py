@@ -71,6 +71,7 @@ def _suffix_dedup_oracle() -> str:
 @query(
     "d_suffix_dedup_corpus",
     oracle=_suffix_dedup_oracle(),
+    bench=True,  # headline r10 row; BASELINE.md carries its self-set band
     tags=("dedup", "text", "pipeline", "exact-substring"),
 )
 def d_suffix_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
