@@ -1815,3 +1815,289 @@ def v_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution (multi-pass blocking -> edit distance -> CC)
+# ---------------------------------------------------------------------------
+
+_ER_PARTS = 500  # bounded record universe (2 records per part)
+
+
+def _er_typo_sql(name: str, key: str) -> str:
+    """One deterministic NON-SPACE char deleted at position
+    key %% length(name) (skipping a space by deleting the char after
+    it) — identical expression both engines."""
+    pos = f"CAST({key} % length({name}) AS INT)"
+    return f"""
+         CASE WHEN substr({name}, {pos} + 1, 1) = ' '
+              THEN substr({name}, 1, {pos} + 1)
+                   || substr({name}, {pos} + 3)
+              ELSE substr({name}, 1, {pos})
+                   || substr({name}, {pos} + 2)
+         END"""
+
+
+@query(
+    "j_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE recs AS (
+      SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part
+      WHERE p_partkey < {_ER_PARTS}
+      UNION ALL
+      SELECT p_partkey * 2 + 1, {_er_typo_sql("p_name", "p_partkey")}
+      FROM part WHERE p_partkey < {_ER_PARTS}
+    ),
+    keyed AS (
+      SELECT rec_id, name, string_split(name, ' ')[1] AS k FROM recs
+      UNION
+      SELECT rec_id, name, string_split(name, ' ')[-1] AS k FROM recs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.rec_id AS ra, b.rec_id AS rb,
+             a.name AS na, b.name AS nb
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.rec_id < b.rec_id
+    ),
+    edges AS (SELECT ra, rb FROM pairs WHERE levenshtein(na, nb) <= 1),
+    sym AS (SELECT ra AS a, rb AS b FROM edges
+            UNION SELECT rb, ra FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT rec.rec_id,
+             LEAST(rec.rec_id, COALESCE(min(r.b), rec.rec_id))
+               AS cluster_id
+      FROM recs rec LEFT JOIN reach r ON r.a = rec.rec_id
+      GROUP BY rec.rec_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM comp
+              GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz ORDER BY cluster_size
+    """,
+    tags=("join", "dedup", "entity-resolution", "graph"),
+)
+def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED ENTITY RESOLUTION — the record-linkage pipeline shape
+    (Fellegi-Sunter era to Dedupe.io): candidate pairs via MULTI-PASS
+    BLOCKING (first token in pass 1, last token in pass 2 — a
+    single-char deletion corrupts at most one token, so every true
+    duplicate pair survives at least one pass: deterministic recall
+    1.0 on the planted edit), match on edit distance <= 1, entities as
+    connected components over match edges.  Fixture: each part name
+    plus a deterministic one-char-deleted variant; the resulting
+    entity-size histogram (43 entities, sizes 8-68 at sf0.01) shows
+    the realistic OVER-MERGE behavior of transitive closure on a
+    small-vocabulary name space — the thing production ER tunes
+    thresholds against; tighten to lev = 0 and the typos detach,
+    loosen to <= 2 and everything fuses into 10 blobs (measured).
+
+    Scale shape: blocking keys are map-side projections; the pairs
+    join is keyed on the block (never all-pairs: 72k candidates vs
+    500k possible at sf0.01); the pairwise edit distance runs only
+    inside blocks (JVM levenshtein, no Python); clustering is the
+    proven large/small-star CC; the histogram is two tiny
+    aggregates.  Skewed blocks get the standard rails (cap or salt)
+    at corpus scale — the bounded fixture keeps every block small."""
+    from map2db_spark.operators.components import connected_components
+
+    part = Tables(spark, sf_dir).part.where(
+        F.col("p_partkey") < _ER_PARTS
+    )
+    orig = part.select(
+        (F.col("p_partkey") * 2).alias("rec_id"),
+        F.col("p_name").alias("name"),
+    )
+    typo = part.select(
+        (F.col("p_partkey") * 2 + 1).alias("rec_id"),
+        F.expr(_er_typo_sql("p_name", "p_partkey")).alias("name"),
+    )
+    recs = orig.unionByName(typo)
+    tok = F.split(F.col("name"), " ")
+    keyed = (
+        recs.select("rec_id", "name", tok.getItem(0).alias("k"))
+        .unionByName(
+            recs.select(
+                "rec_id", "name", F.element_at(tok, -1).alias("k")
+            )
+        )
+        .distinct()
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("ra"),
+            F.col("b.rec_id").alias("rb"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+    )
+    edges = pairs.where(
+        F.levenshtein(F.col("na"), F.col("nb")) <= 1
+    ).select("ra", "rb")
+    cc = connected_components(edges, src="ra", dst="rb")
+    comp = (
+        recs.select("rec_id")
+        .join(cc.withColumnRenamed("node", "rec_id"), "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(F.col("comp"), F.col("rec_id")).alias("cluster_id"),
+        )
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball loss for quantile forecasts (exact integer calibration eval)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_quantile_pinball",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             dayofweek(o_orderdate) AS dow,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    train AS (
+      SELECT dow, y,
+             row_number() OVER (PARTITION BY dow ORDER BY y, d) AS rn,
+             count(*) OVER (PARTITION BY dow) AS n
+      FROM daily WHERE d < DATE '2000-01-01'
+    ),
+    fc AS (
+      SELECT dow,
+             max(CASE WHEN rn = (n - 1) // 10 + 1 THEN y END) AS q10,
+             max(CASE WHEN rn = (n - 1) // 2 + 1 THEN y END) AS q50,
+             max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN y END)
+               AS q90
+      FROM train GROUP BY dow
+    ),
+    ev AS (
+      SELECT daily.dow, y, q10, q50, q90 FROM daily JOIN fc USING (dow)
+      WHERE d >= DATE '2000-01-01'
+    )
+    SELECT q_pct, n_days, pinball_x10, n_below
+    FROM (
+      SELECT CAST(10 AS BIGINT) AS q_pct,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(greatest(1 * (y - q10), -9 * (y - q10)))
+                  AS BIGINT) AS pinball_x10,
+             CAST(sum(CASE WHEN y <= q10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below
+      FROM ev
+      UNION ALL
+      SELECT 50, count(*),
+             sum(greatest(5 * (y - q50), -5 * (y - q50))),
+             sum(CASE WHEN y <= q50 THEN 1 ELSE 0 END)
+      FROM ev
+      UNION ALL
+      SELECT 90, count(*),
+             sum(greatest(9 * (y - q90), -1 * (y - q90))),
+             sum(CASE WHEN y <= q90 THEN 1 ELSE 0 END)
+      FROM ev
+    ) ORDER BY q_pct
+    """,
+    tags=("statistics", "forecast", "evaluation"),
+)
+def x_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS evaluation of a per-day-of-week
+    quantile forecast — the scoring rule quantile forecasts are
+    graded by (the M5-uncertainty / every-prob-forecasting metric),
+    with its calibration readout: a model predicting per-DOW
+    q10/q50/q90 of daily revenue on the train years (< 2000) is
+    scored on the held-out years, and n_below/n_days checks the
+    coverage each quantile CLAIMS (q10 should sit above ~10% of
+    days).  Everything integer-exact: forecasts are DISCRETE rank
+    quantiles (index (n-1)*q DIV 10 + 1 over the per-DOW ordered
+    train days — integer index arithmetic, no interpolated doubles),
+    y is exact cents, and the loss is scaled x10 so q * (y - yhat)
+    stays in BIGINTs (max(q*d, (q-10)*d) — the max-form of the
+    pinball that needs no CASE on the sign).
+
+    Scale shape: one (date, dow) aggregate over orders; per-DOW
+    ranking windows over O(train days) rows; the 7-row forecast
+    frame broadcasts back onto eval days; three conditional sums.
+    The multi-series production form adds the series key to every
+    groupBy/window — same plan shape."""
+    orders = Tables(spark, sf_dir).orders
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    cutoff = F.lit("2000-01-01").cast("date")
+    wrank = Window.partitionBy("dow").orderBy("y", "d")
+    wn = Window.partitionBy("dow")
+    train = daily.where(F.col("d") < cutoff).select(
+        "dow",
+        "y",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    fc = train.groupBy("dow").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n - 1) DIV 10 + 1"), F.col("y")
+            )
+        ).alias("q10"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n - 1) DIV 2 + 1"), F.col("y")
+            )
+        ).alias("q50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((n - 1) * 9) DIV 10 + 1"),
+                F.col("y"),
+            )
+        ).alias("q90"),
+    )
+    ev = (
+        daily.where(F.col("d") >= cutoff)
+        .join(F.broadcast(fc), "dow")
+        .select("y", "q10", "q50", "q90")
+    )
+
+    def loss_row(q_pct: int, col: str) -> DataFrame:
+        d = F.col("y") - F.col(col)
+        return ev.agg(
+            F.lit(q_pct).cast("long").alias("q_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.greatest(q_pct // 10 * d, (q_pct // 10 - 10) * d))
+            .cast("long")
+            .alias("pinball_x10"),
+            F.sum(F.when(F.col("y") <= F.col(col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+        )
+
+    return (
+        loss_row(10, "q10")
+        .unionByName(loss_row(50, "q50"))
+        .unionByName(loss_row(90, "q90"))
+        .orderBy("q_pct")
+    )
