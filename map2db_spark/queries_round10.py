@@ -1838,6 +1838,54 @@ def _er_typo_sql(name: str, key: str) -> str:
          END"""
 
 
+def _er_records_and_edges(spark: SparkSession, sf_dir: str):
+    """The pre-clustering half of j_entity_resolution: (records,
+    match edges).  Factored out so tests/test_plans.py can assert the
+    blocking join's shape — the CC operator's internal checkpoint
+    truncates lineage in the final query plan."""
+    part = Tables(spark, sf_dir).part.where(
+        F.col("p_partkey") < _ER_PARTS
+    )
+    orig = part.select(
+        (F.col("p_partkey") * 2).alias("rec_id"),
+        F.col("p_name").alias("name"),
+    )
+    typo = part.select(
+        (F.col("p_partkey") * 2 + 1).alias("rec_id"),
+        F.expr(_er_typo_sql("p_name", "p_partkey")).alias("name"),
+    )
+    recs = orig.unionByName(typo)
+    tok = F.split(F.col("name"), " ")
+    keyed = (
+        recs.select("rec_id", "name", tok.getItem(0).alias("k"))
+        .unionByName(
+            recs.select(
+                "rec_id", "name", F.element_at(tok, -1).alias("k")
+            )
+        )
+        .distinct()
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("ra"),
+            F.col("b.rec_id").alias("rb"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+    )
+    edges = pairs.where(
+        F.levenshtein(F.col("na"), F.col("nb")) <= 1
+    ).select("ra", "rb")
+    return recs, edges
+
+
 @query(
     "j_entity_resolution",
     oracle=f"""
@@ -1905,46 +1953,7 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale — the bounded fixture keeps every block small."""
     from map2db_spark.operators.components import connected_components
 
-    part = Tables(spark, sf_dir).part.where(
-        F.col("p_partkey") < _ER_PARTS
-    )
-    orig = part.select(
-        (F.col("p_partkey") * 2).alias("rec_id"),
-        F.col("p_name").alias("name"),
-    )
-    typo = part.select(
-        (F.col("p_partkey") * 2 + 1).alias("rec_id"),
-        F.expr(_er_typo_sql("p_name", "p_partkey")).alias("name"),
-    )
-    recs = orig.unionByName(typo)
-    tok = F.split(F.col("name"), " ")
-    keyed = (
-        recs.select("rec_id", "name", tok.getItem(0).alias("k"))
-        .unionByName(
-            recs.select(
-                "rec_id", "name", F.element_at(tok, -1).alias("k")
-            )
-        )
-        .distinct()
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.rec_id") < F.col("b.rec_id")),
-        )
-        .select(
-            F.col("a.rec_id").alias("ra"),
-            F.col("b.rec_id").alias("rb"),
-            F.col("a.name").alias("na"),
-            F.col("b.name").alias("nb"),
-        )
-        .distinct()
-    )
-    edges = pairs.where(
-        F.levenshtein(F.col("na"), F.col("nb")) <= 1
-    ).select("ra", "rb")
+    recs, edges = _er_records_and_edges(spark, sf_dir)
     cc = connected_components(edges, src="ra", dst="rb")
     comp = (
         recs.select("rec_id")

@@ -1385,3 +1385,37 @@ def test_coordinated_sample_semi_joins(spark):
     plan = plan_of(spark, "x_coordinated_sample")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_entity_resolution_block_keyed_join(spark):
+    """The r10 ER: candidate pairs come from the block-key equi-join
+    (never an all-pairs cartesian over records); matching is JVM
+    levenshtein, no Python in the plan.  Asserted on the pre-CC half
+    (the CC operator's internal checkpoint truncates lineage in the
+    registered query's final plan, which is checked for no-cartesian
+    separately)."""
+    import contextlib
+    import io
+
+    from map2db_spark.queries_round10 import _er_records_and_edges
+
+    _recs, edges = _er_records_and_edges(spark, SF_CORRECT)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan_of(spark, "j_entity_resolution")
+
+
+def test_pinball_forecast_frame_broadcasts(spark):
+    """The r10 pinball eval: the 7-row per-DOW forecast frame
+    broadcasts onto eval days; train ranking windows run over
+    O(train days), and nothing is pairwise."""
+    plan = plan_of(spark, "x_quantile_pinball")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
