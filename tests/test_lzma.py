@@ -48,7 +48,8 @@ def test_custom_lclppb_specs():
 
 
 def test_real_file():
-    data = open("map2db_spark/queries_round5.py", "rb").read()
+    data = open(__file__.rsplit("/tests/", 1)[0]
+                + "/map2db_spark/queries_round5.py", "rb").read()
     z = lzma.compress(data, format=lzma.FORMAT_ALONE, preset=6)
     assert L.lzma_decompress(z) == data
 

@@ -44,7 +44,8 @@ def test_libzstd_to_ours_every_level():
 
 @needs_zstd
 def test_real_file_multi_block():
-    data = open("map2db_spark/queries_round5.py", "rb").read()
+    data = open(__file__.rsplit("/tests/", 1)[0]
+                + "/map2db_spark/queries_round5.py", "rb").read()
     for lvl in (1, 3, 19):
         assert Z.zstd_decompress(Z.ref_compress(data, lvl)) == data
 
@@ -175,7 +176,8 @@ def test_compressing_encoder_to_libzstd():
 
 @needs_zstd
 def test_compressing_encoder_real_file_multi_block():
-    data = open("map2db_spark/queries_round5.py", "rb").read()
+    data = open(__file__.rsplit("/tests/", 1)[0]
+                + "/map2db_spark/queries_round5.py", "rb").read()
     enc = Z.zstd_compress(data)  # >128 KiB: multiple compressed blocks
     assert len(enc) < len(data) // 2
     assert Z.ref_decompress(enc, len(data)) == data
