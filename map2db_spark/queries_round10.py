@@ -2110,3 +2110,271 @@ def x_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(loss_row(90, "q90"))
         .orderBy("q_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation via count-min inner product
+# ---------------------------------------------------------------------------
+
+_JS_W = 1024  # sketch width
+_JS_D = 4  # sketch depth
+
+
+@query(
+    "x_join_size_sketch",
+    oracle=f"""
+    WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS exact_size
+      FROM (SELECT count(*) AS c FROM keys GROUP BY k)
+    ),
+    cells AS (
+      SELECT d.i AS d,
+             CAST(concat('0x', substr(md5('cm' || CAST(d.i AS VARCHAR)
+               || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_JS_W} AS b,
+             count(*) AS c
+      FROM keys, range(0, {_JS_D}) d(i)
+      GROUP BY 1, 2
+    ),
+    per_depth AS (
+      SELECT d, CAST(sum(c * c) AS BIGINT) AS est FROM cells GROUP BY d
+    )
+    SELECT (SELECT exact_size FROM exact) AS exact_size,
+           CAST(min(est) AS BIGINT) AS est_size,
+           CAST((min(est) - (SELECT exact_size FROM exact)) * 1000000
+                // (SELECT exact_size FROM exact) AS BIGINT)
+             AS overestimate_ppm,
+           CAST(max(est) AS BIGINT) AS worst_depth_est
+    FROM per_depth
+    """,
+    tags=("sketch", "join", "statistics", "optimizer"),
+)
+def x_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches — the
+    cardinality-estimation primitive under every cost-based optimizer
+    and shuffle-size planner (Alon-Matias-Szegedy F2 / Cormode-
+    Muthukrishnan inner product): |A join B| on key k equals
+    sum_k a_k * b_k, estimated as the inner product of the two sides'
+    CM rows, min over depths — here the self-join size of lineitem on
+    l_partkey (sum of squared key counts, the F2 skew diagnostic),
+    with the EXACT value computed alongside so the row certifies the
+    one-sided guarantee: est >= exact ALWAYS (colliding keys only add
+    mass), with overestimate_ppm quantifying the width-1024 accuracy
+    and worst_depth_est showing what a single hash row would cost.
+    The point at 100 TB: the sketch is O(w x d) CONSTANT memory per
+    table and mergeable across partitions — you price a join without
+    running it; the exact sum here is the test harness, not the
+    production path.
+
+    Scale shape: sketch build is one map-side-combinable
+    (depth, bucket) count over the key stream (4 x 1024 cells out,
+    whatever the data size); per-depth F2 and the min are O(w x d)
+    aggregates.  The exact side is one keyed count — the thing the
+    sketch exists to avoid, kept as the certificate."""
+    keys = Tables(spark, sf_dir).lineitem.select(
+        F.col("l_partkey").alias("k")
+    )
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c"))
+            .cast("long")
+            .alias("exact_size")
+        )
+    )
+    depths = spark.range(_JS_D).select(F.col("id").cast("int").alias("d"))
+    cells = (
+        keys.crossJoin(F.broadcast(depths))
+        .select(
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cm"),
+                                F.col("d").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _JS_W
+            ).alias("b"),
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_depth = cells.groupBy("d").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("est")
+    )
+    agg = per_depth.agg(
+        F.min("est").cast("long").alias("est_size"),
+        F.max("est").cast("long").alias("worst_depth_est"),
+    )
+    return exact.crossJoin(F.broadcast(agg)).select(
+        "exact_size",
+        "est_size",
+        F.expr(
+            "CAST((est_size - exact_size) * 1000000 DIV exact_size"
+            " AS BIGINT)"
+        ).alias("overestimate_ppm"),
+        "worst_depth_est",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r_incremental_view_maintenance",
+    oracle="""
+    WITH c_old AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+    c_delta AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
+    o_old AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    o_delta AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+    view_old AS (
+      SELECT o_orderkey, c_custkey, c_nationkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM o_old JOIN c_old ON o_custkey = c_custkey
+    ),
+    view_delta AS (
+      SELECT o_orderkey, c_custkey, c_nationkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM o_delta JOIN c_old ON o_custkey = c_custkey
+      UNION ALL
+      SELECT o_orderkey, c_custkey, c_nationkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM o_old JOIN c_delta ON o_custkey = c_custkey
+      UNION ALL
+      SELECT o_orderkey, c_custkey, c_nationkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM o_delta JOIN c_delta ON o_custkey = c_custkey
+    ),
+    maintained AS (
+      SELECT * FROM view_old UNION ALL SELECT * FROM view_delta
+    ),
+    recomputed AS (
+      SELECT o_orderkey, c_custkey, c_nationkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             md5(CAST(CAST(sum(o_orderkey * 31 + c_nationkey)
+                 AS BIGINT) AS VARCHAR)) AS h
+      FROM maintained
+    ),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             md5(CAST(CAST(sum(o_orderkey * 31 + c_nationkey)
+                 AS BIGINT) AS VARCHAR)) AS h
+      FROM recomputed
+    )
+    SELECT m.n AS n_maintained,
+           (SELECT CAST(count(*) AS BIGINT) FROM view_delta)
+             AS n_delta_rows,
+           r.n AS n_recomputed,
+           CASE WHEN m.n = r.n AND m.s = r.s AND m.h = r.h
+                THEN 1 ELSE 0 END AS views_identical,
+           m.s AS sum_cents
+    FROM m, r
+    """,
+    tags=("relational", "incremental", "pipeline", "view"),
+)
+def r_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE by delta-join algebra — how a
+    materialized join view absorbs an insert batch WITHOUT
+    recomputation (the DBSP/differential-dataflow identity):
+    d(A join B) = dA join B  union  A join dB  union  dA join dB.
+    Customers and orders each split into a base and an insert delta
+    (10% / 14% slices); the maintained view (old view + the three
+    delta joins) is certified IDENTICAL to a from-scratch recompute
+    of the full join by count, exact cents sum, and an
+    order-insensitive checksum — the certificate that the delta
+    algebra missed nothing and double-counted nothing (the dA-join-dB
+    term is exactly the piece naive "join the deltas to the OLD
+    tables only" maintenance drops).
+
+    Scale point: the three delta joins touch O(|delta|) fact rows on
+    the delta-keyed sides — at 100 TB, maintenance costs
+    O(batch join dims), not O(view); the full recompute exists here
+    only as the certificate.
+
+    Scale shape: every join is key-equi on custkey; the delta sides
+    are small by construction so AQE broadcasts them (unhinted — at a
+    real scale tilt they degrade to shuffled hash joins); checksums
+    are map-side-combinable sums."""
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+
+    def view(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(
+            c, F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "c_custkey", "c_nationkey", cents)
+
+    customer, orders = t.customer, t.orders
+    c_old = customer.where(F.col("c_custkey") % 10 != 0)
+    c_delta = customer.where(F.col("c_custkey") % 10 == 0)
+    o_old = orders.where(F.col("o_orderkey") % 7 != 0)
+    o_delta = orders.where(F.col("o_orderkey") % 7 == 0)
+
+    view_old = view(o_old, c_old)
+    view_delta = (
+        view(o_delta, c_old)
+        .unionByName(view(o_old, c_delta))
+        .unionByName(view(o_delta, c_delta))
+    )
+    maintained = view_old.unionByName(view_delta)
+    recomputed = view(orders, customer)
+
+    def digest(df: DataFrame, n, s, h) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum("cents").cast("long").alias(s),
+            F.md5(
+                F.sum(
+                    F.col("o_orderkey") * 31 + F.col("c_nationkey")
+                )
+                .cast("long")
+                .cast("string")
+            ).alias(h),
+        )
+
+    m = digest(maintained, "n_maintained", "ms", "mh")
+    r = digest(recomputed, "n_recomputed", "rs", "rh")
+    nd = view_delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta_rows")
+    )
+    return (
+        m.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "n_maintained",
+            "n_delta_rows",
+            "n_recomputed",
+            F.when(
+                (F.col("n_maintained") == F.col("n_recomputed"))
+                & (F.col("ms") == F.col("rs"))
+                & (F.col("mh") == F.col("rh")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("views_identical"),
+            F.col("ms").alias("sum_cents"),
+        )
+    )
