@@ -2378,3 +2378,187 @@ def r_incremental_view_maintenance(
             F.col("ms").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest / single-linkage clustering (Boruvka)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_mst_single_linkage",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT i AS id, (i * i * 137 + i * 17) % 1000 AS x,
+             (i * i * 251 + i * 29) % 1000 AS y
+      FROM range(0, 500) t(i)
+    ),
+    edges AS (
+      SELECT a.id AS u, b.id AS v,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2,
+             ((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) * 10000000
+               + a.id * 1000 + b.id AS w
+      FROM p a JOIN p b ON a.id < b.id
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625
+    ),
+    sym AS (SELECT u, v, w FROM edges UNION ALL
+            SELECT v, u, w FROM edges),
+    mm(u, v, w) AS (
+      SELECT u, v, w FROM sym
+      UNION
+      SELECT r.u, s.v, greatest(r.w, s.w)
+      FROM mm r JOIN sym s ON r.v = s.u WHERE r.u <> s.v
+    ),
+    minimax AS (SELECT u, v, min(w) AS mmw FROM mm GROUP BY u, v),
+    mst AS (
+      SELECT e.u, e.v, e.d2, e.w FROM edges e
+      JOIN minimax m ON m.u = e.u AND m.v = e.v
+      WHERE e.w = m.mmw
+    ),
+    msym AS (SELECT u, v FROM mst UNION ALL SELECT v, u FROM mst),
+    mreach(a, b) AS (
+      SELECT u, v FROM msym
+      UNION
+      SELECT r.a, s.v FROM mreach r JOIN msym s ON r.b = s.u
+    ),
+    mnodes AS (SELECT DISTINCT u AS node FROM msym),
+    compm AS (
+      SELECT n.node,
+             LEAST(n.node, COALESCE(min(r.b), n.node)) AS component
+      FROM mnodes n LEFT JOIN mreach r ON r.a = n.node
+      GROUP BY n.node
+    ),
+    estats AS (
+      SELECT c.component,
+             CAST(count(*) AS BIGINT) AS n_mst_edges,
+             CAST(sum(mst.d2) AS BIGINT) AS tree_weight,
+             CAST(max(mst.d2) AS BIGINT) AS max_edge_d2
+      FROM mst JOIN compm c ON c.node = mst.u
+      GROUP BY c.component
+    ),
+    nstats AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM compm GROUP BY component
+    )
+    SELECT CAST(n.component AS BIGINT) AS component,
+           n.n_nodes, e.n_mst_edges, e.tree_weight, e.max_edge_d2
+    FROM nstats n JOIN estats e USING (component)
+    ORDER BY component
+    """,
+    tags=("graph", "clustering", "mst", "spatial"),
+)
+def g_mst_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM SPANNING FOREST via distributed Boruvka
+    (operators/mst.py) — the one classic MapReduce graph algorithm
+    the CC / k-core / PageRank family was missing, and the backbone
+    of SINGLE-LINKAGE hierarchical clustering: per spatial component,
+    the MSF's edge set IS the dendrogram (cut it at any threshold to
+    read off the single-linkage clusters; max_edge_d2 is the height
+    at which the component assembles).  Edges come from the engine's
+    grid-bucketed eps-neighbor join (the j_spatial / g_dbscan_grid
+    3x3 cell probe — never all-pairs) over the 500-point quadratic
+    scatter; weights encode a unique tiebreak (d2 * 10^7 + u * 10^3
+    + v), making the forest UNIQUE.
+
+    The oracle is deliberately a DIFFERENT algorithm: the cycle
+    property says an edge is in the MSF iff its weight equals the
+    MINIMAX path weight between its endpoints, computed by a
+    recursive-CTE closure — two independent algorithms agreeing on
+    the unique answer is a stronger check than replaying Boruvka in
+    SQL (and the operator is additionally pinned against a serial
+    Kruskal over random graphs in tests/test_mst.py).
+
+    Scale shape: Boruvka rounds are O(log n); each round is one
+    min-per-component aggregate (map-side combinable on the comp
+    key) + one CC pass over the COMPONENT graph (nodes = components,
+    shrinking geometrically); state localCheckpoints per round to
+    keep lineage flat.  Nothing sorts globally (Kruskal) and nothing
+    runs a sequential frontier (Prim)."""
+    from map2db_spark.operators.components import connected_components
+    from map2db_spark.operators.mst import minimum_spanning_forest
+
+    d = 25
+    p = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * F.col("id") * 137 + F.col("id") * 17) % 1000)
+        .alias("x"),
+        ((F.col("id") * F.col("id") * 251 + F.col("id") * 29) % 1000)
+        .alias("y"),
+    )
+    homed = p.select(
+        "id", "x", "y",
+        F.expr(f"x DIV {d}").alias("cx"),
+        F.expr(f"y DIV {d}").alias("cy"),
+    )
+    offs = spark.createDataFrame([(o,) for o in (-1, 0, 1)], "o LONG")
+    probes = (
+        homed.crossJoin(F.broadcast(offs.select(F.col("o").alias("ox"))))
+        .crossJoin(F.broadcast(offs.select(F.col("o").alias("oy"))))
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("ox")).alias("pcx"),
+            (F.col("cy") + F.col("oy")).alias("pcy"),
+        )
+    )
+    a = probes.alias("a")
+    b = homed.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    edges = (
+        a.join(
+            b,
+            (F.col("a.pcx") == F.col("b.cx"))
+            & (F.col("a.pcy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(d2 <= d * d)
+        .select(
+            F.col("a.id").alias("u"),
+            F.col("b.id").alias("v"),
+            (
+                d2 * 10000000 + F.col("a.id") * 1000 + F.col("b.id")
+            ).alias("w"),
+        )
+    )
+    msf = minimum_spanning_forest(edges).select(
+        "u", "v", "w", F.expr("w DIV 10000000").alias("d2")
+    )
+    cc = connected_components(msf.select("u", "v"), src="u", dst="v")
+    mnodes = (
+        msf.select(F.col("u").alias("node"))
+        .unionByName(msf.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    compm = (
+        mnodes.join(cc, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("comp"), F.col("node")).alias("component"),
+        )
+    )
+    estats = (
+        msf.join(
+            compm.withColumnRenamed("node", "u"), "u"
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mst_edges"),
+            F.sum("d2").cast("long").alias("tree_weight"),
+            F.max("d2").cast("long").alias("max_edge_d2"),
+        )
+    )
+    nstats = compm.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return (
+        nstats.join(estats, "component")
+        .select(
+            F.col("component").cast("long").alias("component"),
+            "n_nodes",
+            "n_mst_edges",
+            "tree_weight",
+            "max_edge_d2",
+        )
+        .orderBy("component")
+    )
