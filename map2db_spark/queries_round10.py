@@ -1883,7 +1883,7 @@ def _er_records_and_edges(spark: SparkSession, sf_dir: str):
     edges = pairs.where(
         F.levenshtein(F.col("na"), F.col("nb")) <= 1
     ).select("ra", "rb")
-    return recs, edges
+    return recs, pairs, edges
 
 
 @query(
@@ -1953,7 +1953,7 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale — the bounded fixture keeps every block small."""
     from map2db_spark.operators.components import connected_components
 
-    recs, edges = _er_records_and_edges(spark, sf_dir)
+    recs, _pairs, edges = _er_records_and_edges(spark, sf_dir)
     cc = connected_components(edges, src="ra", dst="rb")
     comp = (
         recs.select("rec_id")
@@ -2561,4 +2561,242 @@ def g_mst_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_edge_d2",
         )
         .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record-linkage weights
+# ---------------------------------------------------------------------------
+
+
+def _fs_fields_sql() -> str:
+    return """
+    lab AS (
+      SELECT ra, rb,
+        CASE WHEN ra // 2 = rb // 2 THEN 1 ELSE 0 END AS is_match,
+        CASE WHEN string_split(na, ' ')[1] = string_split(nb, ' ')[1]
+             THEN 1 ELSE 0 END AS f1,
+        CASE WHEN string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+             THEN 1 ELSE 0 END AS f2,
+        CASE WHEN abs(length(na) - length(nb)) <= 1
+             THEN 1 ELSE 0 END AS f3,
+        CASE WHEN levenshtein(na, nb) <= 1 THEN 1 ELSE 0 END AS f4
+      FROM pairs
+    )"""
+
+
+def _fs_oracle() -> str:
+    def wa(k: int) -> str:
+        return (
+            f"CAST(round(1000000 * ln(((CAST(a{k}m AS DOUBLE)+1)/(nm+2))"
+            f"/((CAST(a{k}u AS DOUBLE)+1)/(nu+2)))) AS BIGINT)"
+        )
+
+    def wd(k: int) -> str:
+        return (
+            f"CAST(round(1000000 * ln((1-(CAST(a{k}m AS DOUBLE)+1)/(nm+2))"
+            f"/(1-(CAST(a{k}u AS DOUBLE)+1)/(nu+2)))) AS BIGINT)"
+        )
+
+    mu_cols = ",\n        ".join(
+        f"sum(f{k} * is_match) AS a{k}m,"
+        f" sum(f{k} * (1-is_match)) AS a{k}u"
+        for k in (1, 2, 3, 4)
+    )
+    w_cols = ",\n        ".join(
+        f"{wa(k)} AS w{k}a, {wd(k)} AS w{k}d" for k in (1, 2, 3, 4)
+    )
+    field_rows = " UNION ALL ".join(
+        f"""SELECT '{name}' AS field,
+        CAST((a{k}m * 1000000) // nm AS BIGINT) AS m_ppm,
+        CAST((a{k}u * 1000000) // nu AS BIGINT) AS u_ppm,
+        w{k}a AS w_agree_micro, w{k}d AS w_disagree_micro FROM w"""
+        for k, name in (
+            (1, "first_token"),
+            (2, "last_token"),
+            (3, "length_pm1"),
+            (4, "lev_le_1"),
+        )
+    )
+    return f"""
+    WITH recs AS (
+      SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part
+      WHERE p_partkey < {_ER_PARTS}
+      UNION ALL
+      SELECT p_partkey * 2 + 1, {_er_typo_sql("p_name", "p_partkey")}
+      FROM part WHERE p_partkey < {_ER_PARTS}
+    ),
+    keyed AS (
+      SELECT rec_id, name, string_split(name, ' ')[1] AS k FROM recs
+      UNION
+      SELECT rec_id, name, string_split(name, ' ')[-1] AS k FROM recs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.rec_id AS ra, b.rec_id AS rb,
+             a.name AS na, b.name AS nb
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.rec_id < b.rec_id
+    ),
+    {_fs_fields_sql()},
+    mu AS (
+      SELECT sum(is_match) AS nm, count(*) - sum(is_match) AS nu,
+        {mu_cols}
+      FROM lab
+    ),
+    w AS (SELECT *, {w_cols} FROM mu),
+    scored AS (
+      SELECT is_match,
+        (CASE WHEN f1=1 THEN w1a ELSE w1d END)
+        + (CASE WHEN f2=1 THEN w2a ELSE w2d END)
+        + (CASE WHEN f3=1 THEN w3a ELSE w3d END)
+        + (CASE WHEN f4=1 THEN w4a ELSE w4d END) AS wt
+      FROM lab, w
+    ),
+    confusion AS (
+      SELECT
+        CAST(sum(CASE WHEN wt >= 0 AND is_match = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN wt >= 0 AND is_match = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN wt < 0 AND is_match = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn
+      FROM scored
+    )
+    SELECT f.*, c.tp, c.fp, c.fn
+    FROM ({field_rows}) f, confusion c
+    ORDER BY field
+    """
+
+
+@query(
+    "x_fellegi_sunter",
+    oracle=_fs_oracle(),
+    tags=("entity-resolution", "statistics", "ml", "join"),
+)
+def x_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER probabilistic record linkage — the statistical
+    layer over j_entity_resolution's blocking: per comparison field,
+    estimate m = P(agree | match) and u = P(agree | non-match) from
+    the labeled candidate pairs (truth = the planted same-part link),
+    score every pair with the log-likelihood-ratio weight
+    sum_k ln(m_k/u_k) on agreement / ln((1-m_k)/(1-u_k)) on
+    disagreement (Laplace +1/+2 smoothing keeps the all-agree field's
+    disagreement weight finite), classify at weight >= 0, and report
+    the confusion.  The field table is the didactic payoff: the two
+    BLOCKING tokens earn near-ZERO weights (m ~ u ~ 0.58 — candidate
+    non-matches share a token by construction, so those fields carry
+    no evidence the blocking didn't already spend), while edit
+    distance dominates (+2.31 / -6.11 nats) — exactly the
+    conditioning effect real linkage pipelines must account for when
+    estimating m/u on blocked pairs.  Confusion at threshold 0:
+    recall 1.0 (500/500 planted pairs), 7,114 false positives (the
+    shared-name different-part pairs) — the precision/recall dial a
+    production run moves with the threshold.
+
+    Cross-engine exactness: m/u emitted as exact ppm integers; each
+    field weight is ONE ln over an identical double rational of exact
+    integer counts, micro-rounded before any summation; pair scores
+    are integer sums of those micro weights.
+
+    Scale shape: one single-row m/u aggregate over the (already
+    blocked) pair table; the 1-row weight frame broadcasts back for
+    scoring; confusion is one conditional aggregate.  Identical
+    dataflow at any pair count — the EM variant (unlabeled m/u)
+    iterates this same plan."""
+    _recs, pairs, _edges = _er_records_and_edges(spark, sf_dir)
+    tok_a = F.split(F.col("na"), " ")
+    tok_b = F.split(F.col("nb"), " ")
+    lab = pairs.select(
+        F.when(
+            F.expr("ra DIV 2") == F.expr("rb DIV 2"), 1
+        ).otherwise(0).alias("is_match"),
+        F.when(tok_a.getItem(0) == tok_b.getItem(0), 1)
+        .otherwise(0)
+        .alias("f1"),
+        F.when(F.element_at(tok_a, -1) == F.element_at(tok_b, -1), 1)
+        .otherwise(0)
+        .alias("f2"),
+        F.when(
+            F.abs(F.length("na") - F.length("nb")) <= 1, 1
+        ).otherwise(0).alias("f3"),
+        F.when(F.levenshtein(F.col("na"), F.col("nb")) <= 1, 1)
+        .otherwise(0)
+        .alias("f4"),
+    ).localCheckpoint()  # feeds the m/u fit AND the scoring pass
+    mu_aggs = [
+        F.sum("is_match").alias("nm"),
+        (F.count(F.lit(1)) - F.sum("is_match")).alias("nu"),
+    ]
+    for k in (1, 2, 3, 4):
+        mu_aggs.append(
+            F.sum(F.col(f"f{k}") * F.col("is_match")).alias(f"a{k}m")
+        )
+        mu_aggs.append(
+            F.sum(F.col(f"f{k}") * (1 - F.col("is_match"))).alias(f"a{k}u")
+        )
+    mu = lab.agg(*mu_aggs)
+
+    def micro_ln(expr: str) -> F.Column:
+        return F.round(F.lit(1000000) * F.log(F.expr(expr))).cast("long")
+
+    w_cols = []
+    for k in (1, 2, 3, 4):
+        w_cols.append(
+            micro_ln(
+                f"((CAST(a{k}m AS DOUBLE) + 1) / (nm + 2))"
+                f" / ((CAST(a{k}u AS DOUBLE) + 1) / (nu + 2))"
+            ).alias(f"w{k}a")
+        )
+        w_cols.append(
+            micro_ln(
+                f"(1 - (CAST(a{k}m AS DOUBLE) + 1) / (nm + 2))"
+                f" / (1 - (CAST(a{k}u AS DOUBLE) + 1) / (nu + 2))"
+            ).alias(f"w{k}d")
+        )
+    w = mu.select("*", *w_cols)
+    wt = None
+    for k in (1, 2, 3, 4):
+        term = F.when(F.col(f"f{k}") == 1, F.col(f"w{k}a")).otherwise(
+            F.col(f"w{k}d")
+        )
+        wt = term if wt is None else wt + term
+    confusion = (
+        lab.crossJoin(F.broadcast(w))
+        .select("is_match", wt.alias("wt"))
+        .agg(
+            F.sum(
+                F.when((F.col("wt") >= 0) & (F.col("is_match") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("wt") >= 0) & (F.col("is_match") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("wt") < 0) & (F.col("is_match") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    rows = None
+    for k, name in (
+        (1, "first_token"),
+        (2, "last_token"),
+        (3, "length_pm1"),
+        (4, "lev_le_1"),
+    ):
+        row = w.select(
+            F.lit(name).alias("field"),
+            F.expr(f"CAST((a{k}m * 1000000) DIV nm AS BIGINT)").alias(
+                "m_ppm"
+            ),
+            F.expr(f"CAST((a{k}u * 1000000) DIV nu AS BIGINT)").alias(
+                "u_ppm"
+            ),
+            F.col(f"w{k}a").alias("w_agree_micro"),
+            F.col(f"w{k}d").alias("w_disagree_micro"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return (
+        rows.crossJoin(F.broadcast(confusion))
+        .orderBy("field")
     )

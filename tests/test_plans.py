@@ -1399,7 +1399,7 @@ def test_entity_resolution_block_keyed_join(spark):
 
     from map2db_spark.queries_round10 import _er_records_and_edges
 
-    _recs, edges = _er_records_and_edges(spark, SF_CORRECT)
+    _recs, _pairs, edges = _er_records_and_edges(spark, SF_CORRECT)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         edges.explain("formatted")
