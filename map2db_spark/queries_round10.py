@@ -2800,3 +2800,187 @@ def x_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.crossJoin(F.broadcast(confusion))
         .orderBy("field")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture reweighting via multiplicative weights (Group-DRO-lite)
+# ---------------------------------------------------------------------------
+
+_MW_ETA_NUM = 3  # eta = 0.3 -> factor = 1e6 + (3 * excess) DIV 10
+_MW_ROUNDS = 3
+
+
+def _mixture_oracle() -> str:
+    rounds = ""
+    prev = "w0"
+    for r in range(1, _MW_ROUNDS + 1):
+        rounds += f"""
+    raw{r} AS (
+      SELECT lang, avg_nll, excess,
+             (w * (1000000 + ({_MW_ETA_NUM} * excess) // 10)) // 1000000
+               AS w
+      FROM {prev}
+    ),
+    w{r} AS (
+      SELECT lang, avg_nll, excess,
+             (w * 1000000) // (SELECT sum(w) FROM raw{r}) AS w
+      FROM raw{r}
+    ),"""
+        prev = f"w{r}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ),
+    train AS (SELECT w1, w2 FROM big WHERE doc_id < 400),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM train GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM train GROUP BY w1),
+    scored AS (
+      SELECT b.lang,
+             CAST(round(1000000 * ln(CAST(c1.n1 AS DOUBLE) / c2.n2))
+                  AS BIGINT) AS nll
+      FROM big b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                 JOIN c1 ON c1.w1 = b.w1
+      WHERE b.doc_id >= 400
+    ),
+    per_lang AS (
+      SELECT lang, sum(nll) // count(*) AS avg_nll
+      FROM scored GROUP BY lang
+    ),
+    bounds AS (
+      SELECT min(avg_nll) AS lo, max(avg_nll) AS hi FROM per_lang
+    ),
+    w0 AS (
+      SELECT lang, avg_nll,
+             ((avg_nll - lo) * 1000000) // greatest(hi - lo, 1) AS excess,
+             CAST(1000000 AS BIGINT) AS w
+      FROM per_lang, bounds
+    ),{rounds}
+    final AS (SELECT * FROM {prev})
+    SELECT lang,
+           CAST(avg_nll AS BIGINT) AS avg_nll_micro,
+           CAST(excess AS BIGINT) AS excess_ppm,
+           CAST((SELECT w FROM w1 x WHERE x.lang = final.lang)
+                AS BIGINT) AS w1_ppm,
+           CAST((SELECT w FROM w2 x WHERE x.lang = final.lang)
+                AS BIGINT) AS w2_ppm,
+           CAST(w AS BIGINT) AS w3_ppm
+    FROM final ORDER BY lang
+    """
+
+
+@query(
+    "c_mixture_reweight",
+    oracle=_mixture_oracle(),
+    tags=("curation", "mixture", "training", "pipeline"),
+)
+def c_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIXTURE REWEIGHTING by multiplicative weights over
+    per-domain excess loss — the DoReMi / Group-DRO shape: domains
+    whose held-out LM loss exceeds the best domain's get UP-weighted
+    (train harder on what the model serves worst), via three unrolled
+    multiplicative-weights rounds w <- w * (1 + eta * excess),
+    renormalized each round.  The loss signal is the engine's own
+    bigram LM (the t_bigram_perplexity counts, train docs < 400,
+    held-out >= 400) aggregated per lang; excess is min-max normalized
+    so the update is scale-free.  Everything fixed-point ppm BIGINT —
+    the multiplicative factor (1 + eta * excess) is the exactly-
+    computable surrogate for exp(eta * excess) (equal to first order,
+    and monotone in excess, which is all the ordering of the final
+    mixture needs); floor-renormalization drift is identical on both
+    engines.
+
+    Scale shape: the data-heavy work is ONE bigram-count train pass +
+    ONE held-out scoring pass (both map-side-combinable, the KN/
+    perplexity dataflow); the MW rounds operate on the DOMAIN table
+    (5 rows) — reweighting cost is O(domains) regardless of corpus
+    size, which is why mixture optimization is cheap to run every
+    ingest cycle."""
+    docs = Tables(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id", "lang",
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
+    )
+    train = big.where(F.col("doc_id") < 400).select("w1", "w2")
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    nll = F.round(
+        F.lit(1000000)
+        * F.log(F.col("n1").cast("double") / F.col("n2"))
+    ).cast("long")
+    per_lang = (
+        big.where(F.col("doc_id") >= 400)
+        .join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("lang", nll.alias("nll"))
+        .groupBy("lang")
+        .agg(
+            F.expr("CAST(sum(nll) DIV count(*) AS BIGINT)").alias(
+                "avg_nll"
+            )
+        )
+    )
+    bounds = per_lang.agg(
+        F.min("avg_nll").alias("lo"), F.max("avg_nll").alias("hi")
+    )
+    w = per_lang.crossJoin(F.broadcast(bounds)).select(
+        "lang",
+        "avg_nll",
+        F.expr(
+            "((avg_nll - lo) * 1000000) DIV greatest(hi - lo, 1)"
+        ).alias("excess"),
+        F.lit(1000000).cast("long").alias("w"),
+    )
+    round_cols = {}
+    for r in range(1, _MW_ROUNDS + 1):
+        raw = w.select(
+            "lang",
+            "avg_nll",
+            "excess",
+            F.expr(
+                f"(w * (1000000 + ({_MW_ETA_NUM} * excess) DIV 10))"
+                " DIV 1000000"
+            ).alias("w"),
+        )
+        total = raw.agg(F.sum("w").alias("tw"))
+        w = raw.crossJoin(F.broadcast(total)).select(
+            "lang",
+            "avg_nll",
+            "excess",
+            F.expr("(w * 1000000) DIV tw").alias("w"),
+        )
+        round_cols[r] = w.select(
+            "lang", F.col("w").alias(f"w{r}_ppm")
+        )
+    out = w.select(
+        "lang",
+        F.col("avg_nll").cast("long").alias("avg_nll_micro"),
+        F.col("excess").cast("long").alias("excess_ppm"),
+    )
+    for r in range(1, _MW_ROUNDS + 1):
+        out = out.join(
+            round_cols[r].withColumn(
+                f"w{r}_ppm", F.col(f"w{r}_ppm").cast("long")
+            ),
+            "lang",
+        )
+    return out.orderBy("lang")
