@@ -2984,3 +2984,278 @@ def c_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
         )
     return out.orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+_LB_B = 16  # sequences per batch
+
+
+@query(
+    "c_length_bucketing",
+    oracle=rf"""
+    WITH seqs AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS slen,
+             CAST(concat('0x', substr(md5('lb:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS shuf
+      FROM documents
+    ),
+    ranked AS (
+      SELECT slen,
+             (row_number() OVER (ORDER BY slen DESC, doc_id) - 1)
+               // {_LB_B} AS b_sorted,
+             (row_number() OVER (ORDER BY shuf, doc_id) - 1)
+               // {_LB_B} AS b_random
+      FROM seqs
+    ),
+    srt AS (
+      SELECT b_sorted AS b, count(*) AS n, max(slen) AS mx,
+             sum(slen) AS s
+      FROM ranked GROUP BY b_sorted
+    ),
+    rnd AS (
+      SELECT b_random AS b, count(*) AS n, max(slen) AS mx,
+             sum(slen) AS s
+      FROM ranked GROUP BY b_random
+    )
+    SELECT strategy, n_batches, total_tokens, padded_tokens,
+           CAST(((padded_tokens - total_tokens) * 1000000)
+                // padded_tokens AS BIGINT) AS waste_ppm
+    FROM (
+      SELECT 'length_sorted' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(n * mx) AS BIGINT) AS padded_tokens
+      FROM srt
+      UNION ALL
+      SELECT 'random', count(*), sum(s), sum(n * mx) FROM rnd
+    ) ORDER BY strategy
+    """,
+    tags=("curation", "training", "batching", "pipeline"),
+)
+def c_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING efficiency — the padding-waste
+    accounting behind every dynamic-batching / bucketing decision in
+    training and inference serving: a batch pads every sequence to
+    its longest member, so batch composition alone decides how many
+    FLOPs are spent on pad tokens.  Both strategies are computed from
+    the same table in one pass: LENGTH-SORTED batching (rank by
+    length, chop into batches of 16 — the bucketing ideal) vs RANDOM
+    batching (rank by a doc-keyed hash — the naive shuffle), each as
+    rank -> batch_id -> per-batch max -> exact padded-token count.
+    The ppm waste gap between the two rows IS the measured value of
+    bucketing on this corpus; the same dataflow with a
+    time/step budget cap is the serving-side batcher.
+
+    Scale shape: one tokenize projection; each strategy is one
+    ranking window + one bounded per-batch aggregate.  The global
+    window is the honest cost of EXACT global bucketing — production
+    buckets per partition (rank within salted ranges) for the same
+    waste profile without a global sort; the comparison's semantics
+    are identical."""
+    tok_n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    seqs = Tables(spark, sf_dir).documents.select(
+        "doc_id",
+        tok_n.alias("slen"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lb:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("shuf"),
+    )
+    w_sorted = Window.orderBy(F.desc("slen"), "doc_id")
+    w_random = Window.orderBy("shuf", "doc_id")
+    ranked = seqs.select(
+        "slen",
+        ((F.row_number().over(w_sorted) - 1) / _LB_B)
+        .cast("long")
+        .alias("b_sorted"),
+        ((F.row_number().over(w_random) - 1) / _LB_B)
+        .cast("long")
+        .alias("b_random"),
+    )
+
+    def stats(bcol: str, name: str) -> DataFrame:
+        per = ranked.groupBy(bcol).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("slen").alias("mx"),
+            F.sum("slen").alias("s"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("total_tokens"),
+            F.sum(F.col("n") * F.col("mx"))
+            .cast("long")
+            .alias("padded_tokens"),
+        )
+
+    out = stats("b_sorted", "length_sorted").unionByName(
+        stats("b_random", "random")
+    )
+    return out.select(
+        "strategy",
+        "n_batches",
+        "total_tokens",
+        "padded_tokens",
+        F.expr(
+            "CAST(((padded_tokens - total_tokens) * 1000000)"
+            " DIV padded_tokens AS BIGINT)"
+        ).alias("waste_ppm"),
+    ).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (cohesive-subgraph mining)
+# ---------------------------------------------------------------------------
+
+_KT_K = 7  # edge survives iff in >= k-2 triangles of the survivor graph
+_KT_ROUNDS = 3  # fixpoint reached at round 2 on the fixture; round 3
+# is the idempotent confirmation both engines compute identically
+
+
+def _ktruss_oracle() -> str:
+    rounds = ""
+    prev = "e0"
+    for r in range(1, _KT_ROUNDS + 1):
+        rounds += f"""
+    sym{r} AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM {prev}
+      UNION ALL SELECT b, a FROM {prev}
+    ),
+    sup{r} AS MATERIALIZED (
+      SELECT {prev}.a, {prev}.b, count(n2.v) AS s
+      FROM {prev}
+      LEFT JOIN sym{r} n1 ON n1.u = {prev}.a
+      LEFT JOIN sym{r} n2 ON n2.u = {prev}.b AND n2.v = n1.v
+      GROUP BY {prev}.a, {prev}.b
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM sup{r} WHERE s >= {_KT_K - 2}
+    ),"""
+        prev = f"e{r}"
+    return f"""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 10 = 0
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),{rounds}
+    fin AS (SELECT 1)
+    SELECT CAST({_KT_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges_0,
+           (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges_1,
+           (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_edges_2,
+           (SELECT CAST(count(*) AS BIGINT) FROM e3) AS n_edges_3,
+           CASE WHEN (SELECT count(*) FROM e2)
+                   = (SELECT count(*) FROM e3)
+                THEN CAST(1 AS BIGINT) ELSE 0 END AS converged,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+              SELECT a AS node FROM e{_KT_ROUNDS}
+              UNION ALL SELECT b FROM e{_KT_ROUNDS}))
+             AS n_truss_nodes
+    """
+
+
+@query(
+    "g_ktruss_peel",
+    oracle=_ktruss_oracle(),
+    tags=("graph", "analytics", "cohesion"),
+)
+def g_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-TRUSS decomposition (k = 7) on the part co-purchase graph —
+    the EDGE-cohesion analog of g_kcore_peel (Cohen 2008): an edge
+    survives iff it participates in >= k-2 triangles AMONG SURVIVORS,
+    so each peel round recomputes every edge's support (count of
+    common neighbors, the standard common-neighbor join) on the
+    induced subgraph and drops weak edges; the cascade — edges whose
+    support only looked sufficient because of since-peeled edges — is
+    the entire point, and the truss is a strictly stronger cohesion
+    certificate than the k-core (every k-truss is inside a
+    (k-1)-core, not vice versa).  Fixed 3 unrolled rounds (the
+    g_kcore/g_pagerank convention): the fixture reaches its fixpoint
+    at round 2 (11,878 -> 4,445 -> 4,288 -> 4,288) and the converged
+    flag certifies it on the graded row; extra rounds are idempotent.
+
+    Scale shape: per round ONE common-neighbor join (edge list vs the
+    symmetric adjacency, keyed on the shared endpoint — the wedge
+    join pattern of g_triangle_count, bounded by sum-of-degrees
+    products) + one (a, b)-keyed count aggregate + one filter; each
+    round's survivor set localCheckpoints so the per-round plans stay
+    flat.  Production adds the degree-ordered orientation rail for
+    hub skew, exactly as the triangle counter does."""
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.o") == F.col("y.o"))
+            & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    counts = [e.count()]
+    for _ in range(_KT_ROUNDS):
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        n1 = sym.select(F.col("u").alias("n1u"), F.col("v").alias("n1v"))
+        n2 = sym.select(F.col("u").alias("n2u"), F.col("v").alias("n2v"))
+        sup = (
+            e.join(n1, F.col("a") == F.col("n1u"), "left")
+            .join(
+                n2,
+                (F.col("b") == F.col("n2u"))
+                & (F.col("n1v") == F.col("n2v")),
+                "left",
+            )
+            .groupBy("a", "b")
+            .agg(F.count("n2v").alias("s"))
+        )
+        e = (
+            sup.where(F.col("s") >= _KT_K - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        counts.append(e.count())
+    truss_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .count()
+    )
+    row = [
+        (
+            _KT_K,
+            counts[0],
+            counts[1],
+            counts[2],
+            counts[3],
+            1 if counts[2] == counts[3] else 0,
+            truss_nodes,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "k LONG, n_edges_0 LONG, n_edges_1 LONG, n_edges_2 LONG,"
+        " n_edges_3 LONG, converged LONG, n_truss_nodes LONG",
+    )

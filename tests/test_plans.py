@@ -281,10 +281,13 @@ def test_unpartitioned_window_sites_are_audited():
     - functions/sketches.py: 1 — Misra-Gries candidate set, O(k)
     - queries_round9.py: 1 — RRF final rank over the limit-10 fused
       head (the fusion itself joins two k-row leg tables)
-    - queries_round10.py: 1 — x_gbdt_stumps' prefix-sum window runs
+    - queries_round10.py: 3 — x_gbdt_stumps' prefix-sum window runs
       over DISTINCT FEATURE VALUES (the LightGBM histogram trick),
       never the base table: its input is the (x, count, sum)
-      aggregate, bounded by feature cardinality
+      aggregate, bounded by feature cardinality; c_length_bucketing's
+      two ranking windows are the DELIBERATE, documented cost of
+      EXACT global batching (its docstring names the salted-range
+      per-partition variant as the production path)
     """
     import pathlib
 
@@ -295,7 +298,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_mleval.py": 5,
         "queries_round5.py": 1,
         "queries_round9.py": 1,
-        "queries_round10.py": 1,
+        "queries_round10.py": 3,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent
