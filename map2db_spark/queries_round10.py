@@ -1,7 +1,24 @@
-"""Round-10 query registrations: corpus-scale exact-substring dedup
-(the Lee et al. 2022 full form, VERDICT r9 #1) and the cross-corpus
-novelty filter (frozen-sketch membership at ingest, VERDICT r9 #4),
-plus the round's other training-data-pipeline operators.
+"""Round-10 query registrations — 22 operators across the pipeline:
+
+- dedup: corpus-scale exact-substring spans (VERDICT r9 #1, the Lee
+  et al. full form; operators/exact_substring.py), paragraph dedup
+  with document reconstruction, a streaming exact-substring
+  contamination gate;
+- ingest gating: the cross-corpus novelty filter against a frozen
+  Bloom sketch (VERDICT r9 #4; functions/sketches.py) and its
+  streaming twin;
+- ML training steps, exact: one logistic-regression Newton step,
+  two gradient-boosted stump rounds, a rank-1 ALS alternation,
+  Fellegi-Sunter linkage weights, DoReMi-lite mixture reweighting;
+- retrieval/eval: IVF-PQ with residual codebooks, Matryoshka
+  truncated-dimension recall, Kneser-Ney held-out scoring, pinball
+  quantile-forecast loss;
+- relational/infra: coordinated (join-preserving) sampling,
+  count-min join-size estimation, incremental view maintenance,
+  length-bucketed batching efficiency, per-split dataset cards;
+- graph: blocked entity resolution, Boruvka minimum spanning forest
+  (operators/mst.py) read as single-linkage clustering, k-truss
+  decomposition.
 
 New operators land here so the registry tier logic (registry.py) puts
 them inside the driver's graded-50 window: a fresh operator gets its
