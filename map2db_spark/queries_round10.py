@@ -3276,3 +3276,724 @@ def g_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k LONG, n_edges_0 LONG, n_edges_1 LONG, n_edges_2 LONG,"
         " n_edges_3 LONG, converged LONG, n_truss_nodes LONG",
     )
+
+
+# ===========================================================================
+# Round-10 continuation (session 2): declarative DQ audit, tensorization,
+# PPS sampling, preference fitting, hard-negative mining, NFC scrub.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint audit (the dbt-tests / Great
+# Expectations shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r_dq_constraint_audit",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l_quantity < 1
+                                      OR l_quantity > 50) AS BIGINT) AS v_qty,
+             CAST(count(*) FILTER (WHERE round(l_discount * 100) < 0
+                                      OR round(l_discount * 100) > 10)
+                  AS BIGINT) AS v_disc,
+             CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+                  AS BIGINT) AS v_rf
+      FROM lineitem
+    ),
+    cu AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(c_custkey) AS BIGINT) AS v_null,
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS v_uniq
+      FROM customer
+    ),
+    dc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE n_chars > 520) AS BIGINT) AS v_range,
+             CAST(count(*) FILTER (WHERE n_chars <> length(text))
+                  AS BIGINT) AS v_cons
+      FROM documents
+    ),
+    os AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                  AS BIGINT) AS v_status
+      FROM orders
+    ),
+    fk1 AS (
+      SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders)) AS BIGINT) AS v
+    ),
+    fk2 AS (
+      SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_partkey NOT IN
+                     (SELECT p_partkey FROM part)) AS BIGINT) AS v
+    ),
+    fk3 AS (
+      SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_custkey NOT IN
+                     (SELECT c_custkey FROM customer)) AS BIGINT) AS v
+    ),
+    rel AS (
+      SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM orders o LEFT JOIN (
+                     SELECT l_orderkey, count(*) AS cnt FROM lineitem
+                     GROUP BY l_orderkey) c ON o.o_orderkey = c.l_orderkey
+                   WHERE c.cnt IS NULL OR c.cnt > 20) AS BIGINT) AS v
+    )
+    SELECT * FROM (
+      SELECT 'fk_lineitem_orderkey' AS check_name,
+             'lineitem' AS table_name, n AS n_checked, v AS n_violations,
+             CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      FROM fk1
+      UNION ALL SELECT 'fk_lineitem_partkey', 'lineitem', n, v,
+             CASE WHEN v = 0 THEN 1 ELSE 0 END FROM fk2
+      UNION ALL SELECT 'fk_orders_custkey', 'orders', n, v,
+             CASE WHEN v = 0 THEN 1 ELSE 0 END FROM fk3
+      UNION ALL SELECT 'notnull_customer_custkey', 'customer', n, v_null,
+             CASE WHEN v_null = 0 THEN 1 ELSE 0 END FROM cu
+      UNION ALL SELECT 'range_documents_nchars_520', 'documents', n, v_range,
+             CASE WHEN v_range = 0 THEN 1 ELSE 0 END FROM dc
+      UNION ALL SELECT 'range_lineitem_discount', 'lineitem', n, v_disc,
+             CASE WHEN v_disc = 0 THEN 1 ELSE 0 END FROM li
+      UNION ALL SELECT 'range_lineitem_quantity', 'lineitem', n, v_qty,
+             CASE WHEN v_qty = 0 THEN 1 ELSE 0 END FROM li
+      UNION ALL SELECT 'relation_orders_items_1_20', 'orders', n, v,
+             CASE WHEN v = 0 THEN 1 ELSE 0 END FROM rel
+      UNION ALL SELECT 'sameas_documents_nchars_len', 'documents', n, v_cons,
+             CASE WHEN v_cons = 0 THEN 1 ELSE 0 END FROM dc
+      UNION ALL SELECT 'unique_customer_custkey', 'customer', n, v_uniq,
+             CASE WHEN v_uniq = 0 THEN 1 ELSE 0 END FROM cu
+      UNION ALL SELECT 'values_lineitem_returnflag', 'lineitem', n, v_rf,
+             CASE WHEN v_rf = 0 THEN 1 ELSE 0 END FROM li
+      UNION ALL SELECT 'values_orders_status', 'orders', n, v_status,
+             CASE WHEN v_status = 0 THEN 1 ELSE 0 END FROM os
+    ) ORDER BY check_name
+    """,
+    tags=("relational", "pipeline", "reporting"),
+)
+def r_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-QUALITY constraint audit — the dbt-tests /
+    Great Expectations contract suite a warehouse runs before
+    publishing a table: NOT NULL, UNIQUE, FK integrity, accepted
+    ranges, accepted values, cross-column consistency, and a
+    relationship-cardinality rule, emitted as one row per check with
+    exact violation counts.  One check
+    (range_documents_nchars_520) is deliberately tight so the audit
+    PROVABLY detects violations on this corpus (n_violations > 0,
+    passed = 0) rather than vacuously passing everything.
+
+    Scale shape: all single-column checks on a table compile into ONE
+    map-side-combinable aggregate over ONE scan (lineitem's three
+    checks share a scan; customer's two share a scan; documents' two
+    share a scan) and then fan out to check rows with a bounded
+    unpivot — never one scan per check.  FK orphan checks are
+    key-keyed anti-joins (at 100 TB the x_bloom_semi_join primitive
+    pre-filters the fact side before the exact anti-join); the
+    cardinality rule is one groupBy on the fact key.  Output is
+    O(checks), independent of data size."""
+    t = Tables(spark, sf_dir)
+    li, cu, dc, od, pa = t.lineitem, t.customer, t.documents, t.orders, t.part
+
+    def rows(agg: DataFrame, *checks: tuple[str, str, str]) -> DataFrame:
+        # checks: (check_name, table_name, violation_col); agg has n + cols
+        stack = ", ".join(
+            f"'{name}', '{tbl}', {vcol}" for name, tbl, vcol in checks
+        )
+        return agg.selectExpr(
+            f"stack({len(checks)}, {stack})"
+            " AS (check_name, table_name, n_violations)",
+            "n AS n_checked",
+        ).select(
+            "check_name",
+            "table_name",
+            F.col("n_checked").cast("long"),
+            F.col("n_violations").cast("long"),
+            F.when(F.col("n_violations") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("passed"),
+        )
+
+    one = F.count(F.lit(1)).cast("long")
+    li_agg = li.agg(
+        one.alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("v_qty"),
+        F.sum(
+            (
+                (F.round(F.col("l_discount") * 100) < 0)
+                | (F.round(F.col("l_discount") * 100) > 10)
+            ).cast("long")
+        ).alias("v_disc"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("v_rf"),
+    )
+    cu_agg = cu.agg(
+        one.alias("n"),
+        (F.count(F.lit(1)) - F.count("c_custkey")).cast("long").alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("long")
+        .alias("v_uniq"),
+    )
+    dc_agg = dc.agg(
+        one.alias("n"),
+        F.sum((F.col("n_chars") > 520).cast("long")).alias("v_range"),
+        F.sum(
+            (F.col("n_chars") != F.length("text")).cast("long")
+        ).alias("v_cons"),
+    )
+    os_agg = od.agg(
+        one.alias("n"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
+        ).alias("v_status"),
+    )
+
+    def fk(fact: DataFrame, fkey: str, dim: DataFrame, dkey: str) -> DataFrame:
+        orphans = fact.select(F.col(fkey).alias(dkey)).join(
+            dim.select(dkey), dkey, "left_anti"
+        )
+        return fact.agg(one.alias("n")).crossJoin(
+            F.broadcast(orphans.agg(one.alias("v")))
+        )
+
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rel_agg = od.agg(one.alias("n")).crossJoin(
+        F.broadcast(
+            od.select("o_orderkey")
+            .join(per_order, "o_orderkey", "left")
+            .agg(
+                F.sum(
+                    (F.col("cnt").isNull() | (F.col("cnt") > 20)).cast("long")
+                ).alias("v")
+            )
+        )
+    )
+
+    out = rows(
+        li_agg,
+        ("range_lineitem_quantity", "lineitem", "v_qty"),
+        ("range_lineitem_discount", "lineitem", "v_disc"),
+        ("values_lineitem_returnflag", "lineitem", "v_rf"),
+    )
+    out = out.unionByName(
+        rows(
+            cu_agg,
+            ("notnull_customer_custkey", "customer", "v_null"),
+            ("unique_customer_custkey", "customer", "v_uniq"),
+        )
+    )
+    out = out.unionByName(
+        rows(
+            dc_agg,
+            ("range_documents_nchars_520", "documents", "v_range"),
+            ("sameas_documents_nchars_len", "documents", "v_cons"),
+        )
+    )
+    out = out.unionByName(rows(os_agg, ("values_orders_status", "orders", "v_status")))
+    out = out.unionByName(
+        rows(
+            fk(li, "l_orderkey", od.select(F.col("o_orderkey")), "o_orderkey"),
+            ("fk_lineitem_orderkey", "lineitem", "v"),
+        )
+    )
+    out = out.unionByName(
+        rows(
+            fk(li, "l_partkey", pa.select(F.col("p_partkey")), "p_partkey"),
+            ("fk_lineitem_partkey", "lineitem", "v"),
+        )
+    )
+    out = out.unionByName(
+        rows(
+            fk(od, "o_custkey", cu.select(F.col("c_custkey")), "c_custkey"),
+            ("fk_orders_custkey", "orders", "v"),
+        )
+    )
+    out = out.unionByName(rows(rel_agg, ("relation_orders_items_1_20", "orders", "v")))
+    return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# T5 span-corruption masking (tensorization last mile)
+# ---------------------------------------------------------------------------
+
+_T5_RATE = 20  # 1-in-20 token positions start a span
+_T5_SPAN = 3  # span length in {2,3,4}: 2 + md5 % 3  (~15% corruption)
+
+
+@query(
+    "t_span_corruption_masks",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT d.doc_id, d.n, CAST(t.i AS BIGINT) AS i
+      FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) t
+    ),
+    starts AS (
+      SELECT doc_id, n, i AS s,
+             least(i + 2 + CAST(concat('0x', substr(md5('t5:' ||
+                     CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(i AS VARCHAR)), 9, 8)) AS BIGINT) % {_T5_SPAN},
+                   n) AS e
+      FROM pos
+      WHERE CAST(concat('0x', substr(md5('t5:' ||
+              CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % {_T5_RATE} = 0
+    ),
+    flagged AS (
+      SELECT doc_id, n, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_span
+      FROM starts
+    ),
+    merged AS (
+      SELECT doc_id, any_value(n) AS n, island,
+             min(s) AS s, max(e) AS e
+      FROM (SELECT doc_id, n, s, e,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY s)
+                     AS island
+            FROM flagged)
+      GROUP BY doc_id, island
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS n_masked,
+             md5(array_to_string(list_sort(list(
+               lpad(CAST(s AS VARCHAR), 6, '0') || ':' ||
+               lpad(CAST(e AS VARCHAR), 6, '0'))), ',')) AS mask_sig
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(d.n - COALESCE(p.n_masked, 0) + COALESCE(p.n_spans, 0)
+                AS BIGINT) AS input_len,
+           CAST(COALESCE(p.n_masked, 0) + COALESCE(p.n_spans, 0) + 1
+                AS BIGINT) AS target_len,
+           COALESCE(p.mask_sig, md5('')) AS mask_sig
+    FROM d LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "training"),
+)
+def t_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN-CORRUPTION masking — the tensorization last mile
+    that turns a clean document into (input, target) pairs for
+    denoising pretraining (Raffel et al. 2020): ~5% of token positions
+    deterministically open a mask span of 2-4 tokens (md5-derived, so
+    every engine and every rerun masks identically — the
+    reproducible-data-pipeline requirement), overlapping or touching
+    spans merge into maximal corrupted regions (each becomes ONE
+    sentinel token), and the emitted lengths follow the T5 contract:
+    input = kept tokens + one sentinel per span; target = masked
+    tokens + one sentinel per span + EOS.  ~15% corruption rate
+    (1/20 starts x mean span 3).  mask_sig is the md5 of the merged
+    span list — the cheap cross-run integrity check a sharded
+    tensorization job logs per shard.
+
+    Scale shape: position rows are generated map-side from the token
+    COUNT (sequence(0, n-1) — the text column itself never explodes
+    or shuffles; the only Exchange carries fixed-width (doc_id, s, e)
+    integer rows for the per-doc island merge, exactly the
+    d_suffix_dedup_corpus span discipline).  Span merging is one
+    doc_id-keyed window; output is one row per doc."""
+    docs = Tables(spark, sf_dir).documents
+    d = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    )
+
+    def h(sub_start: int) -> F.Column:
+        m = F.md5(
+            F.concat(
+                F.lit("t5:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        return F.conv(F.substring(m, sub_start, 8), 16, 10).cast("long")
+
+    starts = (
+        d.select("doc_id", "n", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"))
+        .where(h(1) % _T5_RATE == 0)
+        .select(
+            "doc_id",
+            "n",
+            F.col("i").cast("long").alias("s"),
+            F.least(F.col("i") + 2 + h(9) % _T5_SPAN, F.col("n"))
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = starts.withColumn(
+        "new_span",
+        (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1))).cast("long"),
+    )
+    w_isl = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("new_span").over(w_isl))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_masked"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("s").cast("string"), 6, "0"),
+                            F.lit(":"),
+                            F.lpad(F.col("e").cast("string"), 6, "0"),
+                        )
+                    )
+                ),
+            )
+        ).alias("mask_sig"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        d.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), z).alias("n_spans"),
+            F.coalesce(F.col("n_masked"), z).alias("n_masked"),
+            (F.col("n") - F.coalesce(F.col("n_masked"), z)
+             + F.coalesce(F.col("n_spans"), z))
+            .cast("long")
+            .alias("input_len"),
+            (F.coalesce(F.col("n_masked"), z)
+             + F.coalesce(F.col("n_spans"), z) + 1)
+            .cast("long")
+            .alias("target_len"),
+            F.coalesce(F.col("mask_sig"), F.md5(F.lit(""))).alias("mask_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic probability-proportional-to-size sampling
+# ---------------------------------------------------------------------------
+
+_PPS_N = 50  # sample points (strata)
+
+
+@query(
+    "c_pps_systematic_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS w,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS cum_before
+      FROM documents
+    ),
+    tot AS (SELECT sum(n_chars) AS big_w FROM documents),
+    strata AS (
+      SELECT CAST(t.k AS BIGINT) AS k,
+             (SELECT big_w FROM tot) * (2 * CAST(t.k AS BIGINT) + 1)
+               // {2 * _PPS_N} AS p
+      FROM (SELECT unnest(range(0, {_PPS_N})) AS k) t
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS BIGINT) AS w,
+           CAST(d.cum_before AS BIGINT) AS cum_before,
+           CAST(count(*) AS BIGINT) AS multiplicity
+    FROM d JOIN strata s
+      ON s.p >= d.cum_before AND s.p < d.cum_before + d.w
+    GROUP BY d.doc_id, d.w, d.cum_before
+    ORDER BY d.doc_id
+    """,
+    tags=("sampling", "curation", "statistics"),
+)
+def c_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC PPS sampling (probability proportional to size,
+    midpoint rule) — the survey-sampling workhorse for "pick 50
+    representative documents where a 10x-longer doc is 10x as likely":
+    lay the corpus end-to-end on a weight line (weight = n_chars),
+    drop n equally-spaced midpoint probes p_k = floor(W*(2k+1)/(2n)),
+    and select the doc whose weight interval contains each probe.
+    EXACT integer arithmetic end to end (no float inclusion
+    probabilities), deterministic (midpoint offset instead of a random
+    start), and a doc longer than one stride W/n is selected with
+    multiplicity — the PPS-with-replacement accounting that keeps the
+    Horvitz-Thompson estimator unbiased.  Sum of multiplicities == n
+    by construction (pinned in tests).
+
+    Scale shape: the weight line is the two-pass range-partitioned
+    prefix sum (operators/ids.py with_prefix_sums — no
+    single-reducer window; plan-asserted rangepartitioning); the
+    probe table is O(n_sample) = bounded by a CONSTANT, so its
+    broadcast range-join is scale-safe by construction (each data row
+    checks the bounded probe list map-side, the j_spatial shape);
+    total W is the one O(1) driver scalar.  Output is O(n_sample)."""
+    from map2db_spark.operators.ids import with_prefix_sums
+
+    docs = Tables(spark, sf_dir).documents
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    big_w = d.agg(F.sum("w").cast("long")).collect()[0][0]  # O(1) scalar
+    cum = with_prefix_sums(d, ["doc_id"], ["w"]).withColumn(
+        "cum_before", (F.col("cum_w") - F.col("w")).cast("long")
+    )
+    strata = spark.createDataFrame(
+        [(k, (big_w * (2 * k + 1)) // (2 * _PPS_N)) for k in range(_PPS_N)],
+        "k LONG, p LONG",
+    )
+    return (
+        cum.join(
+            F.broadcast(strata),
+            (F.col("p") >= F.col("cum_before"))
+            & (F.col("p") < F.col("cum_before") + F.col("w")),
+        )
+        .groupBy("doc_id", "w", "cum_before")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference fitting (fixed-point MM)
+# ---------------------------------------------------------------------------
+
+_BT_ARMS = 8
+_BT_S = 10**12  # fixed-point scale for the MM denominator terms
+
+
+def _bt_oracle() -> str:
+    h = (
+        "CAST(concat('0x', substr(md5('{tag}' || "
+        "CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    ha, hb, hu = (h.format(tag=t) for t in ("bta:", "btb:", "btu:"))
+
+    def it(pi: str, t_out: str, pi_out: str) -> str:
+        return f"""
+    {t_out} AS (
+      SELECT d.arm,
+             sum(({_BT_S} * d.n) // (pa.pi + po.pi)) AS t
+      FROM dir d
+      JOIN {pi} pa ON pa.arm = d.arm
+      JOIN {pi} po ON po.arm = d.opp
+      GROUP BY d.arm
+    ),
+    {pi_out} AS (
+      SELECT a.arm, (a.wins * {_BT_S}) // t.t AS pi
+      FROM arms a JOIN {t_out} t USING (arm)
+    )"""
+
+    return f"""
+    WITH comp AS (
+      SELECT a, b, u,
+             CASE WHEN u * (a + b + 2) < (a + 1) * 1000000
+                  THEN 1 ELSE 0 END AS win_a
+      FROM (
+        SELECT a,
+               braw + CASE WHEN braw >= a THEN 1 ELSE 0 END AS b,
+               {hu} % 1000000 AS u
+        FROM (SELECT {ha} % {_BT_ARMS} AS a,
+                     {hb} % {_BT_ARMS - 1} AS braw,
+                     event_id
+              FROM events))
+    ),
+    pairs AS (
+      SELECT least(a, b) AS i, greatest(a, b) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN (a < b AND win_a = 1)
+                             OR (a > b AND win_a = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS wi
+      FROM comp GROUP BY 1, 2
+    ),
+    dir AS (
+      SELECT i AS arm, j AS opp, n, wi AS w FROM pairs
+      UNION ALL
+      SELECT j AS arm, i AS opp, n, n - wi AS w FROM pairs
+    ),
+    arms AS (
+      SELECT arm, CAST(sum(n) AS BIGINT) AS games,
+             CAST(sum(w) AS BIGINT) AS wins
+      FROM dir GROUP BY arm
+    ),
+    pi0 AS (SELECT arm, CAST(1000000 AS BIGINT) AS pi FROM arms),
+    {it("pi0", "t1", "pi1")},
+    {it("pi1", "t2", "pi2")},
+    tot AS (SELECT sum(pi) AS s FROM pi2)
+    SELECT a.arm,
+           CAST(a.arm + 1 AS BIGINT) AS planted_strength,
+           a.games AS n_games,
+           a.wins AS n_wins,
+           p1.pi AS pi1_micro,
+           p2.pi AS pi2_micro,
+           (p2.pi * 1000000) // (SELECT s FROM tot) AS share_ppm
+    FROM arms a
+    JOIN pi1 p1 USING (arm) JOIN pi2 p2 USING (arm)
+    ORDER BY a.arm
+    """
+
+
+@query(
+    "x_bradley_terry_mm",
+    oracle=_bt_oracle(),
+    tags=("statistics", "mleval", "training"),
+)
+def x_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength fitting over pairwise preferences — the
+    model behind RLHF reward-data curation and chat-arena
+    leaderboards: given "A beat B" comparisons, estimate per-arm
+    strengths pi with the classic MM (minorization-maximization)
+    update pi_i' = W_i / sum_j n_ij / (pi_i + pi_j) (Hunter 2004), two
+    iterations unrolled in EXACT fixed-point arithmetic (every
+    division is a spec'd integer floor at scale 1e12, so both engines
+    walk bit-identical iterates — the x_logreg_newton discipline
+    applied to preference fitting).  The fixture plants strengths
+    1..8 via md5-derived matchups and outcomes (arm a beats b with
+    probability s_a/(s_a+s_b), the exact BT generative model), and the
+    fitted pi2 recovers the planted ordering (pinned in tests).
+
+    Scale shape: comparisons reduce map-side to the (i, j) pair table
+    in ONE combinable groupBy over a bounded key space (arms^2/2 =
+    28); every MM step is joins among O(arms)-row frames — bounded by
+    the CONSTANT arm count, never by data — so iteration cost is
+    independent of corpus size and there is no driver loop at all
+    (unlike the inherently-sequential greedy ops, MM steps are a
+    fixed unrolled pipeline)."""
+    events = Tables(spark, sf_dir).events
+
+    def hh(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    comp = (
+        events.select("event_id")
+        .select(
+            (hh("bta:") % _BT_ARMS).alias("a"),
+            (hh("btb:") % (_BT_ARMS - 1)).alias("braw"),
+            (hh("btu:") % 1000000).alias("u"),
+        )
+        .select(
+            "a",
+            (F.col("braw") + (F.col("braw") >= F.col("a")).cast("long")).alias("b"),
+            "u",
+        )
+        .withColumn(
+            "win_a",
+            (
+                F.col("u") * (F.col("a") + F.col("b") + 2)
+                < (F.col("a") + 1) * 1000000
+            ).cast("long"),
+        )
+    )
+    pairs = comp.groupBy(
+        F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                ((F.col("a") < F.col("b")) & (F.col("win_a") == 1))
+                | ((F.col("a") > F.col("b")) & (F.col("win_a") == 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("wi"),
+    )
+    # all frames below are O(arms) / O(arms^2) — bounded by a constant,
+    # so forced broadcasts are scale-safe by construction
+    direc = pairs.select(
+        F.col("i").alias("arm"), F.col("j").alias("opp"), "n", F.col("wi").alias("w")
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("arm"),
+            F.col("i").alias("opp"),
+            "n",
+            (F.col("n") - F.col("wi")).alias("w"),
+        )
+    )
+    arms = direc.groupBy("arm").agg(
+        F.sum("n").cast("long").alias("games"),
+        F.sum("w").cast("long").alias("wins"),
+    )
+
+    def mm_step(pi: DataFrame) -> DataFrame:
+        t = (
+            direc.join(
+                F.broadcast(pi.select(F.col("arm"), F.col("pi").alias("pi_a"))),
+                "arm",
+            )
+            .join(
+                F.broadcast(
+                    pi.select(F.col("arm").alias("opp"), F.col("pi").alias("pi_o"))
+                ),
+                "opp",
+            )
+            .select(
+                "arm",
+                F.expr(
+                    f"(CAST({_BT_S} AS BIGINT) * n) DIV (pi_a + pi_o)"
+                ).alias("t"),
+            )
+            .groupBy("arm")
+            .agg(F.sum("t").cast("long").alias("t"))
+        )
+        return (
+            arms.join(F.broadcast(t), "arm")
+            .select("arm", F.expr(f"(wins * CAST({_BT_S} AS BIGINT)) DIV t").alias("pi"))
+        )
+
+    pi0 = arms.select("arm", F.lit(1000000).cast("long").alias("pi"))
+    pi1 = mm_step(pi0)
+    pi2 = mm_step(pi1)
+    tot = pi2.agg(F.sum("pi").cast("long").alias("s"))
+    return (
+        arms.join(F.broadcast(pi1.select("arm", F.col("pi").alias("pi1_micro"))), "arm")
+        .join(F.broadcast(pi2.select("arm", F.col("pi").alias("pi2_micro"))), "arm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            (F.col("arm") + 1).cast("long").alias("planted_strength"),
+            F.col("games").alias("n_games"),
+            F.col("wins").alias("n_wins"),
+            "pi1_micro",
+            "pi2_micro",
+            F.expr("(pi2_micro * CAST(1000000 AS BIGINT)) DIV s").alias("share_ppm"),
+        )
+        .orderBy("arm")
+    )
