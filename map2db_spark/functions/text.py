@@ -228,3 +228,29 @@ def longest_common_substring_len(a: str, b: str) -> int:
         if cur > best:
             best = cur
     return best
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC scrub (kernel helper, see t_unicode_nfc_scrub)
+# ---------------------------------------------------------------------------
+
+# Cc controls except \t \n \r, plus zero-width space and soft hyphen —
+# the standard invisible-garbage class a corpus cleaner strips.  The
+# DuckDB oracle uses the RE2 spelling of the SAME class
+# ([\x00-\x08\x0b-\x1f\x7f\x{200B}\x{00AD}]); \x09/\x0a are excluded
+# on both sides (kept), \x0d falls in the stripped range on both.
+_SCRUB_CLASS = "[\x00-\x08\x0b-\x1f\x7f\u200b\u00ad]"
+
+
+def nfc_scrub(s: str) -> str:
+    """Unicode NFC normalization + invisible-character strip — the
+    canonicalization pass that runs before any hash-based dedup so
+    'e'+COMBINING ACUTE and precomposed U+00E9 fingerprint
+    identically.  Python's unicodedata (UCD tables) vs DuckDB's
+    utf8proc implement the same Unicode standard; the oracle parity
+    of t_unicode_nfc_scrub is a genuine cross-implementation check
+    (the libjpeg/libwebp external-parity pattern applied to text)."""
+    import re
+    import unicodedata
+
+    return re.sub(_SCRUB_CLASS, "", unicodedata.normalize("NFC", s))

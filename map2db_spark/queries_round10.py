@@ -3935,6 +3935,11 @@ def x_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wi"),
     )
+    # materialize the 28-row pair table ONCE: the two unrolled MM steps
+    # each reference it on two join sides, so without truncation the
+    # lineage re-derives it (and re-scans events) exponentially in the
+    # iteration depth — the plan assertion pins events to one scan
+    pairs = pairs.localCheckpoint()
     # all frames below are O(arms) / O(arms^2) — bounded by a constant,
     # so forced broadcasts are scale-safe by construction
     direc = pairs.select(
@@ -3997,3 +4002,254 @@ def x_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive / embedding-model training
+# ---------------------------------------------------------------------------
+
+_HN_MOD = 31  # query selector: vec_id % 31 == 0 (~3% of vectors)
+_HN_IV = (
+    "list_transform(embedding, "
+    "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+@query(
+    "v_hard_negative_mining",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_HN_IV} AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv
+      FROM iv WHERE vec_id % {_HN_MOD} = 0
+    ),
+    p AS (
+      SELECT q.qid, q.qlabel, c.vec_id AS cid, c.label AS clabel,
+             CAST(list_dot_product(q.qv, q.qv)
+                  - 2 * list_dot_product(q.qv, c.v)
+                  + list_dot_product(c.v, c.v) AS BIGINT) AS d2
+      FROM q JOIN iv c ON c.vec_id <> q.qid
+    ),
+    pos AS (
+      SELECT qid, cid AS pos_id, d2 AS pos_d2 FROM p
+      WHERE clabel = qlabel
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2, cid) = 1
+    ),
+    neg AS (
+      SELECT qid, cid AS neg_id, d2 AS neg_d2 FROM p
+      WHERE clabel <> qlabel
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2, cid) = 1
+    ),
+    hard AS (
+      SELECT p.qid, CAST(count(*) AS BIGINT) AS n_hard_neg
+      FROM p JOIN pos USING (qid)
+      WHERE p.clabel <> p.qlabel AND p.d2 < 2 * pos.pos_d2
+      GROUP BY p.qid
+    )
+    SELECT q.qid AS query_id,
+           CAST(q.qlabel AS BIGINT) AS query_label,
+           pos.pos_id, pos.pos_d2, neg.neg_id, neg.neg_d2,
+           CAST(COALESCE(hard.n_hard_neg, 0) AS BIGINT) AS n_hard_neg,
+           CAST(CASE WHEN neg.neg_d2 < 2 * pos.pos_d2
+                THEN 1 ELSE 0 END AS BIGINT) AS is_hard
+    FROM q
+    JOIN pos ON pos.qid = q.qid
+    JOIN neg ON neg.qid = q.qid
+    LEFT JOIN hard ON hard.qid = q.qid
+    ORDER BY q.qid
+    """,
+    tags=("similarity", "training", "mleval"),
+)
+def v_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the training-data op behind every
+    modern embedding/retrieval model (DPR, SimCSE, E5): for each query
+    vector, find its nearest SAME-label neighbor (the positive) and
+    its nearest CROSS-label neighbor (the candidate hard negative),
+    plus how many cross-label vectors fall inside the hardness margin
+    d2 < 2 * pos_d2 — the negatives close enough to be informative
+    rather than trivially separable.  is_hard flags queries whose
+    nearest negative beats the margin (the pairs a contrastive batch
+    builder would actually mine).  Distances are exact BIGINT squared
+    euclidean over int_vec-scaled embeddings (the similarity-family
+    convention), argmins tie-break on vec_id — fully deterministic.
+
+    Scale shape: the query set is a bounded md5-free modulus sample
+    (CONSTANT fraction, broadcast side); the corpus is scanned
+    map-side against the broadcast queries — never self-shuffled and
+    never all-pairs (pairs relation is O(n_queries x corpus) with
+    fixed-width rows, the brute-force-baseline shape; the ANN family
+    v_ann_* provides the sublinear candidate generator when the query
+    set stops being constant-bounded).  Both argmins come from ONE
+    conditional aggregate pass; the margin count is a second bounded
+    pass joined against the 17-row positive table."""
+    from map2db_spark.functions.similarity import int_dot, int_vec
+
+    emb = Tables(spark, sf_dir).embeddings
+    iv = emb.select("vec_id", "label", int_vec(F.col("embedding")).alias("v"))
+    q = iv.where(F.col("vec_id") % _HN_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    pairs = iv.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        (
+            int_dot(F.col("qv"), F.col("qv"))
+            - 2 * int_dot(F.col("qv"), F.col("v"))
+            + int_dot(F.col("v"), F.col("v"))
+        )
+        .cast("long")
+        .alias("d2"),
+    )
+    same = F.col("clabel") == F.col("qlabel")
+    best = pairs.groupBy("qid", "qlabel").agg(
+        F.min(F.when(same, F.struct(F.col("d2"), F.col("cid")))).alias("pos"),
+        F.min(F.when(~same, F.struct(F.col("d2"), F.col("cid")))).alias("neg"),
+    )
+    # bounded (one row per query): materialize once so the margin pass
+    # and the final join reuse it instead of re-deriving the corpus
+    # aggregate — keeps the query at its documented TWO corpus passes
+    best = best.localCheckpoint()
+    hard = (
+        pairs.join(
+            F.broadcast(
+                best.select("qid", F.col("pos.d2").alias("pos_d2"))
+            ),
+            "qid",
+        )
+        .where(~same & (F.col("d2") < 2 * F.col("pos_d2")))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hard_neg"))
+    )
+    return (
+        best.join(F.broadcast(hard), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").cast("long").alias("query_label"),
+            F.col("pos.cid").alias("pos_id"),
+            F.col("pos.d2").alias("pos_d2"),
+            F.col("neg.cid").alias("neg_id"),
+            F.col("neg.d2").alias("neg_d2"),
+            F.coalesce(F.col("n_hard_neg"), F.lit(0).cast("long")).alias(
+                "n_hard_neg"
+            ),
+            (F.col("neg.d2") < 2 * F.col("pos.d2")).cast("long").alias("is_hard"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC scrub (cross-implementation parity: unicodedata/utf8proc)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_unicode_nfc_scrub",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             substr(trim(text), 1, 60) ||
+             CASE v
+               WHEN 0 THEN 'e' || chr(769) || chr(7)
+               WHEN 1 THEN 'o' || chr(770) || chr(769) || chr(7)
+               WHEN 2 THEN chr(8491) || chr(7)
+               ELSE chr(197) || 'x'
+             END AS s
+      FROM (SELECT doc_id, text,
+                   CAST(concat('0x', substr(md5('nfc:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS v
+            FROM documents)
+    ),
+    n AS (
+      SELECT doc_id, s,
+             regexp_replace(nfc_normalize(s),
+               '[\x00-\x08\x0b-\x1f\x7f\x{200B}\x{00AD}]', '', 'g') AS t
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN t <> s THEN 1 ELSE 0 END AS BIGINT) AS changed,
+           CAST(length(s) AS BIGINT) AS len_raw,
+           CAST(length(t) AS BIGINT) AS len_norm,
+           md5(t) AS norm_sig
+    FROM n ORDER BY doc_id
+    """,
+    tags=("text", "curation", "multimodal-parity"),
+)
+def t_unicode_nfc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC SCRUB — the canonicalization pass that runs before
+    any hash-based dedup or tokenization so visually-identical text
+    fingerprints identically: NFC normalization (combining sequences
+    compose: e+U+0301 -> U+00E9, o+U+0302+U+0301 -> U+1ED1, and the
+    SINGLETON U+212B ANGSTROM SIGN -> U+00C5) plus an
+    invisible-character strip (Cc controls except tab/newline,
+    zero-width space, soft hyphen).  The fixture plants all four
+    denormalization classes md5-deterministically (variant 3 is
+    already-NFC text, so `changed` certifies the scrub is a no-op on
+    clean input).  This row is a genuine CROSS-IMPLEMENTATION check —
+    Python's unicodedata (UCD) against DuckDB's utf8proc — the
+    libjpeg/libwebp external-parity pattern applied to the Unicode
+    standard (functions/text.py nfc_scrub).
+
+    Scale shape: one map-only Arrow kernel over the documents scan
+    (mapInPandas, no Exchange before the kernel — plan-asserted); the
+    per-doc signature md5 is computed in-kernel so the normalized
+    text never needs to move for the integrity readout."""
+    docs = Tables(spark, sf_dir).documents
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nfc:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    suffix = (
+        F.when(v == 0, F.lit("e\u0301\x07"))
+        .when(v == 1, F.lit("o\u0302\u0301\x07"))
+        .when(v == 2, F.lit("\u212b\x07"))
+        .otherwise(F.lit("\u00c5x"))
+    )
+    raw = docs.select(
+        "doc_id",
+        F.concat(F.substring(F.trim(F.col("text")), 1, 60), suffix).alias("s"),
+    )
+
+    def scrub(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from map2db_spark.functions.text import nfc_scrub
+
+        for pdf in batches:
+            norm = pdf["s"].map(nfc_scrub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "changed": (norm != pdf["s"]).astype("int64"),
+                    "len_raw": pdf["s"].str.len().astype("int64"),
+                    "len_norm": norm.str.len().astype("int64"),
+                    "norm_sig": norm.map(
+                        lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    out = raw.mapInPandas(
+        scrub,
+        schema=(
+            "doc_id LONG, changed LONG, len_raw LONG,"
+            " len_norm LONG, norm_sig STRING"
+        ),
+    )
+    return out.orderBy("doc_id")

@@ -1422,3 +1422,80 @@ def test_pinball_forecast_frame_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-10 continuation operators (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_dq_audit_one_agg_scan_per_table_and_anti_joins(spark):
+    """Column checks share per-table aggregate scans and FK orphans are
+    anti-joins; nothing in the audit is a cartesian or a sort-merge."""
+    plan = plan_of(spark, "r_dq_constraint_audit")
+    assert plan.count("LeftAnti") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 12 checks compile to ~16 scans (each listed twice in formatted
+    # output), NOT one scan per check per table
+    assert plan.count("Scan parquet") <= 32, plan.count("Scan parquet")
+
+
+def test_span_corruption_single_int_shuffle(spark):
+    """The island merge is ONE doc_id exchange over fixed-width
+    (doc_id, s, e) rows; the text column never reaches an exchange
+    (positions are generated from token counts, text is dropped at the
+    scan projection)."""
+    plan = plan_of(spark, "t_span_corruption_masks")
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert "SortMergeJoin" not in plan
+    # the exchanged attribute set is numeric only: the shuffle's
+    # producer projects exactly doc_id/n/s/e (no string column)
+    exch = plan.split("Arguments: hashpartitioning(doc_id")[0]
+    kernel_proj = exch.rsplit("Project", 1)[-1]
+    assert "text" not in kernel_proj
+
+
+def test_pps_sample_two_pass_prefix_sum_and_broadcast_probes(spark):
+    """The weight line rides the range-partitioned two-pass prefix sum
+    (no single-reducer window) and the constant probe table joins as a
+    broadcast nested-loop on the containment predicate."""
+    plan = plan_of(spark, "c_pps_systematic_sample")
+    assert "rangepartitioning" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bradley_terry_pairs_materialized_once(spark):
+    """The 28-row pair table is checkpointed before the unrolled MM
+    steps: without truncation the lineage re-derives it (and re-scans
+    events) exponentially in iteration depth.  The final plan must
+    read NO parquet at all — only the materialized bounded frames."""
+    plan = plan_of(spark, "x_bradley_terry_mm")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negative_two_corpus_passes_no_self_shuffle(spark):
+    """Queries broadcast against the corpus (non-equi -> nested loop
+    with the BOUNDED side as build), the conditional-argmin pass is
+    materialized once, and the corpus is never sort-merge-joined or
+    cartesian-joined with itself."""
+    plan = plan_of(spark, "v_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one corpus pass remains in the final plan (the margin count);
+    # the argmin pass ran at checkpoint time: 2 scans x2 listings
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_nfc_scrub_map_only_kernel(spark):
+    """The scrub is one Arrow kernel over the scan — no exchange of
+    any kind before the kernel (the final orderBy's range partition is
+    the only exchange in the query)."""
+    plan = plan_of(spark, "t_unicode_nfc_scrub")
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("rangepartitioning") == 1
