@@ -4253,3 +4253,104 @@ def t_unicode_nfc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + training-shard manifest
+# ---------------------------------------------------------------------------
+
+_SH_N = 8  # output shards
+
+
+@query(
+    "c_shard_shuffle_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS okey,
+             md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS doc_sig
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM d),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY okey, doc_id) - 1 AS rank0,
+             (SELECT ((n + {_SH_N} - 1) // {_SH_N}) FROM tot) AS sz
+      FROM d
+    )
+    SELECT CAST(rank0 // sz AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(rank0) AS BIGINT) AS first_rank,
+           CAST(max(rank0) AS BIGINT) AS last_rank,
+           md5(string_agg(doc_sig, ',' ORDER BY rank0)) AS content_sig
+    FROM r GROUP BY 1 ORDER BY shard
+    """,
+    tags=("curation", "pipeline", "training"),
+)
+def c_shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus SHUFFLE + training-shard MANIFEST — the
+    last step of every pretraining data pipeline (the WebDataset /
+    tar-shard writing job): order the corpus by a seeded hash of the
+    doc id (a reproducible global shuffle — same seed, same order, on
+    any engine and any partition count), cut it into equal contiguous
+    shards, and emit the per-shard manifest a training job verifies
+    at load time: doc count, byte volume, rank range, and an
+    ORDER-SENSITIVE content signature (md5 over the rank-ordered
+    chain of per-doc signatures — a reordered, dropped, or duplicated
+    doc changes it).  Shard sizes are equal by construction
+    (ceil(n/S) docs per shard, pinned in tests).
+
+    Scale shape: the global shuffle order is the two-pass
+    range-partitioned rank (operators/ids.py ranked — range-partition
+    on the hash key IS the shuffle; no single-reducer window,
+    plan-asserted rangepartitioning); shard assignment is pure
+    integer arithmetic on (rank, total); the manifest aggregate
+    shuffles one fixed-width row per doc on the shard key.  At 100 TB
+    the same plan writes the shards themselves via
+    partitionBy(shard) — the manifest is the verification artifact.
+
+    Oracle note: Spark's md5-of-text must see the same bytes as
+    DuckDB's — both hash UTF-8; the per-doc signature binds doc_id to
+    content so shard signatures also detect id/content swaps."""
+    from map2db_spark.operators.ids import ranked
+
+    docs = Tables(spark, sf_dir).documents
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
+            "okey"
+        ),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.md5(F.col("text")),
+            )
+        ).alias("doc_sig"),
+    )
+    r, n = ranked(d, ["okey", "doc_id"], rank_col="rank0")
+    sz = (n + _SH_N - 1) // _SH_N
+    return (
+        r.withColumn("shard", F.expr(f"rank0 DIV {sz}").cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("rank0").cast("long").alias("first_rank"),
+            F.max("rank0").cast("long").alias("last_rank"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rank0", "doc_sig"))
+                        ),
+                        lambda x: x["doc_sig"],
+                    ),
+                )
+            ).alias("content_sig"),
+        )
+        .orderBy("shard")
+    )

@@ -1499,3 +1499,13 @@ def test_nfc_scrub_map_only_kernel(spark):
     assert "MapInPandas" in plan
     assert "hashpartitioning" not in plan
     assert plan.count("rangepartitioning") == 1
+
+
+def test_shard_manifest_rank_is_range_partitioned(spark):
+    """The global shuffle order rides the two-pass range-partitioned
+    rank — no single-reducer window over the corpus — and the
+    manifest aggregate is the only hash exchange."""
+    plan = plan_of(spark, "c_shard_shuffle_manifest")
+    assert "rangepartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan

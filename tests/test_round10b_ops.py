@@ -308,3 +308,50 @@ def test_nfc_scrub_matches_duckdb_on_random_strings(duck):
         assert nfc_scrub(s) == got
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# c_shard_shuffle_manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_matches_brute_force_and_sizes_equal(spark):
+    from map2db_spark.queries_round10 import _SH_N
+    from map2db_spark.tables import Tables
+
+    docs = [
+        (r["doc_id"], r["n_chars"], r["text"])
+        for r in Tables(spark, SF_SMOKE).documents.collect()
+    ]
+    order = sorted(
+        (hashlib.md5(f"shuf:{d}".encode()).hexdigest(), d, w, t)
+        for d, w, t in docs
+    )
+    n = len(order)
+    sz = (n + _SH_N - 1) // _SH_N
+    expect = {}
+    for rank, (_, d, w, t) in enumerate(order):
+        sig = hashlib.md5(
+            f"{d}:{hashlib.md5(t.encode()).hexdigest()}".encode()
+        ).hexdigest()
+        s = rank // sz
+        e = expect.setdefault(s, [0, 0, rank, rank, []])
+        e[0] += 1
+        e[1] += w
+        e[3] = rank
+        e[4].append(sig)
+    got = {r["shard"]: r for r in _rows(spark, "c_shard_shuffle_manifest")}
+    assert set(got) == set(expect)
+    for s, (nd, nc, fr, lr, sigs) in expect.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_chars"]) == (nd, nc)
+        assert (r["first_rank"], r["last_rank"]) == (fr, lr)
+        assert r["content_sig"] == hashlib.md5(",".join(sigs).encode()).hexdigest()
+    # equal contiguous shards: every shard has ceil(n/S) docs except a
+    # short tail
+    sizes = [got[s]["n_docs"] for s in sorted(got)]
+    assert all(x == sz for x in sizes[:-1]) and sizes[-1] <= sz
+    # determinism: the shuffle order is a pure function of doc_id, so
+    # re-running yields identical manifests
+    again = {r["shard"]: r["content_sig"] for r in _rows(spark, "c_shard_shuffle_manifest")}
+    assert again == {s: got[s]["content_sig"] for s in got}
