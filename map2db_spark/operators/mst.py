@@ -63,9 +63,8 @@ def minimum_spanning_forest(
         .select("node", F.col("node").alias("c"))
         .localCheckpoint()
     )
-    chosen_rounds: list[DataFrame] = []
-    for _ in range(max_rounds):
-        lab = (
+    def cross_edges(comp: DataFrame) -> DataFrame:
+        return (
             e.join(
                 comp.select(
                     F.col("node").alias("u"), F.col("c").alias("cu")
@@ -81,7 +80,13 @@ def minimum_spanning_forest(
             .where(F.col("cu") != F.col("cv"))
             .localCheckpoint()
         )
+
+    chosen_rounds: list[DataFrame] = []
+    converged = False
+    for _ in range(max_rounds):
+        lab = cross_edges(comp)
         if not lab.take(1):
+            converged = True
             break
         cand = lab.select(F.col("cu").alias("c"), "w").unionByName(
             lab.select(F.col("cv").alias("c"), "w")
@@ -110,15 +115,27 @@ def minimum_spanning_forest(
             )
             .localCheckpoint()
         )
-    else:
+    if not converged and cross_edges(comp).take(1):
+        # the budget ran out with cross edges still standing; a forest
+        # that finished in EXACTLY max_rounds rounds passes this check
         raise RuntimeError(
             f"Boruvka did not converge in {max_rounds} rounds"
         )
     if not chosen_rounds:
-        return e.select("u", "v", "w").limit(0)
+        return (
+            e.select("u", "v", "w")
+            .limit(0)
+            .select(
+                F.col("u").alias(src),
+                F.col("v").alias(dst),
+                F.col("w").alias(weight),
+            )
+        )
     out = chosen_rounds[0]
     for df in chosen_rounds[1:]:
         out = out.unionByName(df)
-    return out.dropDuplicates(["w"]).select(
+    # no cross-round dedup needed: a chosen edge's endpoints merge, so
+    # it is intra-component (filtered) in every later round
+    return out.select(
         F.col("u").alias(src), F.col("v").alias(dst), F.col("w").alias(weight)
     )

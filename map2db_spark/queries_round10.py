@@ -1,4 +1,4 @@
-"""Round-10 query registrations — 22 operators across the pipeline:
+"""Round-10 query registrations — 29 operators across the pipeline:
 
 - dedup: corpus-scale exact-substring spans (VERDICT r9 #1, the Lee
   et al. full form; operators/exact_substring.py), paragraph dedup
@@ -18,7 +18,12 @@
   length-bucketed batching efficiency, per-split dataset cards;
 - graph: blocked entity resolution, Boruvka minimum spanning forest
   (operators/mst.py) read as single-linkage clustering, k-truss
-  decomposition.
+  decomposition;
+- session-2 additions: declarative DQ constraint audit, T5
+  span-corruption masking, systematic PPS sampling, Bradley-Terry
+  preference fitting, hard-negative mining, Unicode NFC scrub
+  (cross-implementation parity vs utf8proc), deterministic corpus
+  shuffle + shard manifests.
 
 New operators land here so the registry tier logic (registry.py) puts
 them inside the driver's graded-50 window: a fresh operator gets its
@@ -3324,21 +3329,21 @@ def g_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fk1 AS (
       SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n,
-             CAST((SELECT count(*) FROM lineitem
-                   WHERE l_orderkey NOT IN
-                     (SELECT o_orderkey FROM orders)) AS BIGINT) AS v
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS v
     ),
     fk2 AS (
       SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n,
-             CAST((SELECT count(*) FROM lineitem
-                   WHERE l_partkey NOT IN
-                     (SELECT p_partkey FROM part)) AS BIGINT) AS v
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM part p
+                     WHERE p.p_partkey = l.l_partkey)) AS BIGINT) AS v
     ),
     fk3 AS (
       SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,
-             CAST((SELECT count(*) FROM orders
-                   WHERE o_custkey NOT IN
-                     (SELECT c_custkey FROM customer)) AS BIGINT) AS v
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS v
     ),
     rel AS (
       SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,

@@ -66,3 +66,41 @@ def test_single_edge_and_chain(spark):
     # a chain is already a tree: every edge chosen
     chain = [(i, i + 1, 100 + i) for i in range(8)]
     assert spark_msf(spark, chain) == {100 + i for i in range(8)}
+
+
+def test_msf_converges_in_exactly_max_rounds(spark):
+    """A single-edge graph finishes in ONE round; max_rounds=1 must be
+    accepted (the old for/else raised even though the forest was
+    complete, because emptiness was only observed at the top of the
+    next iteration)."""
+    from map2db_spark.operators.mst import minimum_spanning_forest
+
+    e = spark.createDataFrame([(1, 2, 10)], "u LONG, v LONG, w LONG")
+    out = minimum_spanning_forest(e, max_rounds=1).collect()
+    assert [(r["u"], r["v"], r["w"]) for r in out] == [(1, 2, 10)]
+
+
+def test_msf_empty_input_keeps_caller_aliases(spark):
+    from map2db_spark.operators.mst import minimum_spanning_forest
+
+    e = spark.createDataFrame([], "a LONG, b LONG, wt LONG")
+    out = minimum_spanning_forest(e, src="a", dst="b", weight="wt")
+    assert out.columns == ["a", "b", "wt"]
+    assert out.count() == 0
+
+
+def test_msf_nonconvergence_still_raises(spark):
+    """max_rounds=1 on a graph that needs two rounds leaves cross
+    edges standing and must raise."""
+    import pytest as _pytest
+
+    from map2db_spark.operators.mst import minimum_spanning_forest
+
+    # two tight pairs bridged by an expensive edge: round 1 merges the
+    # pairs (each endpoint's minimum is its pair edge), the bridge
+    # still crosses components afterwards -> needs a second round
+    e = spark.createDataFrame(
+        [(1, 2, 1), (3, 4, 2), (2, 3, 100)], "u LONG, v LONG, w LONG"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        minimum_spanning_forest(e, max_rounds=1)

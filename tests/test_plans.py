@@ -1304,7 +1304,19 @@ def test_suffix_dedup_shuffles_fixed_width_rows_only(spark):
     blocks = _exchange_blocks(plan)
     # anchor-count agg, semi-join probe, per-doc merge window
     assert len(blocks) >= 2, plan
-    assert all("text#" not in b for b in blocks), plan
+    # the only text-bearing exchange allowed is the GATED input
+    # scatter of the raw docs before the explode (fires only when the
+    # scan has fewer splits than the parallelism — the small-file
+    # case).  Under checkpoint=False the positions lineage (and its
+    # upstream scatter) appears once per consuming branch, so the
+    # SAME scatter can show up to twice here; the registered query
+    # materializes positions once, so it executes once.  Every
+    # position/anchor exchange stays text-free: no stage ever moves
+    # text proportional to positions or pairs
+    text_blocks = [b for b in blocks if "text#" in b]
+    assert len(text_blocks) <= 2, plan
+    for b in text_blocks:
+        assert "off#" not in b and "h#" not in b, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # pass-1 anchor counting is map-side combinable (partial agg
