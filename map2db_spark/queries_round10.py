@@ -4092,11 +4092,27 @@ def v_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.functions.similarity import int_dot, int_vec
 
     emb = Tables(spark, sf_dir).embeddings
-    iv = emb.select("vec_id", "label", int_vec(F.col("embedding")).alias("v"))
+    # gated input scatter (the exact_substring rule): a small
+    # embeddings parquet is ONE split, and the stream side of the
+    # nested-loop probe parallelizes by input partitions — without
+    # this the whole pair-distance pass runs in a single task
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target, F.col("vec_id"))
+    # per-vector squared norms are computed ONCE here, not per pair:
+    # d2 = |q|^2 + |c|^2 - 2 q.c needs one zip_with per pair instead
+    # of three (exact integers either way — together with the scatter,
+    # measured 6.8 s -> 1.5-1.8 s at sf0.1)
+    iv = emb.select(
+        "vec_id",
+        "label",
+        int_vec(F.col("embedding")).alias("v"),
+    ).withColumn("nv", int_dot(F.col("v"), F.col("v")))
     q = iv.where(F.col("vec_id") % _HN_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     pairs = iv.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
@@ -4104,9 +4120,9 @@ def v_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
         (
-            int_dot(F.col("qv"), F.col("qv"))
+            F.col("nq")
             - 2 * int_dot(F.col("qv"), F.col("v"))
-            + int_dot(F.col("v"), F.col("v"))
+            + F.col("nv")
         )
         .cast("long")
         .alias("d2"),
