@@ -1584,7 +1584,10 @@ def _gbdt_oracle() -> str:
              CAST((SELECT sum(y * y) FROM d2) AS BIGINT) AS sse_after
       FROM best1
       UNION ALL
-      SELECT 2, t, nl, nr, ml, mr, (SELECT sum(y * y) FROM d3)
+      SELECT CAST(2 AS BIGINT), CAST(t AS BIGINT),
+             CAST(nl AS BIGINT), CAST(nr AS BIGINT),
+             CAST(ml AS BIGINT), CAST(mr AS BIGINT),
+             CAST((SELECT sum(y * y) FROM d3) AS BIGINT)
       FROM best2
     ) ORDER BY round
     """
@@ -2038,14 +2041,16 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_below
       FROM ev
       UNION ALL
-      SELECT 50, count(*),
-             sum(greatest(5 * (y - q50), -5 * (y - q50))),
-             sum(CASE WHEN y <= q50 THEN 1 ELSE 0 END)
+      SELECT CAST(50 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(greatest(5 * (y - q50), -5 * (y - q50)))
+                  AS BIGINT),
+             CAST(sum(CASE WHEN y <= q50 THEN 1 ELSE 0 END) AS BIGINT)
       FROM ev
       UNION ALL
-      SELECT 90, count(*),
-             sum(greatest(9 * (y - q90), -1 * (y - q90))),
-             sum(CASE WHEN y <= q90 THEN 1 ELSE 0 END)
+      SELECT CAST(90 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(greatest(9 * (y - q90), -1 * (y - q90)))
+                  AS BIGINT),
+             CAST(sum(CASE WHEN y <= q90 THEN 1 ELSE 0 END) AS BIGINT)
       FROM ev
     ) ORDER BY q_pct
     """,
@@ -3054,7 +3059,9 @@ _LB_B = 16  # sequences per batch
              CAST(sum(n * mx) AS BIGINT) AS padded_tokens
       FROM srt
       UNION ALL
-      SELECT 'random', count(*), sum(s), sum(n * mx) FROM rnd
+      SELECT 'random', CAST(count(*) AS BIGINT),
+             CAST(sum(s) AS BIGINT), CAST(sum(n * mx) AS BIGINT)
+      FROM rnd
     ) ORDER BY strategy
     """,
     tags=("curation", "training", "batching", "pipeline"),
@@ -3807,14 +3814,16 @@ def _bt_oracle() -> str:
         return f"""
     {t_out} AS (
       SELECT d.arm,
-             sum(({_BT_S} * d.n) // (pa.pi + po.pi)) AS t
+             CAST(sum(({_BT_S} * d.n) // (pa.pi + po.pi))
+                  AS BIGINT) AS t
       FROM dir d
       JOIN {pi} pa ON pa.arm = d.arm
       JOIN {pi} po ON po.arm = d.opp
       GROUP BY d.arm
     ),
     {pi_out} AS (
-      SELECT a.arm, (a.wins * {_BT_S}) // t.t AS pi
+      SELECT a.arm,
+             CAST((a.wins * {_BT_S}) // t.t AS BIGINT) AS pi
       FROM arms a JOIN {t_out} t USING (arm)
     )"""
 
@@ -3853,14 +3862,15 @@ def _bt_oracle() -> str:
     pi0 AS (SELECT arm, CAST(1000000 AS BIGINT) AS pi FROM arms),
     {it("pi0", "t1", "pi1")},
     {it("pi1", "t2", "pi2")},
-    tot AS (SELECT sum(pi) AS s FROM pi2)
+    tot AS (SELECT CAST(sum(pi) AS BIGINT) AS s FROM pi2)
     SELECT a.arm,
            CAST(a.arm + 1 AS BIGINT) AS planted_strength,
            a.games AS n_games,
            a.wins AS n_wins,
            p1.pi AS pi1_micro,
            p2.pi AS pi2_micro,
-           (p2.pi * 1000000) // (SELECT s FROM tot) AS share_ppm
+           CAST((p2.pi * 1000000) // (SELECT s FROM tot)
+                AS BIGINT) AS share_ppm
     FROM arms a
     JOIN pi1 p1 USING (arm) JOIN pi2 p2 USING (arm)
     ORDER BY a.arm

@@ -110,6 +110,14 @@ def main() -> int:
             sdf = qs[name](spark, sf)
             s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
             if name in oracles:
+                # the gate hashes TYPED cells: an uncast sum(BIGINT)
+                # oracle (HUGEINT → float64) fails it even with equal
+                # values, so the sim checks dtype families too
+                from tests.dtype_guard import assert_oracle_dtype_parity
+
+                assert_oracle_dtype_parity(
+                    name, sdf.schema, con, oracles[name]
+                )
                 rel = con.execute(oracles[name])
                 d_cols = [c[0] for c in rel.description]
                 d_rows = rel.fetchall()

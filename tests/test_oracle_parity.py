@@ -117,6 +117,27 @@ def test_wide_decimal_guard_trips(spark):
     _assert_no_wide_decimals("fixture", ok.schema)
 
 
+def test_dtype_guard_trips_on_hugeint(spark, duck):
+    """Self-test: a deliberately UNCAST sum(BIGINT) oracle (DuckDB
+    HUGEINT → float64 through the gate's pandas path) MUST fail the
+    dtype guard against a Spark bigint column even though every value
+    compares equal with ``==`` (round 10's four red rows)."""
+    import pyspark.sql.functions as F
+
+    from tests.dtype_guard import assert_oracle_dtype_parity
+
+    sdf = spark.range(3).agg(F.sum("id").cast("long").alias("s"))
+    uncast = "SELECT sum(i) AS s FROM range(3) t(i)"
+    with pytest.raises(AssertionError, match="typed-cell family split"):
+        assert_oracle_dtype_parity("fixture", sdf.schema, duck, uncast)
+    cast_ok = "SELECT CAST(sum(i) AS BIGINT) AS s FROM range(3) t(i)"
+    assert_oracle_dtype_parity("fixture", sdf.schema, duck, cast_ok)
+    # the reverse split (Spark double vs DuckDB BIGINT) also trips
+    sdf_d = spark.range(3).agg(F.sum("id").cast("double").alias("s"))
+    with pytest.raises(AssertionError, match="typed-cell family split"):
+        assert_oracle_dtype_parity("fixture", sdf_d.schema, duck, cast_ok)
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(spark, duck, name):
     spec = QUERIES[name]
@@ -131,6 +152,9 @@ def test_oracle_parity(spark, duck, name):
         # parametrized cases sharing one session
         spark.catalog.clearCache()
 
+    from tests.dtype_guard import assert_oracle_dtype_parity
+
+    assert_oracle_dtype_parity(name, sdf.schema, duck, spec.oracle)
     rel = duck.execute(spec.oracle)
     d_cols = [c[0] for c in rel.description]
     d_rows = rel.fetchall()
