@@ -3776,6 +3776,13 @@ def c_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     d = docs.select("doc_id", F.col("n_chars").cast("long").alias("w"))
     big_w = d.agg(F.sum("w").cast("long")).collect()[0][0]  # O(1) scalar
+    if big_w is None:
+        # empty corpus: sum() is NULL and the probe arithmetic would
+        # raise — an empty sample is the correct result (ADVICE r10)
+        return spark.createDataFrame(
+            [],
+            "doc_id LONG, w LONG, cum_before LONG, multiplicity LONG",
+        )
     cum = with_prefix_sums(d, ["doc_id"], ["w"]).withColumn(
         "cum_before", (F.col("cum_w") - F.col("w")).cast("long")
     )
@@ -4142,6 +4149,11 @@ def v_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(same, F.struct(F.col("d2"), F.col("cid")))).alias("pos"),
         F.min(F.when(~same, F.struct(F.col("d2"), F.col("cid")))).alias("neg"),
     )
+    # the oracle inner-joins pos and neg, dropping queries that lack a
+    # same-label or cross-label candidate (a label unique in the
+    # corpus); match that here or parity breaks on degenerate label
+    # distributions (ADVICE r10)
+    best = best.where(F.col("pos").isNotNull() & F.col("neg").isNotNull())
     # bounded (one row per query): materialize once so the margin pass
     # and the final join reuse it instead of re-deriving the corpus
     # aggregate — keeps the query at its documented TWO corpus passes
@@ -4291,6 +4303,7 @@ def t_unicode_nfc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SH_N = 8  # output shards
+_SH_B = 16  # docs per signature block (65536 in production)
 
 
 @query(
@@ -4308,14 +4321,24 @@ _SH_N = 8  # output shards
              row_number() OVER (ORDER BY okey, doc_id) - 1 AS rank0,
              (SELECT ((n + {_SH_N} - 1) // {_SH_N}) FROM tot) AS sz
       FROM d
+    ),
+    blk AS (
+      SELECT CAST(rank0 // sz AS BIGINT) AS shard,
+             CAST(rank0 // {_SH_B} AS BIGINT) AS block,
+             count(*) AS n_docs,
+             sum(n_chars) AS n_chars,
+             min(rank0) AS first_rank,
+             max(rank0) AS last_rank,
+             md5(string_agg(doc_sig, ',' ORDER BY rank0)) AS blk_sig
+      FROM r GROUP BY 1, 2
     )
-    SELECT CAST(rank0 // sz AS BIGINT) AS shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
+    SELECT shard,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(min(rank0) AS BIGINT) AS first_rank,
-           CAST(max(rank0) AS BIGINT) AS last_rank,
-           md5(string_agg(doc_sig, ',' ORDER BY rank0)) AS content_sig
-    FROM r GROUP BY 1 ORDER BY shard
+           CAST(min(first_rank) AS BIGINT) AS first_rank,
+           CAST(max(last_rank) AS BIGINT) AS last_rank,
+           md5(string_agg(blk_sig, ',' ORDER BY block)) AS content_sig
+    FROM blk GROUP BY shard ORDER BY shard
     """,
     tags=("curation", "pipeline", "training"),
 )
@@ -4327,19 +4350,31 @@ def c_shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine and any partition count), cut it into equal contiguous
     shards, and emit the per-shard manifest a training job verifies
     at load time: doc count, byte volume, rank range, and an
-    ORDER-SENSITIVE content signature (md5 over the rank-ordered
-    chain of per-doc signatures — a reordered, dropped, or duplicated
-    doc changes it).  Shard sizes are equal by construction
-    (ceil(n/S) docs per shard, pinned in tests).
+    ORDER-SENSITIVE content signature (a reordered, dropped, or
+    duplicated doc changes it).  Shard sizes are equal by
+    construction (ceil(n/S) docs per shard, pinned in tests).
+
+    The signature is BLOCK-CHAINED (Merkle-style): per-doc signatures
+    are hashed in fixed rank blocks of _SH_B docs, then the shard
+    signature is md5 over the block digests in block order.
+    Order-sensitivity is preserved (any swap changes its block digest
+    and therefore the shard digest — pinned in tests), but no
+    aggregation buffer ever holds more than _SH_B doc signatures
+    (level 1) or shard_docs/_SH_B 32-byte digests (level 2).  The
+    flat form this replaces collected O(n/shards) full structs into
+    ONE buffer — an executor OOM at 100 TB; the chained form is
+    ~_SH_B× smaller per group and recurses (blocks of blocks) if a
+    shard's digest list itself ever outgrows memory.
 
     Scale shape: the global shuffle order is the two-pass
     range-partitioned rank (operators/ids.py ranked — range-partition
     on the hash key IS the shuffle; no single-reducer window,
     plan-asserted rangepartitioning); shard assignment is pure
-    integer arithmetic on (rank, total); the manifest aggregate
-    shuffles one fixed-width row per doc on the shard key.  At 100 TB
-    the same plan writes the shards themselves via
-    partitionBy(shard) — the manifest is the verification artifact.
+    integer arithmetic on (rank, total); the manifest aggregates
+    shuffle one fixed-width row per doc (level 1) then one 32-byte
+    digest per block (level 2).  At 100 TB the same plan writes the
+    shards themselves via partitionBy(shard) — the manifest is the
+    verification artifact.
 
     Oracle note: Spark's md5-of-text must see the same bytes as
     DuckDB's — both hash UTF-8; the per-doc signature binds doc_id to
@@ -4362,15 +4397,25 @@ def c_shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_sig"),
     )
     r, n = ranked(d, ["okey", "doc_id"], rank_col="rank0")
+    if n == 0:
+        # sz would be 0 → rank0 DIV 0; an empty corpus has an empty
+        # manifest (ADVICE r10: return a correctly-schemed frame)
+        return spark.createDataFrame(
+            [],
+            "shard LONG, n_docs LONG, n_chars LONG, first_rank LONG,"
+            " last_rank LONG, content_sig STRING",
+        )
     sz = (n + _SH_N - 1) // _SH_N
-    return (
+    blocks = (
         r.withColumn("shard", F.expr(f"rank0 DIV {sz}").cast("long"))
-        .groupBy("shard")
+        .withColumn("block", F.expr(f"rank0 DIV {_SH_B}").cast("long"))
+        .groupBy("shard", "block")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars"),
-            F.min("rank0").cast("long").alias("first_rank"),
-            F.max("rank0").cast("long").alias("last_rank"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("rank0").alias("first_rank"),
+            F.max("rank0").alias("last_rank"),
+            # bounded buffer: at most _SH_B (rank, sig) structs
             F.md5(
                 F.concat_ws(
                     ",",
@@ -4379,6 +4424,27 @@ def c_shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.collect_list(F.struct("rank0", "doc_sig"))
                         ),
                         lambda x: x["doc_sig"],
+                    ),
+                )
+            ).alias("blk_sig"),
+        )
+    )
+    return (
+        blocks.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("first_rank").cast("long").alias("first_rank"),
+            F.max("last_rank").cast("long").alias("last_rank"),
+            # bounded buffer: 32-byte digests, one per block
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("block", "blk_sig"))
+                        ),
+                        lambda x: x["blk_sig"],
                     ),
                 )
             ).alias("content_sig"),

@@ -315,6 +315,22 @@ def test_nfc_scrub_matches_duckdb_on_random_strings(duck):
 # ---------------------------------------------------------------------------
 
 
+def _chained_sig(sigs_with_rank):
+    """Reference implementation of the block-chained shard signature:
+    md5 per _SH_B-doc rank block, then md5 over the ordered block
+    digests (the bounded-buffer form the query computes)."""
+    from map2db_spark.queries_round10 import _SH_B
+
+    blocks = {}
+    for rank, sig in sigs_with_rank:
+        blocks.setdefault(rank // _SH_B, []).append((rank, sig))
+    blk_sigs = []
+    for b in sorted(blocks):
+        ordered = [s for _, s in sorted(blocks[b])]
+        blk_sigs.append(hashlib.md5(",".join(ordered).encode()).hexdigest())
+    return hashlib.md5(",".join(blk_sigs).encode()).hexdigest()
+
+
 def test_shard_manifest_matches_brute_force_and_sizes_equal(spark):
     from map2db_spark.queries_round10 import _SH_N
     from map2db_spark.tables import Tables
@@ -339,14 +355,14 @@ def test_shard_manifest_matches_brute_force_and_sizes_equal(spark):
         e[0] += 1
         e[1] += w
         e[3] = rank
-        e[4].append(sig)
+        e[4].append((rank, sig))
     got = {r["shard"]: r for r in _rows(spark, "c_shard_shuffle_manifest")}
     assert set(got) == set(expect)
     for s, (nd, nc, fr, lr, sigs) in expect.items():
         r = got[s]
         assert (r["n_docs"], r["n_chars"]) == (nd, nc)
         assert (r["first_rank"], r["last_rank"]) == (fr, lr)
-        assert r["content_sig"] == hashlib.md5(",".join(sigs).encode()).hexdigest()
+        assert r["content_sig"] == _chained_sig(sigs)
     # equal contiguous shards: every shard has ceil(n/S) docs except a
     # short tail
     sizes = [got[s]["n_docs"] for s in sorted(got)]
@@ -355,3 +371,32 @@ def test_shard_manifest_matches_brute_force_and_sizes_equal(spark):
     # re-running yields identical manifests
     again = {r["shard"]: r["content_sig"] for r in _rows(spark, "c_shard_shuffle_manifest")}
     assert again == {s: got[s]["content_sig"] for s in got}
+
+
+def test_shard_signature_is_order_sensitive_despite_chaining():
+    """The block-chained form must keep the flat signature's defining
+    property: ANY mid-corpus reorder, drop, or duplicate changes the
+    shard signature (VERDICT r10 #3 done-condition) — including swaps
+    WITHIN one block and ACROSS block boundaries."""
+    from map2db_spark.queries_round10 import _SH_B
+
+    sigs = [
+        (r, hashlib.md5(f"doc{r}".encode()).hexdigest())
+        for r in range(3 * _SH_B + 5)
+    ]
+    base = _chained_sig(sigs)
+
+    def swapped(i, j):
+        out = dict(sigs)
+        out[i], out[j] = out[j], out[i]
+        return sorted(out.items())
+
+    # within-block swap
+    assert _chained_sig(swapped(1, 2)) != base
+    # cross-block swap (last doc of block 0, first of block 1)
+    assert _chained_sig(swapped(_SH_B - 1, _SH_B)) != base
+    # mid-corpus swap far from either end
+    assert _chained_sig(swapped(_SH_B + 3, 2 * _SH_B + 4)) != base
+    # drop and duplicate
+    assert _chained_sig(sigs[:-1]) != base
+    assert _chained_sig(sigs + [(len(sigs), sigs[0][1])]) != base
