@@ -67,15 +67,15 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r10_regrades_are_in_the_window():
-    # r10 touched g_dbscan_grid (O(n) broadcast hints removed, VERDICT
-    # r9 #3), c_multipattern_contamination (explicit sc.broadcast of
-    # the automaton + aho_corasick_build input asserts), and
-    # v_rrf_hybrid_retrieval's oracle-resolution path (import-order
-    # fix): those queries must NOT sit in the verified tier
+def test_r11_regrades_are_in_the_window():
+    # r11 re-grades: the four r10 hash-red rows (oracle HUGEINT
+    # columns now CAST to BIGINT) plus the three queries whose code
+    # r11 touched (block-chained shard signature, degenerate-label
+    # filter, empty-corpus guard) — none may sit in the verified tier
     for name in (
-        "g_dbscan_grid", "c_multipattern_contamination",
-        "v_rrf_hybrid_retrieval",
+        "x_gbdt_stumps", "x_quantile_pinball", "c_length_bucketing",
+        "x_bradley_terry_mm", "c_shard_shuffle_manifest",
+        "v_hard_negative_mining", "c_pps_systematic_sample",
     ):
         assert name not in _DRIVER_VERIFIED, name
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
