@@ -391,6 +391,7 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_round8  # noqa: F401
     import map2db_spark.queries_round9  # noqa: F401
     import map2db_spark.queries_round10  # noqa: F401
+    import map2db_spark.queries_round11  # noqa: F401
 
     # Stable partition (relative registration order preserved per
     # tier; see the window-composition comment above):
