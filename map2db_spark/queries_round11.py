@@ -525,3 +525,558 @@ def x_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("planted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier-score Murphy decomposition (reliability / resolution / uncertainty)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_brier_decomposition",
+    oracle=f"""
+    WITH fc AS (
+      SELECT ({_hex_bigint("event_id", "brb:")} % 10) AS bin,
+             (({_hex_bigint("event_id", "brb:")} % 10) * 100000 + 50000)
+               AS p_micro,
+             CASE WHEN {_hex_bigint("event_id", "bry:")} % 1000000
+                       < (({_hex_bigint("event_id", "brb:")} % 10)
+                          * 100000 + 50000) THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS c FROM fc),
+    bins AS (
+      SELECT bin, p_micro,
+             CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(y) AS BIGINT) AS ck
+      FROM fc GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT CAST(sum(nk * (p_micro - (ck * 1000000) // nk)
+                       * (p_micro - (ck * 1000000) // nk)) AS BIGINT)
+               AS rel_num,
+             CAST(sum(nk * ((ck * 1000000) // nk
+                            - (n.c * 1000000) // n.n)
+                         * ((ck * 1000000) // nk
+                            - (n.c * 1000000) // n.n)) AS BIGINT)
+               AS res_num
+      FROM bins, n GROUP BY n.n, n.c
+    ),
+    brier AS (
+      SELECT CAST(sum((p_micro - y * 1000000)
+                      * (p_micro - y * 1000000)) AS BIGINT) AS b_num
+      FROM fc
+    )
+    SELECT n.n, n.c AS n_pos,
+           CAST((n.c * 1000000) // n.n AS BIGINT) AS base_rate_micro,
+           CAST(brier.b_num // (1000000 * n.n) AS BIGINT) AS brier_micro,
+           CAST(terms.rel_num // (1000000 * n.n) AS BIGINT)
+             AS reliability_micro,
+           CAST(terms.res_num // (1000000 * n.n) AS BIGINT)
+             AS resolution_micro,
+           CAST((((n.c * 1000000) // n.n)
+                 * (1000000 - (n.c * 1000000) // n.n)) // 1000000
+                AS BIGINT) AS uncertainty_micro
+    FROM n, terms, brier
+    """,
+    tags=("mleval", "statistics", "calibration"),
+)
+def x_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the MURPHY DECOMPOSITION — the forecast-
+    verification identity (Murphy 1973) behind every calibration
+    dashboard: brier = reliability - resolution + uncertainty, where
+    reliability is the bin-wise calibration gap (want 0), resolution
+    the bin-wise discrimination (want large), uncertainty the base
+    rate's intrinsic variance.  x_calibration_bins reports the gap
+    per bin; this is the corpus-level decomposition that says WHY
+    the Brier score is what it is.  All three terms in exact micro
+    fixed-point: per-bin empirical rates are floored integer
+    quotients, squared deviations stay in BIGINT (bounded because
+    deviations are <= 1e6 and bin counts sum to n), and the fixture
+    draws outcomes at exactly the forecast rate so reliability pins
+    near 0 while resolution tracks the spread of forecasts (the
+    decomposition identity holds to floor error, pinned in tests).
+
+    Scale shape: ONE combinable groupBy folds events to 10 bin rows
+    (map-side partials); every decomposition term is arithmetic over
+    that bounded frame joined with two 1-row aggregates — no windows,
+    no joins on data-sized tables, nothing all-pairs."""
+    h_bin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("brb:"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    h_y = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("bry:"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    fc = Tables(spark, sf_dir).events.select(
+        h_bin.alias("bin"),
+        (h_bin * 100000 + 50000).alias("p_micro"),
+        F.when(h_y < h_bin * 100000 + 50000, 1).otherwise(0).alias("y"),
+    )
+    n = fc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("c"),
+    )
+    bins = fc.groupBy("bin", "p_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("ck"),
+    )
+    terms = (
+        bins.crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "nk * (p_micro - (ck * 1000000) DIV nk)"
+                " * (p_micro - (ck * 1000000) DIV nk)"
+            ).alias("rel_t"),
+            F.expr(
+                "nk * ((ck * 1000000) DIV nk - (c * 1000000) DIV n)"
+                " * ((ck * 1000000) DIV nk - (c * 1000000) DIV n)"
+            ).alias("res_t"),
+        )
+        .agg(
+            F.sum("rel_t").cast("long").alias("rel_num"),
+            F.sum("res_t").cast("long").alias("res_num"),
+        )
+    )
+    brier = fc.agg(
+        F.sum(
+            F.expr("(p_micro - y * 1000000) * (p_micro - y * 1000000)")
+        )
+        .cast("long")
+        .alias("b_num")
+    )
+    return (
+        n.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "n",
+            F.col("c").alias("n_pos"),
+            F.expr("(c * 1000000) DIV n").cast("long").alias("base_rate_micro"),
+            F.expr("b_num DIV (1000000 * n)").cast("long").alias("brier_micro"),
+            F.expr("rel_num DIV (1000000 * n)").cast("long").alias("reliability_micro"),
+            F.expr("res_num DIV (1000000 * n)").cast("long").alias("resolution_micro"),
+            F.expr(
+                "(((c * 1000000) DIV n) * (1000000 - (c * 1000000) DIV n))"
+                " DIV 1000000"
+            )
+            .cast("long")
+            .alias("uncertainty_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U with tie correction (exact doubled rank sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_custkey % 2 = 0 THEN 0 ELSE 1 END AS grp
+      FROM orders
+    ),
+    vals AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt0
+      FROM s GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, cnt, cnt0,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt0 * (2 * below + cnt + 1)) AS BIGINT)
+               AS r0_x2,
+             CAST(sum(cnt0) AS BIGINT) AS n0,
+             CAST(sum(cnt - cnt0) AS BIGINT) AS n1,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+      FROM ranked
+    )
+    SELECT n0, n1,
+           CAST(r0_x2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2,
+           CAST(2 * n0 * n1 - (r0_x2 - n0 * (n0 + 1)) AS BIGINT)
+             AS u1_x2,
+           tie_cubes,
+           CAST(round(
+             (CAST(r0_x2 - n0 * (n0 + 1) AS DOUBLE) / 2
+              - CAST(n0 AS DOUBLE) * n1 / 2)
+             / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+                    * (n0 + n1 + 1
+                       - CAST(tie_cubes AS DOUBLE)
+                         / ((n0 + n1) * (n0 + n1 - 1))))
+             * 1000000) AS BIGINT) AS z_micro
+    FROM agg
+    """,
+    tags=("statistics", "experimentation"),
+)
+def x_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric
+    two-sample test x_welch_ttest's t assumes away: compares order
+    statistics, so it is robust to the heavy-tailed metrics (revenue,
+    latency) A/B platforms actually ship.  Exact integer core: ranks
+    are midranks over the VALUE-GROUPED table (cnt, cnt-below), kept
+    in DOUBLED units so tied midranks (the .5s) stay integers —
+    U0_x2 + U1_x2 = 2*n0*n1 is asserted by the oracle identity; the
+    tie-corrected normal z is the one IEEE expression emitted
+    (sqrt/division are correctly-rounded IEEE ops, the
+    x_mann_kendall precedent — no libm transcendentals).
+
+    Scale shape: the rank NEVER materializes per row — grouping by
+    VALUE first makes the window run over distinct values (bounded
+    by the value domain, not the row count), the d_minhash-era trick
+    for rank statistics; one combinable pre-agg + one window over
+    values + one 1-row fold."""
+    s = Tables(spark, sf_dir).orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        (F.col("o_custkey") % 2 != 0).cast("int").alias("grp"),
+    )
+    vals = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt0"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.select(
+        "v",
+        "cnt",
+        "cnt0",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum(F.expr("cnt0 * (2 * below + cnt + 1)"))
+        .cast("long")
+        .alias("r0_x2"),
+        F.sum("cnt0").cast("long").alias("n0"),
+        F.sum(F.expr("cnt - cnt0")).cast("long").alias("n1"),
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).cast("long").alias("tie_cubes"),
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        F.expr("r0_x2 - n0 * (n0 + 1)").cast("long").alias("u0_x2"),
+        F.expr("2 * n0 * n1 - (r0_x2 - n0 * (n0 + 1))")
+        .cast("long")
+        .alias("u1_x2"),
+        "tie_cubes",
+        F.expr(
+            "CAST(round("
+            "(CAST(r0_x2 - n0 * (n0 + 1) AS DOUBLE) / 2"
+            " - CAST(n0 AS DOUBLE) * n1 / 2)"
+            " / sqrt(CAST(n0 AS DOUBLE) * n1 / 12"
+            " * (n0 + n1 + 1 - CAST(tie_cubes AS DOUBLE)"
+            " / ((n0 + n1) * (n0 + n1 - 1))))"
+            " * 1000000) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (exact concordance counts over the day table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    cnt AS (
+      SELECT
+        CAST(sum(CASE WHEN (xa < xb AND ya < yb)
+                        OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN (xa < xb AND ya > yb)
+                        OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+        CAST(sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+             AS BIGINT) AS tx,
+        CAST(sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+             AS BIGINT) AS ty,
+        CAST(count(*) AS BIGINT) AS n0
+      FROM pairs
+    )
+    SELECT c AS concordant, d AS discordant,
+           tx AS ties_x_only, ty AS ties_y_only, n0 AS n_pairs,
+           CAST(round(CAST(c - d AS DOUBLE)
+                / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))
+                * 1000000) AS BIGINT) AS tau_b_micro
+    FROM cnt
+    """,
+    tags=("statistics", "timeseries"),
+)
+def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU-B rank correlation — the concordance measure that
+    completes the engine's correlation family (Pearson x_corr_cov,
+    Spearman x_spearman_corr, Chatterjee x_xicor): the probability a
+    random pair orders the same way in both series, tie-adjusted.
+    Concordant/discordant/tie counts are EXACT integers from strict
+    sign comparisons; only the final tau divides through one IEEE
+    sqrt expression (micro-rounded, the x_mann_kendall precedent).
+    Series: daily revenue vs daily order count.
+
+    Scale shape: the pair join runs over the DAY AGGREGATE (bounded
+    by the calendar, ~2.4k rows — broadcast self-join, 3M pairs
+    map-side), never over orders; the data-sized work is the one
+    combinable daily rollup.  For row-scale tau at 100 TB the
+    merge-rank inversion count (two-pass range-partitioned sort,
+    count cross-partition inversions from boundary statistics) is
+    the path — the day-table form is what metric platforms actually
+    compute."""
+    daily = (
+        Tables(spark, sf_dir)
+        .orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        F.col("a.x").alias("xa"),
+        F.col("a.y").alias("ya"),
+        F.col("b.x").alias("xb"),
+        F.col("b.y").alias("yb"),
+    )
+    cnt = pairs.agg(
+        F.sum(
+            F.when(
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+        F.sum(
+            F.when((F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tx"),
+        F.sum(
+            F.when((F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    return cnt.select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.col("n0").alias("n_pairs"),
+        F.expr(
+            "CAST(round(CAST(c - d AS DOUBLE)"
+            " / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))"
+            " * 1000000) AS BIGINT)"
+        ).alias("tau_b_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-free, exact fixed-point)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_loo_target_encoding",
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS seg,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    seg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM rows_ GROUP BY seg
+    ),
+    enc AS (
+      SELECT r.seg, r.y,
+             CAST(((s - r.y) * 1000000) // (n - 1) AS BIGINT)
+               AS enc_micro
+      FROM rows_ r JOIN seg USING (seg)
+      WHERE n > 1
+    )
+    SELECT seg, CAST(y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(enc_micro) AS BIGINT) AS enc_micro
+    FROM enc GROUP BY seg, y ORDER BY seg, y
+    """,
+    tags=("curation", "training", "features"),
+)
+def c_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-free form of
+    w_target_encoding: each row's category is encoded by the target
+    mean of the OTHER rows in its category, enc_i = (S_seg - y_i) /
+    (n_seg - 1), so a row never sees its own label (the difference
+    between a feature and a leak when the encoding feeds a model
+    trained on the same rows).  Exact micro fixed-point; within a
+    (segment, y) cell the encoding is constant by construction, so
+    the output pins each cell's value and size (min = max, asserted
+    in tests).
+
+    Scale shape: ONE combinable groupBy builds the per-segment
+    sufficient statistics (n, S); the encode is a BROADCAST join
+    back (segment cardinality is tiny vs rows) + per-row arithmetic
+    — the standard two-pass feature-encode plan with no shuffle of
+    the fact table."""
+    rows_ = Tables(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    seg = rows_.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    enc = (
+        rows_.join(F.broadcast(seg.where(F.col("n") > 1)), "seg")
+        .select(
+            "seg",
+            "y",
+            F.expr("((s - y) * 1000000) DIV (n - 1)")
+            .cast("long")
+            .alias("enc_micro"),
+        )
+    )
+    return (
+        enc.groupBy("seg", F.col("y").cast("long").alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("enc_micro").cast("long").alias("enc_micro"),
+        )
+        .orderBy("seg", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence + information value (single-ln micro terms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_woe_iv",
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(sum(1 - bad) AS BIGINT) AS good_k,
+             CAST(sum(bad) AS BIGINT) AS bad_k
+      FROM rows_ GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(good_k) AS BIGINT) AS g,
+             CAST(sum(bad_k) AS BIGINT) AS b
+      FROM bins
+    ),
+    woe AS (
+      SELECT bin, good_k, bad_k,
+             CAST(round(1000000 * ln(
+               CAST(good_k * tot.b AS DOUBLE)
+               / CAST(bad_k * tot.g AS DOUBLE))) AS BIGINT)
+               AS woe_micro,
+             CAST((good_k * 1000000) // tot.g
+                  - (bad_k * 1000000) // tot.b AS BIGINT) AS dist_gap
+      FROM bins, tot
+      WHERE good_k > 0 AND bad_k > 0
+    )
+    SELECT bin, good_k, bad_k, woe_micro,
+           CAST(floor(CAST(dist_gap * woe_micro AS DOUBLE) / 1000000)
+                AS BIGINT) AS iv_term_micro
+    FROM woe ORDER BY bin
+    """,
+    tags=("statistics", "features", "training"),
+)
+def x_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE — the credit-scoring /
+    feature-screening statistic (Siddiqi's scorecard standard):
+    woe_k = ln((good_k/G)/(bad_k/B)) measures how a feature bin
+    shifts the odds; iv_term_k = (good_k/G - bad_k/B)·woe_k sums to
+    the feature's predictive power (IV < 0.02 useless, > 0.3
+    strong).  The single ln runs on an identical integer-product
+    quotient and is micro-rounded (the t_collocations_pmi
+    discipline); the IV term's signed product floors through DOUBLE
+    identically on both engines (floor, not DIV — the quotient can
+    be negative and Spark DIV truncates toward zero).
+
+    Scale shape: ONE combinable groupBy to bins (map-side partials),
+    totals as a 1-row broadcast, arithmetic over the bounded bin
+    frame.  Nothing row-scale survives the first aggregate."""
+    rows_ = Tables(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("bin"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("bad"),
+    )
+    bins = rows_.groupBy("bin").agg(
+        F.sum(F.expr("1 - bad")).cast("long").alias("good_k"),
+        F.sum("bad").cast("long").alias("bad_k"),
+    )
+    tot = bins.agg(
+        F.sum("good_k").cast("long").alias("g"),
+        F.sum("bad_k").cast("long").alias("b"),
+    )
+    woe = (
+        bins.crossJoin(F.broadcast(tot))
+        .where((F.col("good_k") > 0) & (F.col("bad_k") > 0))
+        .select(
+            "bin",
+            "good_k",
+            "bad_k",
+            F.expr(
+                "CAST(round(1000000 * ln(CAST(good_k * b AS DOUBLE)"
+                " / CAST(bad_k * g AS DOUBLE))) AS BIGINT)"
+            ).alias("woe_micro"),
+            F.expr(
+                "CAST((good_k * 1000000) DIV g"
+                " - (bad_k * 1000000) DIV b AS BIGINT)"
+            ).alias("dist_gap"),
+        )
+    )
+    return woe.select(
+        "bin",
+        "good_k",
+        "bad_k",
+        "woe_micro",
+        F.expr(
+            "CAST(floor(CAST(dist_gap * woe_micro AS DOUBLE) / 1000000)"
+            " AS BIGINT)"
+        ).alias("iv_term_micro"),
+    ).orderBy("bin")
