@@ -150,9 +150,9 @@ def _pass_at_k_sql(k: int) -> str:
     return f"1000000 - ({r})"
 
 
-@query(
-    "x_pass_at_k",
-    oracle=f"""
+# shared verbatim with the streaming twin (s_stream_pass_at_k):
+# identical results from batch and stream are the point of the pair
+_PK_ORACLE = f"""
     WITH samples AS (
       SELECT event_id % {_PK_TASKS} AS task,
              (event_id % {_PK_TASKS}) % 10 AS difficulty,
@@ -180,7 +180,12 @@ def _pass_at_k_sql(k: int) -> str:
            CAST(sum(p4) // count(*) AS BIGINT) AS pass4_micro,
            CAST(sum(p8) // count(*) AS BIGINT) AS pass8_micro
     FROM est GROUP BY difficulty ORDER BY difficulty
-    """,
+    """
+
+
+@query(
+    "x_pass_at_k",
+    oracle=_PK_ORACLE,
     tags=("mleval", "statistics", "training"),
 )
 def x_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +205,15 @@ def x_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     is per-row arithmetic on the task table; the difficulty rollup
     aggregates a 10-row-per-difficulty bounded frame.  Nothing joins
     and nothing is all-pairs."""
-    t = Tables(spark, sf_dir)
+    samples = _pass_at_k_samples(Tables(spark, sf_dir).events)
+    per_task = samples.groupBy("task", "difficulty").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("c"),
+    )
+    return _pass_at_k_rollup(per_task)
+
+
+def _pass_at_k_samples(events: DataFrame) -> DataFrame:
     task = F.col("event_id") % _PK_TASKS
     ok = (
         F.conv(F.substring(F.md5(F.concat(F.lit("pk:"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
@@ -208,19 +221,21 @@ def x_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 20
         < task % 10 + 1
     ).cast("long")
-    per_task = (
-        t.events.select(task.alias("task"), (task % 10).alias("difficulty"), ok.alias("ok"))
-        .groupBy("task", "difficulty")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("ok").cast("long").alias("c"))
-        .where(F.col("n") >= 8)
+    return events.select(
+        task.alias("task"), (task % 10).alias("difficulty"), ok.alias("ok")
     )
+
+
+def _pass_at_k_rollup(per_task: DataFrame) -> DataFrame:
+    """Estimator + difficulty rollup over a (task, difficulty, n, c)
+    frame — shared by the batch query and its streaming twin."""
 
     def chain(k: int):
         # the SAME floor-chain text the oracle uses, with Spark's DIV
         # spelling (both floor for the non-negative operands here)
         return F.expr(_pass_at_k_sql(k).replace("//", "DIV")).cast("long")
 
-    est = per_task.select(
+    est = per_task.where(F.col("n") >= 8).select(
         "difficulty",
         chain(1).alias("p1"),
         chain(4).alias("p4"),
@@ -1080,3 +1095,452 @@ def x_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("iv_term_micro"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Expected best-of-n reward (order statistics, exact fixed-point CDF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_best_of_n_reward",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    vals AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v) AS cum,
+             (sum(cnt) OVER (ORDER BY v) * 1000) // n.n AS q,
+             ((sum(cnt) OVER (ORDER BY v) - cnt) * 1000) // n.n AS qp
+      FROM vals, n
+    )
+    SELECT n.n AS n_rewards,
+           CAST(sum((q - qp) * v) // 1000 AS BIGINT) AS e_max1_cents,
+           CAST(sum((q * q - qp * qp) * v) // 1000000 AS BIGINT)
+             AS e_max2_cents,
+           CAST(sum((q * q * q * q - qp * qp * qp * qp) * v)
+                // 1000000000000 AS BIGINT) AS e_max4_cents
+    FROM cum, n GROUP BY n.n
+    """,
+    tags=("mleval", "training", "statistics"),
+)
+def c_best_of_n_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED BEST-OF-N REWARD — the rejection-sampling planning
+    number for RLHF/inference-time scaling: if rewards are drawn iid
+    from this empirical distribution, what does taking the max of n
+    samples buy?  E[max_n] = Σ_v (F(v)^n - F(v-)^n)·v from the
+    order-statistics CDF identity, computed in exact fixed-point:
+    the empirical CDF is milli-floored once per distinct value and
+    the n-th powers are integer products (milli^4 = 1e12 stays in
+    BIGINT), so both engines emit identical integers; the n=1 column
+    doubles as the (floor-quantized) mean, and e_max1 <= e_max2 <=
+    e_max4 is a monotonicity pin.
+
+    Scale shape: the VALUE-GROUPED cumulative trick again (the
+    x_mann_whitney_u shape): one combinable count-by-value, one
+    window over distinct values (domain-bounded, not row-bounded),
+    one 1-row fold.  Rewards never sort row-wise."""
+    s = Tables(spark, sf_dir).events.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v")
+    )
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vals = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        vals.crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            "cnt",
+            "n",
+            F.sum("cnt").over(w).alias("cum"),
+        )
+        .select(
+            "v",
+            "n",
+            F.expr("(cum * 1000) DIV n").alias("q"),
+            F.expr("((cum - cnt) * 1000) DIV n").alias("qp"),
+        )
+    )
+    return (
+        cum.groupBy("n")
+        .agg(
+            F.expr("sum((q - qp) * v) DIV 1000")
+            .cast("long")
+            .alias("e_max1_cents"),
+            F.expr("sum((q * q - qp * qp) * v) DIV 1000000")
+            .cast("long")
+            .alias("e_max2_cents"),
+            F.expr(
+                "sum((q * q * q * q - qp * qp * qp * qp) * v)"
+                " DIV 1000000000000"
+            )
+            .cast("long")
+            .alias("e_max4_cents"),
+        )
+        .select(F.col("n").alias("n_rewards"), "e_max1_cents",
+                "e_max2_cents", "e_max4_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped bipartite co-purchase projection
+# ---------------------------------------------------------------------------
+
+_BP_CAP = 50  # max distinct parts per customer (hub rail)
+_BP_TOPK = 20
+
+
+@query(
+    "g_bipartite_projection",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+      SELECT cust, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY cust
+    ),
+    kept AS (
+      SELECT cp.cust, cp.part FROM cp JOIN deg USING (cust)
+      WHERE deg.d <= {_BP_CAP}
+    ),
+    pairs AS (
+      SELECT a.part AS pa, b.part AS pb, a.cust
+      FROM kept a JOIN kept b
+        ON a.cust = b.cust AND a.part < b.part
+    )
+    SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+           CAST(count(*) AS BIGINT) AS n_shared_customers
+    FROM pairs GROUP BY pa, pb
+    ORDER BY n_shared_customers DESC, pa, pb LIMIT {_BP_TOPK}
+    """,
+    tags=("graph", "recommendation", "statistics"),
+)
+def g_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITE PROJECTION — fold the customer-part purchase graph
+    onto parts: edge (a, b) weighted by the number of customers who
+    bought BOTH (the co-occurrence graph behind 'frequently bought
+    together', co-citation networks, and item-item CF).  The exact
+    projection explodes per-customer pairs, so cost is Σ_c d_c² —
+    the HUB CAP rail (drop customers with > {_BP_CAP} distinct
+    parts BEFORE pairing) bounds it at Σ d_c·CAP = O(edges·CAP),
+    the standard projection-at-scale discipline (a retailer's
+    everything-buyer contributes no signal anyway).  Top-{_BP_TOPK}
+    pairs by shared-customer count, deterministic tiebreak.
+
+    Scale shape: the orders join shuffles on orderkey (both sides
+    key-partitioned); the degree rail is one combinable groupBy +
+    a broadcast-sized join back; pair generation is a SELF-JOIN ON
+    THE CUSTOMER KEY (co-partitioned, never cross-customer); the
+    weight rollup is map-side combinable.  tests/test_plans.py
+    asserts the cap filter sits under the self-join."""
+    t = Tables(spark, sf_dir)
+    cp = (
+        t.lineitem.select(F.col("l_orderkey"), F.col("l_partkey").alias("part"))
+        .join(
+            t.orders.select(F.col("o_orderkey").alias("l_orderkey"), F.col("o_custkey").alias("cust")),
+            "l_orderkey",
+        )
+        .select("cust", "part")
+        .distinct()
+    )
+    deg = cp.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    kept = cp.join(F.broadcast(deg.where(F.col("d") <= _BP_CAP)), "cust").select(
+        "cust", "part"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust")) & (F.col("a.part") < F.col("b.part")),
+    ).select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+    return (
+        pairs.groupBy(
+            F.col("pa").cast("long").alias("pa"),
+            F.col("pb").cast("long").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_customers"))
+        .orderBy(F.col("n_shared_customers").desc(), "pa", "pb")
+        .limit(_BP_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (the k-anonymity extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l AS l_diversity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(k) AS BIGINT) AS min_class_size,
+           CAST(sum(k) AS BIGINT) AS n_individuals,
+           CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+             AS n_at_risk
+    FROM classes GROUP BY l ORDER BY l
+    """,
+    tags=("privacy", "curation", "statistics"),
+)
+def x_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — the attribute-disclosure extension of
+    c_k_anonymity (Machanavajjhala et al. 2007): a quasi-identifier
+    class can be large (k-anonymous) yet still leak if every member
+    shares the SAME sensitive value, so the audit reports, per
+    equivalence class over (nation, account-balance bucket), the
+    number of DISTINCT sensitive values (market segment) and flags
+    individuals in classes below l = 3 — the population an attacker
+    can pin to 1-2 sensitive values despite k-anonymity.
+
+    Scale shape: one combinable groupBy over the quasi-identifier
+    (count + count distinct over a 5-value sensitive domain — the
+    distinct is bounded, no explosion), one bounded rollup.  The
+    audit never joins and never explodes; it is strictly cheaper
+    than the k-anonymity pass it extends."""
+    classes = (
+        Tables(spark, sf_dir)
+        .customer.groupBy(
+            F.col("c_nationkey").alias("nat"),
+            # floor-through-double, NOT CAST + DIV: Spark truncates a
+            # negative double cast while DuckDB rounds it, and the two
+            # sides would bucket boundary balances differently
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l"),
+        )
+    )
+    return (
+        classes.groupBy(F.col("l").alias("l_diversity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("k").cast("long").alias("min_class_size"),
+            F.sum("k").cast("long").alias("n_individuals"),
+            F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_at_risk"),
+        )
+        .orderBy("l_diversity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming pass@k (frozen estimator over arriving samples)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s_stream_pass_at_k",
+    oracle=_PK_ORACLE,
+    tags=("streaming", "mleval", "statistics"),
+)
+def s_stream_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pass@k — the eval-as-samples-arrive deployment of
+    x_pass_at_k (oracle shared VERBATIM: the stream must converge to
+    exactly the batch answer once all samples land): per-task (n, c)
+    sufficient statistics accumulate in ONE stateful streaming
+    aggregate; the unrolled estimator and difficulty rollup reshape
+    the final snapshot batch-side through the SAME code path as the
+    batch twin (_pass_at_k_rollup).
+
+    Scale shape: state is O(tasks) counters (two BIGINTs per task —
+    the minimal sufficient statistic, the c_novelty_filter_frozen
+    discipline of keeping stream state constant-size per key); the
+    estimator never runs inside the stream, so no per-batch
+    recomputation of the chain."""
+    from map2db_spark.streaming.events import (
+        read_events_stream,
+        run_available_now_df,
+    )
+
+    samples = _pass_at_k_samples(read_events_stream(spark, sf_dir))
+    counts = samples.groupBy("task", "difficulty").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("c"),
+    )
+    snap = run_available_now_df(counts, "complete")
+    return _pass_at_k_rollup(snap)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve data layout vs Z-order (exact integer curve index)
+# ---------------------------------------------------------------------------
+
+_HB_ORDER = 8  # 256 x 256 grid
+_HB_N = 4096  # points
+
+
+def _hilbert_steps(order: int) -> list[tuple[str, str, str]]:
+    """Per-level (d', x', y') expression strings for the standard
+    xy2d walk (top bit first): rx/ry are the level bits, d gains
+    s*s*((3*rx) XOR ry) — spelled 3*rx + ry - 2*rx*ry because ^ is
+    POWER in DuckDB — and (x, y) reflect-and-swap when ry = 0.
+    Pure arithmetic (DIV/%/CASE), shared verbatim by both engines
+    modulo the // vs DIV spelling."""
+    n = 1 << order
+    steps = []
+    for lvl in range(order - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"((x // {s}) % 2)"
+        ry = f"((y // {s}) % 2)"
+        steps.append(
+            (
+                f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})",
+                f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+                f" THEN {n - 1} - y ELSE y END) ELSE x END",
+                f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+                f" THEN {n - 1} - x ELSE x END) ELSE y END",
+            )
+        )
+    return steps
+
+
+def _zorder_expr(order: int) -> str:
+    """Bit-interleaved Morton index as a sum of arithmetic bit
+    extractions (no bitwise ops — engine-shared)."""
+    terms = []
+    for i in range(order):
+        terms.append(f"((x0 // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((y0 // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        f"""p0 AS (
+      SELECT i AS id,
+             {_hex_bigint("i", "hx:")} % {1 << _HB_ORDER} AS x0,
+             {_hex_bigint("i", "hy:")} % {1 << _HB_ORDER} AS y0
+      FROM (SELECT unnest(range(0, {_HB_N})) AS i)
+    )""",
+        "s0 AS (SELECT id, x0, y0, x0 AS x, y0 AS y,"
+        " CAST(0 AS BIGINT) AS d FROM p0)",
+    ]
+    for j, (d_e, x_e, y_e) in enumerate(_hilbert_steps(_HB_ORDER), 1):
+        ctes.append(
+            f"s{j} AS (SELECT id, x0, y0, {x_e} AS x, {y_e} AS y,"
+            f" {d_e} AS d FROM s{j - 1})"
+        )
+    last = f"s{_HB_ORDER}"
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    idx AS (
+      SELECT id, x0, y0, d AS hd, {_zorder_expr(_HB_ORDER)} AS zd
+      FROM {last}
+    ),
+    hseq AS (
+      SELECT abs(x0 - lag(x0) OVER (ORDER BY hd, id))
+             + abs(y0 - lag(y0) OVER (ORDER BY hd, id)) AS step
+      FROM idx
+    ),
+    zseq AS (
+      SELECT abs(x0 - lag(x0) OVER (ORDER BY zd, id))
+             + abs(y0 - lag(y0) OVER (ORDER BY zd, id)) AS step
+      FROM idx
+    )
+    SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n,
+           CAST((SELECT max(hd) FROM idx) AS BIGINT) AS max_hilbert_d,
+           CAST((SELECT sum(step) FROM hseq) AS BIGINT)
+             AS hilbert_adj_manhattan,
+           CAST((SELECT sum(step) FROM zseq) AS BIGINT)
+             AS zorder_adj_manhattan
+    """
+
+
+@query(
+    "x_hilbert_layout",
+    oracle=_hilbert_oracle(),
+    tags=("layout", "relational", "statistics"),
+)
+def x_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE data layout — the locality-preserving
+    space-filling curve modern table formats cluster by (Delta
+    OPTIMIZE ZORDER's stronger sibling: Hilbert guarantees
+    consecutive curve positions are ADJACENT cells, Z-order jumps at
+    power-of-two seams): the exact order-8 xy2d walk, unrolled as 8
+    arithmetic reflect-and-swap steps (no bitwise XOR — spelled
+    3*rx + ry - 2*rx*ry so both engines share the text), applied to
+    an md5-scattered point set; the payoff is measured as the summed
+    Manhattan distance between CONSECUTIVELY-LAID-OUT points —
+    Hilbert's total is materially below Z-order's on the same points
+    (pinned in tests, with the curve itself verified against a
+    Python reference and the adjacency property in
+    tests/test_round11_ops.py).
+
+    Scale shape: the index is per-row arithmetic (map-side, no
+    shuffle, whole-stage codegen); at table scale the layout job
+    RANGE-PARTITIONS on the computed key — the windows here exist
+    only to measure locality on the bounded fixture, and the
+    measured adjacency gap is the read-amplification argument for
+    Hilbert clustering at 100 TB."""
+    hx = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("hx:"), F.col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % (1 << _HB_ORDER)
+    )
+    hy = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("hy:"), F.col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % (1 << _HB_ORDER)
+    )
+    pts = spark.range(_HB_N).select(
+        "id", hx.alias("x0"), hy.alias("y0"),
+        hx.alias("x"), hy.alias("y"), F.lit(0).cast("long").alias("d"),
+    )
+    for d_e, x_e, y_e in _hilbert_steps(_HB_ORDER):
+        pts = pts.select(
+            "id",
+            "x0",
+            "y0",
+            F.expr(x_e.replace("//", "DIV")).alias("x"),
+            F.expr(y_e.replace("//", "DIV")).alias("y"),
+            F.expr(d_e.replace("//", "DIV")).alias("d"),
+        )
+    idx = pts.select(
+        "id", "x0", "y0", F.col("d").alias("hd"),
+        F.expr(_zorder_expr(_HB_ORDER).replace("//", "DIV")).alias("zd"),
+    )
+    wh = Window.orderBy("hd", "id")
+    wz = Window.orderBy("zd", "id")
+    hstep = idx.select(
+        (
+            F.abs(F.col("x0") - F.lag("x0").over(wh))
+            + F.abs(F.col("y0") - F.lag("y0").over(wh))
+        ).alias("step")
+    )
+    zstep = idx.select(
+        (
+            F.abs(F.col("x0") - F.lag("x0").over(wz))
+            + F.abs(F.col("y0") - F.lag("y0").over(wz))
+        ).alias("step")
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("hd").cast("long").alias("max_hilbert_d"),
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(
+                hstep.agg(F.sum("step").cast("long").alias("hilbert_adj_manhattan"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                zstep.agg(F.sum("step").cast("long").alias("zorder_adj_manhattan"))
+            )
+        )
+    )

@@ -1521,3 +1521,70 @@ def test_shard_manifest_rank_is_range_partitioned(spark):
     assert "rangepartitioning" in plan
     assert "Exchange SinglePartition" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-11 operators
+# ---------------------------------------------------------------------------
+
+
+def test_bipartite_projection_caps_before_self_join(spark):
+    """g_bipartite_projection's hub rail: the degree-cap filter must
+    sit UNDER the part-pair self-join (cost is sum d_c^2 without it),
+    and the pair join must be keyed on the customer (an equi-join,
+    never a cartesian)."""
+    plan = plan_of(spark, "g_bipartite_projection")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cap predicate survives into the physical plan as a filter
+    # on the degree side (d <= 50)
+    assert "50" in plan and "Join" in plan
+    # top-k by weight avoids a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hilbert_index_is_straightline_projection(spark):
+    """x_hilbert_layout's 8 unrolled reflect-and-swap steps must
+    collapse into straight-line projection work directly over the
+    Range source — NO Exchange between the steps (the index is
+    map-side arithmetic; the only Exchanges in the plan are the
+    locality-measurement windows and scalar-fold broadcasts)."""
+    import re
+
+    plan = plan_of(spark, "x_hilbert_layout")
+    # a run of >= 8 consecutive Project nodes ending at Range, with
+    # no Exchange/Sort interleaved
+    chain = re.search(
+        r"(?:\+- Project \(\d+\)\s*\n\s*:*\s*)+\+- Range", plan
+    )
+    assert chain is not None, "step chain did not fuse over Range"
+    assert chain.group(0).count("Project") >= 8
+    assert "Exchange" not in chain.group(0)
+
+
+def test_pass_at_k_is_two_aggregates_no_join(spark):
+    """x_pass_at_k: samples fold to (task, n, c) in one combinable
+    aggregate (map-side partials visible as partial_count/sum) and
+    the rollup is a second aggregate — no joins anywhere."""
+    plan = plan_of(spark, "x_pass_at_k")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2
+
+
+def test_mann_whitney_windows_over_values_not_rows(spark):
+    """x_mann_whitney_u: the rank window must consume the
+    VALUE-GROUPED aggregate (HashAggregate under Window), never the
+    raw orders rows — the key scale claim of the midrank trick."""
+    plan = plan_of(spark, "x_mann_whitney_u")
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    agg_before_window = plan[:win_pos].count("HashAggregate")
+    assert agg_before_window >= 1, "window must sit above the value aggregate"
+
+
+def test_tar_ingest_parses_executor_side(spark):
+    """f_tar_shard_ingest: the read-back path must show the
+    binaryFile scan feeding a Python map kernel (mapInPandas) — the
+    parse happens in executor tasks, not on the driver."""
+    plan = plan_of(spark, "f_tar_shard_ingest")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()

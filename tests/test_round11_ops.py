@@ -1,0 +1,229 @@
+"""Targeted tests for the round-11 operators: tar shard ingest (see
+test_tar.py for the parser itself), pass@k, token F1, Brier
+decomposition, Mann-Whitney, Kendall tau, LOO encoding, best-of-n,
+Hilbert layout, BH-FDR.  Cross-engine value equality lives in
+test_oracle_parity.py; these pin the ALGORITHMS against independent
+references and the closed-form invariants the docstrings claim."""
+
+from __future__ import annotations
+
+import math
+
+from map2db_spark.registry import QUERIES, _ensure_loaded
+from tests.conftest import SF_SMOKE
+
+_ensure_loaded()
+
+
+def _rows(spark, name, sf=SF_SMOKE):
+    return QUERIES[name].fn(spark, sf).collect()
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: generated steps vs an independent Python reference
+# ---------------------------------------------------------------------------
+
+
+def _xy2d_ref(order: int, x: int, y: int) -> int:
+    """Independent reference: the classic xy2d walk (Wikipedia's
+    Hilbert-curve listing), bitwise form."""
+    n = 1 << order
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_steps_match_reference_and_curve_properties():
+    import duckdb
+
+    from map2db_spark.queries_round11 import _hilbert_steps
+
+    order = 4  # exhaustive over the 16x16 grid
+    n = 1 << order
+    ctes = [
+        f"s0 AS (SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d"
+        f" FROM (SELECT unnest(range(0, {n})) AS x0),"
+        f" (SELECT unnest(range(0, {n})) AS y0))"
+    ]
+    for j, (d_e, x_e, y_e) in enumerate(_hilbert_steps(order), 1):
+        ctes.append(
+            f"s{j} AS (SELECT x0, y0, {x_e} AS x, {y_e} AS y,"
+            f" {d_e} AS d FROM s{j - 1})"
+        )
+    sql = (
+        "WITH " + ", ".join(ctes) + f" SELECT x0, y0, d FROM s{order}"
+    )
+    got = {(x, y): d for x, y, d in duckdb.connect().execute(sql).fetchall()}
+    # 1. matches the independent bitwise reference on every cell
+    for (x, y), d in got.items():
+        assert d == _xy2d_ref(order, x, y), (x, y, d)
+    # 2. bijection onto 0..n*n-1
+    assert sorted(got.values()) == list(range(n * n))
+    # 3. THE Hilbert property: consecutive curve positions are
+    # Manhattan-adjacent cells (Z-order does not have this)
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_layout_beats_zorder(spark):
+    row = _rows(spark, "x_hilbert_layout")[0]
+    assert row["hilbert_adj_manhattan"] < row["zorder_adj_manhattan"]
+    assert row["n"] > 0
+
+
+# ---------------------------------------------------------------------------
+# pass@k: estimator chain vs exact binomial, gradient recovery
+# ---------------------------------------------------------------------------
+
+
+def test_pass_at_k_chain_matches_exact_binomial():
+    import duckdb
+
+    from map2db_spark.queries_round11 import _pass_at_k_sql
+
+    con = duckdb.connect()
+    for n in (8, 16, 37):
+        for c in (0, 1, n // 2, n - 1, n):
+            for k in (1, 4, 8):
+                got = con.execute(
+                    f"SELECT {_pass_at_k_sql(k)} FROM"
+                    f" (SELECT {n} AS n, {c} AS c)"
+                ).fetchone()[0]
+                exact = 1.0 - math.comb(n - c, k) / math.comb(n, k) if n - c >= k else 1.0
+                # the chain floors once per step: error < k ulps
+                assert abs(got - round(exact * 1_000_000)) <= k, (n, c, k)
+
+
+def test_pass_at_k_recovers_difficulty_gradient(spark):
+    from tests.conftest import SF_CORRECT
+
+    # sf0.01: ~20 samples per task (sf0.001 leaves every task under
+    # the n >= 8 estimator floor and the result is correctly empty)
+    rows = _rows(spark, "x_pass_at_k", sf=SF_CORRECT)
+    assert [r["difficulty"] for r in rows] == sorted(r["difficulty"] for r in rows)
+    p1 = [r["pass1_micro"] for r in rows]
+    # planted solve rate rises 1/20..10/20 with difficulty index
+    assert p1 == sorted(p1)
+    assert p1[-1] > p1[0]
+
+
+# ---------------------------------------------------------------------------
+# token F1 vs a Counter brute force
+# ---------------------------------------------------------------------------
+
+
+def test_token_f1_matches_counter_bruteforce(spark):
+    from collections import Counter
+
+    from map2db_spark.tables import Tables
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in Tables(spark, SF_SMOKE).documents.collect()
+    }
+    got = {r["pair_id"]: r for r in _rows(spark, "x_token_f1")}
+    checked = 0
+    for pid in list(got)[:20]:
+        a = Counter(docs[2 * pid].strip().split())
+        b = Counter(docs[2 * pid + 1].strip().split())
+        overlap = sum((a & b).values())
+        r = got[pid]
+        assert (r["overlap"], r["len_a"], r["len_b"]) == (
+            overlap,
+            sum(a.values()),
+            sum(b.values()),
+        )
+        assert r["f1_micro"] == (2 * overlap * 1_000_000) // (
+            sum(a.values()) + sum(b.values())
+        )
+        checked += 1
+    assert checked > 0
+
+
+# ---------------------------------------------------------------------------
+# Closed-form invariants
+# ---------------------------------------------------------------------------
+
+
+def test_brier_murphy_identity(spark):
+    r = _rows(spark, "x_brier_decomposition")[0]
+    # brier = reliability - resolution + uncertainty, to floor error
+    # (four independent floor quantizations, each <= 1 micro per bin)
+    lhs = r["brier_micro"]
+    rhs = r["reliability_micro"] - r["resolution_micro"] + r["uncertainty_micro"]
+    assert abs(lhs - rhs) <= 25, (lhs, rhs)
+    assert r["reliability_micro"] <= 2000  # outcomes drawn AT the forecast
+
+
+def test_mann_whitney_identity(spark):
+    r = _rows(spark, "x_mann_whitney_u")[0]
+    assert r["u0_x2"] + r["u1_x2"] == 2 * r["n0"] * r["n1"]
+    assert 0 <= r["u0_x2"] <= 2 * r["n0"] * r["n1"]
+
+
+def test_kendall_counts_partition_pairs(spark):
+    r = _rows(spark, "x_kendall_tau")[0]
+    # C + D + ties <= n_pairs, and tau in [-1, 1]
+    assert (
+        r["concordant"] + r["discordant"] + r["ties_x_only"] + r["ties_y_only"]
+        <= r["n_pairs"]
+    )
+    assert -1_000_000 <= r["tau_b_micro"] <= 1_000_000
+
+
+def test_loo_encoding_is_constant_within_cell(spark):
+    # within a (segment, y) cell every row has the same encoding by
+    # construction — min() in the query IS the cell value; re-derive
+    # from the sufficient statistics and compare
+    from map2db_spark.tables import Tables
+
+    import pyspark.sql.functions as F
+
+    rows_ = (
+        Tables(spark, SF_SMOKE)
+        .orders.select(
+            F.col("o_orderpriority").alias("seg"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .collect()
+    )
+    stats = {r["seg"]: (r["n"], r["s"]) for r in rows_}
+    for r in _rows(spark, "c_loo_target_encoding"):
+        n, s = stats[r["seg"]]
+        assert r["enc_micro"] == ((s - r["y"]) * 1_000_000) // (n - 1)
+
+
+def test_best_of_n_is_monotone(spark):
+    r = _rows(spark, "c_best_of_n_reward")[0]
+    assert r["e_max1_cents"] <= r["e_max2_cents"] <= r["e_max4_cents"]
+
+
+def test_bh_fdr_recovers_planted_effects(spark):
+    rows = {r["planted"]: r for r in _rows(spark, "x_bh_fdr")}
+    planted, nulls = rows[1], rows[0]
+    # planted p-values are <= 0.001: BH at 5% keeps essentially all
+    assert planted["n_rejected"] >= planted["n_hyp"] * 9 // 10
+    # nulls are uniform: the FDR guarantee bounds false rejections
+    assert nulls["n_rejected"] <= nulls["n_hyp"] // 10
+
+
+def test_bipartite_projection_respects_cap(spark):
+    rows = _rows(spark, "g_bipartite_projection")
+    assert 0 < len(rows) <= 20
+    ws = [r["n_shared_customers"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
