@@ -506,8 +506,11 @@ def x_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "planted",
         "p_micro",
         "m",
+        # row_number() is INT; rnk * 1e6 overflows int32 beyond
+        # ~2.1k hypotheses — widen before any arithmetic
         F.row_number()
         .over(Window.orderBy(F.col("p_micro"), F.col("hid")))
+        .cast("long")
         .alias("rnk"),
     )
     kstar = ranked.agg(
