@@ -227,3 +227,126 @@ def test_bipartite_projection_respects_cap(spark):
     assert 0 < len(rows) <= 20
     ws = [r["n_shared_customers"] for r in rows]
     assert ws == sorted(ws, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Manifest <-> shard verification: tamper detection
+# ---------------------------------------------------------------------------
+
+
+def test_shard_verify_all_green_on_untampered_corpus(spark):
+    rows = _rows(spark, "c_shard_manifest_verify")
+    assert rows and all(r["verified"] == 1 for r in rows)
+
+
+def test_tampered_shard_changes_recomputed_signature():
+    """The verify loop's detection mechanism: the signature
+    recomputed FROM ARCHIVE BYTES must change when any member's
+    payload is altered — even a single byte that keeps the tar
+    structurally valid."""
+    import hashlib
+
+    from map2db_spark.functions.tar import build_tar, iter_tar_members
+    from tests.test_round10b_ops import _chained_sig
+
+    def sig_of(archive: bytes) -> str:
+        sigs = []
+        for name, payload in iter_tar_members(archive):
+            rk, di = name.split(".")[0].split("-")
+            text_md5 = hashlib.md5(payload).hexdigest()
+            sigs.append(
+                (int(rk), hashlib.md5(f"{int(di)}:{text_md5}".encode()).hexdigest())
+            )
+        return _chained_sig(sigs)
+
+    members = [
+        (f"{r:08d}-{r + 100:08d}.txt", f"document body {r} ".encode() * 8)
+        for r in range(20)
+    ]
+    clean = build_tar(members)
+    base = sig_of(clean)
+    # flip one payload byte mid-archive: headers and checksums of
+    # OTHER members stay valid, so only the signature catches it
+    tampered = bytearray(clean)
+    # locate the 11th member's payload start and flip a byte there
+    off = 0
+    for _ in range(10):
+        size = int(tampered[off + 124 : off + 136].split(b"\x00")[0], 8)
+        off += 512 + (size + 511) // 512 * 512
+    tampered[off + 512 + 5] ^= 0x01
+    # the tampered member's own checksum still covers only its HEADER,
+    # so parsing succeeds — detection must come from the content sig
+    assert sig_of(bytes(tampered)) != base
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha vs an exact Fraction reference
+# ---------------------------------------------------------------------------
+
+
+def test_krippendorff_alpha_matches_fraction_reference(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from map2db_spark.queries_round11 import _KA_M
+    from map2db_spark.tables import Tables
+
+    def hx(tag, v):
+        return int(hashlib.md5(f"{tag}{v}".encode()).hexdigest()[:8], 16)
+
+    ids = [
+        r["event_id"]
+        for r in Tables(spark, SF_SMOKE).events.select("event_id").collect()
+    ]
+    units = defaultdict(list)
+    for e in ids:
+        u = e // _KA_M
+        label = hx("krb:", e) % 3 if hx("kra:", e) % 10 < 2 else u % 3
+        units[u].append(label)
+    units = {u: ls for u, ls in units.items() if len(ls) == _KA_M}
+    # exact coincidence-matrix alpha (Krippendorff 2011, nominal)
+    o = Counter()
+    for ls in units.values():
+        cnt = Counter(ls)
+        for c in cnt:
+            for k in cnt:
+                pairs = cnt[c] * cnt[k] - (cnt[c] if c == k else 0)
+                o[(c, k)] += Fraction(pairs, _KA_M - 1)
+    n = sum(o.values())
+    nc = defaultdict(Fraction)
+    for (c, _k), v in o.items():
+        nc[c] += v
+    do = sum(v for (c, k), v in o.items() if c != k)
+    de = (n * n - sum(v * v for v in nc.values())) / (n - 1)
+    alpha = 1 - do / de
+    row = _rows(spark, "x_krippendorff_alpha")[0]
+    assert row["n_units"] == len(units)
+    assert row["n_ratings"] == int(n)
+    # the query floors once; the reference is exact
+    assert abs(row["alpha_micro"] - int(alpha * 1_000_000)) <= 1
+    # planted 80% agreement: alpha must sit far above chance
+    assert row["alpha_micro"] > 500_000
+
+
+def test_zip_ingest_covers_both_methods(spark):
+    # alternating shards are deflated vs stored: the query result
+    # covering the whole doc range proves both decode paths ran
+    from map2db_spark.queries_round11 import _ZIP_HI, _ZIP_LO
+
+    rows = _rows(spark, "f_zip_shard_ingest")
+    got = {r["doc_id"] for r in rows}
+    import pyspark.sql.functions as F
+
+    from map2db_spark.tables import Tables
+
+    expected = {
+        r["doc_id"]
+        for r in Tables(spark, SF_SMOKE)
+        .documents.where(
+            (F.col("doc_id") >= _ZIP_LO) & (F.col("doc_id") < _ZIP_HI)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expected and len(got) > 0

@@ -1,0 +1,100 @@
+"""ZIP shard packing/parsing (functions/zipfmt.py): pinned against
+the stdlib zipfile implementation in both directions, both methods,
+plus corruption and zip-bomb failure modes."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from map2db_spark.functions.zipfmt import build_zip, iter_zip_members
+
+
+def _stdlib_parse(buf: bytes) -> list[tuple[str, bytes]]:
+    out = []
+    with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+        for info in zf.infolist():
+            out.append((info.filename, zf.read(info)))
+    return out
+
+
+def _stdlib_build(members, compress) -> bytes:
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", compression=compress) as zf:
+        for name, payload in members:
+            zf.writestr(name, payload)
+    return out.getvalue()
+
+
+_MEMBERS = [
+    ("00000001.txt", b"hello zip world" * 10),
+    ("00000002.txt", b""),
+    ("sub/00000003.bin", bytes(range(256)) * 4),
+]
+
+
+@pytest.mark.parametrize("method", ["stored", "deflate"])
+def test_roundtrip_and_stdlib_reads_ours(method):
+    buf = build_zip(_MEMBERS, method=method)
+    assert list(iter_zip_members(buf)) == _MEMBERS
+    # the stdlib (an independent implementation incl. its own
+    # inflate) accepts our archives byte-for-byte
+    assert _stdlib_parse(buf) == _MEMBERS
+    assert build_zip(_MEMBERS, method=method) == buf  # deterministic
+
+
+@pytest.mark.parametrize(
+    "compress", [zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED]
+)
+def test_we_read_stdlib_archives(compress):
+    buf = _stdlib_build(_MEMBERS, compress)
+    assert list(iter_zip_members(buf)) == _MEMBERS
+
+
+def test_crc_corruption_raises():
+    buf = bytearray(build_zip(_MEMBERS, method="stored"))
+    # flip a payload byte of the first member (after its 30+12-byte
+    # local header + name)
+    buf[30 + len("00000001.txt") + 3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        list(iter_zip_members(bytes(buf)))
+
+
+def test_zip_bomb_rail():
+    big = b"\x00" * 200_000  # highly compressible
+    buf = build_zip([("bomb.bin", big)], method="deflate")
+    with pytest.raises(ValueError, match="max_member_size"):
+        list(iter_zip_members(buf, max_member_size=100_000))
+    # and the honest size passes
+    assert list(iter_zip_members(buf, max_member_size=300_000)) == [
+        ("bomb.bin", big)
+    ]
+
+
+def test_missing_eocd_raises():
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        list(iter_zip_members(b"not a zip archive"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99999999),
+            st.binary(max_size=3000),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from(["stored", "deflate"]),
+)
+def test_property_roundtrip(items, method):
+    members = [(f"{k:08d}.bin", payload) for k, payload in items]
+    buf = build_zip(members, method=method)
+    assert list(iter_zip_members(buf)) == members
+    assert _stdlib_parse(buf) == members
