@@ -1970,3 +1970,192 @@ def x_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width text source (mainframe/ETL layout, JVM-side parse)
+# ---------------------------------------------------------------------------
+
+_FW_DOCS = 96
+
+
+@query(
+    "f_fixedwidth_roundtrip",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_FW_DOCS} ORDER BY doc_id
+    """,
+    tags=("source", "relational", "pipeline"),
+)
+def f_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text source — the mainframe/COBOL copybook layout
+    ETL still ingests by the terabyte: records are columns at fixed
+    byte offsets, no delimiters.  Documents are written as
+    fixed-width lines (8-digit id | 3-char lang | 8-digit n_chars |
+    32-char content md5), read back through spark.read.text, and
+    parsed with pure SUBSTRING arithmetic — the parse is JVM-side
+    whole-stage-codegen column slicing, NO Python kernel (the
+    cheapest possible source decode; contrast the tar/zip readers
+    where a real format walker is required).
+
+    Scale shape: .text reads are splittable by line, the substring
+    projection is map-side codegen, and the fixed layout means the
+    scan cost is byte-proportional with zero branch work — the
+    format's entire reason to still exist."""
+    import os
+    import tempfile
+
+    from map2db_spark.tables import cleanup_roundtrip
+
+    docs = (
+        Tables(spark, sf_dir)
+        .documents.where(F.col("doc_id") < _FW_DOCS)
+        .select(
+            F.concat(
+                F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                F.rpad(F.col("lang"), 3, " "),
+                F.lpad(F.col("n_chars").cast("string"), 8, "0"),
+                F.md5("text"),
+            ).alias("line")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="m2db_fw_")
+    path = os.path.join(tmp, "records.txt")
+    with open(path, "w", encoding="utf-8") as f:  # test rig writer
+        for r in docs.collect():
+            f.write(r["line"] + "\n")
+    parsed = (
+        spark.read.text(tmp)
+        .select(
+            F.substring("value", 1, 8).cast("long").alias("doc_id"),
+            F.trim(F.substring("value", 9, 3)).alias("lang"),
+            F.substring("value", 12, 8).cast("long").alias("n_chars"),
+            F.substring("value", 20, 32).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+    return cleanup_roundtrip(parsed, tmp)
+
+
+# ---------------------------------------------------------------------------
+# Posting-list compression accounting (inverted-index storage math)
+# ---------------------------------------------------------------------------
+
+_PC_MIN_DF = 4  # terms must appear in >= this many docs
+
+
+@query(
+    "x_posting_compression",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT DISTINCT tok, doc_id
+      FROM documents,
+           LATERAL (SELECT unnest(regexp_split_to_array(trim(text),
+                    '\s+')) AS tok) t
+    ),
+    u AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS u FROM toks),
+    gaps AS (
+      SELECT tok, doc_id,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                               ORDER BY doc_id), -1) AS gap
+      FROM toks
+    ),
+    per_term AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+               AS varint_bytes
+      FROM gaps GROUP BY tok
+    ),
+    sized AS (
+      SELECT tok, df, varint_bytes,
+             CAST((df * (2 + CASE WHEN u.u >= df
+                    THEN length(bin(u.u // df)) - 1 ELSE 0 END) + 7)
+                  // 8 AS BIGINT) AS ef_bytes,
+             CAST(df * 8 AS BIGINT) AS raw_bytes
+      FROM per_term, u
+      WHERE df >= {_PC_MIN_DF}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(raw_bytes) AS BIGINT) AS raw_bytes,
+           CAST(sum(varint_bytes) AS BIGINT) AS varint_bytes,
+           CAST(sum(ef_bytes) AS BIGINT) AS ef_bytes,
+           CAST((sum(varint_bytes) * 1000000) // sum(raw_bytes)
+                AS BIGINT) AS varint_ratio_ppm,
+           CAST((sum(ef_bytes) * 1000000) // sum(raw_bytes)
+                AS BIGINT) AS ef_ratio_ppm
+    FROM sized
+    """,
+    tags=("retrieval", "storage", "statistics"),
+)
+def x_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSTING-LIST COMPRESSION accounting — the storage math behind
+    every inverted index (Lucene, search infra, contamination-lookup
+    services): build term -> sorted-doc-id posting lists from the
+    corpus and compute their EXACT size under three encodings:
+    raw 8-byte ids, delta + LEB128 varint (bytes per gap =
+    ceil(bitlength/7), computed exactly via length(bin(gap)) — both
+    engines share bin()), and Elias-Fano (the quasi-succinct bound
+    df*(2 + floor(log2(U/df))) bits, floor-log2 again via bin length
+    — no floating log anywhere).  The ratio columns are the
+    compression dividends a capacity plan actually uses; varint
+    beats raw ~4-6x on this corpus and EF tracks the information
+    bound.
+
+    Scale shape: tokenize map-side, ONE distinct to the posting set,
+    gaps from a window PARTITIONED BY TERM (each list sorts
+    independently — the index-build shape), one combinable per-term
+    aggregate, one bounded fold.  Nothing all-pairs, no floats."""
+    toks = (
+        Tables(spark, sf_dir)
+        .documents.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+            "doc_id",
+        )
+        .distinct()
+    )
+    u = toks.agg((F.max("doc_id") + 1).cast("long").alias("u"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = toks.select(
+        "tok",
+        (F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))).alias(
+            "gap"
+        ),
+    )
+    per_term = gaps.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.expr("(length(bin(gap)) + 6) DIV 7")).cast("long").alias(
+            "varint_bytes"
+        ),
+    )
+    sized = (
+        per_term.where(F.col("df") >= _PC_MIN_DF)
+        .crossJoin(F.broadcast(u))
+        .select(
+            "df",
+            "varint_bytes",
+            F.expr(
+                "CAST((df * (2 + CASE WHEN u >= df"
+                " THEN length(bin(u DIV df)) - 1 ELSE 0 END) + 7)"
+                " DIV 8 AS BIGINT)"
+            ).alias("ef_bytes"),
+            (F.col("df") * 8).cast("long").alias("raw_bytes"),
+        )
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("raw_bytes").cast("long").alias("raw_bytes"),
+        F.sum("varint_bytes").cast("long").alias("varint_bytes"),
+        F.sum("ef_bytes").cast("long").alias("ef_bytes"),
+        F.expr("(sum(varint_bytes) * 1000000) DIV sum(raw_bytes)")
+        .cast("long")
+        .alias("varint_ratio_ppm"),
+        F.expr("(sum(ef_bytes) * 1000000) DIV sum(raw_bytes)")
+        .cast("long")
+        .alias("ef_ratio_ppm"),
+    )

@@ -350,3 +350,59 @@ def test_zip_ingest_covers_both_methods(spark):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_posting_compression_matches_python_bruteforce(spark):
+    from collections import defaultdict
+
+    from map2db_spark.queries_round11 import _PC_MIN_DF
+    from map2db_spark.tables import Tables
+
+    postings = defaultdict(set)
+    for r in Tables(spark, SF_SMOKE).documents.collect():
+        for tok in r["text"].strip().split():
+            postings[tok].add(r["doc_id"])
+    u = max(max(s) for s in postings.values()) + 1
+    n_terms = n_post = raw = varint = ef = 0
+    for s in postings.values():
+        if len(s) < _PC_MIN_DF:
+            continue
+        ids = sorted(s)
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        vb = sum((g.bit_length() + 6) // 7 for g in gaps)
+        l = (u // len(ids)).bit_length() - 1 if u >= len(ids) else 0
+        eb = (len(ids) * (2 + l) + 7) // 8
+        n_terms += 1
+        n_post += len(ids)
+        raw += len(ids) * 8
+        varint += vb
+        ef += eb
+    r = _rows(spark, "x_posting_compression")[0]
+    assert (r["n_terms"], r["n_postings"]) == (n_terms, n_post)
+    assert (r["raw_bytes"], r["varint_bytes"], r["ef_bytes"]) == (
+        raw, varint, ef,
+    )
+    # compression must actually compress on this corpus
+    assert r["varint_bytes"] < r["raw_bytes"]
+    assert r["ef_bytes"] < r["raw_bytes"]
+
+
+def test_fixedwidth_roundtrip_is_lossless(spark):
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from map2db_spark.queries_round11 import _FW_DOCS
+    from map2db_spark.tables import Tables
+
+    expect = {
+        r["doc_id"]: (r["lang"], r["n_chars"], hashlib.md5(r["text"].encode()).hexdigest())
+        for r in Tables(spark, SF_SMOKE)
+        .documents.where(F.col("doc_id") < _FW_DOCS)
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["lang"], r["n_chars"], r["content_md5"])
+        for r in _rows(spark, "f_fixedwidth_roundtrip")
+    }
+    assert got == expect and len(got) > 0
