@@ -2159,3 +2159,106 @@ def x_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ef_ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance, exact (dataset-shift metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_wasserstein_1d",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
+             CASE WHEN year(o_orderdate) <= 1996 THEN 0 ELSE 1 END
+               AS side
+      FROM orders
+      WHERE year(o_orderdate) <= 1996 OR year(o_orderdate) >= 1999
+    ),
+    vals AS (
+      SELECT v,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb,
+             lead(v) OVER (ORDER BY v) AS v_next
+      FROM vals
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+      FROM vals
+    )
+    SELECT tot.na AS n_early, tot.nb AS n_late,
+           CAST(sum(abs(cuma * tot.nb - cumb * tot.na)
+                    * (v_next - v)) * 100 // (tot.na * tot.nb)
+                AS BIGINT) AS w1_dollars_x100
+    FROM cum, tot
+    WHERE v_next IS NOT NULL
+    GROUP BY tot.na, tot.nb
+    """,
+    tags=("statistics", "drift", "mleval"),
+)
+def x_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (earth-mover) distance — the dataset-shift
+    metric that reports HOW FAR a distribution moved in the
+    variable's own units (dollars here), where PSI (x_psi_drift) and
+    KS (x_ks_two_sample) report only that it moved: W1 = integral of
+    |F_A - F_B|, EXACT in 1-D as the sum over consecutive distinct
+    values of |cumA*nB - cumB*nA| * gap — one integer rational,
+    centi-dollar-floored identically on both engines (values are
+    floored to whole dollars first to keep the numerator inside
+    BIGINT at any plausible scale).  Fixture: order totals in
+    <= 1996 vs >= 1999 (the testdata calendar spans 1995-2001).
+
+    Scale shape: the value-grouped trick a third time — one
+    combinable count-by-value carrying both sides on a flag, one
+    window over DISTINCT VALUES (domain-bounded, audited), one 1-row
+    fold.  Rows never sort; only the value domain does."""
+    yr = F.year("o_orderdate")
+    s = (
+        Tables(spark, sf_dir)
+        .orders.where((yr <= 1996) | (yr >= 1999))
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100").alias("v"),
+            F.when(yr <= 1996, 0).otherwise(1).alias("side"),
+        )
+    )
+    vals = s.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v")
+    cum = vals.select(
+        "v",
+        F.sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cuma"),
+        F.sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cumb"),
+        F.lead("v").over(w).alias("v_next"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return (
+        cum.where(F.col("v_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.expr(
+                "CAST(sum(abs(cuma * nb - cumb * na) * (v_next - v)) * 100"
+                " DIV (na * nb) AS BIGINT)"
+            ).alias("w1_dollars_x100")
+        )
+        .select(
+            F.col("na").alias("n_early"),
+            F.col("nb").alias("n_late"),
+            "w1_dollars_x100",
+        )
+    )

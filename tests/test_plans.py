@@ -288,11 +288,12 @@ def test_unpartitioned_window_sites_are_audited():
       two ranking windows are the DELIBERATE, documented cost of
       EXACT global batching (its docstring names the salted-range
       per-partition variant as the production path)
-    - queries_round11.py: 5 — x_bh_fdr ranks the HYPOTHESIS table
+    - queries_round11.py: 6 — x_bh_fdr ranks the HYPOTHESIS table
       (thousands of tests whose per-test statistics reduced the data
-      upstream — never a base table); x_mann_whitney_u and
-      c_best_of_n_reward window over DISTINCT VALUES of the metric
-      (the value-grouped midrank/CDF trick — domain-bounded); the
+      upstream — never a base table); x_mann_whitney_u,
+      c_best_of_n_reward, and x_wasserstein_1d window over DISTINCT
+      VALUES of the metric (the value-grouped midrank/CDF trick —
+      domain-bounded); the
       two x_hilbert_layout windows measure adjacent-position
       locality on the bounded synthetic fixture (the layout job
       itself range-partitions on the computed key, no window)
@@ -307,7 +308,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_round5.py": 1,
         "queries_round9.py": 1,
         "queries_round10.py": 3,
-        "queries_round11.py": 5,
+        "queries_round11.py": 6,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent

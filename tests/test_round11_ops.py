@@ -406,3 +406,35 @@ def test_fixedwidth_roundtrip_is_lossless(spark):
         for r in _rows(spark, "f_fixedwidth_roundtrip")
     }
     assert got == expect and len(got) > 0
+
+
+def test_wasserstein_matches_fraction_reference_and_mean_bound(spark):
+    from fractions import Fraction
+
+    from map2db_spark.tables import Tables
+
+    rows = (
+        Tables(spark, SF_SMOKE)
+        .orders.selectExpr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100 AS v",
+            "year(o_orderdate) AS y",
+        )
+        .collect()
+    )
+    a = sorted(r["v"] for r in rows if r["y"] <= 1996)
+    b = sorted(r["v"] for r in rows if r["y"] >= 1999)
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    import bisect
+
+    w1 = Fraction(0)
+    for v, v_next in zip(vals, vals[1:]):
+        fa = Fraction(bisect.bisect_right(a, v), na)
+        fb = Fraction(bisect.bisect_right(b, v), nb)
+        w1 += abs(fa - fb) * (v_next - v)
+    r = _rows(spark, "x_wasserstein_1d")[0]
+    assert (r["n_early"], r["n_late"]) == (na, nb)
+    assert r["w1_dollars_x100"] == int(w1 * 100)
+    # W1 lower bound: |E[A] - E[B]| (Jensen)
+    mean_gap = abs(Fraction(sum(a), na) - Fraction(sum(b), nb))
+    assert Fraction(r["w1_dollars_x100"], 100) >= mean_gap - 1
