@@ -1256,7 +1256,10 @@ def g_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = cp.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    kept = cp.join(F.broadcast(deg.where(F.col("d") <= _BP_CAP)), "cust").select(
+    # NO broadcast hint: deg is O(customers) — an unbounded relation
+    # at corpus scale (the r9 DBSCAN lesson); AQE broadcasts while it
+    # fits and falls back to a shuffled join beyond
+    kept = cp.join(deg.where(F.col("d") <= _BP_CAP), "cust").select(
         "cust", "part"
     )
     a, b = kept.alias("a"), kept.alias("b")
@@ -2004,7 +2007,10 @@ def f_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: .text reads are splittable by line, the substring
     projection is map-side codegen, and the fixed layout means the
     scan cost is byte-proportional with zero branch work — the
-    format's entire reason to still exist."""
+    format's entire reason to still exist.  Copybook contract: every
+    field must fit its column (rpad/lpad TRUNCATE overwide values —
+    the fixture's 2-char language codes fit the 3-char field; widen
+    the layout before storing BCP-47 tags)."""
     import os
     import tempfile
 
