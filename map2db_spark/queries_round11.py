@@ -2172,9 +2172,9 @@ def x_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "x_wasserstein_1d",
-    oracle="""
+# shared verbatim with the streaming drift monitor (the stream must
+# converge to exactly the batch distance once all rows land)
+_W1_ORACLE = """
     WITH s AS (
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
              CASE WHEN year(o_orderdate) <= 1996 THEN 0 ELSE 1 END
@@ -2209,7 +2209,12 @@ def x_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cum, tot
     WHERE v_next IS NOT NULL
     GROUP BY tot.na, tot.nb
-    """,
+    """
+
+
+@query(
+    "x_wasserstein_1d",
+    oracle=_W1_ORACLE,
     tags=("statistics", "drift", "mleval"),
 )
 def x_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2241,6 +2246,12 @@ def x_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("ca"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("cb"),
     )
+    return _w1_from_value_counts(vals)
+
+
+def _w1_from_value_counts(vals: DataFrame) -> DataFrame:
+    """Exact W1 from a (v, ca, cb) value-count frame — shared by the
+    batch query and its streaming drift-monitor twin."""
     w = Window.orderBy("v")
     cum = vals.select(
         "v",
@@ -2266,5 +2277,247 @@ def x_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").alias("n_early"),
             F.col("nb").alias("n_late"),
             "w1_dollars_x100",
+        )
+    )
+
+
+@query(
+    "s_stream_drift_monitor",
+    oracle=_W1_ORACLE,
+    tags=("streaming", "drift", "statistics"),
+)
+def s_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DRIFT MONITOR — x_wasserstein_1d deployed on the
+    ingest path (oracle shared VERBATIM: once all rows land, the
+    stream's distance equals the batch distance exactly): arriving
+    order totals fold into per-(value, side) counters in ONE
+    stateful streaming aggregate; the exact W1 reshapes the final
+    snapshot batch-side through the SAME code path as the batch twin
+    (_w1_from_value_counts).
+
+    Scale shape: stream state is two BIGINT counters per distinct
+    value (domain-bounded — the value-grouped discipline carried
+    into the stream; production would coarsen the value grid to cap
+    state); the distance itself never runs inside the stream, so no
+    per-batch window work."""
+    from map2db_spark.streaming.events import run_available_now_df
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+            " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+            " o_orderpriority STRING"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+    yr = F.year("o_orderdate")
+    s = stream.where((yr <= 1996) | (yr >= 1999)).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100").alias("v"),
+        F.when(yr <= 1996, 0).otherwise(1).alias("side"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    snap = run_available_now_df(counts, "complete")
+    return _w1_from_value_counts(snap)
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test (paired classifier comparison)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_mcnemar_paired",
+    oracle=f"""
+    WITH preds AS (
+      SELECT CASE WHEN {_hex_bigint("event_id", "mna:")} % 100
+                  < 70 + CASE WHEN event_id % 3 = 0 THEN 15 ELSE 0 END
+             THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN {_hex_bigint("event_id", "mnb:")} % 100 < 70
+             THEN 1 ELSE 0 END AS b_ok
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(sum(a_ok * b_ok) AS BIGINT) AS both_ok,
+             CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS only_a,
+             CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS only_b,
+             CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS neither
+      FROM preds
+    )
+    SELECT both_ok, only_a, only_b, neither,
+           CAST((only_a - only_b) * (only_a - only_b) * 1000000
+                // (only_a + only_b) AS BIGINT) AS chi2_micro
+    FROM cells
+    """,
+    tags=("mleval", "statistics", "experimentation"),
+)
+def x_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST — the PAIRED model comparison (did model A
+    really beat model B on the same eval set?): accuracy deltas lie
+    when the models err on different examples, so the test uses only
+    the DISCORDANT cells (A-right-B-wrong vs B-right-A-wrong);
+    chi2 = (b-c)²/(b+c) in exact micro (one integer floor — the
+    numerator is a perfect square, no negatives reach the DIV).
+    The fixture plants a model-A advantage on one third of items;
+    only_a - only_b recovers it (pinned in tests).
+
+    Scale shape: ONE map-side combinable aggregate over the paired
+    predictions — the entire test is four counters; nothing joins,
+    the eval set never shuffles."""
+    ha = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mna:"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    hb = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mnb:"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    preds = Tables(spark, sf_dir).events.select(
+        (ha < 70 + F.when(F.col("event_id") % 3 == 0, 15).otherwise(0))
+        .cast("long")
+        .alias("a_ok"),
+        (hb < 70).cast("long").alias("b_ok"),
+    )
+    return (
+        preds.agg(
+            F.sum(F.expr("a_ok * b_ok")).cast("long").alias("both_ok"),
+            F.sum(F.expr("a_ok * (1 - b_ok)")).cast("long").alias("only_a"),
+            F.sum(F.expr("(1 - a_ok) * b_ok")).cast("long").alias("only_b"),
+            F.sum(F.expr("(1 - a_ok) * (1 - b_ok)")).cast("long").alias("neither"),
+        )
+        .select(
+            "both_ok",
+            "only_a",
+            "only_b",
+            "neither",
+            F.expr(
+                "CAST((only_a - only_b) * (only_a - only_b) * 1000000"
+                " DIV (only_a + only_b) AS BIGINT)"
+            ).alias("chi2_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation test (md5-seeded sign flips)
+# ---------------------------------------------------------------------------
+
+_PT_K = 64  # permutations
+
+
+@query(
+    "x_permutation_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END AS grp
+      FROM events
+    ),
+    obs AS (
+      SELECT CAST(sum(grp * v) AS BIGINT) AS t_obs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s
+    ),
+    perms AS (
+      SELECT p.k,
+             CAST(sum(CASE WHEN {_hex_bigint("s.event_id * 1000 + p.k",
+                                            "pt:")} % 2 = 0
+                      THEN s.v ELSE -s.v END) AS BIGINT) AS t_perm
+      FROM s, (SELECT unnest(range(0, {_PT_K})) AS k) p
+      GROUP BY p.k
+    )
+    SELECT obs.t_obs, obs.n,
+           CAST(count(*) AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(t_perm) >= abs(obs.t_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+           CAST(((sum(CASE WHEN abs(t_perm) >= abs(obs.t_obs)
+                      THEN 1 ELSE 0 END) + 1) * 1000000)
+                // (count(*) + 1) AS BIGINT) AS p_value_micro
+    FROM perms, obs
+    GROUP BY obs.t_obs, obs.n
+    """,
+    tags=("statistics", "experimentation", "mleval"),
+)
+def x_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION TEST — the assumption-free significance machinery
+    (Fisher randomization): the observed group-sum statistic is
+    compared against {_PT_K} DETERMINISTIC md5-seeded sign-flip
+    permutations, p = (1 + #as-extreme) / (1 + K) (the add-one
+    estimator that keeps p valid).  Everything is exact integers:
+    the statistic is a signed cent sum, each permutation's flips are
+    md5((event, k)) parity — reproducible on any engine, any
+    partitioning, any row order.
+
+    Scale shape: the K-fold explode is a broadcast cross join with a
+    {_PT_K}-row literal frame folded by ONE combinable aggregate
+    (map-side partials per k) — K passes of map work, zero extra
+    shuffles of the base table beyond the one agg exchange; the
+    observed statistic is a second 1-row fold.  The classic
+    embarrassingly-parallel resampling shape."""
+    t = Tables(spark, sf_dir)
+    s = t.events.select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(-1).alias("grp"),
+    )
+    obs = s.agg(
+        F.sum(F.expr("grp * v")).cast("long").alias("t_obs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ks = spark.range(_PT_K).select(F.col("id").alias("k"))
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pt:"),
+                        (F.col("event_id") * 1000 + F.col("k")).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    perms = (
+        s.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(flip, F.col("v")).otherwise(-F.col("v")))
+            .cast("long")
+            .alias("t_perm")
+        )
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("t_obs", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("t_perm")) >= F.abs(F.col("t_obs")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_as_extreme"),
+        )
+        .select(
+            "t_obs",
+            "n",
+            "n_perms",
+            "n_as_extreme",
+            F.expr(
+                "CAST(((n_as_extreme + 1) * 1000000) DIV (n_perms + 1)"
+                " AS BIGINT)"
+            ).alias("p_value_micro"),
         )
     )

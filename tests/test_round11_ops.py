@@ -438,3 +438,26 @@ def test_wasserstein_matches_fraction_reference_and_mean_bound(spark):
     # W1 lower bound: |E[A] - E[B]| (Jensen)
     mean_gap = abs(Fraction(sum(a), na) - Fraction(sum(b), nb))
     assert Fraction(r["w1_dollars_x100"], 100) >= mean_gap - 1
+
+
+def test_mcnemar_recovers_planted_advantage(spark):
+    r = _rows(spark, "x_mcnemar_paired")[0]
+    total = r["both_ok"] + r["only_a"] + r["only_b"] + r["neither"]
+    from map2db_spark.tables import Tables
+
+    assert total == Tables(spark, SF_SMOKE).events.count()
+    # model A gets +15pp on a third of items: discordance must lean A
+    assert r["only_a"] > r["only_b"]
+    assert r["chi2_micro"] >= 0
+
+
+def test_permutation_test_is_valid_and_deterministic(spark):
+    from map2db_spark.queries_round11 import _PT_K
+
+    r1 = _rows(spark, "x_permutation_test")[0]
+    r2 = _rows(spark, "x_permutation_test")[0]
+    assert r1 == r2  # md5-seeded flips: same answer on every run
+    assert r1["n_perms"] == _PT_K
+    assert 0 <= r1["n_as_extreme"] <= _PT_K
+    # the add-one estimator keeps p inside (0, 1]
+    assert 1_000_000 // (_PT_K + 1) <= r1["p_value_micro"] <= 1_000_000
