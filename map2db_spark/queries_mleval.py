@@ -1077,13 +1077,15 @@ def x_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT n_a, x_a, n_b, x_b,
-           CAST(round(1000000 *
+           CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0
+                  OR x_a + x_b = n_a + n_b THEN NULL
+           ELSE CAST(round(1000000 *
              (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
              / sqrt(
                  (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
                  * (1.0 / n_a + 1.0 / n_b)
-             )) AS BIGINT) AS z_micro
+             )) AS BIGINT) END AS z_micro
     FROM c
     """,
     tags=("analytics", "ml-eval", "ab-test"),
@@ -1134,9 +1136,20 @@ def x_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.sqrt(
         p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    # z is undefined when an arm is empty or the pooled rate is 0/1:
+    # emit NULL like the oracle (Spark ANSI raises on double/0 where
+    # DuckDB yields NULL — the sf0.001 thin-data sweep caught this)
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("x_a") + F.col("x_b") == 0)
+        | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b"))
+    )
     return c.select(
         "n_a", "x_a", "n_b", "x_b",
-        F.round(1000000 * z).cast("long").alias("z_micro"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(F.round(1000000 * z).cast("long"))
+        .alias("z_micro"),
     )
 
 

@@ -3941,11 +3941,12 @@ def x_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rel AS (SELECT unnest([5, 10, 20]) AS mde_pct)
     SELECT rel.mde_pct, base.n, base.conv,
-           CAST(ceil(
+           CASE WHEN conv = 0 THEN NULL
+           ELSE CAST(ceil(
              2.0 * power(1.959964 + 0.841621, 2)
              * (CAST(conv AS DOUBLE) / n) * (1.0 - CAST(conv AS DOUBLE) / n)
              / power((CAST(conv AS DOUBLE) / n) * rel.mde_pct / 100.0, 2)
-           ) AS BIGINT) AS n_per_arm
+           ) AS BIGINT) END AS n_per_arm
     FROM base CROSS JOIN rel
     ORDER BY rel.mde_pct
     """,
@@ -3986,6 +3987,10 @@ def x_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1.0 - p)
         / F.pow(p * F.col("mde_pct") / 100.0, 2)
     ).cast("long")
+    # a zero baseline rate has no finite answer: emit NULL like the
+    # oracle (Spark ANSI raises on double/0 where DuckDB yields NULL
+    # — the sf0.001 thin-data sweep caught this)
+    n_arm = F.when(F.col("conv") == 0, F.lit(None).cast("long")).otherwise(n_arm)
     return (
         base.crossJoin(F.broadcast(rel))
         .select("mde_pct", "n", "conv", n_arm.alias("n_per_arm"))

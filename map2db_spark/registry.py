@@ -155,7 +155,7 @@ _VERIFIED_BY_ROUND[7] = frozenset({
     "f_schema_evolution", "f_dynamic_partition_overwrite", "x_mann_kendall",
     "w_max_drawdown", "x_xicor", "m_mp4_duration",
     "t_collocations_pmi", "v_centroid_drift", "sql_lateral_subquery",
-    "f_compression_codecs", "x_ipw_ate", "x_power_analysis",
+    "f_compression_codecs", "x_ipw_ate",
     "w_ohlc_bars", "f_text_source", "m_media_dispatch",
     "x_weighted_median", "t_readability", "x_durbin_watson",
     "c_token_budget", "c_curriculum_order", "f_from_json_typed",
@@ -177,7 +177,7 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     "m_png_libpng_parity", "x_group_linreg", "x_gini_concentration",
     "w_cusum_changepoint", "x_calibration_bins", "w_seasonal_decompose",
     "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
-    "c_k_anonymity", "x_chi_squared", "x_ab_test_proportions",
+    "c_k_anonymity", "x_chi_squared",
     "t_zipf_fit", "x_survival_km", "x_markov_transitions",
     "v_ann_recall_eval", "x_did_estimator", "v_ann_multiprobe_recall",
     "x_cuped_adjustment", "f_orc_roundtrip", "m_binaryfile_ingest",

@@ -76,6 +76,8 @@ def test_r11_regrades_are_in_the_window():
         "x_gbdt_stumps", "x_quantile_pinball", "c_length_bucketing",
         "x_bradley_terry_mm", "c_shard_shuffle_manifest",
         "v_hard_negative_mining", "c_pps_systematic_sample",
+        # degenerate-input NULL guards added after the sf0.001 sweep
+        "x_ab_test_proportions", "x_power_analysis",
     ):
         assert name not in _DRIVER_VERIFIED, name
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
