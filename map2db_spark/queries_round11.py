@@ -368,9 +368,10 @@ _AP_GROUPS = 10
     SELECT CAST(qgroup AS BIGINT) AS qgroup,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(y) AS BIGINT) AS n_pos,
-           CAST(sum(CASE WHEN y = 1
+           CASE WHEN sum(y) = 0 THEN NULL
+           ELSE CAST(sum(CASE WHEN y = 1
                     THEN (cumpos * 1000000) // rnk ELSE 0 END)
-                // sum(y) AS BIGINT) AS ap_micro
+                // sum(y) AS BIGINT) END AS ap_micro
     FROM ranked GROUP BY qgroup ORDER BY qgroup
     """,
     tags=("mleval", "retrieval", "statistics"),
@@ -422,9 +423,12 @@ def x_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("y").cast("long").alias("n_pos"),
+            # a group with no positives has no defined AP: NULL on
+            # both engines (integer DIV 0 raises on both otherwise)
             F.expr(
-                "sum(CASE WHEN y = 1 THEN (cumpos * 1000000) DIV rnk"
-                " ELSE 0 END) DIV sum(y)"
+                "CASE WHEN sum(y) = 0 THEN NULL"
+                " ELSE sum(CASE WHEN y = 1 THEN (cumpos * 1000000)"
+                " DIV rnk ELSE 0 END) DIV sum(y) END"
             )
             .cast("long")
             .alias("ap_micro"),
