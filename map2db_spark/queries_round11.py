@@ -5,17 +5,23 @@ extension surface continues:
   the reader VERDICT r10 #8 asked for, paired with the r10 shard
   manifest writer), a ZIP shard twin whose deflated members decode
   through the engine's own RFC 1951 codec (functions/zipfmt.py),
-  and the full manifest <-> shards VERIFICATION loop;
+  the full manifest <-> shards VERIFICATION loop, and a fixed-width
+  (copybook) text source parsed with pure JVM substring projection;
 - LLM eval, exact: unbiased pass@k (and its streaming twin), token-
   overlap F1, average precision / PR-AUC, Brier-score Murphy
   decomposition, expected best-of-n reward from order statistics,
-  Krippendorff's alpha for annotation reliability;
+  Krippendorff's alpha for annotation reliability, McNemar's paired
+  model comparison;
 - statistics: Benjamini-Hochberg FDR step-up, Mann-Whitney U with
-  tie correction, Kendall tau-b;
+  tie correction, Kendall tau-b, exact 1-D Wasserstein drift
+  distance (with a streaming drift-monitor twin), a deterministic
+  md5-seeded permutation test;
 - feature engineering / curation: leave-one-out target encoding,
   weight-of-evidence + information value, l-diversity audit;
-- layout/graph: Hilbert-curve data layout vs Z-order locality,
-  capped bipartite co-purchase projection.
+- layout/graph/storage: Hilbert-curve data layout vs Z-order
+  locality, capped bipartite co-purchase projection, posting-list
+  compression accounting (varint / Elias-Fano with bin()-exact
+  floor-log2).
 
 New operators land here so the registry tier logic (registry.py)
 puts them inside the driver's graded-50 window.
@@ -1662,6 +1668,10 @@ def f_zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _manifest_verify_oracle() -> str:
+    # import-order independence (the ADVICE r9 class): registering
+    # round-10 here makes this module importable on its own, not only
+    # through registry._ensure_loaded's ordering
+    import map2db_spark.queries_round10  # noqa: F401
     from map2db_spark.registry import QUERIES as _Q
 
     manifest = _Q["c_shard_shuffle_manifest"].oracle
