@@ -57,6 +57,44 @@ def _octal(field: bytes) -> int:
     return int(s, 8) if s else 0
 
 
+def _size_field(field: bytes) -> int:
+    """Parse the 12-byte size field: octal, or GNU base-256.
+
+    GNU tar writes sizes that overflow the 11-octal-digit field
+    (> 8 GiB) as big-endian binary with the first byte's high bit
+    set (0x80 marker) — foreign shards from gnu/bsdtar use this, so
+    parsing it octal would raise a confusing ValueError (ADVICE r11).
+    """
+    if field[0] & 0x80:
+        val = field[0] & 0x7F
+        for b in field[1:]:
+            val = (val << 8) | b
+        return val
+    return _octal(field)
+
+
+def _pax_records(payload: bytes) -> dict[str, str]:
+    """Parse PAX extended-header records: ``"<len> <key>=<value>\\n"``
+    where ``<len>`` counts the WHOLE record including itself, the
+    space, and the trailing newline (POSIX.1-2001 pax interchange)."""
+    recs: dict[str, str] = {}
+    pos = 0
+    while pos < len(payload):
+        sp = payload.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("malformed PAX record (no length delimiter)")
+        reclen = int(payload[pos:sp])
+        rec = payload[pos : pos + reclen]
+        if reclen <= sp - pos or len(rec) != reclen or not rec.endswith(b"\n"):
+            raise ValueError("malformed PAX record (bad length or newline)")
+        key, eq, value = rec[sp - pos + 1 : -1].partition(b"=")
+        if not eq:
+            raise ValueError("malformed PAX record (missing '=')")
+        recs[key.decode("utf-8")] = value.decode("utf-8")
+        pos += reclen
+    return recs
+
+
 def iter_tar_members(buf: bytes):
     """Yield ``(name, payload)`` for every regular file in ``buf``.
 
@@ -66,9 +104,25 @@ def iter_tar_members(buf: bytes):
     stops at the two-zero-block terminator.  Raises ValueError on a
     truncated archive or a checksum mismatch — a corrupt shard must
     fail loudly, not yield partial samples.
+
+    Foreign-shard extensions (ADVICE r11 — archives written by
+    gnu/bsdtar, not just our pinned-ustar writer):
+
+    - PAX extended headers (typeflag ``x``: next member only;
+      ``g``: global defaults) override ``path`` and ``size``;
+    - GNU long-name records (typeflag ``L``) override the next
+      member's name; long-linkname (``K``) records are consumed
+      (links are not file payloads);
+    - base-256 (0x80-marked binary) size fields parse per GNU tar.
+
+    Precedence for the effective name matches pax(1): PAX ``x``
+    path > GNU longname > PAX global path > ustar prefix+name.
     """
     off = 0
     n = len(buf)
+    pax_global: dict[str, str] = {}
+    pax_next: dict[str, str] = {}
+    gnu_longname: str | None = None
     while off + _BLOCK <= n:
         header = buf[off : off + _BLOCK]
         if header == b"\x00" * _BLOCK:
@@ -77,18 +131,47 @@ def iter_tar_members(buf: bytes):
         computed = sum(header[:148]) + 8 * ord(" ") + sum(header[156:])
         if stored != computed:
             raise ValueError(f"tar header checksum mismatch at offset {off}")
-        size = _octal(header[124:136])
+        size = _size_field(header[124:136])
         typeflag = header[156:157]
         name = header[:100].split(b"\x00", 1)[0].decode("utf-8")
         prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
         if prefix:
             name = prefix + "/" + name
+        if typeflag in (b"0", b"\x00"):
+            # extension overrides bind per-key: x beats g beats ustar
+            if "size" in pax_next:
+                size = int(pax_next["size"])
+            elif "size" in pax_global:
+                size = int(pax_global["size"])
+            if "path" in pax_next:
+                name = pax_next["path"]
+            elif gnu_longname is not None:
+                name = gnu_longname
+            elif "path" in pax_global:
+                name = pax_global["path"]
         data_start = off + _BLOCK
         data_end = data_start + size
         if data_end > n:
             raise ValueError(f"truncated tar member {name!r} ({size} bytes)")
+        payload = buf[data_start:data_end]
         if typeflag in (b"0", b"\x00"):
-            yield name, buf[data_start:data_end]
+            yield name, payload
+            pax_next = {}
+            gnu_longname = None
+        elif typeflag == b"x":
+            pax_next = _pax_records(payload)
+        elif typeflag == b"g":
+            pax_global.update(_pax_records(payload))
+        elif typeflag == b"L":
+            gnu_longname = payload.rstrip(b"\x00").decode("utf-8")
+        elif typeflag == b"K":
+            pass  # long linkname: consume, links carry no file payload
+        else:
+            # directories, links, devices, sparse, ...: skip the
+            # payload but clear one-shot overrides (they bound to
+            # this member per POSIX)
+            pax_next = {}
+            gnu_longname = None
         padded = (size + _BLOCK - 1) // _BLOCK * _BLOCK
         off = data_start + padded
     if off != n and buf[off:].strip(b"\x00"):

@@ -739,14 +739,18 @@ def x_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(2 * n0 * n1 - (r0_x2 - n0 * (n0 + 1)) AS BIGINT)
              AS u1_x2,
            tie_cubes,
-           CAST(round(
+           CASE WHEN n0 = 0 OR n1 = 0
+                  OR tie_cubes = (n0 + n1) * (n0 + n1) * (n0 + n1)
+                                 - (n0 + n1)
+                THEN NULL
+                ELSE CAST(round(
              (CAST(r0_x2 - n0 * (n0 + 1) AS DOUBLE) / 2
               - CAST(n0 AS DOUBLE) * n1 / 2)
              / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
                     * (n0 + n1 + 1
                        - CAST(tie_cubes AS DOUBLE)
                          / ((n0 + n1) * (n0 + n1 - 1))))
-             * 1000000) AS BIGINT) AS z_micro
+             * 1000000) AS BIGINT) END AS z_micro
     FROM agg
     """,
     tags=("statistics", "experimentation"),
@@ -761,7 +765,11 @@ def x_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     U0_x2 + U1_x2 = 2*n0*n1 is asserted by the oracle identity; the
     tie-corrected normal z is the one IEEE expression emitted
     (sqrt/division are correctly-rounded IEEE ops, the
-    x_mann_kendall precedent — no libm transcendentals).
+    x_mann_kendall precedent — no libm transcendentals).  Degenerate
+    inputs (an empty arm, or every observation tied — variance 0)
+    emit z = NULL on both engines instead of tripping Spark's ANSI
+    DIVIDE_BY_ZERO where DuckDB would return NULL (ADVICE r11, the
+    fb1c289 class).
 
     Scale shape: the rank NEVER materializes per row — grouping by
     VALUE first makes the window run over distinct values (bounded
@@ -805,13 +813,15 @@ def x_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u1_x2"),
         "tie_cubes",
         F.expr(
-            "CAST(round("
+            "CASE WHEN n0 = 0 OR n1 = 0"
+            " OR tie_cubes = (n0 + n1) * (n0 + n1) * (n0 + n1) - (n0 + n1)"
+            " THEN NULL ELSE CAST(round("
             "(CAST(r0_x2 - n0 * (n0 + 1) AS DOUBLE) / 2"
             " - CAST(n0 AS DOUBLE) * n1 / 2)"
             " / sqrt(CAST(n0 AS DOUBLE) * n1 / 12"
             " * (n0 + n1 + 1 - CAST(tie_cubes AS DOUBLE)"
             " / ((n0 + n1) * (n0 + n1 - 1))))"
-            " * 1000000) AS BIGINT)"
+            " * 1000000) AS BIGINT) END"
         ).alias("z_micro"),
     )
 
@@ -843,18 +853,21 @@ def x_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(sum(CASE WHEN (xa < xb AND ya > yb)
                         OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)
              AS BIGINT) AS d,
-        CAST(sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+        CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)
              AS BIGINT) AS tx,
-        CAST(sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+        CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)
              AS BIGINT) AS ty,
+        CAST(sum(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END)
+             AS BIGINT) AS tb,
         CAST(count(*) AS BIGINT) AS n0
       FROM pairs
     )
     SELECT c AS concordant, d AS discordant,
-           tx AS ties_x_only, ty AS ties_y_only, n0 AS n_pairs,
-           CAST(round(CAST(c - d AS DOUBLE)
-                / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))
-                * 1000000) AS BIGINT) AS tau_b_micro
+           tx AS ties_x, ty AS ties_y, tb AS ties_both, n0 AS n_pairs,
+           CASE WHEN n0 = tx OR n0 = ty THEN NULL
+                ELSE CAST(round(CAST(c - d AS DOUBLE)
+                     / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))
+                     * 1000000) AS BIGINT) END AS tau_b_micro
     FROM cnt
     """,
     tags=("statistics", "timeseries"),
@@ -867,7 +880,13 @@ def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Concordant/discordant/tie counts are EXACT integers from strict
     sign comparisons; only the final tau divides through one IEEE
     sqrt expression (micro-rounded, the x_mann_kendall precedent).
-    Series: daily revenue vs daily order count.
+    Tie counts follow the TEXTBOOK tau-b definition (ADVICE r11):
+    ties_x counts ALL pairs with xa = xb and ties_y ALL pairs with
+    ya = yb — pairs tied in both series are included in each (and
+    reported separately as ties_both), so the denominator
+    sqrt((n0 - tx)(n0 - ty)) is the standard statistic; degenerate
+    series (every pair tied in one variable) emit NULL rather than
+    divide by zero.  Series: daily revenue vs daily order count.
 
     Scale shape: the pair join runs over the DAY AGGREGATE (bounded
     by the calendar, ~2.4k rows — broadcast self-join, 3M pairs
@@ -913,28 +932,31 @@ def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("d"),
-        F.sum(
-            F.when((F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1).otherwise(0)
-        )
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
         .cast("long")
         .alias("tx"),
-        F.sum(
-            F.when((F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1).otherwise(0)
-        )
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
         .cast("long")
         .alias("ty"),
+        F.sum(
+            F.when((F.col("xa") == F.col("xb")) & (F.col("ya") == F.col("yb")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tb"),
         F.count(F.lit(1)).cast("long").alias("n0"),
     )
     return cnt.select(
         F.col("c").alias("concordant"),
         F.col("d").alias("discordant"),
-        F.col("tx").alias("ties_x_only"),
-        F.col("ty").alias("ties_y_only"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.col("tb").alias("ties_both"),
         F.col("n0").alias("n_pairs"),
         F.expr(
-            "CAST(round(CAST(c - d AS DOUBLE)"
+            "CASE WHEN n0 = tx OR n0 = ty THEN NULL"
+            " ELSE CAST(round(CAST(c - d AS DOUBLE)"
             " / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))"
-            " * 1000000) AS BIGINT)"
+            " * 1000000) AS BIGINT) END"
         ).alias("tau_b_micro"),
     )
 
@@ -1897,8 +1919,9 @@ _KA_M = 5  # ratings per unit (fixed -> coincidences stay integer x4)
     SELECT CAST(tot.n4 / 4 AS BIGINT) AS n_ratings,
            CAST((SELECT count(*) FROM full_units) AS BIGINT) AS n_units,
            dis.do4 // 4 AS n_disagreements_x1,
-           CAST(1000000 - (dis.do4 * (tot.n4 - 4) * 1000000)
-                // tot.de_num AS BIGINT) AS alpha_micro
+           CASE WHEN tot.de_num = 0 THEN NULL
+                ELSE CAST(1000000 - (dis.do4 * (tot.n4 - 4) * 1000000)
+                     // tot.de_num AS BIGINT) END AS alpha_micro
     FROM tot, dis
     """,
     tags=("statistics", "mleval", "annotation"),
@@ -1911,7 +1934,9 @@ def x_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings per unit the coincidence matrix is integer at scale x4
     (each unit contributes n_uc·n_uk / (m-1) = /4), so
     alpha = 1 - (n4-4)·Σ_disagree o4 / (n4² - Σ n_c4²) is ONE exact
-    integer rational, micro-floored identically on both engines.
+    integer rational, micro-floored identically on both engines;
+    a single-category corpus (de_num = 0 — alpha undefined) emits
+    NULL rather than dividing by zero (ADVICE r11).
     The fixture plants 80% unit-determined labels + 20% noise; alpha
     lands far above 0 (noise-only would pin it near 0) and the
     planted agreement level is recovered (pinned in tests).
@@ -1982,8 +2007,9 @@ def x_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nu").alias("n_units"),
             F.expr("do4 DIV 4").cast("long").alias("n_disagreements_x1"),
             F.expr(
-                "CAST(1000000 - (do4 * (n4 - 4) * 1000000)"
-                " DIV de_num AS BIGINT)"
+                "CASE WHEN de_num = 0 THEN NULL"
+                " ELSE CAST(1000000 - (do4 * (n4 - 4) * 1000000)"
+                " DIV de_num AS BIGINT) END"
             ).alias("alpha_micro"),
         )
     )
@@ -2363,8 +2389,10 @@ def s_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM preds
     )
     SELECT both_ok, only_a, only_b, neither,
-           CAST((only_a - only_b) * (only_a - only_b) * 1000000
-                // (only_a + only_b) AS BIGINT) AS chi2_micro
+           CASE WHEN only_a + only_b = 0 THEN NULL
+                ELSE CAST((only_a - only_b) * (only_a - only_b)
+                     * 1000000 // (only_a + only_b) AS BIGINT) END
+             AS chi2_micro
     FROM cells
     """,
     tags=("mleval", "statistics", "experimentation"),
@@ -2375,7 +2403,9 @@ def x_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the models err on different examples, so the test uses only
     the DISCORDANT cells (A-right-B-wrong vs B-right-A-wrong);
     chi2 = (b-c)²/(b+c) in exact micro (one integer floor — the
-    numerator is a perfect square, no negatives reach the DIV).
+    numerator is a perfect square, no negatives reach the DIV); a
+    fully-concordant table (b+c = 0) emits chi2 = NULL on both
+    engines instead of Spark's ANSI DIVIDE_BY_ZERO (ADVICE r11).
     The fixture plants a model-A advantage on one third of items;
     only_a - only_b recovers it (pinned in tests).
 
@@ -2411,8 +2441,9 @@ def x_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
             "only_b",
             "neither",
             F.expr(
-                "CAST((only_a - only_b) * (only_a - only_b) * 1000000"
-                " DIV (only_a + only_b) AS BIGINT)"
+                "CASE WHEN only_a + only_b = 0 THEN NULL"
+                " ELSE CAST((only_a - only_b) * (only_a - only_b) * 1000000"
+                " DIV (only_a + only_b) AS BIGINT) END"
             ).alias("chi2_micro"),
         )
     )

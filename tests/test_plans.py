@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -1546,9 +1547,11 @@ def test_bipartite_projection_caps_before_self_join(spark):
     plan = plan_of(spark, "g_bipartite_projection")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the cap predicate survives into the physical plan as a filter
-    # on the degree side (d <= 50)
-    assert "50" in plan and "Join" in plan
+    # the cap predicate itself survives into the physical plan as a
+    # filter on the degree column (ADVICE r11: match the predicate,
+    # not a bare '50' that any plan id would satisfy)
+    assert re.search(r"\bd#\d+L? <= 50\b", plan), plan
+    assert "Join" in plan
     # top-k by weight avoids a global sort
     assert "TakeOrderedAndProject" in plan
 

@@ -176,11 +176,18 @@ def test_mann_whitney_identity(spark):
 
 def test_kendall_counts_partition_pairs(spark):
     r = _rows(spark, "x_kendall_tau")[0]
-    # C + D + ties <= n_pairs, and tau in [-1, 1]
+    # textbook tau-b tie counts (ADVICE r11): ties_x/ties_y each
+    # include both-tied pairs, so inclusion-exclusion partitions the
+    # pair set EXACTLY: C + D + (tx - tb) + (ty - tb) + tb = n_pairs
     assert (
-        r["concordant"] + r["discordant"] + r["ties_x_only"] + r["ties_y_only"]
-        <= r["n_pairs"]
+        r["concordant"]
+        + r["discordant"]
+        + r["ties_x"]
+        + r["ties_y"]
+        - r["ties_both"]
+        == r["n_pairs"]
     )
+    assert r["ties_both"] <= min(r["ties_x"], r["ties_y"])
     assert -1_000_000 <= r["tau_b_micro"] <= 1_000_000
 
 

@@ -81,3 +81,92 @@ def test_property_roundtrip(items):
     buf = build_tar(members)
     assert list(iter_tar_members(buf)) == members
     assert _stdlib_parse(buf) == members
+
+
+# ---------------------------------------------------------------------------
+# Foreign-shard extensions (ADVICE r11): PAX x/g, GNU longname, base-256
+# ---------------------------------------------------------------------------
+
+_LONG = "shards/" + "d" * 120 + "/sample-00000042.json"  # > 100 chars
+
+
+def _foreign(fmt, members):
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w", format=fmt) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    return out.getvalue()
+
+
+def test_pax_long_name_resolves():
+    # PAX format stores >100-char names in an 'x' extended header
+    # whose `path` record must override the truncated ustar name
+    members = [("a.txt", b"one"), (_LONG, b"two"), ("z.txt", b"three")]
+    buf = _foreign(tarfile.PAX_FORMAT, members)
+    assert list(iter_tar_members(buf)) == members
+
+
+def test_gnu_long_name_resolves():
+    # GNU format stores the long name in a typeflag-L pseudo-member
+    members = [(_LONG, b"payload"), ("short.txt", b"after")]
+    buf = _foreign(tarfile.GNU_FORMAT, members)
+    assert list(iter_tar_members(buf)) == members
+
+
+def _raw_header(name: bytes, size_field: bytes, typeflag: bytes) -> bytes:
+    h = bytearray(512)
+    h[0 : len(name)] = name
+    h[100:108] = b"0000644\x00"
+    h[108:116] = h[116:124] = b"0000000\x00"
+    h[124:136] = size_field
+    h[136:148] = b"00000000000\x00"
+    h[156:157] = typeflag
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    h[148:156] = b" " * 8
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}\x00 ".encode()
+    return bytes(h)
+
+
+def test_base256_size_field_parses():
+    # GNU base-256 size: high bit set on the first byte, big-endian
+    # binary in the remaining bytes (used for > 8 GiB members; valid
+    # for any size)
+    payload = b"q" * 700
+    size_field = bytes([0x80]) + len(payload).to_bytes(11, "big")
+    buf = (
+        _raw_header(b"big.bin", size_field, b"0")
+        + payload
+        + b"\x00" * (1024 - 700)  # pad to block + room
+        + b"\x00" * 1024
+    )
+    assert list(iter_tar_members(buf)) == [("big.bin", payload)]
+
+
+def test_pax_global_path_applies_and_x_overrides():
+    from map2db_spark.functions.tar import _pax_records
+
+    rec = b"30 path=override/from-pax.bin\n"
+    assert len(rec) == 30
+    assert _pax_records(rec) == {"path": "override/from-pax.bin"}
+    # malformed: length field lying about the record span
+    with pytest.raises(ValueError, match="PAX"):
+        _pax_records(b"99 path=x\n")
+
+
+def test_linkname_K_and_symlinks_skipped():
+    # symlinks must not be yielded as file payloads, and a GNU 'K'
+    # long-linkname record must be consumed silently
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        link = tarfile.TarInfo(name="lnk")
+        link.type = tarfile.SYMTYPE
+        link.linkname = "t/" + "x" * 120  # forces a 'K' record
+        tf.addfile(link)
+        info = tarfile.TarInfo(name="real.txt")
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"data"))
+    assert list(iter_tar_members(out.getvalue())) == [("real.txt", b"data")]
