@@ -176,11 +176,17 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     "m_bzip2_parity", "m_zstd_parity", "m_lzma_parity", "m_vp8_pixels",
     "m_png_libpng_parity", "x_group_linreg", "x_gini_concentration",
     "w_cusum_changepoint", "x_calibration_bins", "w_seasonal_decompose",
-    "t_bpe_train_rounds", "f_variant_histogram", "x_dp_noisy_counts",
+    "f_variant_histogram", "x_dp_noisy_counts",
     "c_k_anonymity", "x_chi_squared",
     "t_zipf_fit", "x_survival_km", "x_markov_transitions",
     "v_ann_recall_eval", "x_did_estimator", "v_ann_multiprobe_recall",
-    "x_cuped_adjustment", "f_orc_roundtrip", "m_binaryfile_ingest",
+    # f_orc_roundtrip and t_bpe_train_rounds were r6-green and their
+    # code is UNCHANGED, but VERDICT r11 asks #4/#5 request exactly
+    # these capabilities (ORC source, multi-round BPE trainer) — both
+    # already exist, so they are FRONTED for a fresh current-HEAD
+    # driver row instead of being re-implemented (removed from this
+    # set -> tier 0).
+    "x_cuped_adjustment", "m_binaryfile_ingest",
     "x_seasonal_anomaly_days", "g_modularity", "v_ann_mrr_rank",
     "x_benford_test", "x_rater_kappa", "s_stream_append_emission",
     "x_ks_two_sample", "x_spearman_corr", "x_welch_ttest",
@@ -265,9 +271,9 @@ _VERIFIED_BY_ROUND[3] = frozenset({
 # the r8 window (pipeline module changed r7/r8) and live in the r8
 # set ---
 _VERIFIED_BY_ROUND[2] = frozenset({
-    "d_exact_dedup", "d_minhash_lsh", "d_simhash", "d_simhash_hamming",
-    "d_ngram_jaccard", "d_cosine_near_dup", "v_ann_brute_topk",
-    "v_ann_lsh_topk",
+    # the 15 oldest r2 rows (dedup/ANN/multimodal/text families)
+    # rotated through the r11 window, re-greened, and live in the
+    # r11 set.
     # j_asof_join was green in r02 but asof_join_backward's carry
     # semantics changed in r4 (per-column last() -> atomic struct carry,
     # different output when a right value column is NULL) -> re-graded
@@ -275,12 +281,9 @@ _VERIFIED_BY_ROUND[2] = frozenset({
     # v_ann_ivf_topk / v_ann_ivf_nprobe were green in r02 but moved to
     # data-seeded centroids in r4 (the random quantizer collapsed 99%
     # of the corpus into one cell; semantics changed) -> re-graded
-    "m_multimodal_features", "m_png_decode", "m_frame_sample_plan",
     # d_dup_clusters / d_curation_pipeline were green in r02 but their
     # edge-building gained the df_cap skew rail in r3 (semantics
     # changed) -> removed from this set so they are re-graded.
-    "t_vocab_topk",
-    "t_tfidf_top_terms", "v_kmeans_clusters", "d_span_dedup",
     # m2db_pipeline_throughput / m2db_decode_sightings /
     # m2db_geometry_stats / m2db_sql_over_features /
     # m2db_validation_violations were green in r02 but the pipeline
@@ -298,15 +301,11 @@ _VERIFIED_BY_ROUND[2] = frozenset({
     "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
 })
 
-# --- green in CORRECTNESS_r01.json (round-1 driver window).  The 27
-# rows rotated through the r9 window re-greened there and live in the
-# r9 set; 18 more re-greened through the r10 rotation and live in the
-# r10 set; these 2 are the last r1-vintage greens, first in line for
-# the r11 rotation slots ---
-_VERIFIED_BY_ROUND[1] = frozenset({
-    "d_sessionize_batch",
-    "x_salted_aggregation",
-})
+# --- CORRECTNESS_r01.json: fully drained.  The last 2 r1-vintage
+# greens (d_sessionize_batch, x_salted_aggregation) rotated through
+# the r11 window, re-greened, and live in the r11 set — no r1-aged
+# row remains anywhere in the registry. ---
+_VERIFIED_BY_ROUND[1] = frozenset()
 
 # --- green in CORRECTNESS_r10.json (round-10 driver window: 46 of
 # the 50 graded rows; the 4 reds were value-correct but their oracles
@@ -334,6 +333,37 @@ _VERIFIED_BY_ROUND[10] = frozenset({
     "r_pivot_status_matrix", "r_unpivot_measures", "r_fuzzy_levenshtein",
     "q18_large_volume_customers", "r_not_in_null_semantics",
     "r_null_safe_equality",
+})
+
+# --- green in CORRECTNESS_r11.json (round-11 driver window: 45 of
+# the 50 graded rows — the 24 new queries_round11 registrations, the
+# 9 fronted re-grades (4 r10 HUGEINT-cast rows + block-chained
+# signature + degenerate guards), and the 17 rotated r1/r2 rows whose
+# age resets here.  Five r11 greens are deliberately NOT in this set
+# because round 12 touches the code under them (ADVICE r11):
+# x_mcnemar_paired / x_mann_whitney_u / x_krippendorff_alpha gained
+# degenerate-denominator NULL guards, x_kendall_tau moved to textbook
+# tau-b tie counts (new ties_both column), and f_tar_shard_ingest
+# sits on functions/tar.py which gained PAX/GNU-extension parsing ->
+# re-grade, per this structure's rule ---
+_VERIFIED_BY_ROUND[11] = frozenset({
+    "x_ab_test_proportions", "x_power_analysis", "x_gbdt_stumps",
+    "x_quantile_pinball", "c_length_bucketing", "c_pps_systematic_sample",
+    "x_bradley_terry_mm", "v_hard_negative_mining",
+    "c_shard_shuffle_manifest", "x_pass_at_k", "x_token_f1",
+    "x_average_precision", "x_bh_fdr", "x_brier_decomposition",
+    "c_loo_target_encoding", "x_woe_iv", "c_best_of_n_reward",
+    "g_bipartite_projection", "x_l_diversity", "s_stream_pass_at_k",
+    "x_hilbert_layout", "f_zip_shard_ingest", "c_shard_manifest_verify",
+    "f_fixedwidth_roundtrip", "x_posting_compression", "x_wasserstein_1d",
+    "s_stream_drift_monitor", "x_permutation_test",
+    # rotated re-greens (ages reset from r1/r2):
+    "d_sessionize_batch", "x_salted_aggregation", "d_exact_dedup",
+    "d_minhash_lsh", "d_simhash", "d_simhash_hamming", "d_ngram_jaccard",
+    "d_cosine_near_dup", "v_ann_brute_topk", "v_ann_lsh_topk",
+    "m_multimodal_features", "m_png_decode", "m_frame_sample_plan",
+    "t_vocab_topk", "t_tfidf_top_terms", "v_kmeans_clusters",
+    "d_span_dedup",
 })
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())

@@ -67,20 +67,37 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r11_regrades_are_in_the_window():
-    # r11 re-grades: the four r10 hash-red rows (oracle HUGEINT
-    # columns now CAST to BIGINT) plus the three queries whose code
-    # r11 touched (block-chained shard signature, degenerate-label
-    # filter, empty-corpus guard) — none may sit in the verified tier
+def test_r12_regrades_are_in_the_window():
+    # r12 re-grades: the four queries whose semantics the ADVICE r11
+    # fixes touched (degenerate-denominator NULL guards, textbook
+    # tau-b ties), f_tar_shard_ingest (functions/tar.py gained
+    # PAX/GNU-extension parsing), and the two VERDICT r11 #4/#5
+    # capability rows fronted for a fresh current-HEAD driver grade —
+    # none may sit in the verified tier
     for name in (
-        "x_gbdt_stumps", "x_quantile_pinball", "c_length_bucketing",
-        "x_bradley_terry_mm", "c_shard_shuffle_manifest",
-        "v_hard_negative_mining", "c_pps_systematic_sample",
-        # degenerate-input NULL guards added after the sf0.001 sweep
-        "x_ab_test_proportions", "x_power_analysis",
+        "x_mcnemar_paired", "x_mann_whitney_u", "x_krippendorff_alpha",
+        "x_kendall_tau", "f_tar_shard_ingest",
+        "f_orc_roundtrip", "t_bpe_train_rounds",
     ):
         assert name not in _DRIVER_VERIFIED, name
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
+
+
+def test_r11_greens_retired_and_r2_drains():
+    # the r11 window's greens (new registrations AND the 17 rotated
+    # r1/r2 re-greens) carry round-11 age and sit behind the window
+    for name in (
+        "x_pass_at_k", "f_zip_shard_ingest", "d_sessionize_batch",
+        "x_salted_aggregation", "d_minhash_lsh", "v_kmeans_clusters",
+    ):
+        assert ROUND_OF[name] == 11, name
+        assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
+    # r1 is fully drained; the rotation consumes ALL remaining
+    # r2-vintage rows this round (VERDICT r11 #1) before any r3 row
+    assert not _VERIFIED_BY_ROUND[1]
+    window_rot = [n for n in NAMES[:_WINDOW] if n in _DRIVER_VERIFIED]
+    r2_inside = sum(1 for n in window_rot if ROUND_OF[n] == 2)
+    assert r2_inside == min(len(window_rot), len(_VERIFIED_BY_ROUND[2]))
 
 
 def test_r9_greens_retired_and_r1_rotation_reset():
