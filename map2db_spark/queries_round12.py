@@ -1,0 +1,557 @@
+"""Round-12 query registrations — five operators, deliberately few:
+VERDICT r11 #1 throttles new registrations to ≤10 so the graded-50
+rotation window drains the r2/r3-vintage stale-green backlog.
+
+- calibration: exact ISOTONIC REGRESSION (pool-adjacent-violators via
+  the prefix/suffix minimax identity) over a bounded score grid — the
+  monotone calibrator x_calibration_bins measures the need for;
+- attribution: EXACT SHAPLEY VALUES over channel coalitions (the
+  game-theoretic attribution first-touch/linear/IPW approximate),
+  integer-exact at x6 scaling for |C| = 3;
+- ingestion: MALFORMED-JSONL AUDIT through Spark's PERMISSIVE reader
+  with columnNameOfCorruptRecord — the corrupt-record accounting loop
+  every raw-crawl ingest runs before anything downstream;
+- text: MATTR lexical diversity (moving-average type-token ratio,
+  Covington & McFall) with the O(tokens) last-occurrence sliding-
+  window-distinct derivation instead of the naive O(tokens × W);
+- statistics: COCHRAN'S Q — k-classifier paired comparison, the
+  k > 2 generalization of x_mcnemar_paired, one combinable aggregate.
+
+No counterpart in the reference (map2db.py decodes map tiles); these
+are the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from map2db_spark.registry import query
+from map2db_spark.tables import Tables
+
+
+def _hex_bigint(expr: str, tag: str) -> str:
+    """DuckDB md5-derived pseudo-random BIGINT (the registry idiom)."""
+    return (
+        f"CAST(concat('0x', substr(md5('{tag}' || CAST({expr} AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+
+
+def _hexcol(col: str, tag: str):
+    """Spark twin of :func:`_hex_bigint`."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag), F.col(col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact isotonic regression (PAV via the prefix/suffix minimax identity)
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 20
+
+
+@query(
+    "x_isotonic_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_hex_bigint("event_id", "iso:")} % {_ISO_BINS} AS bin,
+             CASE WHEN {_hex_bigint("event_id", "isy:")} % 100
+                  < 20 + 3 * ({_hex_bigint("event_id", "iso:")}
+                              % {_ISO_BINS})
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    grid AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM s GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, s,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(s) OVER (ORDER BY bin) AS cs
+      FROM grid
+    ),
+    inner_ AS (
+      SELECT k.bin AS kb, i.bin AS ib,
+             min(CAST(j.cs - (i.cs - i.s) AS DOUBLE)
+                 / (j.cn - (i.cn - i.n))) AS mn
+      FROM cum k
+      JOIN cum i ON i.bin <= k.bin
+      JOIN cum j ON j.bin >= k.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT kb AS bin, max(mn) AS f FROM inner_ GROUP BY kb)
+    SELECT CAST(g.bin AS BIGINT) AS bin, g.n AS n, g.s AS n_pos,
+           CAST(round(f.f * 1000000) AS BIGINT) AS iso_micro
+    FROM grid g JOIN fit f USING (bin) ORDER BY bin
+    """,
+    tags=("mleval", "statistics", "calibration"),
+)
+def x_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ISOTONIC REGRESSION — the monotone probability calibrator
+    (Zadrozny-Elkan) reward-model and classifier pipelines fit after
+    x_calibration_bins DIAGNOSES miscalibration: find the
+    non-decreasing step function minimizing squared error to the
+    per-bin positive rates.  Instead of the sequential
+    pool-adjacent-violators loop (inherently serial, driver-side),
+    this uses PAV's closed-form prefix/suffix MINIMAX identity
+    fit(k) = max_{{i<=k}} min_{{j>=k}} mean(y[i..j]) — each candidate
+    mean is an exact BIGINT-ratio evaluated in one IEEE division, so
+    both engines agree bit-for-bit; the fixture plants a rising
+    positive rate (20% + 3%/bin) and the fitted curve is pinned
+    non-decreasing in tests.
+
+    Scale shape: the ONLY data-sized work is one combinable
+    (bin, count, sum) rollup over events; the minimax runs on the
+    {_ISO_BINS}-row grid (grid³/4 ≈ 2k combinations — constant,
+    broadcast non-equi joins are fine at this size and the plan
+    never re-touches the base table).  At 100 TB the grid is still
+    {_ISO_BINS} rows: isotonic calibration is free once the
+    sufficient statistics exist."""
+    ev = Tables(spark, sf_dir).events
+    b = _hexcol("event_id", "iso:") % _ISO_BINS
+    s = ev.select(b.alias("bin"), _hexcol("event_id", "isy:").alias("hy"))
+    s = s.select(
+        "bin",
+        F.when(F.col("hy") % 100 < 20 + 3 * F.col("bin"), 1).otherwise(0).alias("y"),
+    )
+    # materialize the 20-row grid ONCE (eager localCheckpoint): the
+    # minimax lattice references it four times (k/i/j aliases + the
+    # final join), and without truncation Catalyst would re-run the
+    # events rollup — four scans of a 100 TB table — per reference
+    grid = s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    ).localCheckpoint()
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # unpartitioned window over the BIN GRID (bounded at _ISO_BINS
+    # rows), never the base table — the audited-window policy
+    cum = grid.select(
+        "bin", "n", "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    k, i, j = cum.alias("k"), cum.alias("i"), cum.alias("j")
+    inner = (
+        k.join(i, F.col("i.bin") <= F.col("k.bin"))
+        .join(j, F.col("j.bin") >= F.col("k.bin"))
+        .groupBy(F.col("k.bin").alias("kb"), F.col("i.bin").alias("ib"))
+        .agg(
+            F.min(
+                (F.col("j.cs") - (F.col("i.cs") - F.col("i.s"))).cast("double")
+                / (F.col("j.cn") - (F.col("i.cn") - F.col("i.n")))
+            ).alias("mn")
+        )
+    )
+    fit = inner.groupBy(F.col("kb").alias("bin")).agg(F.max("mn").alias("f"))
+    return (
+        grid.join(fit, "bin")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            F.col("s").alias("n_pos"),
+            F.expr("CAST(round(f * 1000000) AS BIGINT)").alias("iso_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (coalition game, x6 integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_shapley_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id,
+             bit_or(CASE event_type WHEN 'click' THEN 1
+                    WHEN 'view' THEN 2 WHEN 'signup' THEN 4
+                    ELSE 0 END) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    mcnt AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+      FROM touched WHERE conv = 1 GROUP BY mask
+    ),
+    subsets AS (SELECT unnest(range(0, 8)) AS sset),
+    v AS (
+      SELECT s.sset,
+             CAST(coalesce(sum(m.cnt), 0) AS BIGINT) AS val
+      FROM subsets s LEFT JOIN mcnt m ON (m.mask & s.sset) = m.mask
+      GROUP BY s.sset
+    ),
+    channels AS (
+      SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4))
+        c(channel, cbit)
+    )
+    SELECT c.channel AS channel,
+           CAST(sum((CASE WHEN bit_count(s.sset) = 1 THEN 1 ELSE 2 END)
+                    * (v1.val - v0.val)) AS BIGINT) AS phi_x6
+    FROM channels c
+    JOIN subsets s ON (s.sset & c.cbit) = 0
+    JOIN v v0 ON v0.sset = s.sset
+    JOIN v v1 ON v1.sset = (s.sset | c.cbit)
+    GROUP BY c.channel
+    ORDER BY channel
+    """,
+    tags=("analytics", "attribution", "experimentation"),
+)
+def x_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE ATTRIBUTION — the game-theoretically fair
+    split of conversion credit across marketing/referral channels
+    (completes the attribution family: first-touch
+    j_first_touch_attribution, positional x_linear_attribution,
+    causal x_ipw_ate).  Coalition value v(S) = converted users whose
+    touched-channel set ⊆ S; with |C| = 3 channels the Shapley
+    weights |S|!(|C|-|S|-1)!/|C|! scale to INTEGERS at x6
+    (2, 1, 1, 2), so phi_x6 is exact BIGINT arithmetic end to end —
+    no factorials, no floats.  Efficiency identity
+    Σ_c phi_x6 = 6·(v(C) - v(∅)) is pinned in tests.
+
+    Scale shape: the data-sized work is ONE user-keyed combinable
+    rollup (bit_or of channel bits + converted flag) and an 8-row
+    mask histogram; the coalition lattice (8 subsets × 3 channels)
+    is constant-size broadcast arithmetic.  Exact Shapley is
+    exponential in |C| — at |C| = 20 use permutation sampling; this
+    operator is the exact-small-C case marketing stacks actually
+    run (channel counts are single-digit)."""
+    ev = Tables(spark, sf_dir).events
+    touched = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(CASE event_type WHEN 'click' THEN 1"
+            " WHEN 'view' THEN 2 WHEN 'signup' THEN 4 ELSE 0 END)"
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    mcnt = (
+        touched.where(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    subsets = spark.range(8).select(F.col("id").alias("sset"))
+    # materialize the 8-row coalition-value table ONCE (eager
+    # localCheckpoint): v is referenced twice (v(S) and v(S|c)) and
+    # lineage truncation keeps the user rollup to a single events scan
+    v = (
+        subsets.join(
+            F.broadcast(mcnt),
+            F.expr("(mask & sset) = mask"),
+            "left",
+        )
+        .groupBy("sset")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("val"))
+        .localCheckpoint()
+    )
+    channels = spark.range(3).select(
+        F.expr(
+            "element_at(array('click', 'view', 'signup'),"
+            " CAST(id AS INT) + 1)"
+        ).alias("channel"),
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").alias("cbit"),
+    )
+    v0, v1 = v.alias("v0"), v.alias("v1")
+    s = subsets.alias("s")
+    return (
+        channels.join(s, F.expr("(s.sset & cbit) = 0"))
+        .join(v0, F.expr("v0.sset = s.sset"))
+        .join(v1, F.expr("v1.sset = (s.sset | cbit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CASE WHEN bit_count(s.sset) = 1 THEN 1 ELSE 2 END)"
+                    " * (v1.val - v0.val)"
+                )
+            )
+            .cast("long")
+            .alias("phi_x6")
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-JSONL ingestion audit (PERMISSIVE reader, corrupt accounting)
+# ---------------------------------------------------------------------------
+
+_MJ_DOCS = 192
+_MJ_EVERY = 17  # every 17th doc's line is truncated -> invalid JSON
+
+
+@query(
+    "f_malformed_jsonl_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_MJ_DOCS}
+    )
+    SELECT
+      CAST(sum(CASE WHEN doc_id % {_MJ_EVERY} <> 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_good,
+      CAST(sum(CASE WHEN doc_id % {_MJ_EVERY} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_corrupt,
+      CAST(sum(CASE WHEN doc_id % {_MJ_EVERY} <> 0 THEN length(text)
+               ELSE 0 END) AS BIGINT) AS sum_chars_good,
+      CAST(sum(CASE WHEN doc_id % {_MJ_EVERY} <> 0 THEN doc_id
+               ELSE 0 END) AS BIGINT) AS sum_good_ids
+    FROM d
+    """,
+    tags=("source", "functions", "pipeline", "quality"),
+)
+def f_malformed_jsonl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-JSONL AUDIT — the corrupt-record accounting pass a
+    raw-crawl ingest runs before anything downstream: read JSONL with
+    Spark's PERMISSIVE mode + columnNameOfCorruptRecord, so invalid
+    lines land in a quarantine column instead of failing the job or
+    silently vanishing (FAILFAST/DROPMALFORMED respectively), then
+    reconcile good/corrupt counts and content statistics.  The
+    fixture writes documents as JSONL EXECUTOR-SIDE (df.write.text)
+    and truncates every {_MJ_EVERY}th line by 5 bytes — always
+    invalid JSON (the trailing ``}}`` is unclosable by truncation) —
+    and the oracle derives the same accounting from the construction
+    rule, so the hash match proves the PERMISSIVE reader classified
+    and round-tripped every line exactly.
+
+    Scale shape: JSONL is line-splittable, the parse is Jackson
+    JVM-side, the audit is one map-side combinable aggregate — the
+    whole pass is a single scan with zero shuffles of row data.
+    Spark restriction honored: the aggregate references parsed
+    fields alongside the corrupt column (a corrupt-column-only query
+    is disallowed without caching)."""
+    import os
+    import tempfile
+
+    from map2db_spark.tables import cleanup_roundtrip
+
+    docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < _MJ_DOCS)
+    lines = docs.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("text"), F.col("lang"), F.col("doc_id"))).alias("line"),
+    ).select(
+        F.when(
+            F.col("doc_id") % _MJ_EVERY == 0,
+            F.expr("substring(line, 1, length(line) - 5)"),
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="m2db_jsonl_")
+    path = os.path.join(tmp, "docs")
+    lines.repartition(4).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("text STRING, lang STRING, doc_id BIGINT, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    audit = parsed.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.length("text")).otherwise(0))
+        .cast("long")
+        .alias("sum_chars_good"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_good_ids"),
+    )
+    return cleanup_roundtrip(audit, tmp)
+
+
+# ---------------------------------------------------------------------------
+# MATTR lexical diversity (O(tokens) sliding-window-distinct)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+
+@query(
+    "t_mattr_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, len(l) AS n, unnest(l) AS tok,
+             unnest(range(0, len(l))) AS p
+      FROM toks WHERE len(l) >= {_MATTR_W}
+    ),
+    lagd AS (
+      SELECT doc_id, n, p,
+             coalesce(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p),
+                      -1) AS q
+      FROM pos
+    ),
+    contrib AS (
+      SELECT doc_id, n,
+             greatest(least(p, n - {_MATTR_W})
+                      - greatest(p - {_MATTR_W - 1}, q + 1, 0) + 1,
+                      0) AS c
+      FROM lagd
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(max(n) - {_MATTR_W - 1} AS BIGINT) AS n_windows,
+           CAST(sum(c) AS BIGINT) AS distinct_sum,
+           CAST(round(CAST(sum(c) AS DOUBLE) * 1000000
+                / ({_MATTR_W} * (max(n) - {_MATTR_W - 1}))) AS BIGINT)
+             AS mattr_micro
+    FROM contrib GROUP BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def t_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR LEXICAL DIVERSITY (moving-average type-token ratio,
+    Covington & McFall) — the length-robust vocabulary-richness
+    score corpus-quality filters use where raw TTR is confounded by
+    document length: mean over all {_MATTR_W}-token windows of
+    (distinct tokens in window) / {_MATTR_W}.
+
+    The naive form re-counts distincts per window — O(tokens × W).
+    This uses the LAST-OCCURRENCE identity instead: token at
+    position p with previous occurrence q is the window's "first
+    occurrence" (counted distinct) exactly for window starts
+    w ∈ [max(p-W+1, q+1, 0), min(p, n-W)], so each position
+    contributes a CLOSED-FORM interval length and the total distinct
+    mass over all windows is one O(tokens) pass — integer-exact
+    until the single final division.
+
+    Scale shape: one (doc, token)-keyed shuffle for the lag window,
+    one doc-keyed combinable rollup; the text column is pruned
+    before the first Exchange (only token strings shuffle).  At
+    100 TB both exchanges are token-count-proportional with no W
+    amplification — the reason the closed form matters."""
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("l"),
+    )
+    pos = (
+        toks.select("doc_id", F.size("l").alias("n"), F.posexplode("l").alias("p", "tok"))
+        .where(F.col("n") >= _MATTR_W)
+    )
+    wlag = Window.partitionBy("doc_id", "tok").orderBy("p")
+    lagd = pos.select(
+        "doc_id",
+        "n",
+        "p",
+        F.coalesce(F.lag("p").over(wlag), F.lit(-1)).alias("q"),
+    )
+    contrib = lagd.select(
+        "doc_id",
+        "n",
+        F.greatest(
+            F.least(F.col("p"), F.col("n") - _MATTR_W)
+            - F.greatest(F.col("p") - (_MATTR_W - 1), F.col("q") + 1, F.lit(0))
+            + 1,
+            F.lit(0),
+        ).alias("c"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        (F.max("n") - (_MATTR_W - 1)).cast("long").alias("n_windows"),
+        F.sum("c").cast("long").alias("distinct_sum"),
+        F.expr(
+            f"CAST(round(CAST(sum(c) AS DOUBLE) * 1000000"
+            f" / ({_MATTR_W} * (max(n) - {_MATTR_W - 1}))) AS BIGINT)"
+        ).alias("mattr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k paired classifiers, one combinable aggregate)
+# ---------------------------------------------------------------------------
+
+_CQ_THETAS = (70, 72, 65)  # planted per-model accuracies (%)
+
+
+@query(
+    "x_cochran_q",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        CASE WHEN {_hex_bigint("event_id", "cqa:")} % 100
+             < {_CQ_THETAS[0]} THEN 1 ELSE 0 END AS a,
+        CASE WHEN {_hex_bigint("event_id", "cqb:")} % 100
+             < {_CQ_THETAS[1]} THEN 1 ELSE 0 END AS b,
+        CASE WHEN {_hex_bigint("event_id", "cqc:")} % 100
+             < {_CQ_THETAS[2]} THEN 1 ELSE 0 END AS c
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS g1,
+             CAST(sum(b) AS BIGINT) AS g2,
+             CAST(sum(c) AS BIGINT) AS g3,
+             CAST(sum(a + b + c) AS BIGINT) AS sl,
+             CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sl2,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM s
+    )
+    SELECT g1, g2, g3, n_items,
+           CASE WHEN 3 * sl - sl2 = 0 THEN NULL
+                ELSE CAST((2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+                                - (g1 + g2 + g3) * (g1 + g2 + g3))
+                           * 1000000) // (3 * sl - sl2) AS BIGINT) END
+             AS q_micro
+    FROM agg
+    """,
+    tags=("mleval", "statistics", "experimentation"),
+)
+def x_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q — the k-classifier PAIRED comparison, the k > 2
+    generalization of x_mcnemar_paired (for k = 2 Q reduces to
+    McNemar's chi2 without continuity correction): did any of k
+    models really differ on the same eval set?
+    Q = (k-1)·(k·Σ G_j² - (Σ G_j)²) / (k·Σ L_i - Σ L_i²) with
+    G_j = model j's successes and L_i = item i's success count —
+    both numerator and denominator are exact BIGINTs from ONE pass,
+    micro-floored identically; a degenerate table (every item all-
+    right or all-wrong: denominator 0) emits NULL on both engines
+    (the ADVICE r11 divide-guard convention).  The fixture plants
+    accuracies {_CQ_THETAS} and tests pin that the planted ordering
+    is recovered.
+
+    Scale shape: the ENTIRE test is one map-side combinable
+    aggregate over the paired predictions — six counters, no join,
+    no shuffle of row data; Σ L and Σ L² fold into the same pass
+    because L_i is row-local arithmetic."""
+    ev = Tables(spark, sf_dir).events
+    s = ev.select(
+        (_hexcol("event_id", "cqa:") % 100 < _CQ_THETAS[0]).cast("long").alias("a"),
+        (_hexcol("event_id", "cqb:") % 100 < _CQ_THETAS[1]).cast("long").alias("b"),
+        (_hexcol("event_id", "cqc:") % 100 < _CQ_THETAS[2]).cast("long").alias("c"),
+    )
+    agg = s.agg(
+        F.sum("a").cast("long").alias("g1"),
+        F.sum("b").cast("long").alias("g2"),
+        F.sum("c").cast("long").alias("g3"),
+        F.sum(F.expr("a + b + c")).cast("long").alias("sl"),
+        F.sum(F.expr("(a + b + c) * (a + b + c)")).cast("long").alias("sl2"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.select(
+        "g1",
+        "g2",
+        "g3",
+        "n_items",
+        F.expr(
+            "CASE WHEN 3 * sl - sl2 = 0 THEN NULL"
+            " ELSE CAST((2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)"
+            " - (g1 + g2 + g3) * (g1 + g2 + g3))"
+            " * 1000000) DIV (3 * sl - sl2) AS BIGINT) END"
+        ).alias("q_micro"),
+    )

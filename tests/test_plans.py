@@ -298,6 +298,10 @@ def test_unpartitioned_window_sites_are_audited():
       two x_hilbert_layout windows measure adjacent-position
       locality on the bounded synthetic fixture (the layout job
       itself range-partitions on the computed key, no window)
+    - queries_round12.py: 1 — x_isotonic_calibration's cumulative
+      window runs over the CHECKPOINTED {_ISO_BINS}-row score grid
+      (bounded by bin cardinality, never the base table; the single
+      events pass is the combinable rollup upstream)
     """
     import pathlib
 
@@ -310,6 +314,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_round9.py": 1,
         "queries_round10.py": 3,
         "queries_round11.py": 6,
+        "queries_round12.py": 1,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent
@@ -1601,3 +1606,53 @@ def test_tar_ingest_parses_executor_side(spark):
     parse happens in executor tasks, not on the driver."""
     plan = plan_of(spark, "f_tar_shard_ingest")
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# round-12 operators
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_q_is_one_combinable_aggregate(spark):
+    """x_cochran_q: the entire test is ONE map-side combinable
+    aggregate over events (partial sums visible), no join, no window,
+    no shuffle of row data (only the single-partition final fold)."""
+    plan = plan_of(spark, "x_cochran_q")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_isotonic_lattice_never_retouches_events(spark):
+    """x_isotonic_calibration: the 20-row grid materializes ONCE
+    (eager localCheckpoint — the single events pass happens there);
+    the minimax lattice plan reads only the checkpointed grid, so the
+    base table appears NOWHERE in the final plan despite four grid
+    references."""
+    plan = plan_of(spark, "x_isotonic_calibration")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_shapley_lattice_never_retouches_events(spark):
+    """x_shapley_attribution: the 8-row coalition-value table
+    materializes once (eager localCheckpoint after the single
+    user-keyed events rollup); the v(S)/v(S|c) self-join reads only
+    the checkpoint."""
+    plan = plan_of(spark, "x_shapley_attribution")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_mattr_prunes_text_before_exchanges(spark):
+    """t_mattr_diversity: only token rows shuffle — the text column
+    is projected away before the first Exchange (tokenize-then-
+    explode happens map-side over the scan)."""
+    plan = plan_of(spark, "t_mattr_diversity")
+    blocks = _exchange_blocks(plan)
+    assert blocks, plan  # the lag window needs a (doc, tok) exchange
+    for b in blocks:
+        assert "text#" not in b, b
+    # the lag runs as a real distributed window keyed on (doc, tok)
+    assert "Window" in plan
