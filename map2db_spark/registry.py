@@ -380,13 +380,13 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r10 arithmetic: the new queries_round10.py registrations + 3
-# module-touched re-grades (g_dbscan_grid /
-# c_multipattern_contamination / v_rrf_hybrid_retrieval, see the
-# _VERIFIED_BY_ROUND[9] comment) form tier 0; the remaining rotation
-# slots consume all 20 surviving r1 rows first (VERDICT r9 #2), then
-# the oldest r2 rows.  tests/test_registry_order.py pins the RULE,
-# not just this round's list.
+# r12 arithmetic (VERDICT r11 #1: ≤10 new registrations so the
+# rotation drains the stale backlog): tier 0 = 5 new queries_round12
+# registrations + 5 ADVICE-touched re-grades + 2 fronted capability
+# rows (f_orc_roundtrip / t_bpe_train_rounds) = 12; the 38 remaining
+# slots consume ALL 22 surviving r2 rows, then the 16 oldest r3 rows.
+# tests/test_registry_order.py pins the RULE, not just this round's
+# list.
 
 
 def _ensure_loaded() -> None:
