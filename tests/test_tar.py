@@ -170,3 +170,36 @@ def test_linkname_K_and_symlinks_skipped():
         info.size = 4
         tf.addfile(info, io.BytesIO(b"data"))
     assert list(iter_tar_members(out.getvalue())) == [("real.txt", b"data")]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99999999),
+            st.binary(max_size=1500),
+            st.integers(min_value=0, max_value=140),  # name padding
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([tarfile.USTAR_FORMAT, tarfile.GNU_FORMAT, tarfile.PAX_FORMAT]),
+)
+def test_property_foreign_writer_roundtrip(items, fmt):
+    """Archives from ALL THREE stdlib writer formats parse identically,
+    including names past the 100-char ustar field (GNU 'L' records /
+    PAX 'path' overrides) — ustar format caps names at 100+prefix, so
+    long names are only generated for the extension-capable formats."""
+    cap = 90 if fmt == tarfile.USTAR_FORMAT else 140
+    members = [
+        (f"{'n' * min(pad, cap)}/{k:08d}.bin", payload)
+        for k, payload, pad in items
+    ]
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w", format=fmt) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    assert list(iter_tar_members(out.getvalue())) == members
