@@ -238,20 +238,18 @@ _VERIFIED_BY_ROUND[4] = frozenset({
     "x_width_bucket_histogram", "x_zorder_layout",
 })
 
-# --- green in CORRECTNESS_r03.json (round-3 driver window) ---
+# --- green in CORRECTNESS_r03.json (round-3 driver window).  The
+# 16 oldest rows (d_dup_clusters .. q16_parts_supplier_counts in
+# registration order) rotated through the r12 window, re-greened,
+# and live in the r12 set; the remaining 33 rotate through the r13
+# window ---
 _VERIFIED_BY_ROUND[3] = frozenset({
-    "d_dup_clusters", "d_curation_pipeline",
     # m2db_overlay_union / m2db_consolidated_zoom / m2db_repair_salvage /
     # m2db_merge_diagnostics were green in r02/r03 but r4 changed code
     # under the mapsforge family (WKB typed errors, repair final-round
     # harvest, overlay fuzz pins) -> deliberately re-graded in r5
     # (VERDICT r4 ask #5).
-    "m2db_datasource_scan", "m2db_datasource_pushdown",
-    "m2db_stream_ingest", "m2db_multi_map_scan", "x_heavy_hitters_mg",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_counts", "q17_small_quantity_revenue",
+    "q17_small_quantity_revenue",
     "q20_part_promotion", "q21_waiting_suppliers", "sql_exists_correlated",
     "sql_scalar_subquery", "sql_correlated_scalar", "sql_registered_udf",
     "sql_recursive_cte", "sql_min_cost_supplier", "u_pandas_udf_haversine",
@@ -266,40 +264,11 @@ _VERIFIED_BY_ROUND[3] = frozenset({
     "f_map_surface",
 })
 
-# --- green in CORRECTNESS_r02.json (round-2 driver window).  The
-# five m2db_* pipeline rows that were green here were re-graded in
-# the r8 window (pipeline module changed r7/r8) and live in the r8
-# set ---
-_VERIFIED_BY_ROUND[2] = frozenset({
-    # the 15 oldest r2 rows (dedup/ANN/multimodal/text families)
-    # rotated through the r11 window, re-greened, and live in the
-    # r11 set.
-    # j_asof_join was green in r02 but asof_join_backward's carry
-    # semantics changed in r4 (per-column last() -> atomic struct carry,
-    # different output when a right value column is NULL) -> re-graded
-    # per ADVICE r4.
-    # v_ann_ivf_topk / v_ann_ivf_nprobe were green in r02 but moved to
-    # data-seeded centroids in r4 (the random quantizer collapsed 99%
-    # of the corpus into one cell; semantics changed) -> re-graded
-    # d_dup_clusters / d_curation_pipeline were green in r02 but their
-    # edge-building gained the df_cap skew rail in r3 (semantics
-    # changed) -> removed from this set so they are re-graded.
-    # m2db_pipeline_throughput / m2db_decode_sightings /
-    # m2db_geometry_stats / m2db_sql_over_features /
-    # m2db_validation_violations were green in r02 but the pipeline
-    # module under them changed in r7 (sink="parquet"|"sqlite" split)
-    # and r8 (parquet-sink counts from the checkpointed final) ->
-    # re-graded in the r8 window (VERDICT r7 #5: behavior-preserving
-    # by test, but a hard row is the standard this repo holds).
-    "m2db_spatial_window", "m2db_point_in_polygon",
-    "s_stream_tumbling_window", "s_stream_user_state",
-    "s_stream_stream_join", "s_stream_sessionize", "s_stream_dedup",
-    "s_stream_sliding_window", "c_pii_redaction", "c_repetition_filters",
-    "c_decontaminate", "c_split_assign", "c_domain_mixing",
-    "c_sequence_packing", "c_stratified_sample", "v_norm_stats",
-    "c_temperature_sampling", "c_url_canonical_dedup", "s_stream_curation",
-    "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
-})
+# --- CORRECTNESS_r02.json: fully drained.  The final 22 r2-vintage
+# greens (streaming/curation/m2db-spatial families) rotated through
+# the r12 window, re-greened, and live in the r12 set — no r2-aged
+# row remains anywhere in the registry. ---
+_VERIFIED_BY_ROUND[2] = frozenset()
 
 # --- CORRECTNESS_r01.json: fully drained.  The last 2 r1-vintage
 # greens (d_sessionize_batch, x_salted_aggregation) rotated through
@@ -354,7 +323,10 @@ _VERIFIED_BY_ROUND[11] = frozenset({
     "x_average_precision", "x_bh_fdr", "x_brier_decomposition",
     "c_loo_target_encoding", "x_woe_iv", "c_best_of_n_reward",
     "g_bipartite_projection", "x_l_diversity", "s_stream_pass_at_k",
-    "x_hilbert_layout", "f_zip_shard_ingest", "c_shard_manifest_verify",
+    # f_zip_shard_ingest was green in r11 but functions/zipfmt.py
+    # gained the native-first zlib inflate route in r13 (VERDICT r12
+    # "What's wrong" #1) -> re-grade, per this structure's rule.
+    "x_hilbert_layout", "c_shard_manifest_verify",
     "f_fixedwidth_roundtrip", "x_posting_compression", "x_wasserstein_1d",
     "s_stream_drift_monitor", "x_permutation_test",
     # rotated re-greens (ages reset from r1/r2):
@@ -364,6 +336,39 @@ _VERIFIED_BY_ROUND[11] = frozenset({
     "m_multimodal_features", "m_png_decode", "m_frame_sample_plan",
     "t_vocab_topk", "t_tfidf_top_terms", "v_kmeans_clusters",
     "d_span_dedup",
+})
+
+# --- green in CORRECTNESS_r12.json (round-12 driver window: 49 of
+# the 50 greens — 5 new queries_round12 registrations, 5 ADVICE-
+# touched re-grades, 2 fronted capability rows (f_orc_roundtrip /
+# t_bpe_train_rounds), the 22 final r2 rows and 16 oldest r3 rows
+# whose ages reset here.  f_tar_shard_ingest is deliberately NOT in
+# this set: r13 applies the ADVICE r12 fixes to functions/tar.py
+# (PAX size override for non-regular members, strict PAX length
+# digits, dangling-extension-header detection) -> re-grade, per this
+# structure's rule ---
+_VERIFIED_BY_ROUND[12] = frozenset({
+    "t_bpe_train_rounds", "f_orc_roundtrip", "x_mann_whitney_u",
+    "x_kendall_tau", "x_krippendorff_alpha", "x_mcnemar_paired",
+    "x_isotonic_calibration", "x_shapley_attribution",
+    "f_malformed_jsonl_audit", "t_mattr_diversity", "x_cochran_q",
+    # rotated re-greens (ages reset from r2):
+    "m2db_spatial_window", "m2db_point_in_polygon",
+    "s_stream_tumbling_window", "s_stream_user_state",
+    "s_stream_stream_join", "s_stream_sessionize", "s_stream_dedup",
+    "s_stream_sliding_window", "c_pii_redaction", "c_repetition_filters",
+    "c_decontaminate", "c_split_assign", "c_domain_mixing",
+    "c_sequence_packing", "c_stratified_sample", "v_norm_stats",
+    "c_temperature_sampling", "c_url_canonical_dedup", "s_stream_curation",
+    "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
+    # rotated re-greens (ages reset from r3):
+    "d_dup_clusters", "d_curation_pipeline",
+    "m2db_datasource_scan", "m2db_datasource_pushdown",
+    "m2db_stream_ingest", "m2db_multi_map_scan", "x_heavy_hitters_mg",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_counts",
 })
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
@@ -380,13 +385,13 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r12 arithmetic (VERDICT r11 #1: ≤10 new registrations so the
-# rotation drains the stale backlog): tier 0 = 5 new queries_round12
-# registrations + 5 ADVICE-touched re-grades + 2 fronted capability
-# rows (f_orc_roundtrip / t_bpe_train_rounds) = 12; the 38 remaining
-# slots consume ALL 22 surviving r2 rows, then the 16 oldest r3 rows.
-# tests/test_registry_order.py pins the RULE, not just this round's
-# list.
+# r13 arithmetic (VERDICT r12 #1: finish the r3 drain; keep new
+# registrations ≤10): tier 0 = new queries_round13 registrations +
+# f_tar_shard_ingest (ADVICE r12 tar.py fixes) + f_zip_shard_ingest
+# (native-first inflate) + any divide-guard-audit-touched re-grades;
+# the remaining slots consume ALL 33 surviving r3 rows, then start
+# on the oldest r4 rows.  tests/test_registry_order.py pins the
+# RULE, not just this round's list.
 
 
 def _ensure_loaded() -> None:

@@ -67,37 +67,39 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r12_regrades_are_in_the_window():
-    # r12 re-grades: the four queries whose semantics the ADVICE r11
-    # fixes touched (degenerate-denominator NULL guards, textbook
-    # tau-b ties), f_tar_shard_ingest (functions/tar.py gained
-    # PAX/GNU-extension parsing), and the two VERDICT r11 #4/#5
-    # capability rows fronted for a fresh current-HEAD driver grade —
-    # none may sit in the verified tier
+def test_r13_regrades_are_in_the_window():
+    # r13 re-grades: f_tar_shard_ingest (functions/tar.py gains the
+    # ADVICE r12 fixes: PAX size override for non-regular members,
+    # strict PAX length digits, dangling-extension detection) and
+    # f_zip_shard_ingest (functions/zipfmt.py routes inflate
+    # native-first through stdlib zlib, VERDICT r12 #3) — neither may
+    # sit in the verified tier
     for name in (
-        "x_mcnemar_paired", "x_mann_whitney_u", "x_krippendorff_alpha",
-        "x_kendall_tau", "f_tar_shard_ingest",
-        "f_orc_roundtrip", "t_bpe_train_rounds",
+        "f_tar_shard_ingest", "f_zip_shard_ingest",
     ):
         assert name not in _DRIVER_VERIFIED, name
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
 
 
-def test_r11_greens_retired_and_r2_drains():
-    # the r11 window's greens (new registrations AND the 17 rotated
-    # r1/r2 re-greens) carry round-11 age and sit behind the window
+def test_r12_greens_retired_and_r3_drains():
+    # the r12 window's greens (new registrations, ADVICE re-grades,
+    # fronted capability rows, AND the 38 rotated r2/r3 re-greens)
+    # carry round-12 age and sit behind the window
     for name in (
-        "x_pass_at_k", "f_zip_shard_ingest", "d_sessionize_batch",
-        "x_salted_aggregation", "d_minhash_lsh", "v_kmeans_clusters",
+        "x_isotonic_calibration", "x_cochran_q", "f_orc_roundtrip",
+        "t_bpe_train_rounds", "x_kendall_tau", "m2db_spatial_window",
+        "c_pii_redaction", "d_dup_clusters", "q4_order_priority",
+        "q16_parts_supplier_counts",
     ):
-        assert ROUND_OF[name] == 11, name
+        assert ROUND_OF[name] == 12, name
         assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
-    # r1 is fully drained; the rotation consumes ALL remaining
-    # r2-vintage rows this round (VERDICT r11 #1) before any r3 row
+    # r1 and r2 are fully drained; the rotation consumes ALL remaining
+    # r3-vintage rows this round (VERDICT r12 #1) before any r4 row
     assert not _VERIFIED_BY_ROUND[1]
+    assert not _VERIFIED_BY_ROUND[2]
     window_rot = [n for n in NAMES[:_WINDOW] if n in _DRIVER_VERIFIED]
-    r2_inside = sum(1 for n in window_rot if ROUND_OF[n] == 2)
-    assert r2_inside == min(len(window_rot), len(_VERIFIED_BY_ROUND[2]))
+    r3_inside = sum(1 for n in window_rot if ROUND_OF[n] == 3)
+    assert r3_inside == min(len(window_rot), len(_VERIFIED_BY_ROUND[3]))
 
 
 def test_r9_greens_retired_and_r1_rotation_reset():
@@ -133,10 +135,10 @@ def test_r8_greens_retired_from_the_window():
 
 
 def test_r1_protocol_fixed_fails_stay_retired():
-    # the 3 r1 driver FAILs (array cells / no_oracle) were fixed in r2
-    # and re-graded green in CORRECTNESS_r02.json; they rotate with
-    # the r2 cohort, not the r1 one
+    # the 3 r1 driver FAILs (array cells / no_oracle) were fixed in r2,
+    # re-graded green in CORRECTNESS_r02.json, then rotated through the
+    # r12 window — they carry round-12 age now
     for name in (
         "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
     ):
-        assert ROUND_OF[name] == 2, name
+        assert ROUND_OF[name] == 12, name
