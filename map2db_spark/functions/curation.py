@@ -78,8 +78,14 @@ def dup_ngram_fraction(col, n: int = 3) -> Column:
     repeated-content signal; boilerplate and spam score high.  Row-
     local (one array pass), so the corpus sweep is a pure map."""
     grams = word_ngrams_all(col, n)
+    # r13 static divide audit: a doc shorter than n tokens has zero
+    # n-grams -> repetition fraction 0.0 (nothing repeats) on BOTH
+    # engines instead of a Spark ANSI DIVIDE_BY_ZERO
     return F.round(
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+        F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+        ),
+        6,
     )
 
 

@@ -97,7 +97,9 @@ def c_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT doc_id,
              len({_TOKS_SQL}) AS n_tokens,
-             round(1.0 - len({_grams_sql(3)}) / len({_grams_sql(3, False)}), 6)
+             round(CASE WHEN len({_grams_sql(3, False)}) = 0 THEN 0.0
+                   ELSE 1.0 - len({_grams_sql(3)})
+                        / len({_grams_sql(3, False)}) END, 6)
                AS dup3_frac,
              round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                    / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6)

@@ -1035,12 +1035,14 @@ _Q["d_simhash_banded"].oracle = _simhash_hamming_oracle()
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased,
-           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
-                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
-             AS view_to_click,
-           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-                 / CAST((SELECT count(*) FROM c) AS DOUBLE), 6)
-             AS click_to_purchase
+           CASE WHEN (SELECT count(*) FROM v) = 0 THEN NULL
+                ELSE round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+           END AS view_to_click,
+           CASE WHEN (SELECT count(*) FROM c) = 0 THEN NULL
+                ELSE round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM c) AS DOUBLE), 6)
+           END AS click_to_purchase
     """,
     tags=("analytics", "funnel", "sequence"),
 )
@@ -1054,7 +1056,11 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — every stage co-partitions with the previous one, so the
     funnel costs one user_id shuffle followed by AQE-coalesced reuse;
     stage outputs are one row per qualifying user, shrinking
-    monotonically down the funnel."""
+    monotonically down the funnel.
+
+    Degenerate-denominator guard (r13 static divide audit): an empty
+    view or click stage emits NULL conversion ratios on BOTH engines
+    instead of Spark's ANSI DIVIDE_BY_ZEROs vs DuckDB's silent NULL."""
     ev = Tables(spark, sf_dir).events
     v = (
         ev.where(F.col("event_type") == "view")
@@ -1081,13 +1087,19 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_viewed",
             "n_clicked",
             "n_purchased",
-            F.round(
-                F.col("n_clicked").cast("double")
-                / F.col("n_viewed").cast("double"), 6
+            F.when(F.col("n_viewed") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("n_clicked").cast("double")
+                    / F.col("n_viewed").cast("double"), 6
+                )
             ).alias("view_to_click"),
-            F.round(
-                F.col("n_purchased").cast("double")
-                / F.col("n_clicked").cast("double"), 6
+            F.when(F.col("n_clicked") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("n_purchased").cast("double")
+                    / F.col("n_clicked").cast("double"), 6
+                )
             ).alias("click_to_purchase"),
         )
     )

@@ -46,9 +46,12 @@ from map2db_spark.tables import Tables
            CAST(sum(1 - pos) AS BIGINT) AS n_neg,
            CAST(sum(CASE WHEN pos = 1 THEN 2 * mr + tc - 1 ELSE 0 END)
                 - sum(pos) * (sum(pos) + 1) AS BIGINT) AS u2,
-           CAST((1000000 * (sum(CASE WHEN pos = 1 THEN 2 * mr + tc - 1 ELSE 0 END)
+           CASE WHEN sum(pos) = 0 OR sum(1 - pos) = 0 THEN NULL
+                ELSE CAST((1000000 *
+                           (sum(CASE WHEN pos = 1 THEN 2 * mr + tc - 1 ELSE 0 END)
                             - sum(pos) * (sum(pos) + 1)))
-                // (2 * sum(pos) * sum(1 - pos)) AS BIGINT) AS auc_micro
+                          // (2 * sum(pos) * sum(1 - pos)) AS BIGINT)
+           END AS auc_micro
     FROM r GROUP BY segment
     """,
     tags=("analytics", "ml-eval", "window"),
@@ -89,10 +92,15 @@ def x_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("long").alias("n_pos"),
             F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
             u2.cast("long").alias("u2"),
+            # r13 static divide audit: a one-class segment (no
+            # positives or no negatives) has undefined AUC -> NULL on
+            # BOTH engines instead of a Spark ANSI raise
             F.expr(
-                "CAST((1000000 * (sum(CASE WHEN pos = 1 THEN 2*mr + tc - 1 ELSE 0 END)"
+                "CASE WHEN sum(pos) = 0 OR sum(1 - pos) = 0 THEN NULL"
+                " ELSE CAST((1000000 *"
+                " (sum(CASE WHEN pos = 1 THEN 2*mr + tc - 1 ELSE 0 END)"
                 " - sum(pos) * (sum(pos) + 1)))"
-                " div (2 * sum(pos) * sum(1 - pos)) AS BIGINT)"
+                " div (2 * sum(pos) * sum(1 - pos)) AS BIGINT) END"
             ).alias("auc_micro"),
         )
     )
@@ -1522,10 +1530,12 @@ def v_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT *,
-           CAST(round(1000 * (
+           CASE WHEN n_a_pre = 0 OR n_a_post = 0
+                  OR n_b_pre = 0 OR n_b_post = 0 THEN NULL
+                ELSE CAST(round(1000 * (
              (CAST(s_a_post AS DOUBLE)/n_a_post - CAST(s_a_pre AS DOUBLE)/n_a_pre)
            - (CAST(s_b_post AS DOUBLE)/n_b_post - CAST(s_b_pre AS DOUBLE)/n_b_pre)
-           )) AS BIGINT) AS did_milli_cents
+           )) AS BIGINT) END AS did_milli_cents
     FROM c
     """,
     tags=("analytics", "ml-eval", "ab-test"),
@@ -1588,8 +1598,19 @@ def x_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_b_post").cast("double") / F.col("n_b_post")
         - F.col("s_b_pre").cast("double") / F.col("n_b_pre")
     )
+    # r13 static divide audit: an empty arm-period cell (thin data)
+    # makes the effect undefined -> NULL on BOTH engines
+    empty_cell = (
+        (F.col("n_a_pre") == 0)
+        | (F.col("n_a_post") == 0)
+        | (F.col("n_b_pre") == 0)
+        | (F.col("n_b_post") == 0)
+    )
     return c.select(
-        "*", F.round(1000 * did).cast("long").alias("did_milli_cents")
+        "*",
+        F.when(empty_cell, F.lit(None).cast("long"))
+        .otherwise(F.round(1000 * did).cast("long"))
+        .alias("did_milli_cents"),
     )
 
 

@@ -3817,11 +3817,16 @@ def _bt_oracle() -> str:
     )
     ha, hb, hu = (h.format(tag=t) for t in ("bta:", "btb:", "btu:"))
 
+    # NULLIF guards (r13 static divide audit): with pathologically few
+    # comparisons an arm can lose every game, floor its pi iterate to
+    # 0, and meet another zero arm — the MM denominators then hit 0
+    # and Spark ANSI raises where DuckDB yields NULL.  NULLIF makes
+    # both engines emit NULL for such degenerate iterates.
     def it(pi: str, t_out: str, pi_out: str) -> str:
         return f"""
     {t_out} AS (
       SELECT d.arm,
-             CAST(sum(({_BT_S} * d.n) // (pa.pi + po.pi))
+             CAST(sum(({_BT_S} * d.n) // NULLIF(pa.pi + po.pi, 0))
                   AS BIGINT) AS t
       FROM dir d
       JOIN {pi} pa ON pa.arm = d.arm
@@ -3830,7 +3835,7 @@ def _bt_oracle() -> str:
     ),
     {pi_out} AS (
       SELECT a.arm,
-             CAST((a.wins * {_BT_S}) // t.t AS BIGINT) AS pi
+             CAST((a.wins * {_BT_S}) // NULLIF(t.t, 0) AS BIGINT) AS pi
       FROM arms a JOIN {t_out} t USING (arm)
     )"""
 
@@ -3876,7 +3881,7 @@ def _bt_oracle() -> str:
            a.wins AS n_wins,
            p1.pi AS pi1_micro,
            p2.pi AS pi2_micro,
-           CAST((p2.pi * 1000000) // (SELECT s FROM tot)
+           CAST((p2.pi * 1000000) // NULLIF((SELECT s FROM tot), 0)
                 AS BIGINT) AS share_ppm
     FROM arms a
     JOIN pi1 p1 USING (arm) JOIN pi2 p2 USING (arm)
@@ -3993,8 +3998,10 @@ def x_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "arm",
+                # NULLIF mirrors the oracle's degenerate-iterate guard
+                # (r13 static divide audit)
                 F.expr(
-                    f"(CAST({_BT_S} AS BIGINT) * n) DIV (pi_a + pi_o)"
+                    f"(CAST({_BT_S} AS BIGINT) * n) DIV NULLIF(pi_a + pi_o, 0)"
                 ).alias("t"),
             )
             .groupBy("arm")
@@ -4002,7 +4009,12 @@ def x_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             arms.join(F.broadcast(t), "arm")
-            .select("arm", F.expr(f"(wins * CAST({_BT_S} AS BIGINT)) DIV t").alias("pi"))
+            .select(
+                "arm",
+                F.expr(
+                    f"(wins * CAST({_BT_S} AS BIGINT)) DIV NULLIF(t, 0)"
+                ).alias("pi"),
+            )
         )
 
     pi0 = arms.select("arm", F.lit(1000000).cast("long").alias("pi"))
@@ -4020,7 +4032,9 @@ def x_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wins").alias("n_wins"),
             "pi1_micro",
             "pi2_micro",
-            F.expr("(pi2_micro * CAST(1000000 AS BIGINT)) DIV s").alias("share_ppm"),
+            F.expr(
+                "(pi2_micro * CAST(1000000 AS BIGINT)) DIV NULLIF(s, 0)"
+            ).alias("share_ppm"),
         )
         .orderBy("arm")
     )

@@ -2243,9 +2243,11 @@ _W1_ORACLE = """
       FROM vals
     )
     SELECT tot.na AS n_early, tot.nb AS n_late,
-           CAST(sum(abs(cuma * tot.nb - cumb * tot.na)
-                    * (v_next - v)) * 100 // (tot.na * tot.nb)
-                AS BIGINT) AS w1_dollars_x100
+           CASE WHEN tot.na = 0 OR tot.nb = 0 THEN NULL
+                ELSE CAST(sum(abs(cuma * tot.nb - cumb * tot.na)
+                              * (v_next - v)) * 100 // (tot.na * tot.nb)
+                          AS BIGINT)
+           END AS w1_dollars_x100
     FROM cum, tot
     WHERE v_next IS NOT NULL
     GROUP BY tot.na, tot.nb
@@ -2308,9 +2310,13 @@ def _w1_from_value_counts(vals: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("na", "nb")
         .agg(
+            # r13 static divide audit: a one-sided sample (na or nb
+            # zero on thin data) has no defined distance -> NULL on
+            # BOTH engines instead of a Spark ANSI raise
             F.expr(
-                "CAST(sum(abs(cuma * nb - cumb * na) * (v_next - v)) * 100"
-                " DIV (na * nb) AS BIGINT)"
+                "CASE WHEN na = 0 OR nb = 0 THEN NULL"
+                " ELSE CAST(sum(abs(cuma * nb - cumb * na) * (v_next - v))"
+                " * 100 DIV (na * nb) AS BIGINT) END"
             ).alias("w1_dollars_x100")
         )
         .select(

@@ -68,8 +68,10 @@ from map2db_spark.tables import cleanup_roundtrip as _cleanup_roundtrip
     )
     SELECT t.na, t.nb,
            CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num,
-           CAST(max(abs(cum_a * t.nb - cum_b * t.na)) * 1000000
-                // (t.na * t.nb) AS BIGINT) AS d_ppm
+           CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+                ELSE CAST(max(abs(cum_a * t.nb - cum_b * t.na)) * 1000000
+                          // (t.na * t.nb) AS BIGINT)
+           END AS d_ppm
     FROM cum CROSS JOIN t
     GROUP BY t.na, t.nb
     """,
@@ -117,9 +119,12 @@ def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(
             F.max(gap).cast("long").alias("d_num"),
+            # r13 static divide audit: a one-sided sample (no clicks
+            # or no views on thin data) -> NULL on BOTH engines
             F.expr(
-                "CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000"
-                " DIV (na * nb) AS BIGINT)"
+                "CASE WHEN na = 0 OR nb = 0 THEN NULL"
+                " ELSE CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000"
+                " DIV (na * nb) AS BIGINT) END"
             ).alias("d_ppm"),
         )
     )
@@ -220,8 +225,17 @@ def x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# shared verbatim by the DuckDB oracle and the Spark F.expr; the
+# degenerate guard (r13 static divide audit) binds both engines at
+# once: a singleton/empty arm zeroes the (n-1)n denominators, and
+# ss*n = s*s is the EXACT integer statement of zero sample variance
+# (both arms constant -> sqrt(0)); each emits t = NULL instead of a
+# Spark ANSI raise where DuckDB yields NULL/inf
 _WELCH_T = """
-    CAST(round(1000000 * (
+    CASE WHEN n_a <= 1 OR n_b <= 1
+           OR (ss_a * n_a = s_a * s_a AND ss_b * n_b = s_b * s_b)
+    THEN NULL
+    ELSE CAST(round(1000000 * (
         (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
         / sqrt(
             (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
@@ -229,7 +243,7 @@ _WELCH_T = """
           + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
               / (n_b - 1) / n_b
         )
-    )) AS BIGINT)"""
+    )) AS BIGINT) END"""
 
 
 @query(
@@ -1692,10 +1706,12 @@ def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(abs(x - f)) AS BIGINT) AS mae_cents_sum,
-           CAST(sum(CAST(round(1000000 * 2.0 * abs(x - f) / (x + f))
-                    AS BIGINT)) AS BIGINT) AS smape_micro_sum,
-           CAST(sum(CAST(round(1000000 * 2.0 * abs(x - f) / (x + f))
-                    AS BIGINT)) // count(*) AS BIGINT) AS smape_micro
+           CAST(sum(CASE WHEN x + f = 0 THEN 0
+                    ELSE CAST(round(1000000 * 2.0 * abs(x - f) / (x + f))
+                         AS BIGINT) END) AS BIGINT) AS smape_micro_sum,
+           CAST(sum(CASE WHEN x + f = 0 THEN 0
+                    ELSE CAST(round(1000000 * 2.0 * abs(x - f) / (x + f))
+                         AS BIGINT) END) // count(*) AS BIGINT) AS smape_micro
     FROM p
     """,
     tags=("analytics", "timeseries", "forecast-eval"),
@@ -1712,6 +1728,11 @@ def x_smape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus collapses to the O(days) daily series in
     one aggregate; the lag-7 alignment is a broadcast self-join on the
     tiny series; the eval is a 4-integer global aggregate.
+
+    Degenerate-denominator guard (r13 static divide audit): a day
+    where actual and forecast are both zero contributes the sMAPE
+    convention 0 (perfect forecast of nothing) on BOTH engines rather
+    than Spark raising ANSI DIVIDE_BY_ZERO on 0/0.
     """
     ev = Tables(spark, sf_dir).events
     daily = (
@@ -1731,15 +1752,21 @@ def x_smape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.cents").alias("x"), F.col("b.cents").alias("f"))
     )
-    term = F.round(
-        1000000 * 2.0 * F.abs(F.col("x") - F.col("f")) / (F.col("x") + F.col("f"))
-    ).cast("long")
+    term = F.when(F.col("x") + F.col("f") == 0, F.lit(0).cast("long")).otherwise(
+        F.round(
+            1000000
+            * 2.0
+            * F.abs(F.col("x") - F.col("f"))
+            / (F.col("x") + F.col("f"))
+        ).cast("long")
+    )
     return p.agg(
         F.count("*").cast("long").alias("n_days"),
         F.sum(F.abs(F.col("x") - F.col("f"))).cast("long").alias("mae_cents_sum"),
         F.sum(term).cast("long").alias("smape_micro_sum"),
         F.expr(
-            "CAST(sum(CAST(round(1000000 * 2.0 * abs(x - f) / (x + f)) AS BIGINT))"
+            "CAST(sum(CASE WHEN x + f = 0 THEN 0"
+            " ELSE CAST(round(1000000 * 2.0 * abs(x - f) / (x + f)) AS BIGINT) END)"
             " DIV count(*) AS BIGINT)"
         ).alias("smape_micro"),
     )
@@ -1919,9 +1946,12 @@ def _minhash_recall_oracle(threshold: float = 0.5) -> str:
            CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
            CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
                 AS BIGINT) AS n_hit,
-           CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
-                * 1000000
-                // (SELECT count(*) FROM exact) AS BIGINT) AS recall_ppm
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT count(*) FROM exact JOIN cand
+                           USING (id_a, id_b))
+                          * 1000000
+                          // (SELECT count(*) FROM exact) AS BIGINT)
+           END AS recall_ppm
     """
 
 
@@ -1970,9 +2000,12 @@ def d_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_cand",
             "n_hit",
-            F.expr("CAST(n_hit * 1000000 DIV n_exact AS BIGINT)").alias(
-                "recall_ppm"
-            ),
+            # r13 static divide audit: an empty ground-truth set yields
+            # NULL recall on BOTH engines instead of an ANSI raise
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE CAST(n_hit * 1000000 DIV n_exact AS BIGINT) END"
+            ).alias("recall_ppm"),
         )
     )
 
@@ -2023,13 +2056,18 @@ def _minhash_recall_skewed_oracle(threshold: float = 0.5) -> str:
                 AS BIGINT) AS n_hit_capped,
            CAST((SELECT count(*) FROM exact JOIN cand_nocap
                  USING (id_a, id_b)) AS BIGINT) AS n_hit_uncapped,
-           CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
-                * 1000000 // (SELECT count(*) FROM exact) AS BIGINT)
-             AS recall_capped_ppm,
-           CAST((SELECT count(*) FROM exact JOIN cand_nocap
-                 USING (id_a, id_b))
-                * 1000000 // (SELECT count(*) FROM exact) AS BIGINT)
-             AS recall_uncapped_ppm
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT count(*) FROM exact JOIN cand
+                           USING (id_a, id_b))
+                          * 1000000 // (SELECT count(*) FROM exact)
+                          AS BIGINT)
+           END AS recall_capped_ppm,
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT count(*) FROM exact JOIN cand_nocap
+                           USING (id_a, id_b))
+                          * 1000000 // (SELECT count(*) FROM exact)
+                          AS BIGINT)
+           END AS recall_uncapped_ppm
     """
 
 
@@ -2101,11 +2139,15 @@ def d_minhash_recall_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cand_uncapped",
             "n_hit_capped",
             "n_hit_uncapped",
+            # r13 static divide audit: empty ground truth -> NULL recall
             F.expr(
-                "CAST(n_hit_capped * 1000000 DIV n_exact AS BIGINT)"
+                "CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE CAST(n_hit_capped * 1000000 DIV n_exact AS BIGINT) END"
             ).alias("recall_capped_ppm"),
             F.expr(
-                "CAST(n_hit_uncapped * 1000000 DIV n_exact AS BIGINT)"
+                "CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE CAST(n_hit_uncapped * 1000000 DIV n_exact AS BIGINT)"
+                " END"
             ).alias("recall_uncapped_ppm"),
         )
     )
@@ -2186,12 +2228,14 @@ def _semdedup_recall_hotcell_oracle() -> str:
              AS n_hit_capped,
            CAST((SELECT count(*) FROM hits_uncapped) AS BIGINT)
              AS n_hit_uncapped,
-           CAST((SELECT count(*) FROM hits_capped) * 1000000
-                // (SELECT count(*) FROM exact) AS BIGINT)
-             AS recall_capped_ppm,
-           CAST((SELECT count(*) FROM hits_uncapped) * 1000000
-                // (SELECT count(*) FROM exact) AS BIGINT)
-             AS recall_uncapped_ppm
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT count(*) FROM hits_capped) * 1000000
+                          // (SELECT count(*) FROM exact) AS BIGINT)
+           END AS recall_capped_ppm,
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT count(*) FROM hits_uncapped) * 1000000
+                          // (SELECT count(*) FROM exact) AS BIGINT)
+           END AS recall_uncapped_ppm
     """
 
 
@@ -2286,11 +2330,15 @@ def d_semdedup_recall_hotcell(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_hit_capped",
             "n_hit_uncapped",
+            # r13 static divide audit: empty ground truth -> NULL recall
             F.expr(
-                "CAST(n_hit_capped * 1000000 DIV n_exact AS BIGINT)"
+                "CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE CAST(n_hit_capped * 1000000 DIV n_exact AS BIGINT) END"
             ).alias("recall_capped_ppm"),
             F.expr(
-                "CAST(n_hit_uncapped * 1000000 DIV n_exact AS BIGINT)"
+                "CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE CAST(n_hit_uncapped * 1000000 DIV n_exact AS BIGINT)"
+                " END"
             ).alias("recall_uncapped_ppm"),
         )
     )
@@ -2474,8 +2522,14 @@ def m_webp_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wald-Wolfowitz runs test (randomness of the daily series)
 # ---------------------------------------------------------------------------
 
+# shared verbatim by the DuckDB oracle and the Spark F.expr, so the
+# degenerate-variance guard (r13 static divide audit) binds both
+# engines at once: n1*n2*(2*n1*n2 - n1 - n2) = 0 exactly when a side
+# is empty or n1 = n2 = 1 — the cases where the z variance is zero
+# and Spark ANSI would raise where DuckDB yields NULL/inf
 _RUNS_Z = """
-    CAST(round(1000000 * (
+    CASE WHEN n1 * n2 * (2 * n1 * n2 - n1 - n2) = 0 THEN NULL
+    ELSE CAST(round(1000000 * (
         (CAST(runs AS DOUBLE)
          - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0))
         / sqrt(
@@ -2483,7 +2537,7 @@ _RUNS_Z = """
             / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
                * (CAST(n1 AS DOUBLE) + n2 - 1.0))
         )
-    )) AS BIGINT)"""
+    )) AS BIGINT) END"""
 
 
 @query(
@@ -3842,14 +3896,16 @@ def f_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM seg)
     SELECT s.seg, s.n, s.n_t, s.y_t, s.y_c,
-           CAST(round(1000000 * (
+           CASE WHEN s.n_t = 0 OR s.n = s.n_t THEN NULL
+                ELSE CAST(round(1000000 * (
                CAST(s.y_t AS DOUBLE) / s.n_t
              - CAST(s.y_c AS DOUBLE) / (s.n - s.n_t)
-           )) AS BIGINT) AS seg_effect_micro,
-           CAST(round(1000000 * CAST(s.n AS DOUBLE) / t.big_n
+           )) AS BIGINT) END AS seg_effect_micro,
+           CASE WHEN s.n_t = 0 OR s.n = s.n_t THEN NULL
+                ELSE CAST(round(1000000 * CAST(s.n AS DOUBLE) / t.big_n
                 * (CAST(s.y_t AS DOUBLE) / s.n_t
                    - CAST(s.y_c AS DOUBLE) / (s.n - s.n_t)))
-                AS BIGINT) AS weighted_term_micro
+                AS BIGINT) END AS weighted_term_micro
     FROM seg s CROSS JOIN tot t
     ORDER BY s.seg
     """,
@@ -3906,6 +3962,10 @@ def x_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_t").cast("double") / F.col("n_t")
         - F.col("y_c").cast("double") / (F.col("n") - F.col("n_t"))
     )
+    # r13 static divide audit: an all-control or all-treated segment
+    # (thin data) has no within-stratum contrast -> NULL on BOTH
+    # engines instead of a Spark ANSI raise
+    degenerate = (F.col("n_t") == 0) | (F.col("n") == F.col("n_t"))
     return (
         seg.crossJoin(F.broadcast(tot))
         .select(
@@ -3914,11 +3974,15 @@ def x_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_t",
             "y_t",
             "y_c",
-            F.round(1000000 * eff).cast("long").alias("seg_effect_micro"),
-            F.round(
-                1000000 * F.col("n").cast("double") / F.col("big_n") * eff
+            F.when(degenerate, F.lit(None).cast("long"))
+            .otherwise(F.round(1000000 * eff).cast("long"))
+            .alias("seg_effect_micro"),
+            F.when(degenerate, F.lit(None).cast("long"))
+            .otherwise(
+                F.round(
+                    1000000 * F.col("n").cast("double") / F.col("big_n") * eff
+                ).cast("long")
             )
-            .cast("long")
             .alias("weighted_term_micro"),
         )
         .orderBy("seg")
@@ -5132,8 +5196,10 @@ def c_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base GROUP BY event_type
     )
     SELECT b.event_id,
-           CAST(round(1000000 * CAST(g.s - b.cents AS DOUBLE) / (g.n - 1))
-                AS BIGINT) AS loo_mean_micro
+           CASE WHEN g.n = 1 THEN NULL
+                ELSE CAST(round(1000000 * CAST(g.s - b.cents AS DOUBLE)
+                          / (g.n - 1)) AS BIGINT)
+           END AS loo_mean_micro
     FROM base b JOIN g USING (event_type)
     ORDER BY b.event_id
     """,
@@ -5168,12 +5234,16 @@ def w_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(F.broadcast(g), "event_type")
         .select(
             "event_id",
-            F.round(
-                1000000
-                * (F.col("s") - F.col("cents")).cast("double")
-                / (F.col("n") - 1)
+            # r13 static divide audit: a singleton category has no
+            # leave-one-out peers -> NULL on BOTH engines
+            F.when(F.col("n") == 1, F.lit(None).cast("long"))
+            .otherwise(
+                F.round(
+                    1000000
+                    * (F.col("s") - F.col("cents")).cast("double")
+                    / (F.col("n") - 1)
+                ).cast("long")
             )
-            .cast("long")
             .alias("loo_mean_micro"),
         )
         .orderBy("event_id")
@@ -5769,11 +5839,14 @@ def d_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(n) AS BIGINT) AS total_n FROM d)
     SELECT d.dec, d.n, d.n_pos,
            CAST(sum(d.n_pos) OVER (ORDER BY d.dec) AS BIGINT) AS cum_pos,
-           CAST(sum(d.n_pos) OVER (ORDER BY d.dec) * 1000000
-                // t.total_pos AS BIGINT) AS cum_gain_ppm,
-           CAST(d.n_pos * t.total_n * 1000000
-                // (CAST(d.n AS BIGINT) * t.total_pos) AS BIGINT)
-             AS lift_ppm
+           CASE WHEN t.total_pos = 0 THEN NULL
+                ELSE CAST(sum(d.n_pos) OVER (ORDER BY d.dec) * 1000000
+                          // t.total_pos AS BIGINT)
+           END AS cum_gain_ppm,
+           CASE WHEN t.total_pos = 0 THEN NULL
+                ELSE CAST(d.n_pos * t.total_n * 1000000
+                          // (CAST(d.n AS BIGINT) * t.total_pos) AS BIGINT)
+           END AS lift_ppm
     FROM d CROSS JOIN t ORDER BY d.dec
     """,
     tags=("analytics", "ml-eval", "ranking"),
@@ -5824,14 +5897,17 @@ def x_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_pos",
             F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+            # r13 static divide audit: no positives -> NULL gains/lift
             F.expr(
-                "CAST(sum(n_pos) OVER (ORDER BY dec"
+                "CASE WHEN total_pos = 0 THEN NULL"
+                " ELSE CAST(sum(n_pos) OVER (ORDER BY dec"
                 " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                " * 1000000 DIV total_pos AS BIGINT)"
+                " * 1000000 DIV total_pos AS BIGINT) END"
             ).alias("cum_gain_ppm"),
             F.expr(
-                "CAST(n_pos * total_n * 1000000"
-                " DIV (n * total_pos) AS BIGINT)"
+                "CASE WHEN total_pos = 0 THEN NULL"
+                " ELSE CAST(n_pos * total_n * 1000000"
+                " DIV (n * total_pos) AS BIGINT) END"
             ).alias("lift_ppm"),
         )
         .orderBy("dec")

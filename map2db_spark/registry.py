@@ -116,6 +116,8 @@ _VERIFIED_BY_ROUND[9] = frozenset({
 })
 
 # --- green in CORRECTNESS_r08.json (round-8 driver window: 44 of the
+# 50 greens; x_gains_deciles / w_target_encoding are NOT here (r13 divide-guard audit fixes
+# -> re-grade).  Original r9-era exclusions below:
 # 50 greens; m_decode_native_dispatch / m_decode_corpus_bench /
 # s_stream_media_decode / m_jpeg_libjpeg_parity /
 # m_jpeg_quality_estimate / d_phash_clusters are deliberately NOT
@@ -127,9 +129,9 @@ _VERIFIED_BY_ROUND[8] = frozenset({
     "m2db_decode_sightings", "m2db_geometry_stats",
     "m2db_pipeline_throughput", "m2db_sql_over_features",
     "m2db_validation_violations", "t_heaps_law", "c_cluster_aware_split",
-    "w_target_encoding", "g_harmonic_centrality", "x_linear_attribution",
+    "g_harmonic_centrality", "x_linear_attribution",
     "d_cross_source_matrix", "x_qq_deciles", "v_ann_ndcg",
-    "d_minhash_estimate_error", "x_gains_deciles", "c_soft_dedup_weights",
+    "d_minhash_estimate_error", "c_soft_dedup_weights",
     "t_boundary_overlap", "t_compressibility_filter",
     "g_robustness_hub_removal", "x_theil_sen", "t_conditional_entropy",
     "c_shard_snake_balance", "t_term_burstiness", "x_skyline_pareto",
@@ -143,26 +145,32 @@ _VERIFIED_BY_ROUND[8] = frozenset({
 })
 
 _VERIFIED_BY_ROUND[7] = frozenset({
-    # --- green in CORRECTNESS_r07.json ---
+    # --- green in CORRECTNESS_r07.json.  x_smape_seasonal_naive /
+    # d_minhash_recall_eval / d_minhash_recall_skewed / x_runs_test /
+    # x_ipw_ate are deliberately NOT here: the r13 static divide-guard
+    # audit added degenerate-denominator guards to them -> re-grade,
+    # per this structure's rule ---
     "s_stream_checkpoint_resume", "c_dsir_importance", "f_csv_roundtrip",
     "f_jsonl_roundtrip", "m_jpeg_dims", "t_bpe_encode_apply",
     "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
     "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
-    "x_psi_drift", "x_smape_seasonal_naive", "v_mmr_rerank",
-    "d_minhash_recall_eval", "d_minhash_recall_skewed", "x_conformal_interval",
-    "m_webp_dims", "x_runs_test", "g_clustering_coefficient",
+    "x_psi_drift", "v_mmr_rerank",
+    "x_conformal_interval",
+    "m_webp_dims", "g_clustering_coefficient",
     "v_binary_quantization", "g_degree_assortativity", "d_incremental_dedup",
     "f_schema_evolution", "f_dynamic_partition_overwrite", "x_mann_kendall",
     "w_max_drawdown", "x_xicor", "m_mp4_duration",
     "t_collocations_pmi", "v_centroid_drift", "sql_lateral_subquery",
-    "f_compression_codecs", "x_ipw_ate",
+    "f_compression_codecs",
     "w_ohlc_bars", "f_text_source", "m_media_dispatch",
     "x_weighted_median", "t_readability", "x_durbin_watson",
     "c_token_budget", "c_curriculum_order", "f_from_json_typed",
     "u_arrow_python_udf", "x_seasonality_strength", "x_gini_split",
 })
 
-# --- green in CORRECTNESS_r06.json (round-6 driver window: the 17
+# --- green in CORRECTNESS_r06.json (round-6 driver window:
+# x_did_estimator / x_welch_ttest / x_ks_two_sample are NOT here
+# (r13 divide-guard audit fixes -> re-grade); the 17
 # codec/external-parity queries, the 3 decimal re-grades, and 30
 # drained from the r4/r5 registration backlog — 50/50 green).
 # m_gif_giflib_parity is deliberately NOT here: r9 changed
@@ -179,7 +187,7 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     "f_variant_histogram", "x_dp_noisy_counts",
     "c_k_anonymity", "x_chi_squared",
     "t_zipf_fit", "x_survival_km", "x_markov_transitions",
-    "v_ann_recall_eval", "x_did_estimator", "v_ann_multiprobe_recall",
+    "v_ann_recall_eval", "v_ann_multiprobe_recall",
     # f_orc_roundtrip and t_bpe_train_rounds were r6-green and their
     # code is UNCHANGED, but VERDICT r11 asks #4/#5 request exactly
     # these capabilities (ORC source, multi-round BPE trainer) — both
@@ -189,12 +197,12 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     "x_cuped_adjustment", "m_binaryfile_ingest",
     "x_seasonal_anomaly_days", "g_modularity", "v_ann_mrr_rank",
     "x_benford_test", "x_rater_kappa", "s_stream_append_emission",
-    "x_ks_two_sample", "x_spearman_corr", "x_welch_ttest",
-    "x_poisson_bootstrap", "x_entropy_segments", "g_adamic_adar",
+    "x_spearman_corr", "x_poisson_bootstrap", "x_entropy_segments", "g_adamic_adar",
     "g_random_walk",
 })
 
-# --- green in CORRECTNESS_r05.json (round-5 driver window; the 3
+# --- green in CORRECTNESS_r05.json (round-5 driver window;
+# x_auc_rank is NOT here (r13 divide-guard audit fix -> re-grade); the 3
 # red decimal-emission rows x_group_linreg / x_gini_concentration /
 # w_cusum_changepoint were re-graded in r6 after the VARCHAR
 # re-emission and live in the r6 set) ---
@@ -210,18 +218,19 @@ _VERIFIED_BY_ROUND[5] = frozenset({
     "t_rake_keywords", "u_cogroup_merge", "u_grouped_agg_udf",
     "u_map_in_arrow", "v_ivf_seed_robustness", "v_pca_covariance",
     "v_pca_power", "v_pq_adc_topk", "v_random_projection",
-    "w_longest_streak", "w_mad_outliers", "w_twap_per_user", "x_auc_rank",
-    "x_column_profile", "x_compaction_bins", "x_decimal_ledger",
+    "w_longest_streak", "w_mad_outliers", "w_twap_per_user", "x_column_profile", "x_compaction_bins", "x_decimal_ledger",
     "x_dq_expectations", "x_hll_manual", "x_itemset_triples",
     "x_mutual_information", "x_share_of_parent", "x_table_diff",
     "x_winsorize", "x_zscore_outliers",
 })
 
-# --- green in CORRECTNESS_r04.json (round-4 driver window) ---
+# --- green in CORRECTNESS_r04.json (round-4 driver window).
+# d_semdedup_recall_hotcell / x_funnel_conversion are NOT here
+# (r13 divide-guard audit fixes -> re-grade) ---
 _VERIFIED_BY_ROUND[4] = frozenset({
     "c_embedding_decontam", "c_weighted_sample", "d_cohort_retention",
     "d_containment_dedup", "d_prefix_filter_join", "d_semantic_dedup",
-    "d_semdedup_recall_hotcell", "d_simhash_banded", "f_file_provenance",
+    "d_simhash_banded", "f_file_provenance",
     "f_regexp_surface", "f_try_arithmetic", "g_exact_median",
     "g_kcore_peel", "g_pagerank", "g_triangle_count", "h_array_setops",
     "j_interval_overlap", "m_image_ahash", "m_wav_decode", "m_wav_energy",
@@ -233,7 +242,7 @@ _VERIFIED_BY_ROUND[4] = frozenset({
     "w_ewma_dyadic", "w_linear_interp", "w_rolling_active_users",
     "w_scd2_intervals", "x_basket_lift", "x_bloom_semi_join",
     "x_bucketed_colocated_join", "x_countmin_sketch",
-    "x_funnel_conversion", "x_incremental_reagg", "x_key_skew_profile",
+    "x_incremental_reagg", "x_key_skew_profile",
     "x_partition_pruned_scan", "x_quantile_sketch", "x_salted_join",
     "x_width_bucket_histogram", "x_zorder_layout",
 })
@@ -318,17 +327,18 @@ _VERIFIED_BY_ROUND[10] = frozenset({
 _VERIFIED_BY_ROUND[11] = frozenset({
     "x_ab_test_proportions", "x_power_analysis", "x_gbdt_stumps",
     "x_quantile_pinball", "c_length_bucketing", "c_pps_systematic_sample",
-    "x_bradley_terry_mm", "v_hard_negative_mining",
+    "v_hard_negative_mining",
     "c_shard_shuffle_manifest", "x_pass_at_k", "x_token_f1",
     "x_average_precision", "x_bh_fdr", "x_brier_decomposition",
     "c_loo_target_encoding", "x_woe_iv", "c_best_of_n_reward",
     "g_bipartite_projection", "x_l_diversity", "s_stream_pass_at_k",
+    # x_bradley_terry_mm / x_wasserstein_1d / s_stream_drift_monitor
+    # are NOT here (r13 divide-guard audit fixes -> re-grade).
     # f_zip_shard_ingest was green in r11 but functions/zipfmt.py
     # gained the native-first zlib inflate route in r13 (VERDICT r12
     # "What's wrong" #1) -> re-grade, per this structure's rule.
     "x_hilbert_layout", "c_shard_manifest_verify",
-    "f_fixedwidth_roundtrip", "x_posting_compression", "x_wasserstein_1d",
-    "s_stream_drift_monitor", "x_permutation_test",
+    "f_fixedwidth_roundtrip", "x_posting_compression", "x_permutation_test",
     # rotated re-greens (ages reset from r1/r2):
     "d_sessionize_batch", "x_salted_aggregation", "d_exact_dedup",
     "d_minhash_lsh", "d_simhash", "d_simhash_hamming", "d_ngram_jaccard",
@@ -346,7 +356,8 @@ _VERIFIED_BY_ROUND[11] = frozenset({
 # this set: r13 applies the ADVICE r12 fixes to functions/tar.py
 # (PAX size override for non-regular members, strict PAX length
 # digits, dangling-extension-header detection) -> re-grade, per this
-# structure's rule ---
+# structure's rule.  c_repetition_filters is NOT here either (r13
+# divide-guard audit fix: zero-n-gram dup3_frac guard) ---
 _VERIFIED_BY_ROUND[12] = frozenset({
     "t_bpe_train_rounds", "f_orc_roundtrip", "x_mann_whitney_u",
     "x_kendall_tau", "x_krippendorff_alpha", "x_mcnemar_paired",
@@ -356,8 +367,7 @@ _VERIFIED_BY_ROUND[12] = frozenset({
     "m2db_spatial_window", "m2db_point_in_polygon",
     "s_stream_tumbling_window", "s_stream_user_state",
     "s_stream_stream_join", "s_stream_sessionize", "s_stream_dedup",
-    "s_stream_sliding_window", "c_pii_redaction", "c_repetition_filters",
-    "c_decontaminate", "c_split_assign", "c_domain_mixing",
+    "s_stream_sliding_window", "c_pii_redaction", "c_decontaminate", "c_split_assign", "c_domain_mixing",
     "c_sequence_packing", "c_stratified_sample", "v_norm_stats",
     "c_temperature_sampling", "c_url_canonical_dedup", "s_stream_curation",
     "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
@@ -385,12 +395,17 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r13 arithmetic (VERDICT r12 #1: finish the r3 drain; keep new
-# registrations ≤10): tier 0 = new queries_round13 registrations +
+# r13 arithmetic (VERDICT r12 #1 + #2): tier 0 = 17 divide-guard
+# audit fixes (tools/divide_guard_audit.py found 17 queries whose
+# oracles + Spark expressions could divide by zero on thin data —
+# empty ground-truth sets, one-sided samples, singleton groups,
+# all-zero funnels; every fix guards BOTH engines) +
 # f_tar_shard_ingest (ADVICE r12 tar.py fixes) + f_zip_shard_ingest
-# (native-first inflate) + any divide-guard-audit-touched re-grades;
-# the remaining slots consume ALL 33 surviving r3 rows, then start
-# on the oldest r4 rows.  tests/test_registry_order.py pins the
+# (native-first inflate) = 19; ZERO new registrations this round, so
+# the 31 remaining slots drain 31 of the 33 surviving r3 rows (the 2
+# youngest-registered r3 rows, r_values_inline and f_map_surface,
+# wait one round — fixing real divide-by-zero defects outranked
+# completing the drain).  tests/test_registry_order.py pins the
 # RULE, not just this round's list.
 
 

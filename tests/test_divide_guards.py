@@ -1,0 +1,118 @@
+"""Standing gate for the r13 static divide-guard audit (VERDICT r12 #2).
+
+Spark under ANSI mode raises DIVIDE_BY_ZERO where DuckDB yields NULL, so
+any oracle division whose denominator can reach zero is a latent gate
+divergence — the class that produced 5 real defects one at a time across
+r11-r12 (x_ab_test_proportions, x_power_analysis, x_mcnemar_paired,
+x_mann_whitney_u, x_krippendorff_alpha) and 17 more in the r13 sweep
+(empty ground-truth sets, one-sided samples, singleton groups).
+
+tools/divide_guard_audit.py extracts every /, //, % site from every
+registered oracle and classifies its denominator; what the classifier
+cannot prove is adjudicated by hand with a written reason.  This test
+closes the loop in BOTH directions:
+
+  * a NEW oracle with an unguarded, unadjudicated division site fails
+    the suite (guard it on both engines, or adjudicate it with a
+    reason);
+  * a STALE adjudication (the site under it was edited away or now
+    self-classifies) also fails, so the table cannot rot.
+"""
+
+from __future__ import annotations
+
+from tools.divide_guard_audit import (
+    ADJUDICATED_SAFE,
+    ADJUDICATION_RULES,
+    audit_sql,
+    classify,
+    coverage,
+)
+
+
+def test_every_unguarded_site_is_adjudicated():
+    uncovered, _rules_hit, _keys_hit = coverage()
+    assert not uncovered, [
+        (s.query, s.op, s.denom, s.context) for s in uncovered
+    ]
+
+
+def test_no_stale_adjudications():
+    _uncovered, rules_hit, keys_hit = coverage()
+    stale_rules = {r[0] for r in ADJUDICATION_RULES} - rules_hit
+    assert not stale_rules, sorted(stale_rules)
+    stale_keys = set(ADJUDICATED_SAFE) - keys_hit
+    assert not stale_keys, sorted(stale_keys)
+
+
+# --- classifier unit pins (the rules the gate's precision rests on) ---
+
+
+def test_literal_and_zero_literal():
+    sites = audit_sql("q", "SELECT a / 2, b / 0.5 FROM t")
+    assert [s.verdict for s in sites] == ["safe:literal", "safe:literal"]
+    sites = audit_sql("q", "SELECT a / 0 FROM t")
+    assert sites[0].verdict == "UNGUARDED"  # literal zero never adjudicates
+
+
+def test_count_star_group_is_safe_but_framed_window_is_not():
+    ok = audit_sql("q", "SELECT sum(x) / count(*) FROM t GROUP BY k")
+    assert ok[0].verdict == "safe:count-star"
+    framed = audit_sql(
+        "q",
+        "SELECT x / count(*) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING"
+        " AND 1 PRECEDING) FROM t",
+    )
+    assert framed[0].verdict == "UNGUARDED"
+
+
+def test_case_guard_and_nullif_are_recognised():
+    sql = "SELECT CASE WHEN n = 0 THEN NULL ELSE s / n END FROM t"
+    assert audit_sql("q", sql)[0].verdict == "safe:zero-compared"
+    # the nullif wrapper is safe whichever rule claims it first
+    assert audit_sql("q", "SELECT s / NULLIF(n, 0) FROM t")[0].verdict in (
+        "safe:nullif",
+        "safe:zero-compared",
+    )
+
+
+def test_where_bound_covers_literal_subtraction():
+    sql = "SELECT s / (n - 7) FROM t WHERE n >= 8"
+    assert audit_sql("q", sql)[0].verdict == "safe:bounded-difference"
+    sql = "SELECT s / (n - 7) FROM t WHERE n >= 7"  # n=7 -> 0: NOT safe
+    assert audit_sql("q", sql)[0].verdict == "UNGUARDED"
+
+
+def test_equality_guarded_difference():
+    sql = (
+        "SELECT CASE WHEN a = b THEN NULL ELSE s / (a - b) END FROM t"
+    )
+    assert audit_sql("q", sql)[0].verdict == "safe:difference-guarded"
+
+
+def test_count_alias_and_product():
+    sql = (
+        "WITH g AS (SELECT k, CAST(count(*) AS BIGINT) AS n_g FROM t"
+        " GROUP BY k) SELECT s / (2 * g.n_g) FROM x JOIN g USING (k)"
+    )
+    assert audit_sql("q", sql)[-1].verdict == "safe:product"
+
+
+def test_modulo_is_audited_like_division():
+    sites = audit_sql("q", "SELECT a % n FROM t")
+    assert sites and sites[0].op == "%"
+    assert sites[0].verdict == "UNGUARDED"
+
+
+def test_string_literals_do_not_hide_divisions():
+    # the '/' inside the string is blanked; the real one is found
+    sites = audit_sql("q", "SELECT 'a/b' AS s, x / y FROM t")
+    assert len(sites) == 1 and sites[0].denom == "y"
+
+
+def test_classify_sees_parenthesized_guard_form():
+    sql = (
+        "SELECT CASE WHEN (SELECT count(*) FROM e) = 0 THEN NULL"
+        " ELSE h * 100 / (SELECT count(*) FROM e) END FROM t"
+    )
+    assert classify(sql, "(SELECT count(*) FROM e)") == "safe:zero-compared"
