@@ -83,6 +83,10 @@ def _pax_records(payload: bytes) -> dict[str, str]:
         sp = payload.find(b" ", pos)
         if sp < 0:
             raise ValueError("malformed PAX record (no length delimiter)")
+        # pure ASCII digits only: int() would also accept '+3 0',
+        # whitespace and '3_0' underscore separators (ADVICE r12)
+        if not payload[pos:sp].isdigit():
+            raise ValueError("malformed PAX record (non-digit length)")
         reclen = int(payload[pos:sp])
         rec = payload[pos : pos + reclen]
         if reclen <= sp - pos or len(rec) != reclen or not rec.endswith(b"\n"):
@@ -126,7 +130,15 @@ def iter_tar_members(buf: bytes):
     while off + _BLOCK <= n:
         header = buf[off : off + _BLOCK]
         if header == b"\x00" * _BLOCK:
-            return  # terminator (second zero block may be truncated)
+            # terminator (second zero block may be truncated).  An
+            # extension header with no following member is malformed
+            # per POSIX — fail loudly instead of silently dropping the
+            # pending override (ADVICE r12)
+            if pax_next or gnu_longname is not None:
+                raise ValueError(
+                    "dangling PAX/GNU extension header at end of archive"
+                )
+            return
         stored = _octal(header[148:156])
         computed = sum(header[:148]) + 8 * ord(" ") + sum(header[156:])
         if stored != computed:
@@ -137,12 +149,19 @@ def iter_tar_members(buf: bytes):
         prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
         if prefix:
             name = prefix + "/" + name
-        if typeflag in (b"0", b"\x00"):
-            # extension overrides bind per-key: x beats g beats ustar
+        # a pending PAX size override binds to the NEXT member
+        # regardless of its type (ADVICE r12): a non-regular member
+        # whose pax size disagrees with its ustar field would
+        # otherwise desync every later block offset.  The extension
+        # headers themselves (x/g) always size from their own field.
+        if typeflag not in (b"x", b"g"):
             if "size" in pax_next:
                 size = int(pax_next["size"])
             elif "size" in pax_global:
                 size = int(pax_global["size"])
+        if typeflag in (b"0", b"\x00"):
+            # name overrides stay regular-file-only: x beats GNU
+            # longname beats g beats ustar prefix+name
             if "path" in pax_next:
                 name = pax_next["path"]
             elif gnu_longname is not None:
@@ -176,3 +195,5 @@ def iter_tar_members(buf: bytes):
         off = data_start + padded
     if off != n and buf[off:].strip(b"\x00"):
         raise ValueError("trailing garbage after last tar member")
+    if pax_next or gnu_longname is not None:
+        raise ValueError("dangling PAX/GNU extension header at end of archive")

@@ -1,9 +1,20 @@
 """ZIP archive packing and parsing — the other shard container
 (HuggingFace datasets and many crawl dumps ship zip; WebDataset ships
 tar — functions/tar.py).  Written against the public PKWARE APPNOTE
-layout; DEFLATE members decode through the engine's own RFC 1951
-codec (functions/deflate_codec.py), so a zip shard exercises the same
-from-scratch inflate the PNG/gzip paths use.
+layout.
+
+DEFLATE members inflate NATIVE-FIRST through stdlib ``zlib``
+(libz; 2-3 orders of magnitude faster per byte than any pure-Python
+walk — the 100 TB ingest route, VERDICT r12 #3) with the engine's own
+RFC 1951 decoder (functions/deflate_codec.py) kept as the
+CERTIFICATION layer: every ``cross_check_every``-th member is
+re-inflated from scratch and must agree byte-for-byte, and a member
+the native path rejects is re-run through the pure decoder so the
+engine's detailed typed errors stay the malformed-input authority —
+the same dispatch discipline functions/multimodal.py established for
+image decoding.  The zip-bomb rail (``max_member_size``) binds on the
+native path too, via ``decompressobj(max_length)`` so an
+over-declared member never materialises more than the cap + 1 bytes.
 
 Layout walked by the reader (the CORRECT way — via the central
 directory, not by scanning local headers, which misreads archives
@@ -82,15 +93,56 @@ def _find_eocd(buf: bytes) -> tuple[int, int, int]:
     raise ValueError("zip: end-of-central-directory record not found")
 
 
-def iter_zip_members(buf: bytes, max_member_size: int | None = None):
+# per-call inflate route counters (native / pure cross-checks /
+# typed-error fallbacks), observable by tests and probes; reset at
+# every iter_zip_members call.  Plain dict: executor-local, never
+# shared across tasks.
+last_inflate_stats: dict[str, int] = {"native": 0, "cross_checked": 0, "fallback": 0}
+
+
+def _inflate_native(data: bytes, usize: int, max_output: int | None) -> bytes:
+    """Raw-DEFLATE inflate via stdlib zlib (wbits=-15), with the bomb
+    rail enforced BEFORE materialisation: at most cap+1 bytes are ever
+    produced, so an over-declaring member costs O(cap), not O(bomb)."""
+    d = zlib.decompressobj(wbits=-15)
+    cap = max_output if max_output is not None else usize
+    out = d.decompress(data, cap + 1)
+    if len(out) > cap:
+        raise ValueError(
+            f"inflate: output exceeds max_output={cap}"
+        )
+    # drain the terminator; any further output is a bomb/corruption
+    tail = d.decompress(b"", 2)
+    if tail:
+        raise ValueError(
+            f"inflate: output exceeds max_output={cap}"
+        )
+    return out
+
+
+def iter_zip_members(
+    buf: bytes,
+    max_member_size: int | None = None,
+    cross_check_every: int = 64,
+):
     """Yield ``(name, payload)`` for every member, via the central
     directory.  Stored and deflated members are supported; every
     payload is CRC32- and size-verified (a corrupt shard fails
     loudly).  ``max_member_size`` is the zip-bomb rail — the declared
-    AND actual inflated size must stay under it."""
+    AND actual inflated size must stay under it.
+
+    DEFLATE inflates native-first (stdlib zlib); every
+    ``cross_check_every``-th deflated member (by per-archive member
+    index — deterministic and partitioning-independent) is re-inflated
+    through the from-scratch RFC 1951 decoder and must agree
+    byte-for-byte.  A member zlib rejects re-runs through the pure
+    decoder so its typed error is what the caller sees (or, should the
+    pure path accept what libz refused, its output proceeds to the
+    same CRC/size verification)."""
+    last_inflate_stats.update(native=0, cross_checked=0, fallback=0)
     n, cd_size, cd_off = _find_eocd(buf)
     pos = cd_off
-    for _ in range(n):
+    for member_idx in range(n):
         if struct.unpack_from("<I", buf, pos)[0] != _CDIR_SIG:
             raise ValueError(f"zip: bad central-directory entry at {pos}")
         (
@@ -114,7 +166,23 @@ def iter_zip_members(buf: bytes, max_member_size: int | None = None):
         if method == _STORED:
             payload = data
         elif method == _DEFLATED:
-            payload = inflate(data, max_output=max_member_size or usize)
+            cap = max_member_size if max_member_size is not None else usize
+            try:
+                payload = _inflate_native(data, usize, cap)
+                last_inflate_stats["native"] += 1
+            except zlib.error:
+                # typed-error authority: the pure decoder names WHAT is
+                # malformed (bad code lengths, over-long back-reference,
+                # truncated stream) instead of zlib's generic error
+                payload = inflate(data, max_output=cap)
+                last_inflate_stats["fallback"] += 1
+            if cross_check_every and member_idx % cross_check_every == 0:
+                pure = inflate(data, max_output=cap)
+                if pure != payload:
+                    raise ValueError(
+                        f"zip: native/pure inflate disagree on {name!r}"
+                    )
+                last_inflate_stats["cross_checked"] += 1
         else:
             raise ValueError(f"zip: unsupported method {method} for {name!r}")
         if len(payload) != usize:

@@ -325,7 +325,15 @@ def f_malformed_jsonl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pass is a single scan with zero shuffles of row data.
     Spark restriction honored: the aggregate references parsed
     fields alongside the corrupt column (a corrupt-column-only query
-    is disallowed without caching)."""
+    is disallowed without caching).
+
+    Local-FS assumption (ADVICE r12, shared with the other *_roundtrip
+    fixtures): the scratch path comes from a driver-side mkdtemp and
+    df.write.text lands executor parts there, which is only correct
+    when driver and executors share a filesystem — true for the
+    local-mode gate this runs under.  On a real cluster the scratch
+    root must be a shared path (object store / DFS); the read-back and
+    cleanup below would otherwise miss executor-written parts."""
     import os
     import tempfile
 

@@ -203,3 +203,54 @@ def test_property_foreign_writer_roundtrip(items, fmt):
             info.size = len(payload)
             tf.addfile(info, io.BytesIO(payload))
     assert list(iter_tar_members(out.getvalue())) == members
+
+
+# --- ADVICE r12 fixes ----------------------------------------------------
+
+
+def _pax_rec(key: str, value: str) -> bytes:
+    body = f" {key}={value}\n"
+    n = len(body) + 1
+    while len(str(n)) + len(body) != n:
+        n = len(str(n)) + len(body)
+    return f"{n}{body}".encode()
+
+
+def test_pax_size_override_binds_to_non_regular_members():
+    # a writer that records a non-regular member's true on-disk payload
+    # length ONLY in the pax 'x' size (ustar field says 0) — using the
+    # ustar size would desync every later offset (ADVICE r12)
+    pax = _pax_rec("size", "512")
+    junk = b"J" * 512  # the non-regular member's actual payload span
+    after = b"tail file payload"
+    buf = (
+        _raw_header(b"weird-meta", f"{len(pax):011o}\x00".encode(), b"x")
+        + pax + b"\x00" * ((512 - len(pax) % 512) % 512)
+        + _raw_header(b"strange-dir/", b"00000000000\x00", b"5")
+        + junk
+        + _raw_header(b"after.txt", f"{len(after):011o}\x00".encode(), b"0")
+        + after + b"\x00" * ((512 - len(after) % 512) % 512)
+        + b"\x00" * 1024
+    )
+    assert list(iter_tar_members(buf)) == [("after.txt", after)]
+
+
+def test_pax_length_must_be_pure_digits():
+    from map2db_spark.functions.tar import _pax_records
+
+    # int(b'3_0') == 30 and int(b'+30 ') == 30: both must be rejected
+    with pytest.raises(ValueError, match="non-digit length"):
+        _pax_records(b"3_0 path=" + b"x" * 18 + b"\n")
+    with pytest.raises(ValueError, match="non-digit length"):
+        _pax_records(b"+30 path=" + b"x" * 19 + b"\n")
+
+
+def test_dangling_extension_header_raises():
+    pax = _pax_rec("path", "never/bound.txt")
+    buf = (
+        _raw_header(b"dangling", f"{len(pax):011o}\x00".encode(), b"x")
+        + pax + b"\x00" * ((512 - len(pax) % 512) % 512)
+        + b"\x00" * 1024  # terminator with the override still pending
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        list(iter_tar_members(buf))

@@ -98,3 +98,58 @@ def test_property_roundtrip(items, method):
     buf = build_zip(members, method=method)
     assert list(iter_zip_members(buf)) == members
     assert _stdlib_parse(buf) == members
+
+
+# --- native-first inflate dispatch (VERDICT r12 #3) ---------------------
+
+
+def test_native_route_carries_the_bulk_with_sampled_cross_checks():
+    from map2db_spark.functions import zipfmt
+
+    members = [(f"{i:08d}.txt", f"payload {i} ".encode() * 20)
+               for i in range(130)]
+    buf = build_zip(members, method="deflate")
+    got = list(iter_zip_members(buf, cross_check_every=64))
+    assert got == members
+    stats = zipfmt.last_inflate_stats
+    # every deflated member inflates through stdlib zlib ...
+    assert stats["native"] == 130
+    assert stats["fallback"] == 0
+    # ... and exactly the 64-stride sample re-runs the from-scratch
+    # decoder as certification (members 0, 64, 128)
+    assert stats["cross_checked"] == 3
+
+
+def test_native_bomb_rail_never_materialises_past_the_cap():
+    # the declared-size check fires first on an honest header, so lie
+    # about usize to prove the NATIVE rail binds on its own: patch the
+    # central-directory usize of a 200k member down to 50k
+    import struct
+
+    big = b"\x00" * 200_000
+    buf = bytearray(build_zip([("bomb.bin", big)], method="deflate"))
+    cd_off = len(buf) - 22 - 46 - len("bomb.bin")
+    assert struct.unpack_from("<I", buf, cd_off)[0] == 0x02014B50
+    struct.pack_into("<I", buf, cd_off + 24, 50_000)  # usize field
+    with pytest.raises(ValueError, match="max_output|inflated to"):
+        list(iter_zip_members(bytes(buf), max_member_size=50_000))
+
+
+def test_malformed_member_falls_back_to_the_pure_decoder_error():
+    from map2db_spark.functions import zipfmt
+
+    payload = b"some deflated text " * 50
+    buf = bytearray(build_zip([("a.txt", payload)], method="deflate"))
+    # corrupt the deflate stream head (bad block type / code lengths):
+    # both decoders must reject it, and the PURE decoder's typed error
+    # is the one surfaced
+    data_start = 30 + len("a.txt")
+    buf[data_start] = 0xFF
+    buf[data_start + 1] = 0xFF
+    with pytest.raises(ValueError):
+        list(iter_zip_members(bytes(buf)))
+    # stdlib zipfile agrees the member is broken (sanity)
+    import zlib as _zlib
+
+    with pytest.raises(_zlib.error):
+        _zlib.decompress(bytes(buf[data_start:data_start + 20]), -15)
