@@ -156,6 +156,14 @@ def main() -> None:
             row_cleanup(sleep=0.3, barrier=1_000_000, gc=True)
 
     total = round(sum(timings.values()), 3)
+    # host 1-minute load at measurement end: the r13 drift analysis
+    # showed the same tree reading 19.9 s at load ~10 vs 15.2 s at
+    # load ~0 — recording it makes a contended reading self-describing
+    # instead of needing a post-hoc bisect (BASELINE.md r13 A/B)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load1 = None
     print(
         json.dumps(
             {
@@ -165,6 +173,7 @@ def main() -> None:
                 "queries": timings,
                 "samples": samples,
                 "sf": sf,
+                "host_load1": load1,
             }
         )
     )

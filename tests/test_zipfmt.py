@@ -153,3 +153,17 @@ def test_malformed_member_falls_back_to_the_pure_decoder_error():
 
     with pytest.raises(_zlib.error):
         _zlib.decompress(bytes(buf[data_start:data_start + 20]), -15)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=5000))
+def test_property_native_and_pure_inflate_agree(payload):
+    # the certification claim behind the native-first dispatch: for any
+    # stream our encoder emits, stdlib zlib and the from-scratch RFC
+    # 1951 decoder produce identical bytes
+    from map2db_spark.functions.deflate_codec import deflate, inflate
+    from map2db_spark.functions.zipfmt import _inflate_native
+
+    data = deflate(payload, mode="dynamic")
+    assert _inflate_native(data, len(payload), len(payload)) == payload
+    assert inflate(data, max_output=len(payload)) == payload
