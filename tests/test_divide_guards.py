@@ -116,3 +116,27 @@ def test_classify_sees_parenthesized_guard_form():
         " ELSE h * 100 / (SELECT count(*) FROM e) END FROM t"
     )
     assert classify(sql, "(SELECT count(*) FROM e)") == "safe:zero-compared"
+
+
+# --- extractor robustness: the standing gate must never crash the
+# suite on a future oracle, however odd its SQL ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc xyz019()/*%-+.,'=<>\n", max_size=300))
+def test_audit_sql_never_raises_on_arbitrary_text(text):
+    sites = audit_sql("fuzz", text)
+    for s in sites:
+        assert s.verdict.startswith(("safe:", "UNGUARDED"))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet="ns_", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=99),
+)
+def test_classify_never_raises(denom, k):
+    classify(f"SELECT a / {denom} FROM t WHERE {denom} >= {k}", denom)
