@@ -248,28 +248,18 @@ _VERIFIED_BY_ROUND[4] = frozenset({
 })
 
 # --- green in CORRECTNESS_r03.json (round-3 driver window).  The
-# 16 oldest rows (d_dup_clusters .. q16_parts_supplier_counts in
-# registration order) rotated through the r12 window, re-greened,
-# and live in the r12 set; the remaining 33 rotate through the r13
-# window ---
+# 16 oldest rows (d_dup_clusters .. q16_parts_supplier_counts)
+# rotated through the r12 window and live in the r12 set; 31 more
+# rotated through the r13 window and live in the r13 set.  These
+# final 2 (the youngest-registered r3 rows) rotate in r14, which
+# fully drains the r3 vintage ---
 _VERIFIED_BY_ROUND[3] = frozenset({
     # m2db_overlay_union / m2db_consolidated_zoom / m2db_repair_salvage /
     # m2db_merge_diagnostics were green in r02/r03 but r4 changed code
     # under the mapsforge family (WKB typed errors, repair final-round
     # harvest, overlay fuzz pins) -> deliberately re-graded in r5
     # (VERDICT r4 ask #5).
-    "q17_small_quantity_revenue",
-    "q20_part_promotion", "q21_waiting_suppliers", "sql_exists_correlated",
-    "sql_scalar_subquery", "sql_correlated_scalar", "sql_registered_udf",
-    "sql_recursive_cte", "sql_min_cost_supplier", "u_pandas_udf_haversine",
-    "q6_forecast_revenue", "q12_priority_case_agg", "q14_promo_effect",
-    "q19_disjunctive_pushdown", "q22_idle_customers", "f_string_surface",
-    "f_json_extraction", "h_array_higher_order",
-    "x_conditional_bitwise_agg", "x_median_percentile",
-    "r_string_agg_ordered", "r_lateral_explode", "r_sample_hash",
-    "r_union_by_name", "d_interval_arithmetic", "w_cume_dist_first_last",
-    "g_grouping_sets_explicit", "x_argmax_min_by", "d_date_spine_fill",
-    "w_forward_fill", "j_cross_join_grid", "r_values_inline",
+    "r_values_inline",
     "f_map_surface",
 })
 
@@ -381,6 +371,40 @@ _VERIFIED_BY_ROUND[12] = frozenset({
     "q16_parts_supplier_counts",
 })
 
+# --- green in CORRECTNESS_r13.json (round-13 driver window: all 50
+# graded rows green, zero errors — VERDICT r13).  Composition: the
+# 19 tier-0 re-grades (17 divide-guard audit fixes from
+# tools/divide_guard_audit.py + f_tar_shard_ingest after the ADVICE
+# r12 tar.py fixes + f_zip_shard_ingest after the native-first
+# inflate) and the 31 rotated r3 rows whose ages reset here.
+# f_tar_shard_ingest / f_zip_shard_ingest are deliberately NOT in
+# this set: r14 applies the ADVICE r13 fixes to functions/tar.py
+# (PAX size digit validation, L/K exclusion from the pax override)
+# and functions/zipfmt.py (d.eof truncation check) -> re-grade, per
+# this structure's rule ---
+_VERIFIED_BY_ROUND[13] = frozenset({
+    # tier-0 re-grades (divide-guard audit fixes):
+    "c_repetition_filters", "x_funnel_conversion", "x_auc_rank",
+    "x_did_estimator", "x_ks_two_sample", "x_welch_ttest",
+    "x_smape_seasonal_naive", "x_wasserstein_1d", "x_bradley_terry_mm",
+    "x_gains_deciles", "x_ipw_ate", "x_runs_test", "w_target_encoding",
+    "d_minhash_recall_eval", "d_minhash_recall_skewed",
+    "d_semdedup_recall_hotcell", "s_stream_drift_monitor",
+    # rotated re-greens (ages reset from r3):
+    "q17_small_quantity_revenue", "q20_part_promotion",
+    "q21_waiting_suppliers", "sql_exists_correlated",
+    "sql_scalar_subquery", "sql_correlated_scalar", "sql_registered_udf",
+    "sql_recursive_cte", "sql_min_cost_supplier", "u_pandas_udf_haversine",
+    "q6_forecast_revenue", "q12_priority_case_agg", "q14_promo_effect",
+    "q19_disjunctive_pushdown", "q22_idle_customers", "f_string_surface",
+    "f_json_extraction", "h_array_higher_order",
+    "x_conditional_bitwise_agg", "x_median_percentile",
+    "r_string_agg_ordered", "r_lateral_explode", "r_sample_hash",
+    "r_union_by_name", "d_interval_arithmetic", "w_cume_dist_first_last",
+    "g_grouping_sets_explicit", "x_argmax_min_by", "d_date_spine_fill",
+    "w_forward_fill", "j_cross_join_grid",
+})
+
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 
 
@@ -395,18 +419,17 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r13 arithmetic (VERDICT r12 #1 + #2): tier 0 = 17 divide-guard
-# audit fixes (tools/divide_guard_audit.py found 17 queries whose
-# oracles + Spark expressions could divide by zero on thin data —
-# empty ground-truth sets, one-sided samples, singleton groups,
-# all-zero funnels; every fix guards BOTH engines) +
-# f_tar_shard_ingest (ADVICE r12 tar.py fixes) + f_zip_shard_ingest
-# (native-first inflate) = 19; ZERO new registrations this round, so
-# the 31 remaining slots drain 31 of the 33 surviving r3 rows (the 2
-# youngest-registered r3 rows, r_values_inline and f_map_surface,
-# wait one round — fixing real divide-by-zero defects outranked
-# completing the drain).  tests/test_registry_order.py pins the
-# RULE, not just this round's list.
+# r14 arithmetic (VERDICT r13 #2 + #3): tier 0 = this round's new
+# queries_round14 registrations + f_tar_shard_ingest /
+# f_zip_shard_ingest (ADVICE r13 fixes touch functions/tar.py and
+# functions/zipfmt.py -> re-grade).  The remaining rotation slots
+# drain the oldest vintages: the 2 r3 stragglers (r_values_inline,
+# f_map_surface) first, then the 48-row r4 set in registration
+# order.  With ~8 new registrations + 2 re-grades, ~40 rotation
+# slots cover the 2 r3 rows + ~38 of r4, leaving a single-digit r4
+# tail for r15 — the drain's final round.
+# tests/test_registry_order.py pins the RULE, not just this round's
+# list.
 
 
 def _ensure_loaded() -> None:

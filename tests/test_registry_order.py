@@ -67,13 +67,12 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r13_regrades_are_in_the_window():
-    # r13 re-grades: f_tar_shard_ingest (functions/tar.py gains the
-    # ADVICE r12 fixes: PAX size override for non-regular members,
-    # strict PAX length digits, dangling-extension detection) and
-    # f_zip_shard_ingest (functions/zipfmt.py routes inflate
-    # native-first through stdlib zlib, VERDICT r12 #3) — neither may
-    # sit in the verified tier
+def test_r14_regrades_are_in_the_window():
+    # r14 re-grades: f_tar_shard_ingest (functions/tar.py gains the
+    # ADVICE r13 fixes: strict PAX size digit validation, L/K
+    # exclusion from the pax size override) and f_zip_shard_ingest
+    # (functions/zipfmt.py gains the d.eof truncation check) —
+    # neither may sit in the verified tier
     for name in (
         "f_tar_shard_ingest", "f_zip_shard_ingest",
     ):
