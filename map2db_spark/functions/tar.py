@@ -99,6 +99,20 @@ def _pax_records(payload: bytes) -> dict[str, str]:
     return recs
 
 
+def _pax_size(value: str) -> int:
+    """Parse a PAX ``size`` record value: pure ASCII digits only.
+
+    ``int()`` alone would accept a sign, surrounding whitespace, and
+    underscore separators (ADVICE r13): a crafted global PAX header
+    with ``size=-512`` cancels the header block so the offset never
+    advances — an infinite generator on untrusted foreign shards —
+    and a negative per-member override yields a phantom duplicate.
+    """
+    if not (value.isascii() and value.isdigit()):
+        raise ValueError(f"malformed PAX size value {value!r}")
+    return int(value)
+
+
 def iter_tar_members(buf: bytes):
     """Yield ``(name, payload)`` for every regular file in ``buf``.
 
@@ -152,13 +166,17 @@ def iter_tar_members(buf: bytes):
         # a pending PAX size override binds to the NEXT member
         # regardless of its type (ADVICE r12): a non-regular member
         # whose pax size disagrees with its ustar field would
-        # otherwise desync every later block offset.  The extension
-        # headers themselves (x/g) always size from their own field.
-        if typeflag not in (b"x", b"g"):
+        # otherwise desync every later block offset.  Extension
+        # records always size from their own header field — x/g (the
+        # PAX headers themselves) AND GNU L/K long-name records
+        # (ADVICE r13: per POSIX the pax override binds to the next
+        # FILE; letting it resize a longname record desyncs every
+        # later block offset).
+        if typeflag not in (b"x", b"g", b"L", b"K"):
             if "size" in pax_next:
-                size = int(pax_next["size"])
+                size = _pax_size(pax_next["size"])
             elif "size" in pax_global:
-                size = int(pax_global["size"])
+                size = _pax_size(pax_global["size"])
         if typeflag in (b"0", b"\x00"):
             # name overrides stay regular-file-only: x beats GNU
             # longname beats g beats ustar prefix+name

@@ -111,12 +111,14 @@ def _inflate_native(data: bytes, usize: int, max_output: int | None) -> bytes:
         raise ValueError(
             f"inflate: output exceeds max_output={cap}"
         )
-    # drain the terminator; any further output is a bomb/corruption
-    tail = d.decompress(b"", 2)
-    if tail:
-        raise ValueError(
-            f"inflate: output exceeds max_output={cap}"
-        )
+    # zlib returns partial output for a TRUNCATED stream without
+    # raising (ADVICE r13): require the final-block terminator so a
+    # crafted prefix whose usize/CRC match cannot accept natively but
+    # fail through the pure decoder on sampled members — truncation
+    # routes to the zlib.error fallback where the pure decoder's
+    # typed "truncated stream" error is authoritative
+    if not d.eof:
+        raise zlib.error("inflate: truncated DEFLATE stream")
     return out
 
 

@@ -140,3 +140,25 @@ def test_audit_sql_never_raises_on_arbitrary_text(text):
 )
 def test_classify_never_raises(denom, k):
     classify(f"SELECT a / {denom} FROM t WHERE {denom} >= {k}", denom)
+
+
+def test_division_inside_the_degenerate_branch_is_not_safe():
+    # ADVICE r13: the zero-compared rule was flow-insensitive — a
+    # degenerate-true comparison (d <= 0 / d = 0 / d < 1) with the
+    # division INSIDE the zero branch classified safe.  Degenerate
+    # forms now require the THEN branch to be a degenerate RESULT
+    # (NULL or a bare literal).
+    bad = "SELECT CASE WHEN d <= 0 THEN s / d ELSE 0 END AS r FROM t"
+    assert audit_sql("q", bad)[0].verdict == "UNGUARDED"
+    bad_eq = "SELECT CASE WHEN d = 0 THEN s / d ELSE NULL END AS r FROM t"
+    assert audit_sql("q", bad_eq)[0].verdict == "UNGUARDED"
+    # the genuine guard shapes still classify safe
+    for good in (
+        "SELECT CASE WHEN d = 0 THEN NULL ELSE s / d END AS r FROM t",
+        "SELECT CASE WHEN d = 0 THEN 0 ELSE s / d END AS r FROM t",
+        "SELECT CASE WHEN d = 0 OR n = 0 THEN NULL ELSE s / d END FROM t",
+        "SELECT CASE WHEN d <> 0 THEN s / d END AS r FROM t",
+        "SELECT s / d AS r FROM t WHERE d > 0",
+    ):
+        sites = audit_sql("q", good)
+        assert all(s.verdict != "UNGUARDED" for s in sites), good

@@ -254,3 +254,58 @@ def test_dangling_extension_header_raises():
     )
     with pytest.raises(ValueError, match="dangling"):
         list(iter_tar_members(buf))
+
+
+def test_negative_pax_size_rejected():
+    # ADVICE r13: int('-512') is accepted by int() — a global PAX
+    # size=-512 cancels the header block (padded = -512) so the offset
+    # never advances: an infinite generator on untrusted shards.  A
+    # negative pax_next size yields a phantom duplicate member.  Both
+    # must raise instead.
+    body = b"after"
+    tail = (
+        _raw_header(b"after.txt", f"{len(body):011o}\x00".encode(), b"0")
+        + body + b"\x00" * ((512 - len(body) % 512) % 512)
+        + b"\x00" * 1024
+    )
+    for typeflag in (b"g", b"x"):
+        pax = _pax_rec("size", "-512")
+        buf = (
+            _raw_header(b"meta", f"{len(pax):011o}\x00".encode(), typeflag)
+            + pax + b"\x00" * ((512 - len(pax) % 512) % 512)
+            + tail
+        )
+        with pytest.raises(ValueError, match="malformed PAX size"):
+            list(iter_tar_members(buf))
+
+
+def test_pax_size_must_be_pure_ascii_digits():
+    from map2db_spark.functions.tar import _pax_size
+
+    # int() would accept all of these
+    for bad in ("-512", "+512", " 512", "5_12", "٥١٢"):
+        with pytest.raises(ValueError, match="malformed PAX size"):
+            _pax_size(bad)
+    assert _pax_size("512") == 512
+
+
+def test_pax_size_override_skips_gnu_longname_records():
+    # ADVICE r13: a pending pax size override must NOT resize a GNU
+    # L/K extension record — per POSIX it binds to the next FILE, and
+    # extension records size from their own header field.  Overriding
+    # the L record's length would desync every later block offset.
+    longname = b"very/long/override-name.txt"
+    body = b"payload sized by pax"  # 20 bytes; ustar field lies (0)
+    pax = _pax_rec("size", str(len(body)))
+    buf = (
+        _raw_header(b"meta", f"{len(pax):011o}\x00".encode(), b"x")
+        + pax + b"\x00" * ((512 - len(pax) % 512) % 512)
+        + _raw_header(b"gnu-long", f"{len(longname):011o}\x00".encode(), b"L")
+        + longname + b"\x00" * ((512 - len(longname) % 512) % 512)
+        + _raw_header(b"short", b"00000000000\x00", b"0")
+        + body + b"\x00" * ((512 - len(body) % 512) % 512)
+        + b"\x00" * 1024
+    )
+    assert list(iter_tar_members(buf)) == [
+        (longname.decode(), body)
+    ]

@@ -167,3 +167,60 @@ def test_property_native_and_pure_inflate_agree(payload):
     data = deflate(payload, mode="dynamic")
     assert _inflate_native(data, len(payload), len(payload)) == payload
     assert inflate(data, max_output=len(payload)) == payload
+
+
+def test_truncated_deflate_stream_rejected_on_every_member():
+    # ADVICE r13: zlib returns partial output for a truncated stream
+    # WITHOUT raising (d.eof stays False).  A crafted central directory
+    # whose usize/CRC match the truncated prefix was accepted on
+    # non-sampled members but rejected by the pure decoder whenever
+    # member_idx % 64 == 0 — position-dependent acceptance contradicts
+    # the native/pure certification contract.  Both positions must
+    # reject now.
+    import struct
+    import zlib as _zlib
+
+    from map2db_spark.functions.zipfmt import (
+        _CDIR_SIG, _EOCD_SIG, _LOCAL_SIG, _DEFLATED,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog " * 20
+    full = _zlib.compressobj(9, _zlib.DEFLATED, -15).compress(payload)
+    truncated = full[: len(full) // 2] or full[:1]
+    d = _zlib.decompressobj(-15)
+    partial = d.decompress(truncated)
+    assert not d.eof  # the premise: zlib accepts the prefix silently
+
+    def crafted(members):
+        out, cdir = bytearray(), bytearray()
+        for name, data, usize, crc in members:
+            nb = name.encode()
+            off = len(out)
+            out += struct.pack(
+                "<IHHHHHIIIHH", _LOCAL_SIG, 20, 0, _DEFLATED, 0, 0,
+                crc, len(data), usize, len(nb), 0,
+            ) + nb + data
+            cdir += struct.pack(
+                "<IHHHHHHIIIHHHHHII", _CDIR_SIG, 20, 20, 0, _DEFLATED,
+                0, 0, crc, len(data), usize, len(nb), 0, 0, 0, 0, 0, off,
+            ) + nb
+        cd_off = len(out)
+        out += cdir + struct.pack(
+            "<IHHHHIIH", _EOCD_SIG, 0, 0, len(members), len(members),
+            len(cdir), cd_off, 0,
+        )
+        return bytes(out)
+
+    crc = _zlib.crc32(partial) & 0xFFFFFFFF
+    ok = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    good = ok.compress(b"fine") + ok.flush()
+    lie = ("lie.txt", truncated, len(partial), crc)
+    # member_idx 0: the cross-checked position
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_zip_members(crafted([lie])))
+    # member_idx 1: the previously-accepting non-sampled position
+    buf = crafted(
+        [("ok.txt", good, 4, _zlib.crc32(b"fine") & 0xFFFFFFFF), lie]
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_zip_members(buf))

@@ -123,9 +123,51 @@ def _nospace(text: str) -> str:
 
 # comparison fragments that mean "the author handled zero" when found
 # adjacent to the denominator text (no-space normalised, substring match;
-# prefix matching makes 'd>0' also hit 'd>0.0' and 'd=0' hit 'd=0.0')
-_GUARD_AFTER = ("=0", "<>0", "!=0", ">0", ">=1", "<=0", "<1", "in(0")
-_GUARD_BEFORE = ("0=", "0<>", "0!=", "0<", "0>=", "1<=", "1>")
+# prefix matching makes 'd>0' also hit 'd>0.0' and 'd=0' hit 'd=0.0').
+# Two families with different evidence requirements (ADVICE r13):
+#   POSITIVE forms assert d != 0 (WHERE d <> 0, WHEN d > 0 THEN x/d)
+#   — substring adjacency is accepted.  KNOWN LIMITATION: this is
+#   flow-insensitive, so a positive comparison with the division in
+#   the ELSE branch (WHEN d > 0 THEN 0 ELSE x/d END) would pass
+#   silently — adjudicators must not treat 'safe:zero-compared' as
+#   proof for that inverted shape.
+#   DEGENERATE forms are TRUE when d = 0 (WHEN d = 0 / d <= 0 THEN
+#   ...) — these additionally require the THEN branch to be a
+#   degenerate RESULT (NULL or a bare literal), because `CASE WHEN
+#   d <= 0 THEN x/d ELSE 0 END` puts the division INSIDE the zero
+#   branch and must NOT classify safe.
+_GUARD_AFTER_POSITIVE = ("<>0", "!=0", ">0", ">=1")
+_GUARD_AFTER_DEGENERATE = ("=0", "<=0", "<1", "in(0")
+_GUARD_BEFORE_POSITIVE = ("0<>", "0!=", "0<", "1<=")
+_GUARD_BEFORE_DEGENERATE = ("0=", "0>=", "1>")
+# THEN whose result is NULL or a bare numeric literal (the division
+# cannot live inside it); searched within a short window so compound
+# conditions (d = 0 OR n = 0 THEN NULL) still match
+_THEN_DEGENERATE = re.compile(
+    r"then(?:null|-?[0-9]+(?:\.[0-9]+)?(?:else|end|when|,|\)))"
+)
+
+
+def _zero_compared(sql2: str, expr: str) -> bool:
+    """True when the SQL compares `expr` against zero/one in a form
+    that routes the zero case away from a division (see the guard
+    family comment above)."""
+    for g in _GUARD_AFTER_POSITIVE:
+        if (expr + g) in sql2:
+            return True
+    for g in _GUARD_BEFORE_POSITIVE:
+        if (g + expr) in sql2:
+            return True
+    esc = re.escape(expr)
+    for g in _GUARD_AFTER_DEGENERATE:
+        for m in re.finditer(esc + re.escape(g), sql2):
+            if _THEN_DEGENERATE.search(sql2[m.end() : m.end() + 100]):
+                return True
+    for g in _GUARD_BEFORE_DEGENERATE:
+        for m in re.finditer(re.escape(g) + esc, sql2):
+            if _THEN_DEGENERATE.search(sql2[m.end() : m.end() + 100]):
+                return True
+    return False
 
 _COUNT_STAR = re.compile(r"count\((\*|1)\)(over\(.*\))?$")
 # matched against no-space text, so no \b: a frame clause always
@@ -255,12 +297,8 @@ def _classify_expr(d2: str, sql2: str, depth: int = 0) -> str | None:
     if not d2:
         return None
     if orig != d2:
-        for g in _GUARD_AFTER:
-            if (orig + g) in sql2:
-                return "safe:zero-compared"
-        for g in _GUARD_BEFORE:
-            if (g + orig) in sql2:
-                return "safe:zero-compared"
+        if _zero_compared(sql2, orig):
+            return "safe:zero-compared"
         if ("nullif(" + orig) in sql2:
             return "safe:nullif"
     try:
@@ -296,12 +334,8 @@ def _classify_expr(d2: str, sql2: str, depth: int = 0) -> str | None:
             return "safe:rownum-alias"
     if ("nullif(" + d2) in sql2 or ("greatest(" + d2) in sql2:
         return "safe:zero-compared"
-    for g in _GUARD_AFTER:
-        if (d2 + g) in sql2:
-            return "safe:zero-compared"
-    for g in _GUARD_BEFORE:
-        if (g + d2) in sql2:
-            return "safe:zero-compared"
+    if _zero_compared(sql2, d2):
+        return "safe:zero-compared"
     # `X >= k` / `X > k` bounds with an arbitrary positive literal
     if _bound_implies_positive(sql2, d2, 0.0):
         return "safe:zero-compared"
