@@ -162,3 +162,21 @@ def test_division_inside_the_degenerate_branch_is_not_safe():
     ):
         sites = audit_sql("q", good)
         assert all(s.verdict != "UNGUARDED" for s in sites), good
+
+
+def test_spark_side_carries_every_oracle_guard():
+    # VERDICT r13 #7: the oracle audit proves one engine handles its
+    # zero denominators; this is the other half — every query whose
+    # oracle carries an author-written guard must show the matching
+    # guard construct in its Spark callable's source (one level of
+    # same-module helpers included), or carry a reviewed
+    # SPARK_GUARD_ADJUDICATED entry.  Stale adjudications fail too.
+    from tools.divide_guard_audit import spark_guard_parity
+
+    guarded, misses, stale = spark_guard_parity()
+    assert guarded, "scan found no guarded oracles — scan broken?"
+    assert not misses, (
+        "oracle-guarded queries whose Spark source shows no guard "
+        f"construct (one-sided guard = error-vs-NULL red row): {misses}"
+    )
+    assert not stale, f"stale SPARK_GUARD_ADJUDICATED entries: {stale}"

@@ -434,6 +434,106 @@ def audit_registry() -> list[Site]:
 
 
 # ---------------------------------------------------------------------------
+# Spark-side guard parity (VERDICT r13 #7).  The oracle audit above
+# proves the ORACLE handles its zero denominators; this scan checks the
+# other engine: for every query whose oracle carries an AUTHOR-written
+# guard (CASE/NULLIF/GREATEST — not the statically-safe shapes), the
+# Spark callable's source must show a matching guard construct.  A
+# one-sided guard is exactly the error-vs-NULL red row the class
+# produces (Spark ANSI raises on x/0 where DuckDB yields NULL).
+#
+# The scan is textual and per-query (presence of a guard construct,
+# not per-site data flow): it catches the drift scenario — an edit
+# removes the Spark guard while the oracle keeps its own — but a
+# query with several guards losing ONE can pass, and generic
+# comparisons ("> 0" in unrelated logic) count as evidence.  Guards
+# written in plain Python (driver-side iteration) don't surface as
+# any fragment — those get SPARK_GUARD_ADJUDICATED entries with a
+# written reason, enforced non-stale by the test.
+# ---------------------------------------------------------------------------
+
+# oracle verdicts that mean "the author wrote a guard" (vs shapes that
+# are safe by construction and need nothing on the Spark side)
+_AUTHOR_GUARD_VERDICTS = frozenset({
+    "safe:zero-compared", "safe:nullif", "safe:greatest",
+    "safe:difference-guarded",
+})
+
+# guard evidence in no-space-lowered Spark source: SQL-in-string forms
+# (nullif/greatest/CASE comparisons survive verbatim) and DataFrame-API
+# forms (F.when(col == 0/1, ...), try_divide)
+_SPARK_GUARD_FRAGMENTS = (
+    "nullif(", "try_divide", "greatest(",
+    "==0", "!=0", ">=1", "<=0", "<1", ">0", "<>0",
+    "==1", "=0then", "=1then", "in(0",
+    # SQL-in-string difference guards compare column to column, no
+    # literal (CASE WHEN n0 = tx THEN NULL): the NULL routing itself
+    # is the evidence
+    "thennull",
+)
+
+# plain-Python guards the textual scan cannot see, reviewed by hand
+SPARK_GUARD_ADJUDICATED: dict[str, str] = {
+    "v_pca_power": (
+        "guards in driver-side plain Python: max(mx // 1_000_000, 1) in "
+        "the O(d^2) power-iteration loop — the exact twin of the "
+        "oracle's greatest(mx // 1000000, 1) (r13 manual scan)"
+    ),
+}
+
+
+def _spark_source_with_helpers(fn) -> str:
+    """fn's source plus one level of same-module helper functions it
+    references (guards often live in a shared helper, e.g.
+    _novelty_verdict under c_novelty_filter_frozen)."""
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return ""
+    parts = [src]
+    for name, obj in getattr(fn, "__globals__", {}).items():
+        if (
+            callable(obj)
+            and getattr(obj, "__module__", None) == fn.__module__
+            and name != fn.__name__
+            and re.search(rf"\b{re.escape(name)}\b", src)
+        ):
+            try:
+                parts.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pass
+    return "\n".join(parts)
+
+
+def spark_guard_parity() -> tuple[list[str], list[str], list[str]]:
+    """Returns (guarded_queries, misses, stale_adjudications)."""
+    from map2db_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    guarded = sorted({
+        s.query
+        for s in audit_registry()
+        if s.verdict in _AUTHOR_GUARD_VERDICTS
+    })
+    misses: list[str] = []
+    evidenced: set[str] = set()
+    for q in guarded:
+        src = _nospace(_spark_source_with_helpers(QUERIES[q].fn))
+        if any(f in src for f in _SPARK_GUARD_FRAGMENTS):
+            evidenced.add(q)
+        elif q not in SPARK_GUARD_ADJUDICATED:
+            misses.append(q)
+    stale = sorted(
+        q
+        for q in SPARK_GUARD_ADJUDICATED
+        if q not in guarded or q in evidenced
+    )
+    return guarded, misses, stale
+
+
+# ---------------------------------------------------------------------------
 # Adjudications — sites the static classifier cannot prove safe, reviewed
 # by hand (r13 audit).  Two tiers:
 #
