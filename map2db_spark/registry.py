@@ -466,6 +466,7 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_round10  # noqa: F401
     import map2db_spark.queries_round11  # noqa: F401
     import map2db_spark.queries_round12  # noqa: F401
+    import map2db_spark.queries_round14  # noqa: F401
 
     # Stable partition (relative registration order preserved per
     # tier; see the window-composition comment above):

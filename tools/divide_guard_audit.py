@@ -494,16 +494,20 @@ def _spark_source_with_helpers(fn) -> str:
         return ""
     parts = [src]
     for name, obj in getattr(fn, "__globals__", {}).items():
-        if (
-            callable(obj)
-            and getattr(obj, "__module__", None) == fn.__module__
-            and name != fn.__name__
-            and re.search(rf"\b{re.escape(name)}\b", src)
+        if name == fn.__name__ or not re.search(
+            rf"\b{re.escape(name)}\b", src
         ):
+            continue
+        if callable(obj) and getattr(obj, "__module__", None) == fn.__module__:
             try:
                 parts.append(inspect.getsource(obj))
             except (OSError, TypeError):
                 pass
+        elif isinstance(obj, str):
+            # shared-expression constants (the _WELCH_T convention:
+            # one string feeds both the oracle f-string and F.expr)
+            # carry the guard text themselves
+            parts.append(obj)
     return "\n".join(parts)
 
 
