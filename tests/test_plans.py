@@ -1656,3 +1656,103 @@ def test_mattr_prunes_text_before_exchanges(spark):
         assert "text#" not in b, b
     # the lag runs as a real distributed window keyed on (doc, tok)
     assert "Window" in plan
+
+
+# --- round-14 registrations -----------------------------------------------
+
+
+def test_good_turing_lattice_never_retouches_documents(spark):
+    """t_good_turing: the frequency-of-frequencies table materializes
+    ONCE (eager localCheckpoint — the corpus explode+aggregate happens
+    there); the totals/shifted-join lattice reads only the checkpoint,
+    broadcast both ways, so documents appears NOWHERE in the final
+    plan despite three fof references."""
+    plan = plan_of(spark, "t_good_turing")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_page_hinkley_two_scans_partitioned_windows(spark):
+    """x_page_hinkley: events is scanned exactly twice overall — the
+    per-series scalar pass (one conditional aggregate, materialized
+    by the eager localCheckpoint so the final plan reads ExistingRDD)
+    plus the one monitoring scan visible here; the scalar table
+    broadcasts back; every window is partitioned by the series key —
+    no global window over data."""
+    plan = plan_of(spark, "x_page_hinkley")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    # the running-sum/min windows ride the event_type partitioning
+    assert "SinglePartition" not in plan, plan
+
+
+def test_tost_is_one_combinable_aggregate_no_join(spark):
+    """x_tost_equivalence: the whole test is ONE map-side combinable
+    aggregate over events (six integer sufficient statistics per
+    segment); everything downstream is row-local expressions."""
+    plan = plan_of(spark, "x_tost_equivalence")
+    assert "Join" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_label_propagation_linear_lineage(spark):
+    """g_label_propagation: edges (with self-loops) localCheckpoint
+    once; each of the 6 rounds references the label frame exactly
+    ONCE (min over neighbours-including-self), so the plan grows
+    linearly in rounds — 6 join+agg pairs, not 2^6 self-join copies —
+    and the base table appears nowhere in the final plan."""
+    plan = plan_of(spark, "g_label_propagation")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins <= 2 * 6, plan  # linear, with slack for join strategy
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_obrien_fleming_lattice_never_retouches_events(spark):
+    """x_obrien_fleming: the K-row look table materializes once
+    (eager localCheckpoint after the single conditional aggregate);
+    the cumulative windows and boundary expressions run on the K-row
+    checkpoint only."""
+    plan = plan_of(spark, "x_obrien_fleming")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+
+
+def test_hll_sparse_pairs_materialize_once(spark):
+    """x_hll_sparse: the sparse (idx, rho) pair table materializes
+    once (eager localCheckpoint after the map-side-combinable max);
+    the fingerprint rollup AND the dense downgrade read the
+    checkpoint, so orders is scanned exactly once more (the exact
+    side)."""
+    plan = plan_of(spark, "x_hll_sparse")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "ExistingRDD" in plan
+
+
+def test_textrank_iterates_over_checkpointed_edges(spark):
+    """t_textrank_keywords: edges and degrees localCheckpoint once
+    (the doc-local adjacency self-join happens there); the 3 rank
+    iterations read only checkpoints, and top-k is TakeOrdered —
+    never a full sort of the vocabulary."""
+    plan = plan_of(spark, "t_textrank_keywords")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tdigest_rank_is_range_partitioned(spark):
+    """x_tdigest_quantiles: the global rank comes from the two-pass
+    range-partitioned rank (repartitionByRange + mapInPandas offsets),
+    NOT a single-task global window; the only unpartitioned window is
+    the cum_n pass over <= 32 centroid rows (post-aggregate)."""
+    plan = plan_of(spark, "x_tdigest_quantiles")
+    assert "rangepartitioning" in plan, plan
+    assert "MapInPandas" in plan, plan
+    # the digest rollup is a real combinable aggregate
+    assert "partial_count" in plan or "partial_sum" in plan, plan

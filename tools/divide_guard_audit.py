@@ -745,6 +745,10 @@ ADJUDICATED_SAFE: dict[tuple[str, str], str] = {
     ("g_pagerank", "n"):
         "node count cross-joined from the non-empty deg CTE: rows that "
         "evaluate the division exist only when n >= 1",
+    ("t_textrank_keywords", "n"):
+        "vocabulary count cross-joined from the non-empty deg/in CTEs "
+        "(the g_pagerank shape): rows that evaluate the division exist "
+        "only when n >= 1",
     ("t_conditional_entropy", "n.big_n"):
         "sum of per-bigram counts, >= c >= 1 whenever a scoring row "
         "exists (cross join against the non-empty bg)",
