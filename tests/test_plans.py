@@ -302,6 +302,12 @@ def test_unpartitioned_window_sites_are_audited():
       window runs over the CHECKPOINTED {_ISO_BINS}-row score grid
       (bounded by bin cardinality, never the base table; the single
       events pass is the combinable rollup upstream)
+    - queries_round14.py: 3 — x_obrien_fleming's cumulative window
+      runs over the CHECKPOINTED K-row look table (K = 5 weekly
+      looks); x_tdigest_quantiles' cum_n window runs over the
+      <= delta = 32 centroid rows POST-aggregate (the global rank
+      itself goes through operators/ids.ranked, the range-partitioned
+      path); t_textrank_keywords ranks the limit-15 keyword head
     """
     import pathlib
 
@@ -315,6 +321,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_round10.py": 3,
         "queries_round11.py": 6,
         "queries_round12.py": 1,
+        "queries_round14.py": 3,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent
