@@ -63,6 +63,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # host 1-minute load BEFORE the session spins up: the end-of-run
+    # reading includes the bench's OWN executors (a quiet host reads
+    # ~8-12 there from self-load alone — r14 measured 11.09 at end vs
+    # 1.35 immediately before), so only the start reading separates
+    # external pressure from the bench itself
+    try:
+        load1_start = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load1_start = None
+
     from map2db_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -174,6 +184,7 @@ def main() -> None:
                 "samples": samples,
                 "sf": sf,
                 "host_load1": load1,
+                "host_load1_start": load1_start,
             }
         )
     )
