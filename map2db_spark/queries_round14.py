@@ -831,13 +831,7 @@ def x_hll_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs sparse first at 100 TB group-explosion cardinalities.
     """
     orders = Tables(spark, sf_dir).orders
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hs:"), F.col("o_custkey").cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
+    hv = _hexcol("o_custkey", "hs:", 15)
     sp = orders.select(
         "o_orderstatus", "o_custkey", hv.alias("hv")
     ).select(
@@ -1036,6 +1030,25 @@ def t_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n = deg.count()  # vocabulary size: O(1) driver-side scalar
+    if n == 0:
+        # an all-stopword / single-token corpus has no adjacency
+        # graph: the oracle's CTE chain yields ZERO rows there, so the
+        # Spark side must return the same empty shape instead of
+        # letting the driver-side _TR_SCALE // n raise (the
+        # error-vs-empty divergence class the divide gates hunt —
+        # this division is Python, invisible to both)
+        from pyspark.sql.types import (
+            IntegerType, LongType, StringType, StructField, StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType([
+                StructField("word", StringType()),
+                StructField("rank_e12", LongType()),
+                StructField("rnk", IntegerType()),
+            ]),
+        )
     base = F.lit(_TR_SCALE // n).cast("long")
     teleport = F.lit(((_TR_SCALE // n) * 15) // 100).cast("long")
     ranks = deg.select(F.col("src").alias("node"), base.alias("rank"))

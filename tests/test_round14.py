@@ -292,3 +292,35 @@ def test_tost_is_conservative_on_degenerate_arms(spark):
             assert r["equivalent"] == int(
                 r["t_lower_micro"] > crit and r["t_upper_micro"] > crit
             )
+
+
+def test_textrank_empty_graph_returns_oracle_shape(spark, tmp_path):
+    """An all-stopword corpus has no adjacency graph: the oracle's CTE
+    chain yields zero rows, and the Spark side must return the same
+    empty shape rather than raise ZeroDivisionError on the driver-side
+    vocabulary count (a Python division invisible to both divide
+    gates)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["the and of to", "a an the", "word"]  # stopwords + singleton
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    df = QUERIES["t_textrank_keywords"].fn(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["word", "rank_e12", "rnk"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert con.execute(QUERIES["t_textrank_keywords"].oracle).df().shape[0] == 0
