@@ -28,7 +28,7 @@ _ensure_loaded()
 TIER0 = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
 
 
-@pytest.mark.parametrize("kind", ["empty", "mono"])
+@pytest.mark.parametrize("kind", ["empty", "mono", "linked"])
 def test_unverified_queries_agree_on_degenerate_inputs(spark, kind):
     from tests.driver_sim import normalize
 

@@ -13,7 +13,7 @@ both engines.
 
 Usage (from anywhere; ~30 min over the full registry):
 
-    python3 tools/degenerate_input_audit.py [empty|mono] [name,...]
+    python3 tools/degenerate_input_audit.py [empty|mono|linked] [name,...]
 
 Classification per (query, fixture):
 
@@ -49,30 +49,87 @@ SRC_SF = "/root/testdata/sf0.001"
 
 
 def build_fixture(kind: str) -> str:
-    """Materialize the degenerate tables (schema-preserving parquet:
-    LIMIT 0 for 'empty', LIMIT 1 for 'mono') and return the dir."""
+    """Materialize the degenerate tables (schema-preserving parquet)
+    and return the dir.
+
+    - 'empty': LIMIT 0 of every table;
+    - 'mono': LIMIT 1 of every table (FKs NOT consistent — joins go
+      empty, exercising the empty-join-result path);
+    - 'linked': ONE order with its actual lineitems, customer,
+      suppliers, parts, nations, and regions (FK-consistent — joins
+      produce 1-to-few rows, exercising singleton aggregates and
+      windows).
+    """
     import duckdb
 
     out = f"/tmp/degenerate_{kind}"
     os.makedirs(out, exist_ok=True)
-    limit = 0 if kind == "empty" else 1
     con = duckdb.connect()
+    if kind in ("empty", "mono"):
+        limit = 0 if kind == "empty" else 1
+        for t in TABLES:
+            dst = os.path.join(out, f"{t}.parquet")
+            if not os.path.exists(dst):
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{SRC_SF}/{t}.parquet')"
+                    f" LIMIT {limit}) TO '{dst}' (FORMAT PARQUET)"
+                )
+        return out
+    assert kind == "linked", kind
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW src_{t} AS SELECT * FROM"
+            f" read_parquet('{SRC_SF}/{t}.parquet')"
+        )
+    picks = {
+        "orders": "SELECT * FROM src_orders ORDER BY o_orderkey LIMIT 1",
+        "lineitem": (
+            "SELECT l.* FROM src_lineitem l WHERE l.l_orderkey ="
+            " (SELECT min(o_orderkey) FROM src_orders)"
+        ),
+        "customer": (
+            "SELECT c.* FROM src_customer c WHERE c.c_custkey IN"
+            " (SELECT o_custkey FROM src_orders ORDER BY o_orderkey LIMIT 1)"
+        ),
+        "supplier": (
+            "SELECT s.* FROM src_supplier s WHERE s.s_suppkey IN"
+            " (SELECT l_suppkey FROM src_lineitem WHERE l_orderkey ="
+            " (SELECT min(o_orderkey) FROM src_orders))"
+        ),
+        "part": (
+            "SELECT p.* FROM src_part p WHERE p.p_partkey IN"
+            " (SELECT l_partkey FROM src_lineitem WHERE l_orderkey ="
+            " (SELECT min(o_orderkey) FROM src_orders))"
+        ),
+        "nation": (
+            "SELECT n.* FROM src_nation n WHERE n.n_nationkey IN"
+            " (SELECT c_nationkey FROM src_customer WHERE c_custkey IN"
+            "  (SELECT o_custkey FROM src_orders ORDER BY o_orderkey LIMIT 1)"
+            "  UNION SELECT s_nationkey FROM src_supplier WHERE s_suppkey IN"
+            "  (SELECT l_suppkey FROM src_lineitem WHERE l_orderkey ="
+            "   (SELECT min(o_orderkey) FROM src_orders)))"
+        ),
+        "region": (
+            "SELECT r.* FROM src_region r WHERE r.r_regionkey IN"
+            " (SELECT n_regionkey FROM src_nation)"
+        ),
+        "events": "SELECT * FROM src_events ORDER BY event_id LIMIT 1",
+        "documents": "SELECT * FROM src_documents ORDER BY doc_id LIMIT 1",
+        "embeddings": "SELECT * FROM src_embeddings LIMIT 1",
+    }
     for t in TABLES:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
-            con.execute(
-                f"COPY (SELECT * FROM read_parquet('{SRC_SF}/{t}.parquet')"
-                f" LIMIT {limit}) TO '{dst}' (FORMAT PARQUET)"
-            )
+            con.execute(f"COPY ({picks[t]}) TO '{dst}' (FORMAT PARQUET)")
     return out
 
 
 def main() -> int:
-    kinds = [sys.argv[1]] if len(sys.argv) > 1 and sys.argv[1] in (
-        "empty", "mono"
-    ) else ["empty", "mono"]
+    KINDS = ("empty", "mono", "linked")
+    kinds = [sys.argv[1]] if len(sys.argv) > 1 and sys.argv[1] in KINDS \
+        else list(KINDS)
     name_arg = sys.argv[2] if len(sys.argv) > 2 else (
-        sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] not in ("empty", "mono")
+        sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] not in KINDS
         else None
     )
     only = set(name_arg.split(",")) if name_arg else None
