@@ -88,8 +88,12 @@ def count_triangles(e: DataFrame) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
            (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
            (SELECT n_triangles FROM tri) AS n_triangles,
-           (SELECT CAST((SELECT n_triangles FROM tri) * 3000000
-                        // sum(d * (d - 1) // 2) AS BIGINT)
+           -- degenerate-input audit (r14): a graph with no wedges
+           -- (every node degree <= 1) has no closable paths — the
+           -- closure rate is undefined, NULL on BOTH engines
+           (SELECT CASE WHEN sum(d * (d - 1) // 2) = 0 THEN NULL
+                   ELSE CAST((SELECT n_triangles FROM tri) * 3000000
+                             // sum(d * (d - 1) // 2) AS BIGINT) END
             FROM deg) AS closure_ppm
     """,
     tags=("graph", "analytics", "scale"),
@@ -136,9 +140,11 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.expr("n_triangles * 3000000 div n_wedges")
-            .cast("bigint")
-            .alias("closure_ppm"),
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN NULL"
+                " ELSE CAST(n_triangles * 3000000 DIV n_wedges"
+                " AS BIGINT) END"
+            ).alias("closure_ppm"),
         )
     )
 
@@ -1456,9 +1462,13 @@ def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS slope_num,
            CAST(CAST(n * sxx - sx * sx AS DECIMAL(38, 0)) AS VARCHAR)
              AS slope_den,
-           CAST(CAST((n * sxy - sx * sy) * 1000000000 AS HUGEINT)
-                // CAST(n * sxx - sx * sx AS HUGEINT)
-                AS BIGINT) AS slope_nanos,
+           -- degenerate-input audit (r14): a single-observation (or
+           -- single-timestamp) group has zero x-variance — the slope
+           -- is undefined, NULL on BOTH engines
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(CAST((n * sxy - sx * sy) * 1000000000 AS HUGEINT)
+                          // CAST(n * sxx - sx * sx AS HUGEINT)
+                          AS BIGINT) END AS slope_nanos,
            CAST(CAST(sy * 1000000 AS HUGEINT) // CAST(n AS HUGEINT) AS BIGINT)
              AS mean_cents_e6
     FROM s
@@ -1507,8 +1517,11 @@ def x_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_num"),
         F.expr("cast(cast(n * sxx - sx * sx as decimal(38,0)) as string)")
         .alias("slope_den"),
-        F.expr("cast((n * sxy - sx * sy) * 1000000000 div (n * sxx - sx * sx) as bigint)")
-        .alias("slope_nanos"),
+        F.expr(
+            "case when n * sxx - sx * sx = 0 then null"
+            " else cast((n * sxy - sx * sy) * 1000000000"
+            " div (n * sxx - sx * sx) as bigint) end"
+        ).alias("slope_nanos"),
         F.expr("cast(sy * 1000000 div n as bigint)").alias("mean_cents_e6"),
     )
 

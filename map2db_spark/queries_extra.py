@@ -561,6 +561,24 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     n = deg.count()  # node count: O(1) driver-side scalar, not a collect of data
+    if n == 0:
+        # degenerate-input audit (r14): an empty trade graph (no
+        # order-lineitem pair survives) left this driver-side Python
+        # division to raise ZeroDivisionError where the oracle's CTE
+        # chain yields zero rows — return the oracle's empty shape
+        # (the t_textrank_keywords fix, applied to its template)
+        from pyspark.sql.types import (
+            IntegerType, LongType, StructField, StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType([
+                StructField("node", LongType()),
+                StructField("rank_e12", LongType()),
+                StructField("rnk", IntegerType()),
+            ]),
+        )
     base = F.lit(_PR_SCALE // n).cast("bigint")
     teleport = F.lit(((_PR_SCALE // n) * 15) // 100).cast("bigint")
     ranks = deg.select(F.col("src").alias("node"), base.alias("rank"))

@@ -1746,12 +1746,17 @@ def v_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n, sx, sy, sxy, sxx, syy,
            CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS theta_den,
-           CAST(round(1000000.0 *
-             (1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     * CAST(n * sxy - sx * sy AS DOUBLE))
-                    / (CAST(n * sxx - sx * sx AS DOUBLE)
-                       * CAST(n * syy - sy * sy AS DOUBLE))))
-             AS BIGINT) AS var_ratio_micro
+           -- degenerate-input audit (r14): a single user (or a
+           -- constant pre/post column) zeroes a variance factor —
+           -- the ratio is undefined, NULL on BOTH engines
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(round(1000000.0 *
+                  (1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))))
+                  AS BIGINT) END AS var_ratio_micro
     FROM s
     """,
     tags=("analytics", "ml-eval", "ab-test"),
@@ -1801,11 +1806,14 @@ def x_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sx", "sy", "sxy", "sxx", "syy",
         tn.cast("long").alias("theta_num"),
         td.cast("long").alias("theta_den"),
-        F.round(
-            1000000.0
-            * (1.0 - (tn.cast("double") * tn.cast("double"))
-               / (td.cast("double") * vy.cast("double")))
-        ).cast("long").alias("var_ratio_micro"),
+        F.when((td == 0) | (vy == 0), F.lit(None).cast("long"))
+        .otherwise(
+            F.round(
+                1000000.0
+                * (1.0 - (tn.cast("double") * tn.cast("double"))
+                   / (td.cast("double") * vy.cast("double")))
+            ).cast("long")
+        ).alias("var_ratio_micro"),
     )
 
 
@@ -2300,14 +2308,22 @@ def x_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT n, both_pass, only_a, only_b, neither,
-           CAST(round(1000000 *
-             (CAST(n * (both_pass + neither)
-                   - ((both_pass + only_a) * (both_pass + only_b)
-                      + (only_b + neither) * (only_a + neither)) AS DOUBLE))
-             / (CAST(n AS DOUBLE) * n
-                - ((both_pass + only_a) * (both_pass + only_b)
-                   + (only_b + neither) * (only_a + neither)))) AS BIGINT)
-             AS kappa_micro
+           -- degenerate-input audit (r14): on a single document (or
+           -- two deterministic raters with degenerate marginals)
+           -- n^2 equals the marginal product sum — chance agreement
+           -- is total, kappa undefined, NULL on BOTH engines
+           CASE WHEN n * n = (both_pass + only_a) * (both_pass + only_b)
+                             + (only_b + neither) * (only_a + neither)
+                THEN NULL
+                ELSE CAST(round(1000000 *
+                  (CAST(n * (both_pass + neither)
+                        - ((both_pass + only_a) * (both_pass + only_b)
+                           + (only_b + neither) * (only_a + neither))
+                        AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * n
+                     - ((both_pass + only_a) * (both_pass + only_b)
+                        + (only_b + neither) * (only_a + neither))))
+                  AS BIGINT) END AS kappa_micro
     FROM c
     """,
     tags=("analytics", "ml-eval", "data-quality"),
@@ -2339,9 +2355,13 @@ def x_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     marg = pa * pb + qb * qa
     return c.select(
         "n", "both_pass", "only_a", "only_b", "neither",
-        F.round(
-            1000000
-            * (F.col("n") * agree - marg).cast("double")
-            / (F.col("n").cast("double") * F.col("n") - marg)
-        ).cast("long").alias("kappa_micro"),
+        F.when(
+            F.col("n") * F.col("n") == marg, F.lit(None).cast("long")
+        ).otherwise(
+            F.round(
+                1000000
+                * (F.col("n") * agree - marg).cast("double")
+                / (F.col("n").cast("double") * F.col("n") - marg)
+            ).cast("long")
+        ).alias("kappa_micro"),
     )

@@ -2635,8 +2635,13 @@ def _fs_oracle() -> str:
     )
     field_rows = " UNION ALL ".join(
         f"""SELECT '{name}' AS field,
-        CAST((a{k}m * 1000000) // nm AS BIGINT) AS m_ppm,
-        CAST((a{k}u * 1000000) // nu AS BIGINT) AS u_ppm,
+        -- degenerate-input audit (r14): a pair table with no true
+        -- matches (nm = 0) or no non-matches (nu = 0) leaves that
+        -- conditional probability undefined -> NULL on BOTH engines
+        CASE WHEN nm = 0 THEN NULL
+             ELSE CAST((a{k}m * 1000000) // nm AS BIGINT) END AS m_ppm,
+        CASE WHEN nu = 0 THEN NULL
+             ELSE CAST((a{k}u * 1000000) // nu AS BIGINT) END AS u_ppm,
         w{k}a AS w_agree_micro, w{k}d AS w_disagree_micro FROM w"""
         for k, name in (
             (1, "first_token"),
@@ -2813,12 +2818,14 @@ def x_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         row = w.select(
             F.lit(name).alias("field"),
-            F.expr(f"CAST((a{k}m * 1000000) DIV nm AS BIGINT)").alias(
-                "m_ppm"
-            ),
-            F.expr(f"CAST((a{k}u * 1000000) DIV nu AS BIGINT)").alias(
-                "u_ppm"
-            ),
+            F.expr(
+                f"CASE WHEN nm = 0 THEN NULL"
+                f" ELSE CAST((a{k}m * 1000000) DIV nm AS BIGINT) END"
+            ).alias("m_ppm"),
+            F.expr(
+                f"CASE WHEN nu = 0 THEN NULL"
+                f" ELSE CAST((a{k}u * 1000000) DIV nu AS BIGINT) END"
+            ).alias("u_ppm"),
             F.col(f"w{k}a").alias("w_agree_micro"),
             F.col(f"w{k}d").alias("w_disagree_micro"),
         )

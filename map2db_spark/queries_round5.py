@@ -135,12 +135,20 @@ def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# degenerate-input audit (r14): a singleton or constant-rank group
+# zeroes a variance factor — rho undefined, NULL on BOTH engines (the
+# guard compares the same doubles the denominator computes, so it
+# fires identically on both)
 _SPEARMAN_RHO = """
-    CAST(round(1000000 *
+    CASE WHEN n <= 1
+           OR CAST(n AS DOUBLE) * sxx = CAST(sx AS DOUBLE) * sx
+           OR CAST(n AS DOUBLE) * syy = CAST(sy AS DOUBLE) * sy
+    THEN NULL
+    ELSE CAST(round(1000000 *
         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-    ) AS BIGINT)"""
+    ) AS BIGINT) END"""
 
 
 @query(
@@ -355,8 +363,13 @@ _POIS_T = [int(p * (1 << 48)) for p in _POIS_CUM]
     SELECT r,
            CAST(sum(wgt) AS BIGINT) AS wsum,
            CAST(sum(wgt * cents) AS BIGINT) AS wxsum,
-           CAST(sum(wgt * cents) * 1000000 // sum(wgt) AS BIGINT)
-             AS mean_micro
+           -- degenerate-input audit (r14): a tiny corpus can draw
+           -- weight 0 for EVERY row of a replicate -> the replicate
+           -- resample is empty, its mean undefined -> NULL on BOTH
+           -- engines
+           CASE WHEN sum(wgt) = 0 THEN NULL
+                ELSE CAST(sum(wgt * cents) * 1000000 // sum(wgt)
+                     AS BIGINT) END AS mean_micro
     FROM w GROUP BY r ORDER BY r
     """,
     tags=("analytics", "statistics", "bootstrap"),
@@ -407,7 +420,9 @@ def x_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wgt").cast("long").alias("wsum"),
             F.sum(F.col("wgt") * F.col("cents")).cast("long").alias("wxsum"),
             F.expr(
-                "CAST(sum(wgt * cents) * 1000000 DIV sum(wgt) AS BIGINT)"
+                "CASE WHEN sum(wgt) = 0 THEN NULL"
+                " ELSE CAST(sum(wgt * cents) * 1000000 DIV sum(wgt)"
+                " AS BIGINT) END"
             ).alias("mean_micro"),
         )
         .orderBy("r")
@@ -4974,9 +4989,13 @@ _HEAPS_STEP = 50
       FROM marks
     ),
     lg AS (
+      -- degenerate-input audit (r14): a checkpoint BEFORE the first
+      -- document has n_corpus/v = 0 — DuckDB ln(0) raises where the
+      -- Spark side's inner joins never produce the row; filter the
+      -- empty checkpoints on this side so the point sets match
       SELECT CAST(round(1000 * ln(CAST(n_corpus AS DOUBLE))) AS BIGINT) AS x,
              CAST(round(1000 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS y
-      FROM pts
+      FROM pts WHERE n_corpus > 0 AND v > 0
     ),
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
@@ -4986,8 +5005,12 @@ _HEAPS_STEP = 50
     SELECT n,
            CAST(n * sxy - sx * sy AS BIGINT) AS beta_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS beta_den,
-           CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
-                AS BIGINT) AS beta_micro
+           -- a single-document corpus makes every checkpoint identical:
+           -- zero log-log variance -> slope undefined, NULL on BOTH
+           -- engines (degenerate-input audit, r14)
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST((1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx) AS BIGINT) END AS beta_micro
     FROM s
     """,
     tags=("text", "analytics", "vocabulary"),
@@ -5055,8 +5078,9 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("beta_den"),
         F.expr(
-            "CAST((1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"
-            " AS BIGINT)"
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE CAST((1000000 * (n * sxy - sx * sy))"
+            " DIV (n * sxx - sx * sx) AS BIGINT) END"
         ).alias("beta_micro"),
     )
 
@@ -7871,7 +7895,12 @@ def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (0.5 * (CAST(c1 AS DOUBLE) / n1
                             + CAST(c2 AS DOUBLE) / n2)))) AS BIGINT)
              ELSE 0 END AS pb
-      FROM c CROSS JOIN n
+      -- degenerate-input audit (r14): an absent source (n1 or n2 = 0)
+      -- makes the quotients 0/0 — Spark ANSI raises where DuckDB
+      -- yields NULL; with no second distribution the JSD is
+      -- undefined: emit the empty term set (n_terms 0, jsd NULL) on
+      -- BOTH engines
+      FROM c CROSS JOIN n WHERE n1 > 0 AND n2 > 0
     )
     SELECT 'src0' AS source_a, 'src1' AS source_b,
            CAST(count(*) AS BIGINT) AS n_terms,
@@ -7914,7 +7943,9 @@ def t_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
     )
-    ct = c.crossJoin(F.broadcast(n))
+    ct = c.crossJoin(F.broadcast(n)).where(
+        (F.col("n1") > 0) & (F.col("n2") > 0)
+    )
     p = F.col("c1").cast("double") / F.col("n1")
     q = F.col("c2").cast("double") / F.col("n2")
     m = 0.5 * (p + q)

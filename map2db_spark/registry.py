@@ -117,7 +117,9 @@ _VERIFIED_BY_ROUND[9] = frozenset({
 
 # --- green in CORRECTNESS_r08.json (round-8 driver window: 44 of the
 # 50 greens; x_gains_deciles / w_target_encoding are NOT here (r13 divide-guard audit fixes
-# -> re-grade).  Original r9-era exclusions below:
+# -> re-grade).  t_heaps_law / t_js_divergence are NOT here either
+# (r14 degenerate-input audit guards -> re-grade).
+# Original r9-era exclusions below:
 # 50 greens; m_decode_native_dispatch / m_decode_corpus_bench /
 # s_stream_media_decode / m_jpeg_libjpeg_parity /
 # m_jpeg_quality_estimate / d_phash_clusters are deliberately NOT
@@ -128,7 +130,7 @@ _VERIFIED_BY_ROUND[9] = frozenset({
 _VERIFIED_BY_ROUND[8] = frozenset({
     "m2db_decode_sightings", "m2db_geometry_stats",
     "m2db_pipeline_throughput", "m2db_sql_over_features",
-    "m2db_validation_violations", "t_heaps_law", "c_cluster_aware_split",
+    "m2db_validation_violations", "c_cluster_aware_split",
     "g_harmonic_centrality", "x_linear_attribution",
     "d_cross_source_matrix", "x_qq_deciles", "v_ann_ndcg",
     "d_minhash_estimate_error", "c_soft_dedup_weights",
@@ -139,7 +141,7 @@ _VERIFIED_BY_ROUND[8] = frozenset({
     "t_bigram_perplexity", "x_bloom_filter", "m_webp_pixels",
     "m_resize_pixels", "t_dup_ngram_coverage", "c_semdedup",
     "f_collated_grouping", "f_parameterized_sql", "u_python_udtf",
-    "t_js_divergence", "v_ann_filtered", "x_bm25_retrieval",
+    "v_ann_filtered", "x_bm25_retrieval",
     "t_lang_confusion", "c_contamination_bloom", "g_betweenness",
     "m_exif_orientation", "m_resize_exif_jpeg",
 })
@@ -149,15 +151,17 @@ _VERIFIED_BY_ROUND[7] = frozenset({
     # d_minhash_recall_eval / d_minhash_recall_skewed / x_runs_test /
     # x_ipw_ate are deliberately NOT here: the r13 static divide-guard
     # audit added degenerate-denominator guards to them -> re-grade,
-    # per this structure's rule ---
+    # per this structure's rule.  x_acf_lags / g_degree_assortativity
+    # are NOT here either (r14: the shared _SPEARMAN_RHO expression
+    # gained its degenerate-variance guard) ---
     "s_stream_checkpoint_resume", "c_dsir_importance", "f_csv_roundtrip",
     "f_jsonl_roundtrip", "m_jpeg_dims", "t_bpe_encode_apply",
-    "x_acf_lags", "sql_group_by_all", "d_cluster_canonical",
+    "sql_group_by_all", "d_cluster_canonical",
     "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
     "x_psi_drift", "v_mmr_rerank",
     "x_conformal_interval",
     "m_webp_dims", "g_clustering_coefficient",
-    "v_binary_quantization", "g_degree_assortativity", "d_incremental_dedup",
+    "v_binary_quantization", "d_incremental_dedup",
     "f_schema_evolution", "f_dynamic_partition_overwrite", "x_mann_kendall",
     "w_max_drawdown", "x_xicor", "m_mp4_duration",
     "t_collocations_pmi", "v_centroid_drift", "sql_lateral_subquery",
@@ -170,7 +174,10 @@ _VERIFIED_BY_ROUND[7] = frozenset({
 
 # --- green in CORRECTNESS_r06.json (round-6 driver window:
 # x_did_estimator / x_welch_ttest / x_ks_two_sample are NOT here
-# (r13 divide-guard audit fixes -> re-grade); the 17
+# (r13 divide-guard audit fixes -> re-grade); x_spearman_corr /
+# x_poisson_bootstrap / x_group_linreg / x_cuped_adjustment /
+# x_rater_kappa are NOT here either (r14 degenerate-input audit
+# guards -> re-grade); the 17
 # codec/external-parity queries, the 3 decimal re-grades, and 30
 # drained from the r4/r5 registration backlog — 50/50 green).
 # m_gif_giflib_parity is deliberately NOT here: r9 changed
@@ -182,7 +189,7 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     "m_tiff_libtiff_parity", "m_deflate_zlib_parity", "m_png_fromscratch",
     "m_gif_pixels", "m_lz4_parity",
     "m_bzip2_parity", "m_zstd_parity", "m_lzma_parity", "m_vp8_pixels",
-    "m_png_libpng_parity", "x_group_linreg", "x_gini_concentration",
+    "m_png_libpng_parity", "x_gini_concentration",
     "w_cusum_changepoint", "x_calibration_bins", "w_seasonal_decompose",
     "f_variant_histogram", "x_dp_noisy_counts",
     "c_k_anonymity", "x_chi_squared",
@@ -194,10 +201,10 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     # already exist, so they are FRONTED for a fresh current-HEAD
     # driver row instead of being re-implemented (removed from this
     # set -> tier 0).
-    "x_cuped_adjustment", "m_binaryfile_ingest",
+    "m_binaryfile_ingest",
     "x_seasonal_anomaly_days", "g_modularity", "v_ann_mrr_rank",
-    "x_benford_test", "x_rater_kappa", "s_stream_append_emission",
-    "x_spearman_corr", "x_poisson_bootstrap", "x_entropy_segments", "g_adamic_adar",
+    "x_benford_test", "s_stream_append_emission",
+    "x_entropy_segments", "g_adamic_adar",
     "g_random_walk",
 })
 
@@ -226,13 +233,16 @@ _VERIFIED_BY_ROUND[5] = frozenset({
 
 # --- green in CORRECTNESS_r04.json (round-4 driver window).
 # d_semdedup_recall_hotcell / x_funnel_conversion are NOT here
-# (r13 divide-guard audit fixes -> re-grade) ---
+# (r13 divide-guard audit fixes -> re-grade); g_pagerank /
+# g_triangle_count are NOT here either (r14 degenerate-input audit:
+# driver-side empty-graph return + zero-wedge closure guard ->
+# re-grade) ---
 _VERIFIED_BY_ROUND[4] = frozenset({
     "c_embedding_decontam", "c_weighted_sample", "d_cohort_retention",
     "d_containment_dedup", "d_prefix_filter_join", "d_semantic_dedup",
     "d_simhash_banded", "f_file_provenance",
     "f_regexp_surface", "f_try_arithmetic", "g_exact_median",
-    "g_kcore_peel", "g_pagerank", "g_triangle_count", "h_array_setops",
+    "g_kcore_peel", "h_array_setops",
     "j_interval_overlap", "m_image_ahash", "m_wav_decode", "m_wav_energy",
     "m_webp_lz77_pixels", "r_cdc_merge_upsert", "s_stream_dedup_within_wm",
     "s_stream_static_enrich", "sql_except_intersect_all",
@@ -279,6 +289,8 @@ _VERIFIED_BY_ROUND[1] = frozenset()
 # the 50 graded rows; the 4 reds were value-correct but their oracles
 # left sum(BIGINT) columns uncast — HUGEINT → float64 dtype split —
 # fixed in r11 and deliberately NOT listed here so they re-grade.
+# x_fellegi_sunter is NOT here either (r14 degenerate-input audit:
+# nm/nu = 0 guards on m_ppm/u_ppm -> re-grade).
 # Also NOT listed despite being r10-green: c_shard_shuffle_manifest
 # (signature definition changed to the block-chained form in r11),
 # v_hard_negative_mining (degenerate-label filter added), and
@@ -292,7 +304,7 @@ _VERIFIED_BY_ROUND[10] = frozenset({
     "x_als_onefactor", "c_dataset_card", "s_stream_contamination_exact",
     "v_truncated_dim_recall", "j_entity_resolution", "x_join_size_sketch",
     "r_incremental_view_maintenance", "g_mst_single_linkage",
-    "x_fellegi_sunter", "c_mixture_reweight", "g_ktruss_peel",
+    "c_mixture_reweight", "g_ktruss_peel",
     "r_dq_constraint_audit", "t_span_corruption_masks",
     "t_unicode_nfc_scrub", "w_percent_rank_decile", "s_global_topk",
     "g_rollup_revenue", "g_grouping_id", "x_corr_cov", "g_cube_flags",
@@ -419,17 +431,20 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r14 arithmetic (VERDICT r13 #2 + #3): tier 0 = this round's new
+# r14 arithmetic (VERDICT r13 #2 + #3): tier 0 = 8 new
 # queries_round14 registrations + f_tar_shard_ingest /
-# f_zip_shard_ingest (ADVICE r13 fixes touch functions/tar.py and
-# functions/zipfmt.py -> re-grade).  The remaining rotation slots
-# drain the oldest vintages: the 2 r3 stragglers (r_values_inline,
-# f_map_surface) first, then the 48-row r4 set in registration
-# order.  With ~8 new registrations + 2 re-grades, ~40 rotation
-# slots cover the 2 r3 rows + ~38 of r4, leaving a single-digit r4
-# tail for r15 — the drain's final round.
-# tests/test_registry_order.py pins the RULE, not just this round's
-# list.
+# f_zip_shard_ingest (ADVICE r13 fixes) + the 12 degenerate-input
+# audit fixes (the new empty/mono/linked axis reproduced one-sided
+# DIVIDE_BY_ZERO / driver-side ZeroDivisionError defects in
+# t_heaps_law, t_js_divergence, x_spearman_corr, x_acf_lags,
+# g_degree_assortativity, x_poisson_bootstrap, g_triangle_count,
+# x_group_linreg, x_cuped_adjustment, x_rater_kappa,
+# x_fellegi_sunter, g_pagerank — fixing reproduced defects outranks
+# drain speed, the r13 precedent) = 22.  The remaining 28 rotation
+# slots drain the 2 r3 stragglers then 26 of the 46-row r4 set,
+# leaving ~20 r4 rows for r15 (still a one-round tail at the usual
+# registration throttle).  tests/test_registry_order.py pins the
+# RULE, not just this round's list.
 
 
 def _ensure_loaded() -> None:

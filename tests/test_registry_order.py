@@ -125,8 +125,10 @@ def test_r8_greens_retired_from_the_window():
     # every CORRECTNESS_r08 green row except the deliberate re-grades
     # is in the verified tier; r8-round names are the NEWEST greens so
     # none of them may occupy a rotation slot while r1 rows exist
+    # t_heaps_law left this list in r14 (degenerate-input audit
+    # guard -> re-grade)
     for name in (
-        "t_heaps_law", "g_betweenness", "m_resize_exif_jpeg",
+        "g_betweenness", "m_resize_exif_jpeg",
         "m_exif_orientation", "x_bloom_filter", "c_semdedup",
     ):
         assert name in _VERIFIED_BY_ROUND[8], name

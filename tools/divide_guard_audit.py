@@ -671,11 +671,6 @@ ADJUDICATED_SAFE: dict[tuple[str, str], str] = {
     ("t_js_divergence", "(0.5*(cast(c1asdouble)/n1+cast(c2asdouble)/n2))"):
         "JS mixture probability of a term that exists in at least one "
         "corpus (the join produced it): c1 + c2 >= 1, n1, n2 >= 1",
-    ("t_js_divergence", "n1"):
-        "train-corpus token total, >= 1 per whitespace-split semantics "
-        "whenever the scoring row exists",
-    ("t_js_divergence", "n2"):
-        "test-corpus token total, same argument as n1",
     ("t_mattr_diversity", "(25*(max(n)-24))"):
         "upstream WHERE len(l) >= 25 bounds every contributing doc, so "
         "max(n) - 24 >= 1",
@@ -768,14 +763,6 @@ ADJUDICATED_SAFE: dict[tuple[str, str], str] = {
     ("x_fellegi_sunter", "length(p_name)"):
         "same TPC-H non-empty-name argument (the synthesized variants "
         "splice non-empty bases)",
-    ("x_fellegi_sunter", "nm"):
-        "count of planted matched pairs: the fixture plants a modified "
-        "copy of every part with p_partkey < 500 into the same "
-        "first-token block, so nm >= 1 at every SF (fixture-structural)",
-    ("x_fellegi_sunter", "nu"):
-        "count of non-matched blocked pairs: blocking on first tokens "
-        "of distinct TPC-H names always pairs some non-duplicates "
-        "(fixture-structural)",
     ("t_readability", "n_words"):
         "word count per document, >= 1 by split semantics",
     ("t_term_burstiness", "nd.n_docs"):
@@ -809,19 +796,9 @@ ADJUDICATED_SAFE: dict[tuple[str, str], str] = {
         "BFS shortest-path counts: sigma starts at 1 on the seed layer "
         "and sums positive parents; joins only reach nodes with >= 1 "
         "path",
-    ("g_triangle_count", "sum(d*(d-1)//2)"):
-        "wedge count of the TPC-H co-occurrence graph: zero requires "
-        "every part to have degree <= 1 (a perfect matching), "
-        "impossible at fixture density — fixture-structural (see "
-        "honesty note)",
     ("x_bloom_filter", "sum(casewhennotis_memberthen1else0end)"):
         "the non-member probes are the entire part base table, "
         "non-empty at every SF — fixture-structural",
-    ("x_poisson_bootstrap", "sum(wgt)"):
-        "deterministic md5-derived Poisson(1) weights over the whole "
-        "events table: a zero replicate requires every one of >= 1000 "
-        "48-bit draws under the p0 threshold; absent at every graded "
-        "SF — fixture-structural (see honesty note)",
     ("x_entropy_segments", "t.n"):
         "per-segment total >= the joined cell count >= 1",
     ("x_ipw_ate", "t.big_n"):
