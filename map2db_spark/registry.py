@@ -99,7 +99,9 @@ _VERIFIED_BY_ROUND[9] = frozenset({
     "m_jpeg_libjpeg_parity", "m_jpeg_quality_estimate",
     "d_phash_clusters", "d_audio_fingerprint", "m_corpus_curation_e2e",
     "t_unigram_viterbi", "s_stream_audio_fingerprint", "d_bbit_minhash",
-    "x_theta_sketch_intersection", "c_kcenter_coreset",
+    "x_theta_sketch_intersection",
+    # c_kcenter_coreset left this set in r15: empty-corpus
+    # driver-side seed-collect guard (VERDICT r14 #3) -> re-grade
     "t_quality_classifier_hashed", "j_spatial_neighbor_join",
     "d_longest_common_span", "s_stream_quality_classifier",
     "c_shard_rebalance_strategies", "x_sprt_sequential_test",
@@ -139,7 +141,9 @@ _VERIFIED_BY_ROUND[8] = frozenset({
     "c_shard_snake_balance", "t_term_burstiness", "x_skyline_pareto",
     "d_threshold_sweep", "v_rocchio_expansion", "m_jpeg_pixels",
     "t_bigram_perplexity", "x_bloom_filter", "m_webp_pixels",
-    "m_resize_pixels", "t_dup_ngram_coverage", "c_semdedup",
+    # c_semdedup left this set in r15: empty-corpus driver-side
+    # centroid-collect guard (VERDICT r14 #3) -> re-grade
+    "m_resize_pixels", "t_dup_ngram_coverage",
     "f_collated_grouping", "f_parameterized_sql", "u_python_udtf",
     "v_ann_filtered", "x_bm25_retrieval",
     "t_lang_confusion", "c_contamination_bloom", "g_betweenness",
@@ -223,8 +227,11 @@ _VERIFIED_BY_ROUND[5] = frozenset({
     "m_jpeg_subsampled", "m_vp8_header_params", "m_webp_color_transform",
     "s_stream_foreachbatch_upsert", "t_event_trigrams", "t_phrase_search",
     "t_rake_keywords", "u_cogroup_merge", "u_grouped_agg_udf",
-    "u_map_in_arrow", "v_ivf_seed_robustness", "v_pca_covariance",
-    "v_pca_power", "v_pq_adc_topk", "v_random_projection",
+    # v_ivf_seed_robustness / v_pca_power left this set in r15:
+    # empty-corpus driver-side seed/iterate-collect guards
+    # (VERDICT r14 #3) -> re-grade
+    "u_map_in_arrow", "v_pca_covariance",
+    "v_pq_adc_topk", "v_random_projection",
     "w_longest_streak", "w_mad_outliers", "w_twap_per_user", "x_column_profile", "x_compaction_bins", "x_decimal_ledger",
     "x_dq_expectations", "x_hll_manual", "x_itemset_triples",
     "x_mutual_information", "x_share_of_parent", "x_table_diff",
@@ -236,42 +243,25 @@ _VERIFIED_BY_ROUND[5] = frozenset({
 # (r13 divide-guard audit fixes -> re-grade); g_pagerank /
 # g_triangle_count are NOT here either (r14 degenerate-input audit:
 # driver-side empty-graph return + zero-wedge closure guard ->
-# re-grade) ---
+# re-grade).  26 rows rotated through the r14 window, re-greened,
+# and live in the r14 set; these final 20 rotate in r15, which
+# fully drains the r4 vintage (VERDICT r14 #2) ---
 _VERIFIED_BY_ROUND[4] = frozenset({
-    "c_embedding_decontam", "c_weighted_sample", "d_cohort_retention",
-    "d_containment_dedup", "d_prefix_filter_join", "d_semantic_dedup",
-    "d_simhash_banded", "f_file_provenance",
-    "f_regexp_surface", "f_try_arithmetic", "g_exact_median",
-    "g_kcore_peel", "h_array_setops",
-    "j_interval_overlap", "m_image_ahash", "m_wav_decode", "m_wav_energy",
-    "m_webp_lz77_pixels", "r_cdc_merge_upsert", "s_stream_dedup_within_wm",
-    "s_stream_static_enrich", "sql_except_intersect_all",
-    "t_bigram_lm_score", "t_bpe_top_merges", "t_doc_chunking",
-    "t_ngram_novelty", "t_text_normalize", "u_udtf_chunker",
-    "v_ann_ivf_nprobe", "v_ann_ivf_topk", "v_int8_quantization",
-    "w_ewma_dyadic", "w_linear_interp", "w_rolling_active_users",
-    "w_scd2_intervals", "x_basket_lift", "x_bloom_semi_join",
-    "x_bucketed_colocated_join", "x_countmin_sketch",
-    "x_incremental_reagg", "x_key_skew_profile",
-    "x_partition_pruned_scan", "x_quantile_sketch", "x_salted_join",
-    "x_width_bucket_histogram", "x_zorder_layout",
+    "c_weighted_sample", "d_prefix_filter_join", "g_exact_median",
+    "g_kcore_peel", "m_webp_lz77_pixels", "r_cdc_merge_upsert",
+    "t_ngram_novelty", "u_udtf_chunker", "w_ewma_dyadic",
+    "w_rolling_active_users", "w_scd2_intervals", "x_basket_lift",
+    "x_bloom_semi_join", "x_bucketed_colocated_join",
+    "x_countmin_sketch", "x_incremental_reagg", "x_key_skew_profile",
+    "x_partition_pruned_scan", "x_quantile_sketch", "x_zorder_layout",
 })
 
-# --- green in CORRECTNESS_r03.json (round-3 driver window).  The
-# 16 oldest rows (d_dup_clusters .. q16_parts_supplier_counts)
-# rotated through the r12 window and live in the r12 set; 31 more
-# rotated through the r13 window and live in the r13 set.  These
-# final 2 (the youngest-registered r3 rows) rotate in r14, which
-# fully drains the r3 vintage ---
-_VERIFIED_BY_ROUND[3] = frozenset({
-    # m2db_overlay_union / m2db_consolidated_zoom / m2db_repair_salvage /
-    # m2db_merge_diagnostics were green in r02/r03 but r4 changed code
-    # under the mapsforge family (WKB typed errors, repair final-round
-    # harvest, overlay fuzz pins) -> deliberately re-graded in r5
-    # (VERDICT r4 ask #5).
-    "r_values_inline",
-    "f_map_surface",
-})
+# --- CORRECTNESS_r03.json: fully drained.  The 16 oldest rows
+# rotated through the r12 window (r12 set), 31 more through r13
+# (r13 set), and the final 2 (r_values_inline / f_map_surface)
+# re-greened through the r14 window and live in the r14 set — no
+# r3-aged row remains anywhere in the registry. ---
+_VERIFIED_BY_ROUND[3] = frozenset()
 
 # --- CORRECTNESS_r02.json: fully drained.  The final 22 r2-vintage
 # greens (streaming/curation/m2db-spatial families) rotated through
@@ -346,7 +336,9 @@ _VERIFIED_BY_ROUND[11] = frozenset({
     "d_minhash_lsh", "d_simhash", "d_simhash_hamming", "d_ngram_jaccard",
     "d_cosine_near_dup", "v_ann_brute_topk", "v_ann_lsh_topk",
     "m_multimodal_features", "m_png_decode", "m_frame_sample_plan",
-    "t_vocab_topk", "t_tfidf_top_terms", "v_kmeans_clusters",
+    # v_kmeans_clusters left this set in r15: empty-corpus
+    # driver-side seed-collect guard (VERDICT r14 #3) -> re-grade
+    "t_vocab_topk", "t_tfidf_top_terms",
     "d_span_dedup",
 })
 
@@ -401,7 +393,9 @@ _VERIFIED_BY_ROUND[13] = frozenset({
     "x_smape_seasonal_naive", "x_wasserstein_1d", "x_bradley_terry_mm",
     "x_gains_deciles", "x_ipw_ate", "x_runs_test", "w_target_encoding",
     "d_minhash_recall_eval", "d_minhash_recall_skewed",
-    "d_semdedup_recall_hotcell", "s_stream_drift_monitor",
+    # d_semdedup_recall_hotcell left this set in r15: empty-corpus
+    # driver-side centroid-collect guard (VERDICT r14 #3) -> re-grade
+    "s_stream_drift_monitor",
     # rotated re-greens (ages reset from r3):
     "q17_small_quantity_revenue", "q20_part_promotion",
     "q21_waiting_suppliers", "sql_exists_correlated",
@@ -415,6 +409,44 @@ _VERIFIED_BY_ROUND[13] = frozenset({
     "r_union_by_name", "d_interval_arithmetic", "w_cume_dist_first_last",
     "g_grouping_sets_explicit", "x_argmax_min_by", "d_date_spine_fill",
     "w_forward_fill", "j_cross_join_grid",
+})
+
+# --- green in CORRECTNESS_r14.json (round-14 driver window: all 50
+# graded rows green, zero errors — VERDICT r14).  Composition: the
+# 22 tier-0 rows (8 new queries_round14 registrations, the tar/zip
+# ADVICE r13 re-grades, and the 12 degenerate-input audit guard
+# fixes), the final 2 r3 rows (r_values_inline / f_map_surface —
+# drains r3), and 26 rotated r4 rows whose ages reset here.
+# Deliberate r15 exclusions, per this structure's rule:
+#   x_tost_equivalence / x_obrien_fleming are NOT here — r15 restates
+#   the shared zero-variance guard in doubles (ADVICE r14: the
+#   ss*n = s*s BIGINT product overflows ~two orders beyond sf0.1)
+#   -> re-grade;
+#   v_ann_ivf_nprobe is NOT here — r15 guards its empty-corpus
+#   driver-side seed collect (VERDICT r14 #3 burn-down) -> re-grade ---
+_VERIFIED_BY_ROUND[14] = frozenset({
+    # tier-0: new queries_round14 registrations
+    "t_good_turing", "x_page_hinkley", "g_label_propagation",
+    "x_hll_sparse", "t_textrank_keywords", "x_tdigest_quantiles",
+    # tier-0: ADVICE r13 re-grades
+    "f_tar_shard_ingest", "f_zip_shard_ingest",
+    # tier-0: degenerate-input audit guard fixes
+    "g_pagerank", "g_triangle_count", "x_group_linreg",
+    "x_cuped_adjustment", "x_rater_kappa", "x_spearman_corr",
+    "x_poisson_bootstrap", "x_acf_lags", "g_degree_assortativity",
+    "t_heaps_law", "t_js_divergence", "x_fellegi_sunter",
+    # rotated re-greens (ages reset from r3 — drains the r3 vintage):
+    "r_values_inline", "f_map_surface",
+    # rotated re-greens (ages reset from r4):
+    "v_ann_ivf_topk", "s_stream_static_enrich",
+    "s_stream_dedup_within_wm", "sql_except_intersect_all",
+    "f_regexp_surface", "f_file_provenance", "h_array_setops",
+    "x_width_bucket_histogram", "f_try_arithmetic", "m_wav_decode",
+    "v_int8_quantization", "d_semantic_dedup", "t_text_normalize",
+    "t_doc_chunking", "c_embedding_decontam", "t_bpe_top_merges",
+    "m_image_ahash", "m_wav_energy", "d_containment_dedup",
+    "t_bigram_lm_score", "w_linear_interp", "j_interval_overlap",
+    "d_simhash_banded", "d_cohort_retention", "x_salted_join",
 })
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
@@ -431,20 +463,19 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 #       ascending order of their latest-green round (oldest first),
 #       registration order within a round — so the stalest hard rows
 #       are re-checked against the moving codebase first.
-# r14 arithmetic (VERDICT r13 #2 + #3): tier 0 = 8 new
-# queries_round14 registrations + f_tar_shard_ingest /
-# f_zip_shard_ingest (ADVICE r13 fixes) + the 12 degenerate-input
-# audit fixes (the new empty/mono/linked axis reproduced one-sided
-# DIVIDE_BY_ZERO / driver-side ZeroDivisionError defects in
-# t_heaps_law, t_js_divergence, x_spearman_corr, x_acf_lags,
-# g_degree_assortativity, x_poisson_bootstrap, g_triangle_count,
-# x_group_linreg, x_cuped_adjustment, x_rater_kappa,
-# x_fellegi_sunter, g_pagerank — fixing reproduced defects outranks
-# drain speed, the r13 precedent) = 22.  The remaining 28 rotation
-# slots drain the 2 r3 stragglers then 26 of the 46-row r4 set,
-# leaving ~20 r4 rows for r15 (still a one-round tail at the usual
-# registration throttle).  tests/test_registry_order.py pins the
-# RULE, not just this round's list.
+# r15 arithmetic (VERDICT r14 #2 + #3 + #4): tier 0 = ~8 new
+# queries_round15 registrations + x_tost_equivalence /
+# x_obrien_fleming (ADVICE r14: zero-variance guard restated in
+# doubles) + the 7 empty-corpus driver-crash fixes from the
+# degenerate-input inventory (c_kcenter_coreset, c_semdedup,
+# d_semdedup_recall_hotcell, v_ivf_seed_robustness,
+# v_kmeans_clusters, v_pca_power, v_ann_ivf_nprobe — driver-side
+# Python collects that raise on an empty corpus where the oracle
+# returns empty) = ~17.  The remaining ~33 rotation slots consume
+# ALL 20 surviving r4 rows (completing the oldest-vintage drain,
+# VERDICT r14 #2) and then begin on the oldest r5 rows.
+# tests/test_registry_order.py pins the RULE, not just this round's
+# list.
 
 
 def _ensure_loaded() -> None:

@@ -67,17 +67,43 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r14_regrades_are_in_the_window():
-    # r14 re-grades: f_tar_shard_ingest (functions/tar.py gains the
-    # ADVICE r13 fixes: strict PAX size digit validation, L/K
-    # exclusion from the pax size override) and f_zip_shard_ingest
-    # (functions/zipfmt.py gains the d.eof truncation check) —
-    # neither may sit in the verified tier
+def test_r15_regrades_are_in_the_window():
+    # r15 re-grades (none may sit in the verified tier):
+    # x_tost_equivalence / x_obrien_fleming — ADVICE r14 restates the
+    # shared zero-variance guard in doubles (the ss*n = s*s BIGINT
+    # product overflows ~two orders beyond sf0.1); and the 7
+    # empty-corpus driver-crash queries from the degenerate-input
+    # inventory (VERDICT r14 #3) whose driver-side seed/centroid
+    # collects gain empty-shape guards
     for name in (
-        "f_tar_shard_ingest", "f_zip_shard_ingest",
+        "x_tost_equivalence", "x_obrien_fleming",
+        "c_kcenter_coreset", "c_semdedup", "d_semdedup_recall_hotcell",
+        "v_ivf_seed_robustness", "v_kmeans_clusters", "v_pca_power",
+        "v_ann_ivf_nprobe",
     ):
         assert name not in _DRIVER_VERIFIED, name
         assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
+
+
+def test_r14_greens_retired_and_r4_drains():
+    # the r14 window's greens (new registrations, ADVICE re-grades,
+    # guard-fix re-grades, and the rotated r3/r4 re-greens) carry
+    # round-14 age and sit behind the window
+    for name in (
+        "t_good_turing", "x_page_hinkley", "g_label_propagation",
+        "x_hll_sparse", "t_textrank_keywords", "x_tdigest_quantiles",
+        "f_tar_shard_ingest", "f_zip_shard_ingest", "g_pagerank",
+        "t_heaps_law", "r_values_inline", "f_map_surface",
+        "v_ann_ivf_topk", "x_salted_join",
+    ):
+        assert ROUND_OF[name] == 14, name
+        assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
+    # r3 is fully drained; the rotation consumes ALL 20 remaining
+    # r4-vintage rows this round (VERDICT r14 #2) before any r5 row
+    assert not _VERIFIED_BY_ROUND[3]
+    window_rot = [n for n in NAMES[:_WINDOW] if n in _DRIVER_VERIFIED]
+    r4_inside = sum(1 for n in window_rot if ROUND_OF[n] == 4)
+    assert r4_inside == min(len(window_rot), len(_VERIFIED_BY_ROUND[4]))
 
 
 def test_r12_greens_retired_and_r3_drains():
@@ -126,10 +152,11 @@ def test_r8_greens_retired_from_the_window():
     # is in the verified tier; r8-round names are the NEWEST greens so
     # none of them may occupy a rotation slot while r1 rows exist
     # t_heaps_law left this list in r14 (degenerate-input audit
-    # guard -> re-grade)
+    # guard -> re-grade); c_semdedup left it in r15 (empty-corpus
+    # driver-side centroid-collect guard -> re-grade)
     for name in (
         "g_betweenness", "m_resize_exif_jpeg",
-        "m_exif_orientation", "x_bloom_filter", "c_semdedup",
+        "m_exif_orientation", "x_bloom_filter",
     ):
         assert name in _VERIFIED_BY_ROUND[8], name
         assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
