@@ -42,6 +42,11 @@ def _assign(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
     """(id, iv) -> (id, iv, cid, dist): argmin over centroids, ties to
     the lowest cid (struct comparison is lexicographic on (dist, cid),
     mirroring the oracle's ORDER BY dist, cid)."""
+    if not centroids:
+        # mirror the oracle's empty centroid CTE (see _assign_arrow)
+        return base.sparkSession.createDataFrame(
+            [], "vid long, iv array<long>, cid int, dist long"
+        )
     pairs = F.array(
         *[
             F.struct(
@@ -67,6 +72,16 @@ def _assign_arrow(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame
     bit-identical to the HOF path (asserted in tests)."""
     import numpy as np
     import pandas as pd
+
+    if not centroids:
+        # no seed vectors (empty corpus, or ids all beyond the seed
+        # range): the oracle's CROSS JOIN against the empty centroid
+        # CTE yields zero rows — mirror that instead of letting the
+        # kernel's argmin raise on a zero-column distance matrix
+        # (degenerate-input audit, VERDICT r14 #3)
+        return base.sparkSession.createDataFrame(
+            [], "vid long, iv array<long>, cid int, dist long"
+        )
 
     cids = sorted(centroids)
     cmat = np.array([centroids[c] for c in cids], dtype=np.int64)
@@ -136,11 +151,17 @@ def _update_arrow(assigned: DataFrame, dim: int) -> dict[int, list[int]]:
                     s0, n0 = acc[cid]
                     s, n = s0 + s, n0 + n
                 acc[int(cid)] = (s, n)
+        # explicit dtypes so the ZERO-group frame (empty corpus /
+        # all-empty partitions) still Arrow-converts: pandas defaults
+        # empty columns to float64, which Arrow cannot cast to
+        # array<long> (degenerate-input audit, VERDICT r14 #3)
         yield pd.DataFrame(
             {
-                "cid": list(acc),
-                "s": [s.tolist() for s, _ in acc.values()],
-                "n": [n for _, n in acc.values()],
+                "cid": pd.Series(list(acc), dtype="int32"),
+                "s": pd.Series(
+                    [s.tolist() for s, _ in acc.values()], dtype="object"
+                ),
+                "n": pd.Series([n for _, n in acc.values()], dtype="int64"),
             }
         )
 

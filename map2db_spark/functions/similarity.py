@@ -289,6 +289,14 @@ def ivf_prepared(
 
     schema = f"{out_id} LONG, {out_vec} ARRAY<LONG>, {out_norm} DOUBLE, cell INT"
 
+    if not centroids:
+        # no coarse cells (empty corpus / no seed-range ids): every
+        # oracle mirror joins assignments against an empty centroid
+        # CTE, so the assignment table itself is the empty frame —
+        # return it instead of letting the kernel argmin a
+        # zero-column matrix (degenerate-input audit, VERDICT r14 #3)
+        return df.sparkSession.createDataFrame([], schema)
+
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -333,6 +341,20 @@ def ivf_topk(
     ones from clustering.train_centroids for real recall."""
     import numpy as np
     from pyspark.sql.window import Window
+
+    if not centroids:
+        # empty corpus seeds no cells: the oracle's centroid CTE is
+        # empty and its join chain yields zero rows — return the same
+        # empty shape instead of letting the numpy argmin raise on a
+        # zero-column score matrix (degenerate-input audit, VERDICT
+        # r14 #3)
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, sim double, rank int"
+        )
+    # a probe count beyond the cell count would desync the kernel's
+    # repeat(nprobe) fan-out from argsort's available columns; the
+    # oracle's rn <= nprobe naturally clamps, so mirror it
+    nprobe = min(nprobe, len(centroids))
 
     c = ivf_prepared(embeddings, centroids, id_col, vec_col, "cand_id", "cvec", "cnorm")
 

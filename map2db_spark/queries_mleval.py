@@ -571,6 +571,12 @@ def v_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     r = e.agg(*aggs).collect()[0]  # O(d^2) scalars — bounded driver data
     n = r["n"]
+    if not n:
+        # empty corpus: the sums are NULL and the oracle's matvec
+        # CTE chain joins away to zero rows — return the same empty
+        # shape instead of letting 0 * None raise on the driver
+        # (degenerate-input audit, VERDICT r14 #3)
+        return spark.createDataFrame([], "dim BIGINT, v_scaled BIGINT")
     cov = {}
     for i in range(_PCA_DIMS):
         for j in range(_PCA_DIMS):

@@ -334,11 +334,17 @@ _TOST_ZCRIT = 1.644853627  # one-sided 5% normal critical value
 
 # shared verbatim by oracle and Spark F.expr (the _WELCH_T convention).
 # Guards: a singleton/empty arm zeroes the (n-1) denominators; both
-# arms constant makes se2 = 0 (stated exactly in integers as
-# ss*n = s*s) — each emits NULL instead of a Spark ANSI raise.
+# arms constant makes se2 = 0, stated in DOUBLES as n*ss = s*s (the
+# shared _SPEARMAN_RHO convention) — each emits NULL instead of a
+# Spark ANSI raise.  ADVICE r14: the earlier integer form ss*n = s*s
+# built BIGINT products that grow ~n^2 with per-segment rows and
+# overflow ~two orders of magnitude beyond sf0.1; both engines round
+# BIGINT->DOUBLE to nearest, so equal exact products stay equal and
+# the comparison is parity-safe at any n.
 _TOST_SE2 = f"""
     CASE WHEN n_a <= 1 OR n_b <= 1
-           OR (ss_a * n_a = s_a * s_a AND ss_b * n_b = s_b * s_b)
+           OR (CAST(n_a AS DOUBLE) * ss_a = CAST(s_a AS DOUBLE) * s_a
+               AND CAST(n_b AS DOUBLE) * ss_b = CAST(s_b AS DOUBLE) * s_b)
     THEN NULL
     ELSE (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
            / (n_a - 1) / n_a

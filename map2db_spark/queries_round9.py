@@ -1036,7 +1036,17 @@ def c_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(cc).cast("long")
         )
 
-    seed = emb.where(F.col("vec_id") == 0).select("v").first()[0]
+    seed_row = emb.where(F.col("vec_id") == 0).select("v").first()
+    if seed_row is None:
+        # no seed vector (empty corpus / missing vec_id 0): the
+        # oracle's greedy CTE chain past the UNCONDITIONAL seed row is
+        # empty, so replay exactly that one row instead of letting the
+        # driver-side subscript raise (degenerate-input audit,
+        # VERDICT r14 #3)
+        return spark.createDataFrame(
+            [(0, 0, 0)], "sel LONG, center_id LONG, radius_sq LONG"
+        )
+    seed = seed_row[0]
     df = emb.withColumn("mind", dist_to(seed))
     rows = [(0, 0, 0)]
     for sel in (1, 2, 3):

@@ -164,6 +164,69 @@ def test_division_inside_the_degenerate_branch_is_not_safe():
         assert all(s.verdict != "UNGUARDED" for s in sites), good
 
 
+def test_then_degenerate_is_anchored_to_the_matched_branch():
+    # ADVICE r14: a LATER branch's THEN NULL must not vouch for a
+    # comparison whose OWN branch contains the division
+    bad = (
+        "SELECT CASE WHEN d = 0 THEN s / d "
+        "WHEN e = 0 THEN NULL ELSE 0 END AS r FROM t"
+    )
+    assert audit_sql("q", bad)[0].verdict == "UNGUARDED"
+    # an AND'd condition after the comparison conservatively fails
+    # (d = 0 alone no longer implies the degenerate branch)
+    bad_and = (
+        "SELECT CASE WHEN d = 0 AND n > 5 THEN NULL "
+        "ELSE s / d END AS r FROM t"
+    )
+    assert audit_sql("q", bad_and)[0].verdict == "UNGUARDED"
+    # ...while arbitrarily LONG OR chains stay recognised (the fixed
+    # 80/100-char windows truncated these — the r15 TOST guard shape)
+    long_or = (
+        "SELECT CASE WHEN d = 0 "
+        "OR (CAST(n_a AS DOUBLE) * ss_a = CAST(s_a AS DOUBLE) * s_a "
+        "AND CAST(n_b AS DOUBLE) * ss_b = CAST(s_b AS DOUBLE) * s_b "
+        "AND CAST(n_c AS DOUBLE) * ss_c = CAST(s_c AS DOUBLE) * s_c) "
+        "THEN NULL ELSE s / d END AS r FROM t"
+    )
+    assert audit_sql("q", long_or)[0].verdict != "UNGUARDED"
+    # AND inside an OR'd PARENTHESIZED sibling is sound (OR binds
+    # looser): d = 0 still implies the branch
+    or_and = (
+        "SELECT CASE WHEN d = 0 OR (x = 1 AND y = 2) THEN NULL "
+        "ELSE s / d END AS r FROM t"
+    )
+    assert audit_sql("q", or_and)[0].verdict != "UNGUARDED"
+
+
+def test_site_evidence_is_anchored_to_the_denominator():
+    # ADVICE r14: an unrelated comparison elsewhere in the callable
+    # must not vouch for a removed guard on THIS denominator
+    from tools.divide_guard_audit import _nospace, _site_evidenced
+
+    src_guarded = _nospace(
+        'df.select(F.expr("CASE WHEN n_a <= 1 THEN NULL '
+        'ELSE s / (n_a - 1) END"))'
+    )
+    assert _site_evidenced(src_guarded, "(n_a-1)")
+    # n_a appears, but the only guard fragment sits on an unrelated
+    # column far away -> anchored scan refuses the generic fallback
+    src_drifted = _nospace(
+        'df.where(F.col("other") > 0)'
+        + ".x" * 40
+        + '.select(F.expr("s / (n_a - 1)").alias("r"))'
+    )
+    assert not _site_evidenced(src_drifted, "(n_a-1)")
+    # denominator identifiers absent entirely (Spark side renamed the
+    # column): the anywhere-in-source fallback still applies
+    src_renamed = _nospace('df.where(F.col("den") != 0).select("r")')
+    assert _site_evidenced(src_renamed, "(n_a-1)")
+    # no-space keyword fusion must not hide the guard occurrence
+    src_fused = _nospace(
+        'F.expr("casewhenn0=txorn0=tythennullelsec/sqrt((n0-tx)*(n0-ty))end")'
+    )
+    assert _site_evidenced(src_fused, "sqrt((n0-tx)*(n0-ty))")
+
+
 def test_spark_side_carries_every_oracle_guard():
     # VERDICT r13 #7: the oracle audit proves one engine handles its
     # zero denominators; this is the other half — every query whose

@@ -281,6 +281,44 @@ def test_textrank_excludes_stopwords_and_ranks_densely(spark):
     assert all(r["word"] not in _RAKE_STOP and r["word"] for r in rows)
 
 
+def test_tost_variance_guard_survives_huge_sufficient_stats(spark):
+    """ADVICE r14: the zero-variance guard must not overflow when the
+    sufficient statistics are large (the earlier integer ss*n = s*s
+    form built BIGINT products ~n^2 and raised on BOTH engines about
+    two orders of magnitude beyond sf0.1).  Evaluate the shared
+    _TOST_SE2 expression on synthetic stats whose old-form product
+    exceeds 2^63 on both engines: the constant-arms case must emit
+    NULL, the varying case a finite equal value, and neither may
+    raise."""
+    import duckdb
+
+    from map2db_spark.queries_round14 import _TOST_SE2
+
+    # constant arms: n=1e14 of value 100 -> ss*n = 1e32 (old overflow)
+    # varying arms:  n=1e9, half 100 / half 102 -> ss*n ~ 1.02e22
+    stats = """
+      SELECT CAST(100000000000000 AS BIGINT) AS n_a,
+             CAST(10000000000000000 AS BIGINT) AS s_a,
+             CAST(1000000000000000000 AS BIGINT) AS ss_a,
+             CAST(100000000000000 AS BIGINT) AS n_b,
+             CAST(10000000000000000 AS BIGINT) AS s_b,
+             CAST(1000000000000000000 AS BIGINT) AS ss_b
+      UNION ALL
+      SELECT CAST(1000000000 AS BIGINT),
+             CAST(101000000000 AS BIGINT),
+             CAST(10202000000000 AS BIGINT),
+             CAST(1000000000 AS BIGINT),
+             CAST(101000000000 AS BIGINT),
+             CAST(10202000000000 AS BIGINT)
+    """
+    sql = f"SELECT {_TOST_SE2} AS se2 FROM ({stats}) ORDER BY n_a"
+    duck = [r[0] for r in duckdb.sql(sql).fetchall()]
+    spk = [r["se2"] for r in spark.sql(sql).collect()]
+    assert duck == spk, (duck, spk)
+    assert spk[1] is None  # constant arms (larger n_a) -> NULL
+    assert spk[0] is not None and spk[0] > 0  # varying arms -> finite
+
+
 def test_tost_is_conservative_on_degenerate_arms(spark):
     rows = QUERIES["x_tost_equivalence"].fn(spark, SF_CORRECT).collect()
     assert rows

@@ -141,11 +141,55 @@ _GUARD_AFTER_DEGENERATE = ("=0", "<=0", "<1", "in(0")
 _GUARD_BEFORE_POSITIVE = ("0<>", "0!=", "0<", "1<=")
 _GUARD_BEFORE_DEGENERATE = ("0=", "0>=", "1>")
 # THEN whose result is NULL or a bare numeric literal (the division
-# cannot live inside it); searched within a short window so compound
-# conditions (d = 0 OR n = 0 THEN NULL) still match
+# cannot live inside it); anchored at the matched comparison's OWN
+# branch by _then_degenerate_at — see below
 _THEN_DEGENERATE = re.compile(
     r"then(?:null|-?[0-9]+(?:\.[0-9]+)?(?:else|end|when|,|\)))"
 )
+
+
+def _then_degenerate_at(sql2: str, pos: int) -> bool:
+    """True when the matched degenerate comparison's OWN branch emits a
+    degenerate result: starting at `pos` (the comparison's end in the
+    no-space text), skip only OR'd sibling conditions — each of which
+    keeps the WHEN true whenever the matched comparison is true, since
+    AND binds tighter than OR — and require THEN NULL / THEN <literal>
+    right there.  ADVICE r14: the previous fixed-window re.search let a
+    LATER branch's THEN NULL vouch for a comparison whose own branch
+    contains the division (`WHEN d = 0 THEN x/d WHEN e = 0 THEN NULL`),
+    and conversely truncated long-but-sound OR chains.  An AND'd
+    condition immediately after the comparison conservatively fails
+    (the branch then fires only conjointly, so d = 0 does not imply
+    the degenerate result)."""
+    n = len(sql2)
+    i = pos
+    # the comparison fragments match by PREFIX ('d=0' also hits
+    # 'd=0.0', 'd<1' hits 'd<10'): consume the literal's numeric tail
+    # before looking for the branch (any k >= 0 still routes zero away
+    # for the degenerate forms)
+    while i < n and sql2[i] in "0123456789.":
+        i += 1
+    while i < n:
+        if sql2.startswith("then", i):
+            return _THEN_DEGENERATE.match(sql2, i) is not None
+        if not sql2.startswith("or", i):
+            return False
+        i += 2  # skip one OR'd sibling: scan to the next top-level
+        depth = 0  # 'or'/'then' (paren-aware)
+        while i < n:
+            ch = sql2[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    return False  # left the enclosing expression
+                depth -= 1
+            elif depth == 0 and (
+                sql2.startswith("then", i) or sql2.startswith("or", i)
+            ):
+                break
+            i += 1
+    return False
 
 
 def _zero_compared(sql2: str, expr: str) -> bool:
@@ -161,11 +205,11 @@ def _zero_compared(sql2: str, expr: str) -> bool:
     esc = re.escape(expr)
     for g in _GUARD_AFTER_DEGENERATE:
         for m in re.finditer(esc + re.escape(g), sql2):
-            if _THEN_DEGENERATE.search(sql2[m.end() : m.end() + 100]):
+            if _then_degenerate_at(sql2, m.end()):
                 return True
     for g in _GUARD_BEFORE_DEGENERATE:
         for m in re.finditer(re.escape(g) + esc, sql2):
-            if _THEN_DEGENERATE.search(sql2[m.end() : m.end() + 100]):
+            if _then_degenerate_at(sql2, m.end()):
                 return True
     return False
 
@@ -250,9 +294,7 @@ def _guarded_below(sql2: str, base: str, floor: float) -> bool:
     """True when a ``base <= k THEN NULL`` guard (k >= floor) precedes
     use — the division only evaluates with base > k >= floor."""
     for m in re.finditer(re.escape(base) + r"<=([0-9]+(?:\.[0-9]+)?)", sql2):
-        if float(m.group(1)) >= floor and (
-            "thennull" in sql2[m.end() : m.end() + 80]
-        ):
+        if float(m.group(1)) >= floor and _then_degenerate_at(sql2, m.end()):
             return True
     return False
 
@@ -358,7 +400,7 @@ def _classify_expr(d2: str, sql2: str, depth: int = 0) -> str | None:
         a, b = diff
         for x, y in ((a, b), (b, a)):
             for g in re.finditer(re.escape(x) + "=" + re.escape(y), sql2):
-                if "thennull" in sql2[g.end() : g.end() + 80]:
+                if _then_degenerate_at(sql2, g.end()):
                     return "safe:difference-guarded"
     # a product is positive (never zero) when every factor is
     factors = _split_product(d2)
@@ -442,14 +484,19 @@ def audit_registry() -> list[Site]:
 # one-sided guard is exactly the error-vs-NULL red row the class
 # produces (Spark ANSI raises on x/0 where DuckDB yields NULL).
 #
-# The scan is textual and per-query (presence of a guard construct,
-# not per-site data flow): it catches the drift scenario — an edit
-# removes the Spark guard while the oracle keeps its own — but a
-# query with several guards losing ONE can pass, and generic
-# comparisons ("> 0" in unrelated logic) count as evidence.  Guards
-# written in plain Python (driver-side iteration) don't surface as
-# any fragment — those get SPARK_GUARD_ADJUDICATED entries with a
-# written reason, enforced non-stale by the test.
+# The scan is textual: it catches the drift scenario — an edit
+# removes the Spark guard while the oracle keeps its own.  Evidence
+# is ANCHORED per site (ADVICE r14): when the oracle site's
+# denominator names identifiers that appear in the Spark source, a
+# guard fragment must occur NEAR one of those identifier occurrences
+# (so an unrelated ">0" elsewhere in the callable no longer vouches
+# for a removed guard); only sites whose denominator identifiers are
+# absent from the Spark source (renamed columns, restructured
+# expressions) fall back to the anywhere-in-source fragment scan.
+# Still per-site textual, not data flow.  Guards written in plain
+# Python (driver-side iteration) don't surface as any fragment —
+# those get SPARK_GUARD_ADJUDICATED entries with a written reason,
+# enforced non-stale by the test.
 # ---------------------------------------------------------------------------
 
 # oracle verdicts that mean "the author wrote a guard" (vs shapes that
@@ -464,13 +511,56 @@ _AUTHOR_GUARD_VERDICTS = frozenset({
 # forms (F.when(col == 0/1, ...), try_divide)
 _SPARK_GUARD_FRAGMENTS = (
     "nullif(", "try_divide", "greatest(",
-    "==0", "!=0", ">=1", "<=0", "<1", ">0", "<>0",
+    "==0", "!=0", ">=1", "<=0", "<=1", "<1", ">0", "<>0",
     "==1", "=0then", "=1then", "in(0",
     # SQL-in-string difference guards compare column to column, no
     # literal (CASE WHEN n0 = tx THEN NULL): the NULL routing itself
     # is the evidence
     "thennull",
 )
+
+# identifiers in a denominator that carry no anchoring information
+# (SQL keywords, casts, ubiquitous function names)
+_ANCHOR_NOISE = frozenset({
+    "cast", "as", "double", "bigint", "hugeint", "int", "integer",
+    "varchar", "sqrt", "abs", "sum", "count", "min", "max", "avg",
+    "least", "greatest", "nullif", "coalesce", "round", "floor",
+    "ceil", "exp", "ln", "log", "log10", "power", "select", "from",
+    "where", "and", "or", "not", "case", "when", "then", "else",
+    "end", "null", "over", "partition", "by", "order", "filter",
+    "distinct", "list_dot_product", "len", "epoch_us",
+})
+
+_IDENT_RE = re.compile(r"[a-z_][a-z0-9_]*")
+
+
+def _anchor_tokens(denom2: str) -> set[str]:
+    """Identifier tokens of a no-space denominator usable as anchors."""
+    return {
+        t for t in _IDENT_RE.findall(denom2) if t not in _ANCHOR_NOISE
+    }
+
+
+def _site_evidenced(src2: str, denom2: str) -> bool:
+    """Anchored per-site evidence (ADVICE r14): a guard fragment near
+    an occurrence of one of the denominator's identifiers in the Spark
+    source.  When none of the identifiers appears at all (the Spark
+    side renamed or restructured the expression), fall back to the
+    anywhere-in-source scan."""
+    anchorable = False
+    for t in sorted(_anchor_tokens(denom2)):
+        # trailing boundary only: no-space text fuses keywords onto
+        # identifiers from the left ("casewhenn0=..."), so a leading
+        # lookbehind would miss exactly the guard occurrences
+        pat = rf"{re.escape(t)}(?![a-z0-9_])"
+        for m in re.finditer(pat, src2):
+            anchorable = True
+            window = src2[max(0, m.start() - 48) : m.end() + 48]
+            if any(f in window for f in _SPARK_GUARD_FRAGMENTS):
+                return True
+    if anchorable:
+        return False
+    return any(f in src2 for f in _SPARK_GUARD_FRAGMENTS)
 
 # plain-Python guards the textual scan cannot see, reviewed by hand
 SPARK_GUARD_ADJUDICATED: dict[str, str] = {
@@ -513,19 +603,23 @@ def _spark_source_with_helpers(fn) -> str:
 
 def spark_guard_parity() -> tuple[list[str], list[str], list[str]]:
     """Returns (guarded_queries, misses, stale_adjudications)."""
+    from collections import defaultdict
+
     from map2db_spark.registry import QUERIES, _ensure_loaded
 
     _ensure_loaded()
-    guarded = sorted({
-        s.query
-        for s in audit_registry()
-        if s.verdict in _AUTHOR_GUARD_VERDICTS
-    })
+    sites_by_q: dict[str, list[Site]] = defaultdict(list)
+    for s in audit_registry():
+        if s.verdict in _AUTHOR_GUARD_VERDICTS:
+            sites_by_q[s.query].append(s)
+    guarded = sorted(sites_by_q)
     misses: list[str] = []
     evidenced: set[str] = set()
     for q in guarded:
         src = _nospace(_spark_source_with_helpers(QUERIES[q].fn))
-        if any(f in src for f in _SPARK_GUARD_FRAGMENTS):
+        if all(
+            _site_evidenced(src, _nospace(s.denom)) for s in sites_by_q[q]
+        ):
             evidenced.add(q)
         elif q not in SPARK_GUARD_ADJUDICATED:
             misses.append(q)
