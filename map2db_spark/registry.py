@@ -513,6 +513,7 @@ def _ensure_loaded() -> None:
     import map2db_spark.queries_round11  # noqa: F401
     import map2db_spark.queries_round12  # noqa: F401
     import map2db_spark.queries_round14  # noqa: F401
+    import map2db_spark.queries_round15  # noqa: F401
 
     # Stable partition (relative registration order preserved per
     # tier; see the window-composition comment above):

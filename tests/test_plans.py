@@ -1763,3 +1763,97 @@ def test_tdigest_rank_is_range_partitioned(spark):
     assert "MapInPandas" in plan, plan
     # the digest rollup is a real combinable aggregate
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_by_fdr_windows_over_checkpointed_hypotheses(spark):
+    """x_benjamini_yekutieli: the ranked hypothesis table
+    localCheckpoints once (the only global window runs there, over
+    the TINY hypothesis table); the final plan reads the checkpoint
+    and broadcasts the two scalar tables back — part is never
+    re-scanned."""
+    plan = plan_of(spark, "x_benjamini_yekutieli")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kruskal_wallis_windows_over_values_not_rows(spark):
+    """x_kruskal_wallis: the corpus collapses through the
+    checkpointed (grp, value) aggregate; the mid-rank window runs
+    over DISTINCT VALUES only (also checkpointed), so the final plan
+    reads ExistingRDDs, broadcasts the value-rank table into the
+    group join, and never re-scans events."""
+    plan = plan_of(spark, "x_kruskal_wallis")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ljung_box_lattice_never_retouches_events(spark):
+    """x_ljung_box: events collapses to the checkpointed O(days)
+    daily table; the lag expansion and shifted self-join are
+    broadcasts of that table, the cumulative window runs over <= 7
+    rows — no corpus re-scan anywhere in the final plan."""
+    plan = plan_of(spark, "x_ljung_box")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nelson_aalen_windows_over_checkpointed_spans(spark):
+    """x_nelson_aalen: the O(users) span table localCheckpoints once
+    (its consumers — the risk aggregate and the total — would each
+    re-scan events otherwise, the double-scan this gate caught on the
+    first cut); both cumulative windows run over the
+    O(distinct-spans) risk table, never over event rows."""
+    plan = plan_of(spark, "x_nelson_aalen")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_fleiss_kappa_is_two_combinable_aggregates(spark):
+    """x_fleiss_kappa: the (doc, cat) count table localCheckpoints
+    once (the subject and category marginals would each replay the
+    documents scan + rater explode otherwise — caught by this gate on
+    the first cut); both downstream aggregates are map-side
+    combinable and the marginal scalar joins back by broadcast."""
+    plan = plan_of(spark, "x_fleiss_kappa")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sgt_regression_reads_checkpointed_fof(spark):
+    """t_simple_good_turing: the fof table localCheckpoints once (the
+    two corpus-collapsing aggregates run there); the OLS moments and
+    the smoothed output both read the checkpoint — documents is never
+    re-scanned."""
+    plan = plan_of(spark, "t_simple_good_turing")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_reservoir_global_path_is_takeordered(spark):
+    """x_reservoir_merge: the priority table localCheckpoints once;
+    BOTH sample paths compile to TakeOrderedAndProject (distributed
+    top-k — per-partition heaps, k rows out, never a global sort);
+    the shard window partitions by the shard key (no SinglePartition
+    window over the corpus)."""
+    plan = plan_of(spark, "x_reservoir_merge")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hill_estimator_reads_checkpointed_topk(spark):
+    """t_hill_tail_index: the top-(k+1) order-statistic table (a
+    TakeOrdered over the token-frequency aggregate) localCheckpoints
+    once; the estimator's joins and aggregate run over <= 51 rows —
+    documents is never re-scanned in the final plan."""
+    plan = plan_of(spark, "t_hill_tail_index")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

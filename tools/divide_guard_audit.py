@@ -301,7 +301,11 @@ def _guarded_below(sql2: str, base: str, floor: float) -> bool:
 
 def _split_diff(d2: str) -> tuple[str, str] | None:
     """Split a no-space expression at a single top-level '-' into its
-    two operands; None when the shape is not a plain difference."""
+    two operands; None when the shape is not a plain difference.
+    Top-level '*' and '/' are allowed INSIDE the operands (X*Y - Z is
+    the difference of X*Y and Z, and a guard ``X*Y = Z THEN NULL``
+    soundly covers it — the r15 double-stated variance denominators);
+    only a top-level '+' or a second '-' makes the split ambiguous."""
     depth = 0
     cut = -1
     for i, ch in enumerate(d2):
@@ -309,7 +313,7 @@ def _split_diff(d2: str) -> tuple[str, str] | None:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and i > 0 and ch in "+*/":
+        elif depth == 0 and i > 0 and ch == "+":
             return None
         elif depth == 0 and ch == "-" and i > 0:
             if cut >= 0:
