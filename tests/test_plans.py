@@ -308,6 +308,16 @@ def test_unpartitioned_window_sites_are_audited():
       <= delta = 32 centroid rows POST-aggregate (the global rank
       itself goes through operators/ids.ranked, the range-partitioned
       path); t_textrank_keywords ranks the limit-15 keyword head
+    - queries_round15.py: 7 — x_benjamini_yekutieli ranks the
+      hypothesis table (the x_bh_fdr shape: tests, not data rows);
+      x_kruskal_wallis' mid-rank cumulative runs over DISTINCT
+      VALUES (the x_mann_whitney_u trick — domain-bounded, swap in
+      operators/ids.ranked for corpus-sized domains);
+      x_ljung_box's cumulative touches <= 7 lag rows;
+      x_nelson_aalen's two windows run over O(distinct-spans) rows
+      (the x_survival_km shape); x_reservoir_merge's shared rank
+      window runs POST-TakeOrdered over <= 64 rows;
+      t_hill_tail_index ranks the limit-51 order-statistic head
     """
     import pathlib
 
@@ -322,6 +332,7 @@ def test_unpartitioned_window_sites_are_audited():
         "queries_round11.py": 6,
         "queries_round12.py": 1,
         "queries_round14.py": 3,
+        "queries_round15.py": 7,
         "functions/sketches.py": 1,
     }
     root = pathlib.Path(map2db_spark.__file__).parent
