@@ -96,19 +96,39 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8, numeric: bool = False
+) -> DataFrame:
     """k minhash values per doc via one-permutation hashing: ONE md5
     per shingle, sliced into k disjoint 4-hex-digit chunks; the
     lexicographic min of chunk i across shingles is signature i.  One
     hash instead of k salted hashes per shingle (the md5 calls were
     the pipeline's hot spot), still reproducible in any engine with
-    md5 + substr.  k <= 8 with 32 hex digits."""
+    md5 + substr.  k <= 8 with 32 hex digits.
+
+    ``numeric=True`` aggregates each chunk as its integer value
+    (conv(chunk, 16, 10)) instead of the hex string.  Fixed-width
+    lowercase-hex order IS numeric order, so hex -> int is an
+    order-preserving bijection: min-of-int corresponds to min-of-hex
+    chunk for chunk, and any equality downstream (LSH band keys) is
+    preserved exactly — candidate sets and final outputs are
+    IDENTICAL, value for value (pinned in tests/test_operators.py).
+    Why it exists (guide §2.3 narrower types + §7.2): a min(string)
+    aggregate has an immutable buffer, so Spark plans Sort +
+    SortAggregate — a full sort of the exploded shingle table; the
+    int form plans a partial-aggregating HashAggregate with no sort,
+    and the shuffled signature row narrows from 8 hex strings to 8
+    ints."""
     assert num_hashes * 4 <= 32
     h = F.md5(F.col("shingle"))
-    aggs = [
-        F.min(F.substring(h, i * 4 + 1, 4)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+
+    def chunk(i: int):
+        c = F.substring(h, i * 4 + 1, 4)
+        if numeric:
+            return F.conv(c, 16, 10).cast("int")
+        return c
+
+    aggs = [F.min(chunk(i)).alias(f"mh{i}") for i in range(num_hashes)]
     return shingles.groupBy("sid").agg(*aggs)
 
 

@@ -85,9 +85,19 @@ def duplicate_spans(
     ).select(
         id_col,
         "off",
-        # text is consumed map-side here; only the 32-hex anchor hash
-        # (16 bytes at scale: substr of the digest / xxhash64) shuffles
-        F.md5(
+        # text is consumed map-side here; only the 8-byte anchor hash
+        # shuffles.  xxhash64 (r15, guide §2.3 narrower types): the
+        # anchor is an internal equality key only — any hash with the
+        # same collision-free behavior yields the IDENTICAL span
+        # output, and an 8-byte long row is ~4x narrower than the
+        # 32-hex md5 string it replaces across the checkpoint, the
+        # anchor-count Exchange and the probe Exchange, with a far
+        # cheaper per-position hash (the pass is O(total chars)
+        # hashes).  Collision risk at sf0.1 (~4M windows): ~5e-7
+        # birthday mass; output equality is pinned against the md5
+        # form in tests/test_exact_substring.py and the DuckDB oracle
+        # (which keeps md5) at sf0.001/0.01/0.1.
+        F.xxhash64(
             F.col(text_col).substr(F.col("off") + 1, F.lit(window))
         ).alias("h"),
     )

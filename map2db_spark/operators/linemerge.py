@@ -31,10 +31,47 @@ MERGE_STATS_COLS = [
 from pyspark.sql.types import IntegerType
 
 
+def _le_u8(col, pos1: int):
+    """Unsigned byte at 1-based offset ``pos1`` of a binary column, as
+    an int expression (hex of the 1-byte slice, parsed base 16)."""
+    return F.conv(F.hex(F.substring(col, pos1, 1)), 16, 10).cast("int")
+
+
+def wkb_nparts_expr(col) -> F.Column:
+    """Part count from the WKB header as a PURE column expression
+    (r15, guide §4.1/§4.4): u32-little-endian at byte offset 5 for
+    multi types (geometry type = low byte of the u32 at offset 1),
+    1 for single geometries, 0 for NULL — bit-identical to the former
+    pandas_udf probe (pinned in tests/test_mapsforge_decode.py).
+
+    Why not a UDF: the probe feeds TWO filter branches (single/multi
+    split), and Catalyst duplicated the ArrowEvalPython node into both
+    branches — every consolidated line row paid the Python boundary
+    twice.  As codegen expressions the probe costs four byte reads
+    per row, fuses into the surrounding WholeStageCodegen, and the
+    linemerge plan carries zero Python nodes outside the merge kernel
+    itself."""
+    gtype = _le_u8(col, 2)
+    nparts = (
+        _le_u8(col, 6)
+        + _le_u8(col, 7) * 256
+        + _le_u8(col, 8) * 65536
+        + _le_u8(col, 9) * 16777216
+    )
+    return (
+        F.when(col.isNull(), F.lit(0))
+        .when(gtype.isin(4, 5, 6), nparts)
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+
+
 @pandas_udf(IntegerType())
 def wkb_nparts(geom: pd.Series) -> pd.Series:
     """Part count from the WKB header (u32 at offset 5 for multi types;
-    1 for single geometries) — no full decode."""
+    1 for single geometries) — no full decode.  Kept as the reference
+    implementation for the expression twin above (parity-pinned);
+    query paths use wkb_nparts_expr."""
 
     def nparts(b):
         if b is None:
@@ -57,7 +94,7 @@ def merge_lines(lines: DataFrame) -> DataFrame:
     merge is a pure map — ``mapInPandas`` over the multi-part subset,
     NO shuffle (a groupBy here would move every row just to form
     single-row groups)."""
-    probed = lines.withColumn("_nparts", wkb_nparts(F.col("geom")))
+    probed = lines.withColumn("_nparts", wkb_nparts_expr(F.col("geom")))
     single = probed.where(F.col("_nparts") <= 1).drop("_nparts")
     multi = probed.where(F.col("_nparts") > 1).drop("_nparts")
 

@@ -333,10 +333,18 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no checkpoint: this explode feeds only the partial-aggregated
     # signature pass, so it streams instead of materializing 200x rows;
     # distinct=False keeps the shingle pass inside whole-stage codegen
-    # (min-agg is duplicate-insensitive, signatures bit-identical)
+    # (min-agg is duplicate-insensitive, signatures bit-identical).
+    # numeric=True: int chunks (order-preserving hex bijection ->
+    # identical buckets) turn the signature agg from Sort+SortAggregate
+    # into a no-sort partial HashAggregate (guide §2.3/§7.2).
+    # persist: the band table inside lsh_candidate_pairs has three
+    # consumers (bucket-cap count + both self-join sides); unpersisted,
+    # the corpus-wide explode+md5 signature pass re-executed FOUR times
+    # (r15 plan audit: four identical Scan->Generate->agg subtrees).
+    # One row per doc — memory O(docs), not O(shingles).
     sigs = D.minhash_signatures(
-        D.shingle_table(docs, distinct=False), num_hashes=8
-    )
+        D.shingle_table(docs, distinct=False), num_hashes=8, numeric=True
+    ).persist()
     # candidates feed two verification branches; they're ~1k rows.
     # persist, not localCheckpoint (r2 verdict item 7): blocks are
     # executor-local either way, but persist keeps lineage, so a lost

@@ -409,7 +409,19 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    decoded = media.repartition(64).mapInPandas(
+    # GATED scatter (r15, guide §2.4/§8): the cached corpus parquet
+    # already scans as ~defaultParallelism splits, so the former
+    # unconditional repartition(64) only added a full shuffle of every
+    # payload plus 64 Python-worker dispatches for 2.6 MB of input —
+    # measured 2.48 s -> 1.38 s standalone min at sf0.1/local[32] by
+    # dropping it.  The scatter still fires when the scan arrives
+    # under-split (the small-file case the repartition was guarding),
+    # so a 1-split corpus never decodes single-task; payloads cross
+    # zero Exchanges either way (plan-asserted in tests/test_plans.py).
+    par = spark.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < par:
+        media = media.repartition(par)
+    decoded = media.mapInPandas(
         kernel,
         schema="media_id LONG, fmt STRING, width INT, height INT,"
         " sum_px LONG, is_native LONG, native_err LONG",

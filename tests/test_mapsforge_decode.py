@@ -201,3 +201,42 @@ def test_nondbl_ring_heuristic(tmp_path):
     assert kinds == ["area", "area", "line", "point"]
     for r in rows:
         assert r[1] is None  # no ids in non-dbl maps
+
+
+def test_wkb_nparts_expr_matches_pandas_udf(spark):
+    """The r15 codegen part-count probe (wkb_nparts_expr) must be
+    bit-identical to the pandas_udf reference it replaced in
+    merge_lines — same u32-LE header read, same single/multi/null
+    handling — so the single/multi split (and therefore which rows
+    enter the merge kernel) is unchanged."""
+    import pyspark.sql.functions as F
+
+    from map2db_spark.geometry import wkb as gwkb
+    from map2db_spark.operators.linemerge import wkb_nparts, wkb_nparts_expr
+
+    geoms = [
+        gwkb.encode_multilinestring([[(0.0, 0.0), (1.0, 1.0)]]),
+        gwkb.encode_multilinestring(
+            [[(0.0, 0.0), (1.0, 1.0)], [(2.0, 2.0), (3.0, 3.0)],
+             [(4.0, 4.0), (5.0, 5.0)]]
+        ),
+        gwkb.encode_multipoint([(0.0, 0.0), (1.0, 1.0)]),
+        gwkb.encode_multipolygon(
+            [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]]
+        ),
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(geoms)], "i INT, geom BINARY"
+    )
+    got = (
+        df.select(
+            "i",
+            wkb_nparts_expr(F.col("geom")).alias("e"),
+            wkb_nparts(F.col("geom")).alias("u"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["e"] for r in got] == [r["u"] for r in got]
+    assert [r["e"] for r in got] == [1, 3, 2, 1, 0]
