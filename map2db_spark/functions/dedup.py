@@ -134,7 +134,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = None, dedup: bool = True,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of minhashes become a
     candidate pair.  Bands go to long format (sid, band_idx, key) and
@@ -174,12 +174,18 @@ def lsh_candidate_pairs(
         long = long.join(small, ["band_idx", "bk"], "left_semi")
     left = long.select(F.col("sid").alias("id_a"), "band_idx", "bk")
     right = long.select(F.col("sid").alias("id_b"), "band_idx", "bk")
-    return (
+    pairs = (
         left.join(right, ["band_idx", "bk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # ``dedup=False`` skips the distinct: a pair colliding in k bands
+    # appears k times.  Correct whenever every consumer is
+    # duplicate-insensitive (semi-joins, membership filters) — then
+    # the distinct is a pure extra shuffle+aggregate of the pair
+    # table, which at 100 TB is the largest intermediate this
+    # operator produces (r15, guide §2.4).
+    return pairs.distinct() if dedup else pairs
 
 
 def jaccard_pairs(

@@ -301,7 +301,7 @@ def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition so a single input file still parallelizes
     (CLAUDE.md explode rule).
     """
-    docs = Tables(spark, sf_dir).documents.select("doc_id", "text").repartition(32)
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism)
     tok = (
         docs.select(
             F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok")
@@ -2359,7 +2359,7 @@ def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the standard phrase-query plan of a search engine,
     expressed relationally.
     """
-    docs = Tables(spark, sf_dir).documents.repartition(32)
+    docs = Tables(spark, sf_dir).documents.repartition(spark.sparkContext.defaultParallelism)
     toks = docs.select(
         "doc_id",
         F.expr(
@@ -2496,7 +2496,7 @@ def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    docs = Tables(spark, sf_dir).documents.select("doc_id", "text").repartition(32)
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism)
 
     def kernel(batches):
         for batch in batches:

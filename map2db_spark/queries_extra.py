@@ -342,7 +342,7 @@ def t_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF."""
     docs = Tables(spark, sf_dir).documents
     t = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.repartition(32).select("doc_id", t.alias("t"))
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select("doc_id", t.alias("t"))
     starts = base.select(
         "doc_id", "t",
         F.explode(
@@ -447,7 +447,7 @@ def t_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort."""
     docs = Tables(spark, sf_dir).documents
     t = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.repartition(32).select(t.alias("t"))
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(t.alias("t"))
     pairs = base.select(
         F.explode(
             F.expr(
@@ -820,7 +820,7 @@ def t_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     t = F.split(F.trim(F.col("text")), r"\s+")
     base = (
-        docs.repartition(32)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", t.alias("t"))
         .where(F.size("t") >= 2)
     )

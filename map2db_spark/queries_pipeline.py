@@ -348,9 +348,14 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates feed two verification branches; they're ~1k rows.
     # persist, not localCheckpoint (r2 verdict item 7): blocks are
     # executor-local either way, but persist keeps lineage, so a lost
-    # executor recomputes instead of failing the query at 100 TB
+    # executor recomputes instead of failing the query at 100 TB.
+    # dedup=False: both consumers (the doc-id distinct below and the
+    # left_semi pair filter in jaccard_pairs) are duplicate-
+    # insensitive, so the candidate distinct was a pure extra
+    # shuffle+agg of the pair table — the operator's largest
+    # intermediate at scale (r15, guide §2.4).
     cands = D.lsh_candidate_pairs(
-        sigs, num_hashes=8, band_size=2, bucket_cap=50
+        sigs, num_hashes=8, band_size=2, bucket_cap=50, dedup=False
     ).persist()
     # filter BEFORE the explode: only candidate docs get shingled
     cand_docs = (

@@ -1104,7 +1104,7 @@ def v_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Tables(spark, sf_dir).embeddings
     cb = spark.createDataFrame(_IPQ_ROWS, "s INT, c INT, j INT, v LONG")
     iv = (
-        emb.repartition(32, "vec_id")
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", F.posexplode("embedding").alias("p", "e"))
         .where(F.col("p") < _IPQ_M * _IPQ_SUB)
         .select(
@@ -1782,7 +1782,7 @@ def v_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Tables(spark, sf_dir).embeddings
     qids = list(_TD_QIDS)
     iv = (
-        emb.repartition(32, "vec_id")
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", F.posexplode("embedding").alias("p0", "e"))
         .select(
             "vec_id",

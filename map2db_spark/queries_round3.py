@@ -350,7 +350,7 @@ def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.substring("text", 1, _WIN_PREFIX)).alias("t"),
         )
         .where(F.length("t") >= _WIN_K + _WIN_W - 1)
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     g = d.select(
         "doc_id",
@@ -496,7 +496,7 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     d = docs.select(
         "lang", "doc_id", F.split(F.lower("text"), "[^a-z]+").alias("arr")
-    ).repartition(32, "doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "lang",
         "doc_id",
@@ -657,7 +657,7 @@ def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Tables(spark, sf_dir).embeddings
     cent = spark.createDataFrame(_PQ_ROWS, "s INT, c INT, j INT, v LONG")
     iv = (
-        emb.repartition(32, "vec_id")
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", F.posexplode("embedding").alias("p0", "e"))
         .select(
             "vec_id",

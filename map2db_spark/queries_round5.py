@@ -770,7 +770,7 @@ def c_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = Tables(spark, sf_dir).documents
     t = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.repartition(32).select("doc_id", "lang", t.alias("t")).where(
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select("doc_id", "lang", t.alias("t")).where(
         F.size("t") >= 2
     )
     big = base.select(
@@ -1478,7 +1478,7 @@ def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift-robust boundaries.
     """
     docs = Tables(spark, sf_dir).documents
-    chunks = cdc_chunk_frame(docs.repartition(32))
+    chunks = cdc_chunk_frame(docs.repartition(spark.sparkContext.defaultParallelism))
     return (
         chunks.groupBy("chunk_md5")
         .agg(
@@ -3615,7 +3615,7 @@ def t_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     t = F.split(F.trim(F.col("text")), r"\s+")
     big = (
-        docs.repartition(32)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .select(t.alias("t"))
         .where(F.size("t") >= 2)
         .select(
@@ -6457,7 +6457,7 @@ def t_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     t = F.split(F.trim(F.col("text")), r"\s+")
     big = (
-        docs.repartition(32)
+        docs.repartition(spark.sparkContext.defaultParallelism)
         .select(t.alias("t"))
         .where(F.size("t") >= 2)
         .select(
@@ -6640,7 +6640,7 @@ def t_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     release is TakeOrderedAndProject.
     """
     docs = Tables(spark, sf_dir).documents
-    tok = docs.repartition(32).select(
+    tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     )

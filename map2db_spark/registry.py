@@ -95,7 +95,7 @@ _VERIFIED_BY_ROUND: dict[int, frozenset[str]] = {}
 # import-order-independent top-of-module import, ADVICE r9) ---
 _VERIFIED_BY_ROUND[9] = frozenset({
     "m_gif_giflib_parity", "m_decode_native_dispatch",
-    "m_decode_corpus_bench", "s_stream_media_decode",
+    "s_stream_media_decode",
     "m_jpeg_libjpeg_parity", "m_jpeg_quality_estimate",
     "d_phash_clusters", "d_audio_fingerprint", "m_corpus_curation_e2e",
     "t_unigram_viterbi", "s_stream_audio_fingerprint", "d_bbit_minhash",
@@ -130,15 +130,12 @@ _VERIFIED_BY_ROUND[9] = frozenset({
 # max_pixels, and the bench row gained the n_fallback/n_native_error
 # columns (VERDICT r8 #7) -> re-grade, per this structure's rule) ---
 _VERIFIED_BY_ROUND[8] = frozenset({
-    "m2db_decode_sightings", "m2db_geometry_stats",
-    "m2db_pipeline_throughput", "m2db_sql_over_features",
-    "m2db_validation_violations", "c_cluster_aware_split",
+    "m2db_decode_sightings", "c_cluster_aware_split",
     "g_harmonic_centrality", "x_linear_attribution",
     "d_cross_source_matrix", "x_qq_deciles", "v_ann_ndcg",
     "d_minhash_estimate_error", "c_soft_dedup_weights",
     "t_boundary_overlap", "t_compressibility_filter",
-    "g_robustness_hub_removal", "x_theil_sen", "t_conditional_entropy",
-    "c_shard_snake_balance", "t_term_burstiness", "x_skyline_pareto",
+    "g_robustness_hub_removal", "x_theil_sen", "c_shard_snake_balance", "x_skyline_pareto",
     "d_threshold_sweep", "v_rocchio_expansion", "m_jpeg_pixels",
     "t_bigram_perplexity", "x_bloom_filter", "m_webp_pixels",
     # c_semdedup left this set in r15: empty-corpus driver-side
@@ -158,17 +155,17 @@ _VERIFIED_BY_ROUND[7] = frozenset({
     # per this structure's rule.  x_acf_lags / g_degree_assortativity
     # are NOT here either (r14: the shared _SPEARMAN_RHO expression
     # gained its degenerate-variance guard) ---
-    "s_stream_checkpoint_resume", "c_dsir_importance", "f_csv_roundtrip",
+    "s_stream_checkpoint_resume", "f_csv_roundtrip",
     "f_jsonl_roundtrip", "m_jpeg_dims", "t_bpe_encode_apply",
     "sql_group_by_all", "d_cluster_canonical",
-    "j_asof_nearest", "d_cdc_chunks", "g_hits_authorities",
+    "j_asof_nearest", "g_hits_authorities",
     "x_psi_drift", "v_mmr_rerank",
     "x_conformal_interval",
     "m_webp_dims", "g_clustering_coefficient",
     "v_binary_quantization", "d_incremental_dedup",
     "f_schema_evolution", "f_dynamic_partition_overwrite", "x_mann_kendall",
     "w_max_drawdown", "x_xicor", "m_mp4_duration",
-    "t_collocations_pmi", "v_centroid_drift", "sql_lateral_subquery",
+    "v_centroid_drift", "sql_lateral_subquery",
     "f_compression_codecs",
     "w_ohlc_bars", "f_text_source", "m_media_dispatch",
     "x_weighted_median", "t_readability", "x_durbin_watson",
@@ -220,18 +217,16 @@ _VERIFIED_BY_ROUND[6] = frozenset({
 _VERIFIED_BY_ROUND[5] = frozenset({
     "c_cross_split_leakage", "c_domain_cap", "c_kfold_assign",
     "c_quantile_normalize", "d_dup_size_histogram", "d_edit_blocked_join",
-    "d_winnow_fingerprints", "g_bfs_layers", "g_exact_quartiles",
+    "g_bfs_layers", "g_exact_quartiles",
     "g_label_prop", "g_mode_per_group", "j_asof_join",
-    "j_first_touch_attribution", "m2db_consolidated_zoom",
-    "m2db_merge_diagnostics", "m2db_overlay_union", "m2db_repair_salvage",
+    "j_first_touch_attribution", "m2db_overlay_union", "m2db_repair_salvage",
     "m_jpeg_subsampled", "m_vp8_header_params", "m_webp_color_transform",
-    "s_stream_foreachbatch_upsert", "t_event_trigrams", "t_phrase_search",
-    "t_rake_keywords", "u_cogroup_merge", "u_grouped_agg_udf",
+    "s_stream_foreachbatch_upsert", "t_event_trigrams", "u_cogroup_merge", "u_grouped_agg_udf",
     # v_ivf_seed_robustness / v_pca_power left this set in r15:
     # empty-corpus driver-side seed/iterate-collect guards
     # (VERDICT r14 #3) -> re-grade
-    "u_map_in_arrow", "v_pca_covariance",
-    "v_pq_adc_topk", "v_random_projection",
+    "v_pca_covariance",
+    "v_random_projection",
     "w_longest_streak", "w_mad_outliers", "w_twap_per_user", "x_column_profile", "x_compaction_bins", "x_decimal_ledger",
     "x_dq_expectations", "x_hll_manual", "x_itemset_triples",
     "x_mutual_information", "x_share_of_parent", "x_table_diff",
@@ -252,7 +247,7 @@ _VERIFIED_BY_ROUND[4] = frozenset({
     "t_ngram_novelty", "u_udtf_chunker", "w_ewma_dyadic",
     "w_rolling_active_users", "w_scd2_intervals", "x_basket_lift",
     "x_bloom_semi_join", "x_bucketed_colocated_join",
-    "x_countmin_sketch", "x_incremental_reagg", "x_key_skew_profile",
+    "x_incremental_reagg", "x_key_skew_profile",
     "x_partition_pruned_scan", "x_quantile_sketch", "x_zorder_layout",
 })
 
@@ -288,11 +283,10 @@ _VERIFIED_BY_ROUND[1] = frozenset()
 # re-grades per this structure's rule ---
 _VERIFIED_BY_ROUND[10] = frozenset({
     "v_rrf_hybrid_retrieval", "c_multipattern_contamination",
-    "g_dbscan_grid", "d_suffix_dedup_corpus", "c_novelty_filter_frozen",
+    "g_dbscan_grid", "c_novelty_filter_frozen",
     "s_stream_novelty_filter", "d_paragraph_dedup", "x_coordinated_sample",
-    "x_logreg_newton", "t_kneser_ney_bigram", "v_ivf_pq_residual",
-    "x_als_onefactor", "c_dataset_card", "s_stream_contamination_exact",
-    "v_truncated_dim_recall", "j_entity_resolution", "x_join_size_sketch",
+    "x_logreg_newton", "t_kneser_ney_bigram", "x_als_onefactor", "c_dataset_card", "s_stream_contamination_exact",
+    "j_entity_resolution", "x_join_size_sketch",
     "r_incremental_view_maintenance", "g_mst_single_linkage",
     "c_mixture_reweight", "g_ktruss_peel",
     "r_dq_constraint_audit", "t_span_corruption_masks",
@@ -333,7 +327,7 @@ _VERIFIED_BY_ROUND[11] = frozenset({
     "f_fixedwidth_roundtrip", "x_posting_compression", "x_permutation_test",
     # rotated re-greens (ages reset from r1/r2):
     "d_sessionize_batch", "x_salted_aggregation", "d_exact_dedup",
-    "d_minhash_lsh", "d_simhash", "d_simhash_hamming", "d_ngram_jaccard",
+    "d_simhash", "d_simhash_hamming", "d_ngram_jaccard",
     "d_cosine_near_dup", "v_ann_brute_topk", "v_ann_lsh_topk",
     "m_multimodal_features", "m_png_decode", "m_frame_sample_plan",
     # v_kmeans_clusters left this set in r15: empty-corpus
@@ -358,7 +352,6 @@ _VERIFIED_BY_ROUND[12] = frozenset({
     "x_isotonic_calibration", "x_shapley_attribution",
     "f_malformed_jsonl_audit", "t_mattr_diversity", "x_cochran_q",
     # rotated re-greens (ages reset from r2):
-    "m2db_spatial_window", "m2db_point_in_polygon",
     "s_stream_tumbling_window", "s_stream_user_state",
     "s_stream_stream_join", "s_stream_sessionize", "s_stream_dedup",
     "s_stream_sliding_window", "c_pii_redaction", "c_decontaminate", "c_split_assign", "c_domain_mixing",
@@ -443,9 +436,8 @@ _VERIFIED_BY_ROUND[14] = frozenset({
     "f_regexp_surface", "f_file_provenance", "h_array_setops",
     "x_width_bucket_histogram", "f_try_arithmetic", "m_wav_decode",
     "v_int8_quantization", "d_semantic_dedup", "t_text_normalize",
-    "t_doc_chunking", "c_embedding_decontam", "t_bpe_top_merges",
-    "m_image_ahash", "m_wav_energy", "d_containment_dedup",
-    "t_bigram_lm_score", "w_linear_interp", "j_interval_overlap",
+    "c_embedding_decontam", "m_image_ahash", "m_wav_energy", "d_containment_dedup",
+    "w_linear_interp", "j_interval_overlap",
     "d_simhash_banded", "d_cohort_retention", "x_salted_join",
 })
 
@@ -471,9 +463,19 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 # d_semdedup_recall_hotcell, v_ivf_seed_robustness,
 # v_kmeans_clusters, v_pca_power, v_ann_ivf_nprobe — driver-side
 # Python collects that raise on an empty corpus where the oracle
-# returns empty) = ~17.  The remaining ~33 rotation slots consume
-# ALL 20 surviving r4 rows (completing the oldest-vintage drain,
-# VERDICT r14 #2) and then begin on the oldest r5 rows.
+# returns empty) = ~17.
+# r15 was then the FIRST OPTIMIZATION ROUND: 27 more names moved to
+# tier 0 because the optimization work changed the code under them
+# (OPTIMIZATION_r15.md) — the minhash/LSH signature path
+# (d_minhash_lsh), the exact-substring anchor hash
+# (d_suffix_dedup_corpus), the decode bench scatter
+# (m_decode_corpus_bench), the merge_lines codegen part-count probe
+# (8 m2db queries), and the 16 queries whose local-constant
+# repartition(32) scatters became defaultParallelism-adaptive.
+# tier 0 = 44; the 6 rotation slots left consume the oldest r4 rows.
+# Every flipped query was locally re-verified against its oracle at
+# sf0.01 (targeted driver_sim, local[16]) before this flip; the
+# optimization round's driver re-grades the full registry.
 # tests/test_registry_order.py pins the RULE, not just this round's
 # list.
 

@@ -1868,3 +1868,43 @@ def test_hill_estimator_reads_checkpointed_topk(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
     assert "ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# r15 optimization-round gates (OPTIMIZATION_r15.md)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_signature_pass_cached_no_sort(spark):
+    """r15: the d_minhash_lsh signature aggregate must stay a no-sort
+    HashAggregate (int minhash chunks — min(string) would plan
+    Sort+SortAggregate over the exploded shingle table) and the
+    signature table must be persisted (its band table has three
+    consumers; unpersisted, the corpus-wide explode+md5 pass executed
+    four times)."""
+    plan = plan_of(spark, "d_minhash_lsh")
+    assert "SortAggregate" not in plan, plan
+    assert "InMemoryRelation" in plan, plan
+
+
+def test_decode_corpus_no_payload_shuffle(spark):
+    """r15: the decode bench row must not shuffle payloads when the
+    corpus scan is already well-split — the former unconditional
+    repartition(64) moved every payload byte through an Exchange and
+    paid 64 Python dispatches for a 2.6 MB corpus."""
+    plan = plan_of(spark, "m_decode_corpus_bench")
+    assert "RoundRobinPartitioning" not in plan, plan
+    for block in re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n)", plan):
+        assert "payload" not in block, block
+
+
+def test_linemerge_probe_is_codegen(spark):
+    """r15: merge_lines' part-count probe is a WKB-header column
+    expression; the pandas_udf form was duplicated by Catalyst into
+    both filter branches (guide §4.4), costing two Python passes over
+    every consolidated line row.  The only Python node allowed in the
+    line branch is the merge kernel itself (MapInPandas)."""
+    plan = plan_of(spark, "m2db_pipeline_throughput")
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" in plan, plan

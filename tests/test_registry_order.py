@@ -110,9 +110,13 @@ def test_r12_greens_retired_and_r3_drains():
     # the r12 window's greens (new registrations, ADVICE re-grades,
     # fronted capability rows, AND the 38 rotated r2/r3 re-greens)
     # carry round-12 age and sit behind the window
+    # m2db_spatial_window left this list in r15: the optimization
+    # round replaced merge_lines' pandas_udf part-count probe with the
+    # codegen expression (module under it changed -> re-grade, per the
+    # registry rule)
     for name in (
         "x_isotonic_calibration", "x_cochran_q", "f_orc_roundtrip",
-        "t_bpe_train_rounds", "x_kendall_tau", "m2db_spatial_window",
+        "t_bpe_train_rounds", "x_kendall_tau",
         "c_pii_redaction", "d_dup_clusters", "q4_order_priority",
         "q16_parts_supplier_counts",
     ):
