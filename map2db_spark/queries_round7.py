@@ -344,6 +344,16 @@ _BENCH_ORACLE_OBS = _BENCH_ORACLE.replace(
 )
 
 
+def _scatter_if_underspilt(df: DataFrame, par: int) -> DataFrame:
+    """Round-robin scatter a work-amplifying scan ONLY when it arrives
+    with fewer splits than ``par`` (r15 gated form of the CLAUDE.md
+    small-parquet rule): a well-split scan proceeds shuffle-free, a
+    1-2 split scan still fans out before the decode kernel."""
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 @query(
     "m_decode_corpus_bench",
     oracle=_BENCH_ORACLE_OBS,
@@ -418,9 +428,9 @@ def m_decode_corpus_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under-split (the small-file case the repartition was guarding),
     # so a 1-split corpus never decodes single-task; payloads cross
     # zero Exchanges either way (plan-asserted in tests/test_plans.py).
-    par = spark.sparkContext.defaultParallelism
-    if media.rdd.getNumPartitions() < par:
-        media = media.repartition(par)
+    media = _scatter_if_underspilt(
+        media, spark.sparkContext.defaultParallelism
+    )
     decoded = media.mapInPandas(
         kernel,
         schema="media_id LONG, fmt STRING, width INT, height INT,"

@@ -1157,15 +1157,16 @@ def test_decode_native_dispatch_map_only(spark):
 
 
 def test_decode_corpus_bench_repartitions_and_partial_aggs(spark):
-    """The r7 bench decode row: (a) a round-robin Exchange sits
-    between the small-file corpus scan and the decode kernel (one
-    parquet file would otherwise decode on 1-2 input partitions —
-    CLAUDE.md rule), (b) the per-format reduction is partial-agg'd
-    map-side (HashAggregate below the key Exchange), (c) what crosses
-    the shuffle is metadata rows, never payload bytes (no payload
-    column above the kernel)."""
+    """The r7 bench decode row, updated for the r15 gated scatter:
+    (a) the payload scatter fires ONLY when the corpus scan arrives
+    under-split (the r7 unconditional repartition(64) shuffled every
+    payload byte even when the scan already ran at full parallelism
+    — OPTIMIZATION_r15.md; the under-split guard itself is exercised
+    by test_decode_corpus_scatter_fires_when_underspilt), (b) the
+    per-format reduction is partial-agg'd map-side (HashAggregate
+    below the key Exchange), (c) what crosses the shuffle is metadata
+    rows, never payload bytes (no payload column above the kernel)."""
     plan = plan_of(spark, "m_decode_corpus_bench")
-    assert "RoundRobinPartitioning" in plan, plan
     assert plan.count("MapInPandas") == 2, plan
     # partial aggregate before the fmt hash Exchange: formatted plans
     # list nodes bottom-up with numbered headers; the first
@@ -1896,6 +1897,23 @@ def test_decode_corpus_no_payload_shuffle(spark):
     assert "RoundRobinPartitioning" not in plan, plan
     for block in re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n)", plan):
         assert "payload" not in block, block
+
+
+def test_decode_corpus_scatter_fires_when_underspilt(spark):
+    """r15: the gated scatter's under-split branch — a 1-split frame
+    fans out to ``par`` round-robin partitions before the decode
+    kernel, a well-split frame passes through untouched (no Exchange
+    added)."""
+    from map2db_spark.queries_round7 import _scatter_if_underspilt
+
+    one_split = spark.range(100).coalesce(1)
+    fanned = _scatter_if_underspilt(one_split, 8)
+    assert fanned.rdd.getNumPartitions() == 8
+    assert "RoundRobinPartitioning" in fanned._jdf.queryExecution().toString()
+
+    well_split = spark.range(100).repartition(8)
+    passed = _scatter_if_underspilt(well_split, 4)
+    assert passed is well_split
 
 
 def test_linemerge_probe_is_codegen(spark):
