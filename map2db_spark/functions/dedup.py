@@ -188,6 +188,75 @@ def lsh_candidate_pairs(
     return pairs.distinct() if dedup else pairs
 
 
+def capped_band_buckets(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2,
+    bucket_cap: int = 50, min_size: int = 2,
+) -> DataFrame:
+    """LSH band buckets as member ARRAYS — the one-exchange form of
+    banded candidate generation (r15, guide §2.4): bands go long, ONE
+    Exchange clusters (band_idx, bk), a window count filters buckets
+    to ``min_size <= size <= bucket_cap`` BEFORE any member list is
+    built, and the surviving members collect into an array riding the
+    same partitioning (no second exchange).  Compared to the
+    count + semi-join + self-join shape in lsh_candidate_pairs this
+    removes the bucket-count aggregate's separate shuffle, both
+    broadcast builds, and the join itself — and it is the safer shape
+    at 100 TB: the semi-join path degrades to a two-sided shuffle when
+    the small-bucket key set outgrows the broadcast ceiling, while
+    this is a single fixed-width shuffle regardless of skew.  The
+    window-before-collect ordering is load-bearing: collecting first
+    and filtering on size would buffer a degenerate bucket's full
+    membership (boilerplate buckets at corpus scale) in one
+    aggregation buffer, where this form never materializes more than
+    ``bucket_cap`` members per group.
+
+    ``min_size=2`` drops singleton buckets (no pairs to emit), so the
+    output doubles as the candidate-doc set: explode(ms) is every doc
+    that participates in at least one candidate pair."""
+    n_bands = num_hashes // band_size
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "#", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    long = signatures.select(
+        "sid", F.posexplode(band_arr).alias("band_idx", "bk")
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "bk")
+    return (
+        long.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where((F.col("bsz") >= min_size) & (F.col("bsz") <= bucket_cap))
+        .groupBy("band_idx", "bk")
+        .agg(F.collect_list("sid").alias("ms"))
+        .select("ms")
+    )
+
+
+def bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """All unordered member pairs (id_a < id_b) of each bucket array,
+    generated INLINE (nested array transform + explode) instead of a
+    self-join: with bucket_cap-bounded arrays the per-row expansion is
+    <= cap^2 rows and needs no join machinery at all.  A pair
+    colliding in k bands appears k times (the lsh_candidate_pairs
+    dedup=False contract) — correct wherever every consumer is
+    duplicate-insensitive."""
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> named_struct('id_a', least(x, y), "
+                "'id_b', greatest(x, y)))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+
 def jaccard_pairs(
     shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None,
     docs_prefiltered: bool = False, df_cap: int | None = None,

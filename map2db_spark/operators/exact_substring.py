@@ -11,10 +11,16 @@ here is k-gram ANCHOR grouping:
 
   1. every character offset emits its length-L window's hash — one
      (anchor_hash, doc_id, offset) row per position, O(total chars);
-  2. an anchor is DUPLICATED iff it occurs at >= 2 positions
-     corpus-wide (map-side-combinable count on the hash key);
-  3. positions semi-join the duplicated-anchor set;
-  4. per doc, duplicated windows [off, off+L) merge into maximal
+  2. ONE exchange clusters positions by anchor hash; a window count
+     over the hash partition keeps exactly the positions whose anchor
+     occurs at >= 2 places corpus-wide (r15, guide §2.4: this
+     replaces the count-aggregate + checkpoint + semi-join pipeline —
+     the anchor table is mostly-unique, so the count aggregate's
+     partial combine never reduced it, and the probe degraded to a
+     second full shuffle whenever the duplicated-anchor set outgrew
+     the broadcast ceiling; the window form moves the position table
+     across the network exactly once regardless of duplication rate);
+  3. per doc, duplicated windows [off, off+L) merge into maximal
      intervals via one ordered window pass (island detection).
 
 This is EXACT for the Lee-et-al removal semantics, not an
@@ -28,13 +34,11 @@ tests/test_exact_substring.py).
 
 Scale shape (the part the suffix array cannot do distributed): every
 shuffle carries fixed-width (anchor_hash, doc_id, offset) rows — text
-never crosses an Exchange (plan-asserted).  Pass 2's shuffle only
-moves positions whose anchor is duplicated (the rare case in a clean
-corpus).  Total volume is O(total chars) rows, linear like the suffix
-array, but embarrassingly partitionable on the hash key; no suffix
-structure ever materializes beyond the per-row window hash.  At
-100 TB the md5 would drop to xxhash64 (8-byte keys) — md5 is used
-here because both engines compute it identically (oracle parity).
+never crosses an Exchange (plan-asserted), and the position table
+crosses exactly once (the anchor-hash clustering).  Total volume is
+O(total chars) rows, linear like the suffix array, but embarrassingly
+partitionable on the hash key; no suffix structure ever materializes
+beyond the per-row window hash.
 
 No counterpart in the reference (map2db.py decodes map tiles); this
 is the training-data-pipeline extension surface.
@@ -52,7 +56,6 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_occurrences: int = 2,
-    checkpoint: bool = True,
 ) -> DataFrame:
     """Maximal verbatim duplicate spans of length >= ``window`` across
     the whole corpus.  Returns (id_col, span_start, span_end) with
@@ -101,27 +104,22 @@ def duplicate_spans(
             F.col(text_col).substr(F.col("off") + 1, F.lit(window))
         ).alias("h"),
     )
-    # positions feeds BOTH the anchor count and the semi-join probe:
-    # materialize it once (localCheckpoint after AQE optimization —
-    # the multi-branch reuse tool that, unlike persist(), doesn't pin
-    # a non-AQE plan under a vanilla session; measured 9.2s -> 4.0s at
-    # sf0.1 vs recomputing the explode+hash per branch).  On a real
-    # cluster the same role is played by a shuffle-reuse or a
-    # checkpoint to the cluster store.  (checkpoint=False keeps the
-    # full lineage visible for the plan-shape tests.)
-    if checkpoint:
-        positions = positions.localCheckpoint()
-    dup_anchors = (
-        positions.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE anchor-keyed exchange + a window count replaces the former
+    # count-aggregate + localCheckpoint + semi-join probe (r15, guide
+    # §2.4): positions has a single consumer again, so nothing is
+    # materialized; the count rides the same clustering the window
+    # establishes; and the shape is the safer one at 100 TB — the
+    # probe's AQE broadcast degraded to a second full position shuffle
+    # whenever the duplicated-anchor set outgrew the broadcast
+    # ceiling, while this moves the fixed-width position table across
+    # the network exactly once regardless of duplication rate.
+    # Measured at sf0.1: 1.78 s -> 1.42 s standalone min, identical
+    # 5000-row output.
+    wh = Window.partitionBy("h")
+    dup_pos = (
+        positions.withColumn("n", F.count(F.lit(1)).over(wh))
         .where(F.col("n") >= min_occurrences)
-        .select("h")
-    )
-    # no broadcast hint: the duplicated-anchor set scales with the
-    # corpus' duplication rate (worst case O(chars)) — AQE picks a
-    # broadcast at runtime when it is genuinely small
-    dup_pos = positions.join(dup_anchors, "h", "left_semi").select(
-        id_col, "off"
+        .select(id_col, "off")
     )
     w_prev = (
         Window.partitionBy(id_col)

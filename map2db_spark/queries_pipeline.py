@@ -318,17 +318,29 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> 8 one-permutation
-    minhashes -> 4 bands of 2 -> bucket-join candidates -> exact
-    Jaccard verification at 0.9, where only the candidate neighborhood
-    is shingle-exploded a second time.  The signature pass streams
-    explode -> partial-agg with NO materialization of the corpus-wide
-    shingle table (shingles are co-located per doc, so map-side
-    combine collapses the groupBy shuffle to ~1 row per doc); the
-    inverted-index self-join for verification then touches only docs
-    that collided in a band.  At 100 TB nothing corpus-sized is ever
-    checkpointed or shuffled.  The synthetic corpus contains real
+    minhashes -> 4 bands of 2 -> capped band buckets -> inline bucket
+    pairs -> exact Jaccard verification at 0.9, where only the
+    candidate neighborhood is shingle-exploded a second time.  The
+    signature pass streams explode -> partial-agg with NO
+    materialization of the corpus-wide shingle table (shingles are
+    co-located per doc, so map-side combine collapses the groupBy
+    shuffle to ~1 row per doc).  At 100 TB nothing corpus-sized is
+    ever checkpointed or shuffled.  The synthetic corpus contains real
     near-duplicate documents, so this returns genuine pairs; the
-    oracle reimplements the identical pipeline in SQL."""
+    oracle reimplements the identical pipeline in SQL (bucket-join
+    form — pair set and output provably identical: a bucket of size
+    2..cap contributes exactly its member pairs either way).
+
+    r15 restructure (guide §2.4 remove shuffles, §3 joins): candidate
+    generation is capped_band_buckets + bucket_pairs — ONE fixed-width
+    Exchange on (band_idx, bk) with a window-count cap, replacing the
+    count-aggregate shuffle + two broadcast builds + self-join of the
+    lsh_candidate_pairs shape; verification carries per-doc shingle
+    counts ON the shingle rows (window over the already-clustered
+    sid partitioning — no extra exchange), replacing the separate
+    sizes aggregate and BOTH n_a/n_b broadcast joins.  Measured at
+    sf0.1: 3.2 s -> 1.3-2.2 s standalone min, identical 249-row
+    output; plan: 2 fewer Exchanges, 4 fewer BroadcastExchanges."""
     docs = Tables(spark, sf_dir).documents
     # no checkpoint: this explode feeds only the partial-aggregated
     # signature pass, so it streams instead of materializing 200x rows;
@@ -337,36 +349,56 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numeric=True: int chunks (order-preserving hex bijection ->
     # identical buckets) turn the signature agg from Sort+SortAggregate
     # into a no-sort partial HashAggregate (guide §2.3/§7.2).
-    # persist: the band table inside lsh_candidate_pairs has three
-    # consumers (bucket-cap count + both self-join sides); unpersisted,
-    # the corpus-wide explode+md5 signature pass re-executed FOUR times
-    # (r15 plan audit: four identical Scan->Generate->agg subtrees).
-    # One row per doc — memory O(docs), not O(shingles).
     sigs = D.minhash_signatures(
         D.shingle_table(docs, distinct=False), num_hashes=8, numeric=True
-    ).persist()
-    # candidates feed two verification branches; they're ~1k rows.
-    # persist, not localCheckpoint (r2 verdict item 7): blocks are
-    # executor-local either way, but persist keeps lineage, so a lost
-    # executor recomputes instead of failing the query at 100 TB.
-    # dedup=False: both consumers (the doc-id distinct below and the
-    # left_semi pair filter in jaccard_pairs) are duplicate-
-    # insensitive, so the candidate distinct was a pure extra
-    # shuffle+agg of the pair table — the operator's largest
-    # intermediate at scale (r15, guide §2.4).
-    cands = D.lsh_candidate_pairs(
-        sigs, num_hashes=8, band_size=2, bucket_cap=50, dedup=False
-    ).persist()
-    # filter BEFORE the explode: only candidate docs get shingled
-    cand_docs = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
     )
-    sh = D.shingle_table(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # buckets feed two consumers (pair explode + candidate-doc
+    # explode); persist, not localCheckpoint (r2 verdict item 7):
+    # blocks are executor-local either way, but persist keeps lineage,
+    # so a lost executor recomputes instead of failing at 100 TB.
+    # Array rows are bucket_cap-bounded, bucket count << doc count.
+    buckets = D.capped_band_buckets(
+        sigs, num_hashes=8, band_size=2, bucket_cap=50
     ).persist()
-    return D.jaccard_pairs(sh, threshold=0.9, candidates=cands, docs_prefiltered=True)
+    # pairs appear once per colliding band (dedup=False contract);
+    # the only consumer is the duplicate-insensitive left_semi filter
+    # in jaccard verification, so no distinct is spent on the pair
+    # table — at 100 TB the operator's largest intermediate.
+    cands = D.bucket_pairs(buckets)
+    # filter BEFORE the explode: only candidate docs get shingled.
+    # min_size=2 makes explode(ms) exactly the pair-participating doc
+    # set; no distinct — the left_semi broadcast build dedups for free.
+    cand_docs = buckets.select(F.explode("ms").alias("doc_id"))
+    # n (distinct-shingle count per doc) rides the shingle rows via a
+    # window over the repartition-by-doc clustering shingle_table
+    # already established — no sizes aggregate, no n_a/n_b joins.
+    sh = (
+        D.shingle_table(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("sid")))
+        .persist()
+    )
+    a = sh.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"), "shingle")
+    joined = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(cands), ["id_a", "id_b"], "left_semi")
+    )
+    inter = joined.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.9)
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:

@@ -119,10 +119,12 @@ def d_suffix_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every Exchange carries fixed-width (hash, doc_id,
     offset) rows — text never shuffles (plan-asserted, the VERDICT r9
-    #1 'never text^2 pairs' bar); pass-1 anchor counting is map-side
-    combinable; pass 2 only shuffles positions whose anchor is
-    duplicated.  O(total chars) rows total, linear like the suffix
-    array but partitionable on the hash key."""
+    #1 'never text^2 pairs' bar); the anchor-duplication test is a
+    window count over ONE anchor-keyed exchange (r15, guide §2.4 —
+    replacing the count-aggregate + checkpoint + semi-join probe, so
+    the position table crosses the network exactly once regardless of
+    the corpus' duplication rate).  O(total chars) rows total, linear
+    like the suffix array but partitionable on the hash key."""
     from map2db_spark.operators.exact_substring import duplicate_spans
 
     docs = Tables(spark, sf_dir).documents

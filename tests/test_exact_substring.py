@@ -46,7 +46,7 @@ def spark_spans(spark, texts: dict[int, str], window: int) -> set[tuple]:
     df = spark.createDataFrame(
         [(d, t) for d, t in texts.items()], "doc_id LONG, text STRING"
     )
-    out = duplicate_spans(df, window, checkpoint=False).collect()
+    out = duplicate_spans(df, window).collect()
     return {(r.doc_id, r.span_start, r.span_end) for r in out}
 
 

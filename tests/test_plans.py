@@ -378,7 +378,10 @@ class _SpyAbort(Exception):
         "c_soft_dedup_weights",
         "d_threshold_sweep",
         "c_cross_split_leakage",
-        "d_minhash_lsh",
+        # d_minhash_lsh left the list in r15: its verification is now
+        # inline (sizes carried on shingle rows), candidate-capped by
+        # construction — gated by
+        # test_minhash_lsh_candidate_capped_verification below.
     ],
 )
 def test_registered_jaccard_calls_are_skew_railed(spark, name, monkeypatch):
@@ -1321,42 +1324,40 @@ def test_suffix_dedup_shuffles_fixed_width_rows_only(spark):
     """The r10 corpus-wide exact-substring dedup (VERDICT r9 #1 bar):
     every Exchange carries fixed-width (anchor-hash, doc_id, offset)
     rows — the text itself never shuffles and no stage forms text^2
-    pairs.  Asserted on the full-lineage plan (checkpoint=False; the
-    registered query truncates lineage at the positions checkpoint)."""
+    pairs.  r15 shape: the anchor-duplication test is a window count
+    over ONE anchor-keyed exchange (no count aggregate, no positions
+    checkpoint, no semi-join probe), so the position table crosses
+    the network exactly once; the span merge is the second (per-doc)
+    window exchange."""
     import contextlib
     import io
 
     from map2db_spark.operators.exact_substring import duplicate_spans
     from map2db_spark.tables import Tables
 
-    df = duplicate_spans(
-        Tables(spark, SF_CORRECT).documents, 25, checkpoint=False
-    )
+    df = duplicate_spans(Tables(spark, SF_CORRECT).documents, 25)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
     blocks = _exchange_blocks(plan)
-    # anchor-count agg, semi-join probe, per-doc merge window
+    # anchor-hash window clustering + per-doc merge window (plus the
+    # gated input scatter when the scan is under-split)
     assert len(blocks) >= 2, plan
-    # the only text-bearing exchange allowed is the GATED input
-    # scatter of the raw docs before the explode (fires only when the
-    # scan has fewer splits than the parallelism — the small-file
-    # case).  Under checkpoint=False the positions lineage (and its
-    # upstream scatter) appears once per consuming branch, so the
-    # SAME scatter can show up to twice here; the registered query
-    # materializes positions once, so it executes once.  Every
-    # position/anchor exchange stays text-free: no stage ever moves
-    # text proportional to positions or pairs
+    # positions have ONE consumer: the gated text-bearing scatter of
+    # the raw docs appears at most once, and every position/anchor
+    # exchange stays text-free — no stage ever moves text
+    # proportional to positions or pairs
     text_blocks = [b for b in blocks if "text#" in b]
-    assert len(text_blocks) <= 2, plan
+    assert len(text_blocks) <= 1, plan
     for b in text_blocks:
         assert "off#" not in b and "h#" not in b, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # pass-1 anchor counting is map-side combinable (partial agg
-    # before its Exchange)
-    assert "partial_count" in plan, plan
+    # the duplication floor is a window count over the anchor hash —
+    # no separate count aggregate, no checkpoint barrier in the plan
+    assert plan.count("Window") >= 2, plan
+    assert "localCheckpoint" not in plan, plan
 
 
 def test_novelty_filter_probe_broadcasts_bounded_bits(spark):
@@ -1880,12 +1881,42 @@ def test_minhash_lsh_signature_pass_cached_no_sort(spark):
     """r15: the d_minhash_lsh signature aggregate must stay a no-sort
     HashAggregate (int minhash chunks — min(string) would plan
     Sort+SortAggregate over the exploded shingle table) and the
-    signature table must be persisted (its band table has three
-    consumers; unpersisted, the corpus-wide explode+md5 pass executed
-    four times)."""
+    multi-consumer intermediates (capped band buckets, candidate
+    shingles) must come from the cache — unpersisted, the corpus-wide
+    explode+md5 signature pass re-executed once per consumer."""
     plan = plan_of(spark, "d_minhash_lsh")
     assert "SortAggregate" not in plan, plan
     assert "InMemoryRelation" in plan, plan
+
+
+def test_minhash_lsh_candidate_capped_verification(spark):
+    """r15 restructure gate: candidate generation is the one-exchange
+    capped_band_buckets + inline bucket_pairs shape —
+
+    - the bucket cap is a Window count applied BEFORE the member
+      collect_list (bounded aggregation buffers; collecting first
+      would buffer a degenerate bucket's full membership),
+    - pairs explode from the bucket arrays (no band-key self-join, no
+      bucket-count broadcast build),
+    - exact-Jaccard verification is candidate-capped via a LeftSemi
+      on (id_a, id_b) and carries per-doc sizes on the shingle rows
+      (no separate sizes aggregate, no n_a/n_b joins)."""
+    plan = plan_of(spark, "d_minhash_lsh")
+    # window-capped collect: Window node present, and the collect_list
+    # aggregate (ObjectHashAggregate) exists with NO band-key self-join
+    assert "collect_list" in plan, plan
+    assert "ObjectHashAggregate" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only equi-joins are the broadcast semi/inner of the
+    # verification half; the band-key self-join is gone: every
+    # BroadcastHashJoin must mention shingle/doc/id keys, none bk
+    for blk in re.findall(r"\(\d+\) BroadcastHashJoin.*", plan):
+        assert "bk" not in blk, blk
+    # candidate-capped verification: LeftSemi filter on the pair keys
+    assert "LeftSemi" in plan, plan
+    # sizes ride the shingle rows: no countDistinct-style sizes
+    # aggregate feeding a broadcast join (count(1) windows instead)
+    assert plan.count("count(distinct") == 0, plan
 
 
 def test_decode_corpus_no_payload_shuffle(spark):
