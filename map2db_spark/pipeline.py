@@ -37,10 +37,21 @@ def load_features(spark: SparkSession, src: str, header: MapHeader | None = None
     header = header or read_header(src)
     manifest = nonempty(build_manifest(spark, src, header))
     # Break spatial skew: neighboring tiles (dense cities) land in
-    # different tasks.  An explicit round-robin on the tile key beats
-    # relying on input order at high tile counts.
+    # different tasks.  An explicit hash on the tile key beats relying
+    # on input order at high tile counts.  The fan-out is sized from
+    # the DATA, not just the core count (r15, guide §2.5/§4): every
+    # manifest partition is one Python decode-kernel dispatch, so a
+    # small map sliced into 2x-parallelism partitions pays per-task
+    # kernel overhead for near-empty batches (measured on the 256-tile
+    # bench fixture at local[32]: 64 -> 32 partitions = 1.82 s ->
+    # 1.45 s for the full pipeline row).  Rule: >= ~8 tiles per decode
+    # task, capped at 2x parallelism (the skew-smoothing fan-out real
+    # maps want), never more partitions than tiles.
+    par = max(spark.sparkContext.defaultParallelism, 4)
+    total_tiles = sum(sf.tile_count for sf in header.subfiles)
+    fanout = max(1, min(par * 2, max(par, total_tiles // 8), total_tiles))
     manifest = manifest.repartition(
-        max(spark.sparkContext.defaultParallelism * 2, 8),
+        fanout,
         F.col("tile_x"),
         F.col("tile_y"),
         F.col("level"),
