@@ -1162,10 +1162,20 @@ def v_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
+    # argmin as min(dist * K + c), NOT min(struct(dist, c)) (r15,
+    # guide §7.2): the struct min's immutable buffer planned
+    # Sort + SortAggregate over the residual code table; the long
+    # encoding is the same lexicographic order (dist >= 0,
+    # 0 <= c < K) in a no-sort partial HashAggregate, ties still to
+    # the lowest code.  No overflow: dist <= 8 * (8e6)^2 ~ 5.1e14,
+    # * 16 + 15 << 2^63.
     codes = (
         rdists.groupBy("vec_id", "cell", "s")
-        .agg(F.min(F.struct("dist", "c")).alias("m"))
-        .select("vec_id", "cell", "s", F.col("m.c").alias("code"))
+        .agg(F.min(F.col("dist") * _IPQ_K + F.col("c")).alias("m"))
+        .select(
+            "vec_id", "cell", "s",
+            (F.col("m") % _IPQ_K).cast("int").alias("code"),
+        )
     )
     qids = list(_IPQ_QIDS)
     probe = ranked_cells.where(

@@ -678,10 +678,17 @@ def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dists = dists.localCheckpoint()  # reused by codes AND query tables
+    # argmin as min(dist * K + c), NOT min(struct(dist, c)) (r15,
+    # guide §7.2): a struct min has an immutable aggregation buffer,
+    # so Spark planned Sort + SortAggregate — a full sort of the code
+    # table; the long encoding keeps the same lexicographic order
+    # (dist >= 0, 0 <= c < K) in a no-sort partial HashAggregate.
+    # No overflow: dist <= 8 subdims * (2e6)^2 scaled units ~ 3.2e13,
+    # * 16 + 15 << 2^63.  Ties still break to the lowest code.
     codes = (
         dists.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("dist", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("code"))
+        .agg(F.min(F.col("dist") * _PQ_K + F.col("c")).alias("m"))
+        .select("vec_id", "s", (F.col("m") % _PQ_K).cast("int").alias("code"))
     )
     qids = list(_PQ_QUERY_IDS)
     qd = dists.where(F.col("vec_id").isin(qids)).select(

@@ -1957,3 +1957,14 @@ def test_linemerge_probe_is_codegen(spark):
     assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_pq_code_assignment_no_sort_aggregate(spark):
+    """r15: PQ code assignment (argmin centroid per subspace) must be
+    a no-sort HashAggregate — min(dist * K + c) long encoding, the
+    same lexicographic order as the former min(struct(dist, c)) whose
+    immutable buffer planned Sort + SortAggregate over the full code
+    table."""
+    for name in ("v_pq_adc_topk", "v_ivf_pq_residual"):
+        plan = plan_of(spark, name)
+        assert "SortAggregate" not in plan, (name, plan)
