@@ -2001,7 +2001,12 @@ def d_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_table(docs).localCheckpoint()  # base of both sides
     exact = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
     cand = D.lsh_candidate_pairs(
-        D.minhash_signatures(sh, num_hashes=8), num_hashes=8, band_size=2,
+        # numeric=True: order-preserving hex->int chunk bijection (see
+        # minhash_signatures) — candidate sets are value-identical, but
+        # the signature aggregate plans a no-sort partial HashAggregate
+        # instead of Sort+SortAggregate over the exploded shingles
+        D.minhash_signatures(sh, num_hashes=8, numeric=True),
+        num_hashes=8, band_size=2,
         bucket_cap=50,
     ).select("id_a", "id_b")
     hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
@@ -2125,7 +2130,11 @@ def d_minhash_recall_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = D.shingle_table(docs).localCheckpoint()  # base of all sides
     exact = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
-    sigs = D.minhash_signatures(sh, num_hashes=8).localCheckpoint()
+    # numeric=True: the hex->int chunk bijection keeps every band key
+    # equality (and so both candidate sets) value-identical while the
+    # signature aggregate — hidden from the final plan by this
+    # localCheckpoint but still executed — plans hash-based, no sort
+    sigs = D.minhash_signatures(sh, num_hashes=8, numeric=True).localCheckpoint()
     capped = D.lsh_candidate_pairs(
         sigs, num_hashes=8, band_size=2, bucket_cap=_SKEW_CAP
     ).select("id_a", "id_b")
@@ -3074,7 +3083,11 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= _INC_SPLIT)
 
     def band_table(d: DataFrame) -> DataFrame:
-        sig = D.minhash_signatures(D.shingle_table(d), num_hashes=8)
+        # numeric=True: hex->int chunk bijection — band keys stay
+        # equality-identical, the signature min plans hash-based
+        sig = D.minhash_signatures(
+            D.shingle_table(d), num_hashes=8, numeric=True
+        )
         bands = sig.select(
             F.col("sid"),
             *[
@@ -5801,7 +5814,10 @@ def d_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Tables(spark, sf_dir).documents
     sh = D.shingle_table(docs).localCheckpoint()
-    sigs = D.minhash_signatures(sh, num_hashes=8)
+    # numeric=True: hex->int chunk bijection — the mh_i equality tests
+    # below and the band keys are value-equivalent, the signature min
+    # plans a no-sort partial HashAggregate (n_match is unchanged)
+    sigs = D.minhash_signatures(sh, num_hashes=8, numeric=True)
     cand = D.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, bucket_cap=50)
     exact = D.jaccard_pairs(sh, threshold=0.0, candidates=cand).select(
         "id_a", "id_b", "jaccard"

@@ -133,7 +133,9 @@ _VERIFIED_BY_ROUND[8] = frozenset({
     "m2db_decode_sightings", "c_cluster_aware_split",
     "g_harmonic_centrality", "x_linear_attribution",
     "d_cross_source_matrix", "x_qq_deciles", "v_ann_ndcg",
-    "d_minhash_estimate_error", "c_soft_dedup_weights",
+    # d_minhash_estimate_error left this set in r15: numeric no-sort
+    # signature path (OPTIMIZATION_r15.md) -> re-grade
+    "c_soft_dedup_weights",
     "t_boundary_overlap", "t_compressibility_filter",
     "g_robustness_hub_removal", "x_theil_sen", "c_shard_snake_balance", "x_skyline_pareto",
     "d_threshold_sweep", "v_rocchio_expansion", "m_jpeg_pixels",
@@ -162,7 +164,9 @@ _VERIFIED_BY_ROUND[7] = frozenset({
     "x_psi_drift", "v_mmr_rerank",
     "x_conformal_interval",
     "m_webp_dims", "g_clustering_coefficient",
-    "v_binary_quantization", "d_incremental_dedup",
+    # d_incremental_dedup left this set in r15: numeric no-sort
+    # signature path (OPTIMIZATION_r15.md) -> re-grade
+    "v_binary_quantization",
     "f_schema_evolution", "f_dynamic_partition_overwrite", "x_mann_kendall",
     "w_max_drawdown", "x_xicor", "m_mp4_duration",
     "v_centroid_drift", "sql_lateral_subquery",
@@ -385,7 +389,10 @@ _VERIFIED_BY_ROUND[13] = frozenset({
     "x_did_estimator", "x_ks_two_sample", "x_welch_ttest",
     "x_smape_seasonal_naive", "x_wasserstein_1d", "x_bradley_terry_mm",
     "x_gains_deciles", "x_ipw_ate", "x_runs_test", "w_target_encoding",
-    "d_minhash_recall_eval", "d_minhash_recall_skewed",
+    # d_minhash_recall_eval / d_minhash_recall_skewed left this set in
+    # r15: their signature aggregates moved to the numeric no-sort
+    # minhash path (OPTIMIZATION_r15.md) -> re-grade, per this
+    # structure's rule
     # d_semdedup_recall_hotcell left this set in r15: empty-corpus
     # driver-side centroid-collect guard (VERDICT r14 #3) -> re-grade
     "s_stream_drift_monitor",
@@ -473,6 +480,11 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 # (8 m2db queries), and the 16 queries whose local-constant
 # repartition(32) scatters became defaultParallelism-adaptive.
 # tier 0 = 44; the 6 rotation slots left consume the oldest r4 rows.
+# The closing session then fixed the SortAggregate plans in 4 more
+# names (the minhash evaluation family moved to the numeric no-sort
+# signature path: d_minhash_recall_eval, d_minhash_recall_skewed,
+# d_incremental_dedup, d_minhash_estimate_error) -> tier 0 = 48, 2
+# rotation slots left for the oldest r4 rows.
 # Every flipped query was locally re-verified against its oracle at
 # sf0.01 (targeted driver_sim, local[16]) before this flip; the
 # optimization round's driver re-grades the full registry.

@@ -1968,3 +1968,37 @@ def test_pq_code_assignment_no_sort_aggregate(spark):
     for name in ("v_pq_adc_topk", "v_ivf_pq_residual"):
         plan = plan_of(spark, name)
         assert "SortAggregate" not in plan, (name, plan)
+
+
+def test_minhash_eval_family_no_sort_aggregate(spark):
+    """r15: the minhash EVALUATION queries ride the numeric signature
+    path (hex->int chunk bijection, minhash_signatures numeric=True),
+    so their min-per-chunk aggregate plans a no-sort partial
+    HashAggregate instead of Sort + SortAggregate over the exploded
+    shingle table — the same fix the d_minhash_lsh bench row got
+    (plan evidence: plans/r15/d_minhash_recall_eval_*,
+    d_minhash_estimate_error_*, d_incremental_dedup_*).
+    d_minhash_recall_skewed truncates its signature frame behind a
+    localCheckpoint (the aggregate runs but is invisible to the final
+    explain), so its gate asserts the PRE-checkpoint helper frame."""
+    for name in (
+        "d_minhash_recall_eval",
+        "d_minhash_estimate_error",
+        "d_incremental_dedup",
+    ):
+        plan = plan_of(spark, name)
+        assert "SortAggregate" not in plan, (name, plan)
+
+    from map2db_spark.functions import dedup as D
+    from map2db_spark.tables import Tables
+
+    docs = Tables(spark, SF_CORRECT).documents.where("doc_id < 300")
+    sigs = D.minhash_signatures(
+        D.shingle_table(docs), num_hashes=8, numeric=True
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sigs.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
