@@ -2211,7 +2211,12 @@ def x_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("llr") <= _SPRT_B, F.col("rk"))).alias("r_h0"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("s").cast("long").alias("n_success"),
-        F.max(F.struct(F.col("rk"), F.col("llr")))["llr"]
+        # max_by(llr, rk): llr at the walk's last row.  rk is a
+        # row_number (unique per arm), so this is value-identical to
+        # the former max(struct(rk, llr))["llr"] — but the (long, long)
+        # buffer is mutable, so the aggregate plans a no-sort partial
+        # HashAggregate instead of the struct form's SortAggregate
+        F.max_by(F.col("llr"), F.col("rk"))
         .cast("long")
         .alias("llr_final"),
     )

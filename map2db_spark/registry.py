@@ -104,7 +104,10 @@ _VERIFIED_BY_ROUND[9] = frozenset({
     # driver-side seed-collect guard (VERDICT r14 #3) -> re-grade
     "t_quality_classifier_hashed", "j_spatial_neighbor_join",
     "d_longest_common_span", "s_stream_quality_classifier",
-    "c_shard_rebalance_strategies", "x_sprt_sequential_test",
+    # x_sprt_sequential_test left this set in r15: llr_final moved
+    # from max(struct) to max_by (no-sort HashAggregate,
+    # OPTIMIZATION_r15.md) -> re-grade
+    "c_shard_rebalance_strategies",
     "t_token_stats", "t_bpe_token_count", "t_rolling_fingerprint",
     "t_language_id", "t_quality_scores", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -483,8 +486,9 @@ _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())
 # The closing session then fixed the SortAggregate plans in 4 more
 # names (the minhash evaluation family moved to the numeric no-sort
 # signature path: d_minhash_recall_eval, d_minhash_recall_skewed,
-# d_incremental_dedup, d_minhash_estimate_error) -> tier 0 = 48, 2
-# rotation slots left for the oldest r4 rows.
+# d_incremental_dedup, d_minhash_estimate_error) and
+# x_sprt_sequential_test (max(struct) -> max_by) -> tier 0 = 49, 1
+# rotation slot left for the oldest r4 row.
 # Every flipped query was locally re-verified against its oracle at
 # sf0.01 (targeted driver_sim, local[16]) before this flip; the
 # optimization round's driver re-grades the full registry.

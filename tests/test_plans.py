@@ -1970,6 +1970,17 @@ def test_pq_code_assignment_no_sort_aggregate(spark):
         assert "SortAggregate" not in plan, (name, plan)
 
 
+def test_sprt_llr_final_no_sort_aggregate(spark):
+    """r15: x_sprt_sequential_test's llr_final is max_by(llr, rk) —
+    value-identical to the former max(struct(rk, llr))['llr'] because
+    rk is a per-arm row_number (unique) — and the (long, long) max_by
+    buffer is mutable, so the crossing aggregate plans a no-sort
+    HashAggregate (plan evidence:
+    plans/r15/x_sprt_sequential_test_{before,after}.txt)."""
+    plan = plan_of(spark, "x_sprt_sequential_test")
+    assert "SortAggregate" not in plan, plan
+
+
 def test_minhash_eval_family_no_sort_aggregate(spark):
     """r15: the minhash EVALUATION queries ride the numeric signature
     path (hex->int chunk bijection, minhash_signatures numeric=True),
