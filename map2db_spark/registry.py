@@ -250,7 +250,9 @@ _VERIFIED_BY_ROUND[5] = frozenset({
 # fully drains the r4 vintage (VERDICT r14 #2) ---
 _VERIFIED_BY_ROUND[4] = frozenset({
     "c_weighted_sample", "d_prefix_filter_join", "g_exact_median",
-    "g_kcore_peel", "m_webp_lz77_pixels", "r_cdc_merge_upsert",
+    "g_kcore_peel", "m_webp_lz77_pixels",
+    # r_cdc_merge_upsert rotated through the r15 window and
+    # re-greened -> lives in the r15 set (age reset)
     "t_ngram_novelty", "u_udtf_chunker", "w_ewma_dyadic",
     "w_rolling_active_users", "w_scd2_intervals", "x_basket_lift",
     "x_bloom_semi_join", "x_bucketed_colocated_join",
@@ -449,6 +451,33 @@ _VERIFIED_BY_ROUND[14] = frozenset({
     "c_embedding_decontam", "m_image_ahash", "m_wav_energy", "d_containment_dedup",
     "w_linear_interp", "j_interval_overlap",
     "d_simhash_banded", "d_cohort_retention", "x_salted_join",
+})
+
+# --- green in CORRECTNESS_r15.json (round-15 driver window: all 50
+# graded rows green, zero errors — VERDICT r15).  Composition: the 49
+# tier-0 rows (8 new queries_round15 registrations, the ADVICE r14
+# TOST/OBF double-guard restatements, the 7 empty-corpus crash
+# guards, and the 32 optimization-touched names of OPTIMIZATION_r15)
+# plus r_cdc_merge_upsert, the single rotated r4 row (age reset).
+# r16 exclusions, per this structure's rule, are annotated inline
+# below as the optimization round touches modules. ---
+_VERIFIED_BY_ROUND[15] = frozenset({
+    "d_minhash_lsh", "v_ann_ivf_nprobe", "v_kmeans_clusters", "m2db_consolidated_zoom",
+    "m2db_merge_diagnostics", "m2db_geometry_stats", "m2db_pipeline_throughput",
+    "m2db_spatial_window", "m2db_point_in_polygon", "m2db_sql_over_features",
+    "m2db_validation_violations", "t_doc_chunking", "t_bpe_top_merges",
+    "t_bigram_lm_score", "x_countmin_sketch", "t_phrase_search",
+    "u_map_in_arrow", "d_winnow_fingerprints", "t_rake_keywords",
+    "v_pq_adc_topk", "v_pca_power", "c_dsir_importance", "d_cdc_chunks",
+    "d_minhash_recall_eval", "d_minhash_recall_skewed", "d_semdedup_recall_hotcell",
+    "d_incremental_dedup", "t_collocations_pmi", "d_minhash_estimate_error",
+    "t_conditional_entropy", "t_term_burstiness", "c_semdedup", "v_ivf_seed_robustness",
+    "m_decode_corpus_bench", "c_kcenter_coreset", "x_sprt_sequential_test",
+    "d_suffix_dedup_corpus", "v_ivf_pq_residual", "v_truncated_dim_recall",
+    "x_tost_equivalence", "x_obrien_fleming", "x_benjamini_yekutieli",
+    "x_kruskal_wallis", "x_ljung_box", "x_nelson_aalen", "x_fleiss_kappa",
+    "t_simple_good_turing", "x_reservoir_merge", "t_hill_tail_index",
+    "r_cdc_merge_upsert",
 })
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND.values())

@@ -67,22 +67,20 @@ def test_rotation_fills_the_window_oldest_green_first():
         )
 
 
-def test_r15_regrades_are_in_the_window():
-    # r15 re-grades (none may sit in the verified tier):
-    # x_tost_equivalence / x_obrien_fleming — ADVICE r14 restates the
-    # shared zero-variance guard in doubles (the ss*n = s*s BIGINT
-    # product overflows ~two orders beyond sf0.1); and the 7
-    # empty-corpus driver-crash queries from the degenerate-input
-    # inventory (VERDICT r14 #3) whose driver-side seed/centroid
-    # collects gain empty-shape guards
+def test_r15_greens_recorded_and_retired():
+    # the r15 window's 50 green rows (CORRECTNESS_r15.json: all 50
+    # hash-match, zero errors — VERDICT r15) carry round-15 age and
+    # sit behind the window, EXCEPT the names round 16's optimization
+    # work re-touches (those leave the r15 set per the registry rule
+    # and are pinned unverified in test_r16_regrades_are_in_the_window)
     for name in (
         "x_tost_equivalence", "x_obrien_fleming",
         "c_kcenter_coreset", "c_semdedup", "d_semdedup_recall_hotcell",
         "v_ivf_seed_robustness", "v_kmeans_clusters", "v_pca_power",
-        "v_ann_ivf_nprobe",
+        "v_ann_ivf_nprobe", "r_cdc_merge_upsert",
     ):
-        assert name not in _DRIVER_VERIFIED, name
-        assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
+        assert ROUND_OF[name] == 15, name
+        assert NAMES.index(name) >= _WINDOW, (name, NAMES.index(name))
 
 
 def test_r14_greens_retired_and_r4_drains():
