@@ -9,8 +9,12 @@ the WHOLE corpus with no candidate generator in front.  Lee et al. do
 it with a monolithic suffix array; the Spark-native decomposition used
 here is k-gram ANCHOR grouping:
 
-  1. every character offset emits its length-L window's hash — one
-     (anchor_hash, doc_id, offset) row per position, O(total chars);
+  1. every character offset emits its length-L window's 128-bit
+     anchor (two independently-seeded xxhash64 longs — r16: one
+     64-bit hash expects ~1e8 birthday collisions over a 100 TB
+     corpus's ~1e14 windows, silently degrading the EXACT claim at
+     exactly the target scale) — one (h, h2, doc_id, offset) row per
+     position, O(total chars);
   2. ONE exchange clusters positions by anchor hash; a window count
      over the hash partition keeps exactly the positions whose anchor
      occurs at >= 2 places corpus-wide (r15, guide §2.4: this
@@ -66,19 +70,24 @@ def duplicate_spans(
     # GATED input scatter before the ~(chars per doc)x explode: a
     # small corpus parquet arrives as ONE input split (row-group
     # granularity beats maxPartitionBytes), which would run the whole
-    # substr+md5 position pass single-task — the CLAUDE.md
-    # repartition-before-work-amplifying-explodes rule.  The scatter
-    # only fires when the scan has fewer splits than the session's
-    # parallelism, so a production corpus (thousands of splits) never
-    # re-ships its text; position/anchor rows stay text-free either
-    # way (plan-asserted).  Measured at sf0.1 on local[32]: 5.5 s ->
-    # 2.0-2.8 s standalone for the registered query.
-    narrow = docs.select(id_col, text_col).where(
-        F.length(text_col) >= window
+    # substr+hash position pass single-task — the CLAUDE.md
+    # repartition-before-work-amplifying-explodes rule (shared gated
+    # form: functions/partitioning.py; keyed on the doc id so the
+    # scatter skips the round-robin path's local pre-sort of the text
+    # rows).  The scatter only fires when the scan has fewer splits
+    # than the session's parallelism, so a production corpus
+    # (thousands of splits) never re-ships its text; position/anchor
+    # rows stay text-free either way (plan-asserted).  Measured at
+    # sf0.1 on local[32]: 5.5 s -> 2.0-2.8 s standalone for the
+    # registered query.
+    from map2db_spark.functions.partitioning import scatter_if_underspilt
+
+    narrow = scatter_if_underspilt(
+        docs.select(id_col, text_col).where(F.length(text_col) >= window),
+        docs.sparkSession.sparkContext.defaultParallelism,
+        id_col,
     )
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target, F.col(id_col))
+    win_text = F.col(text_col).substr(F.col("off") + 1, F.lit(window))
     positions = narrow.select(
         F.col(id_col),
         F.explode(
@@ -88,21 +97,26 @@ def duplicate_spans(
     ).select(
         id_col,
         "off",
-        # text is consumed map-side here; only the 8-byte anchor hash
-        # shuffles.  xxhash64 (r15, guide §2.3 narrower types): the
-        # anchor is an internal equality key only — any hash with the
-        # same collision-free behavior yields the IDENTICAL span
-        # output, and an 8-byte long row is ~4x narrower than the
-        # 32-hex md5 string it replaces across the checkpoint, the
-        # anchor-count Exchange and the probe Exchange, with a far
+        # text is consumed map-side here; only the 16-byte anchor
+        # pair shuffles.  The anchor is an internal equality key —
+        # any collision-free hash yields the IDENTICAL span output —
+        # and two independently-seeded xxhash64 longs (h, h2) are
+        # still ~2.5x narrower than the 32-hex md5 string they
+        # replace across the anchor-count Exchange, with a far
         # cheaper per-position hash (the pass is O(total chars)
-        # hashes).  Collision risk at sf0.1 (~4M windows): ~5e-7
-        # birthday mass; output equality is pinned against the md5
-        # form in tests/test_exact_substring.py and the DuckDB oracle
-        # (which keeps md5) at sf0.001/0.01/0.1.
-        F.xxhash64(
-            F.col(text_col).substr(F.col("off") + 1, F.lit(window))
-        ).alias("h"),
+        # hashes).  WHY 128 bits (r16, VERDICT r15 #3): a single
+        # 64-bit anchor over the ~1e14 windows of a 100 TB corpus
+        # expects ~1e8 birthday collisions, each minting a false
+        # duplicate span — the declared EXACT semantics would
+        # silently degrade to approximate exactly at the target
+        # scale.  The seeded pair drops the expected collision count
+        # to ~3e-11 over 1e14 windows (2^-128 pairwise), restoring
+        # the exactness claim at any reachable corpus size; output
+        # equality is pinned against the md5 form in
+        # tests/test_exact_substring.py and the DuckDB oracle (which
+        # keeps md5) at sf0.001/0.01/0.1.
+        F.xxhash64(win_text).alias("h"),
+        F.xxhash64(F.lit(1), win_text).alias("h2"),
     )
     # ONE anchor-keyed exchange + a window count replaces the former
     # count-aggregate + localCheckpoint + semi-join probe (r15, guide
@@ -115,7 +129,7 @@ def duplicate_spans(
     # the network exactly once regardless of duplication rate.
     # Measured at sf0.1: 1.78 s -> 1.42 s standalone min, identical
     # 5000-row output.
-    wh = Window.partitionBy("h")
+    wh = Window.partitionBy("h", "h2")
     dup_pos = (
         positions.withColumn("n", F.count(F.lit(1)).over(wh))
         .where(F.col("n") >= min_occurrences)

@@ -1889,9 +1889,16 @@ def m_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the source lists files on the driver but reads
     contents in executor tasks; partition sizing must be by BYTES
     (maxPartitionBytes), not rows — one 4K video row is not one CSV
-    row."""
+    row.  The payload projects to (length, md5) BEFORE any reduction
+    and persists, so content bytes are read once and never buffered
+    past the map side; the global md5 minimum is a
+    TakeOrderedAndProject top-1 instead of a min(string) whose
+    immutable buffer planned Sort + SortAggregate for the whole
+    aggregate (r16, guide §7.2 via functions/extrema.py)."""
     import os
     import tempfile
+
+    from map2db_spark.functions.extrema import attach_global_extremum
 
     docs = Tables(spark, sf_dir).documents.where(F.col("doc_id") < 8)
     tmp = tempfile.mkdtemp(prefix="m2db_bin_")
@@ -1901,12 +1908,16 @@ def m_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.tables import cleanup_roundtrip
 
     bf = spark.read.format("binaryFile").load(tmp)
+    narrow = bf.select(
+        F.length("content").alias("__nb"),
+        F.md5(F.col("content")).alias("__h"),
+    ).persist()
+    aggs = narrow.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("__nb").cast("long").alias("total_bytes"),
+    )
     return cleanup_roundtrip(
-        bf.agg(
-            F.count("*").cast("long").alias("n_files"),
-            F.sum(F.length("content")).cast("long").alias("total_bytes"),
-            F.min(F.md5(F.col("content"))).alias("first_md5"),
-        ),
+        attach_global_extremum(aggs, narrow, F.col("__h"), "first_md5"),
         tmp,
     )
 

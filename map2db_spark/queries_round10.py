@@ -4142,13 +4142,15 @@ def v_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map2db_spark.functions.similarity import int_dot, int_vec
 
     emb = Tables(spark, sf_dir).embeddings
-    # gated input scatter (the exact_substring rule): a small
-    # embeddings parquet is ONE split, and the stream side of the
-    # nested-loop probe parallelizes by input partitions — without
+    # gated input scatter (shared form: functions/partitioning.py): a
+    # small embeddings parquet is ONE split, and the stream side of
+    # the nested-loop probe parallelizes by input partitions — without
     # this the whole pair-distance pass runs in a single task
-    target = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target, F.col("vec_id"))
+    from map2db_spark.functions.partitioning import scatter_if_underspilt
+
+    emb = scatter_if_underspilt(
+        emb, spark.sparkContext.defaultParallelism, "vec_id"
+    )
     # per-vector squared norms are computed ONCE here, not per pair:
     # d2 = |q|^2 + |c|^2 - 2 q.c needs one zip_with per pair instead
     # of three (exact integers either way — together with the scatter,

@@ -1074,8 +1074,17 @@ def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast-sized argmax join back; edges are checkpointed once
     and re-partitioned by dst so each round's join is co-located.
     Rounds are O(log diameter) in practice; components.py handles the
-    exact-fixpoint regime.
-    """
+    exact-fixpoint regime.  The per-node majority argmax is a
+    WindowGroupLimit top-1 window ordered (c DESC, label ASC) — r16,
+    guide §7.2: min(struct(-c, label)) has an immutable struct
+    buffer, planning Sort + SortAggregate over the votes table every
+    round (hidden behind the per-round localCheckpoint but executed;
+    the d_minhash_recall_skewed blind spot).  Value-identical
+    INCLUDING ties: (c, label) pairs are unique within a node (votes
+    is grouped by (u, label)), and the window's total order replays
+    the struct-min's exact tie-break.  labels are unbounded bigints,
+    so the PQ-style (-c)*K+label long encoding was rejected (overflow
+    class, ADVICE r14)."""
     import map2db_spark.functions.similarity as S
 
     planes = _lp_planes()
@@ -1110,10 +1119,13 @@ def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        wnd = Window.partitionBy("u").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
         best = (
-            votes.groupBy("u")
-            .agg(F.min(F.struct((-F.col("c")).alias("negc"), "label")).alias("m"))
-            .select(F.col("u").alias("vec_id"), F.col("m.label").alias("maj"))
+            votes.withColumn("__rn", F.row_number().over(wnd))
+            .where(F.col("__rn") == 1)
+            .select(F.col("u").alias("vec_id"), F.col("label").alias("maj"))
         )
         cur = (
             nodes.select("vec_id", "seed")

@@ -650,10 +650,17 @@ def g_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the walk frontier is one row per seed; each step is
     an equi-join of the frontier against the adjacency list keyed on
-    the current node, then a map-side-combinable argmax per seed —
-    O(steps) rounds of bounded joins, the BFS dataflow with an argmax
-    instead of a union.  Hub nodes cost one task's scan of their
-    neighbor block, not a cross product.
+    the current node, then a per-seed argmax — O(steps) rounds of
+    bounded joins, the BFS dataflow with an argmax instead of a
+    union.  Hub nodes cost one task's scan of their neighbor block,
+    not a cross product.  The argmax is a WindowGroupLimit top-1
+    window (r16, guide §7.2): max_by(x, md5key)'s string-keyed buffer
+    is immutable, so every step had planned Sort + SortAggregate over
+    the frontier-x-neighbors table; the window form keeps a running
+    top-1 per seed on the map side and shuffles one row per seed per
+    task.  Value-identical: the md5 keys are distinct within a seed
+    group (distinct neighbor x under a fixed cur), so the argmax is
+    unique — the same uniqueness arg_max needs on the oracle side.
     """
     li = (
         Tables(spark, sf_dir)
@@ -689,12 +696,21 @@ def g_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x").cast("string"),
             )
         )
+        joined = state.join(adj, state["cur"] == adj["w"]).select(
+            "seed", *out_cols, "x", key.alias("__rwk")
+        )
+        wnd = Window.partitionBy("seed").orderBy(
+            F.col("__rwk").desc_nulls_last()
+        )
         state = (
-            state.join(adj, state["cur"] == adj["w"])
-            .groupBy("seed", *out_cols)
-            .agg(F.max_by("x", key).alias(f"n{step}"))
-            .withColumnRenamed(f"n{step}", f"n{step}")
-            .withColumn("cur", F.col(f"n{step}"))
+            joined.withColumn("__rn", F.row_number().over(wnd))
+            .where(F.col("__rn") == 1)
+            .select(
+                "seed",
+                *out_cols,
+                F.col("x").alias(f"n{step}"),
+                F.col("x").alias("cur"),
+            )
         )
         out_cols.append(f"n{step}")
     return state.select("seed", "n1", "n2", "n3").orderBy("seed")
@@ -848,11 +864,19 @@ def f_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     commas, braces), so the hash match proves the writer's
     quote/escape handling survives the round trip byte-exactly, not
     just for friendly values.  Scale shape: format transcode is a
-    map-only parallel pass; the aggregate is one map-side-combinable
-    shuffle.  CSV files split by line, so parallelism survives large
-    files (unlike multiline JSON).
+    map-only parallel pass; the fixed-width aggregates are one
+    map-side-combinable no-sort shuffle, and the md5 extremum rides a
+    WindowGroupLimit top-1 window over a persisted narrow projection
+    (r16, guide §7.2 via functions/extrema.py — min(string) in the
+    groupBy had an immutable buffer, dragging every aggregate through
+    a per-task Sort + SortAggregate of the full read-back; the narrow
+    (event_type, md5) persist also keeps the CSV parse single-pass
+    under the split aggregate's two consumers).  CSV files split by
+    line, so parallelism survives large files (unlike multiline JSON).
     """
     import tempfile
+
+    from map2db_spark.functions.extrema import attach_group_extremum
 
     ev = Tables(spark, sf_dir).events.select(
         "event_type",
@@ -866,11 +890,16 @@ def f_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(tmp)
     )
+    narrow = back.select(
+        "event_type", "cents", F.md5(F.col("props")).alias("__h")
+    ).persist()
+    aggs = narrow.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
     return _cleanup_roundtrip(
-        back.groupBy("event_type").agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("sum_cents"),
-            F.min(F.md5(F.col("props"))).alias("min_props_md5"),
+        attach_group_extremum(
+            aggs, narrow, ["event_type"], F.col("__h"), "min_props_md5"
         ),
         tmp,
     )
@@ -895,18 +924,34 @@ def f_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema; md5 over the round-tripped text proves the JSON string
     escaping is byte-exact.  Multiline JSON would serialize the read
     to one task per file — JSONL is the scale-safe shape.
+
+    r16 (guide §7.2, functions/extrema.py): the md5 extremum is a
+    WindowGroupLimit top-1 window over a persisted narrow
+    (lang, n_chars, md5) projection — min(string) in the groupBy had
+    an immutable buffer, dragging count/sum through a per-task
+    Sort + SortAggregate of the full read-back; the persist keeps the
+    JSON parse single-pass under the split aggregate's two consumers.
     """
     import tempfile
+
+    from map2db_spark.functions.extrema import attach_group_extremum
 
     docs = Tables(spark, sf_dir).documents.select("doc_id", "lang", "text")
     tmp = tempfile.mkdtemp(prefix="m2db_jsonl_")
     docs.write.mode("overwrite").json(tmp)
     back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
+    narrow = back.select(
+        "lang",
+        F.length("text").alias("__nc"),
+        F.md5(F.col("text")).alias("__h"),
+    ).persist()
+    aggs = narrow.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__nc").cast("long").alias("total_chars"),
+    )
     return _cleanup_roundtrip(
-        back.groupBy("lang").agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.length("text")).cast("long").alias("total_chars"),
-            F.min(F.md5(F.col("text"))).alias("min_text_md5"),
+        attach_group_extremum(
+            aggs, narrow, ["lang"], F.col("__h"), "min_text_md5"
         ),
         tmp,
     )
@@ -4200,12 +4245,22 @@ def f_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     guarded.coalesce(2).write.mode("overwrite").text(tmp)
     back = spark.read.text(tmp)
+    # r16 (guide §7.2, functions/extrema.py): the global md5 minimum
+    # goes through TakeOrderedAndProject top-1 instead of a
+    # min(string) whose immutable buffer planned Sort + SortAggregate
+    # for the whole aggregate; the persisted narrow projection keeps
+    # the text read single-pass under the split aggregate.
+    from map2db_spark.functions.extrema import attach_global_extremum
+
+    narrow = back.select(
+        F.length("value").alias("__nc"), F.md5(F.col("value")).alias("__h")
+    ).persist()
+    aggs = narrow.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("__nc").cast("long").alias("total_chars"),
+    )
     return _cleanup_roundtrip(
-        back.agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.sum(F.length("value")).cast("long").alias("total_chars"),
-            F.min(F.md5(F.col("value"))).alias("min_md5"),
-        ),
+        attach_global_extremum(aggs, narrow, F.col("__h"), "min_md5"),
         tmp,
     )
 
@@ -4692,25 +4747,35 @@ def f_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs a sampling pass and drifts — production pins the struct,
     as here.
 
-    Scale shape: parse is map-side; one map-side-combinable
-    aggregate.
+    Scale shape: parse is map-side and SINGLE-pass (the typed columns
+    persist narrow); the fixed-width aggregates are one
+    map-side-combinable no-sort shuffle and the min(tag) string
+    extremum rides a WindowGroupLimit top-1 window (r16, guide §7.2
+    via functions/extrema.py — the string min's immutable buffer had
+    dragged count/sum through a per-task Sort + SortAggregate of the
+    parsed table).
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from map2db_spark.functions.extrema import attach_group_extremum
 
     schema = StructType(
         [StructField("k", LongType()), StructField("tag", StringType())]
     )
     ev = Tables(spark, sf_dir).events
     parsed = ev.select(F.from_json(F.col("props"), schema).alias("p"))
-    return (
-        parsed.groupBy((F.col("p.k") % 7).alias("k_mod"))
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("p.k").cast("long").alias("k_sum"),
-            F.min("p.tag").alias("min_tag"),
-        )
-        .orderBy("k_mod")
+    narrow = parsed.select(
+        (F.col("p.k") % 7).alias("k_mod"),
+        F.col("p.k").alias("__k"),
+        F.col("p.tag").alias("__tag"),
+    ).persist()
+    aggs = narrow.groupBy("k_mod").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__k").cast("long").alias("k_sum"),
     )
+    return attach_group_extremum(
+        aggs, narrow, ["k_mod"], F.col("__tag"), "min_tag"
+    ).orderBy("k_mod")
 
 
 # ---------------------------------------------------------------------------
@@ -7753,8 +7818,18 @@ def f_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic output: the representative is min(s) under binary
     collation, not the engine's arbitrary group exemplar.
 
-    Scale shape: one map-side-combinable aggregate; the collated
-    comparison is a per-row key transform inside codegen."""
+    Scale shape: one combinable aggregate over the collated key; the
+    collated comparison is a per-row key transform inside codegen.
+    The SortAggregate this plans is ADJUDICATED, not an oversight
+    (r16): GROUPING on a non-binary-collated key is sort-based by
+    Spark 4.1 engine design (hash aggregation requires binary-
+    comparable group keys), so the plan sorts regardless of which
+    aggregates ride it — splitting min(s) onto the extrema.py window
+    path was tried and only ADDED a second sorted pass over the same
+    rows without removing the first (plans/r16/
+    f_collated_grouping_{before,split_attempt}.txt); the one-pass
+    form is the cheapest shape the engine offers for collated
+    grouping."""
     ev = Tables(spark, sf_dir).events
     s = F.when(
         F.col("event_id") % 2 == 0, F.upper("event_type")

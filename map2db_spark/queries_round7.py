@@ -344,14 +344,13 @@ _BENCH_ORACLE_OBS = _BENCH_ORACLE.replace(
 )
 
 
-def _scatter_if_underspilt(df: DataFrame, par: int) -> DataFrame:
-    """Round-robin scatter a work-amplifying scan ONLY when it arrives
-    with fewer splits than ``par`` (r15 gated form of the CLAUDE.md
-    small-parquet rule): a well-split scan proceeds shuffle-free, a
-    1-2 split scan still fans out before the decode kernel."""
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+# ONE shared definition since r16 (VERDICT r15 #7) — the same gated
+# logic had grown three copies (here, operators/exact_substring.py,
+# v_hard_negative_mining); kept importable under the old name for the
+# r15-era plan gates and call sites.
+from map2db_spark.functions.partitioning import (  # noqa: E402
+    scatter_if_underspilt as _scatter_if_underspilt,
+)
 
 
 @query(

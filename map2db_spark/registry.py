@@ -146,7 +146,11 @@ _VERIFIED_BY_ROUND[8] = frozenset({
     # c_semdedup left this set in r15: empty-corpus driver-side
     # centroid-collect guard (VERDICT r14 #3) -> re-grade
     "m_resize_pixels", "t_dup_ngram_coverage",
-    "f_collated_grouping", "f_parameterized_sql", "u_python_udtf",
+    # f_collated_grouping left this set in r16: SortAggregate
+    # adjudication recorded in its docstring (collated grouping is
+    # sort-based by engine design; code reverted to the one-pass
+    # form after the split attempt) -> re-grade
+    "f_parameterized_sql", "u_python_udtf",
     "v_ann_filtered", "x_bm25_retrieval",
     "t_lang_confusion", "c_contamination_bloom", "g_betweenness",
     "m_exif_orientation", "m_resize_exif_jpeg",
@@ -160,8 +164,11 @@ _VERIFIED_BY_ROUND[7] = frozenset({
     # per this structure's rule.  x_acf_lags / g_degree_assortativity
     # are NOT here either (r14: the shared _SPEARMAN_RHO expression
     # gained its degenerate-variance guard) ---
-    "s_stream_checkpoint_resume", "f_csv_roundtrip",
-    "f_jsonl_roundtrip", "m_jpeg_dims", "t_bpe_encode_apply",
+    "s_stream_checkpoint_resume",
+    # f_csv_roundtrip / f_jsonl_roundtrip left this set in r16: the
+    # min(md5) aggregate moved to the extrema.py no-sort split
+    # (OPTIMIZATION_r16.md) -> re-grade
+    "m_jpeg_dims", "t_bpe_encode_apply",
     "sql_group_by_all", "d_cluster_canonical",
     "j_asof_nearest", "g_hits_authorities",
     "x_psi_drift", "v_mmr_rerank",
@@ -174,9 +181,11 @@ _VERIFIED_BY_ROUND[7] = frozenset({
     "w_max_drawdown", "x_xicor", "m_mp4_duration",
     "v_centroid_drift", "sql_lateral_subquery",
     "f_compression_codecs",
-    "w_ohlc_bars", "f_text_source", "m_media_dispatch",
+    "w_ohlc_bars", "m_media_dispatch",
+    # f_text_source / f_from_json_typed left this set in r16:
+    # extrema.py no-sort split (OPTIMIZATION_r16.md) -> re-grade
     "x_weighted_median", "t_readability", "x_durbin_watson",
-    "c_token_budget", "c_curriculum_order", "f_from_json_typed",
+    "c_token_budget", "c_curriculum_order",
     "u_arrow_python_udf", "x_seasonality_strength", "x_gini_split",
 })
 
@@ -209,11 +218,14 @@ _VERIFIED_BY_ROUND[6] = frozenset({
     # already exist, so they are FRONTED for a fresh current-HEAD
     # driver row instead of being re-implemented (removed from this
     # set -> tier 0).
-    "m_binaryfile_ingest",
+    # m_binaryfile_ingest left this set in r16: extrema.py no-sort
+    # split (OPTIMIZATION_r16.md) -> re-grade
     "x_seasonal_anomaly_days", "g_modularity", "v_ann_mrr_rank",
     "x_benford_test", "s_stream_append_emission",
     "x_entropy_segments", "g_adamic_adar",
-    "g_random_walk",
+    # g_random_walk left this set in r16: per-step argmax moved to
+    # the WindowGroupLimit top-1 window (OPTIMIZATION_r16.md)
+    # -> re-grade
 })
 
 # --- green in CORRECTNESS_r05.json (round-5 driver window;
@@ -225,7 +237,10 @@ _VERIFIED_BY_ROUND[5] = frozenset({
     "c_cross_split_leakage", "c_domain_cap", "c_kfold_assign",
     "c_quantile_normalize", "d_dup_size_histogram", "d_edit_blocked_join",
     "g_bfs_layers", "g_exact_quartiles",
-    "g_label_prop", "g_mode_per_group", "j_asof_join",
+    # g_label_prop left this set in r16: per-round majority argmax
+    # moved to the WindowGroupLimit top-1 window (OPTIMIZATION_r16.md)
+    # -> re-grade
+    "g_mode_per_group", "j_asof_join",
     "j_first_touch_attribution", "m2db_overlay_union", "m2db_repair_salvage",
     "m_jpeg_subsampled", "m_vp8_header_params", "m_webp_color_transform",
     "s_stream_foreachbatch_upsert", "t_event_trigrams", "u_cogroup_merge", "u_grouped_agg_udf",
@@ -322,7 +337,9 @@ _VERIFIED_BY_ROUND[10] = frozenset({
 _VERIFIED_BY_ROUND[11] = frozenset({
     "x_ab_test_proportions", "x_power_analysis", "x_gbdt_stumps",
     "x_quantile_pinball", "c_length_bucketing", "c_pps_systematic_sample",
-    "v_hard_negative_mining",
+    # v_hard_negative_mining left this set in r16: its gated scatter
+    # moved to the shared functions/partitioning.py definition
+    # (VERDICT r15 #7) -> re-grade
     "c_shard_shuffle_manifest", "x_pass_at_k", "x_token_f1",
     "x_average_precision", "x_bh_fdr", "x_brier_decomposition",
     "c_loo_target_encoding", "x_woe_iv", "c_best_of_n_reward",
@@ -472,8 +489,13 @@ _VERIFIED_BY_ROUND[15] = frozenset({
     "d_minhash_recall_eval", "d_minhash_recall_skewed", "d_semdedup_recall_hotcell",
     "d_incremental_dedup", "t_collocations_pmi", "d_minhash_estimate_error",
     "t_conditional_entropy", "t_term_burstiness", "c_semdedup", "v_ivf_seed_robustness",
-    "m_decode_corpus_bench", "c_kcenter_coreset", "x_sprt_sequential_test",
-    "d_suffix_dedup_corpus", "v_ivf_pq_residual", "v_truncated_dim_recall",
+    # m_decode_corpus_bench left this set in r16: its gated scatter
+    # moved to the shared functions/partitioning.py definition
+    # (VERDICT r15 #7) -> re-grade
+    "c_kcenter_coreset", "x_sprt_sequential_test",
+    # d_suffix_dedup_corpus left this set in r16: 128-bit seeded
+    # anchor pair (VERDICT r15 #3) + shared gated scatter -> re-grade
+    "v_ivf_pq_residual", "v_truncated_dim_recall",
     "x_tost_equivalence", "x_obrien_fleming", "x_benjamini_yekutieli",
     "x_kruskal_wallis", "x_ljung_box", "x_nelson_aalen", "x_fleiss_kappa",
     "t_simple_good_turing", "x_reservoir_merge", "t_hill_tail_index",

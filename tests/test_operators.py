@@ -1089,3 +1089,86 @@ def test_resize_normalize_orientation(spark):
     assert np.array_equal(
         decode_png(bytes(out[1]["payload"])), flat[ys2][:, xs2]
     )
+
+
+def test_extrema_attach_matches_string_min_max(spark):
+    """r16 functions/extrema.py: the split no-sort string extremum
+    must equal min()/max() exactly across the semantics corners the
+    rewrite has to reproduce — NULL group keys (groupBy keeps them,
+    plain equi-join would drop them), NULL values mixed into a group
+    (min/max ignore NULLs), and an all-NULL group (extremum NULL)."""
+    from map2db_spark.functions.extrema import (
+        attach_global_extremum,
+        attach_group_extremum,
+    )
+
+    rows = [
+        ("a", "m2"), ("a", "m1"), ("a", None),
+        ("b", None), ("b", None),
+        (None, "z9"), (None, "z1"),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v STRING")
+    want_min = {
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(F.count("*").alias("n"), F.min("v").alias("m"))
+        .collect()
+    }
+    aggs = df.groupBy("g").agg(F.count("*").alias("n"))
+    got_min = {
+        tuple(r)
+        for r in attach_group_extremum(aggs, df, ["g"], F.col("v"), "m").collect()
+    }
+    assert got_min == want_min
+    want_max = {
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(F.count("*").alias("n"), F.max("v").alias("m"))
+        .collect()
+    }
+    got_max = {
+        tuple(r)
+        for r in attach_group_extremum(
+            aggs, df, ["g"], F.col("v"), "m", ascending=False
+        ).collect()
+    }
+    assert got_max == want_max
+
+
+def test_extrema_global_empty_input_keeps_one_row(spark):
+    """r16: the global form must keep min()'s one-row (count=0,
+    NULL) output on EMPTY input — the degenerate-input gate class; an
+    inner/cross join against the 0-row top-1 frame would drop it."""
+    from map2db_spark.functions.extrema import attach_global_extremum
+
+    empty = spark.createDataFrame([], "v STRING")
+    aggs = empty.agg(F.count("*").alias("n"))
+    out = attach_global_extremum(aggs, empty, F.col("v"), "m").collect()
+    assert [tuple(r) for r in out] == [(0, None)]
+
+
+def test_minhash_numeric_chunks_equal_conv_of_hex(spark):
+    """ADVICE r15: pin the numeric=True hex->int chunk bijection
+    row-for-row — minhash_signatures(numeric=True) values must equal
+    conv(chunk, 16, 10) of the numeric=False output (the claim the
+    dedup.py docstring cites to THIS test)."""
+    from map2db_spark.functions import dedup as D
+    from map2db_spark.tables import Tables
+
+    from tests.conftest import SF_CORRECT
+
+    sh = D.shingle_table(
+        Tables(spark, SF_CORRECT).documents.where("doc_id < 60")
+    )
+    k = 8
+    hex_rows = {
+        r["sid"]: tuple(r[f"mh{i}"] for i in range(k))
+        for r in D.minhash_signatures(sh, num_hashes=k).collect()
+    }
+    num_rows = {
+        r["sid"]: tuple(r[f"mh{i}"] for i in range(k))
+        for r in D.minhash_signatures(sh, num_hashes=k, numeric=True).collect()
+    }
+    assert set(hex_rows) == set(num_rows) and hex_rows
+    for sid, hx in hex_rows.items():
+        assert num_rows[sid] == tuple(int(c, 16) for c in hx), sid

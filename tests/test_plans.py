@@ -1358,6 +1358,13 @@ def test_suffix_dedup_shuffles_fixed_width_rows_only(spark):
     # no separate count aggregate, no checkpoint barrier in the plan
     assert plan.count("Window") >= 2, plan
     assert "localCheckpoint" not in plan, plan
+    # r16 (VERDICT r15 #3): the anchor is the 128-bit seeded xxhash64
+    # PAIR — a single 64-bit anchor expects ~1e8 birthday collisions
+    # at the 100 TB target (~1e14 windows), silently degrading the
+    # EXACT-semantics claim; both halves must key the window exchange
+    anchor_blocks = [b for b in blocks if "h#" in b]
+    assert anchor_blocks, plan
+    assert any("h2#" in b for b in anchor_blocks), plan
 
 
 def test_novelty_filter_probe_broadcasts_bounded_bits(spark):
@@ -1931,19 +1938,31 @@ def test_decode_corpus_no_payload_shuffle(spark):
 
 
 def test_decode_corpus_scatter_fires_when_underspilt(spark):
-    """r15: the gated scatter's under-split branch — a 1-split frame
-    fans out to ``par`` round-robin partitions before the decode
-    kernel, a well-split frame passes through untouched (no Exchange
-    added)."""
+    """r15 (r16: ONE shared definition, functions/partitioning.py —
+    VERDICT r15 #7): the gated scatter's under-split branch — a
+    1-split frame fans out to ``par`` round-robin partitions before
+    the decode kernel, or hash-partitions when key columns are given
+    (skipping round-robin's local pre-sort of heavy rows); a
+    well-split frame passes through untouched (no Exchange added).
+    The old queries_round7 name must stay importable and BE the
+    shared definition."""
+    from map2db_spark.functions.partitioning import scatter_if_underspilt
     from map2db_spark.queries_round7 import _scatter_if_underspilt
 
+    assert _scatter_if_underspilt is scatter_if_underspilt
+
     one_split = spark.range(100).coalesce(1)
-    fanned = _scatter_if_underspilt(one_split, 8)
+    fanned = scatter_if_underspilt(one_split, 8)
     assert fanned.rdd.getNumPartitions() == 8
     assert "RoundRobinPartitioning" in fanned._jdf.queryExecution().toString()
 
+    keyed = scatter_if_underspilt(one_split, 8, "id")
+    assert keyed.rdd.getNumPartitions() == 8
+    ktxt = keyed._jdf.queryExecution().toString()
+    assert "hashpartitioning" in ktxt and "RoundRobinPartitioning" not in ktxt
+
     well_split = spark.range(100).repartition(8)
-    passed = _scatter_if_underspilt(well_split, 4)
+    passed = scatter_if_underspilt(well_split, 4)
     assert passed is well_split
 
 
@@ -2013,3 +2032,74 @@ def test_minhash_eval_family_no_sort_aggregate(spark):
     plan = buf.getvalue()
     assert "SortAggregate" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_string_extrema_family_no_sort_aggregate(spark):
+    """r16: the md5/tag min(string) family rides functions/extrema.py —
+    fixed-width aggregates hash-aggregate (no sort), and the string
+    extremum is a WindowGroupLimit top-1 window (grouped) or a
+    TakeOrderedAndProject top-1 (global) over a PERSISTED narrow
+    projection (single-parse under the split aggregate's two
+    consumers).  min(string)'s immutable buffer had dragged every
+    aggregate in the groupBy through Sort + SortAggregate (plan
+    evidence: plans/r16/<name>_{before,after}.txt).
+    f_collated_grouping is deliberately NOT here: grouping on a
+    non-binary-collated key is sort-based by Spark 4.1 engine design,
+    and the split form only added a second sorted pass (adjudicated —
+    plans/r16/f_collated_grouping_split_attempt.txt)."""
+    grouped = ("f_csv_roundtrip", "f_jsonl_roundtrip", "f_from_json_typed")
+    for name in grouped:
+        plan = plan_of(spark, name)
+        assert "SortAggregate" not in plan, (name, plan)
+        assert "WindowGroupLimit" in plan, (name, plan)
+        assert "InMemoryRelation" in plan, (name, plan)
+    for name in ("f_text_source", "m_binaryfile_ingest"):
+        plan = plan_of(spark, name)
+        assert "SortAggregate" not in plan, (name, plan)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "InMemoryRelation" in plan, (name, plan)
+
+
+def test_random_walk_argmax_no_sort_aggregate(spark):
+    """r16: g_random_walk's per-step neighbor argmax is a
+    WindowGroupLimit top-1 window ordered by the md5 walk key DESC —
+    max_by(x, md5key)'s string-keyed buffer is immutable, so each of
+    the 3 steps had planned Sort + SortAggregate over the
+    frontier-x-neighbors table (12 nodes total with Catalyst's
+    per-consumer duplication; plans/r16/g_random_walk_*)."""
+    plan = plan_of(spark, "g_random_walk")
+    assert "SortAggregate" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_label_prop_argmax_no_sort_aggregate(spark, monkeypatch):
+    """r16: g_label_prop's per-round majority vote is a
+    WindowGroupLimit top-1 window ordered (c DESC, label ASC) — the
+    former min(struct(-c, label)) planned Sort + SortAggregate over
+    the votes table EVERY round, hidden behind the per-round
+    localCheckpoint (executed but invisible to the final explain).
+    The gate therefore captures the PRE-checkpoint plan by patching
+    localCheckpoint to identity — asserting the query body itself,
+    not a rebuilt helper frame (plans/r16/g_label_prop_* carry the
+    same capture)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    monkeypatch.setattr(_CDF, "localCheckpoint", lambda self, eager=True: self)
+    plan = plan_of(spark, "g_label_prop")
+    assert "SortAggregate" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_minhash_recall_skewed_query_body_no_sort_aggregate(spark, monkeypatch):
+    """ADVICE r15: d_minhash_recall_skewed's signature aggregate hides
+    behind a localCheckpoint (executed but invisible to the final
+    explain), and the r15 gate asserted a freshly-built helper frame
+    that would not catch the query body dropping numeric=True.  This
+    gate captures the query's ACTUAL pre-checkpoint plan by patching
+    localCheckpoint to identity (committed capture:
+    plans/r16/d_minhash_recall_skewed_prechkpt.txt)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    monkeypatch.setattr(_CDF, "localCheckpoint", lambda self, eager=True: self)
+    plan = plan_of(spark, "d_minhash_recall_skewed")
+    assert "SortAggregate" not in plan, plan

@@ -172,3 +172,21 @@ def test_r1_protocol_fixed_fails_stay_retired():
         "r_array_agg_roundtrip", "x_approx_distinct", "x_approx_quantiles",
     ):
         assert ROUND_OF[name] == 12, name
+
+
+def test_r16_regrades_are_in_the_window():
+    # r16 re-grades (none may sit in the verified tier): the
+    # SortAggregate burn-down (VERDICT r15 #1) — the min(string)
+    # family moves onto functions/extrema.py's no-sort split, the two
+    # graph argmaxes move onto WindowGroupLimit top-1 windows, and
+    # f_collated_grouping records its reviewed adjudication
+    for name in (
+        "f_csv_roundtrip", "f_jsonl_roundtrip", "f_text_source",
+        "f_from_json_typed", "f_collated_grouping",
+        "m_binaryfile_ingest", "g_random_walk", "g_label_prop",
+        # the 128-bit anchor pair + shared gated scatter
+        "d_suffix_dedup_corpus", "m_decode_corpus_bench",
+        "v_hard_negative_mining",
+    ):
+        assert name not in _DRIVER_VERIFIED, name
+        assert NAMES.index(name) < _WINDOW, (name, NAMES.index(name))
