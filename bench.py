@@ -183,6 +183,13 @@ def main() -> None:
                 "queries": timings,
                 "samples": samples,
                 "sf": sf,
+                # observed core count (r16, VERDICT r15 #2): the
+                # driver's low-core comparison run can verify from the
+                # artifact itself that $SPARK_GRAFT_CPUS reached the
+                # session — the ≈1 sf0.1 scaling ratios are
+                # orchestration-floor, not serial execution (see the
+                # CPU-bound 8-vs-32 proof in SCALE.md)
+                "parallelism": spark.sparkContext.defaultParallelism,
                 "host_load1": load1,
                 "host_load1_start": load1_start,
             }

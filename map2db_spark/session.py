@@ -73,6 +73,24 @@ def get_spark(app_name: str = "map2db_spark", cpus: str | None = None) -> SparkS
         # reader rejects; read as long and convert in tables.load (exact
         # integer division — no double round-trip).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # generated-class cache (r16, guide §1/§7.2 measured): the
+        # default 100-entry cache thrashes under any application that
+        # runs more than a handful of distinct queries — the 12-row
+        # bench alone holds ~300 live codegen units, so EVERY timed
+        # sample re-paid Janino compilation (probe:
+        # tools/bench_codegen_probe.py — d_minhash_lsh recompiled
+        # 214-263 ms per sample, ~1.26 s of pure compile per bench
+        # pass; with headroom the same pass compiles 0 ms and the
+        # pass total fell 11.57 -> 9.48 s same-session).  1000
+        # entries bounds metaspace to tens of MB (generated classes
+        # are ~10-50 KB) and is equally right on a cluster: the cache
+        # is per-JVM and any long-lived multi-query application
+        # (ETL DAGs, Thrift server) exceeds 100 units.  Env-tunable
+        # like the other scale knobs.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "1000"),
+        )
     )
     spark = builder.getOrCreate()
     ship_package(spark)

@@ -2103,3 +2103,16 @@ def test_minhash_recall_skewed_query_body_no_sort_aggregate(spark, monkeypatch):
     monkeypatch.setattr(_CDF, "localCheckpoint", lambda self, eager=True: self)
     plan = plan_of(spark, "d_minhash_recall_skewed")
     assert "SortAggregate" not in plan, plan
+
+
+def test_codegen_class_cache_sized_past_bench_working_set(spark):
+    """r16 (guide §1 measured, §7.2): Spark's generated-class cache
+    defaults to 100 entries, which the 12-row bench sequence thrashes
+    — tools/bench_codegen_probe.py measured EVERY timed sample paying
+    Janino recompilation (d_minhash_lsh 214-263 ms/sample, ~1.26 s of
+    pure compile per bench pass); at 1000 entries the same timed
+    passes compile 0 ms and the pass total fell 11.57 -> 9.48 s
+    same-session.  The knob is per-JVM, scale-independent (any
+    long-lived multi-query app exceeds 100 units) and env-tunable
+    (SPARK_GRAFT_CODEGEN_CACHE)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
