@@ -41,7 +41,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 FEATS_PER_TILE = 240
-BBOX = (0.1, 0.1, 22.0, 22.0)  # z10 grid => ~64x64 tiles
+# z10 grid => ~125x130 tiles => ~16k tiles / ~3.9M features: the
+# first attempt (64x64, ~930k features) finished in 3.1 s at 32
+# cores — too close to the ~2.5 s per-job orchestration floor to
+# separate compute from floor (ratio read 1.26); 4x the tiles puts
+# the kernel work an order of magnitude past the floor
+BBOX = (0.1, 0.1, 44.0, 44.0)
 REPEATS = 2
 
 
@@ -51,36 +56,46 @@ def _steal() -> int:
 
 
 def _run_one(cpus: int, map_path: str) -> None:
-    from map2db_spark.pipeline import consolidated_features
+    from pyspark.sql import functions as F
+
+    from map2db_spark.pipeline import consolidated_features, load_features
     from map2db_spark.session import get_spark
 
     spark = get_spark("core-scaling", cpus=str(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setJobDescription(f"core-scaling local[{cpus}]")
 
-    def pass_once() -> float:
-        t0 = time.perf_counter()
-        consolidated_features(spark, map_path).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        return time.perf_counter() - t0
+    # two workload shapes: decode-only is map-only (the manifest
+    # repartition moves KB; all the time is the Python decode kernel)
+    # — the CPU-bound row the scaling claim rests on; the full
+    # pipeline adds the consolidate/merge shuffle stages, whose cost
+    # scales with DATA, not cores, so its ratio is lower by design
+    workloads = {
+        "decode_only": lambda: load_features(spark, map_path).where(
+            F.col("ftype") != "reject"
+        ),
+        "full_pipeline": lambda: consolidated_features(spark, map_path),
+    }
 
-    warm = pass_once()  # JVM/codegen/page-cache warm-up, untimed
-    s0 = _steal()
-    samples = [round(pass_once(), 3) for _ in range(REPEATS)]
-    s1 = _steal()
-    print(
-        json.dumps(
-            {
-                "cpus": cpus,
-                "parallelism": spark.sparkContext.defaultParallelism,
-                "warm_sec": round(warm, 3),
-                "samples": samples,
-                "best_sec": min(samples),
-                "steal_ticks": s1 - s0,
-            }
-        )
-    )
+    result = {"cpus": cpus,
+              "parallelism": spark.sparkContext.defaultParallelism}
+    for wname, build in workloads.items():
+        def pass_once() -> float:
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        warm = pass_once()  # JVM/codegen/page-cache warm-up, untimed
+        s0 = _steal()
+        samples = [round(pass_once(), 3) for _ in range(REPEATS)]
+        s1 = _steal()
+        result[wname] = {
+            "warm_sec": round(warm, 3),
+            "samples": samples,
+            "best_sec": min(samples),
+            "steal_ticks": s1 - s0,
+        }
+    print(json.dumps(result))
     spark.stop()
 
 
@@ -110,7 +125,12 @@ def main() -> None:
             line = out.stdout.strip().splitlines()[-1]
             results[cpus] = json.loads(line)
 
-        ratio = round(results[8]["best_sec"] / results[32]["best_sec"], 2)
+        ratios = {
+            w: round(
+                results[8][w]["best_sec"] / results[32][w]["best_sec"], 2
+            )
+            for w in ("decode_only", "full_pipeline")
+        }
         print(
             json.dumps(
                 {
@@ -118,7 +138,7 @@ def main() -> None:
                     "map_mb": size_mb,
                     "gen_sec": gen_sec,
                     "runs": results,
-                    "ratio_8_over_32": ratio,
+                    "ratio_8_over_32": ratios,
                 }
             )
         )
